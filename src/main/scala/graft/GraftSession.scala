@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with scale-appropriate defaults.
+  *
+  * Mirrors the role of scio's `ScioContext`
+  * (reference: scio-core/src/main/scala/com/spotify/scio/ScioContext.scala:1)
+  * as the single entry point that owns execution configuration — but
+  * Spark-first: AQE on (runtime coalescing + skew-join handling),
+  * broadcast threshold tuned for dimension tables, UTC session time.
+  */
+object GraftSession {
+
+  /** Build a local session. `cpus` drives both parallelism and the
+    * shuffle partition count (≈ cores in local mode; at cluster scale
+    * you'd set 2-3× total executor cores and let AQE coalesce).
+    */
+  def local(cpus: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    configure(SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+
+  def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .config("spark.ui.enabled", "false")
+}

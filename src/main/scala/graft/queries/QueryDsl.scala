@@ -1,0 +1,32 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared helpers for the oracle-checked query suite.
+  *
+  * The driver hashes result values after sorting columns by name, so:
+  *  - every computed column is explicitly aliased identically in the
+  *    Spark plan and the DuckDB oracle SQL;
+  *  - floating-point aggregates are rounded on BOTH sides (money sums
+  *    to 2 dp, means/ratios to 6 dp) so double-associativity noise
+  *    across engines cannot flip a hash;
+  *  - every query has a total deterministic ORDER BY.
+  */
+object QueryDsl {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** money-style sum: stable to 2 dp */
+  def r2(c: Column): Column = round(c, 2)
+
+  /** mean/ratio: stable to 6 dp */
+  def r6(c: Column): Column = round(c, 6)
+
+  def tables(s: SparkSession, dir: String): graft.Tables = graft.Tables(s, dir)
+}
+
+/** A bundle of queries plus their DuckDB oracles. */
+trait QueryPack {
+  def queries: Map[String, QueryDsl.Q]
+  def oracles: Map[String, String]
+}
