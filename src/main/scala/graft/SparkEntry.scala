@@ -7,7 +7,9 @@ import graft.queries._
 object SparkEntry {
 
   private val packs: Seq[QueryPack] = Seq(
-    AnalyticsQueries
+    AnalyticsQueries,
+    CoreQueries,
+    PairQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

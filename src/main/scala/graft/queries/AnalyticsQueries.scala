@@ -23,8 +23,8 @@ object AnalyticsQueries extends QueryPack {
         .agg(
           r2(sum(col("l_quantity"))).as("sum_qty"),
           r2(sum(col("l_extendedprice"))).as("sum_base_price"),
-          r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_price"),
-          r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))).as("sum_charge"),
+          sumMoney(netDec(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price"),
+          sumMoney(netDec(col("l_extendedprice"), col("l_discount")) * (lit(1) + dec(col("l_tax")))).as("sum_charge"),
           r6(avg(col("l_quantity"))).as("avg_qty"),
           r6(avg(col("l_extendedprice"))).as("avg_price"),
           r6(avg(col("l_discount"))).as("avg_disc"),
@@ -44,7 +44,7 @@ object AnalyticsQueries extends QueryPack {
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-        .agg(r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+        .agg(sumMoney(netDec(col("l_extendedprice"), col("l_discount"))).as("revenue"))
         .select(col("l_orderkey"), col("revenue"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
           col("o_orderpriority"))
@@ -66,7 +66,7 @@ object AnalyticsQueries extends QueryPack {
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       j.groupBy(col("n_name"))
-        .agg(r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+        .agg(sumMoney(netDec(col("l_extendedprice"), col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }
   )
@@ -76,8 +76,8 @@ object AnalyticsQueries extends QueryPack {
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(sum(l_extendedprice), 2) AS sum_base_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
-        |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_charge,
         |  round(avg(l_quantity), 6) AS avg_qty,
         |  round(avg(l_extendedprice), 6) AS avg_price,
         |  round(avg(l_discount), 6) AS avg_disc,
@@ -88,7 +88,7 @@ object AnalyticsQueries extends QueryPack {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping" ->
       """SELECT l_orderkey,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue,
         |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
         |  o_orderpriority
         |FROM lineitem
@@ -102,7 +102,7 @@ object AnalyticsQueries extends QueryPack {
         |LIMIT 10""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name,
-        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON o_orderkey = l_orderkey

@@ -1,0 +1,332 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.Joins
+import graft.syntax._
+import QueryDsl._
+
+/** Keyed/pair operators (SURVEY §2 "Keyed / pair ops").
+  * Reference semantics: scio-core PairSCollectionFunctions.scala,
+  * PairHashSCollectionFunctions.scala, PairSkewedSCollectionFunctions
+  * .scala. Join strategies live in graft.operators.Joins.
+  */
+object PairQueries extends QueryPack {
+
+  override val queries: Map[String, Q] = Map(
+
+    // plain shuffle join (Catalyst picks SMJ/shuffled-hash; dims
+    // under the broadcast threshold flip to broadcast automatically).
+    "q_join" -> { (s, dir) =>
+      val t = tables(s, dir)
+      t.supplier.join(t.nation, col("s_nationkey") === col("n_nationkey"))
+        .filter(col("s_suppkey") <= 100)
+        .select(col("s_suppkey"), col("s_name"), col("n_name"), r2(col("s_acctbal")).as("bal"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    // leftOuterJoin: customers with their order count, 0 if none.
+    "q_left_join" -> { (s, dir) =>
+      val t = tables(s, dir)
+      val cnt = t.orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("n_raw"))
+      t.customer.join(cnt, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), coalesce(col("n_raw"), lit(0L)).as("n_orders"))
+        .filter(col("c_custkey") <= 300)
+        .orderBy(col("c_custkey"))
+    },
+
+    // rightOuterJoin.
+    "q_right_join" -> { (s, dir) =>
+      val t = tables(s, dir)
+      val bigOrders = t.orders.filter(col("o_totalprice") > 450000.0)
+      bigOrders.join(t.customer.filter(col("c_custkey") <= 500),
+          col("o_custkey") === col("c_custkey"), "right")
+        .select(col("c_custkey"),
+          coalesce(col("o_orderkey"), lit(-1L)).as("o_key"),
+          r2(coalesce(col("o_totalprice"), lit(0.0))).as("total"))
+        .orderBy(col("c_custkey"), col("o_key"))
+    },
+
+    // fullOuterJoin with nulls on both sides.
+    "q_full_join" -> { (s, dir) =>
+      val t = tables(s, dir)
+      val a = t.customer.filter(col("c_acctbal") > 9000.0).select(col("c_custkey").as("k"), r2(col("c_acctbal")).as("bal"))
+      val b = t.orders.filter(col("o_totalprice") > 450000.0)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_big"))
+      a.join(b, a("k") === b("o_custkey"), "full")
+        .select(coalesce(col("k"), col("o_custkey")).as("custkey"),
+          r2(coalesce(col("bal"), lit(-1.0))).as("bal"),
+          coalesce(col("n_big"), lit(0L)).as("n_big"))
+        .orderBy(col("custkey"))
+    },
+
+    // cogroup: per key, sorted value lists from both sides.
+    "q_cogroup" -> { (s, dir) =>
+      val t = tables(s, dir)
+      val ord = t.orders.filter(col("o_custkey") <= 50).select(col("o_custkey").as("k"), col("o_orderkey"))
+      val cus = t.customer.filter(col("c_custkey") <= 50).select(col("c_custkey").as("k"), col("c_mktsegment"))
+      Joins.cogroup(ord, cus, "k", "o_orderkey", "c_mktsegment")
+        .select(col("k"),
+          coalesce(array_join(col("o_orderkeys"), ","), lit("")).as("order_keys"),
+          coalesce(array_join(col("c_mktsegments"), ","), lit("")).as("segments"))
+        .orderBy(col("k"))
+    },
+
+    // hashJoin: explicit broadcast of the small side.
+    "q_hash_join" -> { (s, dir) =>
+      val t = tables(s, dir)
+      t.customer.hashJoin(t.nation, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), r2(sum(col("c_acctbal"))).as("sum_bal"))
+        .orderBy(col("n_name"))
+    },
+
+    // skewedJoin: salted fanout — same rows as the plain join.
+    "q_skewed_join" -> { (s, dir) =>
+      val t = tables(s, dir)
+      t.lineitem.select(col("l_suppkey"), col("l_quantity"))
+        .skewedJoin(t.supplier.select(col("s_suppkey").as("l_suppkey"), col("s_nationkey")), Seq("l_suppkey"), fanout = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("qty"))
+        .orderBy(col("s_nationkey"))
+    },
+
+    // sparseJoin: Bloom-prefiltered shuffle join.
+    "q_sparse_join" -> { (s, dir) =>
+      val t = tables(s, dir)
+      val rareParts = t.part.filter(col("p_size") === 1).select(col("p_partkey").as("l_partkey"), col("p_brand"))
+      t.lineitem.select(col("l_partkey"), col("l_quantity"))
+        .sparseJoin(rareParts, "l_partkey", expectedRightKeys = 100000L)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("qty"))
+        .orderBy(col("p_brand"))
+    },
+
+    // hashLookup: broadcast map lookup (side-input join).
+    "q_hash_lookup" -> { (s, dir) =>
+      val t = tables(s, dir)
+      t.supplier.hashJoin(t.nation.select(col("n_nationkey"), col("n_name")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n_supp"))
+        .orderBy(col("n_name"))
+    },
+
+    // intersectByKey → left-semi: customers having ≥1 urgent order.
+    "q_semi_join" -> { (s, dir) =>
+      val t = tables(s, dir)
+      t.customer.intersectByKey(
+          t.orders.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("c_custkey")),
+          "c_custkey")
+        .agg(count(lit(1)).as("n"), r2(sum(col("c_acctbal"))).as("sum_bal"))
+    },
+
+    // subtractByKey → left-anti: customers with no urgent orders.
+    "q_anti_join" -> { (s, dir) =>
+      val t = tables(s, dir)
+      t.customer.subtractByKey(
+          t.orders.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("c_custkey")),
+          "c_custkey")
+        .agg(count(lit(1)).as("n"), r2(sum(col("c_acctbal"))).as("sum_bal"))
+    },
+
+    // reduceByKey/sumByKey (map-side partial agg).
+    "q_sum_by_key" -> { (s, dir) =>
+      tables(s, dir).events
+        .groupBy(col("user_id"))
+        .agg(r6(sum(col("value"))).as("sum_value"))
+        .filter(col("user_id") <= 100)
+        .orderBy(col("user_id"))
+    },
+
+    // aggregateByKey/combineByKey: multi-expression keyed aggregation.
+    "q_aggregate_by_key" -> { (s, dir) =>
+      tables(s, dir).events
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), r6(sum(col("value"))).as("sum_v"),
+          r6(min(col("value"))).as("min_v"), r6(max(col("value"))).as("max_v"))
+        .orderBy(col("event_type"))
+    },
+
+    // countByKey.
+    "q_count_by_key" -> { (s, dir) =>
+      tables(s, dir).lineitem
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n_lines"))
+        .filter(col("l_orderkey") <= 200)
+        .orderBy(col("l_orderkey"))
+    },
+
+    // minByKey/maxByKey: argmin/argmax per key.
+    "q_min_max_by_key" -> { (s, dir) =>
+      tables(s, dir).orders
+        .groupBy(col("o_orderpriority"))
+        .agg(min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest_order"),
+          max_by(col("o_orderkey"), col("o_totalprice")).as("priciest_order"),
+          r2(min(col("o_totalprice"))).as("min_total"),
+          r2(max(col("o_totalprice"))).as("max_total"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // meanByKey.
+    "q_mean_by_key" -> { (s, dir) =>
+      tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(r6(avg(col("l_discount"))).as("avg_disc"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // latestByKey via max_by over event time.
+    "q_latest_by_key" -> { (s, dir) =>
+      tables(s, dir).events
+        .latestByKey(Seq("event_type"), "ts", "value")
+        .select(col("event_type"), r6(col("latest_value")).as("latest_value"),
+          date_format(col("max_ts"), "yyyy-MM-dd HH:mm:ss").as("latest_ts"))
+        .orderBy(col("event_type"))
+    },
+
+    // topByKey: bounded per-key rank, one shuffle, no global sort.
+    "q_top_by_key" -> { (s, dir) =>
+      tables(s, dir).orders
+        .topByKey(Seq("o_orderpriority"), 3, col("o_totalprice").desc, col("o_orderkey").asc)
+        .select(col("o_orderpriority"), col("o_orderkey"), r2(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderpriority"), col("total").desc, col("o_orderkey"))
+    },
+
+    // approxQuantilesByKey's exact core, per key.
+    "q_quantiles_by_key" -> { (s, dir) =>
+      tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(percentile(col("l_extendedprice"), lit(0.5)).as("med_raw"))
+        .select(col("l_returnflag"), r6(col("med_raw")).as("median_price"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // mapValues/swap: value-side projection keeping the key.
+    "q_map_values" -> { (s, dir) =>
+      tables(s, dir).events
+        .filter(col("event_id") < 50)
+        .select(col("event_id"), col("event_type"))
+        .swapped
+        .select(col("event_type"), col("event_id"))
+        .orderBy(col("event_id"))
+    },
+
+    // withHotKeyFanout: two-phase salted aggregation ≡ plain agg.
+    "q_fanout_agg" -> { (s, dir) =>
+      Joins.fanoutAgg(tables(s, dir).lineitem, Seq("l_returnflag"), fanout = 8)(
+          partial = Seq(sum(col("l_quantity")).as("part_qty"), count(lit(1)).as("part_n")),
+          merge = Seq(r2(sum(col("part_qty"))).as("sum_qty"), sum(col("part_n")).as("n")))
+        .orderBy(col("l_returnflag"))
+    }
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q_join" ->
+      """SELECT s_suppkey, s_name, n_name, round(s_acctbal, 2) AS bal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey <= 100 ORDER BY s_suppkey""".stripMargin,
+    "q_left_join" ->
+      """SELECT c_custkey, coalesce(n_raw, 0) AS n_orders
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS n_raw FROM orders GROUP BY o_custkey
+        |) ON c_custkey = o_custkey
+        |WHERE c_custkey <= 300 ORDER BY c_custkey""".stripMargin,
+    "q_right_join" ->
+      """SELECT c_custkey, coalesce(o_orderkey, -1) AS o_key,
+        |  round(coalesce(o_totalprice, 0.0), 2) AS total
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 450000.0) o
+        |RIGHT JOIN (SELECT * FROM customer WHERE c_custkey <= 500) c
+        |  ON o.o_custkey = c.c_custkey
+        |ORDER BY c_custkey, o_key""".stripMargin,
+    "q_full_join" ->
+      """SELECT coalesce(k, o_custkey) AS custkey,
+        |  round(coalesce(bal, -1.0), 2) AS bal,
+        |  coalesce(n_big, 0) AS n_big
+        |FROM (SELECT c_custkey AS k, round(c_acctbal, 2) AS bal FROM customer WHERE c_acctbal > 9000.0) a
+        |FULL JOIN (SELECT o_custkey, count(*) AS n_big FROM orders
+        |           WHERE o_totalprice > 450000.0 GROUP BY o_custkey) b
+        |  ON a.k = b.o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "q_cogroup" ->
+      """SELECT coalesce(o.k, c.k) AS k,
+        |  coalesce(o.order_keys, '') AS order_keys,
+        |  coalesce(c.segments, '') AS segments
+        |FROM (SELECT o_custkey AS k,
+        |        string_agg(o_orderkey::VARCHAR, ',' ORDER BY o_orderkey) AS order_keys
+        |      FROM orders WHERE o_custkey <= 50 GROUP BY o_custkey) o
+        |FULL JOIN (SELECT c_custkey AS k,
+        |        string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+        |      FROM customer WHERE c_custkey <= 50 GROUP BY c_custkey) c
+        |  ON o.k = c.k
+        |ORDER BY k""".stripMargin,
+    "q_hash_join" ->
+      """SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_skewed_join" ->
+      """SELECT s_nationkey, count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q_sparse_join" ->
+      """SELECT p_brand, count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size = 1
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_hash_lookup" ->
+      """SELECT n_name, count(*) AS n_supp
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_semi_join" ->
+      """SELECT count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer WHERE EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "q_anti_join" ->
+      """SELECT count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+    "q_sum_by_key" ->
+      """SELECT user_id, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY user_id HAVING user_id <= 100
+        |ORDER BY user_id""".stripMargin,
+    "q_aggregate_by_key" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_v,
+        |  round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_count_by_key" ->
+      """SELECT l_orderkey, count(*) AS n_lines
+        |FROM lineitem GROUP BY l_orderkey HAVING l_orderkey <= 200
+        |ORDER BY l_orderkey""".stripMargin,
+    "q_min_max_by_key" ->
+      """SELECT o_orderpriority,
+        |  arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+        |  arg_max(o_orderkey, o_totalprice) AS priciest_order,
+        |  round(min(o_totalprice), 2) AS min_total,
+        |  round(max(o_totalprice), 2) AS max_total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_mean_by_key" ->
+      """SELECT l_returnflag, round(avg(l_discount), 6) AS avg_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_latest_by_key" ->
+      """SELECT event_type, round(max_by(value, ts), 6) AS latest_value,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS latest_ts
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_top_by_key" ->
+      """SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS total
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_orderpriority
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_orderpriority, total DESC, o_orderkey""".stripMargin,
+    "q_quantiles_by_key" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_map_values" ->
+      """SELECT event_type, event_id FROM events
+        |WHERE event_id < 50 ORDER BY event_id""".stripMargin,
+    "q_fanout_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}

@@ -22,6 +22,19 @@ object QueryDsl {
   /** mean/ratio: stable to 6 dp */
   def r6(c: Column): Column = round(c, 6)
 
+  /** Exact decimal cast for money columns: sums of double products can
+    * land exactly on a .xx5 rounding boundary (the inputs have 2 dp),
+    * where Spark and DuckDB round differently. DECIMAL arithmetic is
+    * exact and engine-independent.
+    */
+  def dec(c: Column): Column = c.cast("decimal(12,2)")
+
+  /** price * (1 - discount) in exact decimals. */
+  def netDec(price: Column, disc: Column): Column = dec(price) * (lit(1) - dec(disc))
+
+  /** Final money aggregate: exact decimal sum → 2 dp → double. */
+  def sumMoney(c: Column): Column = round(sum(c), 2).cast("double")
+
   def tables(s: SparkSession, dir: String): graft.Tables = graft.Tables(s, dir)
 }
 

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.reflect.ClassTag
+
+/** scio-shaped syntax on Spark Datasets/DataFrames.
+  *
+  * `import graft.syntax._` gives `SCollection`-style verbs
+  * (reference: scio-core/src/main/scala/com/spotify/scio/values/
+  * SCollection.scala and PairSCollectionFunctions.scala) on top of
+  * `Dataset[T]`/`DataFrame`. Everything stays declarative — each verb
+  * expands to Catalyst expressions (codegen'd, partial-aggregated,
+  * pushdown-friendly), never driver-side loops.
+  */
+package object syntax {
+
+  /** SCollection[T] analogue. */
+  implicit class GraftDatasetOps[T](private val ds: Dataset[T]) extends AnyVal {
+
+    /** scio collect(pf): filter + map in one. */
+    def collectWith[U: Encoder](pf: PartialFunction[T, U]): Dataset[U] =
+      ds.filter((t: T) => pf.isDefinedAt(t)).map((t: T) => pf(t))
+
+    /** scio keyBy. */
+    def keyBy[K: Encoder](f: T => K)(implicit te: Encoder[T], kv: Encoder[(K, T)]): Dataset[(K, T)] =
+      ds.map(t => (f(t), t))
+
+    /** scio distinctBy: one representative element per key. Spark's
+      * dropDuplicates keeps an arbitrary row; this keeps the minimum
+      * by `ord`, making results deterministic (and oracle-checkable).
+      */
+    def distinctByMin[K](keyCols: Seq[String], tieBreak: String): DataFrame = {
+      val d = ds.toDF()
+      val others = d.columns.filterNot(c => keyCols.contains(c) || c == tieBreak)
+      d.groupBy(keyCols.map(col): _*)
+        .agg(min(col(tieBreak)).as(tieBreak),
+          others.map(c => min_by(col(c), col(tieBreak)).as(c)): _*)
+    }
+
+    /** scio countByValue over chosen columns. */
+    def countByValue(cols: String*): DataFrame =
+      ds.toDF().groupBy(cols.map(col): _*).agg(count(lit(1)).as("count"))
+
+    /** scio top(n): TakeOrdered — per-partition top-n then merge, no
+      * global sort at scale.
+      */
+    def topBy(n: Int, ordering: Column*): DataFrame =
+      ds.toDF().orderBy(ordering: _*).limit(n)
+
+    /** scio sample without replacement, seeded. */
+    def sampleFraction(fraction: Double, seed: Long = 42L): Dataset[T] =
+      ds.sample(withReplacement = false, fraction, seed)
+
+    /** Deterministic systematic sample: keep rows whose key hashes
+      * into the chosen residue class. Unlike `sample`, reproducible
+      * across engines — the oracle can express it.
+      */
+    def sampleSystematic(keyCol: String, modulus: Int, residue: Int = 0): DataFrame =
+      ds.toDF().filter(pmod(col(keyCol), lit(modulus)) === residue)
+
+    /** scio batch(n): group elements into fixed-size batches within a
+      * partition (no shuffle) — for batched downstream calls
+      * (reference: scio BatchDoFn usage in SCollection.batch).
+      */
+    def batched(n: Int)(implicit ct: ClassTag[T], e: Encoder[Seq[T]]): Dataset[Seq[T]] =
+      ds.mapPartitions((it: Iterator[T]) => it.grouped(n).map(_.toSeq))(e)
+
+    /** scio partition(p): split into disjoint frames by predicate.
+      * Both sides share the one cached scan when `cache` is set.
+      */
+    def partitionBy2(pred: Column): (DataFrame, DataFrame) = {
+      val d = ds.toDF()
+      (d.filter(pred), d.filter(!pred))
+    }
+  }
+
+  /** PairSCollectionFunctions analogue on DataFrames with explicit
+    * key columns — the dynamic-schema face of the API.
+    */
+  implicit class GraftFrameOps(private val df: DataFrame) extends AnyVal {
+
+    def hashJoin(right: DataFrame, on: Column, how: String = "inner"): DataFrame =
+      operators.Joins.hashJoin(df, right, on, how)
+
+    def skewedJoin(right: DataFrame, keys: Seq[String], fanout: Int, how: String = "inner"): DataFrame =
+      operators.Joins.skewedJoin(df, right, keys, fanout, how)
+
+    def sparseJoin(right: DataFrame, key: String, expectedRightKeys: Long = 1000000L): DataFrame =
+      operators.Joins.sparseJoin(df, right, key, expectedRightKeys)
+
+    def intersectByKey(right: DataFrame, key: String): DataFrame =
+      operators.Joins.semiJoin(df, right, key)
+
+    def subtractByKey(right: DataFrame, key: String): DataFrame =
+      operators.Joins.antiJoin(df, right, key)
+
+    /** scio topByKey: per-key top-n without a global sort — a window
+      * rank bounded per key; Catalyst runs it as one shuffle by key.
+      */
+    def topByKey(keyCols: Seq[String], n: Int, ordering: Column*): DataFrame = {
+      val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ordering: _*)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= n)
+        .drop("__rn")
+    }
+
+    /** scio latestByKey: value of the most recent row per key. */
+    def latestByKey(keyCols: Seq[String], tsCol: String, valueCol: String): DataFrame =
+      df.groupBy(keyCols.map(col): _*)
+        .agg(max_by(col(valueCol), col(tsCol)).as(s"latest_$valueCol"),
+          max(col(tsCol)).as(s"max_$tsCol"))
+
+    /** scio swap for a 2-column frame. */
+    def swapped: DataFrame = {
+      require(df.columns.length == 2, "swap expects a 2-column (key, value) frame")
+      df.select(col(df.columns(1)), col(df.columns(0)))
+    }
+  }
+}
