@@ -9,7 +9,9 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     AnalyticsQueries,
     CoreQueries,
-    PairQueries
+    PairQueries,
+    StatsWindowQueries,
+    TextVectorQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

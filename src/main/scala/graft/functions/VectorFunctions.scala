@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns, composed from
+  * builtin higher-order functions (zip_with/aggregate — codegen'd).
+  * For the hot paths these keep the whole kernel inside one projection
+  * with no UDF boundary or serialization.
+  */
+object VectorFunctions {
+
+  /** Dot product, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0 when either side is a zero vector. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val na = l2Norm(a)
+    val nb = l2Norm(b)
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(d / (na * nb))
+  }
+
+  /** Unit-normalize (array<double>); zero vectors pass through. */
+  def normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    when(n === 0.0, transform(a, x => x.cast("double")))
+      .otherwise(transform(a, x => x.cast("double") / n))
+  }
+
+  /** Random-hyperplane LSH signature: `nBits` sign bits packed into a
+    * long. Hyperplane components are derived from a seeded splitmix-
+    * style integer mix at plan-build time (deterministic across runs
+    * and executors, no stored model).
+    */
+  def hyperplaneSignature(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
+    require(nBits <= 63, "nBits must fit in a long")
+    val rng = new scala.util.Random(seed)
+    val planes = Array.fill(nBits, dim)(rng.nextGaussian())
+    (0 until nBits).map { b =>
+      val proj = (0 until dim).map(i => element_at(vec, i + 1).cast("double") * lit(planes(b)(i)))
+        .reduce(_ + _)
+      when(proj > 0.0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+  }
+}

@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import QueryDsl._
+
+/** Stats, sketches-with-exact-oracles, rollups, and event-time
+  * windowing (SURVEY §2 "Stats & sketches" + "Windowing").
+  * Reference semantics: scio DoubleSCollectionFunctions.scala
+  * (stats/histogram), scio-extra rollup/package.scala,
+  * WindowedSCollection.scala + streaming/package.scala (fixed/
+  * sliding/session windows — Structured Streaming mirrors live in
+  * graft.streaming and are exercised in StreamingSpec).
+  */
+object StatsWindowQueries extends QueryPack {
+
+  override val queries: Map[String, Q] = Map(
+
+    // DoubleSCollectionFunctions.stats: one-pass moments.
+    "q_stats" -> { (s, dir) =>
+      tables(s, dir).events.agg(
+        count(lit(1)).as("n"),
+        r6(avg(col("value"))).as("mean"),
+        r6(stddev_samp(col("value"))).as("stdev"),
+        r6(var_samp(col("value"))).as("variance"),
+        r6(min(col("value"))).as("min_v"),
+        r6(max(col("value"))).as("max_v"))
+    },
+
+    // histogram(buckets): fixed-width bucketing. floor() of the same
+    // IEEE division is engine-independent (no rounding involved).
+    "q_histogram" -> { (s, dir) =>
+      tables(s, dir).orders
+        .select((floor(col("o_totalprice") / 50000.0)).cast("long").as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    },
+
+    // scio-extra rollup: hierarchical subtotal aggregation.
+    "q_rollup" -> { (s, dir) =>
+      val t = tables(s, dir)
+      t.supplier
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_supp"), r2(sum(col("s_acctbal"))).as("sum_bal"))
+        .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("n_supp"), col("sum_bal"))
+        .orderBy(col("region"), col("nation"))
+    },
+
+    // cube: all grouping-set combinations.
+    "q_cube" -> { (s, dir) =>
+      tables(s, dir).orders
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"))
+        .orderBy(col("status"), col("priority"))
+    },
+
+    // windowByDays: calendar bucketing.
+    "q_window_daily" -> { (s, dir) =>
+      tables(s, dir).events
+        .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_v"))
+        .orderBy(col("day"), col("event_type"))
+    },
+
+    // withFixedWindows: tumbling event-time windows (batch mirror of
+    // the Structured Streaming window() aggregation).
+    "q_window_fixed" -> { (s, dir) =>
+      tables(s, dir).events
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_v"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("w_start"),
+          col("event_type"), col("n"), col("sum_v"))
+        .orderBy(col("w_start"), col("event_type"))
+    },
+
+    // withSlidingWindows: duration 2h, period 1h — each event lands in
+    // two windows.
+    "q_window_sliding" -> { (s, dir) =>
+      tables(s, dir).events
+        .groupBy(window(col("ts"), "2 hours", "1 hour"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_v"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("w_start"),
+          col("n"), col("sum_v"))
+        .orderBy(col("w_start"))
+    },
+
+    // withSessionWindows: 30-min-gap sessionization per user. The
+    // batch form is lag + running count of session-starts — one
+    // shuffle by user, everything else window functions. (The
+    // streaming form uses session_window/flatMapGroupsWithState —
+    // graft.streaming.Sessionize, exercised in StreamingSpec.)
+    "q_window_session" -> { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      val gapSec = 1800L
+      tables(s, dir).events
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > gapSec * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("sess_end"))
+        .filter(col("user_id") <= 100)
+        .orderBy(col("user_id"), col("sess_id"))
+    },
+
+    // scio-extra sorter: secondary sort — per key, values ordered by a
+    // secondary field without a global sort.
+    "q_secondary_sort" -> { (s, dir) =>
+      tables(s, dir).lineitem
+        .filter(col("l_suppkey") <= 20)
+        .groupBy(col("l_suppkey"))
+        .agg(array_join(
+          transform(
+            array_sort(collect_list(struct(col("l_shipdate"), col("l_orderkey")))),
+            x => x.getField("l_orderkey").cast("string")),
+          ",").as("orders_by_date"))
+        .orderBy(col("l_suppkey"))
+    }
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q_stats" ->
+      """SELECT count(*) AS n, round(avg(value), 6) AS mean,
+        |  round(stddev_samp(value), 6) AS stdev,
+        |  round(var_samp(value), 6) AS variance,
+        |  round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
+        |FROM events""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket, count(*) AS n
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        |  count(*) AS n_supp, round(sum(s_acctbal), 2) AS sum_bal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q_window_daily" ->
+      """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+    "q_window_fixed" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS w_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM events GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin,
+    "q_window_sliding" ->
+      """SELECT strftime(w_start, '%Y-%m-%d %H:%M') AS w_start,
+        |  count(*) AS n, round(sum(value), 2) AS sum_v
+        |FROM (
+        |  SELECT unnest([date_trunc('hour', ts),
+        |                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS w_start,
+        |         value
+        |  FROM events)
+        |GROUP BY w_start ORDER BY w_start""".stripMargin,
+    "q_window_session" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM flagged)
+        |SELECT user_id, sess_id, count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS sess_end
+        |FROM sess GROUP BY user_id, sess_id
+        |HAVING user_id <= 100
+        |ORDER BY user_id, sess_id""".stripMargin,
+    "q_secondary_sort" ->
+      """SELECT l_suppkey,
+        |  string_agg(l_orderkey::VARCHAR, ',' ORDER BY l_shipdate, l_orderkey) AS orders_by_date
+        |FROM lineitem WHERE l_suppkey <= 20
+        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+  )
+}

@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.multimodal.Multimodal
+import graft.similarity.KNN
+import QueryDsl._
+
+/** LLM-training-data pipeline operators (SURVEY §2 "LLM-pipeline"):
+  * dedup, similarity search, text analysis, multimodal plumbing, over
+  * the `documents` and `embeddings` tables. Approximate/hash-based
+  * operators are rows-only gated (engine-specific hashes); their
+  * semantics are asserted in DedupSpec/SimilaritySpec/TextSpec.
+  */
+object TextVectorQueries extends QueryPack {
+
+  override val queries: Map[String, Q] = Map(
+
+    // exact dedup via content hash (md5 exists in both engines).
+    "q_dedup_exact" -> { (s, dir) =>
+      Dedup.exact(tables(s, dir).documents, "doc_id", "text")
+        .agg(count(lit(1)).as("n_unique"),
+          sum(col("n_copies")).as("n_docs"),
+          sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+          min(col("keeper")).as("first_keeper"))
+    },
+
+    // MinHash+LSH near-dup clustering: every doc → cluster + keep flag.
+    "q_dedup_minhash" -> { (s, dir) =>
+      Dedup.minhashClusters(tables(s, dir).documents, "doc_id", "text")
+        .select(col("id"), col("cluster"), col("keep"))
+        .orderBy(col("id"))
+    },
+
+    // SimHash structural near-dup clustering.
+    "q_dedup_simhash" -> { (s, dir) =>
+      Dedup.simhashClusters(tables(s, dir).documents, "doc_id", "text")
+        .select(col("id"), col("cluster"), col("keep"))
+        .orderBy(col("id"))
+    },
+
+    // blocked exact n-gram Jaccard: top pairs per corpus by shingle
+    // similarity, blocked by source (never all-pairs on the corpus).
+    "q_ngram_jaccard" -> { (s, dir) =>
+      Dedup.blockedJaccardPairs(tables(s, dir).documents, "doc_id", "text", "source")
+        .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+        .limit(25)
+    },
+
+    // embedding-cosine near-dup: nearest neighbor + dup flag for a
+    // deterministic probe subset.
+    "q_embed_dedup" -> { (s, dir) =>
+      val emb = tables(s, dir).embeddings
+      KNN.nearDupByEmbedding(emb, emb.filter(col("vec_id") <= 50), "vec_id", "embedding", 0.9)
+        .select(col("probe_id"), col("nn_id"), col("is_dup"))
+        .orderBy(col("probe_id"))
+    },
+
+    // brute-force cosine top-k — the ANN baseline.
+    "q_knn_brute" -> { (s, dir) =>
+      val emb = tables(s, dir).embeddings
+      KNN.bruteForceTopK(emb, emb.filter(col("vec_id") <= 10), "vec_id", "embedding", k = 5)
+        .select(col("probe_id"), col("rank"), col("id").as("neighbor_id"))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+
+    // IVF-cell ANN — the scale path (per-probe work / 2^cellBits).
+    "q_knn_lsh" -> { (s, dir) =>
+      val emb = tables(s, dir).embeddings
+      KNN.ivfTopK(emb, emb.filter(col("vec_id") <= 10), "vec_id", "embedding",
+          k = 5, dim = 64, cellBits = 4)
+        .select(col("probe_id"), col("rank"), col("id").as("neighbor_id"))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+
+    // vector norms — oracle-checked (exact arithmetic both sides).
+    "q_embed_norm" -> { (s, dir) =>
+      tables(s, dir).embeddings
+        .filter(col("vec_id") <= 100)
+        .select(col("vec_id"), size(col("embedding")).as("dim"),
+          r6(VectorFunctions.l2Norm(col("embedding"))).as("l2_norm"))
+        .orderBy(col("vec_id"))
+    },
+
+    // language ID (heuristic; corpus text is synthetic so the
+    // distribution collapses — accuracy on real multilingual text is
+    // asserted in TextSpec).
+    "q_lang_id" -> { (s, dir) =>
+      tables(s, dir).documents
+        .select(TextFunctions.langId(col("text")).as("pred_lang"))
+        .groupBy(col("pred_lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("pred_lang"))
+    },
+
+    // quality scoring — oracle-checked arithmetic.
+    "q_text_quality" -> { (s, dir) =>
+      val q = TextFunctions.qualityStruct(col("text"))
+      tables(s, dir).documents
+        .filter(col("doc_id") <= 100)
+        .select(col("doc_id"), q.getField("n_tokens").as("n_tokens"),
+          r6(q.getField("distinct_ratio")).as("distinct_ratio"),
+          r6(q.getField("mean_tok_len")).as("mean_tok_len"),
+          r6(q.getField("alpha_ratio")).as("alpha_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
+    // token counting — whitespace + BPE-ish estimate, oracle-checked.
+    "q_token_count" -> { (s, dir) =>
+      val tc = TextFunctions.tokenCounts(col("text"))
+      tables(s, dir).documents
+        .select(col("doc_id"), tc.getField("n_ws_tokens").as("n_ws_tokens"),
+          tc.getField("n_bpe_est").as("n_bpe_est"))
+        .orderBy(col("doc_id"))
+    },
+
+    // order-sensitive document fingerprint (rolling hash).
+    "q_fingerprint" -> { (s, dir) =>
+      tables(s, dir).documents
+        .select(col("doc_id"),
+          TextFunctions.fingerprint(TextFunctions.tokens(col("text"))).as("fp"))
+        .groupBy().agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_distinct_fp"))
+    },
+
+    // multimodal plumbing: binary payload + stubbed decode → metadata.
+    "q_multimodal_meta" -> { (s, dir) =>
+      val media = Multimodal.asMediaTable(tables(s, dir).documents, "doc_id", "text", "text_as_bytes")
+      Multimodal.decodeStub(media).toDF()
+        .filter(col("id") <= 100)
+        .select(col("id"), col("nBytes").as("n_bytes"), col("width"), col("height"), col("nFrames").as("n_frames"))
+        .orderBy(col("id"))
+    }
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT count(*) AS n_unique, sum(n_copies) AS n_docs,
+        |  sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
+        |  min(keeper) AS first_keeper
+        |FROM (SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
+        |      FROM documents GROUP BY md5(text))""".stripMargin,
+    "q_embed_norm" ->
+      """SELECT vec_id, len(embedding) AS dim,
+        |  round(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding])), 6) AS l2_norm
+        |FROM embeddings WHERE vec_id <= 100 ORDER BY vec_id""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  len(string_split(trim(text), ' ')) AS n_tokens,
+        |  round(len(list_distinct(string_split(trim(text), ' ')))::DOUBLE
+        |        / greatest(len(string_split(trim(text), ' ')), 1), 6) AS distinct_ratio,
+        |  round(list_sum([len(x)::DOUBLE FOR x IN string_split(trim(text), ' ')])
+        |        / greatest(len(string_split(trim(text), ' ')), 1), 6) AS mean_tok_len,
+        |  round(len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+        |        / greatest(len(text), 1), 6) AS alpha_ratio
+        |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(trim(text), ' ')) AS n_ws_tokens,
+        |  list_sum([CAST(ceil(len(x) / 4.0) AS BIGINT) FOR x IN string_split(trim(text), ' ')]) AS n_bpe_est
+        |FROM documents ORDER BY doc_id""".stripMargin
+    // q_dedup_minhash / q_dedup_simhash / q_ngram_jaccard / q_embed_dedup /
+    // q_knn_brute / q_knn_lsh / q_lang_id / q_fingerprint /
+    // q_multimodal_meta: rows-only (hash- or model-specific values);
+    // semantics asserted in DedupSpec, SimilaritySpec, TextSpec,
+    // MultimodalSpec.
+  )
+}

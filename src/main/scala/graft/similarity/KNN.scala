@@ -1,0 +1,68 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over embedding columns —
+  * graft's counterpart to scio-extra's Annoy/Voyager side-input ANN
+  * (reference: scio-extra/src/main/scala/com/spotify/scio/extra/annoy/
+  * package.scala, voyager/). Scio builds a local index and reads it as
+  * a side input; Spark-first, the probe set is the broadcast side and
+  * the corpus stays distributed — so corpus size is unbounded and only
+  * #probes must be small-ish per pass.
+  */
+object KNN {
+
+  /** Exact brute-force top-k cosine: broadcast the probes, one pass
+    * over the corpus, per-probe bounded rank. The baseline every ANN
+    * variant is measured against.
+    */
+  def bruteForceTopK(corpus: DataFrame, probes: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+    val scored = c.crossJoin(broadcast(p))
+      .filter(col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id"),
+        cosine(col("vec"), col("probe_vec")).as("cos_sim"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-flat-style ANN: a deterministic coarse quantizer (sign bits
+    * of `cellBits` seeded hyperplane projections) assigns corpus and
+    * probes to cells; search is brute force within the probe's cell
+    * only. Scale path: cells shard the corpus, so per-probe work drops
+    * by ~2^cellBits at a recall cost — tune cellBits to the corpus
+    * size. Recall vs bruteForceTopK is asserted in SimilaritySpec.
+    */
+  def ivfTopK(corpus: DataFrame, probes: DataFrame,
+              idCol: String, vecCol: String, k: Int,
+              dim: Int, cellBits: Int = 4, seed: Long = 42L): DataFrame = {
+    val cell = (v: org.apache.spark.sql.Column) => hyperplaneSignature(v, dim, cellBits, seed)
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"), cell(col(vecCol)).as("cell"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+      cell(col(vecCol)).as("cell"))
+    val scored = c.join(broadcast(p), Seq("cell"))
+      .filter(col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id"),
+        cosine(col("vec"), col("probe_vec")).as("cos_sim"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Embedding-based near-dup detection: nearest neighbor per probe
+    * with a duplicate flag at the given cosine threshold.
+    */
+  def nearDupByEmbedding(corpus: DataFrame, probes: DataFrame,
+                         idCol: String, vecCol: String, threshold: Double): DataFrame =
+    bruteForceTopK(corpus, probes, idCol, vecCol, k = 1)
+      .select(col("probe_id"), col("id").as("nn_id"), col("cos_sim"),
+        (col("cos_sim") >= threshold).as("is_dup"))
+}
