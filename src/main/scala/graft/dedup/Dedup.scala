@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -13,38 +14,88 @@ import graft.functions.TextFunctions._
   * cheap structural near-dups; blocked pairwise n-gram Jaccard where
   * an exact similarity is required.
   *
+  * Execution shape matters here more than anywhere else in graft:
+  * nested higher-order functions (transform-inside-transform) are
+  * interpreted, fall out of whole-stage codegen, and re-evaluate
+  * their argument expression per element — a column-expression
+  * MinHash is O(bands × hashes × shingles × split) per doc. So the
+  * hash pipelines below explode shingles/tokens to ROWS once and
+  * compute signatures as plain codegen'd aggregates over them:
+  * tokenize once, hash each shingle exactly `numHashes` times,
+  * one shuffle (map-side partial min/sum does the heavy lifting).
+  *
   * Outputs are cluster assignments (doc → cluster, keep-flag), the
   * form a dedup pipeline actually consumes — pair lists are an
   * intermediate.
   */
 object Dedup {
 
+  /** Null-text contract: every operator here treats a null text as the
+    * empty string, so every input id appears in the output.
+    */
+  private def txt(c: org.apache.spark.sql.Column) = coalesce(c, lit(""))
+
   /** Exact dedup by content hash: one row per distinct content with
     * the deterministic keeper (min id) and multiplicity.
     */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(md5(col(textCol)).as("content_hash"))
+    df.groupBy(md5(txt(col(textCol))).as("content_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signatures + LSH band buckets per doc. */
+  /** One row per k-word shingle: (id, h). The text is tokenized
+    * exactly once (posexplode), shingles assembled from lead() over
+    * the token rows — linear work, one shuffle by id. A doc with
+    * fewer than k tokens contributes its whole text as the single
+    * shingle (so no doc vanishes); duplicate shingles within a doc are
+    * kept (harmless under min-aggregation; collect_set dedups where a
+    * true set is needed).
+    */
+  private[dedup] def shingleRows(df: DataFrame, idCol: String, textCol: String,
+                                 k: Int): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      posexplode(tokens(txt(col(textCol)))).as(Seq("pos", "tok")))
+    if (k <= 1) {
+      toks.select(col("id"), xxhash64(col("tok")).as("h"))
+    } else {
+      val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+      val leads = (1 until k).map(j => lead(col("tok"), j).over(w))
+      toks
+        .withColumn("shingle", concat_ws(" ", col("tok") +: leads: _*))
+        .withColumn("full", leads.last.isNotNull) // false → <k tokens remain
+        .filter(col("full") || col("pos") === 0)  // short doc → whole text once
+        .select(col("id"), xxhash64(col("shingle")).as("h"))
+    }
+  }
+
+  /** MinHash signatures + LSH band buckets per doc, as one aggregation
+    * over the shingle rows: sig_j = min over shingles of hash_j(h) —
+    * `numHashes` codegen'd min-aggregates, partial-aggregated map-side.
+    */
   private def signatures(df: DataFrame, idCol: String, textCol: String,
-                         shingleK: Int, numHashes: Int, bands: Int): DataFrame = {
+                         shingleK: Int, numHashes: Int, bands: Int,
+                         withShingleSets: Boolean): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-    df.select(col(idCol).as("id"), array_distinct(shingleHashes(col(textCol), shingleK)).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val sigAggs = (0 until numHashes).map(j => min(xxhash64(col("h"), lit(j))).as(s"_m$j"))
+    val aggs = if (withShingleSets) sigAggs :+ collect_set(col("h")).as("sh") else sigAggs
+    val keep = if (withShingleSets) Seq(col("id"), col("sh")) else Seq(col("id"))
+    shingleRows(df, idCol, textCol, shingleK)
+      .groupBy(col("id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(keep :+ array((0 until numHashes).map(j => col(s"_m$j")): _*).as("sig"): _*)
       .withColumn("bandhashes", lshBandHashes(col("sig"), bands, rowsPerBand))
   }
 
   /** MinHash+LSH near-dup clustering (single min-propagation pass):
     * each doc's cluster is the min doc id among all docs sharing any
-    * band bucket with it (itself included, so every doc is assigned).
+    * band bucket with it (itself included, so every doc is assigned —
+    * null/empty texts hash like the empty string and stay in).
     * For corpora with dense dup chains, iterate to a fixpoint;
     * one pass resolves the common pairwise-dup case.
     */
   def minhashClusters(df: DataFrame, idCol: String, textCol: String,
                       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16): DataFrame = {
-    val sigs = signatures(df, idCol, textCol, shingleK, numHashes, bands)
+    val sigs = signatures(df, idCol, textCol, shingleK, numHashes, bands, withShingleSets = false)
     val exploded = sigs.select(col("id"),
       posexplode(col("bandhashes")).as(Seq("band", "bh")))
     val bucketMin = exploded.groupBy(col("band"), col("bh"))
@@ -61,7 +112,7 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleK: Int = 3, numHashes: Int = 128, bands: Int = 64): DataFrame = {
-    val sigs = signatures(df, idCol, textCol, shingleK, numHashes, bands)
+    val sigs = signatures(df, idCol, textCol, shingleK, numHashes, bands, withShingleSets = true)
     val exploded = sigs.select(col("id"), posexplode(col("bandhashes")).as(Seq("band", "bh")))
     val cand = exploded.as("a")
       .join(exploded.as("b"),
@@ -76,13 +127,29 @@ object Dedup {
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 
+  /** 64-bit SimHash per doc as one aggregation over token-hash rows:
+    * per bit, the +1/−1 vote sum (64 codegen'd sums), then one pack.
+    */
+  private def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"_b$b")
+    }
+    val packed = (0 until 64)
+      .map(b => when(col(s"_b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    df.select(col(idCol).as("id"), explode(tokens(txt(col(textCol)))).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+      .groupBy(col("id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"), packed.as("simhash"))
+  }
+
   /** SimHash clustering: docs sharing the full 64-bit signature are
     * structural near-dups. For hamming-distance-k matching, join on
     * signature chunks (pigeonhole) — exposed via `simhashPairs`.
     */
   def simhashClusters(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashed = df.select(col(idCol).as("id"),
-      simhash64(transform(tokens(col(textCol)), t => xxhash64(t))).as("simhash"))
+    val hashed = simhashes(df, idCol, textCol)
     hashed.groupBy(col("simhash")).agg(min(col("id")).as("cluster"), count(lit(1)).as("n"))
       .join(hashed, Seq("simhash"))
       .select(col("id"), col("simhash"), col("cluster"), (col("id") === col("cluster")).as("keep"))
@@ -93,8 +160,7 @@ object Dedup {
     * pair within hamming 3 shares at least one of 4 chunks).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
-    val hashed = df.select(col(idCol).as("id"),
-      simhash64(transform(tokens(col(textCol)), t => xxhash64(t))).as("simhash"))
+    val hashed = simhashes(df, idCol, textCol)
     val chunked = hashed.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
@@ -117,8 +183,9 @@ object Dedup {
     */
   def blockedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                           blockCol: String, shingleK: Int = 3): DataFrame = {
-    val sh = df.select(col(blockCol).as("block"), col(idCol).as("id"),
-      array_distinct(shingleHashes(col(textCol), shingleK)).as("sh"))
+    val sh = shingleRows(df, idCol, textCol, shingleK)
+      .groupBy(col("id")).agg(collect_set(col("h")).as("sh"))
+      .join(df.select(col(idCol).as("id"), col(blockCol).as("block")), Seq("id"))
     sh.as("a").join(sh.as("b"),
         col("a.block") === col("b.block") && col("a.id") < col("b.id"))
       .select(col("a.block").as("block"), col("a.id").as("id_a"), col("b.id").as("id_b"),

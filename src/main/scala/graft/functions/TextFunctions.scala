@@ -4,9 +4,15 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Text-analysis primitives for large-scale training-data pipelines.
-  * Everything is composed from builtin codegen'd expressions — no
-  * UDFs in hot paths, so whole-stage codegen spans stay wide and the
-  * same code runs unchanged at 100 TB.
+  * Composed from builtin expressions (no UDFs — no serialization
+  * boundary). Caveat that shapes graft.dedup: higher-order functions
+  * (transform/aggregate/filter) are interpreted, not codegen'd, and
+  * re-evaluate their input expression per element — fine for the
+  * single-pass scalar columns here, catastrophic when nested (a
+  * column-built MinHash re-tokenizes per hash per band). Hot
+  * many-pass pipelines belong in explode+aggregate form (see
+  * Dedup.shingleRows/signatures); [[minhashSignature]] and
+  * [[simhash64]] remain as the column-level form for small arrays.
   */
 object TextFunctions {
 
@@ -29,6 +35,11 @@ object TextFunctions {
     * the min over the doc's shingle hashes. Seeding reuses xxhash64 on
     * the precomputed base hash (cheap long→long mix) instead of
     * re-hashing the string per permutation.
+    *
+    * Column-level form — pass a MATERIALIZED array column (an
+    * attribute, not an inline expression): `baseHashes` is re-evaluated
+    * once per permutation. The corpus-scale path is
+    * Dedup.signatures (explode + min-aggregates).
     */
   def minhashSignature(baseHashes: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
@@ -64,12 +75,13 @@ object TextFunctions {
     when(uni === 0.0, 0.0).otherwise(inter / uni)
   }
 
-  /** Polynomial rolling fingerprint of the token sequence —
-    * order-sensitive (unlike MinHash) so reorderings differ. Long
-    * overflow wraps identically everywhere (two's complement).
+  /** Rolling fingerprint of the token sequence: a left fold chaining
+    * xxhash64(acc, token-hash) — order-sensitive (unlike MinHash) so
+    * reorderings differ. Chained hashing rather than a polynomial
+    * because ANSI mode (Spark 4 default) rejects wrapping multiply.
     */
   def fingerprint(toks: Column): Column =
-    aggregate(toks, lit(1469598103934665603L), (acc, t) => acc * lit(31L) + xxhash64(t))
+    aggregate(toks, lit(1469598103934665603L), (acc, t) => xxhash64(acc, xxhash64(t)))
 
   /** Stopword-profile language ID. For each candidate language,
     * scores the fraction of tokens that are among its most frequent

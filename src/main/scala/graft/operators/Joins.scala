@@ -32,12 +32,24 @@ object Joins {
     * a hot key spreads over `fanout` reducers. AQE's skew-join split
     * handles residual imbalance at runtime.
     *
+    * Only left-preserving modes are allowed: with the right side
+    * replicated `fanout`×, an unmatched right row would survive once
+    * per salt under right/full outer — those modes are rejected
+    * rather than silently wrong (salt the right side instead by
+    * swapping the arguments).
+    *
     * Use when `right` is too big to broadcast but small enough to
     * replicate `fanout`×, and `left` has known hot keys.
     */
   def skewedJoin(left: DataFrame, right: DataFrame, keys: Seq[String], fanout: Int,
                  how: String = "inner"): DataFrame = {
     require(fanout > 0, s"fanout must be positive, got $fanout")
+    val leftPreserving =
+      Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+        "left_anti", "leftanti", "cross")
+    require(leftPreserving.contains(how.toLowerCase.replace(" ", "")),
+      s"skewedJoin supports left-preserving modes only (got '$how'): right/full outer " +
+        "would duplicate unmatched right rows once per salt — swap the sides instead")
     val salt = "__graft_salt"
     val l = left.withColumn(salt, (rand(42) * fanout).cast("int"))
     val r = right.withColumn(salt, explode(sequence(lit(0), lit(fanout - 1))))
@@ -48,15 +60,57 @@ object Joins {
     * smaller than the big (left) side but too big to broadcast
     * exactly, prefilter the big side with a Bloom filter over the
     * right keys before the shuffle. False positives only cost shuffle
-    * bytes — join semantics are exact.
+    * bytes; false negatives are impossible — so semantics are exact
+    * for every supported mode:
+    *   - inner/left_semi: Bloom-rejected left rows cannot match — drop.
+    *   - left/full outer: rejected rows are provably unmatched — they
+    *     re-enter the result null-padded, without being shuffled.
+    *   - left_anti: rejected rows are part of the answer directly.
+    * Right-outer modes would need the prefilter on the other side;
+    * call with the sides swapped.
     */
   def sparseJoin(left: DataFrame, right: DataFrame, key: String,
                  expectedRightKeys: Long = 1000000L, fpp: Double = 0.01,
                  how: String = "inner"): DataFrame = {
+    import org.apache.spark.sql.types._
+    left.schema(key).dataType match {
+      case ByteType | ShortType | IntegerType | LongType | StringType | BinaryType => ()
+      case other => throw new IllegalArgumentException(
+        s"sparseJoin key '$key' has unsupported type $other (integral/string/binary only)")
+    }
     val bf = right.stat.bloomFilter(key, expectedRightKeys, fpp)
     val bcast = left.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => k != null && bcast.value.mightContainLong(k))
-    left.filter(mightContain(col(key).cast("long"))).join(right, Seq(key), how)
+    // Probe with the same representation stat.bloomFilter inserted:
+    // longs for integral keys, UTF-8 strings, raw binary. Boxed UDF
+    // params so null keys probe as "absent" instead of erroring.
+    val probe: Column = left.schema(key).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val f = udf((k: java.lang.Long) => k != null && bcast.value.mightContainLong(k))
+        f(col(key).cast("long"))
+      case StringType =>
+        val f = udf((k: String) => k != null && bcast.value.mightContainString(k))
+        f(col(key))
+      case BinaryType =>
+        val f = udf((k: Array[Byte]) => k != null && bcast.value.mightContainBinary(k))
+        f(col(key))
+      case other =>
+        throw new IllegalArgumentException(
+          s"sparseJoin key '$key' has unsupported type $other (integral/string/binary only)")
+    }
+    how.toLowerCase.replace(" ", "") match {
+      case "inner" | "left_semi" | "leftsemi" =>
+        left.filter(probe).join(right, Seq(key), how)
+      case "left" | "left_outer" | "leftouter" | "full" | "full_outer" | "fullouter" | "outer" =>
+        val nullPadded = left.filter(!probe)
+          .join(right.limit(0), Seq(key), "left") // null right columns, no shuffle
+        left.filter(probe).join(right, Seq(key), how).unionByName(nullPadded)
+      case "left_anti" | "leftanti" =>
+        left.filter(probe).join(right, Seq(key), "left_anti").unionByName(left.filter(!probe))
+      case other =>
+        throw new IllegalArgumentException(
+          s"sparseJoin supports inner/left/full/left_semi/left_anti (got '$other'); " +
+            "for right-preserving modes swap the sides")
+    }
   }
 
   /** scio intersectByKey / hashIntersectByKey → left-semi join. */

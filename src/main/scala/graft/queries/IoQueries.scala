@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.{Smb, Sources}
+import QueryDsl._
+
+/** IO formats + sort-merge-bucket coverage (SURVEY §2 "IO" and
+  * "Sort-merge-bucket"). Each roundtrip query writes the driver's
+  * parquet data out through a format and reads it back, so the SAME
+  * DuckDB oracle (over the original parquet) hash-checks the format's
+  * read+write fidelity, not just rows>0.
+  */
+object IoQueries extends QueryPack {
+
+  private def tmp(dir: String, leaf: String): String =
+    s"/tmp/graft_io/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/$leaf"
+
+  override val queries: Map[String, Q] = Map(
+
+    // csv roundtrip (scio-extra csv): schema-preserving via explicit
+    // schema on read (inference would widen ints).
+    "q_io_csv" -> { (s, dir) =>
+      val nation = tables(s, dir).nation
+      val path = tmp(dir, "nation_csv")
+      Sources.writeCsv(nation, path)
+      Sources.readCsv(s, path, Some(nation.schema))
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    },
+
+    // json-lines roundtrip (scio saveAsJsonFile).
+    "q_io_json" -> { (s, dir) =>
+      val supplier = tables(s, dir).supplier
+      val path = tmp(dir, "supplier_json")
+      Sources.writeJson(supplier, path)
+      Sources.readJson(s, path, Some(supplier.schema))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("s_acctbal"))).as("sum_bal"))
+        .orderBy(col("s_nationkey"))
+    },
+
+    // text roundtrip (scio textFile/saveAsTextFile): one line per row.
+    "q_io_text" -> { (s, dir) =>
+      val path = tmp(dir, "nation_text")
+      Sources.writeText(tables(s, dir).nation.select(col("n_name")), path)
+      Sources.readText(s, path)
+        .agg(count(lit(1)).as("n_lines"), min(col("value")).as("first_name"),
+          max(col("value")).as("last_name"))
+    },
+
+    // orc roundtrip: the second columnar format (pushdown/pruning like
+    // parquet; avro connector not shipped in this environment).
+    "q_io_orc" -> { (s, dir) =>
+      val part = tables(s, dir).part
+      val path = tmp(dir, "part_orc")
+      Sources.writeOrc(part, path)
+      Sources.readOrc(s, path)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), r2(avg(col("p_retailprice"))).as("avg_price"))
+        .orderBy(col("p_brand"))
+    },
+
+    // scio-smb: bucketed+sorted write, then an exchange-free join
+    // (bucket-pruned SMJ; no-Exchange plan asserted in SmbSpec).
+    "q_smb_join" -> { (s, dir) =>
+      val t = tables(s, dir)
+      val base = tmp(dir, "smb")
+      Smb.writeBucketed(t.lineitem.select(col("l_orderkey"), col("l_quantity")),
+        "graft_smb_lineitem", s"$base/lineitem", buckets = 8, Seq("l_orderkey"))
+      Smb.writeBucketed(t.orders.select(col("o_orderkey"), col("o_orderpriority")),
+        "graft_smb_orders", s"$base/orders", buckets = 8, Seq("o_orderkey"))
+      Smb.smbJoin(s, "graft_smb_lineitem", "graft_smb_orders",
+          Seq("l_orderkey"), Seq("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("qty"))
+        .orderBy(col("o_orderpriority"))
+    }
+  )
+
+  override val oracles: Map[String, String] = Map(
+    "q_io_csv" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
+    "q_io_json" ->
+      """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS sum_bal
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q_io_text" ->
+      """SELECT count(*) AS n_lines, min(n_name) AS first_name, max(n_name) AS last_name
+        |FROM nation""".stripMargin,
+    "q_io_orc" ->
+      """SELECT p_brand, count(*) AS n, round(avg(p_retailprice), 2) AS avg_price
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_smb_join" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+  )
+}

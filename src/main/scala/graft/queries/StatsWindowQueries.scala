@@ -116,6 +116,36 @@ object StatsWindowQueries extends QueryPack {
         .orderBy(col("user_id"), col("sess_id"))
     },
 
+    // Custom-state sessionization via flatMapGroupsWithState
+    // (graft.streaming.Sessionize — the stateful-DoFn analogue, same
+    // operator the streaming path uses). Oracle-checked against the
+    // same SQL sessionization as q_window_session: the stateful
+    // operator must reproduce the declarative answer exactly.
+    "q_session_state" -> { (s, dir) =>
+      import s.implicits._
+      val ev = tables(s, dir).events
+        .select(col("user_id").as("userId"), col("ts"), col("value"))
+        .as[graft.streaming.Event]
+      graft.streaming.Sessionize.sessions(ev, gapSec = 1800L, emitOpen = true).toDF()
+        .filter(col("userId") <= 100)
+        .select(col("userId").as("user_id"),
+          col("nEvents").as("n_events"),
+          date_format(col("sessStart"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+          date_format(col("sessEnd"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
+          r2(col("sumValue")).as("sum_v"))
+        .orderBy(col("user_id"), col("sess_start"))
+    },
+
+    // HLL++ distinct per key (scio countApproxDistinctByKey /
+    // scio-extra hll): rows-only — sketch estimates are
+    // engine-specific; the error bound is asserted in ApproxSpec.
+    "q_hll_by_key" -> { (s, dir) =>
+      tables(s, dir).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // scio-extra sorter: secondary sort — per key, values ordered by a
     // secondary field without a global sort.
     "q_secondary_sort" -> { (s, dir) =>
@@ -180,8 +210,8 @@ object StatsWindowQueries extends QueryPack {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         |), sess AS (
         |  SELECT user_id, ts,
-        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
         |  FROM flagged)
         |SELECT user_id, sess_id, count(*) AS n_events,
         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
@@ -189,6 +219,25 @@ object StatsWindowQueries extends QueryPack {
         |FROM sess GROUP BY user_id, sess_id
         |HAVING user_id <= 100
         |ORDER BY user_id, sess_id""".stripMargin,
+    "q_session_state" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+        |  FROM flagged)
+        |SELECT user_id, count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS sess_end,
+        |  round(sum(value), 2) AS sum_v
+        |FROM sess GROUP BY user_id, sess_id
+        |HAVING user_id <= 100
+        |ORDER BY user_id, sess_start""".stripMargin,
     "q_secondary_sort" ->
       """SELECT l_suppkey,
         |  string_agg(l_orderkey::VARCHAR, ',' ORDER BY l_shipdate, l_orderkey) AS orders_by_date

@@ -78,7 +78,7 @@ object TextVectorQueries extends QueryPack {
     "q_embed_norm" -> { (s, dir) =>
       tables(s, dir).embeddings
         .filter(col("vec_id") <= 100)
-        .select(col("vec_id"), size(col("embedding")).as("dim"),
+        .select(col("vec_id"), size(col("embedding")).cast("long").as("dim"),
           r6(VectorFunctions.l2Norm(col("embedding"))).as("l2_norm"))
         .orderBy(col("vec_id"))
     },
@@ -114,7 +114,10 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
-    // order-sensitive document fingerprint (rolling hash).
+    // order-sensitive document fingerprint (chained rolling hash).
+    // Oracle-checkable indirectly: with a collision-free 64-bit hash
+    // on this corpus, distinct fingerprints == distinct normalized
+    // (whitespace-collapsed) texts, which DuckDB can count exactly.
     "q_fingerprint" -> { (s, dir) =>
       tables(s, dir).documents
         .select(col("doc_id"),
@@ -135,8 +138,8 @@ object TextVectorQueries extends QueryPack {
 
   override val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
-      """SELECT count(*) AS n_unique, sum(n_copies) AS n_docs,
-        |  sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS n_dup_groups,
+      """SELECT count(*) AS n_unique, CAST(sum(n_copies) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
         |  min(keeper) AS first_keeper
         |FROM (SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
         |      FROM documents GROUP BY md5(text))""".stripMargin,
@@ -157,10 +160,14 @@ object TextVectorQueries extends QueryPack {
     "q_token_count" ->
       """SELECT doc_id,
         |  len(string_split(trim(text), ' ')) AS n_ws_tokens,
-        |  list_sum([CAST(ceil(len(x) / 4.0) AS BIGINT) FOR x IN string_split(trim(text), ' ')]) AS n_bpe_est
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |  CAST(list_sum([CAST(ceil(len(x) / 4.0) AS BIGINT) FOR x IN string_split(trim(text), ' ')]) AS BIGINT) AS n_bpe_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT count(*) AS n_docs,
+        |  count(DISTINCT array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')) AS n_distinct_fp
+        |FROM documents""".stripMargin
     // q_dedup_minhash / q_dedup_simhash / q_ngram_jaccard / q_embed_dedup /
-    // q_knn_brute / q_knn_lsh / q_lang_id / q_fingerprint /
+    // q_knn_brute / q_knn_lsh / q_lang_id /
     // q_multimodal_meta: rows-only (hash- or model-specific values);
     // semantics asserted in DedupSpec, SimilaritySpec, TextSpec,
     // MultimodalSpec.

@@ -35,18 +35,27 @@ object KNN {
 
   /** IVF-flat-style ANN: a deterministic coarse quantizer (sign bits
     * of `cellBits` seeded hyperplane projections) assigns corpus and
-    * probes to cells; search is brute force within the probe's cell
-    * only. Scale path: cells shard the corpus, so per-probe work drops
-    * by ~2^cellBits at a recall cost — tune cellBits to the corpus
-    * size. Recall vs bruteForceTopK is asserted in SimilaritySpec.
+    * probes to cells; search is brute force within the probed cells.
+    * Multi-probe (the standard IVF nprobe knob): each probe also
+    * searches every cell within Hamming distance 1 of its own —
+    * cellBits+1 of the 2^cellBits cells — because a near neighbor
+    * that disagrees on a single hyperplane sign lands one bit away;
+    * single-cell probing loses most of the recall. Cells partition
+    * the corpus, so candidates are never duplicated.
+    *
+    * Scale path: per-probe work is ~(cellBits+1)/2^cellBits of the
+    * corpus — tune cellBits to corpus size. Recall vs bruteForceTopK
+    * is asserted in SimilaritySpec.
     */
   def ivfTopK(corpus: DataFrame, probes: DataFrame,
               idCol: String, vecCol: String, k: Int,
               dim: Int, cellBits: Int = 4, seed: Long = 42L): DataFrame = {
     val cell = (v: org.apache.spark.sql.Column) => hyperplaneSignature(v, dim, cellBits, seed)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"), cell(col(vecCol)).as("cell"))
+    val probeCells = (own: org.apache.spark.sql.Column) =>
+      array(own +: (0 until cellBits).map(b => own.bitwiseXOR(lit(1L << b))): _*)
     val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
-      cell(col(vecCol)).as("cell"))
+        explode(probeCells(cell(col(vecCol)))).as("cell"))
     val scored = c.join(broadcast(p), Seq("cell"))
       .filter(col("id") =!= col("probe_id"))
       .select(col("probe_id"), col("id"),

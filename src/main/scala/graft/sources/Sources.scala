@@ -1,0 +1,76 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Format IO mirroring scio's file IOs (reference: scio-core
+  * ScioContext.textFile / SCollection.saveAsTextFile, scio-extra csv,
+  * scio json/parquet/object/binary IOs). Cloud-service IOs (BigQuery,
+  * Pubsub, Bigtable) are out of scope in this environment; the `jdbc`
+  * format exists on Spark but has no reachable database here.
+  *
+  * All of these are thin, deliberately: Spark's DataSource V2
+  * framework already gives splittable parallel reads, partitioned
+  * writes, predicate pushdown (parquet/orc), and schema inference —
+  * the scio counterparts hand-roll much of that on top of Beam IO.
+  * Avro: the spark-avro connector jar is not shipped in this
+  * environment; parquet/orc cover the columnar cases.
+  */
+object Sources {
+
+  // ---- text (scio textFile / saveAsTextFile) ----
+  def readText(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path) // one `value` column per line, splittable
+
+  def writeText(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).text(path)
+
+  // ---- csv (scio-extra csv) ----
+  def readCsv(spark: SparkSession, path: String, schema: Option[StructType] = None,
+              header: Boolean = true): DataFrame = {
+    val r = spark.read.option("header", header.toString)
+    schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+  }
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", header.toString).csv(path)
+
+  // ---- json lines (scio saveAsJsonFile) ----
+  def readJson(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(r.schema).json(path)
+  }
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  // ---- parquet / orc (columnar; pushdown + pruning) ----
+  def readParquet(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+
+  def writeParquet(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+  }
+
+  def readOrc(spark: SparkSession, path: String): DataFrame = spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  /** scio objectFile / saveAsObjectFile: typed records persisted with
+    * their schema. Spark-first this is just parquet + the Dataset
+    * encoder — no Kryo blobs, splittable, queryable in place.
+    */
+  def writeObject[T](ds: org.apache.spark.sql.Dataset[T], path: String): Unit =
+    ds.write.mode(SaveMode.Overwrite).parquet(path)
+
+  def readObject[T: org.apache.spark.sql.Encoder](spark: SparkSession, path: String):
+      org.apache.spark.sql.Dataset[T] =
+    spark.read.parquet(path).as[T]
+
+  /** scio binaryFile: whole-file bytes + metadata via the built-in
+    * `binaryFile` source (path, modificationTime, length, content).
+    */
+  def readBinary(spark: SparkSession, pathGlob: String): DataFrame =
+    spark.read.format("binaryFile").load(pathGlob)
+}

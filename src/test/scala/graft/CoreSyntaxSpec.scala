@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.syntax._
+
+/** SCollection-verb syntax (graft.syntax) semantics. */
+class CoreSyntaxSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val kv = Seq(("a", 3), ("a", 1), ("b", 2), ("c", 5), ("c", 4)).toDF("k", "v")
+
+  test("collectWith = filter + map in one (scio collect)") {
+    val out = Seq(1, 2, 3, 4).toDS()
+      .collectWith { case x if x % 2 == 0 => x * 10 }
+      .collect().sorted
+    assert(out.toSeq == Seq(20, 40))
+  }
+
+  test("keyBy pairs each element with its key") {
+    val out = Seq("aa", "b", "cc").toDS().keyBy(_.length).collect().sortBy(_._2)
+    assert(out.toSeq == Seq((2, "aa"), (1, "b"), (2, "cc")))
+  }
+
+  test("distinctByMin keeps the deterministic min representative") {
+    val out = kv.distinctByMin(Seq("k"), "v").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out == Map("a" -> 1, "b" -> 2, "c" -> 4))
+  }
+
+  test("countByValue counts groups") {
+    val out = kv.countByValue("k").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 2, "b" -> 1, "c" -> 2))
+  }
+
+  test("topBy returns n rows in order without a global sort requirement") {
+    val out = kv.topBy(2, col("v").desc).collect().map(_.getInt(1))
+    assert(out.toSeq == Seq(5, 4))
+  }
+
+  test("sampleSystematic is deterministic and repeatable") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+    val a = df.sampleSystematic("l_orderkey", 7).count()
+    val b = df.sampleSystematic("l_orderkey", 7).count()
+    assert(a == b && a > 0 && a < df.count())
+  }
+
+  test("batched groups rows within partitions, preserving all elements") {
+    val ds = spark.range(100).as[Long].repartition(4)
+    val batches = ds.batched(8).collect()
+    assert(batches.map(_.size).forall(_ <= 8))
+    assert(batches.flatten.sorted.toSeq == (0L until 100L))
+  }
+
+  test("partitionBy2 splits disjointly and completely") {
+    val (evens, odds) = spark.range(20).toDF().partitionBy2(col("id") % 2 === 0)
+    assert(evens.count() == 10 && odds.count() == 10)
+    assert(evens.intersect(odds).count() == 0)
+  }
+
+  test("topByKey bounds rank per key") {
+    val out = kv.topByKey(Seq("k"), 1, col("v").desc).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out == Map("a" -> 3, "b" -> 2, "c" -> 5))
+  }
+
+  test("latestByKey picks the value at max timestamp") {
+    val df = Seq(("u1", 10L, "old"), ("u1", 20L, "new"), ("u2", 5L, "only"))
+      .toDF("k", "ts", "v")
+    val out = df.latestByKey(Seq("k"), "ts", "v").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("u1" -> "new", "u2" -> "only"))
+  }
+
+  test("swapped flips a 2-column frame") {
+    val out = Seq(("a", 1)).toDF("k", "v").swapped
+    assert(out.columns.toSeq == Seq("v", "k"))
+  }
+
+  test("randomSplit covers all rows with no overlap (scio randomSplit)") {
+    val df = spark.range(1000).toDF()
+    val Array(a, b) = df.randomSplit(Array(0.5, 0.5), seed = 42L)
+    assert(a.count() + b.count() == 1000)
+    assert(a.intersect(b).count() == 0)
+  }
+
+  test("broadcast side input (scio SideInput/hashLookup)") {
+    val lookup = spark.sparkContext.broadcast(Map(1L -> "one", 2L -> "two"))
+    val out = spark.range(3).as[Long]
+      .map(i => lookup.value.getOrElse(i, "?"))
+      .collect().sorted
+    assert(out.toSeq == Seq("?", "one", "two"))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // small corpus: 1↔2 exact dups, 3 near-dup of 1 (last word changed —
+  // exactly one 3-shingle differs, Jaccard 10/12 ≈ 0.83), 4 unrelated,
+  // 5 null text, 6 empty text.
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (3L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+    (4L, "completely different content about distributed query engines and planners"),
+    (5L, null.asInstanceOf[String]),
+    (6L, "")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: dup pair collapses, keeper is min id, nulls kept") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    assert(out.agg(sum("n_copies")).as[Long].head == 6L) // every doc counted
+    val dupGroup = out.filter(col("n_copies") === 2).collect()
+    // {1,2} as an exact pair, and {null→"", ""} merged by the null contract
+    assert(dupGroup.map(_.getAs[Long]("keeper")).sorted.toSeq == Seq(1L, 5L))
+  }
+
+  test("minhashClusters: exact dups share a cluster; every doc assigned") {
+    val out = Dedup.minhashClusters(docs, "doc_id", "text")
+    val byId = out.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    assert(byId.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L)) // null/empty not dropped
+    assert(byId(1L) == byId(2L))        // exact dup pair
+    assert(byId(1L) == byId(3L))        // near-dup (10/12 shingles shared)
+    assert(byId(4L) != byId(1L))        // unrelated stays apart
+    // keep flag marks exactly the cluster representatives
+    val keepers = out.filter(col("keep")).select("id").as[Long].collect().toSet
+    assert(keepers == byId.values.toSet)
+  }
+
+  test("minhashPairs: exact dup pair has jaccard 1.0; candidates verified") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text")
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("jaccard"))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    pairs.get((1L, 3L)).foreach(j => assert(j > 0.7 && j < 1.0))
+    assert(!pairs.contains((1L, 4L))) // unrelated docs never become candidates
+  }
+
+  test("simhashClusters: exact dups share signature; all docs present") {
+    val out = Dedup.simhashClusters(docs, "doc_id", "text")
+    val byId = out.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    assert(byId.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(byId(1L) == byId(2L))
+  }
+
+  test("simhashPairs: near-dup within hamming bound, unrelated outside") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 10)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((1L, 2L))) // hamming 0
+    assert(!pairs.contains((1L, 4L)))
+  }
+
+  test("blockedJaccardPairs compares only within a block") {
+    val blocked = docs.withColumn("src", when(col("doc_id") <= 3, "s1").otherwise("s2"))
+    val pairs = Dedup.blockedJaccardPairs(blocked, "doc_id", "text", "src")
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L)))
+  }
+}

@@ -1,0 +1,63 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("langId identifies clearly-marked languages") {
+    val samples = Seq(
+      ("en", "the cat sat on the mat and it was happy with the dog in the house"),
+      ("es", "la casa de la abuela es grande y los gatos juegan en el jardin con una pelota"),
+      ("de", "der hund und die katze sind in dem haus mit einem ball und das ist gut"),
+      ("fr", "le chien et les chats sont dans la maison avec une balle et il est content du jour"),
+      ("zh", "这是一个中文句子的例子"),
+      ("und", "xyzzy plugh qwerty asdf zxcv")
+    ).toDF("expected", "text")
+    val out = samples.withColumn("pred", TextFunctions.langId(col("text")))
+      .collect().map(r => r.getString(0) -> r.getAs[String]("pred"))
+    out.foreach { case (exp, pred) => assert(pred == exp, s"expected $exp got $pred") }
+  }
+
+  test("tokenCounts: whitespace + BPE-ish estimate") {
+    val out = Seq("hello world foo").toDF("text")
+      .select(TextFunctions.tokenCounts(col("text")).as("tc"))
+      .select(col("tc.n_ws_tokens"), col("tc.n_bpe_est")).collect().head
+    assert(out.getLong(0) == 3L)
+    // ceil(5/4) + ceil(5/4) + ceil(3/4) = 2 + 2 + 1
+    assert(out.getLong(1) == 5L)
+  }
+
+  test("fingerprint is order-sensitive; MinHash shingle sets are not") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "delta gamma beta alpha")
+    ).toDF("id", "text")
+    val fps = df.select(col("id"),
+        TextFunctions.fingerprint(TextFunctions.tokens(col("text"))).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("qualityStruct components stay in range and reward real text") {
+    val out = spark.read.parquet(s"$sf/documents.parquet")
+      .select(TextFunctions.qualityStruct(col("text")).as("q"))
+      .select(col("q.distinct_ratio"), col("q.alpha_ratio"), col("q.quality"))
+      .agg(min("distinct_ratio"), max("distinct_ratio"), min("alpha_ratio"),
+        max("alpha_ratio"), min("quality"), max("quality"))
+      .collect().head
+    (0 until 6).foreach { i =>
+      assert(out.getDouble(i) >= 0.0 && out.getDouble(i) <= 1.0)
+    }
+  }
+
+  test("jaccard handles empty and identical sets") {
+    val df = Seq((Seq(1L, 2L), Seq(1L, 2L)), (Seq[Long](), Seq[Long]()), (Seq(1L), Seq(2L)))
+      .toDF("a", "b")
+    val out = df.select(TextFunctions.jaccard(col("a"), col("b"))).as[Double].collect()
+    assert(out.toSeq == Seq(1.0, 0.0, 0.0))
+  }
+}

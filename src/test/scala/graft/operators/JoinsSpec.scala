@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Join-strategy semantics: every specialized strategy must return
+  * exactly the rows of the plain Catalyst join it accelerates.
+  */
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val left = Seq(
+    ("a", 1), ("a", 2), ("b", 3), ("c", 4), ("zz", 9), (null.asInstanceOf[String], 5)
+  ).toDF("k", "lv")
+  private lazy val right = Seq(
+    ("a", 10), ("b", 20), ("d", 40)
+  ).toDF("k", "rv")
+
+  test("hashJoin matches plain inner join") {
+    assert(sortedRows(Joins.hashJoin(left, right, left("k") === right("k"))) ==
+      sortedRows(left.join(right, left("k") === right("k"))))
+  }
+
+  test("sparseJoin inner on string keys matches plain join") {
+    assert(sortedRows(Joins.sparseJoin(left, right, "k", 100L)) ==
+      sortedRows(left.join(right, Seq("k"), "inner")))
+  }
+
+  test("sparseJoin left outer keeps Bloom-rejected rows null-padded") {
+    assert(sortedRows(Joins.sparseJoin(left, right, "k", 100L, how = "left")) ==
+      sortedRows(left.join(right, Seq("k"), "left")))
+  }
+
+  test("sparseJoin full outer matches plain full join") {
+    assert(sortedRows(Joins.sparseJoin(left, right, "k", 100L, how = "full")) ==
+      sortedRows(left.join(right, Seq("k"), "full")))
+  }
+
+  test("sparseJoin left_anti matches plain anti join") {
+    assert(sortedRows(Joins.sparseJoin(left, right, "k", 100L, how = "left_anti")) ==
+      sortedRows(left.join(right, Seq("k"), "left_anti")))
+  }
+
+  test("sparseJoin left_semi matches plain semi join") {
+    assert(sortedRows(Joins.sparseJoin(left, right, "k", 100L, how = "left_semi")) ==
+      sortedRows(left.join(right, Seq("k"), "left_semi")))
+  }
+
+  test("sparseJoin on integral keys matches plain join") {
+    val l = Seq((1L, "x"), (2L, "y"), (99L, "z")).toDF("id", "lv")
+    val r = Seq((1L, "p"), (3L, "q")).toDF("id", "rv")
+    assert(sortedRows(Joins.sparseJoin(l, r, "id", 100L, how = "full")) ==
+      sortedRows(l.join(r, Seq("id"), "full")))
+  }
+
+  test("sparseJoin rejects unsupported key types and modes") {
+    val l = Seq((1.5, "x")).toDF("id", "lv")
+    intercept[IllegalArgumentException](Joins.sparseJoin(l, l, "id"))
+    intercept[IllegalArgumentException](Joins.sparseJoin(left, right, "k", how = "right"))
+  }
+
+  test("skewedJoin inner/left match the plain join") {
+    assert(sortedRows(Joins.skewedJoin(left, right, Seq("k"), fanout = 4)) ==
+      sortedRows(left.join(right, Seq("k"), "inner")))
+    assert(sortedRows(Joins.skewedJoin(left, right, Seq("k"), fanout = 4, how = "left")) ==
+      sortedRows(left.join(right, Seq("k"), "left")))
+  }
+
+  test("skewedJoin rejects right/full outer (would duplicate per salt)") {
+    intercept[IllegalArgumentException](
+      Joins.skewedJoin(left, right, Seq("k"), fanout = 4, how = "full_outer"))
+    intercept[IllegalArgumentException](
+      Joins.skewedJoin(left, right, Seq("k"), fanout = 4, how = "right"))
+  }
+
+  test("semiJoin/antiJoin partition left by key membership") {
+    val semi = sortedRows(Joins.semiJoin(left, right, "k"))
+    val anti = sortedRows(Joins.antiJoin(left, right, "k"))
+    assert(semi.size + anti.size == left.count())
+    assert(semi == sortedRows(left.filter(col("k").isin("a", "b"))))
+  }
+
+  test("fanoutAgg (withHotKeyFanout) equals the direct aggregation") {
+    val df = left.filter(col("k").isNotNull)
+    val two = Joins.fanoutAgg(df, Seq("k"), fanout = 4)(
+      Seq(sum(col("lv")).as("s"), count(lit(1)).as("c")),
+      Seq(sum(col("s")).as("sum_lv"), sum(col("c")).as("n")))
+    val direct = df.groupBy(col("k")).agg(sum(col("lv")).as("sum_lv"), count(lit(1)).as("n"))
+    assert(sortedRows(two) == sortedRows(direct))
+  }
+
+  test("cogroup groups both sides per key, full-outer") {
+    val out = Joins.cogroup(left.filter(col("k").isNotNull), right, "k", "lv", "rv")
+      .collect().map(r => (r.getString(0), Option(r.getSeq[Int](1)).getOrElse(Seq()),
+        Option(r.getSeq[Int](2)).getOrElse(Seq()))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("a", Seq(1, 2), Seq(10)), ("b", Seq(3), Seq(20)), ("c", Seq(4), Seq()),
+      ("d", Seq(), Seq(40)), ("zz", Seq(9), Seq())))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming coverage: the same declarative transforms run
+  * on unbounded input (scio/Beam streaming ≈ readStream → transform →
+  * writeStream), plus the custom-state sessionizer.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  test("streaming fixed-window aggregation matches the batch answer") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val events = Seq(
+      Event(1L, ts(0), 1.0), Event(1L, ts(5), 2.0), Event(2L, ts(7), 3.0),
+      Event(1L, ts(65), 4.0), Event(2L, ts(70), 5.0))
+    input.addData(events: _*)
+
+    val windowed = Windows.fixedGroups(input.toDF(), "ts", "1 hour", "10 minutes")
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+    val q = windowed.writeStream.format("memory").queryName("fixed_win")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val streamed = spark.table("fixed_win")
+      .select(col("window.start").as("w"), col("n"), col("sum_v"))
+    val batch = events.toDF().groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .select(col("window.start").as("w"), col("n"), col("sum_v"))
+    assert(sortedRows(streamed) == sortedRows(batch))
+    assert(streamed.count() == 2) // two distinct hours
+  }
+
+  test("streaming session_window merges events within the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // user 1: two sessions (gap > 30min between minute 10 and 90)
+    input.addData(Event(1L, ts(0), 1.0), Event(1L, ts(10), 1.0), Event(1L, ts(90), 1.0))
+    val sessions = Windows.sessionGroups(input.toDF(), "ts", "30 minutes", "10 minutes",
+        col("userId"))
+      .agg(count(lit(1)).as("n"))
+    val q = sessions.writeStream.format("memory").queryName("sess_win")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table("sess_win").select(col("n")).as[Long].collect().sorted
+    assert(out.toSeq == Seq(1L, 2L))
+  }
+
+  test("Sessionize (flatMapGroupsWithState) emits sessions closed by the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = Sessionize.sessions(
+      input.toDS().withWatermark("ts", "0 seconds").as[Event], gapSec = 1800L)
+    val q = sessions.writeStream.format("memory").queryName("sess_state")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(1L, ts(0), 1.0), Event(1L, ts(10), 2.0), Event(2L, ts(5), 5.0))
+      q.processAllAvailable()
+      // advance event time far past both sessions' gap → timeout fires
+      input.addData(Event(3L, ts(600), 0.0))
+      q.processAllAvailable()
+      input.addData(Event(3L, ts(1300), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("sess_state").as[SessionAgg].collect()
+      .map(s => (s.userId, s.nEvents, s.sumValue)).sortBy(_._1)
+    // user 1: one session of 2 events; user 2: one of 1; user 3's first closed too
+    assert(out.take(2).toSeq == Seq((1L, 2L, 3.0), (2L, 1L, 5.0)))
+  }
+
+  test("Sessionize batch mode (emitOpen) matches declarative sessionization") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("user_id").as("userId"), col("ts"), col("value")).as[Event]
+    val stateful = Sessionize.sessions(ev, gapSec = 1800L, emitOpen = true)
+      .toDF().select(col("userId"), col("sessStart"), col("nEvents"))
+    // declarative lag+cumsum sessionization (the q_window_session shape)
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("userId")).orderBy(col("ts"))
+    val declarative = ev.toDF()
+      .withColumn("prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_sess", when(col("prev").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("prev")) > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("userId"), col("sess_id"))
+      .agg(min(col("ts")).as("sessStart"), count(lit(1)).as("nEvents"))
+      .select(col("userId"), col("sessStart"), col("nEvents"))
+    assert(sortedRows(stateful) == sortedRows(declarative))
+  }
+}

@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: run each oracle SQL in
+DuckDB over the sf parquet tables, compare to the Spark result parquet
+(columns sorted by name, exact value compare). Usage:
+  python3 tools/check.py /tmp/verify_r2 /root/testdata/sf0.01 [query ...]
+"""
+import json, sys, glob, os
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def main():
+    outdir, sfdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = n_noorc = 0
+    for name in sorted(os.listdir(outdir)):
+        if not os.path.isdir(f"{outdir}/{name}"):
+            continue
+        if only and name not in only:
+            continue
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"{name}: NO SPARK OUTPUT"); n_fail += 1; continue
+        spark = pd.read_parquet(files[0])
+        if name not in oracles:
+            n_noorc += 1
+            print(f"{name}: rows-only ({len(spark)} rows)" + (" EMPTY!" if len(spark) == 0 else ""))
+            continue
+        try:
+            orc = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"{name}: ORACLE SQL ERROR: {e}"); n_fail += 1; continue
+        s = spark[sorted(spark.columns)]
+        o = orc[sorted(orc.columns)]
+        ok = True
+        if list(s.columns) != list(o.columns):
+            print(f"{name}: SCHEMA MISMATCH spark={list(s.columns)} oracle={list(o.columns)}"); ok = False
+        elif len(s) != len(o):
+            print(f"{name}: ROWS MISMATCH spark={len(s)} oracle={len(o)}"); ok = False
+        else:
+            for c in s.columns:
+                sv, ov = s[c].tolist(), o[c].tolist()
+                if str(s[c].dtype) != str(o[c].dtype):
+                    # dtype diff → would hash-diverge for the driver
+                    print(f"{name}: DTYPE {c}: spark={s[c].dtype} oracle={o[c].dtype}")
+                    ok = False
+                bad = [(i, a, b) for i, (a, b) in enumerate(zip(sv, ov)) if a != b and not (a is None and b is None) and str(a) != str(b)]
+                if bad:
+                    print(f"{name}: VALUES differ in {c}: {bad[:3]} ({len(bad)} rows)"); ok = False
+        if ok: n_pass += 1
+        else: n_fail += 1
+    print(f"\npass={n_pass} fail={n_fail} rows_only={n_noorc}")
+    sys.exit(1 if n_fail else 0)
+
+main()
