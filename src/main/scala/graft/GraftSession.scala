@@ -21,6 +21,7 @@ object GraftSession {
 
   def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
     b.appName("graft")
+      .withExtensions(new graft.expressions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -3,6 +3,7 @@ package graft.similarity
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.expressions.VectorExpressions.cosineF
 import graft.functions.VectorFunctions._
 
 /** Approximate-nearest-neighbor search over embedding columns —
@@ -26,7 +27,7 @@ object KNN {
     val scored = c.crossJoin(broadcast(p))
       .filter(col("id") =!= col("probe_id"))
       .select(col("probe_id"), col("id"),
-        cosine(col("vec"), col("probe_vec")).as("cos_sim"))
+        cosineF(col("vec"), col("probe_vec")).as("cos_sim"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -59,7 +60,7 @@ object KNN {
     val scored = c.join(broadcast(p), Seq("cell"))
       .filter(col("id") =!= col("probe_id"))
       .select(col("probe_id"), col("id"),
-        cosine(col("vec"), col("probe_vec")).as("cos_sim"))
+        cosineF(col("vec"), col("probe_vec")).as("cos_sim"))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cos_sim").desc, col("id").asc)
     scored.withColumn("rank", row_number().over(w))

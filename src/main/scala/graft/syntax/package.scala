@@ -54,6 +54,18 @@ package object syntax {
     def sampleFraction(fraction: Double, seed: Long = 42L): Dataset[T] =
       ds.sample(withReplacement = false, fraction, seed)
 
+    /** scio sampleWeighted: weighted reservoir sample of n rows
+      * (Efraimidis–Spirakis A-Res: top-n by rand^(1/w), a single
+      * TakeOrdered — no per-partition reservoir state needed).
+      */
+    def sampleWeighted(n: Int, weightCol: String, seed: Long = 42L): DataFrame = {
+      val d = ds.toDF()
+      d.withColumn("__k", pow(rand(seed), lit(1.0) / col(weightCol)))
+        .orderBy(col("__k").desc)
+        .limit(n)
+        .drop("__k")
+    }
+
     /** Deterministic systematic sample: keep rows whose key hashes
       * into the chosen residue class. Unlike `sample`, reproducible
       * across engines — the oracle can express it.
@@ -112,6 +124,18 @@ package object syntax {
       df.groupBy(keyCols.map(col): _*)
         .agg(max_by(col(valueCol), col(tsCol)).as(s"latest_$valueCol"),
           max(col(tsCol)).as(s"max_$tsCol"))
+
+    /** scio sampleByKey: per-key fractions via a seeded content hash —
+      * deterministic across runs and partition layouts (duplicate rows
+      * sample together, the price of layout independence). Keys absent
+      * from `fractions` are dropped (scio semantics).
+      */
+    def sampleByKey(keyCol: String, fractions: Map[String, Double], seed: Long = 42L): DataFrame = {
+      val frac = map(fractions.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+      val u = pmod(xxhash64(df.columns.map(col) :+ lit(seed): _*), lit(1000000L))
+        .cast("double") / 1000000.0
+      df.filter(frac.getItem(col(keyCol)).isNotNull && u < frac.getItem(col(keyCol)))
+    }
 
     /** scio swap for a 2-column frame. */
     def swapped: DataFrame = {

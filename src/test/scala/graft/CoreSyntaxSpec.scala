@@ -83,6 +83,32 @@ class CoreSyntaxSpec extends SparkSpec {
     assert(a.intersect(b).count() == 0)
   }
 
+  test("sampleWeighted biases toward heavy rows and returns exactly n") {
+    val df = (1 to 1000).map(i => (i.toLong, if (i <= 10) 1000.0 else 0.001))
+      .toDF("id", "w")
+    val out = df.sampleWeighted(10, "w").select("id").as[Long].collect()
+    assert(out.length == 10)
+    // the 10 heavy rows carry ~99.99% of total weight
+    assert(out.count(_ <= 10) >= 8, s"got ${out.toSeq.sorted}")
+  }
+
+  test("sampleByKey applies per-key fractions and drops unlisted keys") {
+    val df = (1 to 2000).map(i => (if (i % 2 == 0) "a" else "b", i)).toDF("k", "v")
+    val out = df.sampleByKey("k", Map("a" -> 0.5))
+    val byKey = out.groupBy("k").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byKey.contains("b"))
+    assert(math.abs(byKey("a") - 500L) < 100, s"got $byKey")
+    assert(out.count() == df.sampleByKey("k", Map("a" -> 0.5)).count()) // deterministic
+  }
+
+  test("graft_cosine / graft_dot are registered SQL functions") {
+    Seq((Seq(1f, 0f), Seq(1f, 1f))).toDF("a", "b").createOrReplaceTempView("vec_pair")
+    val out = spark.sql(
+      "SELECT graft_cosine(a, b) AS c, graft_dot(a, b) AS d FROM vec_pair").collect().head
+    assert(math.abs(out.getDouble(0) - math.sqrt(0.5)) < 1e-12)
+    assert(out.getDouble(1) == 1.0)
+  }
+
   test("broadcast side input (scio SideInput/hashLookup)") {
     val lookup = spark.sparkContext.broadcast(Map(1L -> "one", 2L -> "two"))
     val out = spark.range(3).as[Long]

@@ -1,0 +1,69 @@
+package graft.expressions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Native codegen expressions must agree exactly with the composed
+  * (zip_with/aggregate) forms they accelerate, in both codegen and
+  * interpreted evaluation.
+  */
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+
+  test("cosineF matches composed cosine on real embeddings") {
+    val pairs = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id")).limit(5000)
+    val maxDiff = pairs.select(abs(
+        VectorExpressions.cosineF(col("a.embedding"), col("b.embedding")) -
+          VectorFunctions.cosine(col("a.embedding"), col("b.embedding"))).as("d"))
+      .agg(max("d")).as[Double].head()
+    assert(maxDiff < 1e-12)
+  }
+
+  test("dotF matches composed dot") {
+    val pairs = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id")).limit(1000)
+    val maxDiff = pairs.select(abs(
+        VectorExpressions.dotF(col("a.embedding"), col("b.embedding")) -
+          VectorFunctions.dot(col("a.embedding"), col("b.embedding"))).as("d"))
+      .agg(max("d")).as[Double].head()
+    assert(maxDiff < 1e-9)
+  }
+
+  test("null input yields null; zero vector yields 0.0") {
+    val df = Seq(
+      (Some(Seq(1f, 2f)), Some(Seq(1f, 2f))),
+      (None, Some(Seq(1f, 2f))),
+      (Some(Seq(0f, 0f)), Some(Seq(1f, 2f)))
+    ).toDF("a", "b")
+    val out = df.select(VectorExpressions.cosineF(col("a"), col("b"))).collect()
+    assert(math.abs(out(0).getDouble(0) - 1.0) < 1e-12)
+    assert(out(1).isNullAt(0))
+    assert(out(2).getDouble(0) == 0.0)
+  }
+
+  test("interpreted path (non-codegen) agrees with codegen") {
+    // Window partitions evaluate projections; also force interpreted
+    // mode via the fallback config on a tiny frame.
+    val conf = spark.conf
+    val old = conf.get("spark.sql.codegen.wholeStage")
+    try {
+      conf.set("spark.sql.codegen.wholeStage", "false")
+      val out = Seq((Seq(1f, 0f), Seq(0.5f, 0.5f))).toDF("a", "b")
+        .select(VectorExpressions.cosineF(col("a"), col("b"))).as[Double].head()
+      assert(math.abs(out - math.sqrt(0.5)) < 1e-12)
+    } finally conf.set("spark.sql.codegen.wholeStage", old)
+  }
+
+  test("type check rejects non-float arrays with a clear message") {
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(VectorExpressions.cosineF(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("array<float>"))
+  }
+}
