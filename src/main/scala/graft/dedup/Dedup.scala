@@ -98,9 +98,13 @@ object Dedup {
     val sigs = signatures(df, idCol, textCol, shingleK, numHashes, bands, withShingleSets = false)
     val exploded = sigs.select(col("id"),
       posexplode(col("bandhashes")).as(Seq("band", "bh")))
-    val bucketMin = exploded.groupBy(col("band"), col("bh"))
-      .agg(min(col("id")).as("bucket_min"))
-    exploded.join(bucketMin, Seq("band", "bh"))
+    // bucket min via a window, not a groupBy + self-join: the join
+    // form plans the (expensive) signature subtree twice and shuffles
+    // three times; the window is one shuffle by bucket, then one tiny
+    // shuffle by id.
+    val bucketMin = exploded.withColumn("bucket_min",
+      min(col("id")).over(Window.partitionBy(col("band"), col("bh"))))
+    bucketMin
       .groupBy(col("id"))
       .agg(min(col("bucket_min")).as("cluster"))
       .withColumn("keep", col("id") === col("cluster"))
@@ -150,8 +154,10 @@ object Dedup {
     */
   def simhashClusters(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val hashed = simhashes(df, idCol, textCol)
-    hashed.groupBy(col("simhash")).agg(min(col("id")).as("cluster"), count(lit(1)).as("n"))
-      .join(hashed, Seq("simhash"))
+    // min-per-signature via window (single pass; the groupBy+join-back
+    // form would compute the simhash subtree twice).
+    hashed
+      .withColumn("cluster", min(col("id")).over(Window.partitionBy(col("simhash"))))
       .select(col("id"), col("simhash"), col("cluster"), (col("id") === col("cluster")).as("keep"))
   }
 

@@ -89,6 +89,40 @@ package object syntax {
     }
   }
 
+  /** Typed keyed verbs on (K, V) Datasets — the statically-typed face
+    * of PairSCollectionFunctions (scio reduceByKey/aggregateByKey/
+    * foldByKey). Backed by KeyValueGroupedDataset.reduceGroups /
+    * mapGroups; Spark plans these as object-hash aggregates with
+    * map-side partial reduction, so the scio semantics keep Spark's
+    * shuffle efficiency.
+    */
+  implicit class GraftPairOps[K, V](private val ds: Dataset[(K, V)]) extends AnyVal {
+
+    /** scio reduceByKey: associative merge of values per key. */
+    def reduceByKey(f: (V, V) => V)(implicit ke: Encoder[K], kve: Encoder[(K, V)]): Dataset[(K, V)] =
+      ds.groupByKey(_._1)
+        .reduceGroups((a: (K, V), b: (K, V)) => (a._1, f(a._2, b._2)))
+        .map { case (_, kv) => kv }
+
+    /** scio foldByKey: fold with a zero (zero must be f-identity). */
+    def foldByKey(zero: V)(f: (V, V) => V)(implicit ke: Encoder[K], kve: Encoder[(K, V)]): Dataset[(K, V)] =
+      reduceByKey(f) // associative fold with identity zero ≡ reduce
+
+    /** scio aggregateByKey: different accumulator type, seqOp+combOp.
+      * mapGroups materializes each group's iterator once (use the
+      * codegen'd `groupBy.agg` face for algebraic aggregates; this is
+      * for genuinely non-algebraic accumulators).
+      */
+    def aggregateByKey[B](zero: => B)(seqOp: (B, V) => B, combOp: (B, B) => B)(
+        implicit ke: Encoder[K], kbe: Encoder[(K, B)]): Dataset[(K, B)] =
+      ds.groupByKey(_._1)
+        .mapGroups((k: K, it: Iterator[(K, V)]) => (k, it.foldLeft(zero)((b, kv) => seqOp(b, kv._2))))
+
+    /** scio mapValues (typed). */
+    def mapValuesTyped[W](f: V => W)(implicit kwe: Encoder[(K, W)]): Dataset[(K, W)] =
+      ds.map { case (k, v) => (k, f(v)) }
+  }
+
   /** PairSCollectionFunctions analogue on DataFrames with explicit
     * key columns — the dynamic-schema face of the API.
     */

@@ -109,6 +109,24 @@ class CoreSyntaxSpec extends SparkSpec {
     assert(out.getDouble(1) == 1.0)
   }
 
+  test("typed reduceByKey / foldByKey merge values per key") {
+    val ds = Seq(("a", 1), ("a", 2), ("b", 5)).toDS()
+    assert(ds.reduceByKey(_ + _).collect().sorted.toSeq == Seq(("a", 3), ("b", 5)))
+    assert(ds.foldByKey(0)(_ + _).collect().sorted.toSeq == Seq(("a", 3), ("b", 5)))
+  }
+
+  test("typed aggregateByKey with a different accumulator type") {
+    val ds = Seq(("a", 1), ("a", 2), ("a", 4), ("b", 5)).toDS()
+    val out = ds.aggregateByKey(List.empty[Int])((acc, v) => v :: acc, _ ++ _)
+      .collect().map { case (k, vs) => k -> vs.sorted }.toMap
+    assert(out == Map("a" -> List(1, 2, 4), "b" -> List(5)))
+  }
+
+  test("typed mapValues preserves keys") {
+    val out = Seq(("a", 1), ("b", 2)).toDS().mapValuesTyped(_ * 10).collect().sorted
+    assert(out.toSeq == Seq(("a", 10), ("b", 20)))
+  }
+
   test("broadcast side input (scio SideInput/hashLookup)") {
     val lookup = spark.sparkContext.broadcast(Map(1L -> "one", 2L -> "two"))
     val out = spark.range(3).as[Long]

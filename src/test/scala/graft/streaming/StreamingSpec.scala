@@ -75,6 +75,36 @@ class StreamingSpec extends SparkSpec {
     assert(out.take(2).toSeq == Seq((1L, 2L, 3.0), (2L, 1L, 5.0)))
   }
 
+  test("file-based readStream → windowed agg → parquet writeStream (end-to-end)") {
+    val src = "/tmp/graft_test/stream_src"
+    val dst = "/tmp/graft_test/stream_dst"
+    val ckp = "/tmp/graft_test/stream_ckp"
+    Seq(src, dst, ckp).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val events = Seq(Event(1L, ts(0), 1.0), Event(1L, ts(5), 2.0), Event(2L, ts(70), 4.0))
+    events.toDF().write.parquet(src)
+
+    val stream = spark.readStream.schema(events.toDF().schema).parquet(src)
+    val agg = Windows.fixedGroups(stream, "ts", "1 hour", "10 minutes")
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .select(col("window.start").as("w"), col("n"), col("sum_v"))
+    val q = agg.writeStream.format("parquet")
+      .option("path", dst).option("checkpointLocation", ckp)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(60000)
+
+    // Append mode only emits windows the watermark has closed: the
+    // hour-0 window closes once the minute-70 event advances the
+    // watermark past 60+10 minutes; the last window stays open.
+    val out = spark.read.parquet(dst)
+    assert(sortedRows(out) == sortedRows(
+      events.toDF().filter(col("ts") < ts(60)).groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+        .select(col("window.start").as("w"), col("n"), col("sum_v"))))
+  }
+
   test("Sessionize batch mode (emitOpen) matches declarative sessionization") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
