@@ -142,9 +142,18 @@ object Joins {
     * sorted so downstream consumers see deterministic groups.
     */
   def cogroup(left: DataFrame, right: DataFrame, key: String,
-              leftVal: String, rightVal: String): DataFrame = {
-    val l = left.groupBy(col(key)).agg(sort_array(collect_list(col(leftVal))).as(s"${leftVal}s"))
-    val r = right.groupBy(col(key)).agg(sort_array(collect_list(col(rightVal))).as(s"${rightVal}s"))
-    l.join(r, Seq(key), "full_outer")
+              leftVal: String, rightVal: String): DataFrame =
+    cogroupN(Seq((left, leftVal), (right, rightVal)), key)
+
+  /** scio cogroup/groupWith for 3–4 sides (scio supports up to 4):
+    * per key, one sorted value array per input. Every side aggregates
+    * to one row per key before joining, so the join fan-out is 1:1 and
+    * the full-outer chain stays linear in the number of sides.
+    */
+  def cogroupN(sides: Seq[(DataFrame, String)], key: String): DataFrame = {
+    require(sides.size >= 2 && sides.size <= 4, "cogroupN supports 2-4 sides (as scio)")
+    sides.map { case (df, valCol) =>
+      df.groupBy(col(key)).agg(sort_array(collect_list(col(valCol))).as(s"${valCol}s"))
+    }.reduce((a, b) => a.join(b, Seq(key), "full_outer"))
   }
 }

@@ -76,6 +76,11 @@ object CoreQueries extends QueryPack {
         r2(max(col("l_extendedprice"))).as("max_price"))
     },
 
+    // count: global size (distributed count, no collect).
+    "q_count" -> { (s, dir) =>
+      tables(s, dir).lineitem.agg(count(lit(1)).as("n"))
+    },
+
     // countByValue.
     "q_count_by_value" -> { (s, dir) =>
       tables(s, dir).orders.countByValue("o_orderpriority")
@@ -224,6 +229,8 @@ object CoreQueries extends QueryPack {
       """SELECT lang, source, min(doc_id) AS doc_id,
         |  arg_min(n_chars, doc_id) AS n_chars
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q_count" ->
+      """SELECT count(*) AS n FROM lineitem""",
     "q_global_agg" ->
       """SELECT count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
         |  round(avg(l_quantity), 6) AS avg_qty,

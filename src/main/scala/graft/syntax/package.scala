@@ -80,6 +80,30 @@ package object syntax {
     def batched(n: Int)(implicit ct: ClassTag[T], e: Encoder[Seq[T]]): Dataset[Seq[T]] =
       ds.mapPartitions((it: Iterator[T]) => it.grouped(n).map(_.toSeq))(e)
 
+    /** scio batchByteSized: batches bounded by estimated byte weight
+      * (caller supplies the estimator; a batch closes once it reaches
+      * maxBytes, and a single oversized element travels alone).
+      */
+    def batchedBytes(maxBytes: Long)(sizeOf: T => Long)(
+        implicit ct: ClassTag[T], e: Encoder[Seq[T]]): Dataset[Seq[T]] =
+      ds.mapPartitions { (it: Iterator[T]) =>
+        new Iterator[Seq[T]] {
+          private val buf = it.buffered
+          def hasNext: Boolean = buf.hasNext
+          def next(): Seq[T] = {
+            val batch = Seq.newBuilder[T]
+            var bytes = 0L
+            var done = false
+            while (!done && buf.hasNext) {
+              val sz = sizeOf(buf.head)
+              if (bytes > 0L && bytes + sz > maxBytes) done = true
+              else { batch += buf.next(); bytes += sz }
+            }
+            batch.result()
+          }
+        }
+      }(e)
+
     /** scio partition(p): split into disjoint frames by predicate.
       * Both sides share the one cached scan when `cache` is set.
       */

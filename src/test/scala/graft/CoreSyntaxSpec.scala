@@ -51,6 +51,13 @@ class CoreSyntaxSpec extends SparkSpec {
     assert(batches.flatten.sorted.toSeq == (0L until 100L))
   }
 
+  test("batchedBytes bounds batches by weight; oversized rows travel alone") {
+    val ds = Seq("aa", "bbbb", "cc", "dddddddddddd", "e").toDS().coalesce(1)
+    val batches = ds.batchedBytes(6)(_.length.toLong).collect()
+    assert(batches.flatten.toSeq.sorted == Seq("aa", "bbbb", "cc", "dddddddddddd", "e").sorted)
+    assert(batches.forall(b => b.map(_.length).sum <= 6 || b.size == 1))
+  }
+
   test("partitionBy2 splits disjointly and completely") {
     val (evens, odds) = spark.range(20).toDF().partitionBy2(col("id") % 2 === 0)
     assert(evens.count() == 10 && odds.count() == 10)

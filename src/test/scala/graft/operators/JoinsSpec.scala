@@ -89,6 +89,21 @@ class JoinsSpec extends SparkSpec {
     assert(sortedRows(two) == sortedRows(direct))
   }
 
+  test("cogroupN: 3-way groupWith, one sorted array per side") {
+    val third = Seq(("a", 100), ("d", 200)).toDF("k", "tv")
+    val out = Joins.cogroupN(
+      Seq((left.filter(col("k").isNotNull), "lv"), (right, "rv"), (third, "tv")), "k")
+      .collect().map(r => (r.getString(0),
+        Option(r.getSeq[Int](1)).getOrElse(Seq()),
+        Option(r.getSeq[Int](2)).getOrElse(Seq()),
+        Option(r.getSeq[Int](3)).getOrElse(Seq()))).sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("a", Seq(1, 2), Seq(10), Seq(100)), ("b", Seq(3), Seq(20), Seq()),
+      ("c", Seq(4), Seq(), Seq()), ("d", Seq(), Seq(40), Seq(200)),
+      ("zz", Seq(9), Seq(), Seq())))
+    intercept[IllegalArgumentException](Joins.cogroupN(Seq((left, "lv")), "k"))
+  }
+
   test("cogroup groups both sides per key, full-outer") {
     val out = Joins.cogroup(left.filter(col("k").isNotNull), right, "k", "lv", "rv")
       .collect().map(r => (r.getString(0), Option(r.getSeq[Int](1)).getOrElse(Seq()),
