@@ -43,27 +43,32 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
   /** One row per k-word shingle: (id, h). The text is tokenized
-    * exactly once (posexplode), shingles assembled from lead() over
-    * the token rows — linear work, one shuffle by id. A doc with
-    * fewer than k tokens contributes its whole text as the single
-    * shingle (so no doc vanishes); duplicate shingles within a doc are
-    * kept (harmless under min-aggregation; collect_set dedups where a
-    * true set is needed).
+    * exactly once (posexplode), each token hashed once, and the
+    * shingle hash combines the k token hashes via lead() over the
+    * token-hash rows — linear work, one shuffle by id, and the window
+    * moves/sorts longs rather than shingle strings (no concat
+    * allocation). Shingle identity = identity of the k-token-hash
+    * tuple (64-bit collisions are negligible at corpus scale).
+    * A doc with fewer than k tokens contributes one row hashing its
+    * available token hashes (Spark's xxhash64 skips null inputs), so
+    * no doc vanishes; duplicate shingles within a doc are kept
+    * (harmless under min-aggregation; collect_set dedups where a true
+    * set is needed).
     */
   private[dedup] def shingleRows(df: DataFrame, idCol: String, textCol: String,
                                  k: Int): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
-      posexplode(tokens(txt(col(textCol)))).as(Seq("pos", "tok")))
+      posexplode(transform(tokens(txt(col(textCol))), t => xxhash64(t))).as(Seq("pos", "th")))
     if (k <= 1) {
-      toks.select(col("id"), xxhash64(col("tok")).as("h"))
+      toks.select(col("id"), col("th").as("h"))
     } else {
       val w = Window.partitionBy(col("id")).orderBy(col("pos"))
-      val leads = (1 until k).map(j => lead(col("tok"), j).over(w))
+      val leads = (1 until k).map(j => lead(col("th"), j).over(w))
       toks
-        .withColumn("shingle", concat_ws(" ", col("tok") +: leads: _*))
+        .withColumn("h", xxhash64(col("th") +: leads: _*))
         .withColumn("full", leads.last.isNotNull) // false → <k tokens remain
-        .filter(col("full") || col("pos") === 0)  // short doc → whole text once
-        .select(col("id"), xxhash64(col("shingle")).as("h"))
+        .filter(col("full") || col("pos") === 0)  // short doc → one combined row
+        .select(col("id"), col("h"))
     }
   }
 

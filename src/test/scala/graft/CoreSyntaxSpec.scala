@@ -134,6 +134,26 @@ class CoreSyntaxSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", 10), ("b", 20)))
   }
 
+  test("take/limit bounds rows without a full scan plan") {
+    assert(spark.range(1000).limit(7).count() == 7)
+  }
+
+  test("timestampBy/withTimestamp: event-time column assignment") {
+    val out = Seq((1L, "2024-03-01 10:30:00")).toDF("id", "raw")
+      .withColumn("ts", to_timestamp(col("raw")))
+    assert(out.schema("ts").dataType.typeName == "timestamp")
+    assert(out.filter(col("ts") === lit("2024-03-01 10:30:00").cast("timestamp")).count() == 1)
+  }
+
+  test("debug/tap/materialize: cache and localCheckpoint reuse results") {
+    val df = spark.range(100).withColumn("r", rand(1)).cache()
+    try {
+      assert(sortedRows(df) == sortedRows(df)) // stable across actions once cached
+      val cp = df.localCheckpoint(true)
+      assert(cp.count() == 100)
+    } finally df.unpersist()
+  }
+
   test("broadcast side input (scio SideInput/hashLookup)") {
     val lookup = spark.sparkContext.broadcast(Map(1L -> "one", 2L -> "two"))
     val out = spark.range(3).as[Long]
