@@ -29,6 +29,10 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // MinHash signatures are one HashAggregate with 128 min columns;
+      // the default maxFields=100 would drop that stage out of
+      // whole-stage codegen (~20% slower signature pass).
+      .config("spark.sql.codegen.maxFields", "256")
       // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
       // default; read as Long and convert in Tables.events.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

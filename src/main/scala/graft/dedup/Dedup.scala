@@ -115,6 +115,43 @@ object Dedup {
       .withColumn("keep", col("id") === col("cluster"))
   }
 
+  /** Transitive near-dup clustering: min-label propagation over the
+    * doc–bucket bipartite graph until fixpoint (or maxIters). Where
+    * [[minhashClusters]] resolves direct collisions only, this merges
+    * CHAINS (A≈B≈C with A,C never sharing a bucket) — connected
+    * components, computed the scalable way: iterate over the compact
+    * (id, bucket) edge list (persisted — it is reused every round),
+    * never over text. Each round is two keyed aggregations; rounds
+    * needed = graph diameter (dup chains are short in practice).
+    */
+  def minhashClustersTransitive(df: DataFrame, idCol: String, textCol: String,
+                                shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16,
+                                maxIters: Int = 5): DataFrame = {
+    val sigs = signatures(df, idCol, textCol, shingleK, numHashes, bands, withShingleSets = false)
+    val edges = sigs.select(col("id"),
+        posexplode(col("bandhashes")).as(Seq("band", "bh")))
+      .select(col("id"), xxhash64(col("band"), col("bh")).as("bucket"))
+      .persist()
+    try {
+      var clusters = edges.select(col("id")).distinct().withColumn("cluster", col("id"))
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIters) {
+        val bucketMin = edges.join(clusters, Seq("id"))
+          .groupBy(col("bucket")).agg(min(col("cluster")).as("bmin"))
+        val next = edges.join(bucketMin, Seq("bucket"))
+          .groupBy(col("id")).agg(min(col("bmin")).as("cluster"))
+          .persist()
+        val changed = next.join(clusters.withColumnRenamed("cluster", "prev"), Seq("id"))
+          .filter(col("cluster") =!= col("prev")).limit(1).count()
+        clusters = next
+        converged = changed == 0L
+        iter += 1
+      }
+      clusters.withColumn("keep", col("id") === col("cluster"))
+    } finally { edges.unpersist() }
+  }
+
   /** Candidate near-dup pairs from LSH banding with exact Jaccard
     * verification. `bands`/`numHashes` tune the similarity threshold
     * (collision prob ≈ 1-(1-j^r)^b, r = numHashes/bands).

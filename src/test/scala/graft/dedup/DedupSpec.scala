@@ -38,6 +38,21 @@ class DedupSpec extends SparkSpec {
     assert(keepers == byId.values.toSet)
   }
 
+  test("minhashClustersTransitive merges dup chains into one component") {
+    // chain: 10≈11 (last word), 11≈12 (first word) — 10 and 12 differ
+    // in two words and may never share a bucket directly.
+    val chain = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+      (12L, "omega beta gamma delta epsilon zeta eta theta iota kappa lambda nu"),
+      (13L, "entirely different text about query planners and shuffle exchanges here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashClustersTransitive(chain, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
+    assert(out(10L) == 10L && out(11L) == 10L && out(12L) == 10L, s"got $out")
+    assert(out(13L) == 13L)
+  }
+
   test("minhashPairs: exact dup pair has jaccard 1.0; candidates verified") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text")
       .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("jaccard"))).toMap
