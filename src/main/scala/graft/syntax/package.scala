@@ -111,6 +111,16 @@ package object syntax {
       val d = ds.toDF()
       (d.filter(pred), d.filter(!pred))
     }
+
+    /** scio Metrics.counter/distribution: named metrics collected in
+      * the SAME pass as the job (Spark `observe`) — no second scan.
+      * Read values from the returned Observation after the first
+      * action: `obs.get("n_bad")`.
+      */
+    def observed(name: String, metrics: Column*): (DataFrame, org.apache.spark.sql.Observation) = {
+      val obs = org.apache.spark.sql.Observation(name)
+      (ds.toDF().observe(obs, metrics.head, metrics.tail: _*), obs)
+    }
   }
 
   /** Typed keyed verbs on (K, V) Datasets — the statically-typed face

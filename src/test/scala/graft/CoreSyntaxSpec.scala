@@ -134,6 +134,15 @@ class CoreSyntaxSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", 10), ("b", 20)))
   }
 
+  test("observed (scio Metrics.counter): metrics collected in the same pass") {
+    val (df, obs) = spark.range(100).observed("m",
+      count(when(col("id") % 10 === 0, 1)).as("n_mult10"),
+      sum(col("id")).as("total"))
+    assert(df.count() == 100) // the action that populates the observation
+    assert(obs.get("n_mult10") == 10L)
+    assert(obs.get("total") == 4950L)
+  }
+
   test("take/limit bounds rows without a full scan plan") {
     assert(spark.range(1000).limit(7).count() == 7)
   }
