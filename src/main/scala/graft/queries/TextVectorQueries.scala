@@ -57,11 +57,14 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("probe_id"))
     },
 
-    // brute-force cosine top-k — the ANN baseline.
+    // brute-force cosine top-k — the ANN baseline. Fully
+    // oracle-checked: output is ids and ranks only, and both engines
+    // compute the same sequential float→double cosine, so neighbor
+    // order hash-matches exactly.
     "q_knn_brute" -> { (s, dir) =>
       val emb = tables(s, dir).embeddings
       KNN.bruteForceTopK(emb, emb.filter(col("vec_id") <= 10), "vec_id", "embedding", k = 5)
-        .select(col("probe_id"), col("rank"), col("id").as("neighbor_id"))
+        .select(col("probe_id"), col("rank").cast("long").as("rank"), col("id").as("neighbor_id"))
         .orderBy(col("probe_id"), col("rank"))
     },
 
@@ -165,11 +168,34 @@ object TextVectorQueries extends QueryPack {
     "q_fingerprint" ->
       """SELECT count(*) AS n_docs,
         |  count(DISTINCT array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')) AS n_distinct_fp
-        |FROM documents""".stripMargin
-    // q_dedup_minhash / q_dedup_simhash / q_ngram_jaccard / q_embed_dedup /
-    // q_knn_brute / q_knn_lsh / q_lang_id /
-    // q_multimodal_meta: rows-only (hash- or model-specific values);
-    // semantics asserted in DedupSpec, SimilaritySpec, TextSpec,
-    // MultimodalSpec.
+        |FROM documents""".stripMargin,
+    "q_knn_brute" ->
+      """WITH probes AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id <= 10),
+        |scored AS (
+        |  SELECT pid AS probe_id, vec_id AS neighbor_id,
+        |         list_cosine_similarity(embedding, pe) AS sim
+        |  FROM embeddings, probes WHERE vec_id != pid),
+        |ranked AS (
+        |  SELECT probe_id, neighbor_id,
+        |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT probe_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+        |ORDER BY probe_id, rank""".stripMargin,
+    "q_embed_dedup" ->
+      """WITH probes AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id <= 50),
+        |scored AS (
+        |  SELECT pid AS probe_id, vec_id AS nn_id,
+        |         list_cosine_similarity(embedding, pe) AS sim
+        |  FROM embeddings, probes WHERE vec_id != pid),
+        |ranked AS (
+        |  SELECT probe_id, nn_id, sim,
+        |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, nn_id) AS rn
+        |  FROM scored)
+        |SELECT probe_id, nn_id, sim >= 0.9 AS is_dup FROM ranked WHERE rn = 1
+        |ORDER BY probe_id""".stripMargin
+    // q_dedup_minhash / q_dedup_simhash / q_ngram_jaccard / q_knn_lsh /
+    // q_lang_id / q_multimodal_meta: rows-only (hash- or
+    // model-specific values); semantics asserted in DedupSpec,
+    // SimilaritySpec, TextSpec, MultimodalSpec.
   )
 }
