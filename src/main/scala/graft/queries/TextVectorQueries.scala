@@ -169,6 +169,25 @@ object TextVectorQueries extends QueryPack {
       """SELECT count(*) AS n_docs,
         |  count(DISTINCT array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')) AS n_distinct_fp
         |FROM documents""".stripMargin,
+    // Jaccard is a ratio of set cardinalities — hash-independent — so
+    // DuckDB reproduces it exactly from string shingle sets even
+    // though Spark works on shingle hashes.
+    "q_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)])
+        |    END AS s
+        |  FROM toks)
+        |SELECT a.source AS block, a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CASE WHEN len(list_distinct(a.s || b.s)) = 0 THEN 0.0
+        |       ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) END AS jaccard
+        |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        |ORDER BY jaccard DESC, id_a, id_b
+        |LIMIT 25""".stripMargin,
     "q_knn_brute" ->
       """WITH probes AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id <= 10),
         |scored AS (
@@ -193,9 +212,9 @@ object TextVectorQueries extends QueryPack {
         |  FROM scored)
         |SELECT probe_id, nn_id, sim >= 0.9 AS is_dup FROM ranked WHERE rn = 1
         |ORDER BY probe_id""".stripMargin
-    // q_dedup_minhash / q_dedup_simhash / q_ngram_jaccard / q_knn_lsh /
-    // q_lang_id / q_multimodal_meta: rows-only (hash- or
-    // model-specific values); semantics asserted in DedupSpec,
-    // SimilaritySpec, TextSpec, MultimodalSpec.
+    // q_dedup_minhash / q_dedup_simhash / q_knn_lsh / q_lang_id /
+    // q_multimodal_meta: rows-only (hash- or model-specific values);
+    // semantics asserted in DedupSpec, SimilaritySpec, TextSpec,
+    // MultimodalSpec.
   )
 }
