@@ -25,6 +25,15 @@ object Sources {
   def writeText(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).text(path)
 
+  /** scio readTextFilesWithPath: (path, line) per line — the file
+    * provenance column comes from `input_file_name()`, no custom
+    * reader needed.
+    */
+  def readTextWithPath(spark: SparkSession, paths: String*): DataFrame = {
+    import org.apache.spark.sql.functions.input_file_name
+    spark.read.text(paths: _*).withColumn("path", input_file_name())
+  }
+
   // ---- csv (scio-extra csv) ----
   def readCsv(spark: SparkSession, path: String, schema: Option[StructType] = None,
               header: Boolean = true): DataFrame = {

@@ -80,6 +80,14 @@ package object syntax {
     def batched(n: Int)(implicit ct: ClassTag[T], e: Encoder[Seq[T]]): Dataset[Seq[T]] =
       ds.mapPartitions((it: Iterator[T]) => it.grouped(n).map(_.toSeq))(e)
 
+    /** scio batchByKey: per-key batches of at most n elements (each
+      * key's values chunked; one output row per chunk).
+      */
+    def batchedByKey[K: Encoder](n: Int)(key: T => K)(
+        implicit te: Encoder[T], out: Encoder[(K, Seq[T])]): Dataset[(K, Seq[T])] =
+      ds.groupByKey(key).flatMapGroups((k: K, it: Iterator[T]) =>
+        it.grouped(n).map(b => (k, b.toSeq)))
+
     /** scio batchByteSized: batches bounded by estimated byte weight
       * (caller supplies the estimator; a batch closes once it reaches
       * maxBytes, and a single oversized element travels alone).
@@ -110,6 +118,16 @@ package object syntax {
     def partitionBy2(pred: Column): (DataFrame, DataFrame) = {
       val d = ds.toDF()
       (d.filter(pred), d.filter(!pred))
+    }
+
+    /** scio hashPartition(n): split into n disjoint frames by key
+      * hash. Cache the input when consuming several outputs — each is
+      * a filter over the same plan.
+      */
+    def hashPartitions(n: Int, keys: Column*): Seq[DataFrame] = {
+      require(n > 0, s"n must be positive, got $n")
+      val d = ds.toDF().withColumn("__hp", pmod(hash(keys: _*), lit(n)))
+      (0 until n).map(i => d.filter(col("__hp") === i).drop("__hp"))
     }
 
     /** scio Metrics.counter/distribution: named metrics collected in

@@ -51,6 +51,21 @@ class CoreSyntaxSpec extends SparkSpec {
     assert(batches.flatten.sorted.toSeq == (0L until 100L))
   }
 
+  test("hashPartitions split disjointly and completely by key hash") {
+    val df = spark.range(1000).toDF()
+    val parts = df.hashPartitions(4, col("id"))
+    assert(parts.map(_.count()).sum == 1000)
+    assert(parts.combinations(2).forall { case Seq(a, b) => a.intersect(b).count() == 0 })
+  }
+
+  test("batchedByKey chunks each key's values to at most n") {
+    val ds = (1 to 25).map(i => (if (i <= 20) "a" else "b", i)).toDS()
+    val out = ds.batchedByKey(8)(_._1).collect()
+    assert(out.filter(_._1 == "a").map(_._2.size).sorted.toSeq == Seq(4, 8, 8))
+    assert(out.filter(_._1 == "b").map(_._2.size).toSeq == Seq(5))
+    assert(out.flatMap(_._2).map(_._2).sorted.toSeq == (1 to 25))
+  }
+
   test("batchedBytes bounds batches by weight; oversized rows travel alone") {
     val ds = Seq("aa", "bbbb", "cc", "dddddddddddd", "e").toDS().coalesce(1)
     val batches = ds.batchedBytes(6)(_.length.toLong).collect()

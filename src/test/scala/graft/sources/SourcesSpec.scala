@@ -16,6 +16,13 @@ class SourcesSpec extends SparkSpec {
     assert(sortedRows(back) == sortedRows(nation.select(col("n_name").as("value"))))
   }
 
+  test("readTextWithPath attaches file provenance to each line") {
+    Sources.writeText(nation.select(col("n_name")), s"$base/text_wp")
+    val back = Sources.readTextWithPath(spark, s"$base/text_wp")
+    assert(back.columns.toSeq == Seq("value", "path"))
+    assert(back.filter(col("path").contains("text_wp")).count() == nation.count())
+  }
+
   test("csv roundtrip with explicit schema preserves rows and types") {
     Sources.writeCsv(nation, s"$base/csv")
     val back = Sources.readCsv(spark, s"$base/csv", Some(nation.schema))
