@@ -45,7 +45,40 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+    // Streaming throughput: the same events feed as q_window_fixed,
+    // driven through Structured Streaming (AvailableNow) into a noop
+    // sink — measures the micro-batch engine end-to-end.
+    val streaming = {
+      val t0 = System.nanoTime()
+      try {
+        // the file source needs a directory: stream the sf dir with a
+        // glob filter selecting only the events table file
+        val raw = spark.readStream.schema(
+          spark.read.parquet(s"$sfDir/events.parquet").schema)
+          .option("pathGlobFilter", "events.parquet")
+          .parquet(sfDir)
+        val ev = if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+        else raw
+        val q = graft.streaming.Windows
+          .fixedGroups(ev, "ts", "1 hour", "10 minutes",
+            org.apache.spark.sql.functions.col("event_type"))
+          .count()
+          .writeStream.format("noop")
+          .option("checkpointLocation", s"/tmp/graft_bench_ckp_${System.nanoTime()}")
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+      } catch { case e: Throwable => System.err.println(s"[bench] q_stream_window failed: $e") }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // total = the batch headline suite (comparable round over round);
+    // the streaming run is reported alongside, not in the total —
+    // its fixed micro-batch-engine startup would dominate at small sf.
+    val all2 = results :+ ("q_stream_window" -> streaming)
+    val qs = all2.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
