@@ -142,7 +142,7 @@ object TextFunctions {
 }
 
 /** Top stopwords per language (public knowledge, standard lists). */
-private[functions] object LangProfiles {
+private[graft] object LangProfiles {
   val en = Seq("the", "of", "and", "to", "in", "a", "is", "that", "it", "was",
     "for", "on", "are", "as", "with", "his", "they", "at", "be", "this")
   val es = Seq("de", "la", "que", "el", "en", "y", "a", "los", "del", "se",

@@ -40,17 +40,19 @@ object Multimodal {
     media.select(col("id"), col("modality"), col("payload"))
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
-          // >>> FAKE DECODE: deterministic metadata from payload bytes.
-          // A real implementation decodes the media header here.
+          // >>> FAKE DECODE: deterministic metadata derived from the
+          // payload byte length (length-based rather than content-
+          // hash-based so an external oracle can recompute it). A real
+          // implementation decodes the media header here.
           batch.map { r =>
             val id = r.getLong(0)
             val modality = r.getString(1)
             val bytes = r.getAs[Array[Byte]](2)
-            val h = java.util.Arrays.hashCode(bytes)
-            MediaMeta(id, modality, bytes.length.toLong,
-              width = 16 + math.floorMod(h, 1920),
-              height = 16 + math.floorMod(h >> 8, 1080),
-              nFrames = 1 + math.floorMod(h >> 16, 32))
+            val n = bytes.length.toLong
+            MediaMeta(id, modality, n,
+              width = 16 + (n % 1920L).toInt,
+              height = 16 + (n * 7L % 1080L).toInt,
+              nFrames = 1 + (n % 32L).toInt)
           }
           // <<< FAKE DECODE
         }

@@ -9,9 +9,10 @@ import QueryDsl._
 
 /** LLM-training-data pipeline operators (SURVEY §2 "LLM-pipeline"):
   * dedup, similarity search, text analysis, multimodal plumbing, over
-  * the `documents` and `embeddings` tables. Approximate/hash-based
-  * operators are rows-only gated (engine-specific hashes); their
-  * semantics are asserted in DedupSpec/SimilaritySpec/TextSpec.
+  * the `documents` and `embeddings` tables. All oracle-checked except
+  * the three xxhash64/hyperplane-valued outputs (minhash/simhash
+  * clusters, IVF ANN), whose semantics are asserted in
+  * DedupSpec/SimilaritySpec instead.
   */
 object TextVectorQueries extends QueryPack {
 
@@ -86,9 +87,11 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("vec_id"))
     },
 
-    // language ID (heuristic; corpus text is synthetic so the
-    // distribution collapses — accuracy on real multilingual text is
-    // asserted in TextSpec).
+    // language ID. Oracle-checked: the heuristic is deterministic
+    // arithmetic (stopword ratios + CJK ratio, argmax with
+    // first-tie-wins), reproduced in SQL from the same LangProfiles
+    // lists. Accuracy on real multilingual text is asserted in
+    // TextSpec (the synthetic corpus collapses to en/und).
     "q_lang_id" -> { (s, dir) =>
       tables(s, dir).documents
         .select(TextFunctions.langId(col("text")).as("pred_lang"))
@@ -130,6 +133,8 @@ object TextVectorQueries extends QueryPack {
     },
 
     // multimodal plumbing: binary payload + stubbed decode → metadata.
+    // Oracle-checked: the fake decode derives metadata from payload
+    // BYTE LENGTH, which DuckDB recomputes via octet_length(encode()).
     "q_multimodal_meta" -> { (s, dir) =>
       val media = Multimodal.asMediaTable(tables(s, dir).documents, "doc_id", "text", "text_as_bytes")
       Multimodal.decodeStub(media).toDF()
@@ -139,7 +144,43 @@ object TextVectorQueries extends QueryPack {
     }
   )
 
+  /** SQL IN-list from a LangProfiles stopword list (single source of
+    * truth with the Spark-side heuristic).
+    */
+  private def inList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  /** q_lang_id oracle: same scores, same argmax-with-first-tie-wins
+    * (a later language needs a STRICTLY greater score to win).
+    */
+  private val langIdOracle: String = {
+    import graft.functions.LangProfiles._
+    s"""WITH t AS (
+       |  SELECT text, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents
+       |), c AS (
+       |  SELECT text, greatest(len(toks), 1)::DOUBLE AS n,
+       |    len(list_filter(toks, x -> x IN (${inList(en)})))::DOUBLE AS c_en,
+       |    len(list_filter(toks, x -> x IN (${inList(es)})))::DOUBLE AS c_es,
+       |    len(list_filter(toks, x -> x IN (${inList(de)})))::DOUBLE AS c_de,
+       |    len(list_filter(toks, x -> x IN (${inList(fr)})))::DOUBLE AS c_fr,
+       |    (length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')))::DOUBLE
+       |      / greatest(length(text), 1) * 2.0 AS s_zh
+       |  FROM t
+       |), s AS (
+       |  SELECT c_en/n AS s_en, c_es/n AS s_es, c_de/n AS s_de, c_fr/n AS s_fr, s_zh FROM c
+       |), p AS (
+       |  SELECT CASE
+       |    WHEN s_en > 0.005 AND s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       |    WHEN s_es > 0.005 AND s_es >  s_en AND s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       |    WHEN s_de > 0.005 AND s_de >  s_en AND s_de >  s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       |    WHEN s_fr > 0.005 AND s_fr >  s_en AND s_fr >  s_es AND s_fr >  s_de AND s_fr >= s_zh THEN 'fr'
+       |    WHEN s_zh > 0.005 AND s_zh >  s_en AND s_zh >  s_es AND s_zh >  s_de AND s_zh >  s_fr THEN 'zh'
+       |    ELSE 'und' END AS pred_lang
+       |  FROM s)
+       |SELECT pred_lang, count(*) AS n FROM p GROUP BY pred_lang ORDER BY pred_lang""".stripMargin
+  }
+
   override val oracles: Map[String, String] = Map(
+    "q_lang_id" -> langIdOracle,
     "q_dedup_exact" ->
       """SELECT count(*) AS n_unique, CAST(sum(n_copies) AS BIGINT) AS n_docs,
         |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
@@ -211,10 +252,15 @@ object TextVectorQueries extends QueryPack {
         |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, nn_id) AS rn
         |  FROM scored)
         |SELECT probe_id, nn_id, sim >= 0.9 AS is_dup FROM ranked WHERE rn = 1
-        |ORDER BY probe_id""".stripMargin
-    // q_dedup_minhash / q_dedup_simhash / q_knn_lsh / q_lang_id /
-    // q_multimodal_meta: rows-only (hash- or model-specific values);
-    // semantics asserted in DedupSpec, SimilaritySpec, TextSpec,
-    // MultimodalSpec.
+        |ORDER BY probe_id""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(16 + octet_length(encode(text)) % 1920 AS INT) AS width,
+        |  CAST(16 + (octet_length(encode(text)) * 7) % 1080 AS INT) AS height,
+        |  CAST(1 + octet_length(encode(text)) % 32 AS INT) AS n_frames
+        |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin
+    // q_dedup_minhash / q_dedup_simhash / q_knn_lsh: rows-only
+    // (xxhash64/hyperplane values are engine-specific); semantics
+    // asserted in DedupSpec and SimilaritySpec.
   )
 }
