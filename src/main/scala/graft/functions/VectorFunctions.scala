@@ -33,15 +33,21 @@ object VectorFunctions {
       .otherwise(transform(a, x => x.cast("double") / n))
   }
 
+  /** Seeded hyperplane coefficients — plan-time constants shared by
+    * [[hyperplaneSignature]] and the external oracle SQL (which embeds
+    * the same literals), deterministic across runs and executors.
+    */
+  def hyperplanes(dim: Int, nBits: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(nBits, dim)(rng.nextGaussian())
+  }
+
   /** Random-hyperplane LSH signature: `nBits` sign bits packed into a
-    * long. Hyperplane components are derived from a seeded splitmix-
-    * style integer mix at plan-build time (deterministic across runs
-    * and executors, no stored model).
+    * long. No stored model — the planes are literals in the plan.
     */
   def hyperplaneSignature(vec: Column, dim: Int, nBits: Int, seed: Long = 42L): Column = {
     require(nBits <= 63, "nBits must fit in a long")
-    val rng = new scala.util.Random(seed)
-    val planes = Array.fill(nBits, dim)(rng.nextGaussian())
+    val planes = hyperplanes(dim, nBits, seed)
     (0 until nBits).map { b =>
       val proj = (0 until dim).map(i => element_at(vec, i + 1).cast("double") * lit(planes(b)(i)))
         .reduce(_ + _)

@@ -179,8 +179,39 @@ object TextVectorQueries extends QueryPack {
        |SELECT pred_lang, count(*) AS n FROM p GROUP BY pred_lang ORDER BY pred_lang""".stripMargin
   }
 
+  /** q_knn_lsh oracle: the hyperplane coefficients are plan-time
+    * constants, so the SQL embeds the SAME literals (round-trip-safe
+    * Double.toString), computes the same cells and Hamming-1
+    * multi-probe, and ranks by the same cosine.
+    */
+  private val knnLshOracle: String = {
+    val planes = graft.functions.VectorFunctions.hyperplanes(dim = 64, nBits = 4, seed = 42L)
+    def planeList(b: Int) = planes(b).map(_.toString).mkString("[", ", ", "]")
+    val cellExpr = (0 until 4).map(b =>
+      s"CASE WHEN list_dot_product(embedding, ${planeList(b)}) > 0 THEN ${1 << b} ELSE 0 END")
+      .mkString("\n      + ")
+    s"""WITH cells AS (
+       |  SELECT vec_id, embedding,
+       |    $cellExpr AS cell
+       |  FROM embeddings),
+       |pcells AS (
+       |  SELECT pid, pe, unnest([pcell, xor(pcell, 1), xor(pcell, 2), xor(pcell, 4), xor(pcell, 8)]) AS cell
+       |  FROM (SELECT vec_id AS pid, embedding AS pe, cell AS pcell FROM cells WHERE vec_id <= 10)),
+       |scored AS (
+       |  SELECT pid AS probe_id, c.vec_id AS neighbor_id,
+       |         list_cosine_similarity(c.embedding, pe) AS sim
+       |  FROM cells c JOIN pcells p ON c.cell = p.cell AND c.vec_id != p.pid),
+       |ranked AS (
+       |  SELECT probe_id, neighbor_id,
+       |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+       |  FROM scored)
+       |SELECT probe_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+       |ORDER BY probe_id, rank""".stripMargin
+  }
+
   override val oracles: Map[String, String] = Map(
     "q_lang_id" -> langIdOracle,
+    "q_knn_lsh" -> knnLshOracle,
     "q_dedup_exact" ->
       """SELECT count(*) AS n_unique, CAST(sum(n_copies) AS BIGINT) AS n_docs,
         |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
