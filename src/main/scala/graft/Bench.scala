@@ -49,6 +49,8 @@ object Bench {
     // driven through Structured Streaming (AvailableNow) into a noop
     // sink — measures the micro-batch engine end-to-end.
     val streaming = {
+      val ckp = "/tmp/graft_bench_ckp"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckp))
       val t0 = System.nanoTime()
       try {
         // the file source needs a directory: stream the sf dir with a
@@ -66,11 +68,14 @@ object Bench {
             org.apache.spark.sql.functions.col("event_type"))
           .count()
           .writeStream.format("noop")
-          .option("checkpointLocation", s"/tmp/graft_bench_ckp_${System.nanoTime()}")
+          .option("checkpointLocation", ckp)
           .outputMode("update")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000)
+        if (!q.awaitTermination(120000)) {
+          q.stop() // truncated measurement — don't leave it consuming cores
+          System.err.println("[bench] q_stream_window timed out at 120s; reported time truncated")
+        }
       } catch { case e: Throwable => System.err.println(s"[bench] q_stream_window failed: $e") }
       (System.nanoTime() - t0) / 1e9
     }

@@ -134,6 +134,7 @@ object Dedup {
       .persist()
     try {
       var clusters = edges.select(col("id")).distinct().withColumn("cluster", col("id"))
+      var prevPersisted: Option[DataFrame] = None
       var converged = false
       var iter = 0
       while (!converged && iter < maxIters) {
@@ -144,10 +145,17 @@ object Dedup {
           .persist()
         val changed = next.join(clusters.withColumnRenamed("cluster", "prev"), Seq("id"))
           .filter(col("cluster") =!= col("prev")).limit(1).count()
+        // `changed` materialized `next`, so the previous round's cache
+        // (and only it — the final frame stays cached for the caller)
+        // can be dropped without recomputation.
+        prevPersisted.foreach(_.unpersist())
+        prevPersisted = Some(next)
         clusters = next
         converged = changed == 0L
         iter += 1
       }
+      // Result keeps the last iteration cached; callers running many
+      // corpora through this in one session should unpersist it.
       clusters.withColumn("keep", col("id") === col("cluster"))
     } finally { edges.unpersist() }
   }

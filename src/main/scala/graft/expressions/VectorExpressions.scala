@@ -10,6 +10,13 @@ import org.apache.spark.sql.types._
 
 /** Shared input validation: both sides must be array<float> (callers
   * cast explicitly — implicit-cast traits are private[sql]). */
+private[expressions] object FloatArrayInputs {
+  def elementsNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => true
+  }
+}
+
 private[expressions] trait FloatArrayInputs { self: BinaryExpression =>
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
@@ -43,16 +50,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_cosine"
+  // null even for non-null inputs (length mismatch / null element)
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null // matches composed zip_with form
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null // null element → NULL
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi
@@ -73,16 +84,29 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      // per-element null checks only when the schema allows nulls
+      val mayHaveNulls = FloatArrayInputs.elementsNullable(left) ||
+        FloatArrayInputs.elementsNullable(right)
+      val nullCheck = if (mayHaveNulls)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
-        |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-        |for (int $i = 0; $i < $n; $i++) {
-        |  final double $xi = $a.getFloat($i);
-        |  final double $yi = $b.getFloat($i);
-        |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+        |final int $n = $a.numElements();
+        |if ($n != $b.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    $nullCheck
+        |    final double $xi = $a.getFloat($i);
+        |    final double $yi = $b.getFloat($i);
+        |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+        |  }
+        |  if (!${ev.isNull}) {
+        |    ${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
+        |      : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        |  }
         |}
-        |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0
-        |  : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
       """.stripMargin
     })
 
@@ -96,14 +120,20 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var i = 0
-    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
     dot
   }
 
@@ -112,13 +142,23 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       val i = ctx.freshName("i")
+      val mayHaveNulls = FloatArrayInputs.elementsNullable(left) ||
+        FloatArrayInputs.elementsNullable(right)
+      val nullCheck = if (mayHaveNulls)
+        s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
       s"""
-        |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        |double $dot = 0.0;
-        |for (int $i = 0; $i < $n; $i++) {
-        |  $dot += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+        |final int $n = $a.numElements();
+        |if ($n != $b.numElements()) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  double $dot = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    $nullCheck
+        |    $dot += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+        |  }
+        |  if (!${ev.isNull}) { ${ev.value} = $dot; }
         |}
-        |${ev.value} = $dot;
       """.stripMargin
     })
 

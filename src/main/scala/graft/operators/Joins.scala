@@ -152,6 +152,9 @@ object Joins {
     */
   def cogroupN(sides: Seq[(DataFrame, String)], key: String): DataFrame = {
     require(sides.size >= 2 && sides.size <= 4, "cogroupN supports 2-4 sides (as scio)")
+    require(sides.map(_._2).distinct.size == sides.size,
+      s"value column names must be distinct (each becomes a '<name>s' output column); " +
+        s"got ${sides.map(_._2).mkString(", ")} — rename the clashing columns first")
     sides.map { case (df, valCol) =>
       df.groupBy(col(key)).agg(sort_array(collect_list(col(valCol))).as(s"${valCol}s"))
     }.reduce((a, b) => a.join(b, Seq(key), "full_outer"))

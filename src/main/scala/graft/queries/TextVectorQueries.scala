@@ -216,8 +216,8 @@ object TextVectorQueries extends QueryPack {
       """SELECT count(*) AS n_unique, CAST(sum(n_copies) AS BIGINT) AS n_docs,
         |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
         |  min(keeper) AS first_keeper
-        |FROM (SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
-        |      FROM documents GROUP BY md5(text))""".stripMargin,
+        |FROM (SELECT md5(coalesce(text, '')) AS h, min(doc_id) AS keeper, count(*) AS n_copies
+        |      FROM documents GROUP BY md5(coalesce(text, '')))""".stripMargin,
     "q_embed_norm" ->
       """SELECT vec_id, len(embedding) AS dim,
         |  round(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding])), 6) AS l2_norm
@@ -290,8 +290,7 @@ object TextVectorQueries extends QueryPack {
         |  CAST(16 + (octet_length(encode(text)) * 7) % 1080 AS INT) AS height,
         |  CAST(1 + octet_length(encode(text)) % 32 AS INT) AS n_frames
         |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin
-    // q_dedup_minhash / q_dedup_simhash / q_knn_lsh: rows-only
-    // (xxhash64/hyperplane values are engine-specific); semantics
-    // asserted in DedupSpec and SimilaritySpec.
+    // q_dedup_minhash / q_dedup_simhash: rows-only (xxhash64 cluster
+    // values are engine-specific); semantics asserted in DedupSpec.
   )
 }

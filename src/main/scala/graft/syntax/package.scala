@@ -57,10 +57,14 @@ package object syntax {
     /** scio sampleWeighted: weighted reservoir sample of n rows
       * (Efraimidis–Spirakis A-Res: top-n by rand^(1/w), a single
       * TakeOrdered — no per-partition reservoir state needed).
+      * Rows with non-positive or NaN weights are excluded (they would
+      * otherwise sort above every valid key and hijack the sample).
       */
     def sampleWeighted(n: Int, weightCol: String, seed: Long = 42L): DataFrame = {
-      val d = ds.toDF()
-      d.withColumn("__k", pow(rand(seed), lit(1.0) / col(weightCol)))
+      val w = col(weightCol).cast("double")
+      ds.toDF()
+        .filter(w > 0.0 && !isnan(w))
+        .withColumn("__k", pow(rand(seed), lit(1.0) / w))
         .orderBy(col("__k").desc)
         .limit(n)
         .drop("__k")
@@ -136,6 +140,7 @@ package object syntax {
       * action: `obs.get("n_bad")`.
       */
     def observed(name: String, metrics: Column*): (DataFrame, org.apache.spark.sql.Observation) = {
+      require(metrics.nonEmpty, "observed(name, metrics…) needs at least one metric column")
       val obs = org.apache.spark.sql.Observation(name)
       (ds.toDF().observe(obs, metrics.head, metrics.tail: _*), obs)
     }

@@ -114,6 +114,12 @@ class CoreSyntaxSpec extends SparkSpec {
     assert(out.count(_ <= 10) >= 8, s"got ${out.toSeq.sorted}")
   }
 
+  test("sampleWeighted excludes non-positive and NaN weights") {
+    val df = Seq((1L, 5.0), (2L, -1.0), (3L, 0.0), (4L, Double.NaN)).toDF("id", "w")
+    val out = df.sampleWeighted(4, "w").select("id").as[Long].collect()
+    assert(out.toSeq == Seq(1L))
+  }
+
   test("sampleByKey applies per-key fractions and drops unlisted keys") {
     val df = (1 to 2000).map(i => (if (i % 2 == 0) "a" else "b", i)).toDF("k", "v")
     val out = df.sampleByKey("k", Map("a" -> 0.5))

@@ -46,6 +46,21 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out(2).getDouble(0) == 0.0)
   }
 
+  test("null elements and length mismatch yield null (as the composed form does)") {
+    val df = Seq(
+      (Seq[java.lang.Float](1f, null), Seq[java.lang.Float](1f, 2f)), // null element
+      (Seq[java.lang.Float](1f), Seq[java.lang.Float](1f, 2f))        // length mismatch
+    ).toDF("a", "b")
+    val out = df.select(
+      VectorExpressions.cosineF(col("a"), col("b")).as("nc"),
+      VectorExpressions.dotF(col("a"), col("b")).as("nd"),
+      VectorFunctions.cosine(col("a"), col("b")).as("cc"))
+      .collect()
+    out.foreach { r =>
+      assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2), r.toString)
+    }
+  }
+
   test("interpreted path (non-codegen) agrees with codegen") {
     // Window partitions evaluate projections; also force interpreted
     // mode via the fallback config on a tiny frame.

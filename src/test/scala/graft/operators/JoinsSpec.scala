@@ -102,6 +102,8 @@ class JoinsSpec extends SparkSpec {
       ("c", Seq(4), Seq(), Seq()), ("d", Seq(), Seq(40), Seq(200)),
       ("zz", Seq(9), Seq(), Seq())))
     intercept[IllegalArgumentException](Joins.cogroupN(Seq((left, "lv")), "k"))
+    intercept[IllegalArgumentException]( // clashing value names → ambiguous output
+      Joins.cogroupN(Seq((left, "lv"), (left, "lv")), "k"))
   }
 
   test("cogroup groups both sides per key, full-outer") {
