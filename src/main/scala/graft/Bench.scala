@@ -21,6 +21,9 @@ object Bench {
     "q5_local_supplier",
     "q_dedup_minhash",
     "q_knn_brute",
+    "q_knn_lsh",
+    "q_sparse_join",
+    "q_smb_join",
     "q_window_session",
     "q_top_by_key"
   )
@@ -38,6 +41,9 @@ object Bench {
     // absorb one-time JVM/session startup.
     try all("q1_pricing")(spark, sfDir).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // A rename must not silently shrink the suite (and its total).
+    headline.filterNot(all.contains).foreach(n =>
+      System.err.println(s"[bench] WARNING: headline query '$n' missing from SparkEntry.queries"))
     val results = headline.filter(all.contains).map { name =>
       val fn = all(name)
       val t0 = System.nanoTime()

@@ -42,33 +42,36 @@ object Dedup {
     df.groupBy(md5(txt(col(textCol))).as("content_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
-  /** One row per k-word shingle: (id, h). The text is tokenized
-    * exactly once (posexplode), each token hashed once, and the
-    * shingle hash combines the k token hashes via lead() over the
-    * token-hash rows — linear work, one shuffle by id, and the window
-    * moves/sorts longs rather than shingle strings (no concat
-    * allocation). Shingle identity = identity of the k-token-hash
-    * tuple (64-bit collisions are negligible at corpus scale).
-    * A doc with fewer than k tokens contributes one row hashing its
-    * available token hashes (Spark's xxhash64 skips null inputs), so
-    * no doc vanishes; duplicate shingles within a doc are kept
-    * (harmless under min-aggregation; collect_set dedups where a true
-    * set is needed).
+  /** One row per k-word shingle: (id, h) — computed NARROWLY, with no
+    * shuffle: the token-hash array is materialized once per row (its
+    * own projection, referenced k+ times so Catalyst won't inline the
+    * tokenizer back into the lambda), then each shingle hash combines
+    * k consecutive token hashes by array index and explodes to rows.
+    * Because every doc's shingle rows are produced inside one task,
+    * the downstream per-doc aggregation's map-side partial reduces
+    * them to a single row before any exchange — at 100 TB the token
+    * stream itself never crosses the network (the previous lead()-
+    * window form shuffled every token row by id first).
+    * Shingle identity = identity of the k-token-hash tuple (64-bit
+    * collisions are negligible at corpus scale). A doc with fewer than
+    * k tokens contributes one row hashing its available token hashes
+    * (xxhash64 skips null inputs — try_element_at past the end is
+    * null), so no doc vanishes; duplicate shingles within a doc are
+    * kept (harmless under min-aggregation; collect_set dedups where a
+    * true set is needed).
     */
   private[dedup] def shingleRows(df: DataFrame, idCol: String, textCol: String,
                                  k: Int): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      posexplode(transform(tokens(txt(col(textCol))), t => xxhash64(t))).as(Seq("pos", "th")))
+    val th = transform(tokens(txt(col(textCol))), t => xxhash64(t))
     if (k <= 1) {
-      toks.select(col("id"), col("th").as("h"))
+      df.select(col(idCol).as("id"), explode(th).as("h"))
     } else {
-      val w = Window.partitionBy(col("id")).orderBy(col("pos"))
-      val leads = (1 until k).map(j => lead(col("th"), j).over(w))
-      toks
-        .withColumn("h", xxhash64(col("th") +: leads: _*))
-        .withColumn("full", leads.last.isNotNull) // false → <k tokens remain
-        .filter(col("full") || col("pos") === 0)  // short doc → one combined row
-        .select(col("id"), col("h"))
+      val arr = col("__th")
+      val shingleHashes = transform(
+        sequence(lit(0), greatest(size(arr) - k, lit(0))),
+        i => xxhash64((0 until k).map(j => try_element_at(arr, i + lit(j + 1))): _*))
+      df.select(col(idCol).as("id"), th.as("__th"))
+        .select(col("id"), explode(shingleHashes).as("h"))
     }
   }
 
@@ -93,13 +96,28 @@ object Dedup {
 
   /** MinHash+LSH near-dup clustering (single min-propagation pass):
     * each doc's cluster is the min doc id among all docs sharing any
-    * band bucket with it (itself included, so every doc is assigned —
-    * null/empty texts hash like the empty string and stay in).
-    * For corpora with dense dup chains, iterate to a fixpoint;
+    * SMALL band bucket with it (itself included, so every doc is
+    * assigned — null/empty texts hash like the empty string and stay
+    * in). For corpora with dense dup chains, iterate to a fixpoint;
     * one pass resolves the common pairwise-dup case.
+    *
+    * Hot-bucket contract: a real 100 TB corpus has degenerate buckets
+    * (boilerplate pages, empty/near-empty texts) with millions of
+    * members. Buckets larger than `maxBucket` are excluded from
+    * linking — their members are near-certain mutual duplicates and
+    * belong to [[exact]] content-hash dedup, which handles them
+    * skew-free. The bucket size rides along in the same window as the
+    * bucket min (one WindowExec, zero extra shuffles), and the window
+    * task's work stays LINEAR in bucket size (single-pass unbounded-
+    * frame min/count over a spill-backed buffer) — the cap bounds the
+    * semantic blowup, not an O(m²) join. For fully skew-free linking
+    * use [[minhashClustersTransitive]]: its groupBy edges are
+    * partial-aggregated and its bucket joins are AQE-skew-split.
     */
   def minhashClusters(df: DataFrame, idCol: String, textCol: String,
-                      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16): DataFrame = {
+                      shingleK: Int = 3, numHashes: Int = 128, bands: Int = 16,
+                      maxBucket: Int = 100000): DataFrame = {
+    require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
     val sigs = signatures(df, idCol, textCol, shingleK, numHashes, bands, withShingleSets = false)
     val exploded = sigs.select(col("id"),
       posexplode(col("bandhashes")).as(Seq("band", "bh")))
@@ -107,11 +125,15 @@ object Dedup {
     // form plans the (expensive) signature subtree twice and shuffles
     // three times; the window is one shuffle by bucket, then one tiny
     // shuffle by id.
-    val bucketMin = exploded.withColumn("bucket_min",
-      min(col("id")).over(Window.partitionBy(col("band"), col("bh"))))
+    val w = Window.partitionBy(col("band"), col("bh"))
+    val bucketMin = exploded
+      .withColumn("bucket_min", min(col("id")).over(w))
+      .withColumn("__bn", count(lit(1)).over(w))
     bucketMin
       .groupBy(col("id"))
-      .agg(min(col("bucket_min")).as("cluster"))
+      .agg(min(when(col("__bn") <= maxBucket, col("bucket_min"))).as("__linked"))
+      // a doc whose every bucket is oversized keeps its own id
+      .select(col("id"), coalesce(col("__linked"), col("id")).as("cluster"))
       .withColumn("keep", col("id") === col("cluster"))
   }
 
@@ -163,11 +185,26 @@ object Dedup {
   /** Candidate near-dup pairs from LSH banding with exact Jaccard
     * verification. `bands`/`numHashes` tune the similarity threshold
     * (collision prob ≈ 1-(1-j^r)^b, r = numHashes/bands).
+    *
+    * Hot-bucket contract: a bucket of m docs yields m(m−1)/2 candidate
+    * pairs — quadratic, and guaranteed to appear at corpus scale
+    * (boilerplate, empty texts). Buckets larger than `maxBucket` are
+    * dropped BEFORE the self-join (the size check is a linear window
+    * count, not a join), bounding any bucket's candidates at
+    * maxBucket·(maxBucket−1)/2. Recall contract: a pair co-occurring
+    * ONLY in oversized buckets is not emitted — such docs are
+    * near-certain mutual duplicates; route them through [[exact]] /
+    * [[minhashClusters]], which stay linear.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   shingleK: Int = 3, numHashes: Int = 128, bands: Int = 64): DataFrame = {
+                   shingleK: Int = 3, numHashes: Int = 128, bands: Int = 64,
+                   maxBucket: Int = 1000): DataFrame = {
+    require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
     val sigs = signatures(df, idCol, textCol, shingleK, numHashes, bands, withShingleSets = true)
     val exploded = sigs.select(col("id"), posexplode(col("bandhashes")).as(Seq("band", "bh")))
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
     val cand = exploded.as("a")
       .join(exploded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -214,13 +251,24 @@ object Dedup {
   /** SimHash near-dup pairs within hamming distance `maxDist`,
     * candidate-blocked by 16-bit signature chunks (pigeonhole: any
     * pair within hamming 3 shares at least one of 4 chunks).
+    *
+    * Same hot-bucket contract as [[minhashPairs]]: chunk buckets
+    * larger than `maxBucket` are dropped before the self-join (linear
+    * window count), so no degenerate chunk can go quadratic; pairs
+    * linked only through oversized buckets route to [[exact]] /
+    * [[simhashClusters]].
     */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3,
+                   maxBucket: Int = 1000): DataFrame = {
+    require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
     val hashed = simhashes(df, idCol, textCol)
     val chunked = hashed.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("chunk_idx", "chunk")))
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("chunk_idx"), col("chunk"))))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
     chunked.as("a")
       .join(chunked.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&

@@ -46,7 +46,8 @@ object Joins {
     require(fanout > 0, s"fanout must be positive, got $fanout")
     val leftPreserving =
       Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
-        "left_anti", "leftanti", "cross")
+        "left_anti", "leftanti") // no "cross": an equi-join on (keys :+ salt)
+                                 // with Cross type degenerates to inner
     require(leftPreserving.contains(how.toLowerCase.replace(" ", "")),
       s"skewedJoin supports left-preserving modes only (got '$how'): right/full outer " +
         "would duplicate unmatched right rows once per salt — swap the sides instead")

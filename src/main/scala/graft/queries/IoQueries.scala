@@ -12,8 +12,19 @@ import QueryDsl._
   */
 object IoQueries extends QueryPack {
 
+  /** Per-JVM scratch token: two concurrent Verify/Bench runs over the
+    * same sf dir must not race on each other's scratch files or SMB
+    * metastore table names. Overridable for a stable externally-chosen
+    * id; defaults to a per-process unique value.
+    */
+  private val runToken: String =
+    sys.env.getOrElse("SPARK_GRAFT_RUN_ID",
+      java.lang.Long.toHexString(ProcessHandle.current().pid()) + "_" +
+        java.lang.Long.toHexString(System.nanoTime()))
+      .replaceAll("[^a-zA-Z0-9_]", "_")
+
   private def tmp(dir: String, leaf: String): String =
-    s"/tmp/graft_io/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/$leaf"
+    s"/tmp/graft_io/$runToken/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/$leaf"
 
   override val queries: Map[String, Q] = Map(
 
@@ -65,11 +76,12 @@ object IoQueries extends QueryPack {
     "q_smb_join" -> { (s, dir) =>
       val t = tables(s, dir)
       val base = tmp(dir, "smb")
+      val (lTable, oTable) = (s"graft_smb_lineitem_$runToken", s"graft_smb_orders_$runToken")
       Smb.writeBucketed(t.lineitem.select(col("l_orderkey"), col("l_quantity")),
-        "graft_smb_lineitem", s"$base/lineitem", buckets = 8, Seq("l_orderkey"))
+        lTable, s"$base/lineitem", buckets = 8, Seq("l_orderkey"))
       Smb.writeBucketed(t.orders.select(col("o_orderkey"), col("o_orderpriority")),
-        "graft_smb_orders", s"$base/orders", buckets = 8, Seq("o_orderkey"))
-      Smb.smbJoin(s, "graft_smb_lineitem", "graft_smb_orders",
+        oTable, s"$base/orders", buckets = 8, Seq("o_orderkey"))
+      Smb.smbJoin(s, lTable, oTable,
           Seq("l_orderkey"), Seq("o_orderkey"))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("qty"))

@@ -113,7 +113,11 @@ object Sessionize {
             val tsUs = micros(e.ts)
             open match {
               case Some(s) if tsUs - s.lastUs <= gapUs =>
-                open = Some(OpenSession(s.startUs, math.max(s.lastUs, tsUs), s.n + 1, s.sum + e.value))
+                // min() on the start: a within-watermark late event can
+                // precede the open session's start (cross-batch); it
+                // must extend the session backward, not be absorbed.
+                open = Some(OpenSession(math.min(s.startUs, tsUs), math.max(s.lastUs, tsUs),
+                  s.n + 1, s.sum + e.value))
               case Some(s) =>
                 closed += toAgg(userId, s)
                 open = Some(OpenSession(tsUs, tsUs, 1L, e.value))

@@ -75,6 +75,34 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 4L)))
   }
 
+  test("hot-bucket cap bounds LSH candidate blowup on a degenerate corpus") {
+    // 1000 identical docs: every band bucket has 1000 members, so an
+    // uncapped self-join would emit ~500k candidate pairs per band.
+    val degenerate = spark.range(1000).select(col("id").as("doc_id"),
+      lit("the same boilerplate text repeated across the whole corpus again").as("text"))
+    // pairs: all buckets exceed the cap → zero candidates generated
+    assert(Dedup.minhashPairs(degenerate, "doc_id", "text", maxBucket = 100).count() == 0L)
+    assert(Dedup.simhashPairs(degenerate, "doc_id", "text", maxBucket = 100).count() == 0L)
+    // clusters: oversized buckets stop linking; every doc stays its own
+    // cluster (the documented routing: exact() handles these)
+    val cl = Dedup.minhashClusters(degenerate, "doc_id", "text", maxBucket = 100)
+    assert(cl.count() == 1000L)
+    assert(cl.filter(col("keep")).count() == 1000L)
+    // …and exact content-hash dedup collapses them, skew-free
+    assert(Dedup.exact(degenerate, "doc_id", "text").count() == 1L)
+  }
+
+  test("hot-bucket cap leaves small buckets linking normally") {
+    // cap of 2 still admits the {1,2,3}-doc buckets? No: those buckets
+    // hold up to 3 members — with maxBucket=2 the near-dup trio can
+    // only pair through buckets where exactly 2 of them collide.
+    // With the cap at corpus size, behavior is identical to uncapped.
+    val capped = Dedup.minhashPairs(docs, "doc_id", "text", maxBucket = 6)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")), r.getAs[Double]("jaccard"))).toMap
+    assert(capped((1L, 2L)) == 1.0)
+    assert(!capped.contains((1L, 4L)))
+  }
+
   test("blockedJaccardPairs compares only within a block") {
     val blocked = docs.withColumn("src", when(col("doc_id") <= 3, "s1").otherwise("s2"))
     val pairs = Dedup.blockedJaccardPairs(blocked, "doc_id", "text", "src")

@@ -45,13 +45,29 @@ def main():
         elif len(s) != len(o):
             print(f"{name}: ROWS MISMATCH spark={len(s)} oracle={len(o)}"); ok = False
         else:
+            # Mirror the driver: order-insensitive row compare — sort
+            # both frames by every column before the per-value check.
+            key = [s[c].astype(str) for c in s.columns]
+            s = s.iloc[pd.concat(key, axis=1).apply(tuple, axis=1).argsort(kind="stable")].reset_index(drop=True) if len(s) else s
+            key = [o[c].astype(str) for c in o.columns]
+            o = o.iloc[pd.concat(key, axis=1).apply(tuple, axis=1).argsort(kind="stable")].reset_index(drop=True) if len(o) else o
+            def same(a, b):
+                if a is None and b is None:
+                    return True
+                try:
+                    if a != a and b != b:  # NaN == NaN for this gate
+                        return True
+                except (TypeError, ValueError):
+                    pass
+                eq = a == b
+                return bool(eq.all()) if hasattr(eq, "all") else bool(eq)
             for c in s.columns:
                 sv, ov = s[c].tolist(), o[c].tolist()
                 if str(s[c].dtype) != str(o[c].dtype):
                     # dtype diff → would hash-diverge for the driver
                     print(f"{name}: DTYPE {c}: spark={s[c].dtype} oracle={o[c].dtype}")
                     ok = False
-                bad = [(i, a, b) for i, (a, b) in enumerate(zip(sv, ov)) if a != b and not (a is None and b is None) and str(a) != str(b)]
+                bad = [(i, a, b) for i, (a, b) in enumerate(zip(sv, ov)) if not same(a, b)]
                 if bad:
                     print(f"{name}: VALUES differ in {c}: {bad[:3]} ({len(bad)} rows)"); ok = False
         if ok: n_pass += 1
