@@ -166,9 +166,101 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** hyperplane_cell(array<float>) → long: random-hyperplane LSH cell —
+  * bit b is set iff Σ_i vec[i]·planes(b)(i) > 0, accumulating in
+  * double, elements in index order — bit-for-bit the arithmetic of
+  * the composed element_at form in VectorFunctions.hyperplaneSignature
+  * (and of the DuckDB oracle that embeds the same plane literals).
+  *
+  * Exists because the composed form expands to nBits×dim expression
+  * nodes (256 for 4×64): correct, but the generated Java is so large
+  * that Janino compilation dominates small jobs and the method blows
+  * past the JVM's 8 KB JIT limit on big ones (bytecode-interpreted
+  * inner loop). This is one fused loop: tiny codegen, JIT-friendly.
+  *
+  * Null contract: null array → null; a null element → null; an array
+  * shorter/longer than the planes' dim → null (the composed form
+  * would raise under ANSI element_at — corpus vectors are fixed-dim).
+  */
+case class HyperplaneCell(child: Expression, planes: Seq[Seq[Double]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(planes.nonEmpty && planes.size <= 63, "1..63 planes (bits must fit a long)")
+  require(planes.map(_.size).distinct.size == 1, "all planes must share one dim")
+
+  private val nBits = planes.size
+  private val dim = planes.head.size
+  // Array form for the hot loop (also what codegen references).
+  @transient private lazy val planesArr: Array[Array[Double]] = planes.map(_.toArray).toArray
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hyperplane_cell"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) return null
+    var cell = 0L
+    var b = 0
+    while (b < nBits) {
+      val plane = planesArr(b)
+      var proj = 0.0
+      var i = 0
+      while (i < dim) {
+        if (v.isNullAt(i)) return null
+        proj += v.getFloat(i).toDouble * plane(i)
+        i += 1
+      }
+      if (proj > 0.0) cell |= 1L << b
+      b += 1
+    }
+    cell
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val planesRef = ctx.addReferenceObj("planes", planesArr, "double[][]")
+      val cell = ctx.freshName("cell")
+      val proj = ctx.freshName("proj")
+      val b = ctx.freshName("b")
+      val i = ctx.freshName("i")
+      val mayHaveNulls = FloatArrayInputs.elementsNullable(child)
+      val nullCheck = if (mayHaveNulls)
+        s"if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
+      s"""
+        |if ($v.numElements() != $dim) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  long $cell = 0L;
+        |  for (int $b = 0; $b < $nBits && !${ev.isNull}; $b++) {
+        |    double $proj = 0.0;
+        |    for (int $i = 0; $i < $dim; $i++) {
+        |      $nullCheck
+        |      $proj += ((double) $v.getFloat($i)) * $planesRef[$b][$i];
+        |    }
+        |    if ($proj > 0.0) $cell |= 1L << $b;
+        |  }
+        |  if (!${ev.isNull}) { ${ev.value} = $cell; }
+        |}
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import ColumnBridge.{column, expression => e}
   /** Column-level entry points (classic-API Expression→Column). */
   def cosineF(a: Column, b: Column): Column = column(CosineSimilarity(e(a), e(b)))
   def dotF(a: Column, b: Column): Column = column(DotProduct(e(a), e(b)))
+  def hyperplaneCellF(vec: Column, planes: Seq[Seq[Double]]): Column =
+    column(HyperplaneCell(e(vec), planes))
 }

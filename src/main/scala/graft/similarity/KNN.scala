@@ -51,7 +51,13 @@ object KNN {
   def ivfTopK(corpus: DataFrame, probes: DataFrame,
               idCol: String, vecCol: String, k: Int,
               dim: Int, cellBits: Int = 4, seed: Long = 42L): DataFrame = {
-    val cell = (v: org.apache.spark.sql.Column) => hyperplaneSignature(v, dim, cellBits, seed)
+    // Native fused-loop cell expression (same arithmetic as the
+    // composed hyperplaneSignature, which blows up to nBits×dim
+    // expression nodes — Janino-compile-heavy and past the JVM's JIT
+    // method limit; asserted equal in VectorExpressionsSpec).
+    val planes = hyperplanes(dim, cellBits, seed).map(_.toSeq).toSeq
+    val cell = (v: org.apache.spark.sql.Column) =>
+      graft.expressions.VectorExpressions.hyperplaneCellF(v, planes)
     val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"), cell(col(vecCol)).as("cell"))
     val probeCells = (own: org.apache.spark.sql.Column) =>
       array(own +: (0 until cellBits).map(b => own.bitwiseXOR(lit(1L << b))): _*)

@@ -61,6 +61,31 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("hyperplaneCellF matches the composed hyperplaneSignature bit-for-bit") {
+    val planes = VectorFunctions.hyperplanes(dim = 64, nBits = 4, seed = 42L)
+      .map(_.toSeq).toSeq
+    val diff = vecs.limit(500).select(
+        VectorExpressions.hyperplaneCellF(col("embedding"), planes).as("fused"),
+        VectorFunctions.hyperplaneSignature(col("embedding"), 64, 4, 42L).as("composed"))
+      .filter(col("fused") =!= col("composed")).count()
+    assert(diff == 0L)
+  }
+
+  test("hyperplaneCellF null contract: null array / null element / wrong dim → null") {
+    val planes = Seq(Seq(1.0, -1.0))
+    val df = Seq(
+      (1L, Option(Seq[java.lang.Float](2f, 1f))),   // proj 1 > 0 → bit set
+      (2L, Option(Seq[java.lang.Float](1f, 2f))),   // proj -1 → 0
+      (3L, None),                                   // null array
+      (4L, Option(Seq[java.lang.Float](1f, null))), // null element
+      (5L, Option(Seq[java.lang.Float](1f)))        // wrong dim
+    ).toDF("id", "v")
+    val out = df.select(col("id"), VectorExpressions.hyperplaneCellF(col("v"), planes).as("c"))
+      .orderBy("id").collect()
+    assert(out(0).getLong(1) == 1L && out(1).getLong(1) == 0L)
+    assert(out(2).isNullAt(1) && out(3).isNullAt(1) && out(4).isNullAt(1))
+  }
+
   test("interpreted path (non-codegen) agrees with codegen") {
     // Window partitions evaluate projections; also force interpreted
     // mode via the fallback config on a tiny frame.
