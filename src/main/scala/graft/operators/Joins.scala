@@ -70,21 +70,32 @@ object Joins {
     * Right-outer modes would need the prefilter on the other side;
     * call with the sides swapped.
     */
-  def sparseJoin(left: DataFrame, right: DataFrame, key: String,
-                 expectedRightKeys: Long = 1000000L, fpp: Double = 0.01,
-                 how: String = "inner"): DataFrame = {
+  /** Key types a Bloom prefilter supports (what stat.bloomFilter can
+    * insert and a probe can reproduce exactly).
+    */
+  private def requireBloomableKey(df: DataFrame, key: String, op: String): Unit = {
     import org.apache.spark.sql.types._
-    left.schema(key).dataType match {
+    df.schema(key).dataType match {
       case ByteType | ShortType | IntegerType | LongType | StringType | BinaryType => ()
       case other => throw new IllegalArgumentException(
-        s"sparseJoin key '$key' has unsupported type $other (integral/string/binary only)")
+        s"$op key '$key' has unsupported type $other (integral/string/binary only)")
     }
-    val bf = right.stat.bloomFilter(key, expectedRightKeys, fpp)
-    val bcast = left.sparkSession.sparkContext.broadcast(bf)
-    // Probe with the same representation stat.bloomFilter inserted:
-    // longs for integral keys, UTF-8 strings, raw binary. Boxed UDF
-    // params so null keys probe as "absent" instead of erroring.
-    val probe: Column = left.schema(key).dataType match {
+  }
+
+  /** Build a Bloom filter over `keysFrom(key)` and return the probe
+    * column for `probed(key)`. Probes with the same representation
+    * stat.bloomFilter inserted: longs for integral keys, UTF-8
+    * strings, raw binary. Boxed UDF params so null keys probe as
+    * "absent" instead of erroring.
+    */
+  private def bloomPrefilter(keysFrom: DataFrame, probed: DataFrame, key: String,
+                             expectedKeys: Long, fpp: Double, op: String): Column = {
+    import org.apache.spark.sql.types._
+    requireBloomableKey(keysFrom, key, op)
+    requireBloomableKey(probed, key, op)
+    val bf = keysFrom.stat.bloomFilter(key, expectedKeys, fpp)
+    val bcast = keysFrom.sparkSession.sparkContext.broadcast(bf)
+    probed.schema(key).dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
         val f = udf((k: java.lang.Long) => k != null && bcast.value.mightContainLong(k))
         f(col(key).cast("long"))
@@ -94,10 +105,15 @@ object Joins {
       case BinaryType =>
         val f = udf((k: Array[Byte]) => k != null && bcast.value.mightContainBinary(k))
         f(col(key))
-      case other =>
-        throw new IllegalArgumentException(
-          s"sparseJoin key '$key' has unsupported type $other (integral/string/binary only)")
+      case other => throw new IllegalArgumentException(
+        s"$op key '$key' has unsupported type $other (integral/string/binary only)")
     }
+  }
+
+  def sparseJoin(left: DataFrame, right: DataFrame, key: String,
+                 expectedRightKeys: Long = 1000000L, fpp: Double = 0.01,
+                 how: String = "inner"): DataFrame = {
+    val probe = bloomPrefilter(right, left, key, expectedRightKeys, fpp, "sparseJoin")
     how.toLowerCase.replace(" ", "") match {
       case "inner" | "left_semi" | "leftsemi" =>
         left.filter(probe).join(right, Seq(key), how)
@@ -113,6 +129,49 @@ object Joins {
             "for right-preserving modes swap the sides")
     }
   }
+
+  /** scio sparseLookup (PairSCollectionFunctions.sparseLookup:~L438):
+    * for each left row, the values from `right` sharing its key —
+    * when `left`'s key set is far smaller than `right` but too big to
+    * broadcast exactly. The Bloom filter is built over the LEFT keys
+    * and prefilters the big right side before its group-shuffle, so
+    * right rows that can't match never cross the network. Exact:
+    * false positives survive the prefilter but find no left row in
+    * the final join; false negatives are impossible.
+    *
+    * Returns every left row with a sorted `<rightVal>s` array (empty
+    * when nothing matched — scio's empty Iterable). For two rhs
+    * sides, apply twice (scio's sparseLookup2 is the same cogroup).
+    */
+  def sparseLookup(left: DataFrame, right: DataFrame, key: String, rightVal: String,
+                   expectedLeftKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val probe = bloomPrefilter(left, right, key, expectedLeftKeys, fpp, "sparseLookup")
+    val outCol = s"${rightVal}s"
+    val grouped = right.filter(probe)
+      .groupBy(col(key))
+      .agg(sort_array(collect_list(col(rightVal))).as(outCol))
+    val emptyArr = array().cast(grouped.schema(outCol).dataType)
+    left.join(grouped, Seq(key), "left")
+      .withColumn(outCol, coalesce(col(outCol), emptyArr))
+  }
+
+  /** scio sparseIntersectByKey (PairSCollectionFunctions:~L919): keep
+    * left rows whose key appears in `right`, Bloom-prefiltering the
+    * big left side before the semi-join shuffle. Exact: the semi join
+    * eliminates Bloom false positives; false negatives are impossible.
+    */
+  def sparseIntersectByKey(left: DataFrame, right: DataFrame, key: String,
+                           expectedRightKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val probe = bloomPrefilter(right, left, key, expectedRightKeys, fpp, "sparseIntersectByKey")
+    left.filter(probe).join(right, Seq(key), "left_semi")
+  }
+
+  /** scio hashFilter (SCollection.scala:~L754): keep left rows whose
+    * key is present in the (small, broadcast) right side — a broadcast
+    * semi join, the map-side analogue of intersectByKey.
+    */
+  def hashFilter(left: DataFrame, right: DataFrame, key: String): DataFrame =
+    left.join(broadcast(right.select(col(key)).distinct()), Seq(key), "left_semi")
 
   /** scio intersectByKey / hashIntersectByKey → left-semi join. */
   def semiJoin(left: DataFrame, right: DataFrame, key: String): DataFrame =

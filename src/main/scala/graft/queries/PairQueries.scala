@@ -101,6 +101,43 @@ object PairQueries extends QueryPack {
         .orderBy(col("p_brand"))
     },
 
+    // sparseLookup: Bloom over the (small) left key set prefilters the
+    // big right side before its group-shuffle; each left row gets the
+    // sorted list of right values (empty when none).
+    "q_sparse_lookup" -> { (s, dir) =>
+      val t = tables(s, dir)
+      val probesIds = t.customer.filter(col("c_custkey") <= 50)
+        .select(col("c_custkey").as("o_custkey"), col("c_name"))
+      probesIds.sparseLookup(
+          t.orders.select(col("o_custkey"), col("o_orderkey")),
+          "o_custkey", "o_orderkey", expectedLeftKeys = 1000L)
+        .select(col("o_custkey").as("custkey"), col("c_name"),
+          array_join(col("o_orderkeys"), ",").as("order_keys"))
+        .orderBy(col("custkey"))
+    },
+
+    // sparseIntersectByKey: Bloom-prefiltered semi join.
+    "q_sparse_semi" -> { (s, dir) =>
+      val t = tables(s, dir)
+      t.lineitem.select(col("l_partkey"), col("l_quantity"))
+        .sparseIntersectByKey(
+          t.part.filter(col("p_size") === 1).select(col("p_partkey").as("l_partkey")),
+          "l_partkey", expectedRightKeys = 100000L)
+        .agg(count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("qty"))
+    },
+
+    // hashFilter: keep rows whose key is in the broadcast side set.
+    "q_hash_filter" -> { (s, dir) =>
+      val t = tables(s, dir)
+      t.orders.hashFilter(
+          t.customer.filter(col("c_mktsegment") === "BUILDING")
+            .select(col("c_custkey").as("o_custkey")),
+          "o_custkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("total"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // hashLookup: broadcast map lookup (side-input join).
     "q_hash_lookup" -> { (s, dir) =>
       val t = tables(s, dir)
@@ -270,6 +307,24 @@ object PairQueries extends QueryPack {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE p_size = 1
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_sparse_lookup" ->
+      """SELECT c.c_custkey AS custkey, c.c_name,
+        |  coalesce(o.order_keys, '') AS order_keys
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 50) c
+        |LEFT JOIN (SELECT o_custkey,
+        |        string_agg(o_orderkey::VARCHAR, ',' ORDER BY o_orderkey) AS order_keys
+        |      FROM orders GROUP BY o_custkey) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "q_sparse_semi" ->
+      """SELECT count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem WHERE l_partkey IN (
+        |  SELECT p_partkey FROM part WHERE p_size = 1)""".stripMargin,
+    "q_hash_filter" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_custkey IN (
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_hash_lookup" ->
       """SELECT n_name, count(*) AS n_supp
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey

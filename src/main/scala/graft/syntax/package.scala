@@ -194,6 +194,17 @@ package object syntax {
     def sparseJoin(right: DataFrame, key: String, expectedRightKeys: Long = 1000000L): DataFrame =
       operators.Joins.sparseJoin(df, right, key, expectedRightKeys)
 
+    def sparseLookup(right: DataFrame, key: String, rightVal: String,
+                     expectedLeftKeys: Long = 1000000L): DataFrame =
+      operators.Joins.sparseLookup(df, right, key, rightVal, expectedLeftKeys)
+
+    def sparseIntersectByKey(right: DataFrame, key: String,
+                             expectedRightKeys: Long = 1000000L): DataFrame =
+      operators.Joins.sparseIntersectByKey(df, right, key, expectedRightKeys)
+
+    def hashFilter(right: DataFrame, key: String): DataFrame =
+      operators.Joins.hashFilter(df, right, key)
+
     def intersectByKey(right: DataFrame, key: String): DataFrame =
       operators.Joins.semiJoin(df, right, key)
 

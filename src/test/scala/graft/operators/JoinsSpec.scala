@@ -73,6 +73,25 @@ class JoinsSpec extends SparkSpec {
       Joins.skewedJoin(left, right, Seq("k"), fanout = 4, how = "right"))
   }
 
+  test("sparseLookup returns every left row with the sorted right values") {
+    val out = Joins.sparseLookup(right, left, "k", "lv", expectedLeftKeys = 100L)
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        Option(r.getSeq[Int](2)).getOrElse(Seq()))).sortBy(_._1)
+    // left-of-lookup = `right` (3 rows); values looked up from `left`
+    assert(out.toSeq == Seq(("a", 10, Seq(1, 2)), ("b", 20, Seq(3)), ("d", 40, Seq())))
+  }
+
+  test("sparseIntersectByKey matches plain semi join") {
+    assert(sortedRows(Joins.sparseIntersectByKey(left, right, "k", 100L)) ==
+      sortedRows(left.join(right.select("k"), Seq("k"), "left_semi")))
+  }
+
+  test("hashFilter matches plain semi join (and ignores right dup keys)") {
+    val dupRight = right.union(right)
+    assert(sortedRows(Joins.hashFilter(left, dupRight, "k")) ==
+      sortedRows(left.join(right, Seq("k"), "left_semi")))
+  }
+
   test("semiJoin/antiJoin partition left by key membership") {
     val semi = sortedRows(Joins.semiJoin(left, right, "k"))
     val anti = sortedRows(Joins.antiJoin(left, right, "k"))
