@@ -66,6 +66,30 @@ class JoinsSpec extends SparkSpec {
       sortedRows(left.join(right, Seq("k"), "left")))
   }
 
+  test("skewedJoin spreads a hot key across fanout shuffle groups (and stays exact)") {
+    // 50k-row left side where 90% of rows share one hot key: a plain
+    // shuffle join funnels them into a single reducer group; salting
+    // must spread them ~uniformly over `fanout` groups.
+    val fanout = 8
+    val hot = spark.range(45000).selectExpr("'hot' AS k", "id AS lv")
+    val cold = spark.range(5000).selectExpr("concat('c', id % 500) AS k", "id AS lv")
+    val skewedLeft = hot.union(cold)
+    val dims = spark.range(501).selectExpr(
+      "CASE WHEN id = 500 THEN 'hot' ELSE concat('c', id) END AS k", "id AS rv")
+
+    // exactness on the skewed data
+    assert(Joins.skewedJoin(skewedLeft, dims, Seq("k"), fanout).count() ==
+      skewedLeft.join(dims, Seq("k"), "inner").count())
+
+    // mechanism: per-(key,salt) group sizes — the shuffle unit after
+    // salting — are bounded near hotCount/fanout (seeded rand(42)).
+    val salted = skewedLeft.withColumn("__graft_salt", (rand(42) * fanout).cast("int"))
+    val maxGroup = salted.groupBy(col("k"), col("__graft_salt"))
+      .count().agg(max("count")).head().getLong(0)
+    assert(maxGroup < 45000L / fanout * 3 / 2,
+      s"hot key not spread: max salted group $maxGroup vs unsalted 45000")
+  }
+
   test("skewedJoin rejects right/full outer (would duplicate per salt)") {
     intercept[IllegalArgumentException](
       Joins.skewedJoin(left, right, Seq("k"), fanout = 4, how = "full_outer"))

@@ -53,6 +53,85 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L, 2L))
   }
 
+  test("streaming sliding-window aggregation matches the batch answer") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val events = Seq(
+      Event(1L, ts(0), 1.0), Event(1L, ts(20), 2.0), Event(2L, ts(45), 3.0),
+      Event(2L, ts(75), 4.0))
+    input.addData(events: _*)
+    val windowed = Windows.slidingGroups(input.toDF(), "ts", "1 hour", "30 minutes",
+        "10 minutes")
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+    val q = windowed.writeStream.format("memory").queryName("slide_win")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("slide_win")
+      .select(col("window.start").as("w"), col("n"), col("sum_v"))
+    val batch = events.toDF().groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .select(col("window.start").as("w"), col("n"), col("sum_v"))
+    assert(sortedRows(streamed) == sortedRows(batch))
+    // each event lands in 2 overlapping windows
+    assert(streamed.agg(sum("n")).head().getLong(0) == events.size * 2L)
+  }
+
+  test("late data beyond the watermark is dropped from closed windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val windowed = Windows.fixedGroups(input.toDF(), "ts", "1 hour", "10 minutes")
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .select(col("window.start").as("w"), col("n"), col("sum_v"))
+    val q = windowed.writeStream.format("memory").queryName("late_win")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(1L, ts(0), 1.0), Event(1L, ts(5), 2.0))
+      q.processAllAvailable()
+      // advance the watermark far past hour 0 → that window closes+emits
+      input.addData(Event(2L, ts(200), 5.0))
+      q.processAllAvailable()
+      // 100.0 arrives with ts in hour 0, way behind the watermark (190m):
+      // Spark must drop it, not reopen or re-emit the closed window
+      input.addData(Event(1L, ts(10), 100.0))
+      q.processAllAvailable()
+      // advance again so hour 3 also closes
+      input.addData(Event(2L, ts(400), 7.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("late_win").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2))).sortBy(_._1.getTime)
+    // exactly the two closed (epoch-hour-aligned) windows; the late
+    // 100.0 appears nowhere
+    assert(out.map(o => (o._2, o._3)).toSeq == Seq((2L, 3.0), (1L, 5.0)), out.mkString(", "))
+  }
+
+  test("Sessionize merges a late in-watermark event and extends the session start backward") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = Sessionize.sessions(
+      input.toDS().withWatermark("ts", "1 hour").as[Event], gapSec = 1800L)
+    val q = sessions.writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(1L, ts(10), 1.0))
+      q.processAllAvailable()
+      // late but within the 1h watermark, BEFORE the open session's
+      // start and within the gap → must merge and move the start back
+      input.addData(Event(1L, ts(5), 2.0))
+      q.processAllAvailable()
+      // advance event time so the session times out and emits
+      input.addData(Event(2L, ts(600), 0.0))
+      q.processAllAvailable()
+      input.addData(Event(2L, ts(1300), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("sess_late").as[SessionAgg].collect()
+      .filter(_.userId == 1L)
+    assert(out.length == 1)
+    assert(out.head.sessStart == ts(5), s"session start not extended backward: ${out.head}")
+    assert(out.head.nEvents == 2L && out.head.sumValue == 3.0)
+  }
+
   test("Sessionize (flatMapGroupsWithState) emits sessions closed by the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
