@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Dev-only: run one named query (args(0)) on args(1) sf dir, print
-  * timing; `explain` as args(2) prints the formatted plan instead.
+  * timing; args(2) = `explain` prints the formatted plan instead, an
+  * integer N times the query N times in one session (run 1 = cold,
+  * rest warm — codegen/footer caches populated).
   */
 object Diag {
   def main(args: Array[String]): Unit = {
@@ -17,9 +19,12 @@ object Diag {
     if (args.length > 2 && args(2) == "explain") {
       println(df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
     } else {
-      val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      println(f"[diag] $name: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val reps = if (args.length > 2) args(2).toInt else 1
+      (1 to reps).foreach { r =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        println(f"[diag] $name run $r: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
     }
     spark.stop()
   }
