@@ -77,20 +77,22 @@ object Dedup {
 
   /** MinHash signatures + LSH band buckets per doc, as one aggregation
     * over the shingle rows: sig_j = min over shingles of hash_j(h) —
-    * `numHashes` codegen'd min-aggregates, partial-aggregated map-side.
+    * a single native [[graft.expressions.MinHashAgg]] (long[numHashes]
+    * buffer, elementwise-min merge), partial-aggregated map-side. One
+    * aggregate expression instead of numHashes min columns: same
+    * values bit-for-bit (MinHashAggSpec), half the hashing, and none
+    * of the 128-wide codegen class the column form compiles.
     */
   private def signatures(df: DataFrame, idCol: String, textCol: String,
                          shingleK: Int, numHashes: Int, bands: Int,
                          withShingleSets: Boolean): DataFrame = {
     val rowsPerBand = numHashes / bands
     require(bands * rowsPerBand == numHashes, "bands must divide numHashes")
-    val sigAggs = (0 until numHashes).map(j => min(xxhash64(col("h"), lit(j))).as(s"_m$j"))
-    val aggs = if (withShingleSets) sigAggs :+ collect_set(col("h")).as("sh") else sigAggs
-    val keep = if (withShingleSets) Seq(col("id"), col("sh")) else Seq(col("id"))
+    val sigAgg = graft.expressions.MinHashAgg.minhashAggF(col("h"), numHashes).as("sig")
+    val aggs = if (withShingleSets) Seq(sigAgg, collect_set(col("h")).as("sh")) else Seq(sigAgg)
     shingleRows(df, idCol, textCol, shingleK)
       .groupBy(col("id"))
       .agg(aggs.head, aggs.tail: _*)
-      .select(keep :+ array((0 until numHashes).map(j => col(s"_m$j")): _*).as("sig"): _*)
       .withColumn("bandhashes", lshBandHashes(col("sig"), bands, rowsPerBand))
   }
 
