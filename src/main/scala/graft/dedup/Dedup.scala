@@ -220,22 +220,17 @@ object Dedup {
       .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 
-  /** 64-bit SimHash per doc as one aggregation over token-hash rows:
-    * per bit, the +1/−1 vote sum (64 codegen'd sums), then one pack.
+  /** 64-bit SimHash per doc as one aggregation over token-hash rows —
+    * a single native [[graft.expressions.SimHashAgg]] (long[64] vote
+    * buffer, elementwise-sum merge, packed at eval), replacing 64
+    * conditional-sum columns + a 64-term pack (SimHashAggSpec asserts
+    * bit-for-bit equality with that composed form).
     */
-  private def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val votes = (0 until 64).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"_b$b")
-    }
-    val packed = (0 until 64)
-      .map(b => when(col(s"_b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
+  private def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"), explode(tokens(txt(col(textCol)))).as("tok"))
       .select(col("id"), xxhash64(col("tok")).as("h"))
       .groupBy(col("id"))
-      .agg(votes.head, votes.tail: _*)
-      .select(col("id"), packed.as("simhash"))
-  }
+      .agg(graft.expressions.SimHashAgg.simhashAggF(col("h")).as("simhash"))
 
   /** SimHash clustering: docs sharing the full 64-bit signature are
     * structural near-dups. For hamming-distance-k matching, join on

@@ -35,6 +35,21 @@ class MinHashAggSpec extends SparkSpec {
     assert(native.toSeq == composed.toSeq)
   }
 
+  test("simhash_agg equals the composed 64-vote-sum + pack bit-for-bit") {
+    val votes = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"_b$b")
+    }
+    val packed = (0 until 64)
+      .map(b => when(col(s"_b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    val composed = rows.groupBy("id").agg(votes.head, votes.tail: _*)
+      .select(col("id"), packed.as("sh2"))
+    val native = rows.groupBy("id").agg(SimHashAgg.simhashAggF(col("h")).as("sh"))
+    assert(native.count() == composed.count())
+    assert(native.join(composed, Seq("id"))
+      .filter(col("sh") =!= col("sh2")).count() == 0L)
+  }
+
   test("minhash_agg rejects non-bigint input") {
     val e = intercept[Exception] {
       Seq(("a", "x")).toDF("id", "h").groupBy("id")
