@@ -34,6 +34,16 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // transitive near-dup chains (connected components over the
+    // doc–bucket graph; rows-only — cluster labels are engine-specific
+    // like q_dedup_minhash, chain-merge semantics pinned in DedupSpec).
+    "q_dedup_transitive" -> { (s, dir) =>
+      Dedup.minhashClustersTransitive(tables(s, dir).documents, "doc_id", "text",
+          maxIters = 3)
+        .select(col("id"), col("cluster"), col("keep"))
+        .orderBy(col("id"))
+    },
+
     // SimHash structural near-dup clustering.
     "q_dedup_simhash" -> { (s, dir) =>
       Dedup.simhashClusters(tables(s, dir).documents, "doc_id", "text")
