@@ -29,9 +29,10 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.aggregatePushdown", "true")
-      // MinHash signatures are one HashAggregate with 128 min columns;
-      // the default maxFields=100 would drop that stage out of
-      // whole-stage codegen (~20% slower signature pass).
+      // Headroom for wide plans (rollup/cube grouping sets, wide
+      // aggs): default maxFields=100 silently drops such stages out of
+      // whole-stage codegen. (The 128-column MinHash aggregate that
+      // first motivated this is now a single native MinHashAgg.)
       .config("spark.sql.codegen.maxFields", "256")
       // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
       // default; read as Long and convert in Tables.events.
