@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.sources.{Smb, Sources}
+import graft.sources.{Smb, Sources, TfRecord}
 import QueryDsl._
 
 /** IO formats + sort-merge-bucket coverage (SURVEY §2 "IO" and
@@ -71,6 +71,20 @@ object IoQueries extends QueryPack {
         .orderBy(col("p_brand"))
     },
 
+    // TFRecord roundtrip (scio-tensorflow saveAsTfRecordFile): the
+    // training-data container format — framed bytes with masked
+    // crc32c, one shard per partition, file-per-task read.
+    "q_io_tfrecord" -> { (s, dir) =>
+      val nation = tables(s, dir).nation
+      val path = tmp(dir, "nation_tfrecord")
+      TfRecord.write(
+        nation.select(encode(col("n_name"), "UTF-8").as("value")), path)
+      TfRecord.read(s, path)
+        .select(decode(col("value"), "UTF-8").as("name"))
+        .agg(count(lit(1)).as("n_records"), min(col("name")).as("first_name"),
+          max(col("name")).as("last_name"))
+    },
+
     // scio-smb: bucketed+sorted write, then an exchange-free join
     // (bucket-pruned SMJ; no-Exchange plan asserted in SmbSpec).
     "q_smb_join" -> { (s, dir) =>
@@ -101,6 +115,9 @@ object IoQueries extends QueryPack {
     "q_io_orc" ->
       """SELECT p_brand, count(*) AS n, round(avg(p_retailprice), 2) AS avg_price
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_io_tfrecord" ->
+      """SELECT count(*) AS n_records, min(n_name) AS first_name, max(n_name) AS last_name
+        |FROM nation""".stripMargin,
     "q_smb_join" ->
       """SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity), 2) AS qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
