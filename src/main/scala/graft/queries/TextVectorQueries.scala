@@ -59,6 +59,16 @@ object TextVectorQueries extends QueryPack {
         .limit(25)
     },
 
+    // corpus-scale all-pairs embedding near-dup: LSH-bucketed
+    // self-join (Hamming-1 cells) + exact cosine verification — the
+    // whole-corpus path (no probe set, never n²).
+    "q_embed_dedup_pairs" -> { (s, dir) =>
+      KNN.nearDupPairs(tables(s, dir).embeddings, "vec_id", "embedding",
+          threshold = 0.3, dim = 64, cellBits = 4)
+        .select(col("id_a"), col("id_b"), r6(col("cos_sim")).as("cos_sim"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // embedding-cosine near-dup: nearest neighbor + dup flag for a
     // deterministic probe subset.
     "q_embed_dedup" -> { (s, dir) =>
@@ -189,6 +199,31 @@ object TextVectorQueries extends QueryPack {
        |SELECT pred_lang, count(*) AS n FROM p GROUP BY pred_lang ORDER BY pred_lang""".stripMargin
   }
 
+  /** q_embed_dedup_pairs oracle: same embedded plane literals; the
+    * Hamming-1 candidate set is expressed directly as
+    * bit_count(xor(cell_a, cell_b)) <= 1 — identical to the Spark
+    * side's ball-explode join — then the same cosine threshold.
+    */
+  private val embedDedupPairsOracle: String = {
+    val planes = graft.functions.VectorFunctions.hyperplanes(dim = 64, nBits = 4, seed = 42L)
+    def planeList(b: Int) = planes(b).map(_.toString).mkString("[", ", ", "]")
+    val cellExpr = (0 until 4).map(b =>
+      s"CASE WHEN list_dot_product(embedding, ${planeList(b)}) > 0 THEN ${1 << b} ELSE 0 END")
+      .mkString("\n      + ")
+    s"""WITH cells AS (
+       |  SELECT vec_id, embedding,
+       |    $cellExpr AS cell
+       |  FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                               CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+       |FROM cells a JOIN cells b
+       |  ON a.vec_id < b.vec_id AND bit_count(xor(a.cell, b.cell)) <= 1
+       |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+       |                             CAST(b.embedding AS DOUBLE[])) >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** q_knn_lsh oracle: the hyperplane coefficients are plan-time
     * constants, so the SQL embeds the SAME literals (round-trip-safe
     * Double.toString), computes the same cells and Hamming-1
@@ -222,6 +257,7 @@ object TextVectorQueries extends QueryPack {
   override val oracles: Map[String, String] = Map(
     "q_lang_id" -> langIdOracle,
     "q_knn_lsh" -> knnLshOracle,
+    "q_embed_dedup_pairs" -> embedDedupPairsOracle,
     "q_dedup_exact" ->
       """SELECT count(*) AS n_unique, CAST(sum(n_copies) AS BIGINT) AS n_docs,
         |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,

@@ -81,4 +81,42 @@ object KNN {
     bruteForceTopK(corpus, probes, idCol, vecCol, k = 1)
       .select(col("probe_id"), col("id").as("nn_id"), col("cos_sim"),
         (col("cos_sim") >= threshold).as("is_dup"))
+
+  /** Corpus-scale all-pairs embedding near-dup: LSH-bucketed self-join
+    * (no probe set — the whole corpus against itself, never n²).
+    * Candidates are pairs whose hyperplane cells differ in ≤1 bit
+    * (side `a` explodes to its Hamming-1 ball, side `b` keeps its own
+    * cell, so each qualifying pair matches exactly once — no dedup
+    * pass); each candidate is verified with the exact fused cosine.
+    *
+    * Hot-cell contract (as in Dedup LSH): cells with more than
+    * `maxBucket` members are dropped from BOTH sides — membership is
+    * a broadcast anti-join against the ≤2^cellBits cell-count frame —
+    * bounding any join key's output at ~(cellBits+1)·maxBucket².
+    * Recall: a pair differing in ≥2 cell bits is not considered
+    * (raise cellBits for smaller cells, or run [[bruteForceTopK]] on
+    * a probe set for exact neighbors).
+    */
+  def nearDupPairs(corpus: DataFrame, idCol: String, vecCol: String, threshold: Double,
+                   dim: Int, cellBits: Int = 4, seed: Long = 42L,
+                   maxBucket: Int = 100000): DataFrame = {
+    require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
+    val planes = hyperplanes(dim, cellBits, seed).map(_.toSeq).toSeq
+    val cellOf = (v: org.apache.spark.sql.Column) =>
+      graft.expressions.VectorExpressions.hyperplaneCellF(v, planes)
+    val withCell = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      cellOf(col(vecCol)).as("cell"))
+    val hotCells = withCell.groupBy(col("cell")).count()
+      .filter(col("count") > maxBucket).select(col("cell"))
+    val cool = withCell.join(broadcast(hotCells), Seq("cell"), "left_anti")
+    val ball = (own: org.apache.spark.sql.Column) =>
+      array(own +: (0 until cellBits).map(b => own.bitwiseXOR(lit(1L << b))): _*)
+    val probed = cool.select(col("id"), col("vec"), explode(ball(col("cell"))).as("cell"))
+      .join(broadcast(hotCells), Seq("cell"), "left_anti")
+    probed.as("a")
+      .join(cool.as("b"), col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosineF(col("a.vec"), col("b.vec")).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
 }

@@ -33,6 +33,42 @@ class SimilaritySpec extends SparkSpec {
     assert(maxDiff < 1e-9)
   }
 
+  test("nearDupPairs: every emitted pair is exact-cosine-verified; near-identical vectors found") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // plant an exact duplicate pair in the corpus (ids far above real ones)
+    val probe = emb.filter(col("vec_id") === 1)
+    val planted = emb
+      .unionByName(probe.select(lit(900001L).as("vec_id"), col("embedding")))
+      .unionByName(probe.select(lit(900002L).as("vec_id"), col("embedding")))
+    val pairs = KNN.nearDupPairs(planted, "vec_id", "embedding",
+      threshold = 0.99, dim = 64, cellBits = 4)
+    val found = pairs.collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // identical vectors share a cell → all three planted pairs surface
+    assert(found.contains((1L, 900001L)) && found.contains((1L, 900002L))
+      && found.contains((900001L, 900002L)), s"got $found")
+    // emitted cosines are exact (match brute-force recomputation)
+    val withBrute = pairs.as("p")
+      .join(planted.select(col("vec_id").as("id_a"), col("embedding").as("va")), Seq("id_a"))
+      .join(planted.select(col("vec_id").as("id_b"), col("embedding").as("vb")), Seq("id_b"))
+    import graft.expressions.VectorExpressions.cosineF
+    val maxDiff = withBrute
+      .select(abs(col("cos_sim") - cosineF(col("va"), col("vb"))).as("d"))
+      .agg(max("d")).as[Double].head()
+    assert(maxDiff < 1e-12)
+  }
+
+  test("nearDupPairs hot-cell cap drops degenerate cells from pair generation") {
+    // 500 copies of one vector: its cell blows past maxBucket=100 and
+    // must produce ZERO pairs instead of ~125k
+    val dup = (1L to 500L).map(i => (i, Seq.fill(8)(1f))).toDF("vec_id", "embedding")
+    assert(KNN.nearDupPairs(dup, "vec_id", "embedding", 0.5, dim = 8,
+      cellBits = 4, maxBucket = 100).count() == 0L)
+    // with the cap above corpus size they all pair up
+    assert(KNN.nearDupPairs(dup, "vec_id", "embedding", 0.5, dim = 8,
+      cellBits = 4, maxBucket = 1000).count() == 500L * 499L / 2L)
+  }
+
   test("ivfTopK: high recall where near neighbors actually exist (clustered data)") {
     // LSH cells only help when the corpus has genuine neighborhoods —
     // on near-random vectors no partitioning beats chance, so recall
