@@ -15,8 +15,10 @@ object Diag {
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val df = SparkEntry.queries(name)(spark, sfDir)
     if (args.length > 2 && args(2) == "explain") {
+      // built here, not above: IO-query lambdas perform eager writes
+      // that must not run (untimed) before the timed branch
+      val df = SparkEntry.queries(name)(spark, sfDir)
       println(df.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode))
     } else {
       val reps = if (args.length > 2) args(2).toInt else 1

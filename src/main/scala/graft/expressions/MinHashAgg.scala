@@ -27,7 +27,10 @@ import org.apache.spark.sql.types._
   * merge, partial-aggregated map-side like any other aggregate.
   *
   * Null contract (mirrors the composed form): a null input leaves the
-  * base seed untouched — xxhash64 skips null children.
+  * base seed untouched — xxhash64 skips null children — and an EMPTY
+  * input relation (global aggregate over zero rows) yields null, as
+  * the composed min columns would. The buffer carries the update
+  * count in its final slot to distinguish "no rows" from values.
   */
 case class MinHashAgg(
     child: Expression,
@@ -41,7 +44,7 @@ case class MinHashAgg(
   private val seed = 42L // xxhash64's fixed seed
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullable: Boolean = false
+  override def nullable: Boolean = true // null only for an empty input relation
   override def prettyName: String = "graft_minhash_agg"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -50,8 +53,12 @@ case class MinHashAgg(
       s"$prettyName requires a bigint input (a precomputed hash), got ${other.simpleString}")
   }
 
-  override def createAggregationBuffer(): Array[Long] =
-    Array.fill(numHashes)(Long.MaxValue)
+  // slots [0, numHashes) = running minima; slot numHashes = row count
+  override def createAggregationBuffer(): Array[Long] = {
+    val buf = Array.fill(numHashes + 1)(Long.MaxValue)
+    buf(numHashes) = 0L
+    buf
+  }
 
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
@@ -64,6 +71,7 @@ case class MinHashAgg(
       if (h < buffer(j)) buffer(j) = h
       j += 1
     }
+    buffer(numHashes) += 1L
     buffer
   }
 
@@ -73,19 +81,22 @@ case class MinHashAgg(
       if (other(j) < buffer(j)) buffer(j) = other(j)
       j += 1
     }
+    buffer(numHashes) += other(numHashes)
     buffer
   }
 
-  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+  override def eval(buffer: Array[Long]): Any =
+    if (buffer(numHashes) == 0L) null
+    else new GenericArrayData(java.util.Arrays.copyOf(buffer, numHashes))
 
   override def serialize(buffer: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(8 * numHashes)
+    val bb = ByteBuffer.allocate(8 * (numHashes + 1))
     bb.asLongBuffer().put(buffer)
     bb.array()
   }
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
-    val out = new Array[Long](numHashes)
+    val out = new Array[Long](numHashes + 1)
     ByteBuffer.wrap(bytes).asLongBuffer().get(out)
     out
   }

@@ -20,7 +20,8 @@ import scala.reflect.ClassTag
 object SideInputs {
 
   private def bounded[T](ds: Dataset[T], maxRows: Int, op: String): Seq[T] = {
-    require(maxRows > 0, s"maxRows must be positive, got $maxRows")
+    require(maxRows > 0 && maxRows < Int.MaxValue,
+      s"maxRows must be in [1, ${Int.MaxValue - 1}], got $maxRows")
     val rows = ds.limit(maxRows + 1).collect().toSeq
     require(rows.size <= maxRows,
       s"$op side input exceeds maxRows=$maxRows — use a broadcast join for large sides")

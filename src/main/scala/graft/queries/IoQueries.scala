@@ -23,8 +23,22 @@ object IoQueries extends QueryPack {
         java.lang.Long.toHexString(System.nanoTime()))
       .replaceAll("[^a-zA-Z0-9_]", "_")
 
-  private def tmp(dir: String, leaf: String): String =
+  /** Tokenized scratch would otherwise accumulate one dir per run:
+    * sweep sibling token dirs untouched for 2h+ (never the live one;
+    * concurrent runs are younger than that by construction).
+    */
+  private lazy val sweepStale: Unit = {
+    val root = new java.io.File("/tmp/graft_io")
+    val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.getName != runToken && d.lastModified() < cutoff)
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+  }
+
+  private def tmp(dir: String, leaf: String): String = {
+    sweepStale
     s"/tmp/graft_io/$runToken/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/$leaf"
+  }
 
   override val queries: Map[String, Q] = Map(
 

@@ -112,10 +112,17 @@ object Sessionize {
           sorted.foreach { e =>
             val tsUs = micros(e.ts)
             open match {
+              case Some(s) if tsUs < s.startUs - gapUs =>
+                // A late in-watermark event predating the open session
+                // by MORE than the gap: it belongs to an earlier,
+                // already-elapsed session — emit it as its own closed
+                // session and leave the open one untouched (closing
+                // the open session here would emit it prematurely).
+                closed += toAgg(userId, OpenSession(tsUs, tsUs, 1L, e.value))
               case Some(s) if tsUs - s.lastUs <= gapUs =>
-                // min() on the start: a within-watermark late event can
-                // precede the open session's start (cross-batch); it
-                // must extend the session backward, not be absorbed.
+                // Within [start - gap, last + gap]: merge. min() on the
+                // start — a late event can precede the open session's
+                // start (cross-batch) and must extend it backward.
                 open = Some(OpenSession(math.min(s.startUs, tsUs), math.max(s.lastUs, tsUs),
                   s.n + 1, s.sum + e.value))
               case Some(s) =>

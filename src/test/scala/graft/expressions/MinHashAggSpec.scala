@@ -50,6 +50,12 @@ class MinHashAggSpec extends SparkSpec {
       .filter(col("sh") =!= col("sh2")).count() == 0L)
   }
 
+  test("minhash_agg over an empty relation yields null (as the composed min columns do)") {
+    val empty = Seq.empty[Long].toDF("h")
+    val out = empty.agg(MinHashAgg.minhashAggF(col("h"), 4).as("sig")).collect()
+    assert(out.length == 1 && out(0).isNullAt(0))
+  }
+
   test("minhash_agg rejects non-bigint input") {
     val e = intercept[Exception] {
       Seq(("a", "x")).toDF("id", "h").groupBy("id")

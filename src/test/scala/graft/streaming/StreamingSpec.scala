@@ -132,6 +132,34 @@ class StreamingSpec extends SparkSpec {
     assert(out.head.nEvents == 2L && out.head.sumValue == 3.0)
   }
 
+  test("Sessionize: a late event predating the open session by more than the gap " +
+      "becomes its own session and does not disturb the open one") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = Sessionize.sessions(
+      input.toDS().withWatermark("ts", "10 hours").as[Event], gapSec = 1800L)
+    val q = sessions.writeStream.format("memory").queryName("sess_stray")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(1L, ts(100), 1.0))
+      q.processAllAvailable()
+      // in-watermark but 95 min before the open session's start (gap 30m):
+      // belongs to an earlier, elapsed session
+      input.addData(Event(1L, ts(5), 7.0))
+      q.processAllAvailable()
+      // advance event time so the open session times out and emits
+      input.addData(Event(2L, ts(1200), 0.0))
+      q.processAllAvailable()
+      input.addData(Event(2L, ts(2400), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("sess_stray").as[SessionAgg].collect()
+      .filter(_.userId == 1L).sortBy(_.sessStart.getTime)
+    assert(out.length == 2, out.mkString(", "))
+    assert(out(0).sessStart == ts(5) && out(0).nEvents == 1L && out(0).sumValue == 7.0)
+    assert(out(1).sessStart == ts(100) && out(1).nEvents == 1L && out(1).sumValue == 1.0)
+  }
+
   test("Sessionize (flatMapGroupsWithState) emits sessions closed by the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
