@@ -5,8 +5,9 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions hook registering graft's native expressions
-  * as SQL functions (`graft_cosine`, `graft_dot`), so `spark.sql`
-  * users get the fused codegen kernels too:
+  * as SQL functions (`graft_cosine`, `graft_dot`,
+  * `graft_hyperplane_cell`, `graft_minhash_agg`, `graft_simhash_agg`),
+  * so `spark.sql` users get the fused kernels too:
   *
   *   SparkSession.builder().withExtensions(new GraftExtensions)
   *   // or spark.sql.extensions=graft.expressions.GraftExtensions
@@ -14,6 +15,19 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * GraftSession wires this in by default.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** A foldable int/long argument evaluated at plan time (SQL literal
+    * parameters like numHashes/seed/cellBits).
+    */
+  private def intArg(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(s"$what must be integral, got $other")
+    }
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("graft_cosine"),
@@ -28,6 +42,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_dot(a, b) takes two array<float> arguments")
         DotProduct(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hyperplane_cell"),
+      new ExpressionInfo(classOf[HyperplaneCell].getName, "graft_hyperplane_cell"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4,
+          "graft_hyperplane_cell(vec, dim, nBits, seed) takes (array<float>, int, int, bigint)")
+        val dim = intArg(children(1), "dim")
+        val nBits = intArg(children(2), "nBits")
+        val seed = intArg(children(3), "seed").toLong
+        HyperplaneCell(children(0),
+          graft.functions.VectorFunctions.hyperplanes(dim, nBits, seed).map(_.toSeq).toSeq)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_agg"),
+      new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_minhash_agg(h, numHashes) takes (bigint, int literal)")
+        MinHashAgg(children(0), intArg(children(1), "numHashes")).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash_agg"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_simhash_agg(h) takes one bigint argument")
+        SimHashAgg(children(0)).toAggregateExpression()
       }))
   }
 }

@@ -137,6 +137,30 @@ class CoreSyntaxSpec extends SparkSpec {
     assert(out.getDouble(1) == 1.0)
   }
 
+  test("graft_hyperplane_cell / graft_minhash_agg / graft_simhash_agg SQL functions " +
+      "match their column-level forms") {
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).limit(50)
+      .createOrReplaceTempView("sql_vecs")
+    val planes = graft.functions.VectorFunctions.hyperplanes(64, 4, 42L).map(_.toSeq).toSeq
+    val viaSql = spark.sql(
+      "SELECT vec_id, graft_hyperplane_cell(embedding, 64, 4, 42) AS cell FROM sql_vecs")
+    val viaCol = spark.table("sql_vecs").select(col("vec_id"),
+      graft.expressions.VectorExpressions.hyperplaneCellF(col("embedding"), planes).as("cell2"))
+    assert(viaSql.join(viaCol, Seq("vec_id"))
+      .filter(col("cell") =!= col("cell2")).count() == 0L)
+
+    Seq((1L, 10L), (1L, 20L), (2L, 30L)).toDF("id", "h").createOrReplaceTempView("sql_hashes")
+    val sqlAggs = spark.sql(
+      """SELECT id, graft_minhash_agg(h, 8) AS sig, graft_simhash_agg(h) AS sh
+        |FROM sql_hashes GROUP BY id""".stripMargin)
+    val colAggs = spark.table("sql_hashes").groupBy("id").agg(
+      graft.expressions.MinHashAgg.minhashAggF(col("h"), 8).as("sig2"),
+      graft.expressions.SimHashAgg.simhashAggF(col("h")).as("sh2"))
+    assert(sqlAggs.join(colAggs, Seq("id"))
+      .filter(col("sig") =!= col("sig2") || col("sh") =!= col("sh2")).count() == 0L)
+  }
+
   test("typed reduceByKey / foldByKey merge values per key") {
     val ds = Seq(("a", 1), ("a", 2), ("b", 5)).toDS()
     assert(ds.reduceByKey(_ + _).collect().sorted.toSeq == Seq(("a", 3), ("b", 5)))

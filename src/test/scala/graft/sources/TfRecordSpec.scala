@@ -21,6 +21,23 @@ class TfRecordSpec extends SparkSpec {
     assert(back.toSeq == payloads.sorted)
   }
 
+  test("TFRecord roundtrip on 300 random binary payloads (all byte values, sizes 0-4KB)") {
+    val path = scratch("fuzz")
+    val rng = new scala.util.Random(7L)
+    val payloads = (1 to 300).map { i =>
+      val b = new Array[Byte](rng.nextInt(4096))
+      rng.nextBytes(b)
+      (i.toLong, b)
+    }
+    TfRecord.write(payloads.toDF("id", "value").repartition(4), path)
+    val back = TfRecord.read(spark, path).select(md5(col("value"))).as[String]
+      .collect().sorted
+    val expected = payloads.map(p =>
+      java.security.MessageDigest.getInstance("MD5").digest(p._2)
+        .map("%02x".format(_)).mkString).sorted
+    assert(back.toSeq == expected)
+  }
+
   test("TFRecord framing is 16 overhead bytes per record (spec layout)") {
     val path = scratch("framing")
     val payloads = Seq(Array[Byte](1, 2, 3), Array[Byte]())
