@@ -82,4 +82,38 @@ object Sources {
     */
   def readBinary(spark: SparkSession, pathGlob: String): DataFrame =
     spark.read.format("binaryFile").load(pathGlob)
+
+  /** scio saveAsZstdDictionary (SCollection.scala:1720 / ZstdDictIO):
+    * train a zstd compression dictionary from a byte-bounded sample of
+    * a binary column and write it to `path`. Training is inherently
+    * single-machine (zstd's ZDICT over an in-memory sample buffer —
+    * scio does the same inside one DoFn); the distributed part is the
+    * sampling, which is the declarative [[graft.syntax]] `sampleBytes`
+    * (scalar-join oversample + bounded trim), so the driver never
+    * holds more than `maxTrainingBytes`. Uses the zstd-jni shipped
+    * with Spark.
+    */
+  def saveAsZstdDictionary(df: DataFrame, bytesCol: String, path: String,
+                           dictSizeBytes: Int = 110 * 1024,
+                           maxTrainingBytes: Long = 16L * 1024 * 1024,
+                           seed: Long = 42L): Array[Byte] = {
+    require(dictSizeBytes > 0 && maxTrainingBytes > dictSizeBytes,
+      s"need maxTrainingBytes ($maxTrainingBytes) > dictSizeBytes ($dictSizeBytes) > 0")
+    import graft.syntax._
+    import org.apache.spark.sql.functions.{col, length}
+    val samples = df.select(col(bytesCol).cast("binary").as("b"))
+      .filter(col("b").isNotNull && length(col("b")) > 0)
+      .sampleBytes(maxTrainingBytes, length(col("b")), seed)
+      .collect().map(_.getAs[Array[Byte]](0))
+    require(samples.nonEmpty, "saveAsZstdDictionary: no non-empty samples to train on")
+    val trainer = new com.github.luben.zstd.ZstdDictTrainer(
+      math.min(maxTrainingBytes, Int.MaxValue.toLong).toInt, dictSizeBytes)
+    samples.foreach(trainer.addSample)
+    val dict = trainer.trainSamples()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(p, true)
+    try out.write(dict) finally out.close()
+    dict
+  }
 }

@@ -116,12 +116,57 @@ package object syntax {
         }
       }(e)
 
+    /** scio flatten: SCollection[Iterable[U]] → SCollection[U]. */
+    def flattened[U](implicit ev: T => IterableOnce[U], e: Encoder[U]): Dataset[U] =
+      ds.flatMap((t: T) => ev(t))
+
+    /** scio batchWeighted: batches bounded by an arbitrary per-element
+      * weight — same machinery as [[batchedBytes]] (byte size IS a
+      * weight), exposed under the scio name.
+      */
+    def batchedWeighted(maxWeight: Long)(weighOf: T => Long)(
+        implicit ct: ClassTag[T], e: Encoder[Seq[T]]): Dataset[Seq[T]] =
+      batchedBytes(maxWeight)(weighOf)
+
     /** scio partition(p): split into disjoint frames by predicate.
       * Both sides share the one cached scan when `cache` is set.
       */
     def partitionBy2(pred: Column): (DataFrame, DataFrame) = {
       val d = ds.toDF()
       (d.filter(pred), d.filter(!pred))
+    }
+
+    /** scio partitionByKey: one frame per listed key value (each a
+      * filter over the same plan — cache the input when consuming
+      * several). Rows with unlisted keys appear in none (as scio,
+      * where an unmapped key is an error).
+      */
+    def partitionByValues(keyCol: String, values: Seq[String]): Map[String, DataFrame] = {
+      val d = ds.toDF()
+      values.map(v => v -> d.filter(col(keyCol) === v)).toMap
+    }
+
+    /** scio sampleByteSized: a uniform sample whose total weight
+      * (bytes) is ≤ maxBytes. Two declarative phases: a scalar-join
+      * oversample at ~1.3× the target fraction, then an exact running-
+      * weight trim over the oversample. The trim window is a single
+      * partition, but over the SAMPLE only — bounded by ~1.3× the
+      * byte budget, not the corpus — so the global sort is safe by
+      * construction.
+      */
+    def sampleBytes(maxBytes: Long, sizeCol: Column, seed: Long = 42L): DataFrame = {
+      require(maxBytes > 0, s"maxBytes must be positive, got $maxBytes")
+      val d = ds.toDF()
+      val tot = d.agg(sum(sizeCol).cast("double").as("__tot"))
+      val frac = least(lit(1.0), lit(maxBytes.toDouble) / col("__tot") * 1.3)
+      val over = d.withColumn("__r", rand(seed))
+        .crossJoin(broadcast(tot))
+        .filter(col("__r") < frac)
+        .drop("__tot")
+      val w = Window.orderBy(col("__r")).rowsBetween(Window.unboundedPreceding, 0)
+      over.withColumn("__cum", sum(sizeCol.cast("long")).over(w))
+        .filter(col("__cum") <= maxBytes)
+        .drop("__r", "__cum")
     }
 
     /** scio hashPartition(n): split into n disjoint frames by key

@@ -161,6 +161,55 @@ class CoreSyntaxSpec extends SparkSpec {
       .filter(col("sig") =!= col("sig2") || col("sh") =!= col("sh2")).count() == 0L)
   }
 
+  test("flattened unwraps element collections (scio flatten)") {
+    val ds = Seq(Seq(1, 2), Seq(), Seq(3)).toDS()
+    assert(ds.flattened.collect().sorted.toSeq == Seq(1, 2, 3))
+  }
+
+  test("batchedWeighted bounds each batch by the element weights") {
+    val ds = Seq("aa", "bbb", "c", "dddd", "e").toDS().coalesce(1)
+    val batches = ds.batchedWeighted(5L)(_.length.toLong).collect()
+    assert(batches.flatten.sorted.toSeq == Seq("aa", "bbb", "c", "dddd", "e").sorted)
+    assert(batches.forall(b => b.map(_.length).sum <= 5 || b.size == 1))
+  }
+
+  test("partitionByValues yields one frame per listed key over a shared plan") {
+    val df = Seq(("a", 1), ("b", 2), ("a", 3), ("z", 9)).toDF("k", "v")
+    val parts = df.partitionByValues("k", Seq("a", "b"))
+    assert(parts("a").count() == 2 && parts("b").count() == 1)
+    assert(parts.values.map(_.count()).sum == 3) // unlisted key "z" in none
+  }
+
+  test("sampleBytes keeps total sampled weight within the byte budget") {
+    val df = spark.range(2000).selectExpr("id", "CAST(100 AS BIGINT) AS sz")
+    val out = df.sampleBytes(5000L, col("sz"))
+    val total = out.agg(sum("sz")).head().getLong(0)
+    assert(total <= 5000L, s"budget exceeded: $total")
+    assert(out.count() >= 30, "sample suspiciously small for a 5000/100 budget")
+    // deterministic under the seed
+    assert(out.count() == df.sampleBytes(5000L, col("sz")).count())
+  }
+
+  test("saveAsZstdDictionary trains and writes a usable dictionary") {
+    val corpus = (1 to 500).map(i =>
+      s"common prefix shared by every document $i common suffix shared too".getBytes("UTF-8"))
+      .toDF("value")
+    val path = "/tmp/graft_test/zstd_dict/dict.bin"
+    val dict = graft.sources.Sources.saveAsZstdDictionary(corpus, "value", path,
+      dictSizeBytes = 16 * 1024, maxTrainingBytes = 1024 * 1024)
+    assert(dict.length > 0 && dict.length <= 16 * 1024)
+    // zstd dictionary magic number 0xEC30A437 (little-endian on disk)
+    val onDisk = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    assert(onDisk.toSeq == dict.toSeq)
+    assert((dict(0) & 0xFF) == 0x37 && (dict(1) & 0xFF) == 0xA4 &&
+      (dict(2) & 0xFF) == 0x30 && (dict(3) & 0xFF) == 0xEC)
+    // and it actually helps compress a corpus member
+    val sample = "common prefix shared by every document 9999 common suffix shared too".getBytes("UTF-8")
+    val withDict = com.github.luben.zstd.Zstd.compress(sample, new com.github.luben.zstd.ZstdDictCompress(dict, 3))
+    val without = com.github.luben.zstd.Zstd.compress(sample, 3)
+    assert(withDict.length < without.length)
+  }
+
   test("typed reduceByKey / foldByKey merge values per key") {
     val ds = Seq(("a", 1), ("a", 2), ("b", 5)).toDS()
     assert(ds.reduceByKey(_ + _).collect().sorted.toSeq == Seq(("a", 3), ("b", 5)))
