@@ -16,16 +16,26 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  /** A foldable int/long argument evaluated at plan time (SQL literal
-    * parameters like numHashes/seed/cellBits).
+  /** Foldable integral arguments evaluated at plan time (SQL literal
+    * parameters like numHashes/seed/cellBits). Int conversion is
+    * exact — a bigint literal out of int range errors instead of
+    * silently truncating to wrong hyperplanes/hash counts.
     */
-  private def intArg(e: Expression, what: String): Int = {
+  private def longArg(e: Expression, what: String): Long = {
     require(e.foldable, s"$what must be a literal")
     e.eval() match {
-      case i: Int => i
-      case l: Long => l.toInt
+      case i: Int => i.toLong
+      case l: Long => l
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
       case other => throw new IllegalArgumentException(s"$what must be integral, got $other")
     }
+  }
+
+  private def intArg(e: Expression, what: String): Int = {
+    val l = longArg(e, what)
+    require(l >= Int.MinValue && l <= Int.MaxValue, s"$what out of int range: $l")
+    l.toInt
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -51,7 +61,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "graft_hyperplane_cell(vec, dim, nBits, seed) takes (array<float>, int, int, bigint)")
         val dim = intArg(children(1), "dim")
         val nBits = intArg(children(2), "nBits")
-        val seed = intArg(children(3), "seed").toLong
+        val seed = longArg(children(3), "seed")
         HyperplaneCell(children(0),
           graft.functions.VectorFunctions.hyperplanes(dim, nBits, seed).map(_.toSeq).toSeq)
       }))

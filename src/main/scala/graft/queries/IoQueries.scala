@@ -37,6 +37,11 @@ object IoQueries extends QueryPack {
 
   private def tmp(dir: String, leaf: String): String = {
     sweepStale
+    // keep the live token dir's mtime fresh: nested writes don't bump
+    // it, and a sibling run's sweep keys off this timestamp
+    val mine = new java.io.File(s"/tmp/graft_io/$runToken")
+    mine.mkdirs()
+    mine.setLastModified(System.currentTimeMillis())
     s"/tmp/graft_io/$runToken/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/$leaf"
   }
 

@@ -111,7 +111,7 @@ object Sources {
     samples.foreach(trainer.addSample)
     val dict = trainer.trainSamples()
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(dict) finally out.close()
     dict

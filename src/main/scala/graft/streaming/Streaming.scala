@@ -57,16 +57,24 @@ final case class SessionAgg(userId: Long, sessStart: Timestamp, sessEnd: Timesta
   * this path exists for session logic the built-in can't express
   * (per-session derived payloads, early emission, caps).
   *
-  * State per user is the single open session; closed sessions are
-  * emitted as soon as a gap is observed in-batch, and the final open
-  * session is emitted by the event-time timeout once the watermark
-  * passes `last + gap` (streaming) or — because a batch run never
-  * fires timeouts — when `emitOpen` is set (batch).
+  * State per user is the SET of open sessions (Beam's merging session
+  * windows): late in-watermark events may interleave arbitrarily with
+  * already-open sessions, so each invocation sweep-merges the open
+  * sessions plus the new events (sorted by start; adjacent intervals
+  * within the gap coalesce). A session is emitted once the watermark
+  * passes `last + gap` — at that point no admissible future event
+  * (all have ts ≥ watermark) can merge into it — either during an
+  * invocation or via the event-time timeout set to the earliest
+  * pending expiry. A batch run never fires timeouts; `emitOpen`
+  * flushes everything instead.
   */
 object Sessionize {
 
   /** Open-session accumulator (timestamps in epoch micros). */
   final case class OpenSession(startUs: Long, lastUs: Long, n: Long, sum: Double)
+
+  /** State: disjoint open sessions, kept sorted by startUs. */
+  final case class SessionSet(sessions: Seq[OpenSession])
 
   /** Full-µs epoch micros (Timestamp.getTime alone truncates to ms —
     * the events table carries µs precision and the gap compare must
@@ -91,55 +99,53 @@ object Sessionize {
     *                 timeouts there to flush final sessions); on a
     *                 stream it would double-emit.
     */
+  /** Sorted-by-start sweep merge: intervals whose gap-padded spans
+    * touch coalesce into one session. Input need not be sorted.
+    */
+  private[streaming] def sweepMerge(all: Seq[OpenSession], gapUs: Long): Seq[OpenSession] =
+    all.sortBy(s => (s.startUs, s.lastUs)).foldLeft(List.empty[OpenSession]) {
+      case (prev :: rest, s) if s.startUs - prev.lastUs <= gapUs =>
+        OpenSession(prev.startUs, math.max(prev.lastUs, s.lastUs),
+          prev.n + s.n, prev.sum + s.sum) :: rest
+      case (acc, s) => s :: acc
+    }.reverse
+
   def sessions(events: Dataset[Event], gapSec: Long = 1800L,
                emitOpen: Boolean = false): Dataset[SessionAgg] = {
     val sess = events.sparkSession
     import sess.implicits._
     val gapUs = gapSec * 1000000L
 
-    events.groupByKey(_.userId).flatMapGroupsWithState[OpenSession, SessionAgg](
+    events.groupByKey(_.userId).flatMapGroupsWithState[SessionSet, SessionAgg](
       OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-      (userId: Long, it: Iterator[Event], state: GroupState[OpenSession]) =>
-        if (state.hasTimedOut) {
-          // Watermark passed last+gap with no new events: session over.
-          val out = state.getOption.map(toAgg(userId, _)).toList
+      (userId: Long, it: Iterator[Event], state: GroupState[SessionSet]) =>
+        val merged =
+          if (state.hasTimedOut) state.getOption.map(_.sessions).getOrElse(Nil)
+          else {
+            val fresh = it.map { e =>
+              val us = micros(e.ts); OpenSession(us, us, 1L, e.value)
+            }.toVector
+            sweepMerge(state.getOption.map(_.sessions).getOrElse(Nil) ++ fresh, gapUs)
+          }
+        if (emitOpen) {
+          // Batch: no timeouts ever fire — flush everything.
           state.remove()
-          out.iterator
+          merged.map(toAgg(userId, _)).iterator
         } else {
-          val sorted = it.toVector.sortBy(e => micros(e.ts))
-          var open = state.getOption
-          val closed = Vector.newBuilder[SessionAgg]
-          sorted.foreach { e =>
-            val tsUs = micros(e.ts)
-            open match {
-              case Some(s) if tsUs < s.startUs - gapUs =>
-                // A late in-watermark event predating the open session
-                // by MORE than the gap: it belongs to an earlier,
-                // already-elapsed session — emit it as its own closed
-                // session and leave the open one untouched (closing
-                // the open session here would emit it prematurely).
-                closed += toAgg(userId, OpenSession(tsUs, tsUs, 1L, e.value))
-              case Some(s) if tsUs - s.lastUs <= gapUs =>
-                // Within [start - gap, last + gap]: merge. min() on the
-                // start — a late event can precede the open session's
-                // start (cross-batch) and must extend it backward.
-                open = Some(OpenSession(math.min(s.startUs, tsUs), math.max(s.lastUs, tsUs),
-                  s.n + 1, s.sum + e.value))
-              case Some(s) =>
-                closed += toAgg(userId, s)
-                open = Some(OpenSession(tsUs, tsUs, 1L, e.value))
-              case None =>
-                open = Some(OpenSession(tsUs, tsUs, 1L, e.value))
-            }
+          // A session is final once the watermark passes last+gap:
+          // Spark has already dropped anything later than that, so no
+          // admissible future event can merge into it.
+          val wmMs = state.getCurrentWatermarkMs()
+          val (expired, open) = merged.partition(s => s.lastUs + gapUs < wmMs * 1000L)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionSet(open))
+            // earliest pending expiry; ms truncation can land exactly
+            // on the watermark, which Spark rejects — clamp past it
+            state.setTimeoutTimestamp(
+              math.max(open.map(_.lastUs / 1000L + gapSec * 1000L).min, wmMs + 1L))
           }
-          open.foreach { s =>
-            if (emitOpen) { closed += toAgg(userId, s); state.remove() }
-            else {
-              state.update(s)
-              state.setTimeoutTimestamp(s.lastUs / 1000L + gapSec * 1000L)
-            }
-          }
-          closed.result().iterator
+          expired.map(toAgg(userId, _)).iterator
         }
     }
   }

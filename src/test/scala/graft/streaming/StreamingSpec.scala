@@ -160,6 +160,31 @@ class StreamingSpec extends SparkSpec {
     assert(out(1).sessStart == ts(100) && out(1).nEvents == 1L && out(1).sumValue == 1.0)
   }
 
+  test("Sessionize: late events bridging toward the open session merge into ONE session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = Sessionize.sessions(
+      input.toDS().withWatermark("ts", "10 hours").as[Event], gapSec = 1800L)
+    val q = sessions.writeStream.format("memory").queryName("sess_bridge")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(1L, ts(100), 1.0))
+      q.processAllAvailable()
+      // two late events: 45 is > gap before the open start (100), but 75
+      // bridges them — all three belong to one session [45, 100]
+      input.addData(Event(1L, ts(45), 2.0), Event(1L, ts(75), 4.0))
+      q.processAllAvailable()
+      input.addData(Event(2L, ts(1300), 0.0))
+      q.processAllAvailable()
+      input.addData(Event(2L, ts(2600), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("sess_bridge").as[SessionAgg].collect().filter(_.userId == 1L)
+    assert(out.length == 1, out.mkString(", "))
+    assert(out.head.sessStart == ts(45) && out.head.sessEnd == ts(100) &&
+      out.head.nEvents == 3L && out.head.sumValue == 7.0)
+  }
+
   test("Sessionize (flatMapGroupsWithState) emits sessions closed by the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
