@@ -1,0 +1,62 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.functions.TextFunctions.{qualityStruct, tokenCounts}
+
+/** End-to-end training-data curation — the composition the library
+  * exists for, wired from its own operators:
+  *
+  *   quality gate → exact content dedup → (optional) MinHash near-dup
+  *   dedup → token accounting
+  *
+  * Every stage is declarative, so Catalyst plans the whole pipeline as
+  * one DAG: the quality filter pushes onto the scan, both dedup stages
+  * are semi joins against keeper sets (no row explosion), and token
+  * accounting rides the final projection. At 100 TB the only shuffles
+  * are the two dedup aggregations — both map-side partial — plus the
+  * capped LSH linking (see [[graft.dedup.Dedup.minhashClusters]]).
+  *
+  * Output shards go to TFRecord/parquet via [[graft.sources]]; see
+  * TrainingPipelineSpec for the full read→curate→write exercise.
+  */
+object Curate {
+
+  /** Curate a document corpus. Returns the surviving rows plus
+    * `n_tokens` / `n_bpe_est` accounting columns.
+    *
+    * @param minTokens  minimum whitespace-token count (quality gate)
+    * @param minAlpha   minimum alphabetic-character ratio (quality gate)
+    * @param nearDup    also drop MinHash near-duplicates (keeps each
+    *                   cluster's representative). Off → exact dedup only.
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+             minTokens: Long = 10L, minAlpha: Double = 0.5,
+             nearDup: Boolean = true): DataFrame = {
+    val q = qualityStruct(col(textCol))
+    val scored = docs
+      .withColumn("__q", q)
+      .filter(col("__q").getField("n_tokens") >= minTokens &&
+        col("__q").getField("alpha_ratio") >= minAlpha)
+      .drop("__q")
+    // exact dedup: keep the deterministic keeper (min id) per content
+    val exactKeepers = Dedup.exact(scored, idCol, textCol)
+      .select(col("keeper").as(idCol))
+    val exactDeduped = scored.join(exactKeepers, Seq(idCol), "left_semi")
+    val deduped =
+      if (!nearDup) exactDeduped
+      else {
+        val reps = Dedup.minhashClusters(exactDeduped, idCol, textCol)
+          .filter(col("keep")).select(col("id").as(idCol))
+        exactDeduped.join(reps, Seq(idCol), "left_semi")
+      }
+    val tc = tokenCounts(col(textCol))
+    deduped
+      .withColumn("__tc", tc)
+      .withColumn("n_tokens", col("__tc").getField("n_ws_tokens"))
+      .withColumn("n_bpe_est", col("__tc").getField("n_bpe_est"))
+      .drop("__tc")
+  }
+}

@@ -18,6 +18,19 @@ object TextVectorQueries extends QueryPack {
 
   override val queries: Map[String, Q] = Map(
 
+    // end-to-end curation pipeline (quality gate → exact dedup →
+    // token accounting). nearDup=false here: the MinHash stage has
+    // engine-specific cluster values and is gated by
+    // TrainingPipelineSpec instead; every oracle-checked stage is
+    // composed from the same arithmetic the per-stage oracles verify.
+    "q_pipeline_curate" -> { (s, dir) =>
+      graft.pipeline.Curate.curate(tables(s, dir).documents, "doc_id", "text",
+          minTokens = 10L, minAlpha = 0.5, nearDup = false)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_bpe_est")).as("total_bpe"))
+    },
+
     // exact dedup via content hash (md5 exists in both engines).
     "q_dedup_exact" -> { (s, dir) =>
       Dedup.exact(tables(s, dir).documents, "doc_id", "text")
@@ -268,6 +281,21 @@ object TextVectorQueries extends QueryPack {
       """SELECT vec_id, len(embedding) AS dim,
         |  round(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding])), 6) AS l2_norm
         |FROM embeddings WHERE vec_id <= 100 ORDER BY vec_id""".stripMargin,
+    "q_pipeline_curate" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text,
+        |    len(string_split(trim(text), ' ')) AS n_tokens,
+        |    len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+        |      / greatest(len(text), 1) AS alpha_ratio
+        |  FROM documents),
+        |q AS (SELECT * FROM scored WHERE n_tokens >= 10 AND alpha_ratio >= 0.5),
+        |keepers AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(coalesce(text, ''))),
+        |kept AS (SELECT q.* FROM q JOIN keepers USING (doc_id))
+        |SELECT count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(list_sum([CAST(ceil(len(x) / 4.0) AS BIGINT)
+        |                     FOR x IN string_split(trim(text), ' ')])) AS BIGINT) AS total_bpe
+        |FROM kept""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id,
         |  len(string_split(trim(text), ' ')) AS n_tokens,

@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The full curation pipeline (quality → exact dedup → MinHash
+  * near-dup → token accounting → TFRecord shards), end to end on real
+  * documents — the composition a training-data user runs.
+  */
+class TrainingPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+    .select(col("doc_id"), col("text"))
+
+  test("curate: quality-gated, content-unique, near-dup-free, token-accounted") {
+    val curated = Curate.curate(docs, "doc_id", "text",
+      minTokens = 10L, minAlpha = 0.5, nearDup = true).cache()
+    try {
+      val n = curated.count()
+      assert(n > 0 && n < docs.count(), s"curation should drop something: $n of ${docs.count()}")
+      // no two survivors share content
+      assert(curated.groupBy(md5(coalesce(col("text"), lit("")))).count()
+        .filter(col("count") > 1).count() == 0L)
+      // near-dup stage keeps only cluster representatives
+      val reps = graft.dedup.Dedup.minhashClusters(curated, "doc_id", "text")
+      assert(reps.filter(!col("keep")).count() == 0L)
+      // quality gate held
+      assert(curated.filter(col("n_tokens") < 10).count() == 0L)
+      // accounting columns populated and positive
+      assert(curated.filter(col("n_bpe_est") <= 0 || col("n_tokens") <= 0).count() == 0L)
+    } finally curated.unpersist()
+  }
+
+  test("curated corpus ships as TFRecord shards and reads back intact") {
+    val curated = Curate.curate(docs, "doc_id", "text", nearDup = true)
+    val path = "/tmp/graft_test/pipeline_tfrecord"
+    val n = curated.count()
+    val shards = graft.sources.TfRecord.write(
+      curated.select(encode(col("text"), "UTF-8").as("value")).repartition(4), path)
+    assert(shards == 4)
+    val back = graft.sources.TfRecord.read(spark, path)
+    assert(back.count() == n)
+    // content round-trips exactly (sorted md5 sets match)
+    val a = curated.select(md5(col("text"))).as[String].collect().sorted.toSeq
+    val b = back.select(md5(decode(col("value"), "UTF-8"))).as[String].collect().sorted.toSeq
+    assert(a == b)
+  }
+}
