@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
@@ -13,11 +14,13 @@ import graft.functions.TextFunctions.{qualityStruct, tokenCounts}
   *   dedup → token accounting
   *
   * Every stage is declarative, so Catalyst plans the whole pipeline as
-  * one DAG: the quality filter pushes onto the scan, both dedup stages
-  * are semi joins against keeper sets (no row explosion), and token
-  * accounting rides the final projection. At 100 TB the only shuffles
-  * are the two dedup aggregations — both map-side partial — plus the
-  * capped LSH linking (see [[graft.dedup.Dedup.minhashClusters]]).
+  * one DAG: the quality filter pushes onto the scan, exact dedup is a
+  * single window-min over the content hash (one scan, one shuffle —
+  * the keeper-set join form would re-plan the scan and shuffle twice;
+  * same reasoning as Dedup.minhashClusters' bucket-min window), and
+  * token accounting rides the final projection. The near-dup stage
+  * adds the capped LSH linking plus one semi join back against the
+  * representative ids (see [[graft.dedup.Dedup.minhashClusters]]).
   *
   * Output shards go to TFRecord/parquet via [[graft.sources]]; see
   * TrainingPipelineSpec for the full read→curate→write exercise.
@@ -41,10 +44,14 @@ object Curate {
       .filter(col("__q").getField("n_tokens") >= minTokens &&
         col("__q").getField("alpha_ratio") >= minAlpha)
       .drop("__q")
-    // exact dedup: keep the deterministic keeper (min id) per content
-    val exactKeepers = Dedup.exact(scored, idCol, textCol)
-      .select(col("keeper").as(idCol))
-    val exactDeduped = scored.join(exactKeepers, Seq(idCol), "left_semi")
+    // exact dedup: keep the deterministic keeper (min id) per content —
+    // window-min over the content hash, not Dedup.exact + join-back
+    // (the join form re-plans the quality-filtered scan for both sides)
+    val byContent = Window.partitionBy(md5(coalesce(col(textCol), lit(""))))
+    val exactDeduped = scored
+      .withColumn("__keeper", min(col(idCol)).over(byContent))
+      .filter(col("__keeper") === col(idCol))
+      .drop("__keeper")
     val deduped =
       if (!nearDup) exactDeduped
       else {

@@ -92,13 +92,6 @@ object Sessionize {
   private def toAgg(userId: Long, s: OpenSession): SessionAgg =
     SessionAgg(userId, tsOf(s.startUs), tsOf(s.lastUs), s.n, s.sum)
 
-  /** Sessionize an event stream with the given inactivity gap.
-    *
-    * @param emitOpen also emit the still-open session at the end of
-    *                 each invocation — set ONLY for batch runs (no
-    *                 timeouts there to flush final sessions); on a
-    *                 stream it would double-emit.
-    */
   /** Sorted-by-start sweep merge: intervals whose gap-padded spans
     * touch coalesce into one session. Input need not be sorted.
     */
@@ -110,6 +103,13 @@ object Sessionize {
       case (acc, s) => s :: acc
     }.reverse
 
+  /** Sessionize an event stream with the given inactivity gap.
+    *
+    * @param emitOpen also emit the still-open sessions at the end of
+    *                 each invocation — set ONLY for batch runs (no
+    *                 timeouts there to flush final sessions); on a
+    *                 stream it would double-emit.
+    */
   def sessions(events: Dataset[Event], gapSec: Long = 1800L,
                emitOpen: Boolean = false): Dataset[SessionAgg] = {
     val sess = events.sparkSession
