@@ -207,6 +207,46 @@ class StreamingSpec extends SparkSpec {
     assert(out.take(2).toSeq == Seq((1L, 2L, 3.0), (2L, 1L, 5.0)))
   }
 
+  test("sweepMerge properties on 200 random interval sets") {
+    val rng = new scala.util.Random(11L)
+    val gapUs = 1800L * 1000000L
+    (1 to 200).foreach { _ =>
+      val sessions = Vector.fill(1 + rng.nextInt(30)) {
+        val start = rng.nextLong(86400L * 1000000L)
+        val len = rng.nextLong(3600L * 1000000L)
+        Sessionize.OpenSession(start, start + len, 1 + rng.nextInt(5), rng.nextDouble())
+      }
+      val merged = Sessionize.sweepMerge(sessions, gapUs)
+      // totals preserved
+      assert(merged.map(_.n).sum == sessions.map(_.n).sum)
+      assert(math.abs(merged.map(_.sum).sum - sessions.map(_.sum).sum) < 1e-9)
+      // sorted, disjoint, separated by more than the gap
+      merged.sliding(2).foreach {
+        case Seq(a, b) => assert(b.startUs - a.lastUs > gapUs, s"not separated: $a | $b")
+        case _ =>
+      }
+      merged.foreach(s => assert(s.startUs <= s.lastUs))
+      // idempotent: a merged set has nothing left to merge
+      assert(Sessionize.sweepMerge(merged, gapUs) == merged)
+    }
+  }
+
+  test("text operators run unchanged on a stream (quality/token counts match batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val texts = Seq("the quick brown fox jumps over the lazy dog again and again",
+      "short", "Der schnelle braune Fuchs springt hier wieder und wieder heute")
+    input.addData(texts: _*)
+    val transform = (df: org.apache.spark.sql.DataFrame) => df.select(
+      col("value"),
+      graft.functions.TextFunctions.qualityStruct(col("value")).getField("n_tokens").as("n_tokens"),
+      graft.functions.TextFunctions.tokenCounts(col("value")).getField("n_bpe_est").as("bpe"))
+    val q = transform(input.toDF()).writeStream.format("memory")
+      .queryName("stream_text").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(sortedRows(spark.table("stream_text")) == sortedRows(transform(texts.toDF("value"))))
+  }
+
   test("file-based readStream → windowed agg → parquet writeStream (end-to-end)") {
     val src = "/tmp/graft_test/stream_src"
     val dst = "/tmp/graft_test/stream_dst"
