@@ -35,6 +35,30 @@ object Dedup {
     */
   private def txt(c: org.apache.spark.sql.Column) = coalesce(c, lit(""))
 
+  private val capObsId = new java.util.concurrent.atomic.AtomicLong()
+
+  /** No silent caps: every `maxBucket`-capped operator tags its plan
+    * with an `observe()` metric so the recall loss is measurable per
+    * run — `rows_in_capped_buckets` (bucket rows the cap excluded
+    * from linking/pair generation) out of `bucket_rows` total. Read
+    * via a `QueryExecutionListener` (`qe.observedMetrics`, metric
+    * name prefix `graft_cap_<op>`) or the SQL UI; a driver-side log
+    * would force an eager extra action on a lazy frame. The counter
+    * suffix keeps names unique when one session plans the operator
+    * many times. Caveat: observedMetrics are read off the FINAL
+    * adaptive plan, so if AQE empty-relation propagation collapses the
+    * plan anywhere downstream of the observed node (every bucket
+    * capped, or simply zero surviving pairs), the CollectMetrics node
+    * is pruned from that final plan and the metric comes back absent
+    * even though the stage ran — an empty pair result is itself the
+    * signal to check bucket sizes in that case.
+    */
+  private def observeCap(df: DataFrame, op: String, bn: org.apache.spark.sql.Column,
+                         maxBucket: Int): DataFrame =
+    df.observe(s"graft_cap_${op}_${capObsId.getAndIncrement()}",
+      sum(when(bn > maxBucket, lit(1L)).otherwise(lit(0L))).as("rows_in_capped_buckets"),
+      count(lit(1)).as("bucket_rows"))
+
   /** Exact dedup by content hash: one row per distinct content with
     * the deterministic keeper (min id) and multiplicity.
     */
@@ -128,9 +152,11 @@ object Dedup {
     // three times; the window is one shuffle by bucket, then one tiny
     // shuffle by id.
     val w = Window.partitionBy(col("band"), col("bh"))
-    val bucketMin = exploded
-      .withColumn("bucket_min", min(col("id")).over(w))
-      .withColumn("__bn", count(lit(1)).over(w))
+    val bucketMin = observeCap(
+      exploded
+        .withColumn("bucket_min", min(col("id")).over(w))
+        .withColumn("__bn", count(lit(1)).over(w)),
+      "minhash_clusters", col("__bn"), maxBucket)
     bucketMin
       .groupBy(col("id"))
       .agg(min(when(col("__bn") <= maxBucket, col("bucket_min"))).as("__linked"))
@@ -205,10 +231,14 @@ object Dedup {
     val sigs = signatures(df, idCol, textCol, shingleK, numHashes, bands, withShingleSets = true)
     val exploded = sigs.select(col("id"), posexplode(col("bandhashes")).as(Seq("band", "bh")))
       .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
-      .filter(col("__bn") <= maxBucket)
-      .drop("__bn")
-    val cand = exploded.as("a")
-      .join(exploded.as("b"),
+    // observe on ONE join side only: the metric counts each bucket row
+    // once, and the other side's subtree stays identical below the
+    // window exchange so exchange reuse still deduplicates the
+    // signature computation.
+    val capped = exploded.filter(col("__bn") <= maxBucket).drop("__bn")
+    val cand = observeCap(exploded, "minhash_pairs", col("__bn"), maxBucket)
+      .filter(col("__bn") <= maxBucket).drop("__bn").as("a")
+      .join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -259,14 +289,16 @@ object Dedup {
                    maxBucket: Int = 1000): DataFrame = {
     require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
     val hashed = simhashes(df, idCol, textCol)
-    val chunked = hashed.select(col("id"), col("simhash"),
+    val withBn = hashed.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(i =>
         shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("chunk_idx", "chunk")))
       .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("chunk_idx"), col("chunk"))))
-      .filter(col("__bn") <= maxBucket)
-      .drop("__bn")
-    chunked.as("a")
+    val chunked = withBn.filter(col("__bn") <= maxBucket).drop("__bn")
+    // observed side mirrors minhashPairs: count once, keep the other
+    // side's subtree reuse-identical.
+    observeCap(withBn, "simhash_pairs", col("__bn"), maxBucket)
+      .filter(col("__bn") <= maxBucket).drop("__bn").as("a")
       .join(chunked.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&
           col("a.id") < col("b.id"))

@@ -178,9 +178,15 @@ case class DotProduct(left: Expression, right: Expression)
   * past the JVM's 8 KB JIT limit on big ones (bytecode-interpreted
   * inner loop). This is one fused loop: tiny codegen, JIT-friendly.
   *
-  * Null contract: null array → null; a null element → null; an array
-  * shorter/longer than the planes' dim → null (the composed form
-  * would raise under ANSI element_at — corpus vectors are fixed-dim).
+  * Null contract: null array → null; a null element → null (the
+  * composed form DIVERGES here: its when(proj > 0, …).otherwise(0)
+  * turns the null projection into a 0 bit — nulling the whole cell is
+  * the safer read, since a partial vector has no meaningful cell); an
+  * array shorter/longer than the planes' dim → null (this is the case
+  * where the composed form would raise under ANSI element_at).
+  * Bit-for-bit equality with the composed form therefore holds for
+  * null-free fixed-dim vectors — which corpus embeddings are, and
+  * which is the precondition VectorExpressionsSpec pins.
   */
 case class HyperplaneCell(child: Expression, planes: Seq[Seq[Double]])
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {

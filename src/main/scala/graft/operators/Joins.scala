@@ -139,14 +139,21 @@ object Joins {
     * false positives survive the prefilter but find no left row in
     * the final join; false negatives are impossible.
     *
-    * Returns every left row with a sorted `<rightVal>s` array (empty
-    * when nothing matched — scio's empty Iterable). For two rhs
-    * sides, apply twice (scio's sparseLookup2 is the same cogroup).
+    * Returns every left row with a sorted `outputCol` array (default
+    * `<rightVal>s`; empty when nothing matched — scio's empty
+    * Iterable). The output column must not already exist on `left` —
+    * a silent coalesce/withColumn over an existing column would
+    * overwrite left data. For two rhs sides, apply twice (scio's
+    * sparseLookup2 is the same cogroup).
     */
   def sparseLookup(left: DataFrame, right: DataFrame, key: String, rightVal: String,
-                   expectedLeftKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+                   expectedLeftKeys: Long = 1000000L, fpp: Double = 0.01,
+                   outputCol: Option[String] = None): DataFrame = {
     val probe = bloomPrefilter(left, right, key, expectedLeftKeys, fpp, "sparseLookup")
-    val outCol = s"${rightVal}s"
+    val outCol = outputCol.getOrElse(s"${rightVal}s")
+    require(!left.columns.contains(outCol),
+      s"sparseLookup output column '$outCol' already exists on the left side; " +
+        "pass outputCol to choose a non-colliding name")
     val grouped = right.filter(probe)
       .groupBy(col(key))
       .agg(sort_array(collect_list(col(rightVal))).as(outCol))

@@ -55,9 +55,15 @@ object Curate {
     val deduped =
       if (!nearDup) exactDeduped
       else {
-        val reps = Dedup.minhashClusters(exactDeduped, idCol, textCol)
+        // exactDeduped feeds BOTH minhashClusters and the semi join's
+        // left side; without a persist the scan + quality gate +
+        // content-hash window would execute twice. Persisted lazily
+        // (spark evicts LRU; a one-shot pipeline run never unpersists).
+        val shared = exactDeduped.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val reps = Dedup.minhashClusters(shared, idCol, textCol)
           .filter(col("keep")).select(col("id").as(idCol))
-        exactDeduped.join(reps, Seq(idCol), "left_semi")
+        shared.join(reps, Seq(idCol), "left_semi")
       }
     val tc = tokenCounts(col(textCol))
     deduped

@@ -24,12 +24,16 @@ object IoQueries extends QueryPack {
       .replaceAll("[^a-zA-Z0-9_]", "_")
 
   /** Tokenized scratch would otherwise accumulate one dir per run:
-    * sweep sibling token dirs untouched for 2h+ (never the live one;
-    * concurrent runs are younger than that by construction).
+    * sweep sibling token dirs untouched for 24h+ (never the live one).
+    * The cutoff is far above any plausible run length because a token
+    * dir's mtime is only refreshed when that run calls tmp() — a
+    * concurrent run that front-loads its IO queries and then does
+    * hours of non-IO work must not have its live scratch (including
+    * SMB table data) swept out from under it by a younger sibling.
     */
   private lazy val sweepStale: Unit = {
     val root = new java.io.File("/tmp/graft_io")
-    val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+    val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
     Option(root.listFiles()).getOrElse(Array.empty)
       .filter(d => d.getName != runToken && d.lastModified() < cutoff)
       .foreach(org.apache.commons.io.FileUtils.deleteQuietly)

@@ -105,6 +105,18 @@ class JoinsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", 10, Seq(1, 2)), ("b", 20, Seq(3)), ("d", 40, Seq())))
   }
 
+  test("sparseLookup rejects a colliding output column; outputCol overrides") {
+    val collider = right.withColumn("lvs", lit(0)) // default out-col name taken
+    intercept[IllegalArgumentException](
+      Joins.sparseLookup(collider, left, "k", "lv", expectedLeftKeys = 100L))
+    val out = Joins.sparseLookup(collider, left, "k", "lv",
+        expectedLeftKeys = 100L, outputCol = Some("looked_up"))
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Int]("lvs"),
+        Option(r.getSeq[Int](r.fieldIndex("looked_up"))).getOrElse(Seq()))).sortBy(_._1)
+    // existing lvs column untouched; lookup lands in looked_up
+    assert(out.toSeq == Seq(("a", 0, Seq(1, 2)), ("b", 0, Seq(3)), ("d", 0, Seq())))
+  }
+
   test("sparseIntersectByKey matches plain semi join") {
     assert(sortedRows(Joins.sparseIntersectByKey(left, right, "k", 100L)) ==
       sortedRows(left.join(right.select("k"), Seq("k"), "left_semi")))
