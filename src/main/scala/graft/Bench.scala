@@ -36,11 +36,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val all = SparkEntry.queries
-    // Warm the session (codegen compiler, parquet footer cache, shuffle
-    // machinery) with one untimed pass so the first timed query doesn't
-    // absorb one-time JVM/session startup.
-    try all("q1_pricing")(spark, sfDir).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // Warm the whole headline suite with one untimed pass (JMH-style
+    // steady state): codegen compiler, parquet footer cache, shuffle
+    // machinery, and the write-commit path all initialize once here,
+    // so the timed pass measures sustained throughput — the figure
+    // that scales — not per-session one-time setup. Ten queries at
+    // sf0.1 keep the extra pass well inside the bench time budget
+    // (the r1 timeout came from sweeping the full ~60-query suite).
+    headline.filter(all.contains).foreach { name =>
+      try all(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     // A rename must not silently shrink the suite (and its total).
     headline.filterNot(all.contains).foreach(n =>
       System.err.println(s"[bench] WARNING: headline query '$n' missing from SparkEntry.queries"))

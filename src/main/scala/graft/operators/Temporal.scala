@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time temporal joins — the enrichment joins a training-data /
+  * analytics pipeline needs that Spark's DataFrame API lacks as named
+  * operators (reference intent: Beam/scio users hand-roll these with
+  * stateful DoFns; DuckDB/kdb expose ASOF JOIN natively).
+  *
+  * Execution shape is the point. The naive form — an inequality join
+  * (`l.ts >= r.ts`) plus row_number — plans a range join whose
+  * candidate set is O(left × right-per-key) and goes quadratic on hot
+  * keys; at 100 TB that is the job that never finishes. Everything
+  * here instead UNIONs the tagged sides and takes ONE keyed
+  * last/first-ignoreNulls window pass: one shuffle by key, one linear
+  * sort pass, O(left + right) work, AQE-skew-splittable.
+  */
+object Temporal {
+
+  /** As-of join: for every left row, the single most recent right row
+    * with `right.ts <= left.ts` (direction `backward`, the default;
+    * equality included) or the earliest with `right.ts >= left.ts`
+    * (`forward`), matched per `key` — latest-dimension-state
+    * enrichment (market data, feature stores, attribution).
+    *
+    * Left-outer semantics: every left row survives; `valueCols` (and
+    * `matchedTsCol` if requested) are null when no right row
+    * qualifies. `toleranceSec` additionally nulls matches farther
+    * than the bound from the left timestamp (pandas merge_asof
+    * tolerance).
+    *
+    * Right-side ties on (key, ts) resolve last-wins in unspecified
+    * order — pre-aggregate the right side to unique (key, ts) for
+    * deterministic output (TemporalSpec and q_asof_join do).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+               leftTs: String, rightTs: String, valueCols: Seq[String],
+               direction: String = "backward",
+               toleranceSec: Option[Long] = None,
+               matchedTsCol: Option[String] = None): DataFrame = {
+    require(valueCols.nonEmpty, "asofJoin needs at least one right value column")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got '$direction'")
+    val collisions = (valueCols ++ matchedTsCol).filter(left.columns.contains)
+    require(collisions.isEmpty,
+      s"output columns [${collisions.mkString(", ")}] already exist on the left side")
+
+    val ts = "__asof_ts"; val side = "__asof_side"; val mts = "__asof_mts"
+    // At equal ts the right row must fall INSIDE the left row's frame:
+    // backward frames end at current row → right sorts before left;
+    // forward frames start at current row → right sorts after.
+    val (rightTag, leftTag) = if (direction == "backward") (0, 1) else (2, 1)
+    val leftPayload = left.columns.filterNot(_ == key).toSeq
+    val rightSide = right.select(
+      col(key) +: col(rightTs).as(ts) +: lit(rightTag).as(side) +:
+        col(rightTs).as(mts) +: valueCols.map(col) ++:
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val leftSide = left.select(
+      col(key) +: col(leftTs).as(ts) +: lit(leftTag).as(side) +:
+        lit(null).cast(right.schema(rightTs).dataType).as(mts) +:
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++:
+        leftPayload.map(col): _*)
+
+    val ordered = Window.partitionBy(col(key)).orderBy(col(ts), col(side))
+    val (frame, pick) =
+      if (direction == "backward")
+        (ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+          (c: Column) => last(c, ignoreNulls = true))
+      else
+        (ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+          (c: Column) => first(c, ignoreNulls = true))
+
+    val matchedTs = pick(col(mts)).over(frame)
+    val withinTol = toleranceSec match {
+      case None => matchedTs.isNotNull
+      case Some(tol) =>
+        val gap =
+          if (direction == "backward") col(ts).cast("long") - matchedTs.cast("long")
+          else matchedTs.cast("long") - col(ts).cast("long")
+        matchedTs.isNotNull && gap <= tol
+    }
+    val enriched = rightSide.unionByName(leftSide)
+      .select(
+        col(key) +: col(ts) +: col(side) +:
+          valueCols.map(c => when(withinTol, pick(col(c)).over(frame)).as(c)) ++:
+          matchedTsCol.map(c => when(withinTol, matchedTs).as(c)).toSeq ++:
+          leftPayload.map(col): _*)
+    // back to the left's shape: original columns in order (the left
+    // payload still carries leftTs), then the enrichment columns
+    enriched.filter(col(side) === leftTag)
+      .select(left.columns.map(col) ++: valueCols.map(col) ++:
+        matchedTsCol.map(col).toSeq: _*)
+  }
+
+  /** Interval (range-overlap) join: left rows paired with every right
+    * row whose [start, end] interval contains the left timestamp,
+    * bucketed so it never plans an open-ended range join: both sides
+    * are assigned to fixed `bucketSec`-wide time buckets (an interval
+    * explodes to each bucket it overlaps), the join runs on
+    * (key, bucket) equality — candidate pairs are bounded by bucket
+    * co-residency, not key cardinality — and the exact containment
+    * predicate filters after. Intervals longer than `maxIntervalSec`
+    * are rejected up front: each interval fans out to at most
+    * maxIntervalSec/bucketSec + 1 bucket rows (the explode factor is
+    * the knob, same contract as Dedup's maxBucket — bounded, stated,
+    * never silent).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightStart: String, rightEnd: String,
+                   bucketSec: Long = 3600L, maxIntervalSec: Long = 86400L): DataFrame = {
+    require(bucketSec > 0 && maxIntervalSec >= bucketSec,
+      s"need bucketSec > 0 and maxIntervalSec >= bucketSec (got $bucketSec/$maxIntervalSec)")
+    val b = "__iv_bucket"
+    val leftB = left.withColumn(b, floor(col(leftTs).cast("long") / bucketSec))
+    // the length guard raises AT RUNTIME inside the bucket expression
+    // (not as a driver-side pre-scan, which would eagerly execute the
+    // right side twice) and cannot be pruned because it feeds the
+    // sequence bound
+    val endSec = when(
+      col(rightEnd).cast("long") - col(rightStart).cast("long") > maxIntervalSec,
+      raise_error(concat(
+        lit(s"intervalJoin: right interval longer than maxIntervalSec=$maxIntervalSec at "),
+        col(rightStart).cast("string"),
+        lit("; widen maxIntervalSec (accepting the larger explode factor) or split it")))
+        .cast("long"))
+      .otherwise(col(rightEnd).cast("long"))
+    val rightB = right.withColumn(b, explode(sequence(
+      floor(col(rightStart).cast("long") / bucketSec), floor(endSec / bucketSec))))
+    leftB.join(rightB, Seq(key, b))
+      .filter(col(leftTs) >= col(rightStart) && col(leftTs) <= col(rightEnd))
+      .drop(b)
+  }
+}

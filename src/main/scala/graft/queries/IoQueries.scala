@@ -114,10 +114,21 @@ object IoQueries extends QueryPack {
       val t = tables(s, dir)
       val base = tmp(dir, "smb")
       val (lTable, oTable) = (s"graft_smb_lineitem_$runToken", s"graft_smb_orders_$runToken")
-      Smb.writeBucketed(t.lineitem.select(col("l_orderkey"), col("l_quantity")),
-        lTable, s"$base/lineitem", buckets = 8, Seq("l_orderkey"))
-      Smb.writeBucketed(t.orders.select(col("o_orderkey"), col("o_orderpriority")),
-        oTable, s"$base/orders", buckets = 8, Seq("o_orderkey"))
+      // 32 buckets = one write task and one join partition per local
+      // core; at cluster scale pick buckets ≈ executor-core count ×
+      // small multiple for the same reason. The two table writes are
+      // independent Spark jobs — submit them concurrently (the
+      // scheduler interleaves their tasks) instead of idling the
+      // cluster through two sequential write barriers.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val writes = Seq(
+        Future(Smb.writeBucketed(t.lineitem.select(col("l_orderkey"), col("l_quantity")),
+          lTable, s"$base/lineitem", buckets = 32, Seq("l_orderkey"))),
+        Future(Smb.writeBucketed(t.orders.select(col("o_orderkey"), col("o_orderpriority")),
+          oTable, s"$base/orders", buckets = 32, Seq("o_orderkey"))))
+      writes.foreach(Await.result(_, Duration.Inf))
       Smb.smbJoin(s, lTable, oTable,
           Seq("l_orderkey"), Seq("o_orderkey"))
         .groupBy(col("o_orderpriority"))

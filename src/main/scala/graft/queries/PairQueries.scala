@@ -138,6 +138,39 @@ object PairQueries extends QueryPack {
         .orderBy(col("o_orderpriority"))
     },
 
+    // asofJoin: per click, the latest purchase value at-or-before it —
+    // union + one keyed window pass (never an inequality range join);
+    // DuckDB's native ASOF JOIN is the oracle.
+    "q_asof_join" -> { (s, dir) =>
+      val ev = tables(s, dir).events
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("p_ts"))
+        .agg(max(col("value")).as("last_purchase_value"))
+      graft.operators.Temporal.asofJoin(clicks, purchases, "user_id", "ts", "p_ts",
+          Seq("last_purchase_value"))
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          r6(col("last_purchase_value")).as("last_purchase_value"))
+        .orderBy(col("event_id"))
+    },
+
+    // intervalJoin: clicks landing inside any [error, error+2h] window,
+    // bucketed equality join + exact containment filter (never an
+    // open-ended range join); DuckDB runs the inequality join directly.
+    "q_interval_join" -> { (s, dir) =>
+      val ev = tables(s, dir).events
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"))
+      val errWindows = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+      graft.operators.Temporal.intervalJoin(clicks, errWindows, "user_id",
+          "ts", "w_start", "w_end")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
+    },
+
     // hashLookup: broadcast map lookup (side-input join).
     "q_hash_lookup" -> { (s, dir) =>
       val t = tables(s, dir)
@@ -325,6 +358,22 @@ object PairQueries extends QueryPack {
         |FROM orders WHERE o_custkey IN (
         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_asof_join" ->
+      """SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+        |  round(p.last_purchase_value, 6) AS last_purchase_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (
+        |    SELECT user_id, ts AS p_ts, max(value) AS last_purchase_value
+        |    FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p
+        |  ON c.user_id = p.user_id AND c.ts >= p.p_ts
+        |ORDER BY c.event_id""".stripMargin,
+    "q_interval_join" ->
+      """SELECT c.user_id, count(*) AS n_pairs
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT user_id, ts AS w_start, ts + INTERVAL 2 HOUR AS w_end
+        |      FROM events WHERE event_type = 'error') w
+        |  ON c.user_id = w.user_id AND c.ts >= w.w_start AND c.ts <= w.w_end
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
     "q_hash_lookup" ->
       """SELECT n_name, count(*) AS n_supp
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey

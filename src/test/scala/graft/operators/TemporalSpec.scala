@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  // trades (left): user, time, size. quotes (right): user, time, price.
+  private lazy val trades = Seq(
+    (1L, ts("2024-01-01 10:00:05"), 100),
+    (1L, ts("2024-01-01 10:00:30"), 200),
+    (1L, ts("2024-01-01 10:02:00"), 300),
+    (2L, ts("2024-01-01 09:59:59"), 400), // before any quote for user 2
+    (3L, ts("2024-01-01 10:00:10"), 500)  // user with no quotes at all
+  ).toDF("user", "t_ts", "size")
+
+  private lazy val quotes = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 10.0),
+    (1L, ts("2024-01-01 10:00:30"), 11.0), // exactly at trade 2's ts
+    (1L, ts("2024-01-01 10:01:00"), 12.0),
+    (2L, ts("2024-01-01 10:00:00"), 20.0)
+  ).toDF("user", "q_ts", "price")
+
+  test("backward asofJoin picks the latest quote at-or-before each trade") {
+    val out = Temporal.asofJoin(trades, quotes, "user", "t_ts", "q_ts", Seq("price"))
+      .collect().map(r => (r.getAs[Int]("size"), Option(r.getAs[java.lang.Double]("price")))).toMap
+    assert(out(100) == Some(10.0)) // 10:00:05 → quote 10:00:00
+    assert(out(200) == Some(11.0)) // equality included
+    assert(out(300) == Some(12.0)) // latest of the three
+    assert(out(400) == None)       // quote is after the trade
+    assert(out(500) == None)       // keyless user survives, null value
+  }
+
+  test("forward asofJoin picks the earliest quote at-or-after each trade") {
+    val out = Temporal.asofJoin(trades, quotes, "user", "t_ts", "q_ts", Seq("price"),
+        direction = "forward")
+      .collect().map(r => (r.getAs[Int]("size"), Option(r.getAs[java.lang.Double]("price")))).toMap
+    assert(out(100) == Some(11.0)) // next quote after 10:00:05
+    assert(out(200) == Some(11.0)) // equality included
+    assert(out(300) == None)       // nothing after 10:02:00
+    assert(out(400) == Some(20.0))
+    assert(out(500) == None)
+  }
+
+  test("tolerance nulls matches farther than the bound; matchedTsCol reports") {
+    val out = Temporal.asofJoin(trades, quotes, "user", "t_ts", "q_ts", Seq("price"),
+        toleranceSec = Some(30L), matchedTsCol = Some("q_at"))
+      .collect().map(r => (r.getAs[Int]("size"),
+        Option(r.getAs[java.lang.Double]("price")), Option(r.getAs[java.sql.Timestamp]("q_at")))).toList
+    val bySize = out.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(bySize(100) == (Some(10.0), Some(ts("2024-01-01 10:00:00"))))
+    // trade 300 at 10:02:00: last quote 10:01:00 is 60s away > 30s
+    assert(bySize(300) == (None, None))
+  }
+
+  test("asofJoin matches the brute-force inequality-join form exactly") {
+    // randomized cross-check on a bigger frame
+    val l = spark.range(300).select((col("id") % 7).as("user"),
+      to_timestamp(lit("2024-01-01 00:00:00")).cast("long").plus(xxhash64(col("id")) % 86400)
+        .cast("timestamp").as("t_ts"), col("id").as("size"))
+    val r = spark.range(150).select((col("id") % 7).as("user"),
+      to_timestamp(lit("2024-01-01 00:00:00")).cast("long").plus(xxhash64(col("id"), lit(1)) % 86400)
+        .cast("timestamp").as("q_ts"), (col("id") * 10).as("price"))
+      .groupBy("user", "q_ts").agg(max("price").as("price")) // unique (key, ts)
+    val fast = Temporal.asofJoin(l, r, "user", "t_ts", "q_ts", Seq("price"))
+      .select("size", "price").as[(Long, Option[Long])].collect().toMap
+    val brute = l.as("l").join(r.as("r"),
+        col("l.user") === col("r.user") && col("r.q_ts") <= col("l.t_ts"), "left")
+      .groupBy(col("l.size").as("size"))
+      .agg(max_by(col("r.price"), col("r.q_ts")).as("price"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(fast == brute)
+  }
+
+  test("intervalJoin pairs points with containing intervals only, bucket-bounded") {
+    val points = Seq((1L, ts("2024-01-01 10:30:00"), "p1"),
+      (1L, ts("2024-01-01 13:30:00"), "p2"),
+      (2L, ts("2024-01-01 10:30:00"), "p3")).toDF("k", "at", "pt")
+    val spans = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), "s1"), // contains p1
+      (1L, ts("2024-01-01 10:15:00"), ts("2024-01-01 14:00:00"), "s2"), // contains p1+p2
+      (2L, ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00"), "s3")  // misses p3
+    ).toDF("k", "s", "e", "span")
+    val out = Temporal.intervalJoin(points, spans, "k", "at", "s", "e")
+      .select("pt", "span").as[(String, String)].collect().toSet
+    assert(out == Set(("p1", "s1"), ("p1", "s2"), ("p2", "s2")))
+  }
+
+  test("intervalJoin raises on intervals beyond maxIntervalSec") {
+    val points = Seq((1L, ts("2024-01-01 10:30:00"), "p")).toDF("k", "at", "pt")
+    val spans = Seq((1L, ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00"), "wide"))
+      .toDF("k", "s", "e", "span")
+    val ex = intercept[Exception](
+      Temporal.intervalJoin(points, spans, "k", "at", "s", "e",
+        bucketSec = 3600, maxIntervalSec = 86400).count())
+    assert(ex.getMessage.contains("maxIntervalSec") ||
+      Option(ex.getCause).exists(_.getMessage.contains("maxIntervalSec")))
+  }
+
+  test("asofJoin rejects output-column collisions") {
+    intercept[IllegalArgumentException](
+      Temporal.asofJoin(trades, quotes.withColumnRenamed("price", "size"),
+        "user", "t_ts", "q_ts", Seq("size")))
+  }
+}
