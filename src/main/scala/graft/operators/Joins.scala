@@ -57,6 +57,52 @@ object Joins {
     l.join(r, keys :+ salt, how).drop(salt)
   }
 
+  /** scio's full skewedJoin semantics (PairSkewedSCollectionFunctions
+    * .skewedJoin, CMS-based): detect the hot keys first, then fan out
+    * ONLY those — cold keys take the plain shuffle join and the right
+    * side is replicated solely for the hot-key subset. At 100 TB this
+    * is the difference between replicating a dimension table `fanout`×
+    * (plain [[skewedJoin]]) and replicating a handful of hot rows.
+    *
+    * Hot-key detection is a seeded sample of the left side (scio uses
+    * a Count-Min Sketch over a sample; a sampled exact groupBy-count
+    * is the Spark-declarative equivalent — the sample is tiny, the
+    * count partial-aggregates map-side, and the resulting hot-key
+    * frame is at most #distinct-sampled-keys rows, broadcast to both
+    * sides). Detection is approximate; CORRECTNESS is not: every key
+    * lands in exactly one of the hot/cold branches (semi/anti against
+    * the same hot-key frame on both sides), and both branches are
+    * exact joins, so the union equals the plain join for every
+    * supported mode — the same contract JoinsSpec pins for the other
+    * strategies.
+    *
+    * @param hotKeyThreshold estimated left-rows-per-key above which a
+    *                        key is treated as hot (scio's default 9000)
+    * @param sampleFraction  left-side sample rate for detection
+    */
+  def skewedJoinSampled(left: DataFrame, right: DataFrame, keys: Seq[String],
+                        fanout: Int, how: String = "inner",
+                        hotKeyThreshold: Long = 9000L,
+                        sampleFraction: Double = 0.01): DataFrame = {
+    require(hotKeyThreshold > 0, s"hotKeyThreshold must be positive, got $hotKeyThreshold")
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
+    // ≥1 sampled hit can clear a small threshold×fraction — require ≥2
+    // so a single straggler row can't mark its key hot.
+    val sampledCut = math.max((hotKeyThreshold * sampleFraction).toLong, 2L)
+    val hotKeys = left.select(keys.map(col): _*)
+      .sample(withReplacement = false, sampleFraction, seed = 42L)
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__graft_n"))
+      .filter(col("__graft_n") >= sampledCut)
+      .drop("__graft_n")
+    val leftHot = left.join(broadcast(hotKeys), keys, "left_semi")
+    val leftCold = left.join(broadcast(hotKeys), keys, "left_anti")
+    val rightHot = right.join(broadcast(hotKeys), keys, "left_semi")
+    val rightCold = right.join(broadcast(hotKeys), keys, "left_anti")
+    skewedJoin(leftHot, rightHot, keys, fanout, how)
+      .unionByName(leftCold.join(rightCold, keys, how))
+  }
+
   /** scio sparseJoin/sparseLookup: when the keyed (right) side is far
     * smaller than the big (left) side but too big to broadcast
     * exactly, prefilter the big side with a Bloom filter over the
@@ -85,29 +131,26 @@ object Joins {
   /** Build a Bloom filter over `keysFrom(key)` and return the probe
     * column for `probed(key)`. Probes with the same representation
     * stat.bloomFilter inserted: longs for integral keys, UTF-8
-    * strings, raw binary. Boxed UDF params so null keys probe as
-    * "absent" instead of erroring.
+    * strings, raw binary. The probe is a native codegen expression
+    * (graft.expressions.BloomProbe — null keys probe as "absent"),
+    * not a boxed UDF: it runs on the BIG side's every row, inside
+    * whole-stage codegen.
     */
   private def bloomPrefilter(keysFrom: DataFrame, probed: DataFrame, key: String,
                              expectedKeys: Long, fpp: Double, op: String): Column = {
     import org.apache.spark.sql.types._
+    import org.apache.spark.sql.graft.ColumnBridge
     requireBloomableKey(keysFrom, key, op)
     requireBloomableKey(probed, key, op)
     val bf = keysFrom.stat.bloomFilter(key, expectedKeys, fpp)
-    val bcast = keysFrom.sparkSession.sparkContext.broadcast(bf)
-    probed.schema(key).dataType match {
-      case ByteType | ShortType | IntegerType | LongType =>
-        val f = udf((k: java.lang.Long) => k != null && bcast.value.mightContainLong(k))
-        f(col(key).cast("long"))
-      case StringType =>
-        val f = udf((k: String) => k != null && bcast.value.mightContainString(k))
-        f(col(key))
-      case BinaryType =>
-        val f = udf((k: Array[Byte]) => k != null && bcast.value.mightContainBinary(k))
-        f(col(key))
+    val probeKey = probed.schema(key).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => col(key).cast("long")
+      case StringType | BinaryType => col(key)
       case other => throw new IllegalArgumentException(
         s"$op key '$key' has unsupported type $other (integral/string/binary only)")
     }
+    ColumnBridge.column(
+      graft.expressions.BloomProbe(ColumnBridge.expression(probeKey), bf))
   }
 
   def sparseJoin(left: DataFrame, right: DataFrame, key: String,

@@ -90,6 +90,20 @@ object PairQueries extends QueryPack {
         .orderBy(col("s_nationkey"))
     },
 
+    // skewedJoinSampled: scio's real skewedJoin shape — sampled hot-key
+    // detection, fanout only for hot keys, cold keys join plain.
+    // Same rows as the plain join regardless of what the sample marks hot.
+    "q_skewed_split" -> { (s, dir) =>
+      val t = tables(s, dir)
+      Joins.skewedJoinSampled(
+          t.lineitem.select(col("l_suppkey"), col("l_extendedprice")),
+          t.supplier.select(col("s_suppkey").as("l_suppkey"), col("s_nationkey")),
+          Seq("l_suppkey"), fanout = 8, hotKeyThreshold = 200L, sampleFraction = 0.2)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("l_extendedprice"))).as("price"))
+        .orderBy(col("s_nationkey"))
+    },
+
     // sparseJoin: Bloom-prefiltered shuffle join.
     "q_sparse_join" -> { (s, dir) =>
       val t = tables(s, dir)
@@ -333,6 +347,10 @@ object PairQueries extends QueryPack {
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_skewed_join" ->
       """SELECT s_nationkey, count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q_skewed_split" ->
+      """SELECT s_nationkey, count(*) AS n, round(sum(l_extendedprice), 2) AS price
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q_sparse_join" ->

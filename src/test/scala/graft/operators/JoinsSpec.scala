@@ -90,6 +90,37 @@ class JoinsSpec extends SparkSpec {
       s"hot key not spread: max salted group $maxGroup vs unsalted 45000")
   }
 
+  test("skewedJoinSampled equals plain join across hot/cold splits") {
+    // genuinely skewed: one key holds 90% of rows
+    val hot = spark.range(20000).selectExpr("'hot' AS k", "id AS lv")
+    val cold = spark.range(2000).selectExpr("concat('c', id % 200) AS k", "id AS lv")
+    val skewedLeft = hot.union(cold)
+    val dims = spark.range(201).selectExpr(
+      "CASE WHEN id = 200 THEN 'hot' ELSE concat('c', id) END AS k", "id AS rv")
+    val plainInner = sortedRows(skewedLeft.join(dims, Seq("k"), "inner"))
+    val plainLeft = sortedRows(skewedLeft.join(dims, Seq("k"), "left"))
+    // mid threshold: 'hot' detected hot, c* keys cold (10 rows each;
+    // sampled expectation 1 < the ≥2 floor)
+    assert(sortedRows(Joins.skewedJoinSampled(skewedLeft, dims, Seq("k"), fanout = 8,
+      hotKeyThreshold = 1000L, sampleFraction = 0.1)) == plainInner)
+    assert(sortedRows(Joins.skewedJoinSampled(skewedLeft, dims, Seq("k"), fanout = 8,
+      how = "left", hotKeyThreshold = 1000L, sampleFraction = 0.1)) == plainLeft)
+    // extreme thresholds: everything-cold and everything-hot paths
+    assert(sortedRows(Joins.skewedJoinSampled(skewedLeft, dims, Seq("k"), fanout = 4,
+      hotKeyThreshold = Long.MaxValue / 2, sampleFraction = 0.1)) == plainInner)
+    assert(sortedRows(Joins.skewedJoinSampled(skewedLeft, dims, Seq("k"), fanout = 4,
+      hotKeyThreshold = 1L, sampleFraction = 1.0)) == plainInner)
+    // null keys stay exact (never match, survive left outer)
+    assert(sortedRows(Joins.skewedJoinSampled(left, right, Seq("k"), fanout = 4,
+      how = "left", hotKeyThreshold = 2L, sampleFraction = 1.0)) ==
+      sortedRows(left.join(right, Seq("k"), "left")))
+    // the hot branch really is detected: threshold 1000 at 10% sampling
+    // expects ~2000 sampled 'hot' rows vs cut 100
+    val sampled = skewedLeft.select(col("k")).sample(false, 0.1, 42L)
+      .groupBy(col("k")).count().filter(col("count") >= 100)
+    assert(sampled.collect().map(_.getString(0)).toSeq == Seq("hot"))
+  }
+
   test("skewedJoin rejects right/full outer (would duplicate per salt)") {
     intercept[IllegalArgumentException](
       Joins.skewedJoin(left, right, Seq("k"), fanout = 4, how = "full_outer"))
