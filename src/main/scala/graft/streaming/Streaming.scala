@@ -44,6 +44,102 @@ object Windows {
       .groupBy(session_window(col(tsCol), gap) +: keys: _*)
 }
 
+/** Stream-stream joins — the scio/Beam "join two unbounded
+  * SCollections" surface (reference: scio joins run per window via
+  * CoGroupByKey once both sides' panes fire; scio-core
+  * PairSCollectionFunctions.join on windowed inputs). Spark-first the
+  * same semantics are a watermarked stream-stream join: state for each
+  * side is retained exactly until the watermark proves no more matches
+  * can arrive, then evicted — bounded state at 100 TB/day rates,
+  * no batch boundary.
+  */
+object StreamJoins {
+
+  /** Beam-windowed join: both sides bucket into the same fixed window
+    * and join on (key, window) — scio's `join` after `withFixedWindows`
+    * on both inputs. The window-equality condition is what lets Spark
+    * evict per-window join state as the watermark passes each window
+    * end, for inner AND outer modes (outer rows emit null-padded once
+    * their window expires — Beam's on-time pane).
+    *
+    * Column names other than `key` must be disjoint across sides
+    * (rename upstream, as with any join).
+    */
+  def windowedJoin(left: DataFrame, right: DataFrame, key: String,
+                   tsLeft: String, tsRight: String, duration: String,
+                   watermarkDelay: String, how: String = "inner"): DataFrame = {
+    val w = "__graft_w"
+    require(!left.columns.contains(w) && !right.columns.contains(w),
+      s"reserved column $w already present")
+    // The derived window column inherits the event-time tag; the raw ts
+    // must then shed its own (Spark allows one event-time column per
+    // stream) — re-aliasing with explicit empty metadata clears the
+    // watermark tag without touching values.
+    def prep(df: DataFrame, ts: String) = {
+      val windowed = df.withWatermark(ts, watermarkDelay)
+        .withColumn(w, window(col(ts), duration))
+      windowed.select(windowed.columns.map {
+        case c if c == ts => col(ts).as(ts, org.apache.spark.sql.types.Metadata.empty)
+        case c => col(c)
+      }: _*)
+    }
+    prep(left, tsLeft).join(prep(right, tsRight), Seq(key, w), how).drop(w)
+  }
+
+  /** Interval-style stream-stream join (the streaming mirror of
+    * `operators.Temporal.intervalJoin`, and Flink's interval join):
+    * match right rows whose event time lies in
+    * `[tsLeft - before, tsLeft + after]` for the same key. The
+    * time-range condition plus both watermarks bounds each side's
+    * state — Spark evicts a row once the watermark passes the far edge
+    * of the interval it could still match.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   tsLeft: String, tsRight: String,
+                   before: String, after: String,
+                   watermarkDelay: String, how: String = "inner"): DataFrame = {
+    val rk = "__graft_rk"
+    require(tsLeft != tsRight,
+      "tsLeft and tsRight must have distinct names (rename one side upstream)")
+    require(!right.columns.contains(rk), s"reserved column $rk already present")
+    val l = left.withWatermark(tsLeft, watermarkDelay)
+    val r = right.withWatermark(tsRight, watermarkDelay).withColumnRenamed(key, rk)
+    l.join(r,
+        col(key) === col(rk) &&
+          col(tsRight) >= col(tsLeft) - expr(s"INTERVAL $before") &&
+          col(tsRight) <= col(tsLeft) + expr(s"INTERVAL $after"),
+        how)
+      .drop(rk)
+  }
+}
+
+/** Streaming deduplication — the scio `distinct`/exact-dedup verbs on
+  * unbounded input (reference: SCollection.distinct; the Dedup module's
+  * exact content-hash dedup is the batch form). State is keyed by the
+  * dedup key and bounded by the watermark — without a watermark the
+  * key set would grow forever, so both entry points require one.
+  */
+object StreamDedup {
+
+  /** Exact dedup on (keys, event-time): a duplicate must carry the
+    * same timestamp to be suppressed; state for a timestamp is dropped
+    * once the watermark passes it. Use when duplicates are true
+    * replays (at-least-once sources re-delivering the same record).
+    */
+  def dedup(df: DataFrame, keys: Seq[String], tsCol: String,
+            watermarkDelay: String): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay).dropDuplicates(keys :+ tsCol)
+
+  /** Dedup on keys alone within the watermark horizon: suppresses any
+    * later arrival with the same key while the first sighting is
+    * within `watermarkDelay` — the streaming mirror of content-hash
+    * dedup (key = md5(text)) where re-publishes carry new timestamps.
+    */
+  def dedupWithinWatermark(df: DataFrame, keys: Seq[String], tsCol: String,
+                           watermarkDelay: String): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay).dropDuplicatesWithinWatermark(keys)
+}
+
 /** A keyed event on the stream (mirrors the `events` test table). */
 final case class Event(userId: Long, ts: Timestamp, value: Double)
 

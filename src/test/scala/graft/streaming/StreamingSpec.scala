@@ -231,6 +231,109 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-stream windowedJoin matches the batch (key, window) join") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val clickRows = Seq(Event(1L, ts(5), 1.0), Event(1L, ts(50), 2.0),
+      Event(2L, ts(10), 3.0), Event(3L, ts(20), 4.0))
+    val buyRows = Seq(Event(1L, ts(30), 10.0), Event(2L, ts(55), 20.0),
+      Event(2L, ts(70), 30.0))
+    clicks.addData(clickRows: _*)
+    buys.addData(buyRows: _*)
+
+    val l = clicks.toDF().select(col("userId"), col("ts").as("c_ts"), col("value").as("c_v"))
+    val r = buys.toDF().select(col("userId"), col("ts").as("b_ts"), col("value").as("b_v"))
+    val joined = StreamJoins.windowedJoin(l, r, "userId", "c_ts", "b_ts",
+      "1 hour", "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // advance both watermarks so every window closes and emits
+      // (distinct users per side so the flush rows can't join)
+      clicks.addData(Event(8L, ts(600), 0.0)); buys.addData(Event(9L, ts(600), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val lb = clickRows.toDF().select(col("userId"), col("ts").as("c_ts"), col("value").as("c_v"))
+      .withColumn("w", window(col("c_ts"), "1 hour"))
+    val rb = buyRows.toDF().select(col("userId"), col("ts").as("b_ts"), col("value").as("b_v"))
+      .withColumn("w", window(col("b_ts"), "1 hour"))
+    val batch = lb.join(rb, Seq("userId", "w")).drop("w")
+    // user 1: click@5 ⨝ buy@30 (same hour); user 2: click@10 misses
+    // buy@55/70 (next hour) — nothing else matches
+    assert(sortedRows(spark.table("ss_join")) == sortedRows(batch))
+    assert(spark.table("ss_join").count() == 1)
+  }
+
+  test("stream-stream intervalJoin matches the batch range join") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val clickRows = Seq(Event(1L, ts(40), 1.0), Event(2L, ts(100), 2.0))
+    val buyRows = Seq(Event(1L, ts(30), 10.0), Event(1L, ts(60), 20.0),
+      Event(1L, ts(90), 30.0), Event(2L, ts(104), 40.0))
+    clicks.addData(clickRows: _*)
+    buys.addData(buyRows: _*)
+
+    val l = clicks.toDF().select(col("userId"), col("ts").as("c_ts"))
+    val r = buys.toDF().select(col("userId").as("userId"), col("ts").as("b_ts"),
+      col("value").as("b_v"))
+    // buys within [click-15m, click+30m] per user
+    val joined = StreamJoins.intervalJoin(l, r, "userId", "c_ts", "b_ts",
+      "15 minutes", "30 minutes", "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("ss_range")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      clicks.addData(Event(8L, ts(600), 0.0)); buys.addData(Event(9L, ts(600), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val batch = clickRows.toDF().select(col("userId"), col("ts").as("c_ts"))
+      .join(buyRows.toDF().select(col("userId").as("rk"), col("ts").as("b_ts"),
+          col("value").as("b_v")),
+        col("userId") === col("rk") &&
+          col("b_ts") >= col("c_ts") - expr("INTERVAL 15 minutes") &&
+          col("b_ts") <= col("c_ts") + expr("INTERVAL 30 minutes"))
+      .drop("rk")
+    // click@40 catches buys@30,60 (not 90); click@100 catches buy@104
+    assert(sortedRows(spark.table("ss_range")) == sortedRows(batch))
+    assert(spark.table("ss_range").count() == 3)
+  }
+
+  test("StreamDedup suppresses replays and key-dups within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    // exact replay dedup: same (userId, ts) delivered twice across batches
+    val in1 = MemoryStream[Event]
+    val d1 = StreamDedup.dedup(in1.toDF(), Seq("userId"), "ts", "1 hour")
+    val q1 = d1.writeStream.format("memory").queryName("dedup_replay")
+      .outputMode("append").start()
+    try {
+      in1.addData(Event(1L, ts(0), 1.0), Event(1L, ts(0), 1.0), Event(1L, ts(5), 2.0))
+      q1.processAllAvailable()
+      in1.addData(Event(1L, ts(0), 1.0)) // replay in a later batch
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.table("dedup_replay").count() == 2) // (1,ts0) once + (1,ts5)
+
+    // key-only dedup within watermark: same content hash, new timestamps
+    val in2 = MemoryStream[Event]
+    val d2 = StreamDedup.dedupWithinWatermark(in2.toDF(), Seq("userId"), "ts", "1 hour")
+    val q2 = d2.writeStream.format("memory").queryName("dedup_key")
+      .outputMode("append").start()
+    try {
+      in2.addData(Event(1L, ts(0), 1.0), Event(1L, ts(10), 9.0), Event(2L, ts(3), 2.0))
+      q2.processAllAvailable()
+      in2.addData(Event(1L, ts(20), 9.9)) // same key, still within horizon
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val byUser = spark.table("dedup_key").groupBy("userId").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(byUser == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("text operators run unchanged on a stream (quality/token counts match batch)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
