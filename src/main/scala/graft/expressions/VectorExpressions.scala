@@ -262,6 +262,105 @@ case class HyperplaneCell(child: Expression, planes: Seq[Seq[Double]])
     copy(child = newChild)
 }
 
+/** nearest_centroid(array<float>) → int: index of the max-cosine
+  * centroid — the IVF coarse-quantizer assignment, fused into one
+  * k×dim loop (same giant-expression rationale as [[HyperplaneCell]]:
+  * the composed crossJoin+window argmax is correct but shuffles the
+  * corpus; this is a pure projection).
+  *
+  * Argmax arithmetic: for a fixed input v, argmax_c cos(v, c) =
+  * argmax_c dot(v, c)/|c| (|v| > 0 scales all candidates equally), so
+  * centroid inverse norms are precomputed once. Zero centroids score
+  * 0; a zero input vector scores 0 everywhere and lands in centroid 0
+  * (deterministic first-wins tie-break, lowest index).
+  *
+  * Null contract (as HyperplaneCell): null array / null element /
+  * dim mismatch → null.
+  */
+case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(centroids.nonEmpty, "at least one centroid")
+  require(centroids.map(_.size).distinct.size == 1, "all centroids must share one dim")
+
+  private val k = centroids.size
+  private val dim = centroids.head.size
+  @transient private lazy val centsArr: Array[Array[Double]] = centroids.map(_.toArray).toArray
+  @transient private lazy val invNorms: Array[Double] = centsArr.map { c =>
+    val n = math.sqrt(c.map(x => x * x).sum)
+    if (n == 0.0) 0.0 else 1.0 / n
+  }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_nearest_centroid"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dim) return null
+    var best = Double.NegativeInfinity
+    var bestIdx = 0
+    var c = 0
+    while (c < k) {
+      val cent = centsArr(c)
+      var dot = 0.0
+      var i = 0
+      while (i < dim) {
+        if (v.isNullAt(i)) return null
+        dot += v.getFloat(i).toDouble * cent(i)
+        i += 1
+      }
+      val sim = dot * invNorms(c)
+      if (sim > best) { best = sim; bestIdx = c }
+      c += 1
+    }
+    bestIdx
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val centsRef = ctx.addReferenceObj("cents", centsArr, "double[][]")
+      val invRef = ctx.addReferenceObj("invNorms", invNorms, "double[]")
+      val best = ctx.freshName("best")
+      val bestIdx = ctx.freshName("bestIdx")
+      val dot = ctx.freshName("dot")
+      val sim = ctx.freshName("sim")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val mayHaveNulls = FloatArrayInputs.elementsNullable(child)
+      val nullCheck = if (mayHaveNulls)
+        s"if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }"
+      else ""
+      s"""
+        |if ($v.numElements() != $dim) {
+        |  ${ev.isNull} = true;
+        |} else {
+        |  double $best = Double.NEGATIVE_INFINITY;
+        |  int $bestIdx = 0;
+        |  for (int $c = 0; $c < $k && !${ev.isNull}; $c++) {
+        |    double $dot = 0.0;
+        |    for (int $i = 0; $i < $dim; $i++) {
+        |      $nullCheck
+        |      $dot += ((double) $v.getFloat($i)) * $centsRef[$c][$i];
+        |    }
+        |    final double $sim = $dot * $invRef[$c];
+        |    if ($sim > $best) { $best = $sim; $bestIdx = $c; }
+        |  }
+        |  if (!${ev.isNull}) { ${ev.value} = $bestIdx; }
+        |}
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   import ColumnBridge.{column, expression => e}
   /** Column-level entry points (classic-API Expression→Column). */
@@ -269,4 +368,6 @@ object VectorExpressions {
   def dotF(a: Column, b: Column): Column = column(DotProduct(e(a), e(b)))
   def hyperplaneCellF(vec: Column, planes: Seq[Seq[Double]]): Column =
     column(HyperplaneCell(e(vec), planes))
+  def nearestCentroidF(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    column(NearestCentroid(e(vec), centroids))
 }

@@ -111,6 +111,21 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("probe_id"), col("rank"))
     },
 
+    // IVF with a TRAINED k-means quantizer (vs q_knn_lsh's static
+    // hyperplane cells). Centroids are data-dependent (trained inside
+    // the query, deterministic seed), so there is no closed-form SQL
+    // oracle — rows-only gate; exactness of emitted scores and recall
+    // vs brute force are pinned in SimilaritySpec.
+    "q_knn_ivf" -> { (s, dir) =>
+      val emb = tables(s, dir).embeddings
+      val cents = KNN.trainIvfCentroids(emb, "vec_id", "embedding",
+        k = 16, dim = 64, iters = 3)
+      KNN.ivfKMeansTopK(emb, emb.filter(col("vec_id") <= 10), "vec_id", "embedding",
+          k = 5, centroids = cents, nprobe = 4)
+        .select(col("probe_id"), col("rank"), col("id").as("neighbor_id"))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+
     // vector norms — oracle-checked (exact arithmetic both sides).
     "q_embed_norm" -> { (s, dir) =>
       tables(s, dir).embeddings

@@ -73,6 +73,93 @@ object KNN {
       .filter(col("rank") <= k)
   }
 
+  /** Train an IVF coarse quantizer: k-means centroids via Lloyd's
+    * algorithm, fully deterministic given the seed — init is the first
+    * k vectors in (xxhash64(id), id) order, iterations are fixed.
+    *
+    * Scale shape: assignment is a pure projection (native fused-loop
+    * [[graft.expressions.NearestCentroid]] — no shuffle); the mean
+    * recompute explodes the TRAINING SAMPLE to (cid, pos, x) triples
+    * and partial-aggregates map-side, so one bounded shuffle per
+    * iteration. Train on a sample (`trainFraction`) at scale — IVF
+    * quantizers need ~100–1000 points per centroid, not the corpus.
+    * The k×dim centroid matrix itself is a side input (scio's
+    * annoy/voyager index analogue) and rides through the guarded
+    * SideInputs collect path.
+    */
+  def trainIvfCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                        k: Int, dim: Int, iters: Int = 4,
+                        trainFraction: Double = 1.0, seed: Long = 42L): Seq[Seq[Double]] = {
+    require(k >= 2 && k.toLong * dim <= 16L * 1000 * 1000,
+      s"k×dim must fit a driver-side side input, got k=$k dim=$dim")
+    require(iters >= 1 && iters <= 100, s"iters must be in [1, 100], got $iters")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import graft.operators.SideInputs
+    val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .filter(size(col("vec")) === dim)
+    val train = (if (trainFraction < 1.0)
+      base.sample(withReplacement = false, trainFraction, seed) else base).persist()
+    try {
+      var cents: Seq[Seq[Double]] = SideInputs.asList(
+          train.orderBy(xxhash64(col("id")), col("id")).limit(k)
+            .select(col("vec")).as[Seq[Float]], maxRows = k)
+        .value.map(_.map(_.toDouble))
+      require(cents.size == k, s"training set has only ${cents.size} rows for k=$k")
+      for (_ <- 1 to iters) {
+        val cid = graft.expressions.VectorExpressions.nearestCentroidF(col("vec"), cents)
+        val means = train
+          .select(cid.as("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("m"))
+          .as[(Int, Int, Double)]
+        val byCid = SideInputs.asList(means, maxRows = k * dim).value.groupBy(_._1)
+        // empty cells keep their previous centroid (standard Lloyd's)
+        cents = cents.zipWithIndex.map { case (old, c) =>
+          byCid.get(c).map(_.sortBy(_._2).map(_._3)).getOrElse(old)
+        }
+      }
+      cents
+    } finally { train.unpersist(); () }
+  }
+
+  /** IVF-flat search with a TRAINED quantizer (vs [[ivfTopK]]'s
+    * data-independent hyperplane cells): corpus rows are assigned to
+    * their nearest centroid (pure projection), each probe searches its
+    * `nprobe` nearest cells — the classic IVF nprobe/recall trade —
+    * and candidates are ranked by exact fused-loop cosine with the
+    * per-probe top-k bounded before the final sort (Spark 4
+    * WindowGroupLimit). Per-probe work ≈ nprobe/k of the corpus.
+    */
+  def ivfKMeansTopK(corpus: DataFrame, probes: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    centroids: Seq[Seq[Double]], nprobe: Int = 4): DataFrame = {
+    require(nprobe >= 1 && nprobe <= centroids.size,
+      s"nprobe must be in [1, ${centroids.size}], got $nprobe")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cidOf = (v: org.apache.spark.sql.Column) =>
+      graft.expressions.VectorExpressions.nearestCentroidF(v, centroids)
+    val c = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      cidOf(col(vecCol)).as("cell"))
+    val centsDf = centroids.zipWithIndex
+      .map { case (cent, i) => (i, cent.map(_.toFloat)) }.toDF("cell", "cvec")
+    val pw = Window.partitionBy(col("probe_id")).orderBy(col("csim").desc, col("cell"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))
+      .crossJoin(broadcast(centsDf))
+      .select(col("probe_id"), col("probe_vec"), col("cell"),
+        cosineF(col("probe_vec"), col("cvec")).as("csim"))
+      .withColumn("rn", row_number().over(pw)).filter(col("rn") <= nprobe)
+      .select(col("probe_id"), col("probe_vec"), col("cell"))
+    val scored = c.join(broadcast(p), Seq("cell"))
+      .filter(col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id"),
+        cosineF(col("vec"), col("probe_vec")).as("cos_sim"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-based near-dup detection: nearest neighbor per probe
     * with a duplicate flag at the given cosine threshold.
     */

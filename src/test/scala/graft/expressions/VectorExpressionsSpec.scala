@@ -86,6 +86,40 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out(2).isNullAt(1) && out(3).isNullAt(1) && out(4).isNullAt(1))
   }
 
+  test("nearestCentroidF picks the max-cosine centroid; null contract holds") {
+    val cents = Seq(Seq(1.0, 0.0), Seq(0.0, 1.0), Seq(-1.0, 0.0))
+    val df = Seq(
+      (1L, Option(Seq[java.lang.Float](3f, 1f))),   // → centroid 0
+      (2L, Option(Seq[java.lang.Float](1f, 3f))),   // → centroid 1
+      (3L, Option(Seq[java.lang.Float](-2f, 0.1f))),// → centroid 2
+      (4L, Option(Seq[java.lang.Float](0f, 0f))),   // zero vec → first (0)
+      (5L, None),                                   // null array
+      (6L, Option(Seq[java.lang.Float](1f, null))), // null element
+      (7L, Option(Seq[java.lang.Float](1f)))        // wrong dim
+    ).toDF("id", "v")
+    val out = df.select(col("id"),
+        VectorExpressions.nearestCentroidF(col("v"), cents).as("c"))
+      .orderBy("id").collect()
+    assert(out.take(4).map(_.getInt(1)).toSeq == Seq(0, 1, 2, 0))
+    assert(out(4).isNullAt(1) && out(5).isNullAt(1) && out(6).isNullAt(1))
+    // on real embeddings the fused argmax achieves the best composed cosine
+    val cents64 = VectorFunctions.hyperplanes(dim = 64, nBits = 8, seed = 7L)
+      .map(_.toSeq).toSeq
+    val centsDf = cents64.zipWithIndex
+      .map { case (c, i) => (i, c.map(_.toFloat)) }.toDF("cid", "cvec")
+    val best = vecs.limit(200).crossJoin(centsDf)
+      .groupBy(col("vec_id"))
+      .agg(max(VectorExpressions.cosineF(col("embedding"), col("cvec"))).as("best_sim"))
+    val chosen = vecs.limit(200).select(col("vec_id"), col("embedding"),
+        VectorExpressions.nearestCentroidF(col("embedding"), cents64).as("cid"))
+      .join(centsDf, Seq("cid"))
+      .select(col("vec_id"),
+        VectorExpressions.cosineF(col("embedding"), col("cvec")).as("chosen_sim"))
+    val maxGap = best.join(chosen, Seq("vec_id"))
+      .select(max(abs(col("best_sim") - col("chosen_sim")))).as[Double].head()
+    assert(maxGap < 1e-9, s"fused argmax not optimal: gap $maxGap")
+  }
+
   test("interpreted path (non-codegen) agrees with codegen") {
     // Window partitions evaluate projections; also force interpreted
     // mode via the fallback config on a tiny frame.

@@ -96,6 +96,53 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall@$k was $recall")
   }
 
+  test("trainIvfCentroids is deterministic and separates clustered data") {
+    val dim = 8
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(4, dim)(rnd.nextGaussian() * 3)
+    val rows = for { c <- centers.indices; i <- 0 until 50 } yield
+      ((c * 50 + i).toLong, centers(c).map(x => (x + rnd.nextGaussian() * 0.1).toFloat).toSeq)
+    val corpus = rows.toDF("vec_id", "embedding")
+    val c1 = KNN.trainIvfCentroids(corpus, "vec_id", "embedding", k = 4, dim = dim, iters = 5)
+    val c2 = KNN.trainIvfCentroids(corpus, "vec_id", "embedding", k = 4, dim = dim, iters = 5)
+    assert(c1 == c2, "same seed + data must give identical centroids")
+    // after training, each cluster's points agree on one cell
+    val cid = graft.expressions.VectorExpressions.nearestCentroidF(col("embedding"), c1)
+    val purity = corpus.select((col("vec_id") / 50).cast("int").as("truth"), cid.as("cell"))
+      .groupBy("truth").agg(countDistinct("cell").as("cells"))
+      .agg(max("cells")).as[Long].head()
+    assert(purity == 1L, s"a true cluster split across cells: $purity")
+  }
+
+  test("ivfKMeansTopK: exact candidate scores and high recall on clustered data") {
+    val dim = 16
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(10, dim)(rnd.nextGaussian())
+    val rows = for { c <- centers.indices; i <- 0 until 30 } yield
+      ((c * 30 + i).toLong, centers(c).map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    val corpus = rows.toDF("vec_id", "embedding")
+    val probes = corpus.filter(col("vec_id") % 30 === 0)
+    val k = 5
+    val cents = KNN.trainIvfCentroids(corpus, "vec_id", "embedding",
+      k = 10, dim = dim, iters = 4)
+    val ivf = KNN.ivfKMeansTopK(corpus, probes, "vec_id", "embedding", k, cents, nprobe = 3)
+    // emitted scores are exact
+    val brute = KNN.bruteForceTopK(corpus, probes, "vec_id", "embedding", 1000000)
+      .select(col("probe_id"), col("id"), col("cos_sim").as("brute_sim"))
+    val maxDiff = ivf.join(brute, Seq("probe_id", "id"))
+      .select(abs(col("cos_sim") - col("brute_sim")).as("d")).agg(max("d")).as[Double].head()
+    assert(maxDiff < 1e-9)
+    // recall vs brute force top-k
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("probe_id").agg(collect_set(col("id")).as("ids"))
+        .collect().map(r => r.getAs[Long]("probe_id") -> r.getSeq[Long](1).toSet).toMap
+    val bs = sets(KNN.bruteForceTopK(corpus, probes, "vec_id", "embedding", k))
+    val is = sets(ivf)
+    val recall = bs.keys.toSeq.map(p => (is.getOrElse(p, Set()) & bs(p)).size.toDouble / k)
+      .sum / bs.size
+    assert(recall >= 0.8, s"recall@$k was $recall")
+  }
+
   test("nearDupByEmbedding flags an exact duplicate vector") {
     val corpus = vecDf(1L -> Seq(1f, 2f, 3f), 2L -> Seq(1f, 2f, 3f), 3L -> Seq(-3f, 1f, 0f))
     val out = KNN.nearDupByEmbedding(corpus, corpus.filter(col("vec_id") === 1), "vec_id", "embedding", 0.95)
