@@ -81,6 +81,22 @@ object StatsWindowQueries extends QueryPack {
         .orderBy(col("w_start"), col("event_type"))
     },
 
+    // Stream-stream windowed join, driven in batch mode (Structured
+    // Streaming's unified model: the same plan runs bounded or
+    // unbounded; the streaming semantics are pinned in StreamingSpec).
+    // Clicks ⨝ purchases of the same user in the same epoch-hour.
+    "q_windowed_join" -> { (s, dir) =>
+      val ev = tables(s, dir).events
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("b_ts"))
+      graft.streaming.StreamJoins.windowedJoin(clicks, purchases, "user_id",
+          "c_ts", "b_ts", "1 hour", "10 minutes")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
+    },
+
     // withSlidingWindows: duration 2h, period 1h — each event lands in
     // two windows.
     "q_window_sliding" -> { (s, dir) =>
@@ -192,6 +208,13 @@ object StatsWindowQueries extends QueryPack {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS w_start,
         |  event_type, count(*) AS n, round(sum(value), 2) AS sum_v
         |FROM events GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin,
+    "q_windowed_join" ->
+      """SELECT c.user_id, count(*) AS n_pairs
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND date_trunc('hour', c.ts) = date_trunc('hour', p.ts)
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
     "q_window_sliding" ->
       """SELECT strftime(w_start, '%Y-%m-%d %H:%M') AS w_start,
         |  count(*) AS n, round(sum(value), 2) AS sum_v
