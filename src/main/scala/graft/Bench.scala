@@ -23,6 +23,8 @@ object Bench {
     "q_knn_brute",
     "q_knn_lsh",
     "q_sparse_join",
+    "q_skewed_split",
+    "q_knn_ivf",
     "q_smb_join",
     "q_window_session",
     "q_top_by_key"

@@ -90,11 +90,16 @@ object Joins {
     // ≥1 sampled hit can clear a small threshold×fraction — require ≥2
     // so a single straggler row can't mark its key hot.
     val sampledCut = math.max((hotKeyThreshold * sampleFraction).toLong, 2L)
+    // localCheckpoint (eager, like sparseJoin's stat.bloomFilter):
+    // the hot-key frame feeds four subtrees (semi/anti on both sides);
+    // without materialization Catalyst plans the sample+count scan
+    // once per subtree — four extra passes over the big left side.
     val hotKeys = left.select(keys.map(col): _*)
       .sample(withReplacement = false, sampleFraction, seed = 42L)
       .groupBy(keys.map(col): _*).agg(count(lit(1)).as("__graft_n"))
       .filter(col("__graft_n") >= sampledCut)
       .drop("__graft_n")
+      .localCheckpoint()
     val leftHot = left.join(broadcast(hotKeys), keys, "left_semi")
     val leftCold = left.join(broadcast(hotKeys), keys, "left_anti")
     val rightHot = right.join(broadcast(hotKeys), keys, "left_semi")
