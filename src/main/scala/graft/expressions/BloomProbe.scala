@@ -36,7 +36,9 @@ import org.apache.spark.util.sketch.BloomFilter
   *   - long: mightContainLong (callers cast narrower integrals to long)
   *   - string: mightContainBinary(utf8Bytes) — identical to
   *     mightContainString, which hashes the UTF-8 bytes
-  *   - binary: mightContainBinary
+  *   - binary: mightContainBinary — only reachable with a hand-built
+  *     filter (Spark 4.1's bloom_filter_agg can't BUILD over binary, so
+  *     Joins rejects binary keys up front; the probe itself is exact)
   */
 case class BloomProbe(child: Expression, filter: BloomFilter) extends UnaryExpression {
 

@@ -44,18 +44,23 @@ object Joins {
   def skewedJoin(left: DataFrame, right: DataFrame, keys: Seq[String], fanout: Int,
                  how: String = "inner"): DataFrame = {
     require(fanout > 0, s"fanout must be positive, got $fanout")
-    val leftPreserving =
-      Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
-        "left_anti", "leftanti") // no "cross": an equi-join on (keys :+ salt)
-                                 // with Cross type degenerates to inner
-    require(leftPreserving.contains(how.toLowerCase.replace(" ", "")),
-      s"skewedJoin supports left-preserving modes only (got '$how'): right/full outer " +
-        "would duplicate unmatched right rows once per salt — swap the sides instead")
+    requireLeftPreserving(how, "skewedJoin")
     val salt = "__graft_salt"
     val l = left.withColumn(salt, (rand(42) * fanout).cast("int"))
     val r = right.withColumn(salt, explode(sequence(lit(0), lit(fanout - 1))))
     l.join(r, keys :+ salt, how).drop(salt)
   }
+
+  // no "cross": an equi-join on (keys :+ salt) with Cross type
+  // degenerates to inner
+  private val leftPreservingModes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti")
+
+  private def requireLeftPreserving(how: String, op: String): Unit =
+    require(leftPreservingModes.contains(how.toLowerCase.replace(" ", "")),
+      s"$op supports left-preserving modes only (got '$how'): right/full outer " +
+        "would duplicate unmatched right rows once per salt — swap the sides instead")
 
   /** scio's full skewedJoin semantics (PairSkewedSCollectionFunctions
     * .skewedJoin, CMS-based): detect the hot keys first, then fan out
@@ -87,6 +92,7 @@ object Joins {
     require(hotKeyThreshold > 0, s"hotKeyThreshold must be positive, got $hotKeyThreshold")
     require(sampleFraction > 0.0 && sampleFraction <= 1.0,
       s"sampleFraction must be in (0, 1], got $sampleFraction")
+    requireLeftPreserving(how, "skewedJoinSampled") // before the eager detection job
     // ≥1 sampled hit can clear a small threshold×fraction — require ≥2
     // so a single straggler row can't mark its key hot.
     val sampledCut = math.max((hotKeyThreshold * sampleFraction).toLong, 2L)
@@ -122,21 +128,25 @@ object Joins {
     * call with the sides swapped.
     */
   /** Key types a Bloom prefilter supports (what stat.bloomFilter can
-    * insert and a probe can reproduce exactly).
+    * insert and a probe can reproduce exactly). NOT binary: Spark 4.1's
+    * bloom_filter_agg only takes long/string values — stat.bloomFilter
+    * on a binary column fails analysis (BLOOM_FILTER_WRONG_TYPE), so
+    * admitting it here would just defer a worse error.
     */
   private def requireBloomableKey(df: DataFrame, key: String, op: String): Unit = {
     import org.apache.spark.sql.types._
     df.schema(key).dataType match {
-      case ByteType | ShortType | IntegerType | LongType | StringType | BinaryType => ()
+      case ByteType | ShortType | IntegerType | LongType | StringType => ()
       case other => throw new IllegalArgumentException(
-        s"$op key '$key' has unsupported type $other (integral/string/binary only)")
+        s"$op key '$key' has unsupported type $other (integral/string only; " +
+          "hex-encode binary keys first)")
     }
   }
 
   /** Build a Bloom filter over `keysFrom(key)` and return the probe
     * column for `probed(key)`. Probes with the same representation
     * stat.bloomFilter inserted: longs for integral keys, UTF-8
-    * strings, raw binary. The probe is a native codegen expression
+    * strings. The probe is a native codegen expression
     * (graft.expressions.BloomProbe — null keys probe as "absent"),
     * not a boxed UDF: it runs on the BIG side's every row, inside
     * whole-stage codegen.
@@ -146,13 +156,11 @@ object Joins {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.graft.ColumnBridge
     requireBloomableKey(keysFrom, key, op)
-    requireBloomableKey(probed, key, op)
+    requireBloomableKey(probed, key, op) // sole probed-side type gate
     val bf = keysFrom.stat.bloomFilter(key, expectedKeys, fpp)
     val probeKey = probed.schema(key).dataType match {
-      case ByteType | ShortType | IntegerType | LongType => col(key).cast("long")
-      case StringType | BinaryType => col(key)
-      case other => throw new IllegalArgumentException(
-        s"$op key '$key' has unsupported type $other (integral/string/binary only)")
+      case StringType => col(key)
+      case _ => col(key).cast("long") // integrals (requireBloomableKey passed)
     }
     ColumnBridge.column(
       graft.expressions.BloomProbe(ColumnBridge.expression(probeKey), bf))

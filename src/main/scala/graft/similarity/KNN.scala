@@ -96,8 +96,10 @@ object KNN {
     val spark = corpus.sparkSession
     import spark.implicits._
     import graft.operators.SideInputs
+    // null elements would null the NearestCentroid cid (and NPE the
+    // typed collects) — exclude them like wrong-dim vectors
     val base = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .filter(size(col("vec")) === dim)
+      .filter(size(col("vec")) === dim && !exists(col("vec"), _.isNull))
     val train = (if (trainFraction < 1.0)
       base.sample(withReplacement = false, trainFraction, seed) else base).persist()
     try {

@@ -101,7 +101,14 @@ object StreamJoins {
     val rk = "__graft_rk"
     require(tsLeft != tsRight,
       "tsLeft and tsRight must have distinct names (rename one side upstream)")
-    require(!right.columns.contains(rk), s"reserved column $rk already present")
+    require(!left.columns.contains(rk) && !right.columns.contains(rk),
+      s"reserved column $rk already present")
+    // the join condition references key/tsLeft/tsRight unqualified —
+    // either column appearing on both sides would resolve ambiguously
+    require(!left.columns.contains(tsRight),
+      s"left already has a column named '$tsRight' (the right-side ts) — rename it upstream")
+    require(!right.columns.contains(tsLeft),
+      s"right already has a column named '$tsLeft' (the left-side ts) — rename it upstream")
     val l = left.withWatermark(tsLeft, watermarkDelay)
     val r = right.withWatermark(tsRight, watermarkDelay).withColumnRenamed(key, rk)
     l.join(r,

@@ -57,6 +57,19 @@ class JoinsSpec extends SparkSpec {
     val l = Seq((1.5, "x")).toDF("id", "lv")
     intercept[IllegalArgumentException](Joins.sparseJoin(l, l, "id"))
     intercept[IllegalArgumentException](Joins.sparseJoin(left, right, "k", how = "right"))
+    // binary keys: Spark 4.1's bloom_filter_agg can't build over binary —
+    // rejected up front with a clear message, not deep in analysis
+    val b = Seq((Array[Byte](1, 2), "x")).toDF("id", "lv")
+    val e = intercept[IllegalArgumentException](Joins.sparseJoin(b, b, "id"))
+    assert(e.getMessage.contains("integral/string only"))
+  }
+
+  test("skewedJoinSampled rejects non-left-preserving modes before any job runs") {
+    // the require must fire before the eager sample+checkpoint job
+    intercept[IllegalArgumentException](
+      Joins.skewedJoinSampled(left, right, Seq("k"), fanout = 4, how = "right"))
+    intercept[IllegalArgumentException](
+      Joins.skewedJoinSampled(left, right, Seq("k"), fanout = 4, how = "full_outer"))
   }
 
   test("skewedJoin inner/left match the plain join") {

@@ -106,6 +106,13 @@ class SimilaritySpec extends SparkSpec {
     val c1 = KNN.trainIvfCentroids(corpus, "vec_id", "embedding", k = 4, dim = dim, iters = 5)
     val c2 = KNN.trainIvfCentroids(corpus, "vec_id", "embedding", k = 4, dim = dim, iters = 5)
     assert(c1 == c2, "same seed + data must give identical centroids")
+    // rows with null elements or wrong dim are excluded, not a crash
+    val dirty = corpus.unionByName(Seq(
+        (9001L, Seq[java.lang.Float](1f, null, 1f, 1f, 1f, 1f, 1f, 1f)),
+        (9002L, Seq[java.lang.Float](1f))
+      ).toDF("vec_id", "embedding"))
+    val c3 = KNN.trainIvfCentroids(dirty, "vec_id", "embedding", k = 4, dim = dim, iters = 5)
+    assert(c3.size == 4)
     // after training, each cluster's points agree on one cell
     val cid = graft.expressions.VectorExpressions.nearestCentroidF(col("embedding"), c1)
     val purity = corpus.select((col("vec_id") / 50).cast("int").as("truth"), cid.as("cell"))
