@@ -116,6 +116,34 @@ package object syntax {
         }
       }(e)
 
+    /** scio batchByteSizedByKey/batchWeightedByKey: per-key batches
+      * bounded by accumulated weight — the keyed form of
+      * [[batchedWeighted]] (byte size IS a weight; pass the estimator
+      * under either scio name). One shuffle on the key; a single
+      * oversized element travels alone, as in the unkeyed form.
+      */
+    def batchedWeightedByKey[K: Encoder](maxWeight: Long)(key: T => K)(weighOf: T => Long)(
+        implicit te: Encoder[T], out: Encoder[(K, Seq[T])]): Dataset[(K, Seq[T])] = {
+      require(maxWeight > 0, s"maxWeight must be positive, got $maxWeight")
+      ds.groupByKey(key).flatMapGroups { (k: K, it: Iterator[T]) =>
+        new Iterator[(K, Seq[T])] {
+          private val buf = it.buffered
+          def hasNext: Boolean = buf.hasNext
+          def next(): (K, Seq[T]) = {
+            val batch = Seq.newBuilder[T]
+            var w = 0L
+            var done = false
+            while (!done && buf.hasNext) {
+              val sz = weighOf(buf.head)
+              if (w > 0L && w + sz > maxWeight) done = true
+              else { batch += buf.next(); w += sz }
+            }
+            (k, batch.result())
+          }
+        }
+      }
+    }
+
     /** scio flatten: SCollection[Iterable[U]] → SCollection[U]. */
     def flattened[U](implicit ev: T => IterableOnce[U], e: Encoder[U]): Dataset[U] =
       ds.flatMap((t: T) => ev(t))

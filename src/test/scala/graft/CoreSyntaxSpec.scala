@@ -66,6 +66,17 @@ class CoreSyntaxSpec extends SparkSpec {
     assert(out.flatMap(_._2).map(_._2).sorted.toSeq == (1 to 25))
   }
 
+  test("batchedWeightedByKey bounds each key's batches by weight, loses nothing") {
+    val ds = Seq(("a", "aa"), ("a", "bbbb"), ("a", "cc"), ("a", "dddddddddddd"),
+      ("b", "e"), ("b", "ffff")).toDS()
+    val out = ds.batchedWeightedByKey(6L)(_._1)(_._2.length.toLong).collect()
+    assert(out.flatMap(_._2).map(_._2).sorted.toSeq ==
+      Seq("aa", "bbbb", "cc", "dddddddddddd", "e", "ffff").sorted)
+    assert(out.forall { case (k, b) => b.forall(_._1 == k) }) // no cross-key mixing
+    assert(out.forall { case (_, b) => b.map(_._2.length).sum <= 6 || b.size == 1 })
+    intercept[IllegalArgumentException](ds.batchedWeightedByKey(0L)(_._1)(_ => 1L))
+  }
+
   test("batchedBytes bounds batches by weight; oversized rows travel alone") {
     val ds = Seq("aa", "bbbb", "cc", "dddddddddddd", "e").toDS().coalesce(1)
     val batches = ds.batchedBytes(6)(_.length.toLong).collect()
