@@ -84,7 +84,7 @@ object Dedup {
     * kept (harmless under min-aggregation; collect_set dedups where a
     * true set is needed).
     */
-  private[dedup] def shingleRows(df: DataFrame, idCol: String, textCol: String,
+  private[graft] def shingleRows(df: DataFrame, idCol: String, textCol: String,
                                  k: Int): DataFrame = {
     val th = transform(tokens(txt(col(textCol))), t => xxhash64(t))
     if (k <= 1) {
@@ -323,5 +323,45 @@ object Dedup {
         col("a.block") === col("b.block") && col("a.id") < col("b.id"))
       .select(col("a.block").as("block"), col("a.id").as("id_a"), col("b.id").as("id_b"),
         jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+  }
+
+  /** Benchmark decontamination: flags every corpus doc that shares at
+    * least one k-word shingle with an evaluation/benchmark set — the
+    * standard train/test-contamination sweep a training-data pipeline
+    * runs before a corpus ships (13-gram overlap is the common
+    * published choice; `k` is the knob).
+    *
+    * Returns the corpus with one added boolean column `contaminated`
+    * (flag, don't drop: the caller chooses filter vs audit).
+    *
+    * Scale shape: the bench side collapses to DISTINCT shingle hashes
+    * once (eval suites are tiny next to a 100 TB corpus) and is
+    * broadcast by default, so corpus shingles are probed map-side and
+    * never cross the network; the only shuffles are the distinct on
+    * surviving contaminated ids (bounded by the corpus doc count, not
+    * its token count) and the final id join, whose right side AQE
+    * broadcasts. For a benchmark set too large to broadcast, pass
+    * `broadcastBench = false` to fall back to a shuffled semi join on
+    * the shingle hash. Shingle identity is the 64-bit hash of the
+    * k-token-hash tuple, as everywhere in this file; docs shorter than
+    * k tokens contribute their whole text as one shingle and so only
+    * match equally-short bench texts.
+    */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String,
+                    k: Int = 13, broadcastBench: Boolean = true): DataFrame = {
+    require(!corpus.columns.contains("contaminated"),
+      "corpus already has a 'contaminated' column; rename it before calling decontaminate")
+    val benchShingles = shingleRows(
+        bench.select(lit(0L).as("id"), col(benchTextCol).as("__bench_text")),
+        "id", "__bench_text", k)
+      .select(col("h")).distinct()
+    val probe = if (broadcastBench) broadcast(benchShingles) else benchShingles
+    val contaminatedIds = shingleRows(corpus, idCol, textCol, k)
+      .join(probe, Seq("h"), "left_semi")
+      .select(col("id").as("__contam_id")).distinct()
+    corpus.join(contaminatedIds, corpus(idCol) === col("__contam_id"), "left")
+      .withColumn("contaminated", col("__contam_id").isNotNull)
+      .drop("__contam_id")
   }
 }

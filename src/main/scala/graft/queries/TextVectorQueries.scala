@@ -64,6 +64,29 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // benchmark decontamination: corpus docs sharing a 4-word shingle
+    // with the held-out "benchmark" slice (doc_id % 37 == 0). Oracle-
+    // checked: contamination is a set-membership fact on shingle
+    // STRINGS, which DuckDB recomputes hash-free.
+    "q_decontaminate" -> { (s, dir) =>
+      val docs = tables(s, dir).documents
+      val bench = docs.filter(col("doc_id") % 37 === 0).select(col("text").as("bench_text"))
+      Dedup.decontaminate(docs.filter(col("doc_id") % 37 =!= 0), "doc_id", "text",
+          bench, "bench_text", k = 4)
+        .filter(col("contaminated"))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Gopher-style within-doc repetition metrics over word 2-grams.
+    "q_repetition" -> { (s, dir) =>
+      graft.functions.TextMetrics.repetition(tables(s, dir).documents, "doc_id", "text", n = 2)
+        .select(col("doc_id"), col("n_grams"), col("distinct_grams"),
+          r6(col("dup_gram_frac")).as("dup_gram_frac"),
+          r6(col("top_gram_frac")).as("top_gram_frac"))
+        .orderBy(col("doc_id"))
+    },
+
     // blocked exact n-gram Jaccard: top pairs per corpus by shingle
     // similarity, blocked by source (never all-pairs on the corpus).
     "q_ngram_jaccard" -> { (s, dir) =>
@@ -330,6 +353,32 @@ object TextVectorQueries extends QueryPack {
       """SELECT count(*) AS n_docs,
         |  count(DISTINCT array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')) AS n_distinct_fp
         |FROM documents""".stripMargin,
+    // decontamination on shingle strings (hash-independent fact).
+    "q_decontaminate" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 3, 1) + 1),
+        |         i -> array_to_string(t[i:i+3], ' '))) AS s
+        |  FROM tok)
+        |SELECT DISTINCT doc_id FROM sh
+        |WHERE doc_id % 37 <> 0
+        |  AND s IN (SELECT s FROM sh WHERE doc_id % 37 = 0)
+        |ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+        |         i -> array_to_string(t[i:i+1], ' '))) AS s
+        |  FROM tok),
+        |c AS (SELECT doc_id, s, count(*) AS c FROM sh GROUP BY doc_id, s)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams, count(*) AS distinct_grams,
+        |  round(sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c), 6) AS dup_gram_frac,
+        |  round(max(c)::DOUBLE / sum(c), 6) AS top_gram_frac
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Jaccard is a ratio of set cardinalities — hash-independent — so
     // DuckDB reproduces it exactly from string shingle sets even
     // though Spark works on shingle hashes.

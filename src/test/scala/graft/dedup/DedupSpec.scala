@@ -155,4 +155,32 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L)))
   }
+
+  test("decontaminate flags exactly the docs sharing a k-shingle with the bench set") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),   // shares "beta gamma delta" with bench
+      (2L, "one two three four five six seven"),     // clean
+      (3L, "unrelated words entirely different here") // clean
+    ).toDF("doc_id", "text")
+    val bench = Seq("held out beta gamma delta question").toDF("bench_text")
+    val out = Dedup.decontaminate(corpus, "doc_id", "text", bench, "bench_text", k = 3)
+    assert(out.count() == 3) // flag, don't drop
+    val flagged = out.filter(col("contaminated")).select("doc_id").as[Long].collect().toSet
+    assert(flagged == Set(1L))
+    // shuffled (non-broadcast) path returns the identical flags
+    val shuffled = Dedup.decontaminate(corpus, "doc_id", "text", bench, "bench_text",
+      k = 3, broadcastBench = false)
+    assert(sortedRows(shuffled) == sortedRows(out))
+    // a doc shorter than k only matches an equally-short bench text
+    val shortCorpus = Seq((9L, "beta gamma")).toDF("doc_id", "text")
+    assert(Dedup.decontaminate(shortCorpus, "doc_id", "text", bench, "bench_text", k = 3)
+      .filter(col("contaminated")).count() == 0)
+    assert(Dedup.decontaminate(shortCorpus, "doc_id", "text",
+        Seq("beta gamma").toDF("bench_text"), "bench_text", k = 3)
+      .filter(col("contaminated")).count() == 1)
+    // collision guard: pre-existing output column is rejected
+    intercept[IllegalArgumentException](
+      Dedup.decontaminate(corpus.withColumn("contaminated", lit(false)),
+        "doc_id", "text", bench, "bench_text", k = 3))
+  }
 }

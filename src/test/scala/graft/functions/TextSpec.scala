@@ -60,4 +60,21 @@ class TextSpec extends SparkSpec {
     val out = df.select(TextFunctions.jaccard(col("a"), col("b"))).as[Double].collect()
     assert(out.toSeq == Seq(1.0, 0.0, 0.0))
   }
+
+  test("repetition: dup/top gram fractions separate repeated from varied text") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam"),          // 4 identical 2-grams
+      (2L, "one two three four five"),           // 4 distinct 2-grams
+      (3L, "a b a b c d"),                       // "a b" twice of 5
+      (4L, "solo")                                // shorter than n: one gram
+    ).toDF("doc_id", "text")
+    val m = TextMetrics.repetition(docs, "doc_id", "text", n = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("distinct_grams"),
+          r.getAs[Double]("dup_gram_frac"), r.getAs[Double]("top_gram_frac"))).toMap
+    assert(m(1L) == ((4L, 1L, 1.0, 1.0)))
+    assert(m(2L) == ((4L, 4L, 0.0, 0.25)))
+    assert(m(3L) == ((5L, 4L, 0.4, 0.4)))
+    assert(m(4L) == ((1L, 1L, 0.0, 1.0)))
+  }
 }
