@@ -10,8 +10,9 @@ import graft.functions.TextFunctions.{qualityStruct, tokenCounts}
 /** End-to-end training-data curation — the composition the library
   * exists for, wired from its own operators:
   *
-  *   quality gate → exact content dedup → (optional) MinHash near-dup
-  *   dedup → token accounting
+  *   quality gate → (optional) repetition gate → exact content dedup →
+  *   (optional) MinHash near-dup dedup → (optional) benchmark
+  *   decontamination → token accounting
   *
   * Every stage is declarative, so Catalyst plans the whole pipeline as
   * one DAG: the quality filter pushes onto the scan, exact dedup is a
@@ -34,16 +35,41 @@ object Curate {
     * @param minAlpha   minimum alphabetic-character ratio (quality gate)
     * @param nearDup    also drop MinHash near-duplicates (keeps each
     *                   cluster's representative). Off → exact dedup only.
+    * @param maxDupGramFrac  drop docs whose repeated-n-gram occurrence
+    *                   fraction exceeds this (Gopher-style repetition
+    *                   gate via [[graft.functions.TextMetrics.repetition]]);
+    *                   None → no repetition gate.
+    * @param repetitionN n-gram width for the repetition gate.
+    * @param benchmark  eval/benchmark texts to decontaminate against
+    *                   ([[graft.dedup.Dedup.decontaminate]], applied
+    *                   LAST so the shipped corpus is clean); None → off.
+    * @param benchTextCol text column in `benchmark`.
+    * @param decontamK  shingle width for decontamination overlap.
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              minTokens: Long = 10L, minAlpha: Double = 0.5,
-             nearDup: Boolean = true): DataFrame = {
+             nearDup: Boolean = true,
+             maxDupGramFrac: Option[Double] = None, repetitionN: Int = 2,
+             benchmark: Option[DataFrame] = None, benchTextCol: String = "text",
+             decontamK: Int = 13): DataFrame = {
     val q = qualityStruct(col(textCol))
-    val scored = docs
+    val qualityGated = docs
       .withColumn("__q", q)
       .filter(col("__q").getField("n_tokens") >= minTokens &&
         col("__q").getField("alpha_ratio") >= minAlpha)
       .drop("__q")
+    // each optional stage that fans its input out to two subtrees
+    // (metric side + kept side) persists that input first — the same
+    // double-planning guard as the near-dup stage below
+    val scored = maxDupGramFrac match {
+      case Some(t) =>
+        val shared = qualityGated.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val calm = graft.functions.TextMetrics.repetition(shared, idCol, textCol, repetitionN)
+          .filter(col("dup_gram_frac") <= t).select(col(idCol))
+        shared.join(calm, Seq(idCol), "left_semi")
+      case None => qualityGated
+    }
     // exact dedup: keep the deterministic keeper (min id) per content —
     // window-min over the content hash, not Dedup.exact + join-back
     // (the join form re-plans the quality-filtered scan for both sides)
@@ -65,8 +91,16 @@ object Curate {
           .filter(col("keep")).select(col("id").as(idCol))
         shared.join(reps, Seq(idCol), "left_semi")
       }
+    val clean = benchmark match {
+      case Some(b) =>
+        val shared = deduped.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Dedup.decontaminate(shared, idCol, textCol, b, benchTextCol, decontamK)
+          .filter(!col("contaminated")).drop("contaminated")
+      case None => deduped
+    }
     val tc = tokenCounts(col(textCol))
-    deduped
+    clean
       .withColumn("__tc", tc)
       .withColumn("n_tokens", col("__tc").getField("n_ws_tokens"))
       .withColumn("n_bpe_est", col("__tc").getField("n_bpe_est"))

@@ -108,6 +108,22 @@ object IoQueries extends QueryPack {
           max(col("name")).as("last_name"))
     },
 
+    // dynamic-path read (scio readFilesAsString): write one text dir,
+    // then read it back through a DISTRIBUTED dataset of its part-file
+    // paths — the executors open the files, not the driver. Oracle =
+    // the same lines straight from parquet.
+    "q_io_readfiles" -> { (s, dir) =>
+      import s.implicits._
+      val path = tmp(dir, "nation_readfiles")
+      Sources.writeText(tables(s, dir).nation.select(col("n_name")), path)
+      val partFiles = new java.io.File(path).listFiles()
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+        .map(f => s"file:${f.getAbsolutePath}").toSeq.sorted
+      Sources.readTextFiles(partFiles.toDS().repartition(4)).toDF("n_name")
+        .agg(count(lit(1)).as("n_lines"), min(col("n_name")).as("first_name"),
+          max(col("n_name")).as("last_name"))
+    },
+
     // scio-smb: bucketed+sorted write, then an exchange-free join
     // (bucket-pruned SMJ; no-Exchange plan asserted in SmbSpec).
     "q_smb_join" -> { (s, dir) =>
@@ -151,6 +167,9 @@ object IoQueries extends QueryPack {
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q_io_tfrecord" ->
       """SELECT count(*) AS n_records, min(n_name) AS first_name, max(n_name) AS last_name
+        |FROM nation""".stripMargin,
+    "q_io_readfiles" ->
+      """SELECT count(*) AS n_lines, min(n_name) AS first_name, max(n_name) AS last_name
         |FROM nation""".stripMargin,
     "q_smb_join" ->
       """SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity), 2) AS qty

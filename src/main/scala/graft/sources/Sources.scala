@@ -83,6 +83,58 @@ object Sources {
   def readBinary(spark: SparkSession, pathGlob: String): DataFrame =
     spark.read.format("binaryFile").load(pathGlob)
 
+  /** scio readFilesAsBytes/readFilesAsString/readTextFiles
+    * (SCollection.scala readFiles family): read the files NAMED BY a
+    * dataset of paths. Unlike [[readBinary]]'s static glob, the paths
+    * here are data — produced by an upstream stage — so the reads must
+    * run on executors (a driver-side listing would serialize the whole
+    * corpus through one machine). Each task opens its partition's
+    * paths through the Hadoop FileSystem API, so any mounted scheme
+    * works; repartition the path dataset first if file sizes are
+    * skewed. Whole-file reads: each file must fit in task memory,
+    * same contract as scio's readFilesAsBytes. The Hadoop conf rides
+    * to executors via Spark's broadcast-backed serializable wrapper.
+    */
+  def readFilesAsBytes(paths: org.apache.spark.sql.Dataset[String]):
+      org.apache.spark.sql.Dataset[(String, Array[Byte])] = {
+    val spark = paths.sparkSession
+    import spark.implicits._
+    val confBc = org.apache.spark.graft.ConfBridge.broadcastHadoopConf(spark.sparkContext)
+    paths.mapPartitions { it =>
+      val conf = org.apache.spark.graft.ConfBridge.confOf(confBc)
+      it.map { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(conf)
+        val len = fs.getFileStatus(hp).getLen
+        require(len <= Int.MaxValue, s"$p is ${len}B; whole-file read needs <2GiB")
+        val in = fs.open(hp)
+        try {
+          val buf = new Array[Byte](len.toInt)
+          in.readFully(0L, buf)
+          (p, buf)
+        } finally in.close()
+      }
+    }
+  }
+
+  /** scio readFilesAsString: UTF-8 decode of [[readFilesAsBytes]]. */
+  def readFilesAsString(paths: org.apache.spark.sql.Dataset[String]):
+      org.apache.spark.sql.Dataset[(String, String)] = {
+    val spark = paths.sparkSession
+    import spark.implicits._
+    readFilesAsBytes(paths).map { case (p, b) =>
+      (p, new String(b, java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  /** scio readTextFiles: the named files' lines, flattened. */
+  def readTextFiles(paths: org.apache.spark.sql.Dataset[String]):
+      org.apache.spark.sql.Dataset[String] = {
+    val spark = paths.sparkSession
+    import spark.implicits._
+    readFilesAsString(paths).flatMap(_._2.linesIterator)
+  }
+
   /** scio saveAsZstdDictionary (SCollection.scala:1720 / ZstdDictIO):
     * train a zstd compression dictionary from a byte-bounded sample of
     * a binary column and write it to `path`. Training is inherently

@@ -251,6 +251,19 @@ package object syntax {
     /** scio mapValues (typed). */
     def mapValuesTyped[W](f: V => W)(implicit kwe: Encoder[(K, W)]): Dataset[(K, W)] =
       ds.map { case (k, v) => (k, f(v)) }
+
+    /** scio mapKeys (typed). */
+    def mapKeysTyped[J](f: K => J)(implicit jve: Encoder[(J, V)]): Dataset[(J, V)] =
+      ds.map { case (k, v) => (f(k), v) }
+
+    /** scio filterValues: keep pairs whose value passes the predicate. */
+    def filterValues(p: V => Boolean): Dataset[(K, V)] =
+      ds.filter((kv: (K, V)) => p(kv._2))
+
+    /** scio flatMapValues: expand each value, repeating the key. */
+    def flatMapValuesTyped[W](f: V => IterableOnce[W])(
+        implicit kwe: Encoder[(K, W)]): Dataset[(K, W)] =
+      ds.flatMap { case (k, v) => f(v).iterator.map(w => (k, w)) }
   }
 
   /** PairSCollectionFunctions analogue on DataFrames with explicit

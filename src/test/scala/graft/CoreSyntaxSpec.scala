@@ -239,6 +239,16 @@ class CoreSyntaxSpec extends SparkSpec {
     assert(out.toSeq == Seq(("a", 10), ("b", 20)))
   }
 
+  test("typed mapKeys / filterValues / flatMapValues") {
+    val ds = Seq(("a", 1), ("b", 2), ("c", 3)).toDS()
+    assert(ds.mapKeysTyped(_.toUpperCase).collect().sorted.toSeq ==
+      Seq(("A", 1), ("B", 2), ("C", 3)))
+    assert(ds.filterValues(_ % 2 == 1).collect().sorted.toSeq ==
+      Seq(("a", 1), ("c", 3)))
+    assert(ds.flatMapValuesTyped(v => Seq.fill(v)(v)).collect().sorted.toSeq ==
+      Seq(("a", 1), ("b", 2), ("b", 2), ("c", 3), ("c", 3), ("c", 3)))
+  }
+
   test("observed (scio Metrics.counter): metrics collected in the same pass") {
     val (df, obs) = spark.range(100).observed("m",
       count(when(col("id") % 10 === 0, 1)).as("n_mult10"),

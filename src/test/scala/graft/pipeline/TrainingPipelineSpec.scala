@@ -36,6 +36,26 @@ class TrainingPipelineSpec extends SparkSpec {
     } finally curated.unpersist()
   }
 
+  test("curate: repetition gate and benchmark decontamination stages") {
+    val corpus = Seq(
+      (1L, "red orange yellow green blue indigo violet cyan magenta white black grey"),
+      (2L, "spam spam spam spam spam spam spam spam spam spam spam spam"), // repetition-gated
+      (3L, "one two three four five six seven eight nine ten eleven twelve"),
+      (4L, "held out question alpha beta gamma delta epsilon answer text here") // contaminated
+    ).toDF("doc_id", "text")
+    val bench = Seq("the eval asks question alpha beta gamma delta epsilon answer")
+      .toDF("bench_text")
+    val out = Curate.curate(corpus, "doc_id", "text",
+      minTokens = 5L, minAlpha = 0.5, nearDup = false,
+      maxDupGramFrac = Some(0.5),
+      benchmark = Some(bench), benchTextCol = "bench_text", decontamK = 5)
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // both knobs off → both docs come back
+    val loose = Curate.curate(corpus, "doc_id", "text",
+      minTokens = 5L, minAlpha = 0.5, nearDup = false)
+    assert(loose.count() == 4)
+  }
+
   test("curated corpus ships as TFRecord shards and reads back intact") {
     val curated = Curate.curate(docs, "doc_id", "text", nearDup = true)
     val path = "/tmp/graft_test/pipeline_tfrecord"

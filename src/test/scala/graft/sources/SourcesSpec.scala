@@ -68,4 +68,24 @@ class SourcesSpec extends SparkSpec {
     // partition filter must reach the scan, not a post-scan Filter
     assert(explain.contains("PartitionFilters: [isnotnull(status"), explain)
   }
+
+  test("readFiles family reads files named by a distributed path dataset") {
+    val dir = new java.io.File(s"$base/dyn_files"); dir.mkdirs()
+    val contents = Map("f1.txt" -> "alpha\nbeta", "f2.txt" -> "gamma", "f3.txt" -> "")
+    contents.foreach { case (name, text) =>
+      java.nio.file.Files.write(new java.io.File(dir, name).toPath,
+        text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val paths = contents.keys.toSeq.sorted.map(n => s"file:$dir/$n").toDS().repartition(2)
+    val asString = Sources.readFilesAsString(paths).collect().toMap
+    assert(asString.size == 3)
+    contents.foreach { case (name, text) =>
+      assert(asString(s"file:$dir/$name") == text)
+    }
+    val asBytes = Sources.readFilesAsBytes(paths).collect().toMap
+    assert(new String(asBytes(s"file:$dir/f1.txt"), "UTF-8") == "alpha\nbeta")
+    assert(asBytes(s"file:$dir/f3.txt").isEmpty)
+    val lines = Sources.readTextFiles(paths).collect().sorted.toSeq
+    assert(lines == Seq("alpha", "beta", "gamma"))
+  }
 }
