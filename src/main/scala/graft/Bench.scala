@@ -20,6 +20,7 @@ object Bench {
     "q3_shipping",
     "q5_local_supplier",
     "q_dedup_minhash",
+    "q_decontaminate",
     "q_knn_brute",
     "q_knn_lsh",
     "q_sparse_join",
