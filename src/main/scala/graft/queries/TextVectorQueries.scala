@@ -212,6 +212,43 @@ object TextVectorQueries extends QueryPack {
         .filter(col("id") <= 100)
         .select(col("id"), col("nBytes").as("n_bytes"), col("width"), col("height"), col("nFrames").as("n_frames"))
         .orderBy(col("id"))
+    },
+
+    // REAL image decode: generate a real PNG per doc (dims/color are
+    // deterministic functions of doc_id), then read the dimensions
+    // back out of the encoded bytes with the JDK codec. The oracle
+    // recomputes the formulas — a decoder that doesn't actually parse
+    // the PNG cannot match.
+    "q_multimodal_decode" -> { (s, dir) =>
+      val media = Multimodal.syntheticImages(
+        tables(s, dir).documents.filter(col("doc_id") <= 100), "doc_id")
+      Multimodal.decodeImageMeta(media).toDF()
+        .select(col("id"), col("width"), col("height"), col("nFrames").as("n_frames"))
+        .orderBy(col("id"))
+    },
+
+    // REAL frame sampling: framed container of real PNG frames,
+    // every 2nd frame decoded — true dims + exact mean pixel value
+    // (PNG is lossless, so the solid gray level survives bit-exact).
+    "q_multimodal_frames" -> { (s, dir) =>
+      val media = Multimodal.syntheticVideos(
+        tables(s, dir).documents.filter(col("doc_id") <= 50), "doc_id")
+      Multimodal.sampleFrames(media, stride = 2).toDF()
+        .select(col("id"), col("frameIdx").as("frame_idx"), col("width"), col("height"),
+          round(col("meanGray")).cast("int").as("gray"))
+        .orderBy(col("id"), col("frame_idx"))
+    },
+
+    // REAL feature extraction: decode + Graphics2D resize to a 2×2
+    // pixel grid; on a solid image every cell equals gray/255, so
+    // round(cell*255) recovers the exact source gray level.
+    "q_multimodal_features" -> { (s, dir) =>
+      val media = Multimodal.syntheticImages(
+        tables(s, dir).documents.filter(col("doc_id") <= 100), "doc_id")
+      Multimodal.imageFeatures(media, grid = 2).toDF()
+        .select(col("id"), size(col("features")).as("dim"),
+          round(element_at(col("features"), 1) * 255).cast("int").as("gray"))
+        .orderBy(col("id"))
     }
   )
 
@@ -427,6 +464,26 @@ object TextVectorQueries extends QueryPack {
         |  CAST(16 + octet_length(encode(text)) % 1920 AS INT) AS width,
         |  CAST(16 + (octet_length(encode(text)) * 7) % 1080 AS INT) AS height,
         |  CAST(1 + octet_length(encode(text)) % 32 AS INT) AS n_frames
+        |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin,
+    // real-codec round trips: the oracle recomputes the deterministic
+    // synthetic-media formulas (Multimodal.synthWidth/Height/Gray);
+    // the Spark side must pull the same numbers out of actual encoded
+    // PNG headers and pixels.
+    "q_multimodal_decode" ->
+      """SELECT doc_id AS id, CAST(8 + doc_id % 64 AS INT) AS width,
+        |  CAST(8 + (doc_id * 3) % 48 AS INT) AS height, CAST(1 AS INT) AS n_frames
+        |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin,
+    "q_multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, unnest(range(0, doc_id % 5 + 1, 2)) AS i
+        |  FROM documents WHERE doc_id <= 50)
+        |SELECT doc_id AS id, CAST(i AS INT) AS frame_idx,
+        |  CAST(16 AS INT) AS width, CAST(12 AS INT) AS height,
+        |  CAST((doc_id * 37 + i) % 256 AS INT) AS gray
+        |FROM f ORDER BY id, frame_idx""".stripMargin,
+    "q_multimodal_features" ->
+      """SELECT doc_id AS id, CAST(4 AS INT) AS dim,
+        |  CAST((doc_id * 37) % 256 AS INT) AS gray
         |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin
     // q_dedup_minhash / q_dedup_simhash: rows-only (xxhash64 cluster
     // values are engine-specific); semantics asserted in DedupSpec.

@@ -27,22 +27,101 @@ class MultimodalSpec extends SparkSpec {
     assert(a.forall(m => m.width >= 16 && m.height >= 16 && m.nFrames >= 1))
   }
 
-  test("sampleFrames: stride keeps every n-th frame with bounded slices") {
-    val all = Multimodal.sampleFrames(media, stride = 1).collect()
-    val sampled = Multimodal.sampleFrames(media, stride = 2).collect()
-    assert(sampled.forall(_.frameIdx % 2 == 0))
-    assert(sampled.length < all.length)
-    assert(all.forall(_.frameBytes.length <= 32))
+  // ---- real JDK codec path -----------------------------------------
+
+  test("PNG encode/decode round trip preserves dimensions and pixels") {
+    val img = Multimodal.solidImage(23, 17, 141)
+    val back = Multimodal.decodeImage(Multimodal.encodePng(img)).get
+    assert(back.getWidth == 23 && back.getHeight == 17)
+    assert((back.getRGB(5, 5) & 0xFFFFFF) == 0x8D8D8D) // 141 in all channels
+    assert(Multimodal.meanGray(back) == 141.0)
   }
 
-  test("featureStub: fixed-dim float features, deterministic") {
-    val out = Multimodal.featureStub(media, dim = 8)
-    assert(out.schema("features").dataType.asInstanceOf[ArrayType].elementType == FloatType)
-    val rows = out.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-    assert(rows(1L).length == 8)
-    assert(rows(1L).forall(f => f >= -1.0f && f <= 1.0f))
-    val again = Multimodal.featureStub(media, dim = 8).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
-    assert(rows == again)
+  test("decodeImage returns None on corrupt/unknown payloads, never throws") {
+    assert(Multimodal.decodeImage(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
+    // truncated PNG: valid magic, cut body
+    val png = Multimodal.encodePng(Multimodal.solidImage(8, 8, 10))
+    assert(Multimodal.decodeImage(png.take(12)).isEmpty)
+  }
+
+  test("decodeImageMeta reads true dimensions out of real PNG payloads") {
+    val imgs = Multimodal.syntheticImages(Seq(3L, 10L, 77L).toDF("doc_id"), "doc_id")
+    val metas = Multimodal.decodeImageMeta(imgs).collect().sortBy(_.id)
+    assert(metas.map(_.id).toSeq == Seq(3L, 10L, 77L))
+    metas.foreach { m =>
+      assert(m.width == Multimodal.synthWidth(m.id))
+      assert(m.height == Multimodal.synthHeight(m.id))
+      assert(m.nFrames == 1)
+      assert(m.nBytes > 0)
+    }
+  }
+
+  test("decodeImageMeta marks undecodable payloads as zero-dim audit rows") {
+    val bad = Seq((9L, "image", "garbage bytes".getBytes("UTF-8"))).toDF("id", "modality", "payload")
+    val m = Multimodal.decodeImageMeta(bad).collect().head
+    assert(m.id == 9L && m.width == 0 && m.height == 0 && m.nFrames == 0 && m.nBytes > 0)
+  }
+
+  test("pack/unpackFrames round trip; truncated tail frame dropped") {
+    val frames = Seq(Array[Byte](1, 2, 3), Array[Byte](), Array[Byte](9, 8, 7, 6))
+    val packed = Multimodal.packFrames(frames)
+    assert(Multimodal.unpackFrames(packed).map(_.toSeq) == frames.map(_.toSeq))
+    assert(Multimodal.unpackFrames(packed.dropRight(2)).map(_.toSeq) == frames.take(2).map(_.toSeq))
+    assert(Multimodal.unpackFrames(Array.emptyByteArray).isEmpty)
+  }
+
+  test("sampleFrames decodes every stride-th real frame with exact pixel stats") {
+    val vids = Multimodal.syntheticVideos(Seq(4L).toDF("doc_id"), "doc_id") // 1 + 4%5 = 5 frames
+    val all = Multimodal.sampleFrames(vids, stride = 1).collect().sortBy(_.frameIdx)
+    assert(all.map(_.frameIdx).toSeq == Seq(0, 1, 2, 3, 4))
+    all.foreach { f =>
+      assert(f.width == 16 && f.height == 12)
+      assert(f.meanGray == Multimodal.synthGray(4L, f.frameIdx).toDouble) // PNG is lossless
+      val thumb = Multimodal.decodeImage(f.thumbPng).get // thumbnail is itself a valid PNG
+      assert(math.max(thumb.getWidth, thumb.getHeight) <= 16)
+    }
+    val sampled = Multimodal.sampleFrames(vids, stride = 2).collect()
+    assert(sampled.map(_.frameIdx).sorted.toSeq == Seq(0, 2, 4))
+  }
+
+  test("sampleFrames thumbnails shrink oversized frames to thumbMax, aspect kept") {
+    val big = Seq((1L, "image", Multimodal.encodePng(Multimodal.solidImage(128, 64, 200))))
+      .toDF("id", "modality", "payload")
+    val f = Multimodal.sampleFrames(big, stride = 1, thumbMax = 32).collect().head
+    assert(f.width == 128 && f.height == 64) // reported dims are the ORIGINAL's
+    val thumb = Multimodal.decodeImage(f.thumbPng).get
+    assert(thumb.getWidth == 32 && thumb.getHeight == 16)
+    assert((thumb.getRGB(10, 10) & 0xFF) == 200) // resize of a solid stays solid
+  }
+
+  test("imageFeatures: real pixel-grid embedding (solid → uniform, gradient → ordered)") {
+    val solid = Seq((1L, "image", Multimodal.encodePng(Multimodal.solidImage(40, 30, 102))))
+      .toDF("id", "modality", "payload")
+    val fs = Multimodal.imageFeatures(solid, grid = 4).collect().head.features
+    assert(fs.length == 16)
+    assert(fs.forall(v => math.abs(v - 102f / 255f) < 1e-6f))
+
+    // left-dark / right-bright gradient: features must increase along each row
+    val img = new java.awt.image.BufferedImage(64, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 64; y <- 0 until 16) {
+      val c = x * 4; img.setRGB(x, y, (c << 16) | (c << 8) | c)
+    }
+    val grad = Seq((2L, "image", Multimodal.encodePng(img))).toDF("id", "modality", "payload")
+    val gf = Multimodal.imageFeatures(grad, grid = 4).collect().head.features
+    for (row <- 0 until 4; x <- 0 until 3)
+      assert(gf(row * 4 + x) < gf(row * 4 + x + 1), s"row $row not increasing: ${gf.toSeq}")
+  }
+
+  test("imageFeatures drops undecodable rows; video rows use the first frame") {
+    val mixed = Seq(
+      (1L, "image", "corrupt".getBytes("UTF-8")),
+      (2L, "video", Multimodal.packFrames(Seq(
+        Multimodal.encodePng(Multimodal.solidImage(10, 10, 60)),
+        Multimodal.encodePng(Multimodal.solidImage(10, 10, 200)))))
+    ).toDF("id", "modality", "payload")
+    val out = Multimodal.imageFeatures(mixed, grid = 2).collect()
+    assert(out.map(_.id).toSeq == Seq(2L))
+    assert(out.head.features.forall(v => math.abs(v - 60f / 255f) < 1e-6f))
   }
 }
