@@ -42,10 +42,11 @@ object Bench {
     // Warm the whole headline suite with one untimed pass (JMH-style
     // steady state): codegen compiler, parquet footer cache, shuffle
     // machinery, and the write-commit path all initialize once here,
-    // so the timed pass measures sustained throughput — the figure
-    // that scales — not per-session one-time setup. Ten queries at
-    // sf0.1 keep the extra pass well inside the bench time budget
-    // (the r1 timeout came from sweeping the full ~60-query suite).
+    // so the timed passes measure sustained throughput — the figure
+    // that scales — not per-session one-time setup. The 13-query
+    // headline suite at sf0.1 keeps the extra passes inside the bench
+    // time budget (the r1 timeout came from sweeping the full
+    // ~90-query suite).
     headline.filter(all.contains).foreach { name =>
       try all(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
@@ -53,13 +54,31 @@ object Bench {
     // A rename must not silently shrink the suite (and its total).
     headline.filterNot(all.contains).foreach(n =>
       System.err.println(s"[bench] WARNING: headline query '$n' missing from SparkEntry.queries"))
-    val results = headline.filter(all.contains).map { name =>
-      val fn = all(name)
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Median-of-N timing: single-shot numbers on this box have a ~3×
+    // run-to-run noise floor (r4-r6 recorded 31/19/40 s on byte-
+    // identical code), which makes round-over-round deltas — and the
+    // 2× baseline gate — meaningless. N timed passes per query,
+    // interleaved BY PASS (pass 1 of every query, then pass 2, …) so
+    // a transient machine stall degrades one pass of many queries
+    // instead of every pass of one query; report the per-query median
+    // (and min, the low-noise bound), total = sum of medians.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "5").toInt
+    val names = headline.filter(all.contains)
+    val samples = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
+    (1 to reps).foreach { _ =>
+      names.foreach { name =>
+        val t0 = System.nanoTime()
+        try all(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        samples(name) = samples(name) :+ (System.nanoTime() - t0) / 1e9
+      }
     }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
+    val results = names.map(n => n -> median(samples(n)))
+    val mins = names.map(n => n -> samples(n).min)
     // Streaming throughput: the same events feed as q_window_fixed,
     // driven through Structured Streaming (AvailableNow) into a noop
     // sink — measures the micro-batch engine end-to-end.
@@ -94,14 +113,17 @@ object Bench {
       } catch { case e: Throwable => System.err.println(s"[bench] q_stream_window failed: $e") }
       (System.nanoTime() - t0) / 1e9
     }
-    // total = the batch headline suite (comparable round over round);
-    // the streaming run is reported alongside, not in the total —
-    // its fixed micro-batch-engine startup would dominate at small sf.
+    // total = sum of per-query medians over the batch headline suite
+    // (comparable round over round); the streaming run is reported
+    // alongside, not in the total — its fixed micro-batch-engine
+    // startup would dominate at small sf, and it gets one pass (its
+    // checkpoint dir would otherwise need resetting per pass).
     val all2 = results :+ ("q_stream_window" -> streaming)
-    val qs = all2.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
-      .mkString("{", ",", "}")
+    def jmap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(all2)},""" +
+      f""""queries_min":${jmap(mins)},"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -313,13 +313,34 @@ object Dedup {
   /** Blocked exact n-gram Jaccard: pairwise similarity within a
     * blocking key (never across the whole corpus). Returns all pairs
     * in a block with their exact shingle-set Jaccard.
+    *
+    * Hot-block contract (same as [[minhashPairs]]/[[simhashPairs]]): a
+    * block of m docs yields m(m−1)/2 pairs — quadratic, and a
+    * degenerate block (boilerplate, empty texts, a skewed blocking
+    * key) is guaranteed at corpus scale. Blocks larger than `maxBlock`
+    * are dropped BEFORE the self-join (the size check is a linear
+    * window count in the same shuffle, not a join), bounding any
+    * block's output at maxBlock·(maxBlock−1)/2 and its join task at
+    * O(maxBlock²), with the excluded row count surfaced via
+    * observe(). Pairs inside oversized blocks are near-certain
+    * mutual duplicates — route them through [[exact]] /
+    * [[minhashClusters]], which stay linear.
     */
   def blockedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                          blockCol: String, shingleK: Int = 3): DataFrame = {
+                          blockCol: String, shingleK: Int = 3,
+                          maxBlock: Int = 1000): DataFrame = {
+    require(maxBlock > 0, s"maxBlock must be positive, got $maxBlock")
     val sh = shingleRows(df, idCol, textCol, shingleK)
       .groupBy(col("id")).agg(collect_set(col("h")).as("sh"))
       .join(df.select(col(idCol).as("id"), col(blockCol).as("block")), Seq("id"))
-    sh.as("a").join(sh.as("b"),
+      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("block"))))
+    val capped = sh.filter(col("__bn") <= maxBlock).drop("__bn")
+    // observe on ONE join side only (counts each block row once; the
+    // other side's subtree stays identical below the window exchange
+    // so exchange reuse still deduplicates the shingle computation).
+    observeCap(sh, "blocked_jaccard", col("__bn"), maxBlock)
+      .filter(col("__bn") <= maxBlock).drop("__bn").as("a")
+      .join(capped.as("b"),
         col("a.block") === col("b.block") && col("a.id") < col("b.id"))
       .select(col("a.block").as("block"), col("a.id").as("id_a"), col("b.id").as("id_b"),
         jaccard(col("a.sh"), col("b.sh")).as("jaccard"))

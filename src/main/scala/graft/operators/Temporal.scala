@@ -15,7 +15,19 @@ import org.apache.spark.sql.functions._
   * keys; at 100 TB that is the job that never finishes. Everything
   * here instead UNIONs the tagged sides and takes ONE keyed
   * last/first-ignoreNulls window pass: one shuffle by key, one linear
-  * sort pass, O(left + right) work, AQE-skew-splittable.
+  * sort pass, O(left + right) work.
+  *
+  * Skew bound, stated honestly: WindowExec partitions do NOT
+  * AQE-skew-split (only shuffle-join sides do), so one ultra-hot key
+  * = one straggler task. The work stays LINEAR in that key's row
+  * count (single sort + one running-last pass, spill-backed), which
+  * is the survivable kind of straggler — unlike the range join's
+  * quadratic blowup — but a key holding a double-digit share of a
+  * 100 TB input still serializes on one core. Mitigation for that
+  * corpus shape: pre-bucket time into coarse chunks and make
+  * (key, chunk) the window key, carrying each chunk's last right row
+  * into the next chunk as a seed row — same semantics, skew spread
+  * by the chunk fan-out.
   */
 object Temporal {
 

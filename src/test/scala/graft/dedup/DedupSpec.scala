@@ -156,6 +156,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L)))
   }
 
+  test("blockedJaccardPairs hot-block cap bounds a degenerate block") {
+    // 1000 docs in ONE block: uncapped this is ~500k pairs; the cap
+    // drops the block before the self-join, so candidates stay
+    // bounded while a small healthy block keeps pairing normally.
+    val degenerate = spark.range(1000).select(col("id").as("doc_id"),
+        lit("the same boilerplate text repeated across the whole corpus again").as("text"),
+        lit("hot").as("src"))
+      .union(spark.range(2).select((col("id") + 5000).as("doc_id"),
+        lit("a small twin document that appears exactly twice right here").as("text"),
+        lit("cold").as("src")))
+    val pairs = Dedup.blockedJaccardPairs(degenerate, "doc_id", "text", "src", maxBlock = 100)
+      .collect()
+    assert(pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet ==
+      Set((5000L, 5001L))) // hot block fully excluded, cold block intact
+    assert(pairs.head.getAs[Double]("jaccard") == 1.0)
+  }
+
   test("decontaminate flags exactly the docs sharing a k-shingle with the bench set") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),   // shares "beta gamma delta" with bench
