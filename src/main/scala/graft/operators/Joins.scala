@@ -127,43 +127,20 @@ object Joins {
     * Right-outer modes would need the prefilter on the other side;
     * call with the sides swapped.
     */
-  /** Key types a Bloom prefilter supports (what stat.bloomFilter can
-    * insert and a probe can reproduce exactly). NOT binary: Spark 4.1's
-    * bloom_filter_agg only takes long/string values — stat.bloomFilter
-    * on a binary column fails analysis (BLOOM_FILTER_WRONG_TYPE), so
-    * admitting it here would just defer a worse error.
-    */
-  private def requireBloomableKey(df: DataFrame, key: String, op: String): Unit = {
-    import org.apache.spark.sql.types._
-    df.schema(key).dataType match {
-      case ByteType | ShortType | IntegerType | LongType | StringType => ()
-      case other => throw new IllegalArgumentException(
-        s"$op key '$key' has unsupported type $other (integral/string only; " +
-          "hex-encode binary keys first)")
-    }
-  }
-
   /** Build a Bloom filter over `keysFrom(key)` and return the probe
-    * column for `probed(key)`. Probes with the same representation
-    * stat.bloomFilter inserted: longs for integral keys, UTF-8
-    * strings. The probe is a native codegen expression
-    * (graft.expressions.BloomProbe — null keys probe as "absent"),
-    * not a boxed UDF: it runs on the BIG side's every row, inside
-    * whole-stage codegen.
+    * column for `probed(key)`. Build, key-type gate, and probe
+    * representation all live in [[graft.hash.GraftBloom]] (the
+    * persistent-artifact API — these per-join filters are the
+    * build-inline special case); the probe is the native codegen
+    * BloomProbe kernel, not a boxed UDF: it runs on the BIG side's
+    * every row, inside whole-stage codegen.
     */
   private def bloomPrefilter(keysFrom: DataFrame, probed: DataFrame, key: String,
                              expectedKeys: Long, fpp: Double, op: String): Column = {
-    import org.apache.spark.sql.types._
-    import org.apache.spark.sql.graft.ColumnBridge
-    requireBloomableKey(keysFrom, key, op)
-    requireBloomableKey(probed, key, op) // sole probed-side type gate
+    graft.hash.GraftBloom.requireBloomableKey(keysFrom, key, op)
+    graft.hash.GraftBloom.requireBloomableKey(probed, key, op) // sole probed-side type gate
     val bf = keysFrom.stat.bloomFilter(key, expectedKeys, fpp)
-    val probeKey = probed.schema(key).dataType match {
-      case StringType => col(key)
-      case _ => col(key).cast("long") // integrals (requireBloomableKey passed)
-    }
-    ColumnBridge.column(
-      graft.expressions.BloomProbe(ColumnBridge.expression(probeKey), bf))
+    graft.hash.GraftBloom.probe(probed, key, bf)
   }
 
   def sparseJoin(left: DataFrame, right: DataFrame, key: String,

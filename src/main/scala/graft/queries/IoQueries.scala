@@ -150,6 +150,25 @@ object IoQueries extends QueryPack {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("qty"))
         .orderBy(col("o_orderpriority"))
+    },
+
+    // persistent Bloom artifact (scio ApproxFilter): build the filter
+    // over orders' customer keys ONCE, persist it, read it back, and
+    // prefilter customers with the LOADED artifact before an exact
+    // semi join — Bloom-rejected rows are provably orderless and skip
+    // the shuffle; the exact join cancels false positives, so the
+    // result is oracle-exact while the save/load roundtrip is on the
+    // critical path of the answer.
+    "q_bloom_persist" -> { (s, dir) =>
+      val t = tables(s, dir)
+      val path = tmp(dir, "bloom_artifact") + "/orders_custkeys.bloom"
+      val bf = graft.hash.GraftBloom.build(
+        t.orders.select(col("o_custkey")), "o_custkey", expectedKeys = 500000L, fpp = 0.01)
+      graft.hash.GraftBloom.write(s, bf, path)
+      val loaded = graft.hash.GraftBloom.read(s, path)
+      graft.hash.GraftBloom.filterByBloom(t.customer, "c_custkey", loaded)
+        .join(t.orders.select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_semi")
+        .agg(count(lit(1)).as("n_customers"), r2(sum(col("c_acctbal"))).as("sum_bal"))
     }
   )
 
@@ -174,6 +193,9 @@ object IoQueries extends QueryPack {
     "q_smb_join" ->
       """SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity), 2) AS qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_bloom_persist" ->
+      """SELECT count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)""".stripMargin
   )
 }

@@ -291,6 +291,18 @@ package object syntax {
     def hashFilter(right: DataFrame, key: String): DataFrame =
       operators.Joins.hashFilter(df, right, key)
 
+    /** Prefilter by a (possibly persisted) Bloom artifact — see
+      * [[graft.hash.GraftBloom]] for build/write/read. No false
+      * negatives; compose with an exact join downstream where
+      * exactness is required.
+      */
+    def filterByBloom(key: String, bf: org.apache.spark.util.sketch.BloomFilter): DataFrame =
+      _root_.graft.hash.GraftBloom.filterByBloom(df, key, bf)
+
+    /** Exact complement: kept rows are GUARANTEED non-members. */
+    def filterNotByBloom(key: String, bf: org.apache.spark.util.sketch.BloomFilter): DataFrame =
+      _root_.graft.hash.GraftBloom.filterNotByBloom(df, key, bf)
+
     def intersectByKey(right: DataFrame, key: String): DataFrame =
       operators.Joins.semiJoin(df, right, key)
 
