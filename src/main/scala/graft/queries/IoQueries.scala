@@ -152,6 +152,26 @@ object IoQueries extends QueryPack {
         .orderBy(col("o_orderpriority"))
     },
 
+    // dynamic per-record destinations (scio saveAsDynamicTextFile):
+    // write nation names into one directory PER REGION KEY taken from
+    // each row, then read the whole tree back, recovering the
+    // destination from the file path — the oracle over the original
+    // parquet checks the full scatter/gather roundtrip.
+    "q_io_dynamic" -> { (s, dir) =>
+      val path = tmp(dir, "nation_dynamic")
+      graft.sources.Dynamic.saveAsDynamicText(
+        tables(s, dir).nation.select(
+          concat(lit("region="), col("n_regionkey")).as("dest"), col("n_name")),
+        path, "dest", "n_name")
+      s.read.option("recursiveFileLookup", "true").text(path)
+        .select(regexp_extract(input_file_name(), "region=(\\d+)/", 1)
+          .cast("int").as("n_regionkey"), col("value").as("n_name"))
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"),
+          max(col("n_name")).as("last_name"))
+        .orderBy(col("n_regionkey"))
+    },
+
     // persistent Bloom artifact (scio ApproxFilter): build the filter
     // over orders' customer keys ONCE, persist it, read it back, and
     // prefilter customers with the LOADED artifact before an exact
@@ -196,6 +216,10 @@ object IoQueries extends QueryPack {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_bloom_persist" ->
       """SELECT count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_bal
-        |FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)""".stripMargin
+        |FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "q_io_dynamic" ->
+      """SELECT CAST(n_regionkey AS INT) AS n_regionkey, count(*) AS n,
+        |  min(n_name) AS first_name, max(n_name) AS last_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
   )
 }
