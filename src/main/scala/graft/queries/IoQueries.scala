@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.sources.{Smb, Sources, TfRecord}
+import graft.sources.{Smb, Sources, TfExample, TfRecord}
 import QueryDsl._
 
 /** IO formats + sort-merge-bucket coverage (SURVEY §2 "IO" and
@@ -106,6 +106,27 @@ object IoQueries extends QueryPack {
         .select(decode(col("value"), "UTF-8").as("name"))
         .agg(count(lit(1)).as("n_records"), min(col("name")).as("first_name"),
           max(col("name")).as("last_name"))
+    },
+
+    // typed TFRecord (scio-tensorflow saveAsTfRecordFile): rows →
+    // tf.train.Example protos (hand-rolled public wire format) →
+    // TFRecord framing → decoded back through a schema. The oracle
+    // over the original parquet checks the full proto+framing
+    // roundtrip value-exactly.
+    "q_io_tfexample" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val path = tmp(dir, "nation_tfexample")
+      TfExample.write(
+        tables(s, dir).nation.select(
+          col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+          col("n_regionkey").cast("long").as("n_regionkey")), path)
+      TfExample.read(s, path, StructType(Seq(
+          StructField("n_nationkey", LongType), StructField("n_name", StringType),
+          StructField("n_regionkey", LongType))))
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"),
+          max(col("n_nationkey")).as("max_key"))
+        .orderBy(col("n_regionkey"))
     },
 
     // dynamic-path read (scio readFilesAsString): write one text dir,
@@ -220,6 +241,10 @@ object IoQueries extends QueryPack {
     "q_io_dynamic" ->
       """SELECT CAST(n_regionkey AS INT) AS n_regionkey, count(*) AS n,
         |  min(n_name) AS first_name, max(n_name) AS last_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q_io_tfexample" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n,
+        |  min(n_name) AS first_name, CAST(max(n_nationkey) AS BIGINT) AS max_key
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
   )
 }
