@@ -162,6 +162,16 @@ object StatsWindowQueries extends QueryPack {
         .orderBy(col("l_returnflag"))
     },
 
+    // CMS-guided EXACT heavy hitters (scio Algebird-CMS shapes): the
+    // sketch prefilter only prunes — CMS never undercounts, so the
+    // exact aggregation over surviving rows makes the answer
+    // oracle-exact despite the approximate sketch in the plan.
+    "q_cms_heavy" -> { (s, dir) =>
+      val ev = tables(s, dir).events.select(col("user_id"))
+      graft.hash.GraftCms.heavyHitters(ev, "user_id", minCount = 60L)
+        .orderBy(col("user_id"))
+    },
+
     // scio-extra sorter: secondary sort — per key, values ordered by a
     // secondary field without a global sort.
     "q_secondary_sort" -> { (s, dir) =>
@@ -178,6 +188,9 @@ object StatsWindowQueries extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_cms_heavy" ->
+      """SELECT user_id, count(*) AS n FROM events
+        |GROUP BY user_id HAVING count(*) >= 60 ORDER BY user_id""".stripMargin,
     "q_stats" ->
       """SELECT count(*) AS n, round(avg(value), 6) AS mean,
         |  round(stddev_samp(value), 6) AS stdev,
