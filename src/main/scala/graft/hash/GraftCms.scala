@@ -71,14 +71,24 @@ object GraftCms {
     * `stat.countMinSketch` inserted.
     */
   def estimate(df: DataFrame, key: String, cms: CountMinSketch): Column = {
-    import org.apache.spark.sql.graft.ColumnBridge
     requireCmsKey(df, key, "GraftCms.estimate")
     val probeKey = df.schema(key).dataType match {
       case StringType | BinaryType => col(key)
       case _ => col(key).cast("long")
     }
+    estimate(probeKey, cms)
+  }
+
+  /** Expression form for composed keys (e.g. `xxhash64(k1, k2)`): the
+    * caller guarantees the column's type/representation matches what
+    * the sketch was built over (long/string/binary; cast integrals to
+    * long). Type errors still fail at analysis via the kernel's
+    * input check.
+    */
+  def estimate(key: Column, cms: CountMinSketch): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
     ColumnBridge.column(
-      graft.expressions.CmsEstimate(ColumnBridge.expression(probeKey), cms))
+      graft.expressions.CmsEstimate(ColumnBridge.expression(key), cms))
   }
 
   /** EXACT heavy hitters — every key appearing at least `minCount`

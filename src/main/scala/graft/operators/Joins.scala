@@ -114,6 +114,35 @@ object Joins {
       .unionByName(leftCold.join(rightCold, keys, how))
   }
 
+  /** scio's literal CMS skewedJoin (PairSkewedSCollectionFunctions
+    * .skewedJoin builds an Algebird CMS over the left keys): hot-key
+    * detection via a Count-Min sketch over the FULL left side, then
+    * the hot/cold split is a pure MAP-SIDE codegen filter — no
+    * hot-key frame, no broadcast semi/anti joins at all (the four
+    * broadcast probes [[skewedJoinSampled]] needs). Both sides
+    * classify each key through the same sketch on the same key hash,
+    * so the split is consistent; CMS only OVERcounts, so a truly hot
+    * key can never be missed — a cold key promoted by collision just
+    * takes the (correct) fanout path. Detection costs one extra
+    * aggregation pass over the left keys; the sketch rides to
+    * executors inside the task binary.
+    */
+  def skewedJoinCms(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    fanout: Int, how: String = "inner",
+                    hotKeyThreshold: Long = 9000L,
+                    eps: Double = 1e-5, confidence: Double = 0.99): DataFrame = {
+    require(hotKeyThreshold > 0, s"hotKeyThreshold must be positive, got $hotKeyThreshold")
+    requireLeftPreserving(how, "skewedJoinCms") // before the eager build job
+    // composed keys → one 64-bit hash (collisions only promote a cold
+    // key to the hot path, which stays correct)
+    val kh = xxhash64(keys.map(col): _*)
+    val cms = graft.hash.GraftCms.build(
+      left.select(kh.as("__graft_kh")), "__graft_kh", eps, confidence)
+    val isHot = graft.hash.GraftCms.estimate(kh, cms) >= hotKeyThreshold
+    skewedJoin(left.filter(isHot), right.filter(isHot), keys, fanout, how)
+      .unionByName(left.filter(!isHot).join(right.filter(!isHot), keys, how))
+  }
+
   /** scio sparseJoin/sparseLookup: when the keyed (right) side is far
     * smaller than the big (left) side but too big to broadcast
     * exactly, prefilter the big side with a Bloom filter over the

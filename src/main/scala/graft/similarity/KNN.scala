@@ -124,6 +124,39 @@ object KNN {
     } finally { train.unpersist(); () }
   }
 
+  /** Persist a trained quantizer (the index-as-artifact contract,
+    * like scio's saved Annoy/Voyager index and graft's GraftBloom/
+    * GraftCms): train once over today's corpus, save, and every
+    * downstream job loads centroids instead of re-running Lloyd's.
+    * Format: magic, k, dim, row-major doubles.
+    */
+  def saveCentroids(spark: org.apache.spark.sql.SparkSession,
+                    centroids: Seq[Seq[Double]], path: String): Unit = {
+    require(centroids.nonEmpty && centroids.forall(_.size == centroids.head.size),
+      "centroids must be non-empty and rectangular")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(fs.create(p, true)))
+    try {
+      out.writeInt(0x47495646) // "GIVF"
+      out.writeInt(centroids.size)
+      out.writeInt(centroids.head.size)
+      centroids.foreach(_.foreach(out.writeDouble))
+    } finally out.close()
+  }
+
+  /** Load a quantizer written by [[saveCentroids]]. */
+  def loadCentroids(spark: org.apache.spark.sql.SparkSession, path: String): Seq[Seq[Double]] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(fs.open(p)))
+    try {
+      require(in.readInt() == 0x47495646, s"$path is not a graft IVF centroid file")
+      val (k, dim) = (in.readInt(), in.readInt())
+      Seq.fill(k)(Seq.fill(dim)(in.readDouble()))
+    } finally in.close()
+  }
+
   /** IVF-flat search with a TRAINED quantizer (vs [[ivfTopK]]'s
     * data-independent hyperplane cells): corpus rows are assigned to
     * their nearest centroid (pure projection), each probe searches its

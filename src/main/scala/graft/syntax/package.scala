@@ -277,6 +277,14 @@ package object syntax {
     def skewedJoin(right: DataFrame, keys: Seq[String], fanout: Int, how: String = "inner"): DataFrame =
       operators.Joins.skewedJoin(df, right, keys, fanout, how)
 
+    /** scio's CMS-based skewedJoin: sketch-detected hot keys fan out,
+      * cold keys take the plain join; the split is a map-side codegen
+      * filter (see [[graft.operators.Joins.skewedJoinCms]]).
+      */
+    def skewedJoinCms(right: DataFrame, keys: Seq[String], fanout: Int,
+                      how: String = "inner", hotKeyThreshold: Long = 9000L): DataFrame =
+      operators.Joins.skewedJoinCms(df, right, keys, fanout, how, hotKeyThreshold)
+
     def sparseJoin(right: DataFrame, key: String, expectedRightKeys: Long = 1000000L): DataFrame =
       operators.Joins.sparseJoin(df, right, key, expectedRightKeys)
 

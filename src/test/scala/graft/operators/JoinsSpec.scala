@@ -134,6 +134,37 @@ class JoinsSpec extends SparkSpec {
     assert(sampled.collect().map(_.getString(0)).toSeq == Seq("hot"))
   }
 
+  test("skewedJoinCms equals plain join; split is map-side with no broadcast probes") {
+    val hot = spark.range(20000).selectExpr("'hot' AS k", "id AS lv")
+    val cold = spark.range(2000).selectExpr("concat('c', id % 200) AS k", "id AS lv")
+    val skewedLeft = hot.union(cold)
+    val dims = spark.range(201).selectExpr(
+      "CASE WHEN id = 200 THEN 'hot' ELSE concat('c', id) END AS k", "id AS rv")
+    val plainInner = sortedRows(skewedLeft.join(dims, Seq("k"), "inner"))
+    val plainLeft = sortedRows(skewedLeft.join(dims, Seq("k"), "left"))
+    // mid threshold: 'hot' (20k rows) over, c* keys (10 rows) under
+    assert(sortedRows(Joins.skewedJoinCms(skewedLeft, dims, Seq("k"), fanout = 8,
+      hotKeyThreshold = 1000L)) == plainInner)
+    assert(sortedRows(Joins.skewedJoinCms(skewedLeft, dims, Seq("k"), fanout = 8,
+      how = "left", hotKeyThreshold = 1000L)) == plainLeft)
+    // extreme thresholds: everything-cold / everything-hot paths
+    assert(sortedRows(Joins.skewedJoinCms(skewedLeft, dims, Seq("k"), fanout = 4,
+      hotKeyThreshold = Long.MaxValue / 2)) == plainInner)
+    assert(sortedRows(Joins.skewedJoinCms(skewedLeft, dims, Seq("k"), fanout = 4,
+      hotKeyThreshold = 1L)) == plainInner)
+    // null keys stay exact (never match, survive left outer)
+    assert(sortedRows(Joins.skewedJoinCms(left, right, Seq("k"), fanout = 4,
+      how = "left", hotKeyThreshold = 2L)) ==
+      sortedRows(left.join(right, Seq("k"), "left")))
+    // mechanism: the classification is a codegen CMS filter, not a
+    // broadcast semi/anti probe against a hot-key frame
+    val plan = Joins.skewedJoinCms(skewedLeft, dims, Seq("k"), fanout = 4,
+      hotKeyThreshold = 1000L).queryExecution.executedPlan.toString
+    assert(plan.contains("graft_cms_estimate"))
+    intercept[IllegalArgumentException](
+      Joins.skewedJoinCms(left, right, Seq("k"), fanout = 4, how = "right"))
+  }
+
   test("skewedJoin rejects right/full outer (would duplicate per salt)") {
     intercept[IllegalArgumentException](
       Joins.skewedJoin(left, right, Seq("k"), fanout = 4, how = "full_outer"))

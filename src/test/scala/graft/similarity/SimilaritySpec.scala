@@ -121,6 +121,28 @@ class SimilaritySpec extends SparkSpec {
     assert(purity == 1L, s"a true cluster split across cells: $purity")
   }
 
+  test("centroid save/load roundtrip: search through a persisted quantizer") {
+    val dim = 8
+    val rnd = new scala.util.Random(7)
+    val rows = for { c <- 0 until 3; i <- 0 until 40 } yield
+      ((c * 40 + i).toLong, Array.fill(dim)((c * 5 + rnd.nextGaussian() * 0.1).toFloat).toSeq)
+    val corpus = rows.toDF("vec_id", "embedding")
+    val cents = KNN.trainIvfCentroids(corpus, "vec_id", "embedding", k = 3, dim = dim, iters = 4)
+    val d = java.nio.file.Files.createTempDirectory("graft_ivf").toFile
+    d.deleteOnExit()
+    val path = s"${d.getAbsolutePath}/quantizer.givf"
+    KNN.saveCentroids(spark, cents, path)
+    val loaded = KNN.loadCentroids(spark, path)
+    assert(loaded == cents) // bit-exact doubles through the roundtrip
+    // the loaded quantizer drives the same search results
+    val probes = corpus.filter(col("vec_id") % 40 === 0)
+    val a = KNN.ivfKMeansTopK(corpus, probes, "vec_id", "embedding", k = 3,
+      centroids = cents, nprobe = 1).collect().map(_.toSeq).toSet
+    val b = KNN.ivfKMeansTopK(corpus, probes, "vec_id", "embedding", k = 3,
+      centroids = loaded, nprobe = 1).collect().map(_.toSeq).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("ivfKMeansTopK: exact candidate scores and high recall on clustered data") {
     val dim = 16
     val rnd = new scala.util.Random(7)
