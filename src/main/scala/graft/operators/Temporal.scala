@@ -23,11 +23,10 @@ import org.apache.spark.sql.functions._
   * count (single sort + one running-last pass, spill-backed), which
   * is the survivable kind of straggler — unlike the range join's
   * quadratic blowup — but a key holding a double-digit share of a
-  * 100 TB input still serializes on one core. Mitigation for that
-  * corpus shape: pre-bucket time into coarse chunks and make
-  * (key, chunk) the window key, carrying each chunk's last right row
-  * into the next chunk as a seed row — same semantics, skew spread
-  * by the chunk fan-out.
+  * 100 TB input still serializes on one core. For that corpus shape
+  * use [[asofJoinChunked]]: (key, time-chunk) window keys with
+  * per-chunk seed carry-forward — same semantics (TemporalSpec pins
+  * the equivalence), skew spread by the chunk fan-out.
   */
 object Temporal {
 
@@ -102,6 +101,109 @@ object Temporal {
     // back to the left's shape: original columns in order (the left
     // payload still carries leftTs), then the enrichment columns
     enriched.filter(col(side) === leftTag)
+      .select(left.columns.map(col) ++: valueCols.map(col) ++:
+        matchedTsCol.map(col).toSeq: _*)
+  }
+
+  /** Hot-key as-of join (backward): identical semantics to
+    * [[asofJoin]] with `direction = "backward"`, but the window key is
+    * (key, time-chunk) instead of key — an ultra-hot key's rows spread
+    * over (time-range / chunkSize) tasks instead of serializing on
+    * one core (the straggler bound documented on [[asofJoin]]).
+    *
+    * Mechanics: each chunk needs the latest right row from EARLIER
+    * chunks as a seed (a left row early in a chunk may match a right
+    * row from a previous one). Seeds are computed at CHUNK
+    * granularity — per (key, chunk) the right side reduces to its
+    * last row (one window pass, linear), and seed assignment is a
+    * recursive [[asofJoin]] over the tiny chunk-level table (rows =
+    * distinct (key, chunk), independent of row skew). Seed rows sort
+    * before every real row in their chunk (chunk-start sort ts, side
+    * tag −1), so any in-chunk right row at or before the left row
+    * still wins.
+    *
+    * `chunkSize` is in the timestamp column's units after a long cast
+    * (seconds for timestamp columns). Pick it so a hot key's densest
+    * chunk fits one task comfortably: smaller chunks = more spread,
+    * more seed rows. Right-side (key, ts) ties resolve as in
+    * [[asofJoin]].
+    */
+  def asofJoinChunked(left: DataFrame, right: DataFrame, key: String,
+                      leftTs: String, rightTs: String, valueCols: Seq[String],
+                      chunkSize: Long,
+                      toleranceSec: Option[Long] = None,
+                      matchedTsCol: Option[String] = None): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
+    require(valueCols.nonEmpty, "asofJoinChunked needs at least one right value column")
+    val collisions = (valueCols ++ matchedTsCol).filter(left.columns.contains)
+    require(collisions.isEmpty,
+      s"output columns [${collisions.mkString(", ")}] already exist on the left side")
+
+    val ts = "__asof_ts"; val side = "__asof_side"; val mts = "__asof_mts"
+    val chunk = "__asof_chunk"
+    val tsType = right.schema(rightTs).dataType
+    def chunkOf(c: Column): Column = floor(c.cast("long") / chunkSize)
+
+    // last right row per (key, chunk) — linear window pass. The
+    // original right ts rides along as __seed_ts (a distinct name:
+    // it becomes a VALUE column of the chunk-level as-of below, whose
+    // own sort column is the chunk index).
+    val seedTs = "__seed_ts"
+    val rw = Window.partitionBy(col(key), col(chunk))
+      .orderBy(col(seedTs).desc)
+    val rightChunkLast = right
+      .select(col(key) +: col(rightTs).as(seedTs) +: valueCols.map(col): _*)
+      .withColumn(chunk, chunkOf(col(seedTs)))
+      .withColumn("__rn", row_number().over(rw))
+      .filter(col("__rn") === 1).drop("__rn")
+
+    // seed per left-present (key, chunk): latest chunk-last from any
+    // STRICTLY earlier chunk — a chunk-level as-of join (right rows
+    // become available from chunk+1)
+    val leftChunks = left
+      .select(col(key), chunkOf(col(leftTs)).as(chunk)).distinct()
+    val seeds = asofJoin(
+      leftChunks.withColumn("__cts", col(chunk)),
+      rightChunkLast.withColumn("__cts", col(chunk) + 1).drop(chunk),
+      key, "__cts", "__cts", valueCols :+ seedTs,
+      matchedTsCol = None)
+      .filter(col(seedTs).isNotNull) // chunks with no earlier right data get no seed
+      .drop("__cts")
+
+    val leftPayload = left.columns.filterNot(_ == key).toSeq
+    def nulls(cols: Seq[String], schema: org.apache.spark.sql.types.StructType) =
+      cols.map(c => lit(null).cast(schema(c).dataType).as(c))
+
+    // three tagged sides: seed (−1) < right (0) < left (1)
+    val seedSide = seeds.select(
+      col(key) +: (col(chunk) * chunkSize).cast(tsType).as(ts) +: lit(-1).as(side) +:
+        col(chunk) +: col(seedTs).cast(tsType).as(mts) +: valueCols.map(col) ++:
+        nulls(leftPayload, left.schema): _*)
+    val rightSide = right.select(
+      col(key) +: col(rightTs).as(ts) +: lit(0).as(side) +:
+        chunkOf(col(rightTs)).as(chunk) +: col(rightTs).as(mts) +: valueCols.map(col) ++:
+        nulls(leftPayload, left.schema): _*)
+    val leftSide = left.select(
+      col(key) +: col(leftTs).as(ts) +: lit(1).as(side) +:
+        chunkOf(col(leftTs)).as(chunk) +: lit(null).cast(tsType).as(mts) +:
+        nulls(valueCols, right.schema) ++: leftPayload.map(col): _*)
+
+    val ordered = Window.partitionBy(col(key), col(chunk)).orderBy(col(ts), col(side))
+    val frame = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def pick(c: Column): Column = last(c, ignoreNulls = true).over(frame)
+    val matchedTs = pick(col(mts))
+    val withinTol = toleranceSec match {
+      case None => matchedTs.isNotNull
+      case Some(tol) => matchedTs.isNotNull &&
+        (col(ts).cast("long") - matchedTs.cast("long")) <= tol
+    }
+    seedSide.unionByName(rightSide).unionByName(leftSide)
+      .select(
+        col(key) +: col(ts) +: col(side) +:
+          valueCols.map(c => when(withinTol, pick(col(c))).as(c)) ++:
+          matchedTsCol.map(c => when(withinTol, matchedTs).as(c)).toSeq ++:
+          leftPayload.map(col): _*)
+      .filter(col(side) === 1)
       .select(left.columns.map(col) ++: valueCols.map(col) ++:
         matchedTsCol.map(col).toSeq: _*)
   }

@@ -75,6 +75,47 @@ class TemporalSpec extends SparkSpec {
     assert(fast == brute)
   }
 
+  test("asofJoinChunked equals asofJoin for every chunk size (seeds cross chunks)") {
+    // randomized trades/quotes with cross-chunk gaps: some chunks have
+    // left rows but no right rows, so seeds must carry state forward
+    val rnd = new scala.util.Random(11)
+    val l = (1 to 300).map { i =>
+      (rnd.nextInt(4).toLong, 1000L + rnd.nextInt(5000), i) }.toDF("k", "lts", "payload")
+    // unique (k, rts): right-side ties resolve in unspecified order
+    // (the documented contract), so the equivalence fixture dedupes
+    val r = (1 to 120).map { i =>
+      (rnd.nextInt(5).toLong, 1000L + rnd.nextInt(5000), i * 1.5) }.toDF("k", "rts", "v")
+      .dropDuplicates("k", "rts")
+    val base = Temporal.asofJoin(l, r, "k", "lts", "rts", Seq("v"),
+        toleranceSec = Some(900L), matchedTsCol = Some("m"))
+      .collect().map(_.toSeq).toSet
+    for (chunkSize <- Seq(1L, 7L, 250L, 100000L)) {
+      val chunked = Temporal.asofJoinChunked(l, r, "k", "lts", "rts", Seq("v"),
+          chunkSize = chunkSize, toleranceSec = Some(900L), matchedTsCol = Some("m"))
+        .collect().map(_.toSeq).toSet
+      assert(chunked == base, s"chunkSize=$chunkSize diverges from asofJoin")
+    }
+    // and on the timestamp-typed fixture (chunk units = seconds)
+    val baseTs = Temporal.asofJoin(trades, quotes, "user", "t_ts", "q_ts", Seq("price"))
+      .collect().map(_.toSeq).toSet
+    val chunkedTs = Temporal.asofJoinChunked(trades, quotes, "user", "t_ts", "q_ts",
+      Seq("price"), chunkSize = 60L).collect().map(_.toSeq).toSet
+    assert(chunkedTs == baseTs)
+  }
+
+  test("asofJoinChunked spreads a hot key over (key, chunk) window partitions") {
+    // one ultra-hot key spanning 8 chunks: the window partition count
+    // for that key must be the chunk count, not 1
+    val hotL = (0 until 800).map(i => (1L, i.toLong, i)).toDF("k", "lts", "p")
+    val hotR = (0 until 80).map(i => (1L, i.toLong * 10, i * 2.0)).toDF("k", "rts", "v")
+    val out = Temporal.asofJoinChunked(hotL, hotR, "k", "lts", "rts", Seq("v"), chunkSize = 100L)
+    val base = Temporal.asofJoin(hotL, hotR, "k", "lts", "rts", Seq("v"))
+    assert(out.collect().map(_.toSeq).toSet == base.collect().map(_.toSeq).toSet)
+    // mechanism: the main window pass partitions by (k, __asof_chunk)
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.contains("__asof_chunk"), s"chunked window key missing:\n$plan")
+  }
+
   test("intervalJoin pairs points with containing intervals only, bucket-bounded") {
     val points = Seq((1L, ts("2024-01-01 10:30:00"), "p1"),
       (1L, ts("2024-01-01 13:30:00"), "p2"),
