@@ -299,6 +299,104 @@ object Multimodal {
   }
 
   // ------------------------------------------------------------------
+  // Audio: REAL JDK WAV codec (javax.sound.sampled — PCM WAVE
+  // encode/decode ships with the JDK, headless-safe). Real pipelines
+  // swap the per-batch decode body for FFmpeg exactly like video.
+  // ------------------------------------------------------------------
+
+  /** Decoded-audio metadata + signal stats. `sampleRate = 0` marks an
+    * undecodable payload (audit row, mirrors [[MediaMeta]]).
+    */
+  final case class AudioMeta(id: Long, nBytes: Long, sampleRate: Int, channels: Int,
+                             nSamples: Long, peak: Int, rms: Double)
+
+  /** Encode 16-bit signed PCM mono samples as a WAV container. */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    import javax.sound.sampled.{AudioFormat, AudioFileFormat, AudioInputStream, AudioSystem}
+    val bytes = new Array[Byte](samples.length * 2)
+    val bb = ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(bb.putShort)
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false) // signed, LE
+    val in = new AudioInputStream(new ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** Real WAV decode: container + PCM samples (mono or first-channel
+    * of interleaved multi-channel); None on corrupt/unknown payloads.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[(Int, Int, Array[Short])] =
+    try {
+      import javax.sound.sampled.AudioSystem
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val raw = in.readAllBytes()
+          val bb = ByteBuffer.wrap(raw).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val ch = fmt.getChannels
+          val n = raw.length / 2 / ch
+          val samples = new Array[Short](n)
+          var i = 0
+          while (i < n) { samples(i) = bb.getShort(i * 2 * ch); i += 1 } // first channel
+          Some((fmt.getSampleRate.toInt, ch, samples))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  // deterministic synthetic-audio formulas (shared with specs/oracles)
+  def synthSampleCount(id: Long): Int = 800 + math.floorMod(id, 5L).toInt * 160
+  def synthAmplitude(id: Long): Int = math.floorMod(id * 37, 16384L).toInt
+
+  /** Synthetic WAV table: one REAL WAV payload per id — constant-
+    * amplitude PCM (every sample = synthAmplitude), so peak and RMS
+    * decode back to exactly that value.
+    */
+  def syntheticAudio(df: DataFrame, idCol: String, sampleRate: Int = 8000): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    df.select(col(idCol).cast("long").as("id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        MediaRow(id, "audio",
+          encodeWavPcm16(Array.fill(synthSampleCount(id))(synthAmplitude(id).toShort), sampleRate))
+      }
+    }
+  }
+
+  /** REAL batched audio decode: WAV container + PCM stats (peak,
+    * RMS) per row; undecodable rows become zero-rate audit rows.
+    */
+  def decodeAudioMeta(media: Dataset[_], batchSize: Int = 64): Dataset[AudioMeta] = {
+    implicit val enc = Encoders.product[AudioMeta]
+    media.toDF().select(col("id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val id = r.getLong(0)
+            val bytes = r.getAs[Array[Byte]](1)
+            decodeWav(bytes) match {
+              case Some((rate, ch, samples)) =>
+                var peak = 0
+                var sumSq = 0.0
+                samples.foreach { s =>
+                  val a = math.abs(s.toInt)
+                  if (a > peak) peak = a
+                  sumSq += s.toDouble * s.toDouble
+                }
+                AudioMeta(id, bytes.length.toLong, rate, ch, samples.length.toLong,
+                  peak, math.sqrt(sumSq / math.max(samples.length, 1)))
+              case None => AudioMeta(id, bytes.length.toLong, 0, 0, 0L, 0, 0.0)
+            }
+          }
+        }
+      }
+  }
+
+  // ------------------------------------------------------------------
   // Text-payload plumbing (kept: the binary-column schema contract and
   // a length-derived metadata path an external oracle can recompute
   // without a codec).

@@ -239,6 +239,21 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("id"), col("frame_idx"))
     },
 
+    // REAL audio decode: generate a real WAV per doc (constant-
+    // amplitude PCM, params deterministic in doc_id), decode it with
+    // the JDK codec and read rate/length/peak/RMS back out of actual
+    // samples — for a constant signal RMS equals the amplitude
+    // exactly, so the oracle recomputes everything from doc_id.
+    "q_multimodal_audio" -> { (s, dir) =>
+      val audio = Multimodal.syntheticAudio(
+        tables(s, dir).documents.filter(col("doc_id") <= 100), "doc_id")
+      Multimodal.decodeAudioMeta(audio).toDF()
+        .select(col("id"), col("sampleRate").as("sample_rate"), col("channels"),
+          col("nSamples").as("n_samples"), col("peak"),
+          round(col("rms")).cast("int").as("rms_i"))
+        .orderBy(col("id"))
+    },
+
     // REAL feature extraction: decode + Graphics2D resize to a 2×2
     // pixel grid; on a solid image every cell equals gray/255, so
     // round(cell*255) recovers the exact source gray level.
@@ -484,6 +499,12 @@ object TextVectorQueries extends QueryPack {
     "q_multimodal_features" ->
       """SELECT doc_id AS id, CAST(4 AS INT) AS dim,
         |  CAST((doc_id * 37) % 256 AS INT) AS gray
+        |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin,
+    "q_multimodal_audio" ->
+      """SELECT doc_id AS id, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST(800 + (doc_id % 5) * 160 AS BIGINT) AS n_samples,
+        |  CAST((doc_id * 37) % 16384 AS INT) AS peak,
+        |  CAST((doc_id * 37) % 16384 AS INT) AS rms_i
         |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin
     // q_dedup_minhash / q_dedup_simhash: rows-only (xxhash64 cluster
     // values are engine-specific); semantics asserted in DedupSpec.

@@ -113,6 +113,31 @@ class MultimodalSpec extends SparkSpec {
       assert(gf(row * 4 + x) < gf(row * 4 + x + 1), s"row $row not increasing: ${gf.toSeq}")
   }
 
+  test("WAV encode/decode roundtrip: exact samples, rate, channels") {
+    val samples = Array.tabulate(400)(i => ((i % 7) * 1000 - 3000).toShort)
+    val wav = Multimodal.encodeWavPcm16(samples, 8000)
+    val (rate, ch, back) = Multimodal.decodeWav(wav).get
+    assert(rate == 8000 && ch == 1)
+    assert(back.toSeq == samples.toSeq) // PCM is lossless
+    assert(Multimodal.decodeWav("not audio".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeWav(wav.take(20)).isEmpty) // truncated header
+  }
+
+  test("decodeAudioMeta reads true signal stats out of real WAV payloads") {
+    val audio = Multimodal.syntheticAudio(Seq(2L, 9L, 14L).toDF("doc_id"), "doc_id")
+    val metas = Multimodal.decodeAudioMeta(audio).collect().sortBy(_.id)
+    metas.foreach { m =>
+      assert(m.sampleRate == 8000 && m.channels == 1)
+      assert(m.nSamples == Multimodal.synthSampleCount(m.id).toLong)
+      assert(m.peak == Multimodal.synthAmplitude(m.id))
+      // constant-amplitude signal: RMS == amplitude exactly
+      assert(m.rms == Multimodal.synthAmplitude(m.id).toDouble)
+    }
+    val bad = Seq((1L, "audio", Array[Byte](1, 2, 3))).toDF("id", "modality", "payload")
+    val audit = Multimodal.decodeAudioMeta(bad).collect().head
+    assert(audit.sampleRate == 0 && audit.nSamples == 0L && audit.nBytes == 3L)
+  }
+
   test("imageFeatures drops undecodable rows; video rows use the first frame") {
     val mixed = Seq(
       (1L, "image", "corrupt".getBytes("UTF-8")),
