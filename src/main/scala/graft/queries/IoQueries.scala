@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.sources.{Smb, Sources, TfExample, TfRecord}
+import graft.sources.{Avro, Smb, Sources, TfExample, TfRecord}
 import QueryDsl._
 
 /** IO formats + sort-merge-bucket coverage (SURVEY §2 "IO" and
@@ -106,6 +106,26 @@ object IoQueries extends QueryPack {
         .select(decode(col("value"), "UTF-8").as("name"))
         .agg(count(lit(1)).as("n_records"), min(col("name")).as("first_name"),
           max(col("name")).as("last_name"))
+    },
+
+    // Avro container files (scio-avro saveAsAvroFile): written with
+    // the core Avro library (the spark-avro CONNECTOR is absent, the
+    // format library is not), read back through the same public
+    // container format — the oracle over the original parquet checks
+    // write+read fidelity.
+    "q_io_avro" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val path = tmp(dir, "supplier_avro")
+      Avro.write(tables(s, dir).supplier
+        .select(col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
+          col("s_nationkey").cast("long").as("s_nationkey"), col("s_acctbal")), path)
+      Avro.read(s, path, StructType(Seq(
+          StructField("s_suppkey", LongType), StructField("s_name", StringType),
+          StructField("s_nationkey", LongType), StructField("s_acctbal", DoubleType))))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("s_acctbal"))).as("sum_bal"),
+          min(col("s_name")).as("first_name"))
+        .orderBy(col("s_nationkey"))
     },
 
     // typed TFRecord (scio-tensorflow saveAsTfRecordFile): rows →
@@ -242,6 +262,10 @@ object IoQueries extends QueryPack {
       """SELECT CAST(n_regionkey AS INT) AS n_regionkey, count(*) AS n,
         |  min(n_name) AS first_name, max(n_name) AS last_name
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q_io_avro" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n,
+        |  round(sum(s_acctbal), 2) AS sum_bal, min(s_name) AS first_name
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q_io_tfexample" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n,
         |  min(n_name) AS first_name, CAST(max(n_nationkey) AS BIGINT) AS max_key

@@ -1,0 +1,158 @@
+package graft.sources
+
+import java.io.BufferedInputStream
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{Schema, SchemaBuilder}
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** Avro Object Container File IO (reference: scio-avro/src/main/scala/
+  * com/spotify/scio/avro/ — avroFile/saveAsAvroFile over GenericRecord).
+  *
+  * The `spark-avro` DataSource connector isn't on this classpath, but
+  * the core Apache Avro library IS (Spark ships avro-1.12 for its own
+  * shuffle/serde) — so this implements the PUBLIC Avro container
+  * format directly: files written here open with any stock Avro
+  * tooling (`DataFileStream`, avro-tools, BigQuery loads) and stock
+  * Avro files read back, including snappy/deflate-coded blocks (the
+  * codecs ride in the container header).
+  *
+  * Scale shape mirrors [[TfRecord]]: one container file per partition
+  * on write (dot-prefixed temp + rename commit, `_SUCCESS` stamp),
+  * one task per file on read. Avro OCF does carry sync markers (it IS
+  * block-splittable), but file-level parallelism keeps the reader
+  * dependency-free — shard counts come from the writer, exactly like
+  * the TFRecord contract.
+  *
+  * Type mapping (both directions): long/int/short/byte ↔ long|int,
+  * double/float, boolean, string, binary ↔ bytes, and arrays thereof.
+  * Nullable Spark fields map to `union {null, T}`.
+  */
+object Avro {
+
+  private def avroType(dt: DataType): Schema = dt match {
+    case LongType => Schema.create(Schema.Type.LONG)
+    case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
+    case DoubleType => Schema.create(Schema.Type.DOUBLE)
+    case FloatType => Schema.create(Schema.Type.FLOAT)
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case StringType => Schema.create(Schema.Type.STRING)
+    case BinaryType => Schema.create(Schema.Type.BYTES)
+    case ArrayType(et, _) => Schema.createArray(avroType(et))
+    case other => throw new IllegalArgumentException(
+      s"unsupported Avro column type $other (numeric/boolean/string/binary + arrays)")
+  }
+
+  /** Spark schema → Avro record schema (nullable → union{null, T}). */
+  def toAvroSchema(schema: StructType, recordName: String = "graft_record"): Schema = {
+    val fields = schema.fields.map { f =>
+      val t = avroType(f.dataType)
+      val ft = if (f.nullable) Schema.createUnion(Schema.create(Schema.Type.NULL), t) else t
+      new Schema.Field(f.name, ft, null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+    }
+    Schema.createRecord(recordName, null, "graft", false, fields.toList.asJava)
+  }
+
+  private def toAvroValue(dt: DataType, v: Any): Any = (dt, v) match {
+    case (_, null) => null
+    case (ShortType, x: Short) => x.toInt
+    case (ByteType, x: Byte) => x.toInt
+    case (BinaryType, b: Array[Byte]) => java.nio.ByteBuffer.wrap(b)
+    case (ArrayType(et, _), xs: scala.collection.Seq[_]) =>
+      xs.map(x => toAvroValue(et, x)).toList.asJava
+    case (_, x) => x // long/int/double/float/boolean/string pass through
+  }
+
+  private def fromAvroValue(dt: DataType, v: Any): Any = (dt, v) match {
+    case (_, null) => null
+    case (StringType, s) => s.toString // Utf8 → String
+    case (ShortType, x: Integer) => x.shortValue()
+    case (ByteType, x: Integer) => x.byteValue()
+    case (BinaryType, bb: java.nio.ByteBuffer) =>
+      val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+    case (ArrayType(et, _), xs: java.util.Collection[_]) =>
+      xs.asScala.map(x => fromAvroValue(et, x)).toSeq
+    case (_, x) => x
+  }
+
+  /** Write one Avro container file per partition under `path`
+    * (repartition upstream to pick the shard count). Same commit
+    * protocol as [[TfRecord.write]]: dot-prefixed temp + rename,
+    * `_SUCCESS` stamp. Returns the shard count.
+    */
+  def write(df: DataFrame, path: String): Int = {
+    val schema = df.schema
+    toAvroSchema(schema) // fail fast on unsupported types, driver-side
+    val avroJson = toAvroSchema(schema).toString
+    val spark = df.sparkSession
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(hadoopConf)
+    fs.delete(dir, true)
+    fs.mkdirs(dir)
+    val confEntries = spark.sparkContext.broadcast(
+      hadoopConf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap)
+    val fieldTypes = schema.fields.map(_.dataType)
+    val shards = df.rdd.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val taskConf = new Configuration(false)
+        confEntries.value.foreach { case (k, v) => taskConf.set(k, v) }
+        val ctx = TaskContext.get()
+        val part = ctx.partitionId()
+        val finalFile = new Path(f"$path%s/part-$part%05d.avro")
+        val tempFile = new Path(f"$path%s/.part-$part%05d.attempt-${ctx.taskAttemptId()}%d")
+        val fsTask = finalFile.getFileSystem(taskConf)
+        val avroSchema = new Schema.Parser().parse(avroJson)
+        val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](avroSchema))
+        val out = writer.create(avroSchema, fsTask.create(tempFile, true))
+        try {
+          it.foreach { row =>
+            val rec = new GenericData.Record(avroSchema)
+            var i = 0
+            while (i < fieldTypes.length) {
+              rec.put(i, toAvroValue(fieldTypes(i), row.get(i)))
+              i += 1
+            }
+            out.append(rec)
+          }
+        } finally out.close()
+        if (!fsTask.rename(tempFile, finalFile)) fsTask.delete(tempFile, false)
+        Iterator.single(1)
+      }
+    }.count().toInt
+    fs.create(new Path(s"$path/_SUCCESS"), true).close()
+    shards
+  }
+
+  /** Read Avro container files under `path` into rows of `schema`
+    * (name-matched; container fields absent from `schema` are
+    * ignored, `schema` fields absent from a record read as null —
+    * Avro's own evolution contract). One task per file.
+    */
+  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+    val fieldNames = schema.fields.map(_.name)
+    val fieldTypes = schema.fields.map(_.dataType)
+    val rows = spark.sparkContext.binaryFiles(s"$path/part-*.avro")
+      .flatMap { case (_, pds) =>
+        val in = new BufferedInputStream(pds.open(), 1 << 16)
+        val reader = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
+        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => reader.close()))
+        reader.iterator().asScala.map { rec =>
+          Row.fromSeq(fieldNames.indices.map { i =>
+            val f = rec.getSchema.getField(fieldNames(i))
+            if (f == null) null else fromAvroValue(fieldTypes(i), rec.get(f.pos()))
+          })
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+}

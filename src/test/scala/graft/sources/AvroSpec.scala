@@ -1,0 +1,78 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+class AvroSpec extends SparkSpec {
+
+  private def tmpDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_avro").toFile
+    d.deleteOnExit()
+    d.getAbsolutePath
+  }
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("name", StringType),
+    StructField("score", DoubleType),
+    StructField("flag", BooleanType),
+    StructField("blob", BinaryType),
+    StructField("emb", ArrayType(FloatType)),
+    StructField("tags", ArrayType(StringType))))
+
+  private def fixture = spark.createDataFrame(
+    spark.sparkContext.parallelize(Seq(
+      Row(1L, "alpha", 1.5, true, Array[Byte](1, 2), Seq(0.5f, -1f), Seq("a", "b")),
+      Row(2L, null, null, false, null, Seq.empty[Float], Seq.empty[String]),
+      Row(3L, "gámma", -0.25, null, Array.emptyByteArray, null, null)
+    ), 2), schema)
+
+  test("write/read roundtrip preserves every supported type including nulls") {
+    val dir = tmpDir()
+    val shards = Avro.write(fixture, dir)
+    assert(shards >= 1)
+    assert(new java.io.File(s"$dir/_SUCCESS").exists())
+    val back = Avro.read(spark, dir, schema).collect().sortBy(_.getLong(0))
+    assert(back.length == 3)
+    assert(back(0).getString(1) == "alpha" && back(0).getDouble(2) == 1.5 && back(0).getBoolean(3))
+    assert(back(0).getAs[Array[Byte]](4).toSeq == Seq[Byte](1, 2))
+    assert(back(0).getSeq[Float](5).toList == List(0.5f, -1f))
+    assert(back(0).getSeq[String](6).toList == List("a", "b"))
+    assert(back(1).isNullAt(1) && back(1).isNullAt(2) && !back(1).getBoolean(3))
+    assert(back(1).getSeq[Float](5).isEmpty) // empty array is present, not null
+    assert(back(2).getString(1) == "gámma")  // non-ascii through Utf8
+    assert(back(2).isNullAt(5) && back(2).isNullAt(6))
+  }
+
+  test("files are genuine Avro container files readable by the stock library") {
+    val dir = tmpDir()
+    Avro.write(fixture, dir)
+    val part = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".avro")).head
+    // stock Avro reader, zero graft involvement
+    val reader = new org.apache.avro.file.DataFileReader(
+      part, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    try {
+      assert(reader.getSchema.getType == org.apache.avro.Schema.Type.RECORD)
+      assert(reader.getSchema.getField("name").schema().getType == org.apache.avro.Schema.Type.UNION)
+      assert(reader.iterator().hasNext)
+    } finally reader.close()
+  }
+
+  test("schema evolution: missing fields read as null, extra container fields ignored") {
+    val dir = tmpDir()
+    Avro.write(fixture, dir)
+    val narrow = StructType(Seq(
+      StructField("name", StringType), StructField("not_there", IntegerType)))
+    val back = Avro.read(spark, dir, narrow).collect()
+    assert(back.length == 3)
+    assert(back.forall(_.isNullAt(1)))
+    assert(back.map(r => Option(r.getString(0))).toSet == Set(Some("alpha"), None, Some("gámma")))
+  }
+
+  test("unsupported column types fail fast driver-side") {
+    val df = spark.range(1).selectExpr("named_struct('a', id) AS s")
+    val e = intercept[IllegalArgumentException](Avro.write(df, "/tmp/never"))
+    assert(e.getMessage.contains("unsupported Avro column type"))
+  }
+}
