@@ -193,6 +193,25 @@ object IoQueries extends QueryPack {
         .orderBy(col("o_orderpriority"))
     },
 
+    // jdbc roundtrip (scio-jdbc jdbcSelect/saveAsJdbc) against
+    // embedded Derby — in-process, no external service, identical
+    // Spark JDBC surface as any server URL; read back PARTITIONED
+    // (the at-scale shape: one connection per stride).
+    "q_io_jdbc" -> { (s, dir) =>
+      val url = s"jdbc:derby:memory:graft_$runToken;create=true"
+      graft.sources.Jdbc.write(
+        tables(s, dir).customer.select(
+          col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+          col("c_nationkey").cast("long").as("c_nationkey"), col("c_acctbal")),
+        url, "customer_jdbc", mode = "overwrite")
+      graft.sources.Jdbc.readPartitioned(s, url, "customer_jdbc",
+          "c_custkey", 0L, 100000L, 8)
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("c_acctbal"))).as("sum_bal"),
+          min(col("c_name")).as("first_name"))
+        .orderBy(col("c_nationkey"))
+    },
+
     // dynamic per-record destinations (scio saveAsDynamicTextFile):
     // write nation names into one directory PER REGION KEY taken from
     // each row, then read the whole tree back, recovering the
@@ -258,6 +277,10 @@ object IoQueries extends QueryPack {
     "q_bloom_persist" ->
       """SELECT count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_bal
         |FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "q_io_jdbc" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, count(*) AS n,
+        |  round(sum(c_acctbal), 2) AS sum_bal, min(c_name) AS first_name
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_io_dynamic" ->
       """SELECT CAST(n_regionkey AS INT) AS n_regionkey, count(*) AS n,
         |  min(n_name) AS first_name, max(n_name) AS last_name
