@@ -104,6 +104,20 @@ object PairQueries extends QueryPack {
         .orderBy(col("s_nationkey"))
     },
 
+    // skewedJoinCms: same join, hot/cold split via a Count-Min sketch
+    // as a map-side codegen filter (no hot-key frame, no broadcast
+    // probes). Same plain-join oracle as q_skewed_split.
+    "q_skewed_cms" -> { (s, dir) =>
+      val t = tables(s, dir)
+      Joins.skewedJoinCms(
+          t.lineitem.select(col("l_suppkey"), col("l_extendedprice")),
+          t.supplier.select(col("s_suppkey").as("l_suppkey"), col("s_nationkey")),
+          Seq("l_suppkey"), fanout = 8, hotKeyThreshold = 200L)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("l_extendedprice"))).as("price"))
+        .orderBy(col("s_nationkey"))
+    },
+
     // sparseJoin: Bloom-prefiltered shuffle join.
     "q_sparse_join" -> { (s, dir) =>
       val t = tables(s, dir)
@@ -164,6 +178,24 @@ object PairQueries extends QueryPack {
         .agg(max(col("value")).as("last_purchase_value"))
       graft.operators.Temporal.asofJoin(clicks, purchases, "user_id", "ts", "p_ts",
           Seq("last_purchase_value"))
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          r6(col("last_purchase_value")).as("last_purchase_value"))
+        .orderBy(col("event_id"))
+    },
+
+    // asofJoinChunked: identical semantics to q_asof_join, with the
+    // window keyed by (user, 1-hour time-chunk) and per-chunk seed
+    // carry-forward — the hot-key spread variant, checked against the
+    // same DuckDB ASOF oracle. Chunk units = seconds (timestamp ts).
+    "q_asof_chunked" -> { (s, dir) =>
+      val ev = tables(s, dir).events
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts").as("p_ts"))
+        .agg(max(col("value")).as("last_purchase_value"))
+      graft.operators.Temporal.asofJoinChunked(clicks, purchases, "user_id", "ts", "p_ts",
+          Seq("last_purchase_value"), chunkSize = 3600L)
         .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
           r6(col("last_purchase_value")).as("last_purchase_value"))
         .orderBy(col("event_id"))
@@ -353,6 +385,10 @@ object PairQueries extends QueryPack {
       """SELECT s_nationkey, count(*) AS n, round(sum(l_extendedprice), 2) AS price
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q_skewed_cms" ->
+      """SELECT s_nationkey, count(*) AS n, round(sum(l_extendedprice), 2) AS price
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q_sparse_join" ->
       """SELECT p_brand, count(*) AS n, round(sum(l_quantity), 2) AS qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -377,6 +413,15 @@ object PairQueries extends QueryPack {
         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_asof_join" ->
+      """SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+        |  round(p.last_purchase_value, 6) AS last_purchase_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (
+        |    SELECT user_id, ts AS p_ts, max(value) AS last_purchase_value
+        |    FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p
+        |  ON c.user_id = p.user_id AND c.ts >= p.p_ts
+        |ORDER BY c.event_id""".stripMargin,
+    "q_asof_chunked" ->
       """SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
         |  round(p.last_purchase_value, 6) AS last_purchase_value
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
