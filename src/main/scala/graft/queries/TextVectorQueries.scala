@@ -270,6 +270,19 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("id"), col("frame_idx"))
     },
 
+    // REAL animated-GIF decode: multi-frame motion media through the
+    // JDK's native multi-image reader — every sampled frame's pixel
+    // value recomputed by the oracle from doc_id (GIF palettes are
+    // lossless for solid frames).
+    "q_multimodal_gif" -> { (s, dir) =>
+      val gifs = Multimodal.syntheticGifs(
+        tables(s, dir).documents.filter(col("doc_id") <= 50), "doc_id")
+      Multimodal.sampleFrames(gifs, stride = 2).toDF()
+        .select(col("id"), col("frameIdx").as("frame_idx"), col("width"), col("height"),
+          round(col("meanGray")).cast("int").as("gray"))
+        .orderBy(col("id"), col("frame_idx"))
+    },
+
     // REAL audio decode: generate a real WAV per doc (constant-
     // amplitude PCM, params deterministic in doc_id), decode it with
     // the JDK codec and read rate/length/peak/RMS back out of actual
@@ -531,6 +544,14 @@ object TextVectorQueries extends QueryPack {
       """SELECT doc_id AS id, CAST(4 AS INT) AS dim,
         |  CAST((doc_id * 37) % 256 AS INT) AS gray
         |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin,
+    "q_multimodal_gif" ->
+      """WITH f AS (
+        |  SELECT doc_id, unnest(range(0, doc_id % 4 + 1, 2)) AS i
+        |  FROM documents WHERE doc_id <= 50)
+        |SELECT doc_id AS id, CAST(i AS INT) AS frame_idx,
+        |  CAST(10 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  CAST((doc_id * 37 + i) % 256 AS INT) AS gray
+        |FROM f ORDER BY id, frame_idx""".stripMargin,
     "q_multimodal_audio" ->
       """SELECT doc_id AS id, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
         |  CAST(800 + (doc_id % 5) * 160 AS BIGINT) AS n_samples,

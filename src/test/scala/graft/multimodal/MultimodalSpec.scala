@@ -113,6 +113,40 @@ class MultimodalSpec extends SparkSpec {
       assert(gf(row * 4 + x) < gf(row * 4 + x + 1), s"row $row not increasing: ${gf.toSeq}")
   }
 
+  test("animated GIF: real multi-frame encode/decode, per-frame pixels exact") {
+    val frames = Seq(40, 120, 200).map(g => Multimodal.solidImage(10, 8, g))
+    val gif = Multimodal.encodeAnimatedGif(frames)
+    val back = Multimodal.decodeFrames(gif)
+    assert(back.length == 3)
+    back.zip(Seq(40, 120, 200)).foreach { case (img, g) =>
+      assert(img.getWidth == 10 && img.getHeight == 8)
+      assert(Multimodal.meanGray(img) == g.toDouble) // GIF palette is lossless
+    }
+    assert(Multimodal.decodeFrames("junk".getBytes("UTF-8")).isEmpty)
+    // single-frame formats decode as one frame through the same path
+    assert(Multimodal.decodeFrames(Multimodal.encodePng(frames.head)).length == 1)
+  }
+
+  test("gif modality flows through decodeImageMeta/sampleFrames/imageFeatures") {
+    val gifs = Multimodal.syntheticGifs(Seq(3L, 6L).toDF("doc_id"), "doc_id")
+    val metas = Multimodal.decodeImageMeta(gifs).collect().sortBy(_.id)
+    metas.foreach { m =>
+      assert(m.width == 10 && m.height == 8)
+      assert(m.nFrames == 1 + (m.id % 4).toInt)
+    }
+    val frames = Multimodal.sampleFrames(gifs, stride = 2).collect()
+    frames.foreach { f =>
+      assert(f.meanGray == Multimodal.synthGray(f.id, f.frameIdx).toDouble)
+      assert(f.frameIdx % 2 == 0)
+    }
+    // id=3 has 4 frames → sampled {0,2}; id=6 has 3 → {0,2}
+    assert(frames.count(_.id == 3L) == 2 && frames.count(_.id == 6L) == 2)
+    val feats = Multimodal.imageFeatures(gifs, grid = 2).collect()
+      .map(f => f.id -> f.features).toMap
+    // features come from the FIRST frame: gray = synthGray(id, 0)
+    assert(feats(3L).forall(v => math.abs(v - Multimodal.synthGray(3L, 0) / 255f) < 1e-6f))
+  }
+
   test("WAV encode/decode roundtrip: exact samples, rate, channels") {
     val samples = Array.tabulate(400)(i => ((i % 7) * 1000 - 3000).toShort)
     val wav = Multimodal.encodeWavPcm16(samples, 8000)
