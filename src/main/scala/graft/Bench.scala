@@ -28,7 +28,8 @@ object Bench {
     "q_knn_ivf",
     "q_smb_join",
     "q_window_session",
-    "q_top_by_key"
+    "q_top_by_key",
+    "q_multimodal_bulk"
   )
 
   def main(args: Array[String]): Unit = {

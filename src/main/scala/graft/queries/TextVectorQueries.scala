@@ -270,6 +270,18 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("id"), col("frame_idx"))
     },
 
+    // bulk codec throughput: encode+decode a real PNG for EVERY doc
+    // (no id cap) — the bench-scale entry for the multimodal path;
+    // the aggregate shape keeps the oracle cheap at any SF.
+    "q_multimodal_bulk" -> { (s, dir) =>
+      val media = Multimodal.syntheticImages(tables(s, dir).documents, "doc_id")
+      Multimodal.decodeImageMeta(media).toDF()
+        .agg(count(lit(1)).as("n_decoded"),
+          sum(col("width").cast("long")).as("sum_w"),
+          sum(col("height").cast("long")).as("sum_h"),
+          sum(when(col("width") === 0, 1L).otherwise(0L)).as("n_failed"))
+    },
+
     // REAL animated-GIF decode: multi-frame motion media through the
     // JDK's native multi-image reader — every sampled frame's pixel
     // value recomputed by the oracle from doc_id (GIF palettes are
@@ -544,6 +556,12 @@ object TextVectorQueries extends QueryPack {
       """SELECT doc_id AS id, CAST(4 AS INT) AS dim,
         |  CAST((doc_id * 37) % 256 AS INT) AS gray
         |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin,
+    "q_multimodal_bulk" ->
+      """SELECT count(*) AS n_decoded,
+        |  CAST(sum(8 + doc_id % 64) AS BIGINT) AS sum_w,
+        |  CAST(sum(8 + (doc_id * 3) % 48) AS BIGINT) AS sum_h,
+        |  CAST(0 AS BIGINT) AS n_failed
+        |FROM documents""".stripMargin,
     "q_multimodal_gif" ->
       """WITH f AS (
         |  SELECT doc_id, unnest(range(0, doc_id % 4 + 1, 2)) AS i
