@@ -54,4 +54,11 @@ object SideInputs {
   def asMultiMap[K: ClassTag, V: ClassTag](ds: Dataset[(K, V)], maxRows: Int = 1000000): Broadcast[Map[K, Seq[V]]] =
     ds.sparkSession.sparkContext.broadcast(
       bounded(ds, maxRows, "asMultiMap").groupBy(_._1).map { case (k, kvs) => k -> kvs.map(_._2) })
+
+  /** scio asSetSingletonSideInput: distinct rows as a broadcast Set
+    * (membership probes inside closures; for column-level membership
+    * prefer a broadcast semi join or [[graft.hash.GraftBloom]]).
+    */
+  def asSet[T: ClassTag](ds: Dataset[T], maxRows: Int = 1000000): Broadcast[Set[T]] =
+    ds.sparkSession.sparkContext.broadcast(bounded(ds.distinct(), maxRows, "asSet").toSet)
 }

@@ -207,6 +207,16 @@ package object syntax {
       (0 until n).map(i => d.filter(col("__hp") === i).drop("__hp"))
     }
 
+    /** scio hashPartitionByKey: [[hashPartitions]] keyed by the pair's
+      * key columns (same contract — n disjoint frames, one plan).
+      */
+    def hashPartitionsByKey(n: Int, keyCols: Seq[String]): Seq[DataFrame] =
+      hashPartitions(n, keyCols.map(col): _*)
+
+    /** scio flattenValues: (K, Iterable[V]) → (K, V). */
+    def flattenValues(keyCol: String, valuesCol: String): DataFrame =
+      ds.toDF().select(col(keyCol), explode(col(valuesCol)).as("value"))
+
     /** scio Metrics.counter/distribution: named metrics collected in
       * the SAME pass as the job (Spark `observe`) — no second scan.
       * Read values from the returned Observation after the first

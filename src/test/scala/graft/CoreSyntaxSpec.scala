@@ -56,6 +56,16 @@ class CoreSyntaxSpec extends SparkSpec {
     val parts = df.hashPartitions(4, col("id"))
     assert(parts.map(_.count()).sum == 1000)
     assert(parts.combinations(2).forall { case Seq(a, b) => a.intersect(b).count() == 0 })
+    // keyed form: same contract, keys named instead of columns
+    val kparts = df.hashPartitionsByKey(4, Seq("id"))
+    assert(kparts.map(_.count()).sum == 1000)
+  }
+
+  test("flattenValues explodes (key, values) pairs") {
+    val df = Seq(("a", Seq(1, 2)), ("b", Seq(3)), ("c", Seq.empty[Int])).toDF("k", "vs")
+    val out = df.flattenValues("k", "vs").collect()
+      .map(r => (r.getString(0), r.getInt(1))).sorted
+    assert(out.toSeq == Seq(("a", 1), ("a", 2), ("b", 3))) // empty lists vanish, as scio
   }
 
   test("batchedByKey chunks each key's values to at most n") {

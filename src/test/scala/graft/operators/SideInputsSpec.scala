@@ -38,6 +38,15 @@ class SideInputsSpec extends SparkSpec {
     intercept[IllegalArgumentException](SideInputs.asList(pairs, maxRows = 2))
   }
 
+  test("asSet deduplicates and broadcasts a membership set") {
+    val ds = Seq("x", "y", "x", "z").toDS()
+    val s = SideInputs.asSet(ds)
+    assert(s.value == Set("x", "y", "z"))
+    // maxRows guards the DISTINCT cardinality, not the input size
+    assert(SideInputs.asSet(ds, maxRows = 3).value.size == 3)
+    intercept[IllegalArgumentException](SideInputs.asSet(ds, maxRows = 2))
+  }
+
   test("side-input lookup agrees with the equivalent broadcast join") {
     val dim = Seq(("a", "alpha"), ("b", "beta")).toDS().toDF("k", "name")
     val facts = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "v")
