@@ -23,6 +23,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Jdbc {
 
+  // Embedded Derby writes derby.log into user.dir unless told
+  // otherwise — keep scratch out of the project tree. Harmless for
+  // every other JDBC driver; ignored if the caller already set it.
+  if (sys.props.get("derby.system.home").isEmpty)
+    System.setProperty("derby.system.home", sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+
   /** Single-connection read of a table or subquery (alias a subquery:
     * `"(SELECT ...) t"`). Filters/projections on the result push into
     * the remote SQL.
