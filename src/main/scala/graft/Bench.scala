@@ -82,9 +82,12 @@ object Bench {
     val mins = names.map(n => n -> samples(n).min)
     // Streaming throughput: the same events feed as q_window_fixed,
     // driven through Structured Streaming (AvailableNow) into a noop
-    // sink — measures the micro-batch engine end-to-end.
-    val streaming = {
-      val ckp = "/tmp/graft_bench_ckp"
+    // sink — measures the micro-batch engine end-to-end. Median of
+    // `reps` runs like the batch suite; each pass gets a FRESH
+    // checkpoint dir (reusing one would turn later passes into no-op
+    // resumes of a finished query).
+    def streamingPass(): Double = {
+      val ckp = s"/tmp/graft_bench_ckp_${System.nanoTime()}"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckp))
       val t0 = System.nanoTime()
       try {
@@ -112,13 +115,14 @@ object Bench {
           System.err.println("[bench] q_stream_window timed out at 120s; reported time truncated")
         }
       } catch { case e: Throwable => System.err.println(s"[bench] q_stream_window failed: $e") }
+      finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckp))
       (System.nanoTime() - t0) / 1e9
     }
+    val streaming = median((1 to reps).map(_ => streamingPass()).toList)
     // total = sum of per-query medians over the batch headline suite
-    // (comparable round over round); the streaming run is reported
+    // (comparable round over round); the streaming median is reported
     // alongside, not in the total — its fixed micro-batch-engine
-    // startup would dominate at small sf, and it gets one pass (its
-    // checkpoint dir would otherwise need resetting per pass).
+    // startup would dominate at small sf.
     val all2 = results :+ ("q_stream_window" -> streaming)
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
