@@ -253,3 +253,45 @@ object Sessionize {
     }
   }
 }
+
+/** Streaming sinks for formats without a native streaming writer
+  * (reference intent: scio streaming pipelines write windowed output
+  * to sharded files — saveAsTfRecordFile etc. work on unbounded
+  * collections). Structured Streaming's escape hatch is
+  * `foreachBatch`: each micro-batch is a plain DataFrame, so every
+  * graft batch sink applies — one output directory per batch, named
+  * by the (exactly-once, checkpoint-tracked) batch id. Batch dirs are
+  * the unit of idempotence: a replayed micro-batch overwrites its own
+  * directory and nothing else, so the tree stays consistent across
+  * failures — exactly the shape a downstream training job consumes
+  * (read `path/batch-*`).
+  */
+object StreamSinks {
+
+  import org.apache.spark.sql.streaming.DataStreamWriter
+  import org.apache.spark.sql.Row
+
+  private def perBatch(path: String)(write: (DataFrame, String) => Unit)
+      : (Dataset[Row], Long) => Unit =
+    (batch: Dataset[Row], id: Long) => write(batch.toDF(), f"$path%s/batch-$id%05d")
+
+  /** TFRecord shards per micro-batch (`value` binary column). */
+  def toTfRecord(ds: Dataset[Row], path: String): DataStreamWriter[Row] =
+    ds.writeStream.foreachBatch(perBatch(path)((df, p) => graft.sources.TfRecord.write(df, p)))
+
+  /** tf.train.Example shards per micro-batch (schema-driven). */
+  def toTfExample(ds: Dataset[Row], path: String): DataStreamWriter[Row] =
+    ds.writeStream.foreachBatch(perBatch(path)((df, p) => graft.sources.TfExample.write(df, p)))
+
+  /** Avro container shards per micro-batch. */
+  def toAvro(ds: Dataset[Row], path: String): DataStreamWriter[Row] =
+    ds.writeStream.foreachBatch(perBatch(path)((df, p) => graft.sources.Avro.write(df, p)))
+
+  /** Dynamic per-record destinations per micro-batch (destination
+    * column → subdirectory under the batch dir).
+    */
+  def toDynamicText(ds: Dataset[Row], path: String, destCol: String, textCol: String)
+      : DataStreamWriter[Row] =
+    ds.writeStream.foreachBatch(perBatch(path)((df, p) =>
+      graft.sources.Dynamic.saveAsDynamicText(df, p, destCol, textCol)))
+}

@@ -400,4 +400,34 @@ class StreamingSpec extends SparkSpec {
       .select(col("userId"), col("sessStart"), col("nEvents"))
     assert(sortedRows(stateful) == sortedRows(declarative))
   }
+
+  test("StreamSinks write per-batch shards readable by the batch readers") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    input.addData((1L, "alpha"), (2L, "beta"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_streamsink").toFile
+    dir.deleteOnExit()
+    val ckp = new java.io.File(dir, "ckp").getAbsolutePath
+    val out = new java.io.File(dir, "out").getAbsolutePath
+
+    val q = StreamSinks.toTfExample(input.toDF().toDF("id", "name"), out)
+      .option("checkpointLocation", ckp)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // second micro-batch lands in its own batch dir
+    input.addData((3L, "gamma"))
+    val q2 = StreamSinks.toTfExample(input.toDF().toDF("id", "name"), out)
+      .option("checkpointLocation", ckp)
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val batchDirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("batch-"))
+    assert(batchDirs.length == 2, s"expected 2 batch dirs, got ${batchDirs.map(_.getName).toSeq}")
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    val all = batchDirs.flatMap(d =>
+      graft.sources.TfExample.read(spark, d.getAbsolutePath, schema).collect())
+    assert(all.map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+  }
 }
