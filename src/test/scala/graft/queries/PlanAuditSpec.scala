@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan regression guards for the headline suite: these pin
+  * the PLAN SHAPE the 100 TB contract depends on, so a refactor that
+  * silently drops a broadcast, un-pushes a filter, or breaks partial
+  * aggregation fails here — not in a cluster bill. Asserted on the
+  * executed plan against the sf0.001 test data.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q1_pricing: shipdate filter reaches the parquet scan; aggregation is partial") {
+    val p = plan("q1_pricing")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate not pushed to scan:\n$p")
+    assert(p.contains("HashAggregate(keys=") && p.contains("partial_"),
+      s"no partial (map-side) aggregation:\n$p")
+  }
+
+  test("q3_shipping: dimension join broadcasts; fact filters pushed") {
+    val p = plan("q3_shipping")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in q3:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
+      s"lineitem filter not pushed:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)"),
+      s"customer segment filter not pushed:\n$p")
+  }
+
+  test("q5_local_supplier: region/nation broadcast; no cartesian anywhere") {
+    val p = plan("q5_local_supplier")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in q5:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q5 planned a product join:\n$p")
+  }
+
+  test("scans prune to referenced columns only (no SELECT * reads)") {
+    // q1 touches 7 lineitem columns; the scan schema must not carry
+    // the full 16-column table (ReadSchema parsed from the FORMATTED
+    // explain — the compact plan string truncates scan details and
+    // the AQE wrapper hides the scan node from plan.collect)
+    val p = graft.SparkEntry.queries("q1_pricing")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p)
+      .getOrElse(fail(s"no ReadSchema in plan:\n$p")).group(1)
+    val cols = read.split(",").map(_.split(":").head.trim).toSet
+    assert(cols.size <= 8, s"q1 scan reads too many columns: $cols")
+    assert(!cols.contains("l_comment") && !cols.contains("l_partkey"))
+  }
+
+  test("q_cms_heavy: the sketch prefilter sits below the aggregation exchange") {
+    val p = plan("q_cms_heavy")
+    assert(p.contains("graft_cms_estimate"), s"CMS kernel missing:\n$p")
+    // candidate filter must appear under the partial aggregate, i.e.
+    // before any exchange — non-candidates never shuffle
+    val lines = p.linesIterator.toSeq
+    val filterIdx = lines.indexWhere(_.contains("graft_cms_estimate"))
+    val exchangeIdx = lines.indexWhere(_.contains("Exchange"))
+    assert(filterIdx > exchangeIdx, // tree prints top-down: deeper = later lines
+      s"CMS filter not below the exchange:\n$p")
+  }
+}
