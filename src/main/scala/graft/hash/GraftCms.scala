@@ -99,6 +99,13 @@ object GraftCms {
     * no true heavy key can be lost (CMS never undercounts) and false
     * candidates die on the exact HAVING. Only candidate rows shuffle.
     *
+    * NULL keys: SQL GROUP BY counts NULL as a group, but the sketch
+    * never sees nulls (`stat.countMinSketch` skips them, so a null
+    * probe estimates 0 and the prefilter would silently drop a heavy
+    * null group). Null-key rows therefore BYPASS the prefilter and go
+    * straight to the exact aggregation — still one pass, and the
+    * HAVING keeps the null group only if it truly clears `minCount`.
+    *
     * Pass a pre-built `sketch` to reuse a persisted artifact;
     * otherwise one is built with `eps`/`confidence` (size eps to the
     * corpus: admitted false candidates ≈ keys within eps·N of
@@ -109,7 +116,7 @@ object GraftCms {
                    sketch: Option[CountMinSketch] = None): DataFrame = {
     require(minCount > 0, s"minCount must be positive, got $minCount")
     val cms = sketch.getOrElse(build(df, key, eps, confidence, seed))
-    df.filter(estimate(df, key, cms) >= minCount)
+    df.filter(col(key).isNull || estimate(df, key, cms) >= minCount)
       .groupBy(col(key))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)

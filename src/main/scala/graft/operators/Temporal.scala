@@ -30,6 +30,19 @@ import org.apache.spark.sql.functions._
   */
 object Temporal {
 
+  /** Integral floor division for long columns. The Column `/` operator
+    * divides in DOUBLE, which misrounds above 2^53 — a nanosecond
+    * epoch (~1.7e18) bucketed through double division can land in the
+    * wrong chunk and silently drop a valid as-of match. `l - pmod` is
+    * the exact floor multiple (pmod keeps negatives floored), and the
+    * remaining division is exact by construction, done in `div`
+    * (IntegralDivide) so no double ever appears.
+    */
+  private def floorDiv(c: Column, n: Long): Column = {
+    val l = c.cast("long")
+    call_function("div", l - pmod(l, lit(n)), lit(n))
+  }
+
   /** As-of join: for every left row, the single most recent right row
     * with `right.ts <= left.ts` (direction `backward`, the default;
     * equality included) or the earliest with `right.ts >= left.ts`
@@ -142,7 +155,7 @@ object Temporal {
     val ts = "__asof_ts"; val side = "__asof_side"; val mts = "__asof_mts"
     val chunk = "__asof_chunk"
     val tsType = right.schema(rightTs).dataType
-    def chunkOf(c: Column): Column = floor(c.cast("long") / chunkSize)
+    def chunkOf(c: Column): Column = floorDiv(c, chunkSize)
 
     // last right row per (key, chunk) — linear window pass. The
     // original right ts rides along as __seed_ts (a distinct name:
@@ -227,7 +240,7 @@ object Temporal {
     require(bucketSec > 0 && maxIntervalSec >= bucketSec,
       s"need bucketSec > 0 and maxIntervalSec >= bucketSec (got $bucketSec/$maxIntervalSec)")
     val b = "__iv_bucket"
-    val leftB = left.withColumn(b, floor(col(leftTs).cast("long") / bucketSec))
+    val leftB = left.withColumn(b, floorDiv(col(leftTs), bucketSec))
     // the length guard raises AT RUNTIME inside the bucket expression
     // (not as a driver-side pre-scan, which would eagerly execute the
     // right side twice) and cannot be pruned because it feeds the
@@ -241,7 +254,7 @@ object Temporal {
         .cast("long"))
       .otherwise(col(rightEnd).cast("long"))
     val rightB = right.withColumn(b, explode(sequence(
-      floor(col(rightStart).cast("long") / bucketSec), floor(endSec / bucketSec))))
+      floorDiv(col(rightStart), bucketSec), floorDiv(endSec, bucketSec))))
     leftB.join(rightB, Seq(key, b))
       .filter(col(leftTs) >= col(rightStart) && col(leftTs) <= col(rightEnd))
       .drop(b)

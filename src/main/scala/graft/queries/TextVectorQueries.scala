@@ -23,13 +23,13 @@ object TextVectorQueries extends QueryPack {
     */
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
   private def ivfCentroidsFor(s: org.apache.spark.sql.SparkSession, dir: String,
-                              emb: org.apache.spark.sql.DataFrame): Seq[Seq[Double]] =
-    ivfCache.computeIfAbsent(dir, { _ =>
-      // artifact name carries a corpus fingerprint (size+mtime of the
-      // source parquet): regenerated test data can never resurrect a
-      // stale quantizer
-      val src = new java.io.File(s"$dir/embeddings.parquet")
-      val fp = java.lang.Long.toHexString(src.length() ^ java.lang.Long.rotateLeft(src.lastModified(), 21))
+                              emb: org.apache.spark.sql.DataFrame): Seq[Seq[Double]] = {
+    // corpus fingerprint (size+mtime of the source parquet) keys BOTH
+    // the artifact name and the in-JVM memo: regenerated test data can
+    // never resurrect a stale quantizer, on disk or in memory
+    val src = new java.io.File(s"$dir/embeddings.parquet")
+    val fp = java.lang.Long.toHexString(src.length() ^ java.lang.Long.rotateLeft(src.lastModified(), 21))
+    ivfCache.computeIfAbsent(s"$dir|$fp", { _ =>
       val path = new java.io.File(
         s"/tmp/graft_io/ivf_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp.givf")
       path.getParentFile.mkdirs()
@@ -40,6 +40,7 @@ object TextVectorQueries extends QueryPack {
         cents
       }
     })
+  }
 
   override val queries: Map[String, Q] = Map(
 

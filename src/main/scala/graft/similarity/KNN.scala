@@ -129,20 +129,34 @@ object KNN {
     * GraftCms): train once over today's corpus, save, and every
     * downstream job loads centroids instead of re-running Lloyd's.
     * Format: magic, k, dim, row-major doubles.
+    *
+    * The write is temp + atomic rename: a reader racing a concurrent
+    * writer of the same artifact sees either the old complete file or
+    * the new complete file, never a torn one. When two writers race,
+    * the first rename wins and the loser discards its temp — the
+    * artifact is deterministic for a given corpus, so either copy is
+    * correct.
     */
   def saveCentroids(spark: org.apache.spark.sql.SparkSession,
                     centroids: Seq[Seq[Double]], path: String): Unit = {
     require(centroids.nonEmpty && centroids.forall(_.size == centroids.head.size),
       "centroids must be non-empty and rectangular")
     val p = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, s".${p.getName}.tmp-${java.util.UUID.randomUUID()}")
     val fs = org.apache.hadoop.fs.FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
-    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(fs.create(p, true)))
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(fs.create(tmp, true)))
     try {
       out.writeInt(0x47495646) // "GIVF"
       out.writeInt(centroids.size)
       out.writeInt(centroids.head.size)
       centroids.foreach(_.foreach(out.writeDouble))
     } finally out.close()
+    // rename-overwrite: local/HDFS rename onto an existing file fails,
+    // so clear the target first; if another writer lands between the
+    // delete and the rename, keep its (identical) file.
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p)) fs.delete(tmp, false)
   }
 
   /** Load a quantizer written by [[saveCentroids]]. */

@@ -1,11 +1,9 @@
 package graft.sources
 
-import java.io.BufferedInputStream
-
 import scala.jdk.CollectionConverters._
 
 import org.apache.avro.{Schema, SchemaBuilder}
-import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
@@ -25,12 +23,14 @@ import org.apache.spark.sql.types._
   * Avro files read back, including snappy/deflate-coded blocks (the
   * codecs ride in the container header).
   *
-  * Scale shape mirrors [[TfRecord]]: one container file per partition
-  * on write (dot-prefixed temp + rename commit, `_SUCCESS` stamp),
-  * one task per file on read. Avro OCF does carry sync markers (it IS
-  * block-splittable), but file-level parallelism keeps the reader
-  * dependency-free — shard counts come from the writer, exactly like
-  * the TFRecord contract.
+  * Scale shape: one container file per partition on write
+  * (dot-prefixed temp + rename commit, `_SUCCESS` stamp); the READ is
+  * block-splittable — OCF interleaves a 16-byte sync marker between
+  * blocks precisely so readers can split a container at arbitrary
+  * byte offsets (each task rebases to the next marker, exactly the
+  * Hadoop AvroRecordReader protocol). A single 100 GB container from
+  * an external producer fans out to length/splitBytes tasks instead
+  * of serializing on one core.
   *
   * Type mapping (both directions): long/int/short/byte ↔ long|int,
   * double/float, boolean, string, binary ↔ bytes, and arrays thereof.
@@ -87,8 +87,12 @@ object Avro {
     * (repartition upstream to pick the shard count). Same commit
     * protocol as [[TfRecord.write]]: dot-prefixed temp + rename,
     * `_SUCCESS` stamp. Returns the shard count.
+    *
+    * `syncIntervalBytes` (0 = Avro's default, ~64 KiB) sets the
+    * approximate block size between sync markers — the granularity at
+    * which [[read]] can split the file.
     */
-  def write(df: DataFrame, path: String): Int = {
+  def write(df: DataFrame, path: String, syncIntervalBytes: Int = 0): Int = {
     val schema = df.schema
     toAvroSchema(schema) // fail fast on unsupported types, driver-side
     val avroJson = toAvroSchema(schema).toString
@@ -113,6 +117,7 @@ object Avro {
         val fsTask = finalFile.getFileSystem(taskConf)
         val avroSchema = new Schema.Parser().parse(avroJson)
         val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](avroSchema))
+        if (syncIntervalBytes > 0) writer.setSyncInterval(syncIntervalBytes)
         val out = writer.create(avroSchema, fsTask.create(tempFile, true))
         try {
           it.foreach { row =>
@@ -133,24 +138,82 @@ object Avro {
     shards
   }
 
+  /** [[org.apache.avro.file.SeekableInput]] over a Hadoop stream —
+    * what lets DataFileReader seek to a split offset and rebase on the
+    * next sync marker.
+    */
+  private class HadoopSeekableInput(in: org.apache.hadoop.fs.FSDataInputStream, len: Long)
+      extends org.apache.avro.file.SeekableInput {
+    override def read(b: Array[Byte], off: Int, l: Int): Int = in.read(b, off, l)
+    override def seek(pos: Long): Unit = in.seek(pos)
+    override def tell(): Long = in.getPos
+    override def length(): Long = len
+    override def close(): Unit = in.close()
+  }
+
   /** Read Avro container files under `path` into rows of `schema`
     * (name-matched; container fields absent from `schema` are
     * ignored, `schema` fields absent from a record read as null —
-    * Avro's own evolution contract). One task per file.
+    * Avro's own evolution contract).
+    *
+    * SPLITTABLE: each container is cut into ~`splitBytes` byte ranges
+    * and every range is one task. A task seeks to its range start,
+    * scans forward to the next OCF sync marker, and reads whole blocks
+    * until the first block starting past its range end — the standard
+    * Hadoop Avro split protocol, so every record is read exactly once
+    * regardless of where the cuts land. Parallelism no longer depends
+    * on the writer's shard count: one huge external container file
+    * still fans out.
+    *
+    * Guard rails: requires the `_SUCCESS` stamp ([[write]] emits one)
+    * so a partially-written tree from a failed job can't read back as
+    * silently-valid data, and a committed write whose partitions were
+    * all empty (zero part files) reads as an empty DataFrame of
+    * `schema` rather than throwing.
     */
-  def read(spark: SparkSession, path: String, schema: StructType): DataFrame = {
+  def read(spark: SparkSession, path: String, schema: StructType,
+           splitBytes: Long = 64L << 20): DataFrame = {
+    require(splitBytes > 0, s"splitBytes must be positive, got $splitBytes")
     val fieldNames = schema.fields.map(_.name)
     val fieldTypes = schema.fields.map(_.dataType)
-    val rows = spark.sparkContext.binaryFiles(s"$path/part-*.avro")
-      .flatMap { case (_, pds) =>
-        val in = new BufferedInputStream(pds.open(), 1 << 16)
-        val reader = new DataFileStream(in, new GenericDatumReader[GenericRecord]())
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(hadoopConf)
+    require(fs.exists(new Path(dir, "_SUCCESS")),
+      s"$path has no _SUCCESS marker — refusing to read a possibly partial write")
+    val statuses = Option(fs.globStatus(new Path(dir, "part-*.avro"))).getOrElse(Array.empty)
+    if (statuses.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    val confEntries = spark.sparkContext.broadcast(
+      hadoopConf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap)
+    val splits = statuses.toSeq.flatMap { st =>
+      val len = st.getLen
+      val n = math.max(1L, (len + splitBytes - 1) / splitBytes)
+      (0L until n).map(i =>
+        (st.getPath.toString, i * splitBytes, math.min((i + 1) * splitBytes, len), len))
+    }
+    val rows = spark.sparkContext.parallelize(splits, splits.size)
+      .flatMap { case (file, start, end, len) =>
+        val taskConf = new Configuration(false)
+        confEntries.value.foreach { case (k, v) => taskConf.set(k, v) }
+        val p = new Path(file)
+        val reader = new DataFileReader(
+          new HadoopSeekableInput(p.getFileSystem(taskConf).open(p), len),
+          new GenericDatumReader[GenericRecord]())
         Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => reader.close()))
-        reader.iterator().asScala.map { rec =>
-          Row.fromSeq(fieldNames.indices.map { i =>
-            val f = rec.getSchema.getField(fieldNames(i))
-            if (f == null) null else fromAvroValue(fieldTypes(i), rec.get(f.pos()))
-          })
+        // the OCF header ends with the sync marker, so sync(0) lands on
+        // the first block; blocks whose preceding marker sits in
+        // [start, end) belong to this split
+        reader.sync(start)
+        new Iterator[Row] {
+          override def hasNext: Boolean = reader.hasNext && !reader.pastSync(end)
+          override def next(): Row = {
+            val rec = reader.next()
+            Row.fromSeq(fieldNames.indices.map { i =>
+              val f = rec.getSchema.getField(fieldNames(i))
+              if (f == null) null else fromAvroValue(fieldTypes(i), rec.get(f.pos()))
+            })
+          }
         }
       }
     spark.createDataFrame(rows, schema)

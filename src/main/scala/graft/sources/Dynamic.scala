@@ -26,11 +26,13 @@ import org.apache.spark.sql.functions._
   *    no per-destination writer map to blow the heap at high
   *    destination cardinality (the classic dynamic-write OOM);
   *  - executor-side Hadoop FileSystem writes (local/HDFS/object
-  *    store), file name keyed by the shuffle partition id only —
-  *    a retried task overwrites its own files, so the output is
-  *    idempotent without a commit protocol. (Trade-off vs a rename
-  *    commit: a concurrent reader can observe a partial file
-  *    mid-job; don't read the tree until the action returns.)
+  *    store) through a per-file rename commit: each destination file
+  *    is written as a dot-prefixed temp named by the task ATTEMPT and
+  *    renamed to `part-<partition>.txt` only on a clean stream close.
+  *    A failed attempt leaves only hidden dot-temps (ignored by Hadoop
+  *    globbing); under speculative execution the first attempt to
+  *    finish a file wins the rename and the loser deletes its temp —
+  *    the committed tree is always whole files.
   */
 object Dynamic {
 
@@ -54,11 +56,28 @@ object Dynamic {
   def saveAsDynamicText(df: DataFrame, basePath: String, destCol: String, textCol: String,
                         fanout: Int = 1): Unit = {
     require(fanout >= 1, s"fanout must be >= 1, got $fanout")
+    // fresh output tree (same contract as Avro/TfRecord write): with a
+    // per-file rename commit, a pre-existing final from an older run
+    // would win every rename and pin stale data.
+    locally {
+      val base = new Path(basePath)
+      val fs = FileSystem.get(base.toUri,
+        df.sparkSession.sparkContext.hadoopConfiguration)
+      fs.delete(base, true)
+      fs.mkdirs(base)
+    }
+    // salt on a per-ROW spread value, not record content: a hot
+    // destination whose rows all carry the same text would collapse
+    // onto one salt if the salt hashed the payload. partition id +
+    // in-partition offset is unique per row (uniform spread) and
+    // deterministic for a given upstream partitioning, so a retried
+    // stage re-salts identically.
     val prepared = df
       .select(col(destCol).cast("string").as("__dest"),
         coalesce(col(textCol).cast("string"), lit("")).as("__text"))
       .withColumn("__salt",
-        if (fanout == 1) lit(0) else pmod(hash(col("__text")), lit(fanout)))
+        if (fanout == 1) lit(0)
+        else pmod(hash(spark_partition_id(), monotonically_increasing_id()), lit(fanout)))
       .repartition(col("__dest"), col("__salt"))
       .sortWithinPartitions(col("__dest"))
     prepared.foreachPartition { (rows: Iterator[Row]) =>
@@ -67,23 +86,39 @@ object Dynamic {
       val conf = new Configuration()
       val base = new Path(basePath)
       val fs = FileSystem.get(base.toUri, conf)
-      val pid = TaskContext.get().partitionId()
+      val ctx = TaskContext.get()
+      val pid = ctx.partitionId()
+      val attempt = ctx.taskAttemptId()
       var currentDest: String = null
       var out: BufferedWriter = null
-      def close(): Unit = if (out != null) { out.close(); out = null }
+      var tempFile: Path = null
+      var finalFile: Path = null
+      // rename commit: the rename only happens after a clean close, so
+      // finals are always whole files. A losing speculative attempt's
+      // rename fails against the winner's file; drop the temp.
+      def commit(): Unit = if (out != null) {
+        out.close(); out = null
+        if (!fs.rename(tempFile, finalFile)) fs.delete(tempFile, false)
+      }
+      def abort(): Unit = if (out != null) {
+        out.close(); out = null
+        fs.delete(tempFile, false)
+      }
       try {
         rows.foreach { r =>
           val dest = validateDest(r.getString(0))
           if (dest != currentDest) {
-            close()
-            val file = new Path(base, f"$dest%s/part-$pid%05d.txt")
+            commit()
+            finalFile = new Path(base, f"$dest%s/part-$pid%05d.txt")
+            tempFile = new Path(base, f"$dest%s/.part-$pid%05d.attempt-$attempt%d")
             out = new BufferedWriter(new OutputStreamWriter(
-              fs.create(file, true), StandardCharsets.UTF_8))
+              fs.create(tempFile, true), StandardCharsets.UTF_8))
             currentDest = dest
           }
           out.write(r.getString(1)); out.write('\n')
         }
-      } finally close()
+        commit()
+      } catch { case t: Throwable => abort(); throw t }
     }
   }
 }

@@ -70,6 +70,40 @@ class AvroSpec extends SparkSpec {
     assert(back.map(r => Option(r.getString(0))).toSet == Set(Some("alpha"), None, Some("gámma")))
   }
 
+  test("a single multi-block container file splits across many read tasks") {
+    val dir = tmpDir()
+    val wide = spark.range(5000).selectExpr(
+      "id", "repeat('x', 64) AS pad", "cast(id * 1.5 as double) AS score")
+      .repartition(1) // ONE container file — parallelism must come from splitting
+    val shards = Avro.write(wide, dir, syncIntervalBytes = 1024)
+    assert(shards == 1)
+    val readSchema = StructType(Seq(
+      StructField("id", LongType), StructField("pad", StringType),
+      StructField("score", DoubleType)))
+    val back = Avro.read(spark, dir, readSchema, splitBytes = 16 << 10)
+    assert(back.rdd.getNumPartitions > 1,
+      s"expected >1 split task, got ${back.rdd.getNumPartitions}")
+    assert(back.count() == 5000) // every record exactly once across splits
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+      == 5000L * 4999 / 2)
+  }
+
+  test("zero-shard write (all partitions empty) reads back as an empty DataFrame") {
+    val dir = tmpDir()
+    val empty = fixture.filter("id < 0")
+    assert(Avro.write(empty, dir) == 0)
+    val back = Avro.read(spark, dir, schema)
+    assert(back.isEmpty && back.schema == schema)
+  }
+
+  test("reading a tree without _SUCCESS is refused") {
+    val dir = tmpDir()
+    Avro.write(fixture, dir)
+    assert(new java.io.File(s"$dir/_SUCCESS").delete())
+    val e = intercept[IllegalArgumentException](Avro.read(spark, dir, schema))
+    assert(e.getMessage.contains("_SUCCESS"))
+  }
+
   test("unsupported column types fail fast driver-side") {
     val df = spark.range(1).selectExpr("named_struct('a', id) AS s")
     val e = intercept[IllegalArgumentException](Avro.write(df, "/tmp/never"))
