@@ -26,6 +26,7 @@ object Bench {
     "q_sparse_join",
     "q_skewed_split",
     "q_knn_ivf",
+    "q_smb_write",
     "q_smb_join",
     "q_window_session",
     "q_top_by_key",

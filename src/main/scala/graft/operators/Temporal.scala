@@ -118,22 +118,25 @@ object Temporal {
         matchedTsCol.map(col).toSeq: _*)
   }
 
-  /** Hot-key as-of join (backward): identical semantics to
-    * [[asofJoin]] with `direction = "backward"`, but the window key is
-    * (key, time-chunk) instead of key — an ultra-hot key's rows spread
-    * over (time-range / chunkSize) tasks instead of serializing on
-    * one core (the straggler bound documented on [[asofJoin]]).
+  /** Hot-key as-of join: identical semantics to [[asofJoin]] (both
+    * `direction`s), but the window key is (key, time-chunk) instead of
+    * key — an ultra-hot key's rows spread over (time-range /
+    * chunkSize) tasks instead of serializing on one core (the
+    * straggler bound documented on [[asofJoin]]).
     *
-    * Mechanics: each chunk needs the latest right row from EARLIER
-    * chunks as a seed (a left row early in a chunk may match a right
-    * row from a previous one). Seeds are computed at CHUNK
-    * granularity — per (key, chunk) the right side reduces to its
-    * last row (one window pass, linear), and seed assignment is a
-    * recursive [[asofJoin]] over the tiny chunk-level table (rows =
-    * distinct (key, chunk), independent of row skew). Seed rows sort
-    * before every real row in their chunk (chunk-start sort ts, side
-    * tag −1), so any in-chunk right row at or before the left row
-    * still wins.
+    * Mechanics: each chunk needs the nearest right row from OUTSIDE
+    * the chunk as a seed (backward: the latest right row from earlier
+    * chunks; forward: the earliest from later ones). Seeds are
+    * computed at CHUNK granularity — per (key, chunk) the right side
+    * reduces to its edge row (one window pass, linear), and seed
+    * assignment is a recursive [[asofJoin]] over the tiny chunk-level
+    * table (rows = distinct (key, chunk), independent of row skew).
+    * A backward seed sorts before every real row in its chunk
+    * (chunk-start sort ts, side tag −1); a forward seed sorts after
+    * every real row (next-chunk-start sort ts — strictly greater than
+    * any in-chunk timestamp, including fractional seconds that a
+    * chunk-end marker would tie with). Any in-chunk right row closer
+    * to the left row still wins.
     *
     * `chunkSize` is in the timestamp column's units after a long cast
     * (seconds for timestamp columns). Pick it so a hot key's densest
@@ -144,10 +147,14 @@ object Temporal {
   def asofJoinChunked(left: DataFrame, right: DataFrame, key: String,
                       leftTs: String, rightTs: String, valueCols: Seq[String],
                       chunkSize: Long,
+                      direction: String = "backward",
                       toleranceSec: Option[Long] = None,
                       matchedTsCol: Option[String] = None): DataFrame = {
     require(chunkSize > 0, s"chunkSize must be positive, got $chunkSize")
     require(valueCols.nonEmpty, "asofJoinChunked needs at least one right value column")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got '$direction'")
+    val backward = direction == "backward"
     val collisions = (valueCols ++ matchedTsCol).filter(left.columns.contains)
     require(collisions.isEmpty,
       s"output columns [${collisions.mkString(", ")}] already exist on the left side")
@@ -157,58 +164,75 @@ object Temporal {
     val tsType = right.schema(rightTs).dataType
     def chunkOf(c: Column): Column = floorDiv(c, chunkSize)
 
-    // last right row per (key, chunk) — linear window pass. The
-    // original right ts rides along as __seed_ts (a distinct name:
-    // it becomes a VALUE column of the chunk-level as-of below, whose
-    // own sort column is the chunk index).
+    // edge right row per (key, chunk) — linear window pass; backward
+    // keeps the chunk's LAST row, forward its FIRST. The original
+    // right ts rides along as __seed_ts (a distinct name: it becomes a
+    // VALUE column of the chunk-level as-of below, whose own sort
+    // column is the chunk index).
     val seedTs = "__seed_ts"
     val rw = Window.partitionBy(col(key), col(chunk))
-      .orderBy(col(seedTs).desc)
-    val rightChunkLast = right
+      .orderBy(if (backward) col(seedTs).desc else col(seedTs).asc)
+    val rightChunkEdge = right
       .select(col(key) +: col(rightTs).as(seedTs) +: valueCols.map(col): _*)
       .withColumn(chunk, chunkOf(col(seedTs)))
       .withColumn("__rn", row_number().over(rw))
       .filter(col("__rn") === 1).drop("__rn")
 
-    // seed per left-present (key, chunk): latest chunk-last from any
-    // STRICTLY earlier chunk — a chunk-level as-of join (right rows
-    // become available from chunk+1)
+    // seed per left-present (key, chunk): the edge row from the
+    // nearest STRICTLY earlier (backward) / later (forward) chunk — a
+    // chunk-level as-of join in the same direction (a right chunk c
+    // becomes available to left chunks past it: c±1)
     val leftChunks = left
       .select(col(key), chunkOf(col(leftTs)).as(chunk)).distinct()
     val seeds = asofJoin(
       leftChunks.withColumn("__cts", col(chunk)),
-      rightChunkLast.withColumn("__cts", col(chunk) + 1).drop(chunk),
+      rightChunkEdge.withColumn("__cts",
+        if (backward) col(chunk) + 1 else col(chunk) - 1).drop(chunk),
       key, "__cts", "__cts", valueCols :+ seedTs,
+      direction = direction,
       matchedTsCol = None)
-      .filter(col(seedTs).isNotNull) // chunks with no earlier right data get no seed
+      .filter(col(seedTs).isNotNull) // chunks with no out-of-chunk right data get no seed
       .drop("__cts")
 
     val leftPayload = left.columns.filterNot(_ == key).toSeq
     def nulls(cols: Seq[String], schema: org.apache.spark.sql.types.StructType) =
       cols.map(c => lit(null).cast(schema(c).dataType).as(c))
 
-    // three tagged sides: seed (−1) < right (0) < left (1)
+    // tagged sides. Backward sort order: seed (−1) < right (0) <
+    // left (1), seed pinned at chunk start. Forward: left (1) <
+    // right (2) < seed (3), seed pinned at the NEXT chunk's start —
+    // strictly after every real in-chunk row.
+    val (rightTag, leftTag, seedTag) = if (backward) (0, 1, -1) else (2, 1, 3)
+    val seedSortTs =
+      if (backward) (col(chunk) * chunkSize).cast(tsType)
+      else ((col(chunk) + 1) * chunkSize).cast(tsType)
     val seedSide = seeds.select(
-      col(key) +: (col(chunk) * chunkSize).cast(tsType).as(ts) +: lit(-1).as(side) +:
+      col(key) +: seedSortTs.as(ts) +: lit(seedTag).as(side) +:
         col(chunk) +: col(seedTs).cast(tsType).as(mts) +: valueCols.map(col) ++:
         nulls(leftPayload, left.schema): _*)
     val rightSide = right.select(
-      col(key) +: col(rightTs).as(ts) +: lit(0).as(side) +:
+      col(key) +: col(rightTs).as(ts) +: lit(rightTag).as(side) +:
         chunkOf(col(rightTs)).as(chunk) +: col(rightTs).as(mts) +: valueCols.map(col) ++:
         nulls(leftPayload, left.schema): _*)
     val leftSide = left.select(
-      col(key) +: col(leftTs).as(ts) +: lit(1).as(side) +:
+      col(key) +: col(leftTs).as(ts) +: lit(leftTag).as(side) +:
         chunkOf(col(leftTs)).as(chunk) +: lit(null).cast(tsType).as(mts) +:
         nulls(valueCols, right.schema) ++: leftPayload.map(col): _*)
 
     val ordered = Window.partitionBy(col(key), col(chunk)).orderBy(col(ts), col(side))
-    val frame = ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def pick(c: Column): Column = last(c, ignoreNulls = true).over(frame)
+    val frame =
+      if (backward) ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      else ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def pick(c: Column): Column =
+      (if (backward) last(c, ignoreNulls = true) else first(c, ignoreNulls = true)).over(frame)
     val matchedTs = pick(col(mts))
     val withinTol = toleranceSec match {
       case None => matchedTs.isNotNull
-      case Some(tol) => matchedTs.isNotNull &&
-        (col(ts).cast("long") - matchedTs.cast("long")) <= tol
+      case Some(tol) =>
+        val gap =
+          if (backward) col(ts).cast("long") - matchedTs.cast("long")
+          else matchedTs.cast("long") - col(ts).cast("long")
+        matchedTs.isNotNull && gap <= tol
     }
     seedSide.unionByName(rightSide).unionByName(leftSide)
       .select(

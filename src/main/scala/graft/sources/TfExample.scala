@@ -44,17 +44,17 @@ object TfExample {
 
   // ---- proto wire primitives ---------------------------------------
 
-  private def writeVarint(out: ByteArrayOutputStream, v0: Long): Unit = {
+  private[sources] def writeVarint(out: ByteArrayOutputStream, v0: Long): Unit = {
     var v = v0
     while ((v & ~0x7FL) != 0L) { out.write(((v & 0x7F) | 0x80).toInt); v >>>= 7 }
     out.write(v.toInt)
   }
 
   /** tag = (fieldNumber << 3) | wireType */
-  private def writeTag(out: ByteArrayOutputStream, field: Int, wire: Int): Unit =
+  private[sources] def writeTag(out: ByteArrayOutputStream, field: Int, wire: Int): Unit =
     writeVarint(out, ((field << 3) | wire).toLong)
 
-  private def writeLen(out: ByteArrayOutputStream, field: Int, bytes: Array[Byte]): Unit = {
+  private[sources] def writeLen(out: ByteArrayOutputStream, field: Int, bytes: Array[Byte]): Unit = {
     writeTag(out, field, 2)
     writeVarint(out, bytes.length.toLong)
     out.write(bytes)
@@ -103,7 +103,7 @@ object TfExample {
 
   // ---- decode --------------------------------------------------------
 
-  private final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
+  private[sources] final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
     def hasMore: Boolean = pos < end
     def varint(): Long = {
       var shift = 0; var v = 0L
@@ -132,6 +132,11 @@ object TfExample {
       val f = ByteBuffer.wrap(buf, pos, 4).order(ByteOrder.LITTLE_ENDIAN).getFloat
       pos += 4
       f
+    }
+    def double(): Double = {
+      val d = ByteBuffer.wrap(buf, pos, 8).order(ByteOrder.LITTLE_ENDIAN).getDouble
+      pos += 8
+      d
     }
     /** Skip an unknown field of the given wire type (compat contract). */
     def skip(wire: Int): Unit = wire match {

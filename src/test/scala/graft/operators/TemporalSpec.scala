@@ -103,6 +103,33 @@ class TemporalSpec extends SparkSpec {
     assert(chunkedTs == baseTs)
   }
 
+  test("forward asofJoinChunked equals forward asofJoin for every chunk size") {
+    val rnd = new scala.util.Random(23)
+    val l = (1 to 300).map { i =>
+      (rnd.nextInt(4).toLong, 1000L + rnd.nextInt(5000), i) }.toDF("k", "lts", "payload")
+    val r = (1 to 120).map { i =>
+      (rnd.nextInt(5).toLong, 1000L + rnd.nextInt(5000), i * 1.5) }.toDF("k", "rts", "v")
+      .dropDuplicates("k", "rts")
+    val base = Temporal.asofJoin(l, r, "k", "lts", "rts", Seq("v"),
+        direction = "forward", toleranceSec = Some(900L), matchedTsCol = Some("m"))
+      .collect().map(_.toSeq).toSet
+    for (chunkSize <- Seq(1L, 7L, 250L, 100000L)) {
+      val chunked = Temporal.asofJoinChunked(l, r, "k", "lts", "rts", Seq("v"),
+          chunkSize = chunkSize, direction = "forward",
+          toleranceSec = Some(900L), matchedTsCol = Some("m"))
+        .collect().map(_.toSeq).toSet
+      assert(chunked == base, s"forward chunkSize=$chunkSize diverges from asofJoin")
+    }
+    // timestamp-typed fixture too (chunk units = seconds)
+    val baseTs = Temporal.asofJoin(trades, quotes, "user", "t_ts", "q_ts", Seq("price"),
+        direction = "forward")
+      .collect().map(_.toSeq).toSet
+    val chunkedTs = Temporal.asofJoinChunked(trades, quotes, "user", "t_ts", "q_ts",
+        Seq("price"), chunkSize = 60L, direction = "forward")
+      .collect().map(_.toSeq).toSet
+    assert(chunkedTs == baseTs)
+  }
+
   test("asofJoinChunked spreads a hot key over (key, chunk) window partitions") {
     // one ultra-hot key spanning 8 chunks: the window partition count
     // for that key must be the chunk count, not 1
