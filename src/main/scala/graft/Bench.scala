@@ -40,6 +40,34 @@ object Bench {
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Capped-bucket observability: the dedup/ANN operators tag their
+    // plans with observe() metrics (Dedup.observeCap) counting rows
+    // the maxBucket cap excluded — the recall-loss dial a 100 TB run
+    // watches. Collect them off every successful query execution and
+    // emit them in the bench JSON, so each round's BENCH records not
+    // just how fast the capped operators ran but how much the caps
+    // actually dropped at this sf.
+    val capMetrics = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft_cap_")) {
+            // strip the uniquifying counter suffix → one entry per operator
+            val op = name.stripPrefix("graft_cap_").replaceAll("_\\d+$", "")
+            def longAt(field: String): Long = {
+              val i = row.fieldIndex(field)
+              if (row.isNullAt(i)) 0L else row.getLong(i)
+            }
+            capMetrics.put(op, (longAt("rows_in_capped_buckets"), longAt("bucket_rows")))
+          }
+        }
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    })
+
     val all = SparkEntry.queries
     // Warm the whole headline suite with one untimed pass (JMH-style
     // steady state): codegen compiler, parquet footer cache, shuffle
@@ -128,8 +156,12 @@ object Bench {
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    import scala.jdk.CollectionConverters._
+    val caps = capMetrics.asScala.toSeq.sortBy(_._1).map { case (op, (capped, rows)) =>
+      s""""$op":{"rows_in_capped_buckets":$capped,"bucket_rows":$rows}"""
+    }.mkString("{", ",", "}")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(all2)},""" +
-      f""""queries_min":${jmap(mins)},"reps":$reps,"sf":"$sfDir"}""")
+      f""""queries_min":${jmap(mins)},"cap_metrics":$caps,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -33,6 +33,41 @@ object VectorFunctions {
       .otherwise(transform(a, x => x.cast("double") / n))
   }
 
+  // ---- Breeze-parity algebra (reference: scio-extra/src/main/scala/
+  // com/spotify/scio/extra/Breeze.scala:39 — elementwise +/-/*, scalar
+  // scaling, axpy over DenseVector; here over array columns as builtin
+  // higher-order functions, so the whole verb stays inside one
+  // codegen'd projection). All results are array<double>; inputs may
+  // be float or double arrays.
+
+  /** Elementwise sum a + b (Breeze `+`). */
+  def vecAdd(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => x.cast("double") + y.cast("double"))
+
+  /** Elementwise difference a - b (Breeze `-`). */
+  def vecSub(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => x.cast("double") - y.cast("double"))
+
+  /** Elementwise (Hadamard) product a ∘ b (Breeze `*:*`). */
+  def vecHadamard(a: Column, b: Column): Column =
+    zip_with(a, b, (x, y) => x.cast("double") * y.cast("double"))
+
+  /** Scalar scale s·a (Breeze `*`). */
+  def vecScale(a: Column, s: Column): Column =
+    transform(a, x => x.cast("double") * s.cast("double"))
+
+  /** alpha·x + y — BLAS/Breeze axpy, one fused zip_with. */
+  def axpy(alpha: Column, x: Column, y: Column): Column =
+    zip_with(x, y, (xi, yi) => alpha.cast("double") * xi.cast("double") + yi.cast("double"))
+
+  /** Sum of elements (Breeze `sum(v)`), accumulated in double. */
+  def vecSum(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double"))
+
+  /** Mean of elements; null for empty/null arrays. */
+  def vecMean(a: Column): Column =
+    when(size(a) > 0, vecSum(a) / size(a))
+
   /** Seeded hyperplane coefficients — plan-time constants shared by
     * [[hyperplaneSignature]] and the external oracle SQL (which embeds
     * the same literals), deterministic across runs and executors.

@@ -251,6 +251,7 @@ object IoQueries extends QueryPack {
     // Spark JDBC surface as any server URL; read back PARTITIONED
     // (the at-scale shape: one connection per stride).
     "q_io_jdbc" -> { (s, dir) =>
+      graft.sources.Jdbc.configureDerby()
       val url = s"jdbc:derby:memory:graft_$runToken;create=true"
       graft.sources.Jdbc.write(
         tables(s, dir).customer.select(

@@ -190,6 +190,24 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("vec_id"))
     },
 
+    // Breeze-parity vector algebra (scio-extra Breeze): axpy and the
+    // Hadamard-product dot over consecutive embedding pairs — the
+    // elementwise verbs stay inside one codegen'd projection, the join
+    // is a plain equi-join on vec_id. Value-exact vs the DuckDB
+    // list-comprehension oracle.
+    "q_embed_algebra" -> { (s, dir) =>
+      val e = tables(s, dir).embeddings.filter(col("vec_id") <= 101)
+      val pairs = e.as("a").join(e.as("b"), col("a.vec_id") + 1 === col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"),
+          col("a.embedding").as("x"), col("b.embedding").as("y"))
+      pairs.select(col("vec_id"),
+          r6(VectorFunctions.l2Norm(
+            VectorFunctions.axpy(lit(2.0), col("x"), col("y")))).as("axpy_norm"),
+          r6(VectorFunctions.vecSum(
+            VectorFunctions.vecHadamard(col("x"), col("y")))).as("dot_xy"))
+        .orderBy(col("vec_id"))
+    },
+
     // language ID. Oracle-checked: the heuristic is deterministic
     // arithmetic (stopword ratios + CJK ratio, argmax with
     // first-tie-wins), reproduced in SQL from the same LangProfiles
@@ -428,6 +446,16 @@ object TextVectorQueries extends QueryPack {
       """SELECT vec_id, len(embedding) AS dim,
         |  round(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding])), 6) AS l2_norm
         |FROM embeddings WHERE vec_id <= 100 ORDER BY vec_id""".stripMargin,
+    "q_embed_algebra" ->
+      """SELECT a.vec_id AS vec_id,
+        |  round(sqrt(list_sum([
+        |    (2.0 * CAST(p[1] AS DOUBLE) + CAST(p[2] AS DOUBLE))
+        |      * (2.0 * CAST(p[1] AS DOUBLE) + CAST(p[2] AS DOUBLE))
+        |    FOR p IN list_zip(a.embedding, b.embedding)])), 6) AS axpy_norm,
+        |  round(list_sum([CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)
+        |    FOR p IN list_zip(a.embedding, b.embedding)]), 6) AS dot_xy
+        |FROM embeddings a JOIN embeddings b ON a.vec_id + 1 = b.vec_id
+        |WHERE a.vec_id <= 101 AND b.vec_id <= 101 ORDER BY a.vec_id""".stripMargin,
     "q_pipeline_curate" ->
       """WITH scored AS (
         |  SELECT doc_id, text,

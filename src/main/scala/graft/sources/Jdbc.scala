@@ -23,11 +23,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Jdbc {
 
-  // Embedded Derby writes derby.log into user.dir unless told
-  // otherwise — keep scratch out of the project tree. Harmless for
-  // every other JDBC driver; ignored if the caller already set it.
-  if (sys.props.get("derby.system.home").isEmpty)
-    System.setProperty("derby.system.home", sys.props.getOrElse("java.io.tmpdir", "/tmp"))
+  /** Point embedded Derby's scratch (derby.log, databases) at
+    * `home` — by default the JVM temp dir — instead of Derby's own
+    * default of user.dir, which would drop scratch into the project
+    * tree. EXPLICIT, not a class-load side effect: a library mutating
+    * JVM globals on first touch is a surprise; call this (or set
+    * `derby.system.home` yourself) before the first embedded-Derby
+    * connection. No-op if the property is already set; irrelevant for
+    * every non-Derby JDBC driver.
+    */
+  def configureDerby(home: String = sys.props.getOrElse("java.io.tmpdir", "/tmp")): Unit =
+    if (sys.props.get("derby.system.home").isEmpty)
+      System.setProperty("derby.system.home", home)
 
   /** Single-connection read of a table or subquery (alias a subquery:
     * `"(SELECT ...) t"`). Filters/projections on the result push into

@@ -133,6 +133,43 @@ class VectorExpressionsSpec extends SparkSpec {
     } finally conf.set("spark.sql.codegen.wholeStage", old)
   }
 
+  test("Breeze-parity verbs: exact elementwise algebra on known vectors") {
+    val df = Seq((Seq(1f, -2f, 3f), Seq(10f, 20f, 30f))).toDF("x", "y")
+    val out = df.select(
+      VectorFunctions.vecAdd(col("x"), col("y")).as("add"),
+      VectorFunctions.vecSub(col("x"), col("y")).as("sub"),
+      VectorFunctions.vecHadamard(col("x"), col("y")).as("had"),
+      VectorFunctions.vecScale(col("x"), lit(2.0)).as("scl"),
+      VectorFunctions.axpy(lit(2.0), col("x"), col("y")).as("axpy"),
+      VectorFunctions.vecSum(col("x")).as("sum"),
+      VectorFunctions.vecMean(col("y")).as("mean")).head()
+    assert(out.getSeq[Double](0) == Seq(11.0, 18.0, 33.0))
+    assert(out.getSeq[Double](1) == Seq(-9.0, -22.0, -27.0))
+    assert(out.getSeq[Double](2) == Seq(10.0, -40.0, 90.0))
+    assert(out.getSeq[Double](3) == Seq(2.0, -4.0, 6.0))
+    assert(out.getSeq[Double](4) == Seq(12.0, 16.0, 36.0))
+    assert(out.getDouble(5) == 2.0)
+    assert(out.getDouble(6) == 20.0)
+  }
+
+  test("Breeze-parity verbs satisfy algebraic identities on real embeddings") {
+    // axpy(a, x, y) == vecAdd(vecScale(x, a), y), and
+    // sum(add) == sum(x) + sum(y) — on the corpus, not toy vectors
+    val pairs = vecs.as("a").join(vecs.as("b"),
+      col("a.vec_id") + 1 === col("b.vec_id"))
+      .select(col("a.embedding").as("x"), col("b.embedding").as("y"))
+    val gaps = pairs.select(
+      aggregate(zip_with(
+          VectorFunctions.axpy(lit(2.5), col("x"), col("y")),
+          VectorFunctions.vecAdd(VectorFunctions.vecScale(col("x"), lit(2.5)), col("y")),
+          (p, q) => abs(p - q)),
+        lit(0.0), (acc, v) => greatest(acc, v)).as("axpy_gap"),
+      abs(VectorFunctions.vecSum(VectorFunctions.vecAdd(col("x"), col("y")))
+        - VectorFunctions.vecSum(col("x")) - VectorFunctions.vecSum(col("y"))).as("sum_gap"))
+    val worst = gaps.agg(max(col("axpy_gap")), max(col("sum_gap"))).head()
+    assert(worst.getDouble(0) < 1e-9 && worst.getDouble(1) < 1e-9)
+  }
+
   test("type check rejects non-float arrays with a clear message") {
     val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0))).toDF("a", "b")
     val e = intercept[Exception] {

@@ -9,6 +9,8 @@ import org.apache.spark.sql.functions._
 class JdbcSpec extends SparkSpec {
   import spark.implicits._
 
+  Jdbc.configureDerby() // keep derby.log out of the project tree
+
   private def freshUrl(): String =
     s"jdbc:derby:memory:graft_${java.util.UUID.randomUUID().toString.replace("-", "")};create=true"
 
