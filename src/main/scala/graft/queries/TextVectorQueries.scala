@@ -151,6 +151,33 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("probe_id"), col("rank"))
     },
 
+    // Annoy index interop (scio-extra annoy): build the .ann file,
+    // WRITE and RE-READ it through the public angular format (the
+    // artifact roundtrip is on the critical path, like
+    // q_bloom_persist), then search. With searchK = corpus size the
+    // tree walk degenerates to exhaustive scoring, so the result is
+    // oracle-EXACT against the same brute-force SQL as q_knn_brute;
+    // recall at realistic searchK is pinned in AnnoySpec.
+    "q_knn_annoy" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = tables(s, dir).embeddings
+      val built = graft.similarity.Annoy.buildFrom(emb, "vec_id", "embedding",
+        dim = 64, nTrees = 8)
+      val path = s"/tmp/graft_io/annoy_${dir.replaceAll("[^a-zA-Z0-9]", "_")}.ann"
+      graft.similarity.Annoy.write(s, built, path)
+      val idx = graft.similarity.Annoy.read(s, path, dim = 64)
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("cos_sim").desc, col("item_id"))
+      graft.similarity.Annoy.searchTopK(idx,
+          emb.filter(col("vec_id") <= 10), "vec_id", "embedding",
+          k = 6, searchK = idx.nItems)
+        .filter(col("item_id").cast("long") =!= col("probe_id"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("probe_id"), col("rank"), col("item_id").cast("long").as("neighbor_id"))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+
     // IVF-cell ANN — the scale path (per-probe work / 2^cellBits).
     "q_knn_lsh" -> { (s, dir) =>
       val emb = tables(s, dir).embeddings
@@ -536,6 +563,18 @@ object TextVectorQueries extends QueryPack {
         |ORDER BY jaccard DESC, id_a, id_b
         |LIMIT 25""".stripMargin,
     "q_knn_brute" ->
+      """WITH probes AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id <= 10),
+        |scored AS (
+        |  SELECT pid AS probe_id, vec_id AS neighbor_id,
+        |         list_cosine_similarity(embedding, pe) AS sim
+        |  FROM embeddings, probes WHERE vec_id != pid),
+        |ranked AS (
+        |  SELECT probe_id, neighbor_id,
+        |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT probe_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+        |ORDER BY probe_id, rank""".stripMargin,
+    "q_knn_annoy" ->
       """WITH probes AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id <= 10),
         |scored AS (
         |  SELECT pid AS probe_id, vec_id AS neighbor_id,
