@@ -55,7 +55,17 @@ object ScaleUp {
     val supplier = read("supplier"); val suppBase = maxOf(supplier, "s_suppkey")
     val part = read("part"); val partBase = maxOf(part, "p_partkey")
     val orders = read("orders"); val orderBase = maxOf(orders, "o_orderkey")
-    val events = read("events"); val eventBase = maxOf(events, "event_id")
+    // the driver writes events.ts at NANOSECOND parquet precision,
+    // which Spark surfaces as a raw long; re-written as-is it would
+    // reach DuckDB as BIGINT and break every timestamp oracle. Emit a
+    // real (microsecond) timestamp — both engines then read the same
+    // type, exactly as they do for the driver's own ms/µs columns.
+    val eventsRaw = read("events")
+    val events =
+      if (eventsRaw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        eventsRaw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else eventsRaw
+    val eventBase = maxOf(events, "event_id")
     val userBase = maxOf(events, "user_id")
     val docs = read("documents"); val docBase = maxOf(docs, "doc_id")
     val embs = read("embeddings"); val vecBase = maxOf(embs, "vec_id")
