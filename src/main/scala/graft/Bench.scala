@@ -120,12 +120,20 @@ object Bench {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckp))
       val t0 = System.nanoTime()
       try {
-        // the file source needs a directory: stream the sf dir with a
-        // glob filter selecting only the events table file
-        val raw = spark.readStream.schema(
-          spark.read.parquet(s"$sfDir/events.parquet").schema)
-          .option("pathGlobFilter", "events.parquet")
-          .parquet(sfDir)
+        // the file source needs a directory. The driver's sf dirs hold
+        // events.parquet as a single FILE (stream the parent with a
+        // glob selecting it); a ScaleUp dir holds it as a DIRECTORY of
+        // part files (stream it directly — pathGlobFilter matches leaf
+        // files only, so the single-file glob would match nothing and
+        // silently stream empty).
+        val evPath = s"$sfDir/events.parquet"
+        val schema = spark.read.parquet(evPath).schema
+        val raw =
+          if (new java.io.File(evPath).isDirectory)
+            spark.readStream.schema(schema).parquet(evPath)
+          else
+            spark.readStream.schema(schema)
+              .option("pathGlobFilter", "events.parquet").parquet(sfDir)
         val ev = if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
           raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))

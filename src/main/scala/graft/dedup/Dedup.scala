@@ -314,15 +314,21 @@ object Dedup {
     * blocking key (never across the whole corpus). Returns all pairs
     * in a block with their exact shingle-set Jaccard.
     *
-    * Hot-block contract (same as [[minhashPairs]]/[[simhashPairs]]): a
+    * Hot-block contract (refined from [[minhashPairs]]'s drop rule): a
     * block of m docs yields m(m−1)/2 pairs — quadratic, and a
     * degenerate block (boilerplate, empty texts, a skewed blocking
-    * key) is guaranteed at corpus scale. Blocks larger than `maxBlock`
-    * are dropped BEFORE the self-join (the size check is a linear
-    * window count in the same shuffle, not a join), bounding any
-    * block's output at maxBlock·(maxBlock−1)/2 and its join task at
-    * O(maxBlock²), with the excluded row count surfaced via
-    * observe(). Pairs inside oversized blocks are near-certain
+    * key) is guaranteed at corpus scale. A block larger than
+    * `maxBlock` is reduced to a DETERMINISTIC bounded sample — its
+    * maxBlock smallest ids — BEFORE the self-join (the rank is a
+    * linear window pass in the same shuffle, not a join), bounding
+    * every block's output at maxBlock·(maxBlock−1)/2 and its join
+    * task at O(maxBlock²), with the excluded row count surfaced via
+    * observe(). Sampling beats the earlier drop-the-block rule at
+    * corpus scale: 10× growth pushed EVERY metadata block over the
+    * cap and the operator went silently empty (the sf1 gate caught
+    * it); a bounded sample keeps per-block signal flowing at any
+    * corpus size while the observe() metric reports exactly how much
+    * the cap excluded. Pairs beyond the sample are near-certain
     * mutual duplicates — route them through [[exact]] /
     * [[minhashClusters]], which stay linear.
     */
@@ -330,10 +336,11 @@ object Dedup {
                           blockCol: String, shingleK: Int = 3,
                           maxBlock: Int = 1000): DataFrame = {
     require(maxBlock > 0, s"maxBlock must be positive, got $maxBlock")
+    val rw = Window.partitionBy(col("block")).orderBy(col("id"))
     val sh = shingleRows(df, idCol, textCol, shingleK)
       .groupBy(col("id")).agg(collect_set(col("h")).as("sh"))
       .join(df.select(col(idCol).as("id"), col(blockCol).as("block")), Seq("id"))
-      .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("block"))))
+      .withColumn("__bn", row_number().over(rw))
     val capped = sh.filter(col("__bn") <= maxBlock).drop("__bn")
     // observe on ONE join side only (counts each block row once; the
     // other side's subtree stays identical below the window exchange

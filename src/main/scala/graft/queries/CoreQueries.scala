@@ -92,7 +92,11 @@ object CoreQueries extends QueryPack {
     "q_aggregate" -> { (s, dir) =>
       tables(s, dir).events
         .groupBy(col("event_type"))
-        .agg(r6(sum(col("value") * col("value"))).as("sum_sq"),
+        // r2, not r6: a ~1e9 sum needs 15-16 significant digits at 6dp,
+        // the edge of double precision — at millions of rows the two
+        // engines' summation orders legitimately differ at 1e-6 and a
+        // 6dp round flips (the sf1 gate caught exactly that)
+        .agg(r2(sum(col("value") * col("value"))).as("sum_sq"),
           count(lit(1)).as("n"))
         .orderBy(col("event_type"))
     },
@@ -241,7 +245,7 @@ object CoreQueries extends QueryPack {
       """SELECT o_orderpriority, count(*) AS count FROM orders
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_aggregate" ->
-      """SELECT event_type, round(sum(value * value), 6) AS sum_sq, count(*) AS n
+      """SELECT event_type, round(sum(value * value), 2) AS sum_sq, count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_latest" ->
       """SELECT event_type, round(max_by(value, ts), 6) AS latest_value,

@@ -270,12 +270,19 @@ object PairQueries extends QueryPack {
         .orderBy(col("l_orderkey"))
     },
 
-    // minByKey/maxByKey: argmin/argmax per key.
+    // minByKey/maxByKey: argmin/argmax per key — TIE-DETERMINISTIC via
+    // lexicographic struct min/max (price, then orderkey). min_by/
+    // max_by pick an arbitrary row among tied extremes, which is fine
+    // until the data actually has ties — at 10× replication (and on
+    // any real corpus) it does, and the sf1 gate caught the ambiguity.
     "q_min_max_by_key" -> { (s, dir) =>
       tables(s, dir).orders
         .groupBy(col("o_orderpriority"))
-        .agg(min_by(col("o_orderkey"), col("o_totalprice")).as("cheapest_order"),
-          max_by(col("o_orderkey"), col("o_totalprice")).as("priciest_order"),
+        .agg(
+          min(struct(col("o_totalprice"), col("o_orderkey")))
+            .getField("o_orderkey").as("cheapest_order"),
+          max(struct(col("o_totalprice"), col("o_orderkey")))
+            .getField("o_orderkey").as("priciest_order"),
           r2(min(col("o_totalprice"))).as("min_total"),
           r2(max(col("o_totalprice"))).as("max_total"))
         .orderBy(col("o_orderpriority"))
@@ -465,8 +472,8 @@ object PairQueries extends QueryPack {
         |ORDER BY l_orderkey""".stripMargin,
     "q_min_max_by_key" ->
       """SELECT o_orderpriority,
-        |  arg_min(o_orderkey, o_totalprice) AS cheapest_order,
-        |  arg_max(o_orderkey, o_totalprice) AS priciest_order,
+        |  struct_extract(min(struct_pack(p := o_totalprice, k := o_orderkey)), 'k') AS cheapest_order,
+        |  struct_extract(max(struct_pack(p := o_totalprice, k := o_orderkey)), 'k') AS priciest_order,
         |  round(min(o_totalprice), 2) AS min_total,
         |  round(max(o_totalprice), 2) AS max_total
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,

@@ -547,9 +547,13 @@ object TextVectorQueries extends QueryPack {
     // DuckDB reproduces it exactly from string shingle sets even
     // though Spark works on shingle hashes.
     "q_ngram_jaccard" ->
-      """WITH toks AS (
-        |  SELECT doc_id, source, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t
+      """WITH sampled AS (
+        |  SELECT doc_id, source, text,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
         |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, source, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t
+        |  FROM sampled WHERE rk <= 1000),
         |sh AS (
         |  SELECT doc_id, source,
         |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]

@@ -287,6 +287,14 @@ object StreamSinks {
   def toAvro(ds: Dataset[Row], path: String): DataStreamWriter[Row] =
     ds.writeStream.foreachBatch(perBatch(path)((df, p) => graft.sources.Avro.write(df, p)))
 
+  /** Proto-message shards per micro-batch (schema-driven proto3 wire,
+    * bytes-in-Avro container or TFRecord framing — [[graft.sources.Protobuf]]).
+    */
+  def toProtobuf(ds: Dataset[Row], path: String,
+                 container: String = "avro"): DataStreamWriter[Row] =
+    ds.writeStream.foreachBatch(perBatch(path)((df, p) =>
+      graft.sources.Protobuf.write(df, p, container)))
+
   /** Dynamic per-record destinations per micro-batch (destination
     * column → subdirectory under the batch dir).
     */

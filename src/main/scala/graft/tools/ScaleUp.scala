@@ -98,16 +98,21 @@ object ScaleUp {
           when(i === 0, col("text"))
             .otherwise(concat(lit("r"), i.cast("string"), lit(" "), col("text"))))
         .withColumn("n_chars", length(col("text")))), "documents")
-    // ±1% deterministic per-element perturbation for replicas > 0:
-    // scale = 1 + (hash(vec_id, i, pos) % 1000 - 500) / 50000
-    write(replicate(embs)((df, i) =>
+    // replicas get a cyclic element ROTATION (lag 7i) with hash-seeded
+    // sign flips — distinct vectors with the same distribution, NOT
+    // near-clones: tiny per-element perturbation would manufacture
+    // 10-deep near-tie clusters whose kNN ranks are sensitive to
+    // sub-1e-6 arithmetic-order differences between engines (no real
+    // corpus growth produces that shape, and it breaks rank oracles)
+    write(replicate(embs)((df, i) => {
+      val dim = 64
+      val rotated = transform(col("embedding"), (_, pos) =>
+        (element_at(col("embedding"),
+            (pmod(pos + i * 7, lit(dim)) + 1).cast("int")) *
+          (lit(1) - lit(2) * pmod(xxhash64(i, pos), lit(2L)).cast("int"))).cast("float"))
       df.withColumn("vec_id", col("vec_id") + i * vecBase)
-        .withColumn("embedding",
-          when(i === 0, col("embedding")).otherwise(
-            transform(col("embedding"), (x, pos) =>
-              (x.cast("double") * (lit(1.0) +
-                (pmod(xxhash64(col("vec_id"), i, pos), lit(1000L)) - 500L).cast("double")
-                  / 50000.0)).cast("float"))))), "embeddings")
+        .withColumn("embedding", when(i === 0, col("embedding")).otherwise(rotated))
+    }), "embeddings")
 
     val counts = Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings")

@@ -156,10 +156,11 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L)))
   }
 
-  test("blockedJaccardPairs hot-block cap bounds a degenerate block") {
+  test("blockedJaccardPairs hot-block cap samples a degenerate block deterministically") {
     // 1000 docs in ONE block: uncapped this is ~500k pairs; the cap
-    // drops the block before the self-join, so candidates stay
-    // bounded while a small healthy block keeps pairing normally.
+    // reduces the block to its maxBlock smallest ids before the
+    // self-join, so candidates stay bounded at maxBlock·(maxBlock−1)/2
+    // while a small healthy block keeps pairing fully.
     val degenerate = spark.range(1000).select(col("id").as("doc_id"),
         lit("the same boilerplate text repeated across the whole corpus again").as("text"),
         lit("hot").as("src"))
@@ -168,9 +169,14 @@ class DedupSpec extends SparkSpec {
         lit("cold").as("src")))
     val pairs = Dedup.blockedJaccardPairs(degenerate, "doc_id", "text", "src", maxBlock = 100)
       .collect()
-    assert(pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet ==
-      Set((5000L, 5001L))) // hot block fully excluded, cold block intact
-    assert(pairs.head.getAs[Double]("jaccard") == 1.0)
+    val hot = pairs.filter(_.getAs[String]("block") == "hot")
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // exactly the pairs among the 100 smallest ids — bounded AND deterministic
+    assert(hot == (for (a <- 0L until 100L; b <- a + 1 until 100L) yield (a, b)).toSet)
+    val cold = pairs.filter(_.getAs[String]("block") == "cold")
+    assert(cold.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet ==
+      Set((5000L, 5001L))) // small healthy block intact
+    assert(cold.head.getAs[Double]("jaccard") == 1.0)
   }
 
   test("decontaminate flags exactly the docs sharing a k-shingle with the bench set") {

@@ -430,4 +430,25 @@ class StreamingSpec extends SparkSpec {
     assert(all.map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
       Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
   }
+
+  test("StreamSinks.toProtobuf shards parse back through the proto reader") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    input.addData((1L, "alpha"), (2L, "beta"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_protosink").toFile
+    dir.deleteOnExit()
+    val ckp = new java.io.File(dir, "ckp").getAbsolutePath
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    val q = StreamSinks.toProtobuf(input.toDF().toDF("id", "name"), out)
+      .option("checkpointLocation", ckp)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    val batchDirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("batch-"))
+    val all = batchDirs.flatMap(d =>
+      graft.sources.Protobuf.read(spark, d.getAbsolutePath, schema).collect())
+    assert(all.map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((1L, "alpha"), (2L, "beta")))
+  }
 }
