@@ -88,6 +88,34 @@ class AvroSpec extends SparkSpec {
       == 5000L * 4999 / 2)
   }
 
+  test("stock-written SNAPPY container (foreign producer) splits and reads back") {
+    // a file graft did not write: stock Avro writer, snappy codec,
+    // small blocks — the external-producer case the splittable read
+    // exists for. Codec rides in the container header.
+    val dir = tmpDir()
+    val avroSchema = org.apache.avro.SchemaBuilder.record("ext").fields()
+      .requiredLong("id").requiredString("pad").endRecord()
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](avroSchema))
+    w.setCodec(org.apache.avro.file.CodecFactory.snappyCodec())
+    w.setSyncInterval(1024)
+    w.create(avroSchema, new java.io.File(dir, "part-00000.avro"))
+    (0 until 4000).foreach { i =>
+      val rec = new org.apache.avro.generic.GenericData.Record(avroSchema)
+      rec.put("id", i.toLong); rec.put("pad", "x" * 40)
+      w.append(rec)
+    }
+    w.close()
+    new java.io.File(dir, "_SUCCESS").createNewFile()
+    val readSchema = StructType(Seq(
+      StructField("id", LongType), StructField("pad", StringType)))
+    val back = Avro.read(spark, dir, readSchema, splitBytes = 8 << 10)
+    assert(back.rdd.getNumPartitions > 1)
+    assert(back.count() == 4000)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+      == 4000L * 3999 / 2)
+  }
+
   test("zero-shard write (all partitions empty) reads back as an empty DataFrame") {
     val dir = tmpDir()
     val empty = fixture.filter("id < 0")

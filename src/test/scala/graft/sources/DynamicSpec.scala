@@ -76,6 +76,42 @@ class DynamicSpec extends SparkSpec {
     assert(linesUnder(out)("hot").sorted == (0L until 200L).map(i => s"r$i").sorted)
   }
 
+  test("fanout spreads even when every hot-destination row has IDENTICAL text") {
+    // a content-hash salt would collapse identical rows onto one salt
+    // (the advisory finding); the per-row salt must still spread them
+    val out = tmpDir()
+    val df = spark.range(0, 200).repartition(8)
+      .select(lit("hot").as("dest"), lit("same line every time").as("text"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try Dynamic.saveAsDynamicText(df, out.getAbsolutePath, "dest", "text", fanout = 4)
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val files = new java.io.File(out, "hot").listFiles().filter(_.getName.startsWith("part-"))
+    assert(files.length > 1,
+      s"identical-text hot destination must still fan out, got ${files.length} file(s)")
+    assert(linesUnder(out)("hot").size == 200)
+  }
+
+  test("re-running over an existing tree replaces it (no stale finals survive)") {
+    val out = tmpDir()
+    val v1 = Seq(("d", "old1"), ("gone", "old2")).toDF("dest", "text")
+    Dynamic.saveAsDynamicText(v1, out.getAbsolutePath, "dest", "text")
+    val v2 = Seq(("d", "new1")).toDF("dest", "text")
+    Dynamic.saveAsDynamicText(v2, out.getAbsolutePath, "dest", "text")
+    assert(linesUnder(out)("d") == Seq("new1"))
+    assert(!new java.io.File(out, "gone").exists(), "stale destination dir must not survive")
+  }
+
+  test("no uncommitted attempt temp files remain after a clean write") {
+    // (Hadoop's LocalFileSystem .crc checksum sidecars are expected;
+    // the rename commit must leave no .part-*.attempt-* temps behind)
+    val out = tmpDir()
+    val df = Seq(("a", "1"), ("b", "2"), ("a", "3")).toDF("dest", "text")
+    Dynamic.saveAsDynamicText(df, out.getAbsolutePath, "dest", "text")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    assert(walk(out).filter(_.getName.contains(".attempt-")).isEmpty)
+  }
+
   test("null text writes an empty line, row count preserved") {
     val out = tmpDir()
     val df = Seq(("d", "x"), ("d", null: String)).toDF("dest", "text")
