@@ -109,6 +109,11 @@ object Bench {
     }
     val results = names.map(n => n -> median(samples(n)))
     val mins = names.map(n => n -> samples(n).min)
+    // q_smb_write exists so the bucketed WRITE's own cost is visible
+    // (q_smb_join reuses a write-once layout); it reports alongside
+    // but OUTSIDE the total, like q_stream_window — keeping the total
+    // comparable round over round (r7's total had no write entry).
+    val auxiliary = Set("q_smb_write")
     // Streaming throughput: the same events feed as q_window_fixed,
     // driven through Structured Streaming (AvailableNow) into a noop
     // sink — measures the micro-batch engine end-to-end. Median of
@@ -163,7 +168,7 @@ object Bench {
     val all2 = results :+ ("q_stream_window" -> streaming)
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.filterNot(r => auxiliary(r._1)).map(_._2).sum
     import scala.jdk.CollectionConverters._
     val caps = capMetrics.asScala.toSeq.sortBy(_._1).map { case (op, (capped, rows)) =>
       s""""$op":{"rows_in_capped_buckets":$capped,"bucket_rows":$rows}"""
