@@ -32,6 +32,7 @@ import org.apache.spark.sql.types._
   *   - Array[numeric] → packed (wire 2), Array[string|binary] →
   *     repeated wire-2 fields — both the proto3 defaults;
   *   - nested StructType → embedded message (wire 2), recursively;
+  *     Array[Struct] → repeated message fields;
   *   - null / None → field omitted (proto3 absence), reads back null.
   *
   * Bytes produced here parse with stock `protoc`-generated code for
@@ -60,9 +61,12 @@ object Protobuf {
          FloatType | DoubleType | StringType | BinaryType => ()
     case ArrayType(ByteType | ShortType | IntegerType | LongType | BooleanType |
                    FloatType | DoubleType | StringType | BinaryType, _) => ()
+    case ArrayType(st: StructType, _) => // repeated message field
+      st.fields.foreach(f => checkType(f.dataType))
     case st: StructType => st.fields.foreach(f => checkType(f.dataType))
     case other => throw new IllegalArgumentException(
-      s"unsupported proto column type $other (scalars, arrays of scalars, nested structs)")
+      s"unsupported proto column type $other (scalars, arrays of scalars, " +
+        "nested structs, arrays of structs)")
   }
 
   // ---- encode --------------------------------------------------------
@@ -111,6 +115,9 @@ object Protobuf {
       case ArrayType(BinaryType, _) =>
         v.asInstanceOf[scala.collection.Seq[_]].foreach(x =>
           writeLen(out, field, x.asInstanceOf[Array[Byte]]))
+      case ArrayType(st: StructType, _) => // repeated message: one wire-2 field each
+        v.asInstanceOf[scala.collection.Seq[_]].foreach(x =>
+          writeLen(out, field, encodeRow(st, x.asInstanceOf[Row])))
       case ArrayType(et, _) =>
         val xs = v.asInstanceOf[scala.collection.Seq[Any]]
         if (xs.nonEmpty) writeLen(out, field, packedNumeric(et, xs))
@@ -173,6 +180,8 @@ object Protobuf {
               if (builders(i) == null)
                 builders(i) = scala.collection.mutable.ArrayBuffer.empty[Any]
               (et, wire) match {
+                case (st: StructType, 2) =>
+                  builders(i) += decodeRow(st, r.sliceBytes())
                 case (StringType | BinaryType, 2) =>
                   builders(i) += readScalar(r, 2, et)
                 case (FloatType, 2) =>

@@ -26,9 +26,12 @@ class ProtobufPropertySpec extends AnyFunSuite {
     case _ => if (r.nextBoolean()) StringType else BinaryType
   }
 
-  private def genType(r: Random, depth: Int): DataType = r.nextInt(4) match {
+  private def genType(r: Random, depth: Int): DataType = r.nextInt(5) match {
     case 0 | 1 => genScalarType(r)
     case 2 => ArrayType(genScalarType(r))
+    case 3 if depth < 2 => // repeated message
+      ArrayType(StructType((1 to 1 + r.nextInt(2)).map(i =>
+        StructField(s"m$i", genScalarType(r)))))
     case _ if depth < 2 =>
       StructType((1 to 1 + r.nextInt(3)).map(i =>
         StructField(s"n$i", genType(r, depth + 1))))

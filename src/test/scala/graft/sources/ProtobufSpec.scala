@@ -91,6 +91,24 @@ class ProtobufSpec extends SparkSpec {
     assert(r3.isNullAt(6) && r3.isNullAt(7) && r3.isNullAt(8))
   }
 
+  test("repeated message fields (Array[Struct]) roundtrip, interleaved with others") {
+    val inner = StructType(Seq(
+      StructField("a", IntegerType), StructField("b", StringType)))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("msgs", ArrayType(inner)),
+      StructField("tag", StringType)))
+    val row = Row(7L, Seq(Row(1, "x"), Row(null, "y"), Row(3, null)), "t")
+    val back = Protobuf.decodeRow(schema, Protobuf.encodeRow(schema, row))
+    assert(back.getLong(0) == 7L && back.getString(2) == "t")
+    val msgs = back.getSeq[Row](1)
+    assert(msgs.size == 3)
+    assert(msgs(0) == Row(1, "x") && msgs(1) == Row(null, "y") && msgs(2) == Row(3, null))
+    // empty repeated-message list writes nothing → absent → null
+    val empty = Protobuf.decodeRow(schema,
+      Protobuf.encodeRow(schema, Row(1L, Seq.empty[Row], "u")))
+    assert(empty.isNullAt(1))
+  }
+
   test("explicit protoField metadata overrides positional field numbers") {
     val meta = new MetadataBuilder().putLong("protoField", 12).build()
     val s = StructType(Seq(StructField("id", LongType, nullable = false, meta)))
