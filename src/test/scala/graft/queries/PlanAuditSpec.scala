@@ -56,6 +56,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!cols.contains("l_comment") && !cols.contains("l_partkey"))
   }
 
+  test("q_embed_algebra: the vector verbs fuse into projections — no UDF, no extra exchange") {
+    val p = plan("q_embed_algebra")
+    assert(!p.contains("BatchEvalPython") && !p.toLowerCase.contains("scalaudf"),
+      s"vector algebra left codegen:\n$p")
+    // one equi-join + final sort: nothing about elementwise algebra
+    // may introduce additional shuffles
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 3, s"too many exchanges for a projection-only query:\n$p")
+  }
+
+  test("q_io_protobuf: the decode pipeline is shuffle-free (scan → decode → agg)") {
+    // the read side: splittable avro scan + per-partition proto decode
+    // must reach the partial aggregation without any exchange besides
+    // the aggregation's own
+    val df = graft.SparkEntry.queries("q_io_protobuf")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"), s"proto decode planned as a UDF:\n$p")
+  }
+
   test("q_cms_heavy: the sketch prefilter sits below the aggregation exchange") {
     val p = plan("q_cms_heavy")
     assert(p.contains("graft_cms_estimate"), s"CMS kernel missing:\n$p")
