@@ -33,6 +33,26 @@ class GraftCmsSpec extends SparkSpec {
     assert(got == (90L to 100L).map(k => k -> k).toMap)
   }
 
+  test("heavyHitters keeps a heavy NULL group (SQL GROUP BY semantics)") {
+    // the sketch never sees nulls (a null probe estimates 0), so null
+    // rows must bypass the prefilter and resolve in the exact agg
+    val withNulls = skewed.select(
+      when(col("k") <= 95, col("k")).as("k")) // keys 1..95 + 490 null rows
+    val got = GraftCms.heavyHitters(withNulls, "k", minCount = 90, eps = 1e-4)
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getLong(1))
+      .toMap
+    val nullCount = (96L to 100L).sum // 490
+    assert(got(None) == nullCount, s"null group missing or wrong: $got")
+    val expected: Map[Option[Long], Long] =
+      (90L to 95L).map(k => (Some(k): Option[Long]) -> k).toMap + (None -> nullCount)
+    assert(got == expected)
+    // and a LIGHT null group still dies on the exact HAVING
+    val few = Seq(Some(1L), Some(1L), Some(1L), None).toDF("k")
+    val light = GraftCms.heavyHitters(few, "k", minCount = 2)
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))))
+    assert(light.toSet == Set(Some(1L)))
+  }
+
   test("string keys build and probe with the same representation") {
     val words = Seq.fill(50)("hot") ++ Seq("cold1", "cold2", "cold3")
     val df = words.toDF("w")
