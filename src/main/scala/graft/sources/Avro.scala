@@ -165,11 +165,14 @@ object Avro {
     * on the writer's shard count: one huge external container file
     * still fans out.
     *
-    * Guard rails: requires the `_SUCCESS` stamp ([[write]] emits one)
-    * so a partially-written tree from a failed job can't read back as
-    * silently-valid data, and a committed write whose partitions were
-    * all empty (zero part files) reads as an empty DataFrame of
-    * `schema` rather than throwing.
+    * Guard rails: a DIRECTORY path requires the `_SUCCESS` stamp
+    * ([[write]] emits one) so a partially-written tree from a failed
+    * job can't read back as silently-valid data, and a committed
+    * write whose partitions were all empty (zero part files) reads as
+    * an empty DataFrame of `schema` rather than throwing. A path that
+    * points at a FILE is read directly, no marker or naming contract
+    * — the foreign-container case (one huge .avro from an external
+    * producer) this read's splitting exists for.
     */
   def read(spark: SparkSession, path: String, schema: StructType,
            splitBytes: Long = 64L << 20): DataFrame = {
@@ -179,9 +182,15 @@ object Avro {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
     val fs = dir.getFileSystem(hadoopConf)
-    require(fs.exists(new Path(dir, "_SUCCESS")),
-      s"$path has no _SUCCESS marker — refusing to read a possibly partial write")
-    val statuses = Option(fs.globStatus(new Path(dir, "part-*.avro"))).getOrElse(Array.empty)
+    val rootStatus = fs.getFileStatus(dir)
+    val statuses =
+      if (rootStatus.isFile) Array(rootStatus)
+      else {
+        require(fs.exists(new Path(dir, "_SUCCESS")),
+          s"$path has no _SUCCESS marker — refusing to read a possibly partial write " +
+            "(point at the container file itself to read foreign single-file input)")
+        Option(fs.globStatus(new Path(dir, "part-*.avro"))).getOrElse(Array.empty)
+      }
     if (statuses.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     val confEntries = spark.sparkContext.broadcast(

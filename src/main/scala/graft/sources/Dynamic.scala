@@ -53,18 +53,43 @@ object Dynamic {
     * and `..` are rejected. Null text writes an empty line (the row
     * still counts — same as writing its empty string).
     */
+  /** Stamped at the tree root by every completed write: marks the
+    * directory as graft-dynamic OUTPUT, so the pre-write wipe below
+    * can tell "stale run of this sink" from "directory that holds
+    * someone's unrelated data".
+    */
+  private val Marker = "_GRAFT_DYNAMIC"
+
   def saveAsDynamicText(df: DataFrame, basePath: String, destCol: String, textCol: String,
-                        fanout: Int = 1): Unit = {
+                        fanout: Int = 1, overwriteForeign: Boolean = false): Unit = {
     require(fanout >= 1, s"fanout must be >= 1, got $fanout")
     // fresh output tree (same contract as Avro/TfRecord write): with a
     // per-file rename commit, a pre-existing final from an older run
-    // would win every rename and pin stale data.
-    locally {
+    // would win every rename and pin stale data. Guarded: refuse to
+    // recursively wipe a non-empty tree this sink didn't write (no
+    // marker) unless the caller explicitly opts in — a typo'd basePath
+    // must not silently erase unrelated data.
+    val fs = locally {
       val base = new Path(basePath)
+      require(basePath.trim.nonEmpty && base.depth() >= 1,
+        s"refusing to write a dynamic tree at '$basePath' (empty or filesystem root)")
       val fs = FileSystem.get(base.toUri,
         df.sparkSession.sparkContext.hadoopConfiguration)
-      fs.delete(base, true)
+      if (fs.exists(base)) {
+        val contents = fs.listStatus(base)
+        // hidden (dot/underscore) entries are Hadoop-invisible — a
+        // failed attempt's dot-temps must not lock out the retry
+        val visible = contents.filterNot { s =>
+          val n = s.getPath.getName; n.startsWith(".") || n.startsWith("_")
+        }
+        val ours = visible.isEmpty || contents.exists(_.getPath.getName == Marker)
+        require(ours || overwriteForeign,
+          s"$basePath exists with ${visible.length} entries and no $Marker stamp — it was " +
+            "not written by this sink; pass overwriteForeign=true to wipe it anyway")
+        fs.delete(base, true)
+      }
       fs.mkdirs(base)
+      fs
     }
     // salt on a per-ROW spread value, not record content: a hot
     // destination whose rows all carry the same text would collapse
@@ -120,5 +145,6 @@ object Dynamic {
         commit()
       } catch { case t: Throwable => abort(); throw t }
     }
+    fs.create(new Path(basePath, Marker), true).close()
   }
 }

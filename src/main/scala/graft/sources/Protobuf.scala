@@ -198,7 +198,11 @@ object Protobuf {
                 case (_, w) => r.skip(w)
               }
             case st: StructType =>
-              cells(i) = decodeRow(st, r.sliceBytes())
+              // same mismatch tolerance as readScalar: a non-wire-2
+              // payload under a message-typed field number is skipped,
+              // not read as a length (which would corrupt the parse)
+              if (wire == 2) cells(i) = decodeRow(st, r.sliceBytes())
+              else r.skip(wire)
             case scalar =>
               cells(i) = readScalar(r, wire, scalar)
           }

@@ -104,8 +104,15 @@ object ScaleUp {
     // 10-deep near-tie clusters whose kNN ranks are sensitive to
     // sub-1e-6 arithmetic-order differences between engines (no real
     // corpus growth produces that shape, and it breaks rank oracles)
+    // derive the embedding dim from the data (a hardcoded dim would
+    // silently corrupt rotated vectors for any other corpus) and
+    // require it uniform — the rotation indexes modulo dim
+    val dim = embs.select(size(col("embedding")).as("d")).distinct().collect() match {
+      case Array(r) => r.getInt(0)
+      case many => throw new IllegalArgumentException(
+        s"embeddings must share one dim, found ${many.map(_.getInt(0)).sorted.mkString(",")}")
+    }
     write(replicate(embs)((df, i) => {
-      val dim = 64
       val rotated = transform(col("embedding"), (_, pos) =>
         (element_at(col("embedding"),
             (pmod(pos + i * 7, lit(dim)) + 1).cast("int")) *

@@ -57,9 +57,11 @@ object Local {
 
   // ---- time-series windows over a sorted iterator --------------------
 
+  // true floored division: correct for ts below offset (pre-epoch /
+  // negative timestamps), where the truncating `/` would round toward
+  // zero and clamp every such element into one bogus window
   private def floorTo(ts: Long, size: Long, offset: Long): Long =
-    if (ts < offset) offset - size
-    else (ts - offset) / size * size + offset
+    Math.floorDiv(ts - offset, size) * size + offset
 
   /** Windowing views over a TIMESTAMP-ORDERED iterator — the caller
     * guarantees non-decreasing `tsOf` (a sorted partition, a merge of

@@ -132,6 +132,28 @@ class AvroSpec extends SparkSpec {
     assert(e.getMessage.contains("_SUCCESS"))
   }
 
+  test("an explicit FILE path reads without marker or naming contract (foreign input)") {
+    // the headline foreign case: one container from an external
+    // producer, arbitrary name, no _SUCCESS anywhere
+    val dir = tmpDir()
+    val avroSchema = org.apache.avro.SchemaBuilder.record("ext").fields()
+      .requiredLong("id").endRecord()
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](avroSchema))
+    w.setSyncInterval(1024)
+    w.create(avroSchema, new java.io.File(dir, "export-2024.avro"))
+    (0 until 3000).foreach { i =>
+      val rec = new org.apache.avro.generic.GenericData.Record(avroSchema)
+      rec.put("id", i.toLong); w.append(rec)
+    }
+    w.close()
+    val back = Avro.read(spark, s"$dir/export-2024.avro",
+      StructType(Seq(StructField("id", LongType))), splitBytes = 4 << 10)
+    assert(back.rdd.getNumPartitions > 1) // still split-parallel
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+      == 3000L * 2999 / 2)
+  }
+
   test("unsupported column types fail fast driver-side") {
     val df = spark.range(1).selectExpr("named_struct('a', id) AS s")
     val e = intercept[IllegalArgumentException](Avro.write(df, "/tmp/never"))

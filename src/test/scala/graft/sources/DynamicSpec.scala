@@ -118,4 +118,21 @@ class DynamicSpec extends SparkSpec {
     Dynamic.saveAsDynamicText(df, out.getAbsolutePath, "dest", "text")
     assert(linesUnder(out)("d").sorted == Seq("", "x"))
   }
+
+  test("a non-empty directory this sink didn't write is NOT wiped (marker guard)") {
+    val out = tmpDir()
+    val precious = new java.io.File(out, "unrelated.txt")
+    java.nio.file.Files.write(precious.toPath, "do not delete".getBytes)
+    val df = Seq(("d", "x")).toDF("dest", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dynamic.saveAsDynamicText(df, out.getAbsolutePath, "dest", "text")
+    }
+    assert(e.getMessage.contains("_GRAFT_DYNAMIC"))
+    assert(precious.exists, "foreign file must survive the refused write")
+    // explicit opt-in wipes and writes
+    Dynamic.saveAsDynamicText(df, out.getAbsolutePath, "dest", "text",
+      overwriteForeign = true)
+    assert(!precious.exists)
+    assert(linesUnder(out)("d") == Seq("x"))
+  }
 }

@@ -44,6 +44,22 @@ class ProtobufSpec extends SparkSpec {
     assert(row.getSeq[Long](1) == Seq(5L, 7L))
   }
 
+  test("a wire-type mismatch on a message-typed field skips, not corrupts") {
+    // field 1 declared as a nested message but arriving as wire-0
+    // varint (schema drift): the varint must be SKIPPED — reading its
+    // payload as a length would desynchronize the rest of the parse
+    val schema = StructType(Seq(
+      StructField("inner", StructType(Seq(StructField("a", LongType)))),
+      StructField("id", LongType)))
+    val out = new java.io.ByteArrayOutputStream()
+    def b(xs: Int*): Unit = xs.foreach(out.write)
+    b(0x08, 0x96, 0x01)  // field 1 wire 0 varint 150 — mismatched
+    b(0x10, 0x07)        // field 2 (id) = 7 must still parse
+    val row = Protobuf.decodeRow(schema, out.toByteArray)
+    assert(row.isNullAt(0))
+    assert(row.getLong(1) == 7L)
+  }
+
   private val fullSchema = StructType(Seq(
     StructField("id", LongType, nullable = false),
     StructField("name", StringType),

@@ -46,14 +46,20 @@ class LocalSpec extends AnyFunSuite {
   }
 
   test("sliding windows overlap by period and re-anchor across empty stretches") {
+    // ts=1 lies in BOTH [-5,5) and [0,10) — early elements get their
+    // full window fan-out (the pre-r9 clamp silently dropped the
+    // below-zero-start window, merging the head of the stream)
     val w = Seq(1L, 4L, 8L, 12L).iterator.timeSeries(identity).sliding(10, 5).toSeq
-    assert(w == Seq(Seq(1L, 4L, 8L), Seq(8L, 12L), Seq(12L)))
+    assert(w == Seq(Seq(1L, 4L), Seq(1L, 4L, 8L), Seq(8L, 12L), Seq(12L)))
     // an element repeats in ceil(size/period) windows
     val dense = Seq(7L).iterator.timeSeries(identity).sliding(10, 5).toSeq
     assert(dense == Seq(Seq(7L), Seq(7L)))
     // a long empty stretch re-anchors instead of emitting empty windows
     val sparse = Seq(1L, 100L).iterator.timeSeries(identity).sliding(10, 5).toSeq
-    assert(sparse == Seq(Seq(1L), Seq(100L), Seq(100L)))
+    assert(sparse == Seq(Seq(1L), Seq(1L), Seq(100L), Seq(100L)))
+    // pre-epoch timestamps window correctly (true floored division)
+    val neg = Seq(-13L, -4L, 3L).iterator.timeSeries(identity).fixed(10).toSeq
+    assert(neg == Seq(Seq(-13L), Seq(-4L), Seq(3L)))
   }
 
   test("sliding with period > size discards gap elements (documented)") {
