@@ -156,6 +156,37 @@ object IoQueries extends QueryPack {
         .orderBy(col("s_nationkey"))
     },
 
+    // Avro nested records + maps + logical types (scio's GenericRecord
+    // breadth): a struct-in-struct, a string map, date/timestamp-µs/
+    // decimal logical-typed columns — written through the container
+    // format, read back, and every piece folded into the oracle-checked
+    // aggregate. The decimal rides an integral-derived value so both
+    // engines agree bit-exactly; dates/timestamps format to strings per
+    // the cross-engine comparison contract.
+    "q_io_avro_nested" -> { (s, dir) =>
+      val path = tmp(dir, "orders_avro_nested")
+      val src = tables(s, dir).orders.select(
+        col("o_orderkey").cast("long").as("key"),
+        struct(col("o_orderpriority").as("prio"),
+          struct(col("o_totalprice").as("price")).as("deep")).as("info"),
+        map(lit("status"), col("o_orderstatus")).as("attrs"),
+        to_date(col("o_orderdate")).as("day"),
+        col("o_orderdate").cast("timestamp").as("ts"),
+        (col("o_orderkey") % 1000).cast("decimal(10,2)").as("dec_val"))
+      Avro.write(src, path)
+      Avro.read(s, path, src.schema)
+        .select(col("info.prio").as("prio"), col("info.deep.price").as("price"),
+          element_at(col("attrs"), "status").as("status"),
+          col("day"), col("ts"), col("dec_val"))
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("price"))).as("sum_price"),
+          sum(col("dec_val")).cast("string").as("sum_dec"),
+          min(col("status")).as("min_status"),
+          date_format(min(col("day")), "yyyy-MM-dd").as("first_day"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+        .orderBy(col("prio"))
+    },
+
     // typed TFRecord (scio-tensorflow saveAsTfRecordFile): rows →
     // tf.train.Example protos (hand-rolled public wire format) →
     // TFRecord framing → decoded back through a schema. The oracle
@@ -349,6 +380,14 @@ object IoQueries extends QueryPack {
       """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n,
         |  round(sum(s_acctbal), 2) AS sum_bal, min(s_name) AS first_name
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q_io_avro_nested" ->
+      """SELECT o_orderpriority AS prio, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  CAST(sum(CAST(o_orderkey % 1000 AS DECIMAL(10,2))) AS VARCHAR) AS sum_dec,
+        |  min(o_orderstatus) AS min_status,
+        |  strftime(min(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS first_day,
+        |  strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS last_ts
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_io_tfexample" ->
       """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n,
         |  min(n_name) AS first_name, CAST(max(n_nationkey) AS BIGINT) AS max_key

@@ -33,12 +33,33 @@ import org.apache.spark.sql.types._
   * of serializing on one core.
   *
   * Type mapping (both directions): long/int/short/byte ↔ long|int,
-  * double/float, boolean, string, binary ↔ bytes, and arrays thereof.
-  * Nullable Spark fields map to `union {null, T}`.
+  * double/float, boolean, string, binary ↔ bytes; nested StructType ↔
+  * record; MapType(string, V) ↔ avro map; DateType ↔ int/`date`;
+  * TimestampType ↔ long/`timestamp-micros`; DecimalType(p,s) ↔
+  * bytes/`decimal` — the standard Avro logical types, so stock readers
+  * surface real dates/timestamps/decimals; arrays of any of these.
+  * Nullable Spark fields (and nullable array elements / map values)
+  * map to `union {null, T}`.
   */
 object Avro {
 
-  private def avroType(dt: DataType): Schema = dt match {
+  import org.apache.avro.LogicalTypes
+
+  private def nullable(s: Schema, isNullable: Boolean): Schema =
+    if (isNullable) Schema.createUnion(Schema.create(Schema.Type.NULL), s) else s
+
+  /** Resolve the non-null branch of a union (Avro's nullable shape);
+    * any other schema passes through.
+    */
+  private def nonNull(s: Schema): Schema =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
+    else s
+
+  /** `path` names nested records — Avro requires every record schema
+    * be uniquely named, so the field path becomes the record name.
+    */
+  private def avroType(dt: DataType, path: String): Schema = dt match {
     case LongType => Schema.create(Schema.Type.LONG)
     case IntegerType | ShortType | ByteType => Schema.create(Schema.Type.INT)
     case DoubleType => Schema.create(Schema.Type.DOUBLE)
@@ -46,28 +67,66 @@ object Avro {
     case BooleanType => Schema.create(Schema.Type.BOOLEAN)
     case StringType => Schema.create(Schema.Type.STRING)
     case BinaryType => Schema.create(Schema.Type.BYTES)
-    case ArrayType(et, _) => Schema.createArray(avroType(et))
+    case DateType =>
+      LogicalTypes.date().addToSchema(Schema.create(Schema.Type.INT))
+    case TimestampType =>
+      LogicalTypes.timestampMicros().addToSchema(Schema.create(Schema.Type.LONG))
+    case d: DecimalType =>
+      LogicalTypes.decimal(d.precision, d.scale).addToSchema(Schema.create(Schema.Type.BYTES))
+    case ArrayType(et, containsNull) =>
+      Schema.createArray(nullable(avroType(et, s"${path}_item"), containsNull))
+    case MapType(StringType, vt, valueContainsNull) => // avro maps are string-keyed
+      Schema.createMap(nullable(avroType(vt, s"${path}_value"), valueContainsNull))
+    case st: StructType => toAvroSchema(st, s"${path}_record")
     case other => throw new IllegalArgumentException(
-      s"unsupported Avro column type $other (numeric/boolean/string/binary + arrays)")
+      s"unsupported Avro column type $other (numeric/boolean/string/binary/date/" +
+        "timestamp/decimal, nested structs, string-keyed maps, + arrays)")
   }
 
   /** Spark schema → Avro record schema (nullable → union{null, T}). */
   def toAvroSchema(schema: StructType, recordName: String = "graft_record"): Schema = {
     val fields = schema.fields.map { f =>
-      val t = avroType(f.dataType)
-      val ft = if (f.nullable) Schema.createUnion(Schema.create(Schema.Type.NULL), t) else t
+      val ft = nullable(avroType(f.dataType, f.name), f.nullable)
       new Schema.Field(f.name, ft, null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
     }
     Schema.createRecord(recordName, null, "graft", false, fields.toList.asJava)
   }
 
-  private def toAvroValue(dt: DataType, v: Any): Any = (dt, v) match {
+  /** `schema` is the (possibly union-wrapped) Avro schema of this
+    * value — needed to build nested GenericRecords and to carry the
+    * decimal scale.
+    */
+  private def toAvroValue(dt: DataType, schema: Schema, v: Any): Any = (dt, v) match {
     case (_, null) => null
     case (ShortType, x: Short) => x.toInt
     case (ByteType, x: Byte) => x.toInt
     case (BinaryType, b: Array[Byte]) => java.nio.ByteBuffer.wrap(b)
+    case (DateType, d: java.sql.Date) => d.toLocalDate.toEpochDay.toInt
+    case (DateType, d: java.time.LocalDate) => d.toEpochDay.toInt
+    case (TimestampType, t: java.sql.Timestamp) =>
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    case (TimestampType, t: java.time.Instant) =>
+      t.getEpochSecond * 1000000L + t.getNano / 1000L
+    case (d: DecimalType, x: java.math.BigDecimal) =>
+      java.nio.ByteBuffer.wrap(
+        x.setScale(d.scale, java.math.RoundingMode.UNNECESSARY).unscaledValue().toByteArray)
     case (ArrayType(et, _), xs: scala.collection.Seq[_]) =>
-      xs.map(x => toAvroValue(et, x)).toList.asJava
+      val es = nonNull(nonNull(schema).getElementType)
+      xs.map(x => toAvroValue(et, es, x)).toList.asJava
+    case (MapType(StringType, vt, _), m: scala.collection.Map[_, _]) =>
+      val vs = nonNull(nonNull(schema).getValueType)
+      val jm = new java.util.LinkedHashMap[String, Any]()
+      m.foreach { case (k, x) => jm.put(k.toString, toAvroValue(vt, vs, x)) }
+      jm
+    case (st: StructType, row: Row) =>
+      val rs = nonNull(schema)
+      val rec = new GenericData.Record(rs)
+      var i = 0
+      while (i < st.fields.length) {
+        rec.put(i, toAvroValue(st.fields(i).dataType, rs.getFields.get(i).schema(), row.get(i)))
+        i += 1
+      }
+      rec
     case (_, x) => x // long/int/double/float/boolean/string pass through
   }
 
@@ -78,8 +137,25 @@ object Avro {
     case (ByteType, x: Integer) => x.byteValue()
     case (BinaryType, bb: java.nio.ByteBuffer) =>
       val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+    case (DateType, d: Integer) => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.toLong))
+    case (TimestampType, micros: java.lang.Long) =>
+      val t = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+      t
+    case (d: DecimalType, bb: java.nio.ByteBuffer) =>
+      val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a)
+      new java.math.BigDecimal(new java.math.BigInteger(a), d.scale)
     case (ArrayType(et, _), xs: java.util.Collection[_]) =>
       xs.asScala.map(x => fromAvroValue(et, x)).toSeq
+    case (MapType(StringType, vt, _), m: java.util.Map[_, _]) =>
+      m.asScala.map { case (k, x) => k.toString -> fromAvroValue(vt, x) }.toMap
+    case (st: StructType, rec: GenericRecord) =>
+      // name-matched like the top level: container fields absent from
+      // the asked-for struct are ignored, missing ones read null
+      Row.fromSeq(st.fields.toSeq.map { f =>
+        val af = rec.getSchema.getField(f.name)
+        if (af == null) null else fromAvroValue(f.dataType, rec.get(af.pos()))
+      })
     case (_, x) => x
   }
 
@@ -120,11 +196,12 @@ object Avro {
         if (syncIntervalBytes > 0) writer.setSyncInterval(syncIntervalBytes)
         val out = writer.create(avroSchema, fsTask.create(tempFile, true))
         try {
+          val fieldSchemas = avroSchema.getFields.asScala.map(_.schema()).toArray
           it.foreach { row =>
             val rec = new GenericData.Record(avroSchema)
             var i = 0
             while (i < fieldTypes.length) {
-              rec.put(i, toAvroValue(fieldTypes(i), row.get(i)))
+              rec.put(i, toAvroValue(fieldTypes(i), fieldSchemas(i), row.get(i)))
               i += 1
             }
             out.append(rec)

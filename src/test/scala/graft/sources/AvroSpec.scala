@@ -155,8 +155,96 @@ class AvroSpec extends SparkSpec {
   }
 
   test("unsupported column types fail fast driver-side") {
-    val df = spark.range(1).selectExpr("named_struct('a', id) AS s")
+    // avro maps are string-keyed; a long-keyed map has no encoding
+    val df = spark.range(1).selectExpr("map(id, 'x') AS m")
     val e = intercept[IllegalArgumentException](Avro.write(df, "/tmp/never"))
     assert(e.getMessage.contains("unsupported Avro column type"))
+  }
+
+  private val nestedSchema = StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("info", StructType(Seq(
+      StructField("name", StringType),
+      StructField("deep", StructType(Seq(StructField("bal", DoubleType))))))),
+    StructField("attrs", MapType(StringType, StringType)),
+    StructField("counts", MapType(StringType, LongType)),
+    StructField("day", DateType),
+    StructField("ts", TimestampType),
+    StructField("amount", DecimalType(12, 2)),
+    StructField("inners", ArrayType(StructType(Seq(StructField("x", LongType)))))))
+
+  private def nestedFixture = {
+    val ts = java.sql.Timestamp.valueOf("2024-03-05 12:34:56.789")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, Row("alpha", Row(10.5)), Map("k" -> "v", "k2" -> "w"), Map("n" -> 3L),
+          java.sql.Date.valueOf("2024-03-05"), ts,
+          new java.math.BigDecimal("12345.67"), Seq(Row(1L), Row(2L))),
+        Row(2L, Row(null, null), Map.empty[String, String], null,
+          null, null, new java.math.BigDecimal("-0.01"), Seq.empty[Row]),
+        Row(3L, null, null, Map("z" -> -1L), java.sql.Date.valueOf("1969-12-31"),
+          java.sql.Timestamp.valueOf("1969-12-31 23:59:59.999999"), null, null)
+      ), 2), nestedSchema)
+  }
+
+  test("nested records, maps, date/timestamp/decimal logical types roundtrip") {
+    val dir = tmpDir()
+    Avro.write(nestedFixture, dir)
+    val back = Avro.read(spark, dir, nestedSchema).collect().sortBy(_.getLong(0))
+    assert(back.length == 3)
+    val r1 = back(0)
+    assert(r1.getStruct(1).getString(0) == "alpha")
+    assert(r1.getStruct(1).getStruct(1).getDouble(0) == 10.5)
+    assert(r1.getMap[String, String](2) == Map("k" -> "v", "k2" -> "w"))
+    assert(r1.getMap[String, Long](3) == Map("n" -> 3L))
+    assert(r1.getDate(4) == java.sql.Date.valueOf("2024-03-05"))
+    assert(r1.getTimestamp(5) == java.sql.Timestamp.valueOf("2024-03-05 12:34:56.789"))
+    assert(r1.getDecimal(6) == new java.math.BigDecimal("12345.67"))
+    assert(r1.getSeq[Row](7).map(_.getLong(0)) == Seq(1L, 2L))
+    val r2 = back(1)
+    assert(r2.getStruct(1).isNullAt(0) && r2.getStruct(1).isNullAt(1))
+    assert(r2.getMap[String, String](2).isEmpty && r2.isNullAt(3))
+    assert(r2.isNullAt(4) && r2.isNullAt(5))
+    assert(r2.getDecimal(6) == new java.math.BigDecimal("-0.01"))
+    val r3 = back(2)
+    // pre-epoch date and sub-second micros survive exactly
+    assert(r3.getDate(4) == java.sql.Date.valueOf("1969-12-31"))
+    assert(r3.getTimestamp(5) == java.sql.Timestamp.valueOf("1969-12-31 23:59:59.999999"))
+    assert(r3.isNullAt(1) && r3.isNullAt(2) && r3.isNullAt(6) && r3.isNullAt(7))
+  }
+
+  test("nested/logical-type files carry standard Avro schemas a stock reader understands") {
+    val dir = tmpDir()
+    Avro.write(nestedFixture, dir)
+    val part = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".avro")).head
+    val reader = new org.apache.avro.file.DataFileReader(
+      part, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    try {
+      import org.apache.avro.{LogicalTypes, Schema}
+      import scala.jdk.CollectionConverters._
+      val s = reader.getSchema
+      def branch(f: String): Schema = {
+        val fs = s.getField(f).schema()
+        if (fs.getType == Schema.Type.UNION)
+          fs.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+        else fs
+      }
+      assert(branch("info").getType == Schema.Type.RECORD)
+      assert(branch("info").getField("deep") != null)
+      assert(branch("attrs").getType == Schema.Type.MAP)
+      assert(branch("day").getLogicalType == LogicalTypes.date())
+      assert(branch("ts").getLogicalType == LogicalTypes.timestampMicros())
+      assert(branch("amount").getLogicalType.isInstanceOf[LogicalTypes.Decimal])
+      assert(branch("amount").getLogicalType.asInstanceOf[LogicalTypes.Decimal].getScale == 2)
+      assert(branch("inners").getType == Schema.Type.ARRAY)
+      // stock datum read of the first record's nested content
+      val rec = reader.iterator().asScala.toSeq
+        .sortBy(_.get("id").asInstanceOf[Long]).head
+      val info = rec.get("info").asInstanceOf[org.apache.avro.generic.GenericRecord]
+      assert(info.get("name").toString == "alpha")
+      val attrs = rec.get("attrs").asInstanceOf[java.util.Map[Any, Any]]
+      assert(attrs.asScala.map { case (k, v) => k.toString -> v.toString }.toMap
+        == Map("k" -> "v", "k2" -> "w"))
+    } finally reader.close()
   }
 }
