@@ -264,16 +264,26 @@ object IoQueries extends QueryPack {
     "q_io_protobuf" -> { (s, dir) =>
       import org.apache.spark.sql.types._
       val path = tmp(dir, "orders_proto")
+      // priority rides as a PROTO ENUM (varint against the declared
+      // symbol table) and status inside a proto map<string,string> —
+      // both decode back through the oracle-checked aggregate
+      val prioEnum = Protobuf.enumMetadata(Seq(
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
       Protobuf.write(tables(s, dir).orders
         .select(col("o_orderkey").cast("long").as("o_orderkey"),
           col("o_custkey").cast("long").as("o_custkey"),
-          col("o_orderpriority"), col("o_totalprice")), path)
+          col("o_orderpriority").as("o_orderpriority", prioEnum),
+          col("o_totalprice"),
+          map(lit("status"), col("o_orderstatus")).as("attrs")), path)
       Protobuf.read(s, path, StructType(Seq(
           StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
-          StructField("o_orderpriority", StringType), StructField("o_totalprice", DoubleType))))
+          StructField("o_orderpriority", StringType, nullable = true, prioEnum),
+          StructField("o_totalprice", DoubleType),
+          StructField("attrs", MapType(StringType, StringType)))))
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("sum_price"),
-          max(col("o_orderkey")).as("max_key"))
+          max(col("o_orderkey")).as("max_key"),
+          min(element_at(col("attrs"), "status")).as("min_status"))
         .orderBy(col("o_orderpriority"))
     },
 
@@ -363,7 +373,7 @@ object IoQueries extends QueryPack {
       """SELECT count(*) AS n, round(sum(l_quantity), 2) AS qty FROM lineitem""",
     "q_io_protobuf" ->
       """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price,
-        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key, min(o_orderstatus) AS min_status
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_bloom_persist" ->
       """SELECT count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_bal

@@ -33,6 +33,16 @@ import org.apache.spark.sql.types._
   *     repeated wire-2 fields — both the proto3 defaults;
   *   - nested StructType → embedded message (wire 2), recursively;
   *     Array[Struct] → repeated message fields;
+  *   - MapType → proto `map<K,V>`: repeated `message{K key=1; V value=2}`
+  *     entries (the wire shape protoc generates for map fields); keys
+  *     may be string/integral/bool, values any supported type; absent
+  *     key/value fields decode to proto3 defaults ("", 0, false) the
+  *     way stock parsers do, last entry wins on duplicate keys;
+  *   - enum fields: a StringType (or Array[String]) column carrying
+  *     `protoEnum` metadata (the symbol table, index = enum number)
+  *     encodes as varint(s) — packed when repeated; decoding an enum
+  *     number outside the declared table yields null (the unknown-enum
+  *     case a generated parser parks in UNRECOGNIZED);
   *   - null / None → field omitted (proto3 absence), reads back null.
   *
   * Bytes produced here parse with stock `protoc`-generated code for
@@ -64,10 +74,47 @@ object Protobuf {
     case ArrayType(st: StructType, _) => // repeated message field
       st.fields.foreach(f => checkType(f.dataType))
     case st: StructType => st.fields.foreach(f => checkType(f.dataType))
+    case MapType(kt, vt, _) => // proto map<K,V>
+      kt match {
+        case StringType | ByteType | ShortType | IntegerType | LongType | BooleanType => ()
+        case other => throw new IllegalArgumentException(
+          s"unsupported proto map key type $other (string/integral/bool per the proto spec)")
+      }
+      checkType(vt)
     case other => throw new IllegalArgumentException(
       s"unsupported proto column type $other (scalars, arrays of scalars, " +
-        "nested structs, arrays of structs)")
+        "nested structs, arrays of structs, maps)")
   }
+
+  /** The map-entry message shape protoc generates for `map<K,V>`. */
+  private def entrySchema(kt: DataType, vt: DataType): StructType =
+    StructType(Seq(StructField("key", kt), StructField("value", vt)))
+
+  /** proto3 scalar default — what an ABSENT key/value field inside a
+    * map entry means on the wire (stock encoders omit defaults).
+    */
+  private def protoDefault(dt: DataType): Any = dt match {
+    case StringType => ""
+    case ByteType => 0.toByte
+    case ShortType => 0.toShort
+    case IntegerType => 0
+    case LongType => 0L
+    case BooleanType => false
+    case FloatType => 0f
+    case DoubleType => 0.0
+    case BinaryType => Array.emptyByteArray
+    case _ => null // message-typed: closest representable default
+  }
+
+  private def enumSymbols(f: StructField): Option[Array[String]] =
+    if (f.metadata.contains("protoEnum")) Some(f.metadata.getStringArray("protoEnum")) else None
+
+  /** Attach a proto enum symbol table to a string column's metadata
+    * (index = enum number) — the declaration [[write]]/[[read]] keys
+    * enum encoding off.
+    */
+  def enumMetadata(symbols: Seq[String]): Metadata =
+    new MetadataBuilder().putStringArray("protoEnum", symbols.toArray).build()
 
   // ---- encode --------------------------------------------------------
 
@@ -123,8 +170,36 @@ object Protobuf {
         if (xs.nonEmpty) writeLen(out, field, packedNumeric(et, xs))
       case st: StructType =>
         writeLen(out, field, encodeRow(st, v.asInstanceOf[Row]))
+      case MapType(kt, vt, _) => // one entry message per pair, protoc's map shape
+        val es = entrySchema(kt, vt)
+        v.asInstanceOf[scala.collection.Map[Any, Any]].foreach { case (k, x) =>
+          writeLen(out, field, encodeRow(es, Row(k, x)))
+        }
       case other => throw new IllegalArgumentException(s"unsupported proto column type $other")
     }
+
+  private def writeEnumField(out: ByteArrayOutputStream, field: Int, f: StructField,
+                             syms: Array[String], v: Any): Unit = {
+    def number(s: String): Long = {
+      val n = syms.indexOf(s)
+      require(n >= 0, s"value '$s' of enum field ${f.name} not in declared symbols " +
+        syms.mkString("[", ",", "]"))
+      n.toLong
+    }
+    f.dataType match {
+      case StringType =>
+        writeTag(out, field, 0); writeVarint(out, number(v.asInstanceOf[String]))
+      case ArrayType(StringType, _) => // packed, the proto3 repeated-enum default
+        val xs = v.asInstanceOf[scala.collection.Seq[_]]
+        if (xs.nonEmpty) {
+          val payload = new ByteArrayOutputStream()
+          xs.foreach(x => writeVarint(payload, number(x.asInstanceOf[String])))
+          writeLen(out, field, payload.toByteArray)
+        }
+      case other => throw new IllegalArgumentException(
+        s"protoEnum metadata requires a string or array<string> column, got $other")
+    }
+  }
 
   /** Serialize one Row as a proto message over `schema`. Null cells
     * are omitted (proto3 absence); fields encode in schema order so
@@ -136,7 +211,10 @@ object Protobuf {
     while (i < schema.fields.length) {
       if (!row.isNullAt(i)) {
         val f = schema.fields(i)
-        writeField(out, fieldNumber(f, i), f.dataType, row.get(i))
+        enumSymbols(f) match {
+          case Some(syms) => writeEnumField(out, fieldNumber(f, i), f, syms, row.get(i))
+          case None => writeField(out, fieldNumber(f, i), f.dataType, row.get(i))
+        }
       }
       i += 1
     }
@@ -168,11 +246,29 @@ object Protobuf {
       .map { case (f, i) => fieldNumber(f, i) -> i }.toMap
     val cells = new Array[Any](schema.fields.length)
     val builders = new Array[scala.collection.mutable.ArrayBuffer[Any]](schema.fields.length)
+    val mapBuilders =
+      new Array[scala.collection.mutable.LinkedHashMap[Any, Any]](schema.fields.length)
     val r = new Reader(bytes, 0, bytes.length)
     while (r.hasMore) {
       val tag = r.varint(); val field = (tag >> 3).toInt; val wire = (tag & 7).toInt
       byNumber.get(field) match {
         case None => r.skip(wire)
+        case Some(i) if enumSymbols(schema.fields(i)).isDefined =>
+          val syms = enumSymbols(schema.fields(i)).get
+          def sym(n: Long): Any = if (n >= 0 && n < syms.length) syms(n.toInt) else null
+          schema.fields(i).dataType match {
+            case ArrayType(_, _) =>
+              if (builders(i) == null)
+                builders(i) = scala.collection.mutable.ArrayBuffer.empty[Any]
+              wire match {
+                case 2 => // packed
+                  val p = r.lenDelimited(); while (p.hasMore) builders(i) += sym(p.varint())
+                case 0 => builders(i) += sym(r.varint())
+                case w => r.skip(w)
+              }
+            case _ =>
+              if (wire == 0) cells(i) = sym(r.varint()) else r.skip(wire)
+          }
         case Some(i) =>
           val dt = schema.fields(i).dataType
           dt match {
@@ -203,6 +299,16 @@ object Protobuf {
               // not read as a length (which would corrupt the parse)
               if (wire == 2) cells(i) = decodeRow(st, r.sliceBytes())
               else r.skip(wire)
+            case MapType(kt, vt, _) =>
+              if (wire == 2) {
+                if (mapBuilders(i) == null)
+                  mapBuilders(i) = scala.collection.mutable.LinkedHashMap.empty[Any, Any]
+                val entry = decodeRow(entrySchema(kt, vt), r.sliceBytes())
+                // absent entry fields mean proto3 defaults (stock
+                // encoders omit default keys/values); last entry wins
+                val k = if (entry.isNullAt(0)) protoDefault(kt) else entry.get(0)
+                mapBuilders(i)(k) = if (entry.isNullAt(1)) protoDefault(vt) else entry.get(1)
+              } else r.skip(wire)
             case scalar =>
               cells(i) = readScalar(r, wire, scalar)
           }
@@ -211,6 +317,7 @@ object Protobuf {
     var i = 0
     while (i < cells.length) {
       if (builders(i) != null) cells(i) = builders(i).toSeq
+      if (mapBuilders(i) != null) cells(i) = mapBuilders(i).toMap
       i += 1
     }
     Row.fromSeq(cells.toSeq)

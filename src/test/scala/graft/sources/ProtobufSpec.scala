@@ -44,6 +44,65 @@ class ProtobufSpec extends SparkSpec {
     assert(row.getSeq[Long](1) == Seq(5L, 7L))
   }
 
+  test("map fields produce protoc's exact wire bytes (golden)") {
+    // message M { map<string,int64> m = 1; }  m = {"a":1, "bb":300} —
+    // protoc encodes one entry message per pair: key=1, value=2.
+    // entry("a",1)   = 0a 01 61 | 10 01          → field: 0a 05 …
+    // entry("bb",300)= 0a 02 62 62 | 10 ac 02    → field: 0a 07 …
+    val schema = StructType(Seq(StructField("m", MapType(StringType, LongType))))
+    // LinkedHashMap-backed literal keeps insertion order deterministic
+    val bytes = Protobuf.encodeRow(schema,
+      Row(scala.collection.immutable.ListMap("a" -> 1L, "bb" -> 300L)))
+    assert(hex(bytes) == "0a050a0161" + "1001" + "0a070a026262" + "10ac02")
+  }
+
+  test("enum fields encode as varints against the declared symbol table (golden)") {
+    // message E { Color c = 1; repeated Color cs = 2; } with
+    // Color { RED=0; GREEN=1; BLUE=2; }  c=GREEN, cs=[RED,BLUE] packed
+    val colors = Protobuf.enumMetadata(Seq("RED", "GREEN", "BLUE"))
+    val schema = StructType(Seq(
+      StructField("c", StringType, nullable = true, colors),
+      StructField("cs", ArrayType(StringType), nullable = true, colors)))
+    val bytes = Protobuf.encodeRow(schema, Row("GREEN", Seq("RED", "BLUE")))
+    assert(hex(bytes) == "0801" + "12020002")
+    // roundtrip restores the symbols
+    val back = Protobuf.decodeRow(schema, bytes)
+    assert(back.getString(0) == "GREEN")
+    assert(back.getSeq[String](1) == Seq("RED", "BLUE"))
+    // an undeclared symbol fails fast at encode
+    val e = intercept[IllegalArgumentException](
+      Protobuf.encodeRow(schema, Row("MAUVE", null)))
+    assert(e.getMessage.contains("MAUVE"))
+    // an unknown enum NUMBER decodes to null (UNRECOGNIZED), parse intact
+    val out = new java.io.ByteArrayOutputStream()
+    Seq(0x08, 0x63, 0x12, 0x01, 0x01).foreach(out.write) // c=99, cs=[GREEN]
+    val unk = Protobuf.decodeRow(schema, out.toByteArray)
+    assert(unk.isNullAt(0))
+    assert(unk.getSeq[String](1) == Seq("GREEN"))
+  }
+
+  test("map roundtrip: typed values, duplicate keys last-win, absent fields default") {
+    val schema = StructType(Seq(
+      StructField("ss", MapType(StringType, StringType)),
+      StructField("li", MapType(LongType, StructType(Seq(StructField("x", LongType)))))))
+    val row = Row(Map("k" -> "v", "" -> ""),
+      Map(1L -> Row(10L), -2L -> Row(-20L)))
+    val back = Protobuf.decodeRow(schema, Protobuf.encodeRow(schema, row))
+    assert(back.getMap[String, String](0) == Map("k" -> "v", "" -> ""))
+    val li = back.getMap[Long, Row](1)
+    assert(li(1L).getLong(0) == 10L && li(-2L).getLong(0) == -20L)
+    // duplicate keys: protoc's merge rule is last-wins
+    val dup = new java.io.ByteArrayOutputStream()
+    def b(xs: Int*): Unit = xs.foreach(dup.write)
+    b(0x0a, 0x06, 0x0a, 0x01, 0x61, 0x12, 0x01, 0x78) // {"a":"x"}
+    b(0x0a, 0x06, 0x0a, 0x01, 0x61, 0x12, 0x01, 0x79) // {"a":"y"} — wins
+    // a fully-default entry ({"":""}): stock encoders send an EMPTY message
+    b(0x0a, 0x00)
+    val merged = Protobuf.decodeRow(
+      StructType(Seq(StructField("ss", MapType(StringType, StringType)))), dup.toByteArray)
+    assert(merged.getMap[String, String](0) == Map("a" -> "y", "" -> ""))
+  }
+
   test("a wire-type mismatch on a message-typed field skips, not corrupts") {
     // field 1 declared as a nested message but arriving as wire-0
     // varint (schema drift): the varint must be SKIPPED — reading its
@@ -160,8 +219,12 @@ class ProtobufSpec extends SparkSpec {
   }
 
   test("unsupported column types fail fast driver-side") {
-    val df = spark.range(1).selectExpr("map('a', id) AS m")
+    val df = spark.range(1).selectExpr("cast(id AS decimal(10,2)) AS d")
     val e = intercept[IllegalArgumentException](Protobuf.write(df, "/tmp/never"))
     assert(e.getMessage.contains("unsupported proto column type"))
+    // proto map keys must be string/integral/bool
+    val dk = spark.range(1).selectExpr("map(cast(id AS double), 'x') AS m")
+    val e2 = intercept[IllegalArgumentException](Protobuf.write(dk, "/tmp/never"))
+    assert(e2.getMessage.contains("map key"))
   }
 }
