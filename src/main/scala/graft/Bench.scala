@@ -33,7 +33,17 @@ object Bench {
     "q_multimodal_bulk"
   )
 
+  /** 1-minute system load average — the machine-busy dial. Sampled at
+    * start and end of the run and stamped into the bench JSON so an
+    * artifact recorded under ambient load SELF-IDENTIFIES instead of
+    * reading as a regression (the r8 artifact was inflated ~35% by a
+    * concurrent job; nothing in the JSON said so).
+    */
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.configure(
@@ -173,8 +183,14 @@ object Bench {
     val caps = capMetrics.asScala.toSeq.sortBy(_._1).map { case (op, (capped, rows)) =>
       s""""$op":{"rows_in_capped_buckets":$capped,"bucket_rows":$rows}"""
     }.mkString("{", ",", "}")
+    // environment fingerprint: load_avg ≳ a few × the bench's own core
+    // use at either sample means a polluted artifact — compare
+    // queries_min or rerun idle before reading deltas as regressions
+    val env = f""""env":{"load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f,""" +
+      s""""available_processors":${Runtime.getRuntime.availableProcessors()},""" +
+      s""""spark_cpus":$cpus}"""
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(all2)},""" +
-      f""""queries_min":${jmap(mins)},"cap_metrics":$caps,"reps":$reps,"sf":"$sfDir"}""")
+      f""""queries_min":${jmap(mins)},"cap_metrics":$caps,"reps":$reps,$env,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
