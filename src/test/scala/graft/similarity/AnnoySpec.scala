@@ -107,11 +107,88 @@ class AnnoySpec extends SparkSpec {
     assert(dist == local)
   }
 
-  test("buildFrom rejects non-dense ids and oversize inputs") {
+  test("buildFrom rejects non-dense ids and over-budget inputs (byte-aware)") {
     val sparse = Seq((0, Seq(1f, 0f)), (5, Seq(0f, 1f))).toDF("id", "v")
     intercept[IllegalArgumentException](Annoy.buildFrom(sparse, "id", "v", 2))
+    // dim=2 angular node = 20 B; a 20 B budget holds exactly one item,
+    // so two rows must abort on the BYTE budget, not a row count
     val dense = Seq((0, Seq(1f, 0f)), (1, Seq(0f, 1f))).toDF("id", "v")
-    intercept[IllegalArgumentException](
-      Annoy.buildFrom(dense, "id", "v", 2, maxItems = 1))
+    val e = intercept[IllegalArgumentException](
+      Annoy.buildFrom(dense, "id", "v", 2, maxBytes = 20L))
+    assert(e.getMessage.contains("maxBytes"))
+  }
+
+  // ---- euclidean metric ------------------------------------------------
+
+  test("file layout follows the public euclidean node struct exactly (bias at offset 4)") {
+    val dim = 4
+    val vecs = (0 until 20).map(i =>
+      Array.tabulate(dim)(j => ((i * 5 + j * 3) % 11 - 5).toFloat))
+    val bytes = Annoy.build(vecs, dim, nTrees = 3, metric = Annoy.Euclidean)
+    val s = 16 + 4 * dim // n_desc(4) + a(4) + children(8) + v
+    assert(bytes.length % s == 0, "file must be a flat array of euclidean-size nodes")
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until 20).foreach { i =>
+      assert(buf.getInt(i * s) == 1, s"item node $i n_descendants")
+      (0 until dim).foreach(j =>
+        assert(buf.getFloat(i * s + 16 + 4 * j) == vecs(i)(j), s"item $i v[$j] at offset 16"))
+    }
+    val nNodes = bytes.length / s
+    (1 to 3).foreach(t => assert(buf.getInt((nNodes - t) * s) == 20,
+      "root copies at the end must have n_descendants == nItems"))
+    // at least one interior split stores a non-zero plane offset —
+    // the euclidean-only field (angular planes pass through 0)
+    val splits = (20 until nNodes).filter(i => buf.getInt(i * s) > (s - 8) / 4)
+    assert(splits.nonEmpty && splits.exists(i => buf.getFloat(i * s + 4) != 0f),
+      "euclidean split nodes must carry the bias float a at offset 4")
+  }
+
+  test("euclidean roundtrip: exhaustive searchK is exact; default searchK recall >= 0.9") {
+    val dim = 16
+    val vecs = (0 until 400).map(i =>
+      Array.tabulate(dim)(j => (math.sin(i * dim + j) * 10).toFloat))
+    val idx = Annoy.parse(
+      Annoy.build(vecs, dim, nTrees = 10, metric = Annoy.Euclidean), dim, Annoy.Euclidean)
+    assert(idx.metric == Annoy.Euclidean && idx.nItems == 400)
+    (0 until 400).foreach(i => assert(idx.itemVector(i).toSeq == vecs(i).toSeq))
+    def bruteTop(q: Array[Float], k: Int): Seq[Int] = {
+      def d2(a: Array[Float], b: Array[Float]): Double =
+        a.indices.map(j => (a(j).toDouble - b(j)) * (a(j).toDouble - b(j))).sum
+      vecs.indices.sortBy(i => (d2(q, vecs(i)), i)).take(k)
+    }
+    val k = 10
+    val probes = (0 until 25).map(i => vecs(i * 13 % vecs.length))
+    // searchK = corpus ⇒ every candidate inspected ⇒ exact-rank equality
+    probes.foreach { q =>
+      assert(idx.query(q, k, searchK = 400).map(_._1) == bruteTop(q, k),
+        "exhaustive euclidean search must equal brute force exactly")
+    }
+    val recalls = probes.map { q =>
+      val ann = idx.query(q, k, searchK = 120).map(_._1).toSet
+      ann.intersect(bruteTop(q, k).toSet).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean euclidean recall $mean below 0.9")
+    // hadoop save/load keeps answers identical
+    val path = tmpFile()
+    Annoy.write(spark, idx, path)
+    val back = Annoy.read(spark, path, dim, Annoy.Euclidean)
+    val q = vecs(7)
+    assert(back.query(q, 5) == idx.query(q, 5))
+    // distributed search column is `distance`, ascending with rank
+    val probesDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1L, vecs(3).toSeq)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))))
+    val rows = Annoy.searchTopK(idx, probesDf, "vec_id", "embedding", k = 5, searchK = 400)
+      .orderBy(col("rank")).collect()
+    assert(rows.head.schema.fieldNames.contains("distance"))
+    val dists = rows.map(_.getDouble(3)).toSeq
+    assert(dists == dists.sorted, "rank 1 must be the nearest (smallest distance)")
+    assert(rows.head.getInt(2) == 3 && rows.head.getDouble(3) == 0.0,
+      "the probe's own vector is its nearest euclidean neighbor")
   }
 }
