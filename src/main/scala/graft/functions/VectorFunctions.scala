@@ -4,9 +4,12 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** Vector math over `array<float>` embedding columns, composed from
-  * builtin higher-order functions (zip_with/aggregate — codegen'd).
-  * For the hot paths these keep the whole kernel inside one projection
-  * with no UDF boundary or serialization.
+  * builtin higher-order functions (zip_with/aggregate). HOFs are
+  * INTERPRETED, not codegen'd (SURVEY §4's r2 lesson) — these verbs
+  * are fine because each is a single pass inside one projection with
+  * no UDF boundary or serialization, but a hot multi-pass kernel
+  * belongs in a native codegen Expression
+  * (expressions/VectorExpressions.scala), not stacked HOFs.
   */
 object VectorFunctions {
 

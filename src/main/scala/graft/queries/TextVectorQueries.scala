@@ -24,11 +24,28 @@ object TextVectorQueries extends QueryPack {
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
   private def ivfCentroidsFor(s: org.apache.spark.sql.SparkSession, dir: String,
                               emb: org.apache.spark.sql.DataFrame): Seq[Seq[Double]] = {
-    // corpus fingerprint (size+mtime of the source parquet) keys BOTH
-    // the artifact name and the in-JVM memo: regenerated test data can
+    // corpus fingerprint (size+mtime folded over every leaf file, via
+    // the Hadoop FileSystem API so HDFS/object-store paths fingerprint
+    // too — java.io.File silently yields 0 for those) keys BOTH the
+    // artifact name and the in-JVM memo: regenerated test data can
     // never resurrect a stale quantizer, on disk or in memory
-    val src = new java.io.File(s"$dir/embeddings.parquet")
-    val fp = java.lang.Long.toHexString(src.length() ^ java.lang.Long.rotateLeft(src.lastModified(), 21))
+    val srcPath = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+    val fs = srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val leaves: Seq[org.apache.hadoop.fs.FileStatus] = {
+      val st = fs.getFileStatus(srcPath)
+      if (st.isFile) Seq(st)
+      else {
+        val it = fs.listFiles(srcPath, true)
+        val b = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+        while (it.hasNext) b += it.next()
+        b.result().sortBy(_.getPath.toString)
+      }
+    }
+    val fp = java.lang.Long.toHexString(leaves.foldLeft(0x9E3779B97F4A7C15L) { (h, st) =>
+      val x = h ^ (st.getPath.getName.hashCode.toLong << 32) ^
+        st.getLen ^ java.lang.Long.rotateLeft(st.getModificationTime, 21)
+      x * 0xBF58476D1CE4E5B9L
+    })
     ivfCache.computeIfAbsent(s"$dir|$fp", { _ =>
       val path = new java.io.File(
         s"/tmp/graft_io/ivf_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp.givf")
