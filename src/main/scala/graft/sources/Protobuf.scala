@@ -28,7 +28,9 @@ import org.apache.spark.sql.types._
   *     .proto written elsewhere);
   *   - int/long/short/byte/bool → varint (wire 0, int64 semantics);
   *     float → fixed32; double → fixed64; string/binary →
-  *     length-delimited (wire 2);
+  *     length-delimited (wire 2); integral columns may declare
+  *     `protoFormat` metadata to match a .proto's sint (zigzag
+  *     varint) or fixed/sfixed (fixed-width wire 1/5) field types;
   *   - Array[numeric] → packed (wire 2), Array[string|binary] →
   *     repeated wire-2 fields — both the proto3 defaults;
   *   - nested StructType → embedded message (wire 2), recursively;
@@ -109,6 +111,38 @@ object Protobuf {
   private def enumSymbols(f: StructField): Option[Array[String]] =
     if (f.metadata.contains("protoEnum")) Some(f.metadata.getStringArray("protoEnum")) else None
 
+  /** Integral wire-format override: proto's non-default int encodings
+    * — "zigzag" (sint32/sint64) and "fixed" (fixed32/sfixed32/
+    * fixed64/sfixed64; width follows the Spark type: LongType → 64-bit
+    * wire 1, Int/Short/Byte → 32-bit wire 5). Default (no metadata)
+    * stays plain varint int64 semantics.
+    */
+  private def wireFormat(f: StructField): Option[String] =
+    if (f.metadata.contains("protoFormat")) Some(f.metadata.getString("protoFormat")) else None
+
+  /** Attach a proto wire-format declaration ("zigzag" | "fixed") to an
+    * integral column's metadata — for matching a .proto that uses
+    * sint / fixed / sfixed field types.
+    */
+  def formatMetadata(format: String): Metadata = {
+    require(format == "zigzag" || format == "fixed",
+      s"unknown protoFormat '$format' (zigzag|fixed)")
+    new MetadataBuilder().putString("protoFormat", format).build()
+  }
+
+  private def zigzagEncode(dt: DataType, v: Any): Long = dt match {
+    case LongType =>
+      val n = v.asInstanceOf[Number].longValue(); (n << 1) ^ (n >> 63)
+    case _ => // 32-bit zigzag, then as unsigned
+      val n = v.asInstanceOf[Number].intValue()
+      ((n << 1) ^ (n >> 31)).toLong & 0xFFFFFFFFL
+  }
+
+  private def zigzagDecode(dt: DataType, u: Long): Any = {
+    val n = (u >>> 1) ^ -(u & 1L)
+    castIntegral(dt, n)
+  }
+
   /** Attach a proto enum symbol table to a string column's metadata
     * (index = enum number) — the declaration [[write]]/[[read]] keys
     * enum encoding off.
@@ -178,6 +212,48 @@ object Protobuf {
       case other => throw new IllegalArgumentException(s"unsupported proto column type $other")
     }
 
+  private def writeFormattedField(out: ByteArrayOutputStream, field: Int, f: StructField,
+                                  fmt: String, v: Any): Unit = {
+    val (et, isArray) = f.dataType match {
+      case ArrayType(t, _) => (t, true)
+      case t => (t, false)
+    }
+    et match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"protoFormat '$fmt' requires an integral column, got $other on ${f.name}")
+    }
+    def putFixed(b: ByteArrayOutputStream, x: Any): Unit =
+      if (et == LongType)
+        b.write(ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+          .putLong(x.asInstanceOf[Number].longValue()).array())
+      else
+        b.write(ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN)
+          .putInt(x.asInstanceOf[Number].intValue()).array())
+    (fmt, isArray) match {
+      case ("zigzag", false) =>
+        writeTag(out, field, 0); writeVarint(out, zigzagEncode(et, v))
+      case ("zigzag", true) => // packed sints, the proto3 repeated default
+        val xs = v.asInstanceOf[scala.collection.Seq[_]]
+        if (xs.nonEmpty) {
+          val payload = new ByteArrayOutputStream()
+          xs.foreach(x => writeVarint(payload, zigzagEncode(et, x)))
+          writeLen(out, field, payload.toByteArray)
+        }
+      case ("fixed", false) =>
+        writeTag(out, field, if (et == LongType) 1 else 5); putFixed(out, v)
+      case ("fixed", true) => // packed fixed-width
+        val xs = v.asInstanceOf[scala.collection.Seq[_]]
+        if (xs.nonEmpty) {
+          val payload = new ByteArrayOutputStream()
+          xs.foreach(x => putFixed(payload, x))
+          writeLen(out, field, payload.toByteArray)
+        }
+      case (other, _) => throw new IllegalArgumentException(
+        s"unknown protoFormat '$other' (zigzag|fixed)")
+    }
+  }
+
   private def writeEnumField(out: ByteArrayOutputStream, field: Int, f: StructField,
                              syms: Array[String], v: Any): Unit = {
     def number(s: String): Long = {
@@ -211,9 +287,10 @@ object Protobuf {
     while (i < schema.fields.length) {
       if (!row.isNullAt(i)) {
         val f = schema.fields(i)
-        enumSymbols(f) match {
-          case Some(syms) => writeEnumField(out, fieldNumber(f, i), f, syms, row.get(i))
-          case None => writeField(out, fieldNumber(f, i), f.dataType, row.get(i))
+        (enumSymbols(f), wireFormat(f)) match {
+          case (Some(syms), _) => writeEnumField(out, fieldNumber(f, i), f, syms, row.get(i))
+          case (_, Some(fmt)) => writeFormattedField(out, fieldNumber(f, i), f, fmt, row.get(i))
+          case _ => writeField(out, fieldNumber(f, i), f.dataType, row.get(i))
         }
       }
       i += 1
@@ -268,6 +345,34 @@ object Protobuf {
               }
             case _ =>
               if (wire == 0) cells(i) = sym(r.varint()) else r.skip(wire)
+          }
+        case Some(i) if wireFormat(schema.fields(i)).isDefined =>
+          val f = schema.fields(i)
+          val fmt = wireFormat(f).get
+          f.dataType match {
+            case ArrayType(et, _) =>
+              if (builders(i) == null)
+                builders(i) = scala.collection.mutable.ArrayBuffer.empty[Any]
+              wire match {
+                case 2 => // packed
+                  val p = r.lenDelimited()
+                  if (fmt == "zigzag") while (p.hasMore) builders(i) += zigzagDecode(et, p.varint())
+                  else if (et == LongType) while (p.hasMore) builders(i) += p.fixed64()
+                  else while (p.hasMore) builders(i) += castIntegral(et, p.fixed32().toLong)
+                case 0 if fmt == "zigzag" => builders(i) += zigzagDecode(et, r.varint())
+                case 1 if fmt == "fixed" && et == LongType => builders(i) += r.fixed64()
+                case 5 if fmt == "fixed" && et != LongType =>
+                  builders(i) += castIntegral(et, r.fixed32().toLong)
+                case w => r.skip(w)
+              }
+            case et =>
+              wire match {
+                case 0 if fmt == "zigzag" => cells(i) = zigzagDecode(et, r.varint())
+                case 1 if fmt == "fixed" && et == LongType => cells(i) = r.fixed64()
+                case 5 if fmt == "fixed" && et != LongType =>
+                  cells(i) = castIntegral(et, r.fixed32().toLong)
+                case w => r.skip(w)
+              }
           }
         case Some(i) =>
           val dt = schema.fields(i).dataType

@@ -133,6 +133,18 @@ object TfExample {
       pos += 4
       f
     }
+    /** Raw little-endian 32-bit word (proto fixed32/sfixed32). */
+    def fixed32(): Int = {
+      val v = ByteBuffer.wrap(buf, pos, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+      pos += 4
+      v
+    }
+    /** Raw little-endian 64-bit word (proto fixed64/sfixed64). */
+    def fixed64(): Long = {
+      val v = ByteBuffer.wrap(buf, pos, 8).order(ByteOrder.LITTLE_ENDIAN).getLong
+      pos += 8
+      v
+    }
     def double(): Double = {
       val d = ByteBuffer.wrap(buf, pos, 8).order(ByteOrder.LITTLE_ENDIAN).getDouble
       pos += 8

@@ -81,6 +81,44 @@ class ProtobufSpec extends SparkSpec {
     assert(unk.getSeq[String](1) == Seq("GREEN"))
   }
 
+  test("sint/fixed wire formats encode protoc's exact bytes and roundtrip (golden)") {
+    // message S { sint64 a=1; sint32 b=2; fixed64 c=3; sfixed32 d=4;
+    //             repeated sint64 xs=5; repeated fixed32 fs=6; }
+    val zz = Protobuf.formatMetadata("zigzag")
+    val fx = Protobuf.formatMetadata("fixed")
+    val schema = StructType(Seq(
+      StructField("a", LongType, nullable = true, zz),
+      StructField("b", IntegerType, nullable = true, zz),
+      StructField("c", LongType, nullable = true, fx),
+      StructField("d", IntegerType, nullable = true, fx),
+      StructField("xs", ArrayType(LongType), nullable = true, zz),
+      StructField("fs", ArrayType(IntegerType), nullable = true, fx)))
+    val row = Row(-1L, -2, 1L, -1, Seq(-1L, 1L), Seq(1, 2))
+    val bytes = Protobuf.encodeRow(schema, row)
+    assert(hex(bytes) ==
+      "0801" +                      // a: zigzag64(-1) = 1
+      "1003" +                      // b: zigzag32(-2) = 3
+      "190100000000000000" +        // c: fixed64 LE 1
+      "25ffffffff" +                // d: sfixed32 LE -1
+      "2a020102" +                  // xs packed: zz(-1)=1, zz(1)=2
+      "32080100000002000000")       // fs packed: fixed32 LE 1, 2
+    val back = Protobuf.decodeRow(schema, bytes)
+    assert(back == row)
+    // extreme values roundtrip (sign bit through zigzag, full 64-bit fixed)
+    val ext = Row(Long.MinValue, Int.MinValue, -1L, Int.MaxValue,
+      Seq(Long.MaxValue, 0L), Seq(Int.MinValue))
+    assert(Protobuf.decodeRow(schema, Protobuf.encodeRow(schema, ext)) == ext)
+    // UNPACKED repeated sint from a stock encoder still parses
+    val out = new java.io.ByteArrayOutputStream()
+    Seq(0x28, 0x01, 0x28, 0x04).foreach(out.write) // xs: zz 1 → -1, zz 4 → 2
+    val unp = Protobuf.decodeRow(schema, out.toByteArray)
+    assert(unp.getSeq[Long](4) == Seq(-1L, 2L))
+    // a non-integral column rejects the declaration at encode
+    val bad = StructType(Seq(StructField("s", StringType, nullable = true, zz)))
+    val e = intercept[IllegalArgumentException](Protobuf.encodeRow(bad, Row("x")))
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("map roundtrip: typed values, duplicate keys last-win, absent fields default") {
     val schema = StructType(Seq(
       StructField("ss", MapType(StringType, StringType)),
