@@ -137,6 +137,8 @@ object Avro {
     case (ByteType, x: Integer) => x.byteValue()
     case (BinaryType, bb: java.nio.ByteBuffer) =>
       val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+    case (BinaryType, gf: org.apache.avro.generic.GenericFixed) =>
+      gf.bytes().clone() // foreign avro `fixed` fields surface as binary
     case (DateType, d: Integer) => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.toLong))
     case (TimestampType, micros: java.lang.Long) =>
       val t = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)

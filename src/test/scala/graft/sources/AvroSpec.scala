@@ -154,6 +154,34 @@ class AvroSpec extends SparkSpec {
       == 3000L * 2999 / 2)
   }
 
+  test("foreign avro enum and fixed fields read back as string/binary") {
+    // a schema WE can't write (avro enum + fixed are not Spark types)
+    // but a foreign producer can — the reader surfaces them through
+    // the closest Spark types instead of refusing the file
+    val dir = tmpDir()
+    val avroSchema = org.apache.avro.SchemaBuilder.record("ext").fields()
+      .requiredLong("id")
+      .name("color").`type`().enumeration("Color").symbols("RED", "GREEN", "BLUE").noDefault()
+      .name("digest").`type`().fixed("Digest").size(4).noDefault()
+      .endRecord()
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](avroSchema))
+    w.create(avroSchema, new java.io.File(dir, "ext.avro"))
+    val rec = new org.apache.avro.generic.GenericData.Record(avroSchema)
+    rec.put("id", 1L)
+    rec.put("color", new org.apache.avro.generic.GenericData.EnumSymbol(
+      avroSchema.getField("color").schema(), "GREEN"))
+    rec.put("digest", new org.apache.avro.generic.GenericData.Fixed(
+      avroSchema.getField("digest").schema(), Array[Byte](1, 2, 3, 4)))
+    w.append(rec); w.close()
+    val back = Avro.read(spark, s"$dir/ext.avro", StructType(Seq(
+      StructField("id", LongType), StructField("color", StringType),
+      StructField("digest", BinaryType)))).collect()
+    assert(back.length == 1)
+    assert(back(0).getString(1) == "GREEN")
+    assert(back(0).getAs[Array[Byte]](2).toSeq == Seq[Byte](1, 2, 3, 4))
+  }
+
   test("unsupported column types fail fast driver-side") {
     // avro maps are string-keyed; a long-keyed map has no encoding
     val df = spark.range(1).selectExpr("map(id, 'x') AS m")
