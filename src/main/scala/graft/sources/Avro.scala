@@ -233,7 +233,9 @@ object Avro {
   /** Read Avro container files under `path` into rows of `schema`
     * (name-matched; container fields absent from `schema` are
     * ignored, `schema` fields absent from a record read as null —
-    * Avro's own evolution contract).
+    * Avro's own evolution contract). `path` may be a graft-written
+    * directory, a single container FILE, or a GLOB (`dir/` + `*.avro`)
+    * selecting foreign files explicitly.
     *
     * SPLITTABLE: each container is cut into ~`splitBytes` byte ranges
     * and every range is one task. A task seeks to its range start,
@@ -261,14 +263,21 @@ object Avro {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
     val fs = dir.getFileSystem(hadoopConf)
-    val rootStatus = fs.getFileStatus(dir)
     val statuses =
-      if (rootStatus.isFile) Array(rootStatus)
-      else {
-        require(fs.exists(new Path(dir, "_SUCCESS")),
-          s"$path has no _SUCCESS marker — refusing to read a possibly partial write " +
-            "(point at the container file itself to read foreign single-file input)")
-        Option(fs.globStatus(new Path(dir, "part-*.avro"))).getOrElse(Array.empty)
+      if (path.exists(c => "*?[{".indexOf(c.toInt) >= 0)) {
+        // explicit glob: the caller names the files, no marker contract
+        val matched = Option(fs.globStatus(dir)).getOrElse(Array.empty).filter(_.isFile)
+        require(matched.nonEmpty, s"glob $path matched no files")
+        matched
+      } else {
+        val rootStatus = fs.getFileStatus(dir)
+        if (rootStatus.isFile) Array(rootStatus)
+        else {
+          require(fs.exists(new Path(dir, "_SUCCESS")),
+            s"$path has no _SUCCESS marker — refusing to read a possibly partial write " +
+              "(point at the container file itself, or glob the files, for foreign input)")
+          Option(fs.globStatus(new Path(dir, "part-*.avro"))).getOrElse(Array.empty)
+        }
       }
     if (statuses.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)

@@ -154,6 +154,31 @@ class AvroSpec extends SparkSpec {
       == 3000L * 2999 / 2)
   }
 
+  test("a glob path reads an explicitly-selected foreign tree, marker-free") {
+    val dir = tmpDir()
+    val avroSchema = org.apache.avro.SchemaBuilder.record("ext").fields()
+      .requiredLong("id").endRecord()
+    // two foreign containers with arbitrary names, no _SUCCESS anywhere
+    Seq("a.avro", "b.avro").zipWithIndex.foreach { case (name, fi) =>
+      val w = new org.apache.avro.file.DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](avroSchema))
+      w.create(avroSchema, new java.io.File(dir, name))
+      (0 until 100).foreach { i =>
+        val rec = new org.apache.avro.generic.GenericData.Record(avroSchema)
+        rec.put("id", (fi * 100 + i).toLong); w.append(rec)
+      }
+      w.close()
+    }
+    val back = Avro.read(spark, s"$dir/*.avro", StructType(Seq(StructField("id", LongType))))
+    assert(back.count() == 200)
+    assert(back.agg(org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+      == 200L * 199 / 2)
+    // an empty glob is an explicit error, not a silent empty frame
+    val e = intercept[IllegalArgumentException](
+      Avro.read(spark, s"$dir/nope-*.avro", StructType(Seq(StructField("id", LongType)))))
+    assert(e.getMessage.contains("matched no files"))
+  }
+
   test("foreign avro enum and fixed fields read back as string/binary") {
     // a schema WE can't write (avro enum + fixed are not Spark types)
     // but a foreign producer can — the reader surfaces them through
