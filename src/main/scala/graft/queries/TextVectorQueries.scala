@@ -195,6 +195,37 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("probe_id"), col("rank"))
     },
 
+    // Voyager index interop (scio-extra voyager): build the HNSW
+    // index, WRITE and RE-READ the index.hnsw + names.json pair
+    // through the public format (the artifact roundtrip is on the
+    // critical path, like q_knn_annoy), then search. With ef = corpus
+    // size the graph search degenerates to exhaustive scoring, so the
+    // result is oracle-EXACT against brute-force SQL; recall at
+    // realistic ef is pinned in VoyagerSpec. Euclidean space keeps
+    // stored vectors un-normalized (voyager normalizes on add only
+    // for cosine), so both engines rank the same raw floats.
+    "q_knn_voyager" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = tables(s, dir).embeddings
+      val (built, bytes) = graft.similarity.Voyager.buildFrom(
+        emb, "vec_id", "embedding", dim = 64,
+        space = graft.similarity.Voyager.SpaceEuclidean, m = 8, efConstruction = 60)
+      val path = s"/tmp/graft_io/voyager_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.similarity.Voyager.write(s, built, bytes, path)
+      val idx = graft.similarity.Voyager.read(s, path)
+      val w = Window.partitionBy(col("probe_id"))
+        .orderBy(col("distance"), col("neighbor_id"))
+      graft.similarity.Voyager.searchTopK(idx,
+          emb.filter(col("vec_id") <= 10), "vec_id", "embedding",
+          k = 6, ef = idx.nItems)
+        .withColumn("neighbor_id", col("name").cast("long"))
+        .filter(col("neighbor_id") =!= col("probe_id"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("probe_id"), col("rank"), col("neighbor_id"))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+
     // IVF-cell ANN — the scale path (per-probe work / 2^cellBits).
     "q_knn_lsh" -> { (s, dir) =>
       val emb = tables(s, dir).embeddings
@@ -604,6 +635,18 @@ object TextVectorQueries extends QueryPack {
         |ranked AS (
         |  SELECT probe_id, neighbor_id,
         |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT probe_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+        |ORDER BY probe_id, rank""".stripMargin,
+    "q_knn_voyager" ->
+      """WITH probes AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id <= 10),
+        |scored AS (
+        |  SELECT pid AS probe_id, vec_id AS neighbor_id,
+        |         list_distance(embedding, pe) AS dist
+        |  FROM embeddings, probes WHERE vec_id != pid),
+        |ranked AS (
+        |  SELECT probe_id, neighbor_id,
+        |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY dist ASC, neighbor_id) AS BIGINT) AS rank
         |  FROM scored)
         |SELECT probe_id, rank, neighbor_id FROM ranked WHERE rank <= 5
         |ORDER BY probe_id, rank""".stripMargin,
