@@ -120,9 +120,17 @@ object Voyager {
       val enterpoint: Int,
       val efConstruction: Long,
       val m: Long,
-      private[Voyager] val namesOrNull: Array[String]) extends Serializable {
+      private[Voyager] val namesOrNull: Array[String],
+      // hnswlib DELETE_MARK flags (byte 2 of the level-0 links header):
+      // deleted elements stay in the graph for routing but are excluded
+      // from results — a foreign index after markDeleted must not
+      // resurface its tombstones
+      private[Voyager] val deletedOrNull: java.util.BitSet) extends Serializable {
 
     def nItems: Int = vectors.length
+
+    def isDeleted(node: Int): Boolean =
+      deletedOrNull != null && deletedOrNull.get(node)
 
     /** Label → display name; falls back to the numeric label when the
       * index was loaded without a names.json.
@@ -162,7 +170,7 @@ object Voyager {
       val n = nItems
       if (n == 0) return Nil
       if (ef >= n) {
-        return (0 until n).map(i => i -> dist(q, vectors(i)))
+        return (0 until n).filterNot(isDeleted).map(i => i -> dist(q, vectors(i)))
           .sortWith(better).take(k)
       }
       // greedy descent to layer 1
@@ -187,7 +195,9 @@ object Voyager {
         }
         level -= 1
       }
-      // layer 0: best-first, candidate list bounded by ef
+      // layer 0: best-first, candidate list bounded by ef. Deleted
+      // elements are traversed for routing but never enter results
+      // (hnswlib's has_deletions search).
       val visited = new java.util.BitSet(n)
       // candidates: min-heap by distance; results: max-heap by distance
       val cand = new scala.collection.mutable.PriorityQueue[(Double, Int)]()(
@@ -195,10 +205,12 @@ object Voyager {
       val res = new scala.collection.mutable.PriorityQueue[(Double, Int)]()(
         Ordering.by[(Double, Int), Double](_._1))
       visited.set(ep)
-      cand.enqueue((epDist, ep)); res.enqueue((epDist, ep))
+      cand.enqueue((epDist, ep))
+      if (!isDeleted(ep)) res.enqueue((epDist, ep))
+      def bound: Double = if (res.size >= ef) res.head._1 else Double.PositiveInfinity
       while (cand.nonEmpty) {
         val (cd, c) = cand.dequeue()
-        if (cd > res.head._1 && res.size >= ef) cand.clear()
+        if (cd > bound) cand.clear()
         else {
           val neigh = links(c)(0)
           var j = 0
@@ -207,9 +219,12 @@ object Voyager {
             if (!visited.get(nb)) {
               visited.set(nb)
               val d = dist(q, vectors(nb))
-              if (res.size < ef || d < res.head._1) {
-                cand.enqueue((d, nb)); res.enqueue((d, nb))
-                if (res.size > ef) res.dequeue()
+              if (d < bound) {
+                cand.enqueue((d, nb))
+                if (!isDeleted(nb)) {
+                  res.enqueue((d, nb))
+                  if (res.size > ef) res.dequeue()
+                }
               }
             }
             j += 1
@@ -227,7 +242,8 @@ object Voyager {
         StructField("label", LongType, nullable = false),
         StructField("name", StringType, nullable = false),
         StructField("vector", ArrayType(FloatType, containsNull = false), nullable = false)))
-      val rows = (0 until nItems).map(i => Row(labels(i), name(labels(i)), vectors(i).toSeq))
+      val rows = (0 until nItems).filterNot(isDeleted)
+        .map(i => Row(labels(i), name(labels(i)), vectors(i).toSeq))
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, math.max(1, rows.size / 10000)), schema)
     }
@@ -286,11 +302,18 @@ object Voyager {
     val links = new Array[Array[Array[Int]]](n)
     val sizeLinksPerElem = 4L * maxM + 4L
 
+    var deleted: java.util.BitSet = null
     var i = 0
     while (i < n) {
       val base = headerEnd + i * sizePerElem.toInt
       val nL0 = buf.getShort(base) & 0xFFFF
       if (nL0 > maxM0) return null
+      // hnswlib stores the count in the first 2 bytes and DELETE_MARK
+      // (0x01) in byte 2 of the 4-byte links header
+      if ((buf.get(base + 2) & 0x01) != 0) {
+        if (deleted == null) deleted = new java.util.BitSet(n)
+        deleted.set(i)
+      }
       val l0 = new Array[Int](nL0)
       var j = 0
       while (j < nL0) { l0(j) = buf.getInt(base + 4 + 4 * j); j += 1 }
@@ -346,7 +369,7 @@ object Voyager {
     }
     val ep = if (n == 0) 0 else { if (enterpoint < 0 || enterpoint >= n) return null else enterpoint }
     new Index(dim, space, storage, vectors, labels, links, maxLevel, ep,
-      efConstruction, m, names)
+      efConstruction, m, names, deleted)
   }
 
   /** Parse an index stream carrying the VOYA metadata header. */

@@ -108,6 +108,20 @@ class VoyagerSpec extends SparkSpec {
       Voyager.SpaceEuclidean, 2, Voyager.StorageFloat32))
   }
 
+  test("hnswlib DELETE_MARK tombstones are routed through but never returned") {
+    val bytes = withHeader(extraMaxNormField = false)
+    // node 1's level-0 links header starts at 14 + 96 + 36; hnswlib
+    // keeps the count in bytes 0-1 and the delete mark in byte 2
+    bytes(14 + 96 + 36 + 2) = 0x01
+    val idx = Voyager.parse(bytes)
+    assert(idx.isDeleted(1) && !idx.isDeleted(0) && !idx.isDeleted(2))
+    // exhaustive path: the tombstone never surfaces
+    assert(idx.query(Array(0.9f, 0f), 3, ef = 3).map(_._1) == Seq(0, 2))
+    // graph path: node 1 is still a routing hop but not a result
+    assert(idx.query(Array(0.9f, 0f), 2, ef = 2).map(_._1) == Seq(0, 2))
+    assert(idx.toDataFrame(spark).count() == 2)
+  }
+
   test("corrupt streams and E4M3 storage are rejected with clear errors") {
     val good = withHeader(extraMaxNormField = false)
     // flip the body so invariants fail
