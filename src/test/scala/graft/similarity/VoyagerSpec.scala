@@ -168,6 +168,16 @@ class VoyagerSpec extends SparkSpec {
     assert(t1.map(_._1) == t2.map(_._1))
   }
 
+  test("inner-product space stores raw vectors and ranks by 1 - dot") {
+    val vecs = IndexedSeq(Array(2f, 0f), Array(0f, 3f), Array(1f, 1f))
+    val (idx, _) = Voyager.build(vecs, IndexedSeq("a", "b", "c"), 2,
+      space = Voyager.SpaceInnerProduct, m = 2, efConstruction = 10)
+    assert(idx.vectors(0).toSeq == Seq(2f, 0f)) // no normalization on add
+    val top = idx.query(Array(1f, 0f), 3, ef = 3)
+    assert(top.map(_._1) == Seq(0, 2, 1)) // dots 2, 1, 0 → dist -1, 0, 1
+    assert(top.map(_._2) == Seq(-1.0, 0.0, 1.0))
+  }
+
   test("float8 storage quantizes to int8/127 fixed point") {
     val vecs = IndexedSeq(Array(0.5f, -0.25f), Array(1f, -1f))
     val (idx, bytes) = Voyager.build(vecs, IndexedSeq("a", "b"), 2,
