@@ -268,6 +268,36 @@ class VoyagerSpec extends SparkSpec {
     assert(two.query(Array(1f, 0.1f), 2, ef = 2).map(_._1) == Seq(0, 1))
   }
 
+  test("fuzz: arbitrary and mutated streams parse cleanly or reject cleanly") {
+    // a binary loader fed foreign files must never escape with an
+    // index/array error — IllegalArgumentException (require) only
+    val rnd = new scala.util.Random(20260813L)
+    val valid = withHeader(extraMaxNormField = false)
+    def attempt(bytes: Array[Byte]): Unit =
+      try {
+        Voyager.parse(bytes)
+        Voyager.parse(bytes, null, Voyager.SpaceEuclidean, 2, Voyager.StorageFloat32)
+      } catch { case _: IllegalArgumentException => () }
+    (0 until 400).foreach { _ =>
+      val len = rnd.nextInt(600)
+      val garbage = new Array[Byte](len); rnd.nextBytes(garbage)
+      attempt(garbage)
+      // garbage that still claims to be a VOYA file
+      if (len >= 14) {
+        System.arraycopy(valid, 0, garbage, 0, 14)
+        attempt(garbage)
+      }
+    }
+    (0 until 400).foreach { _ =>
+      val mutated = valid.clone()
+      (0 to rnd.nextInt(4)).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      }
+      attempt(mutated)
+      attempt(mutated.take(rnd.nextInt(mutated.length))) // truncation
+    }
+  }
+
   test("buildFrom byte guard aborts an oversized corpus at the budget") {
     val e = intercept[IllegalArgumentException](
       Voyager.buildFrom(emb, "vec_id", "embedding", dim = 64,
