@@ -103,11 +103,22 @@ object TfExample {
 
   // ---- decode --------------------------------------------------------
 
+  /** Every read is bounds-checked against `end`: a truncated or
+    * corrupt stream fails with a clean "truncated proto" IOException
+    * instead of reading past a nested message's boundary into sibling
+    * bytes (or out of the buffer entirely) — the containment contract
+    * stock proto parsers enforce via pushLimit.
+    */
   private[sources] final class Reader(buf: Array[Byte], var pos: Int, val end: Int) {
     def hasMore: Boolean = pos < end
+    private def need(n: Int): Unit =
+      if (n < 0 || pos + n > end)
+        throw new java.io.IOException(
+          s"truncated proto: need $n bytes at $pos, message ends at $end")
     def varint(): Long = {
       var shift = 0; var v = 0L
       while (true) {
+        need(1)
         val b = buf(pos); pos += 1
         v |= (b & 0x7FL) << shift
         if ((b & 0x80) == 0) return v
@@ -118,34 +129,40 @@ object TfExample {
     }
     def lenDelimited(): Reader = {
       val n = varint().toInt
+      need(n)
       val r = new Reader(buf, pos, pos + n)
       pos += n
       r
     }
     def sliceBytes(): Array[Byte] = {
       val n = varint().toInt
+      need(n)
       val a = java.util.Arrays.copyOfRange(buf, pos, pos + n)
       pos += n
       a
     }
     def float(): Float = {
+      need(4)
       val f = ByteBuffer.wrap(buf, pos, 4).order(ByteOrder.LITTLE_ENDIAN).getFloat
       pos += 4
       f
     }
     /** Raw little-endian 32-bit word (proto fixed32/sfixed32). */
     def fixed32(): Int = {
+      need(4)
       val v = ByteBuffer.wrap(buf, pos, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
       pos += 4
       v
     }
     /** Raw little-endian 64-bit word (proto fixed64/sfixed64). */
     def fixed64(): Long = {
+      need(8)
       val v = ByteBuffer.wrap(buf, pos, 8).order(ByteOrder.LITTLE_ENDIAN).getLong
       pos += 8
       v
     }
     def double(): Double = {
+      need(8)
       val d = ByteBuffer.wrap(buf, pos, 8).order(ByteOrder.LITTLE_ENDIAN).getDouble
       pos += 8
       d
@@ -153,9 +170,9 @@ object TfExample {
     /** Skip an unknown field of the given wire type (compat contract). */
     def skip(wire: Int): Unit = wire match {
       case 0 => varint()
-      case 1 => pos += 8
-      case 2 => val n = varint().toInt; pos += n
-      case 5 => pos += 4
+      case 1 => need(8); pos += 8
+      case 2 => val n = varint().toInt; need(n); pos += n
+      case 5 => need(4); pos += 4
       case w => throw new java.io.IOException(s"unsupported wire type $w")
     }
   }

@@ -256,6 +256,51 @@ class ProtobufSpec extends SparkSpec {
     assert(back.length == 3 && back(1).getDouble(2) == 1.5)
   }
 
+  test("fuzz: corrupt/truncated messages fail with clean truncation errors") {
+    // foreign wire bytes must never escape decode with an index error
+    // or silently read across a nested message boundary — acceptable
+    // outcomes are a decoded Row or IOException/IllegalArgumentException
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType),
+      StructField("score", DoubleType), StructField("xs", ArrayType(LongType)),
+      StructField("nested", StructType(Seq(
+        StructField("a", LongType), StructField("b", StringType)))),
+      StructField("m", MapType(StringType, LongType))))
+    val valid = Protobuf.encodeRow(schema,
+      Row(150L, "test", 1.5, Seq(1L, 2L, 3L), Row(7L, "x"), Map("k" -> 9L)))
+    val rnd = new scala.util.Random(20260813L)
+    def attempt(bytes: Array[Byte]): Unit =
+      try { Protobuf.decodeRow(schema, bytes); () }
+      catch {
+        case _: java.io.IOException => ()
+        case _: IllegalArgumentException => ()
+      }
+    (0 until 500).foreach { _ =>
+      val garbage = new Array[Byte](rnd.nextInt(200)); rnd.nextBytes(garbage)
+      attempt(garbage)
+      val mutated = valid.clone()
+      (0 to rnd.nextInt(4)).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      }
+      attempt(mutated)
+      attempt(mutated.take(rnd.nextInt(mutated.length)))
+    }
+  }
+
+  test("nested varint cannot read past its message boundary") {
+    // field 5 (nested message, wire 2) claiming length 1 whose single
+    // byte has the varint continuation bit set: the inner read must
+    // stop at the slice end, not continue into the next field's bytes
+    val schema = StructType(Seq(
+      StructField("nested", StructType(Seq(StructField("a", LongType)))),
+      StructField("id", LongType)))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x0A, 0x01, 0x08)) // field 1 wire 2 len 1: tag only
+    out.write(Array[Byte](0x10, 0x05))       // field 2 varint 5
+    val e = intercept[java.io.IOException](Protobuf.decodeRow(schema, out.toByteArray))
+    assert(e.getMessage.contains("truncated proto"))
+  }
+
   test("unsupported column types fail fast driver-side") {
     val df = spark.range(1).selectExpr("cast(id AS decimal(10,2)) AS d")
     val e = intercept[IllegalArgumentException](Protobuf.write(df, "/tmp/never"))
