@@ -282,6 +282,42 @@ object Annoy {
     if (roots.size > 1 &&
         buf.getInt(roots.head * s + cOff) == buf.getInt(roots.last * s + cOff))
       roots.remove(roots.size - 1)
+    require(m >= 1 && m <= nNodes,
+      s"corrupt .ann: trailing n_descendants $m is not a plausible item count ($nNodes nodes)")
+    // validate the reachable tree structure up front (same branch
+    // order as query): every child pointer and bucket id must be in
+    // range, so a corrupt or mis-dimensioned file rejects here with a
+    // clear error instead of crashing (or cycling forever) mid-search.
+    // Item nodes may be shared across trees (the single-item-subtree
+    // shortcut); split and bucket nodes are uniquely owned by one
+    // tree, so a revisit means a cycle or overlap — both corrupt.
+    val kCap = (s - cOff) / 4
+    val seen = new java.util.BitSet(nNodes)
+    val stack = scala.collection.mutable.ArrayBuffer(roots.toSeq: _*)
+    while (stack.nonEmpty) {
+      val n = stack.remove(stack.length - 1)
+      require(n >= 0 && n < nNodes, s"corrupt .ann: node pointer $n out of [0, $nNodes)")
+      val nd = buf.getInt(n * s)
+      require(nd >= 0, s"corrupt .ann: negative n_descendants at node $n")
+      if (nd == 1 && n < m) () // item node
+      else {
+        require(!seen.get(n),
+          s"corrupt .ann: node $n reachable twice (cycle or overlapping trees)")
+        seen.set(n)
+        if (nd <= kCap) {
+          var j = 0
+          while (j < nd) {
+            val id = buf.getInt(n * s + cOff + 4 * j)
+            require(id >= 0 && id < m,
+              s"corrupt .ann: bucket id $id at node $n out of [0, $m)")
+            j += 1
+          }
+        } else {
+          stack += buf.getInt(n * s + cOff)
+          stack += buf.getInt(n * s + cOff + 4)
+        }
+      }
+    }
     new Index(dim, m, bytes, roots.toSeq, metric)
   }
 

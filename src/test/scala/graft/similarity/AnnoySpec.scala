@@ -41,6 +41,31 @@ class AnnoySpec extends SparkSpec {
       "root copies at the end must have n_descendants == nItems"))
   }
 
+  test("fuzz: corrupt .ann bytes reject cleanly at parse, never crash or hang") {
+    val dim = 4
+    val vecs = (0 until 50).map(i =>
+      Array.tabulate(dim)(j => math.cos(i * dim + j).toFloat))
+    val valid = Annoy.build(vecs, dim, nTrees = 3)
+    val s = 12 + 4 * dim
+    val rnd = new scala.util.Random(20260813L)
+    def attempt(bytes: Array[Byte]): Unit =
+      try {
+        val idx = Annoy.parse(bytes, dim)
+        idx.query(vecs(0), 5) // whatever parses must search without crashing
+        ()
+      } catch { case _: IllegalArgumentException => () }
+    (0 until 300).foreach { _ =>
+      val garbage = new Array[Byte](s * (1 + rnd.nextInt(40)))
+      rnd.nextBytes(garbage)
+      attempt(garbage)
+      val mutated = valid.clone()
+      (0 to rnd.nextInt(4)).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      }
+      attempt(mutated)
+    }
+  }
+
   test("build → parse roundtrip recovers every item vector and nItems") {
     val vecs = (0 until 100).map(i =>
       Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat))
