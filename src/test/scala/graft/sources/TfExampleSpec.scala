@@ -20,6 +20,30 @@ class TfExampleSpec extends SparkSpec {
     assert(encode(Map("a" -> Int64Feature(Seq(1L)))).toSeq == expected.toSeq)
   }
 
+  test("fuzz: corrupt/truncated Example bytes fail cleanly, never crash") {
+    val valid = encode(Map(
+      "ids" -> Int64Feature(Seq(1L, 2L, 3L)),
+      "w" -> FloatFeature(Seq(0.5f)),
+      "t" -> BytesFeature(Seq("text".getBytes))))
+    val rnd = new scala.util.Random(20260813L)
+    def attempt(bytes: Array[Byte]): Unit =
+      try { decode(bytes); () }
+      catch {
+        case _: java.io.IOException => ()
+        case _: IllegalArgumentException => ()
+      }
+    (0 until 500).foreach { _ =>
+      val garbage = new Array[Byte](rnd.nextInt(120)); rnd.nextBytes(garbage)
+      attempt(garbage)
+      val mutated = valid.clone()
+      (0 to rnd.nextInt(4)).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      }
+      attempt(mutated)
+      attempt(mutated.take(rnd.nextInt(mutated.length)))
+    }
+  }
+
   test("encode/decode roundtrip across all three feature kinds") {
     val ex = Map[String, TfFeature](
       "ids" -> Int64Feature(Seq(0L, 1L, -1L, Long.MaxValue, Long.MinValue)),
