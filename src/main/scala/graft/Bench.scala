@@ -143,8 +143,11 @@ object Bench {
         // silently stream empty).
         val evPath = s"$sfDir/events.parquet"
         val schema = spark.read.parquet(evPath).schema
+        val evHPath = new org.apache.hadoop.fs.Path(evPath)
+        val evFs = org.apache.hadoop.fs.FileSystem.get(
+          evHPath.toUri, spark.sparkContext.hadoopConfiguration)
         val raw =
-          if (new java.io.File(evPath).isDirectory)
+          if (evFs.getFileStatus(evHPath).isDirectory)
             spark.readStream.schema(schema).parquet(evPath)
           else
             spark.readStream.schema(schema)
@@ -185,11 +188,20 @@ object Bench {
     }.mkString("{", ",", "}")
     // environment fingerprint: load_avg ≳ a few × the bench's own core
     // use at either sample means a polluted artifact — compare
-    // queries_min or rerun idle before reading deltas as regressions
+    // queries_min or rerun idle before reading deltas as regressions.
+    // A start load over 0.5 means other work was already running when
+    // the bench began: the artifact SELF-GATES with a machine-checkable
+    // "polluted": true so it can never again be read as a regression
+    // without a human cross-checking a second idle recording.
+    val polluted = loadStart > 0.5
+    if (polluted) System.err.println(
+      f"[bench] WARNING: load_avg_start=$loadStart%.2f > 0.5 — recording under ambient " +
+        "load; artifact stamped \"polluted\": true. Re-run idle for a comparable number.")
     val env = f""""env":{"load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f,""" +
       s""""available_processors":${Runtime.getRuntime.availableProcessors()},""" +
       s""""spark_cpus":$cpus}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${jmap(all2)},""" +
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","polluted":$polluted,""" +
+      f""""queries":${jmap(all2)},""" +
       f""""queries_min":${jmap(mins)},"cap_metrics":$caps,"reps":$reps,$env,"sf":"$sfDir"}""")
     spark.stop()
   }

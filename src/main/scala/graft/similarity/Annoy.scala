@@ -364,7 +364,13 @@ object Annoy {
     val outS = fs.create(tmp, true)
     try outS.write(index.bytes) finally outS.close()
     fs.delete(p, false)
-    if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+    // a false rename must be loud: returning normally here would report a
+    // "successful" write that produced no artifact (and the delete above
+    // may already have removed the previous one)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"rename $tmp -> $p failed; index write aborted")
+    }
   }
 
   def read(spark: SparkSession, path: String, dim: Int, metric: String = Angular): Index = {

@@ -435,7 +435,10 @@ object Voyager {
         s.charAt(i + 1) match {
           case 'u' =>
             require(i + 5 < s.length, "bad \\u escape in names.json")
-            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+            val hex = s.substring(i + 2, i + 6)
+            require(hex.forall(ch => Character.digit(ch, 16) >= 0),
+              s"bad \\u escape in names.json: \\u$hex")
+            sb.append(Integer.parseInt(hex, 16).toChar)
             i += 6
           case 'n' => sb.append('\n'); i += 2
           case 't' => sb.append('\t'); i += 2
@@ -691,7 +694,13 @@ object Voyager {
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
     fs.delete(p, false)
-    if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+    // a false rename must be loud: returning normally here would report a
+    // "successful" write that produced no artifact (and the delete above
+    // may already have removed the previous one)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"rename $tmp -> $p failed; index write aborted")
+    }
   }
 
   private def readFile(fs: FileSystem, p: Path): Array[Byte] = {

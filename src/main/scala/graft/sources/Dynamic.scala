@@ -89,6 +89,11 @@ object Dynamic {
         fs.delete(base, true)
       }
       fs.mkdirs(base)
+      // stamp the marker BEFORE writing, not only after: a run that dies
+      // mid-write must leave a tree the retry still recognizes as this
+      // sink's own output (else the foreign-directory guard above locks
+      // out unattended retries and forces overwriteForeign=true)
+      fs.create(new Path(base, Marker), true).close()
       fs
     }
     // salt on a per-ROW spread value, not record content: a hot
@@ -145,6 +150,8 @@ object Dynamic {
         commit()
       } catch { case t: Throwable => abort(); throw t }
     }
+    // re-stamp at completion: the write succeeded end-to-end (the
+    // pre-write stamp above already guarantees retry recognition)
     fs.create(new Path(basePath, Marker), true).close()
   }
 }

@@ -256,6 +256,13 @@ class VoyagerSpec extends SparkSpec {
     // the reference writes unescaped simple arrays — parse those too
     assert(Voyager.parseNames("""["a","b","c"]""").toSeq == Seq("a", "b", "c"))
     assert(Voyager.parseNames("""[ "x" , "y" ]""").toSeq == Seq("x", "y"))
+    // a non-hex \u escape gets the same clear names.json error as every
+    // other malformed case, not a raw NumberFormatException
+    val bad = intercept[IllegalArgumentException] {
+      // concatenated because scalac itself rejects a literal \uZZZZ
+      Voyager.parseNames("[\"\\" + "uZZZZ\"]")
+    }
+    assert(bad.getMessage.contains("names.json"))
   }
 
   test("single-element and tiny corpora build, serialize, and query") {

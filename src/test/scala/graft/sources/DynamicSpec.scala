@@ -135,4 +135,19 @@ class DynamicSpec extends SparkSpec {
     assert(!precious.exists)
     assert(linesUnder(out)("d") == Seq("x"))
   }
+
+  test("a tree from a run that died mid-write (marker + partial files) retries cleanly") {
+    // the marker is stamped BEFORE writing, so a crashed run leaves
+    // marker + committed partials; the retry must recognize its own
+    // output and wipe it without overwriteForeign
+    val out = tmpDir()
+    new java.io.File(out, "_GRAFT_DYNAMIC").createNewFile()
+    val partial = new java.io.File(out, "d")
+    partial.mkdirs()
+    java.nio.file.Files.write(new java.io.File(partial, "part-00000.txt").toPath,
+      "stale\n".getBytes)
+    val df = Seq(("d", "fresh")).toDF("dest", "text")
+    Dynamic.saveAsDynamicText(df, out.getAbsolutePath, "dest", "text")
+    assert(linesUnder(out)("d") == Seq("fresh"))
+  }
 }
