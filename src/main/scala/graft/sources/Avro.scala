@@ -40,6 +40,16 @@ import org.apache.spark.sql.types._
   * surface real dates/timestamps/decimals; arrays of any of these.
   * Nullable Spark fields (and nullable array elements / map values)
   * map to `union {null, T}`.
+  *
+  * Foreign-schema tolerance on READ (scio's GenericRecord read accepts
+  * any container): [[inferSchema]]/[[read(spark,path)*]] derive the
+  * Spark schema from the container header; enum → string, fixed →
+  * binary, `timestamp-millis` → timestamp, decimal-over-fixed →
+  * decimal; multi-branch unions promote (`[int,long]` → long,
+  * `[float,double]` → double) or surface as a `member0..memberN`
+  * struct — the public spark-avro convention. On WRITE, a string
+  * column carrying [[enumMetadata]] emits a real avro `enum` and a
+  * binary column carrying [[fixedMetadata]] a real `fixed`.
   */
 object Avro {
 
@@ -49,12 +59,20 @@ object Avro {
     if (isNullable) Schema.createUnion(Schema.create(Schema.Type.NULL), s) else s
 
   /** Resolve the non-null branch of a union (Avro's nullable shape);
-    * any other schema passes through.
+    * any other schema passes through. Multi-branch unions keep their
+    * first non-null branch here — [[fromAvroValue]] handles those with
+    * the full union schema instead.
     */
   private def nonNull(s: Schema): Schema =
     if (s.getType == Schema.Type.UNION)
       s.getTypes.asScala.find(_.getType != Schema.Type.NULL).getOrElse(s)
     else s
+
+  /** The non-null branches of a union (empty for non-unions). */
+  private def unionBranches(s: Schema): Seq[Schema] =
+    if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.filter(_.getType != Schema.Type.NULL).toSeq
+    else Seq.empty
 
   /** `path` names nested records — Avro requires every record schema
     * be uniquely named, so the field path becomes the record name.
@@ -83,10 +101,48 @@ object Avro {
         "timestamp/decimal, nested structs, string-keyed maps, + arrays)")
   }
 
+  /** Attach an Avro enum symbol table to a string (or array<string>)
+    * column's metadata — [[write]] maps the column to a real avro
+    * `enum` instead of `string` (mirrors [[Protobuf.enumMetadata]]).
+    */
+  def enumMetadata(symbols: Seq[String]): Metadata =
+    new MetadataBuilder().putStringArray("avroEnum", symbols.toArray).build()
+
+  /** Declare a binary column as avro `fixed` of `size` bytes —
+    * [[write]] maps it to a real avro `fixed` instead of `bytes`.
+    */
+  def fixedMetadata(size: Int): Metadata = {
+    require(size > 0, s"avroFixed size must be positive, got $size")
+    new MetadataBuilder().putLong("avroFixed", size.toLong).build()
+  }
+
+  /** Field schema, honoring the enum/fixed metadata declarations. */
+  private def fieldAvroType(f: StructField): Schema = {
+    def enumSchema(name: String): Schema = {
+      val syms = f.metadata.getStringArray("avroEnum")
+      require(syms.nonEmpty, s"avroEnum on ${f.name} declares no symbols")
+      Schema.createEnum(name, null, "graft", syms.toList.asJava)
+    }
+    f.dataType match {
+      case StringType if f.metadata.contains("avroEnum") => enumSchema(f.name)
+      case ArrayType(StringType, containsNull) if f.metadata.contains("avroEnum") =>
+        Schema.createArray(nullable(enumSchema(s"${f.name}_item"), containsNull))
+      case other if f.metadata.contains("avroEnum") =>
+        throw new IllegalArgumentException(
+          s"avroEnum metadata requires a string or array<string> column, got $other on ${f.name}")
+      case BinaryType if f.metadata.contains("avroFixed") =>
+        Schema.createFixed(f.name, null, "graft", f.metadata.getLong("avroFixed").toInt)
+      case other if f.metadata.contains("avroFixed") =>
+        throw new IllegalArgumentException(
+          s"avroFixed metadata requires a binary column, got $other on ${f.name}")
+      case dt => avroType(dt, f.name)
+    }
+  }
+
   /** Spark schema → Avro record schema (nullable → union{null, T}). */
   def toAvroSchema(schema: StructType, recordName: String = "graft_record"): Schema = {
     val fields = schema.fields.map { f =>
-      val ft = nullable(avroType(f.dataType, f.name), f.nullable)
+      val ft = nullable(fieldAvroType(f), f.nullable)
       new Schema.Field(f.name, ft, null, if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
     }
     Schema.createRecord(recordName, null, "graft", false, fields.toList.asJava)
@@ -100,6 +156,15 @@ object Avro {
     case (_, null) => null
     case (ShortType, x: Short) => x.toInt
     case (ByteType, x: Byte) => x.toInt
+    case (StringType, s: String) if schema != null && nonNull(schema).getType == Schema.Type.ENUM =>
+      val es = nonNull(schema)
+      require(es.hasEnumSymbol(s), s"'$s' is not a symbol of avro enum ${es.getFullName}")
+      new GenericData.EnumSymbol(es, s)
+    case (BinaryType, b: Array[Byte]) if schema != null && nonNull(schema).getType == Schema.Type.FIXED =>
+      val fx = nonNull(schema)
+      require(b.length == fx.getFixedSize,
+        s"avro fixed ${fx.getFullName} holds ${fx.getFixedSize} bytes, got ${b.length}")
+      new GenericData.Fixed(fx, b)
     case (BinaryType, b: Array[Byte]) => java.nio.ByteBuffer.wrap(b)
     case (DateType, d: java.sql.Date) => d.toLocalDate.toEpochDay.toInt
     case (DateType, d: java.time.LocalDate) => d.toEpochDay.toInt
@@ -130,35 +195,71 @@ object Avro {
     case (_, x) => x // long/int/double/float/boolean/string pass through
   }
 
-  private def fromAvroValue(dt: DataType, v: Any): Any = (dt, v) match {
-    case (_, null) => null
-    case (StringType, s) => s.toString // Utf8 → String
-    case (ShortType, x: Integer) => x.shortValue()
-    case (ByteType, x: Integer) => x.byteValue()
-    case (BinaryType, bb: java.nio.ByteBuffer) =>
-      val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
-    case (BinaryType, gf: org.apache.avro.generic.GenericFixed) =>
-      gf.bytes().clone() // foreign avro `fixed` fields surface as binary
-    case (DateType, d: Integer) => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.toLong))
-    case (TimestampType, micros: java.lang.Long) =>
-      val t = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
-      t.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
-      t
-    case (d: DecimalType, bb: java.nio.ByteBuffer) =>
-      val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a)
-      new java.math.BigDecimal(new java.math.BigInteger(a), d.scale)
-    case (ArrayType(et, _), xs: java.util.Collection[_]) =>
-      xs.asScala.map(x => fromAvroValue(et, x)).toSeq
-    case (MapType(StringType, vt, _), m: java.util.Map[_, _]) =>
-      m.asScala.map { case (k, x) => k.toString -> fromAvroValue(vt, x) }.toMap
-    case (st: StructType, rec: GenericRecord) =>
-      // name-matched like the top level: container fields absent from
-      // the asked-for struct are ignored, missing ones read null
-      Row.fromSeq(st.fields.toSeq.map { f =>
-        val af = rec.getSchema.getField(f.name)
-        if (af == null) null else fromAvroValue(f.dataType, rec.get(af.pos()))
-      })
-    case (_, x) => x
+  /** `schema` is the Avro schema at this position (possibly a union),
+    * from the CONTAINER's writer schema — it disambiguates multi-branch
+    * unions, millis-vs-micros timestamps, and decimal-backing shapes
+    * the runtime value class alone can't. Null-tolerant: a null schema
+    * falls back to value-class dispatch (graft's own type mapping).
+    */
+  private def fromAvroValue(dt: DataType, schema: Schema, v: Any): Any = {
+    if (v == null) return null
+    if (schema != null && schema.getType == Schema.Type.UNION) {
+      val branches = unionBranches(schema)
+      if (branches.size == 1) return fromAvroValue(dt, branches.head, v)
+      // multi-branch union: resolve which branch this datum is, then
+      // either fill its member slot (struct-of-branches read, the
+      // spark-avro `memberN` convention) or coerce to the single asked
+      // type (dominant-branch read)
+      val branch = schema.getTypes.get(GenericData.get().resolveUnion(schema, v))
+      return dt match {
+        case st: StructType if st.fields.length == branches.size &&
+            st.fields.zipWithIndex.forall { case (f, i) => f.name == s"member$i" } =>
+          val pos = branches.indexOf(branch)
+          Row.fromSeq(st.fields.indices.map(i =>
+            if (i == pos) fromAvroValue(st.fields(i).dataType, branch, v) else null))
+        case _ => fromAvroValue(dt, branch, v)
+      }
+    }
+    (dt, v) match {
+      case (StringType, s) => s.toString // Utf8 / EnumSymbol → String
+      case (ShortType, x: Integer) => x.shortValue()
+      case (ByteType, x: Integer) => x.byteValue()
+      case (LongType, x: Integer) => x.longValue() // union[int,long] promotion
+      case (DoubleType, x: java.lang.Float) => x.doubleValue() // union[float,double]
+      case (BinaryType, bb: java.nio.ByteBuffer) =>
+        val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+      case (BinaryType, gf: org.apache.avro.generic.GenericFixed) =>
+        gf.bytes().clone() // foreign avro `fixed` fields surface as binary
+      case (DateType, d: Integer) => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d.toLong))
+      case (TimestampType, ts: java.lang.Long) =>
+        // micros unless the container declares timestamp-millis
+        val micros =
+          if (schema != null && schema.getLogicalType != null &&
+            schema.getLogicalType.getName == "timestamp-millis") Math.multiplyExact(ts.longValue(), 1000L)
+          else ts.longValue()
+        val t = new java.sql.Timestamp(Math.floorDiv(micros, 1000000L) * 1000L)
+        t.setNanos((Math.floorMod(micros, 1000000L) * 1000L).toInt)
+        t
+      case (d: DecimalType, bb: java.nio.ByteBuffer) =>
+        val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a)
+        new java.math.BigDecimal(new java.math.BigInteger(a), d.scale)
+      case (d: DecimalType, gf: org.apache.avro.generic.GenericFixed) =>
+        new java.math.BigDecimal(new java.math.BigInteger(gf.bytes()), d.scale)
+      case (ArrayType(et, _), xs: java.util.Collection[_]) =>
+        val es = if (schema == null) null else nonNull(schema).getElementType
+        xs.asScala.map(x => fromAvroValue(et, es, x)).toSeq
+      case (MapType(StringType, vt, _), m: java.util.Map[_, _]) =>
+        val vs = if (schema == null) null else nonNull(schema).getValueType
+        m.asScala.map { case (k, x) => k.toString -> fromAvroValue(vt, vs, x) }.toMap
+      case (st: StructType, rec: GenericRecord) =>
+        // name-matched like the top level: container fields absent from
+        // the asked-for struct are ignored, missing ones read null
+        Row.fromSeq(st.fields.toSeq.map { f =>
+          val af = rec.getSchema.getField(f.name)
+          if (af == null) null else fromAvroValue(f.dataType, af.schema(), rec.get(af.pos()))
+        })
+      case (_, x) => x
+    }
   }
 
   /** Write one Avro container file per partition under `path`
@@ -255,6 +356,106 @@ object Avro {
     * — the foreign-container case (one huge .avro from an external
     * producer) this read's splitting exists for.
     */
+  /** The container files `path` names: an explicit glob, a single
+    * foreign FILE, or a graft-written directory (which requires the
+    * `_SUCCESS` stamp).
+    */
+  private def listContainers(fs: org.apache.hadoop.fs.FileSystem, path: String)
+      : Array[org.apache.hadoop.fs.FileStatus] = {
+    val dir = new Path(path)
+    if (path.exists(c => "*?[{".indexOf(c.toInt) >= 0)) {
+      // explicit glob: the caller names the files, no marker contract
+      val matched = Option(fs.globStatus(dir)).getOrElse(Array.empty).filter(_.isFile)
+      require(matched.nonEmpty, s"glob $path matched no files")
+      matched
+    } else {
+      val rootStatus = fs.getFileStatus(dir)
+      if (rootStatus.isFile) Array(rootStatus)
+      else {
+        require(fs.exists(new Path(dir, "_SUCCESS")),
+          s"$path has no _SUCCESS marker — refusing to read a possibly partial write " +
+            "(point at the container file itself, or glob the files, for foreign input)")
+        Option(fs.globStatus(new Path(dir, "part-*.avro"))).getOrElse(Array.empty)
+      }
+    }
+  }
+
+  /** Avro type → (Spark type, nullable). Union shapes: `{null, T}` →
+    * nullable T; `[int, long]` → long and `[float, double]` → double
+    * (Avro's own promotion pairs); any OTHER multi-branch union → a
+    * struct of `member0..memberN` branch fields — the public
+    * spark-avro SchemaConverters convention — with exactly the branch
+    * the record holds set and the rest null.
+    */
+  private def sparkTypeOf(s: Schema): (DataType, Boolean) = s.getType match {
+    case Schema.Type.UNION =>
+      val hasNull = s.getTypes.asScala.exists(_.getType == Schema.Type.NULL)
+      val branches = unionBranches(s)
+      require(branches.nonEmpty, "union of only null carries no data")
+      if (branches.size == 1) (sparkTypeOf(branches.head)._1, hasNull)
+      else {
+        val kinds = branches.map(_.getType).toSet
+        if (kinds == Set(Schema.Type.INT, Schema.Type.LONG)) (LongType, hasNull)
+        else if (kinds == Set(Schema.Type.FLOAT, Schema.Type.DOUBLE)) (DoubleType, hasNull)
+        else (StructType(branches.zipWithIndex.map { case (b, i) =>
+          StructField(s"member$i", sparkTypeOf(b)._1, nullable = true)
+        }), hasNull)
+      }
+    case Schema.Type.INT =>
+      if (s.getLogicalType != null && s.getLogicalType.getName == "date") (DateType, false)
+      else (IntegerType, false)
+    case Schema.Type.LONG =>
+      val lt = Option(s.getLogicalType).map(_.getName).getOrElse("")
+      if (lt == "timestamp-micros" || lt == "timestamp-millis") (TimestampType, false)
+      else (LongType, false)
+    case Schema.Type.FLOAT => (FloatType, false)
+    case Schema.Type.DOUBLE => (DoubleType, false)
+    case Schema.Type.BOOLEAN => (BooleanType, false)
+    case Schema.Type.STRING | Schema.Type.ENUM => (StringType, false)
+    case Schema.Type.BYTES | Schema.Type.FIXED => s.getLogicalType match {
+      case d: LogicalTypes.Decimal => (DecimalType(d.getPrecision, d.getScale), false)
+      case _ => (BinaryType, false)
+    }
+    case Schema.Type.ARRAY =>
+      val (et, en) = sparkTypeOf(s.getElementType)
+      (ArrayType(et, containsNull = en), false)
+    case Schema.Type.MAP =>
+      val (vt, vn) = sparkTypeOf(s.getValueType)
+      (MapType(StringType, vt, valueContainsNull = vn), false)
+    case Schema.Type.RECORD =>
+      (StructType(s.getFields.asScala.toSeq.map { f =>
+        val (t, n) = sparkTypeOf(f.schema())
+        StructField(f.name(), t, nullable = n)
+      }), false)
+    case other => throw new IllegalArgumentException(s"unsupported avro type $other in container schema")
+  }
+
+  /** Infer the Spark schema from the first container's header — the
+    * GenericRecord-style read that needs no caller schema (reference:
+    * scio-avro/src/main/scala/com/spotify/scio/avro/AvroIO.scala
+    * GenericRecord read).
+    */
+  def inferSchema(spark: SparkSession, path: String): StructType = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses = listContainers(fs, path)
+    require(statuses.nonEmpty, s"$path holds no avro container files to infer a schema from")
+    val st = statuses.head
+    val reader = new DataFileReader(
+      new HadoopSeekableInput(fs.open(st.getPath), st.getLen),
+      new GenericDatumReader[GenericRecord]())
+    val avro = try reader.getSchema finally reader.close()
+    require(avro.getType == Schema.Type.RECORD,
+      s"container root schema must be a record, got ${avro.getType}")
+    sparkTypeOf(avro)._1.asInstanceOf[StructType]
+  }
+
+  /** Read with the schema inferred from the container header (multi-
+    * branch unions surface as `memberN` structs — see [[sparkTypeOf]]).
+    */
+  def read(spark: SparkSession, path: String): DataFrame =
+    read(spark, path, inferSchema(spark, path))
+
   def read(spark: SparkSession, path: String, schema: StructType,
            splitBytes: Long = 64L << 20): DataFrame = {
     require(splitBytes > 0, s"splitBytes must be positive, got $splitBytes")
@@ -263,22 +464,7 @@ object Avro {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val dir = new Path(path)
     val fs = dir.getFileSystem(hadoopConf)
-    val statuses =
-      if (path.exists(c => "*?[{".indexOf(c.toInt) >= 0)) {
-        // explicit glob: the caller names the files, no marker contract
-        val matched = Option(fs.globStatus(dir)).getOrElse(Array.empty).filter(_.isFile)
-        require(matched.nonEmpty, s"glob $path matched no files")
-        matched
-      } else {
-        val rootStatus = fs.getFileStatus(dir)
-        if (rootStatus.isFile) Array(rootStatus)
-        else {
-          require(fs.exists(new Path(dir, "_SUCCESS")),
-            s"$path has no _SUCCESS marker — refusing to read a possibly partial write " +
-              "(point at the container file itself, or glob the files, for foreign input)")
-          Option(fs.globStatus(new Path(dir, "part-*.avro"))).getOrElse(Array.empty)
-        }
-      }
+    val statuses = listContainers(fs, path)
     if (statuses.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     val confEntries = spark.sparkContext.broadcast(
@@ -308,7 +494,7 @@ object Avro {
             val rec = reader.next()
             Row.fromSeq(fieldNames.indices.map { i =>
               val f = rec.getSchema.getField(fieldNames(i))
-              if (f == null) null else fromAvroValue(fieldTypes(i), rec.get(f.pos()))
+              if (f == null) null else fromAvroValue(fieldTypes(i), f.schema(), rec.get(f.pos()))
             })
           }
         }

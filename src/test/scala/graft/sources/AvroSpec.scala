@@ -300,4 +300,130 @@ class AvroSpec extends SparkSpec {
         == Map("k" -> "v", "k2" -> "w"))
     } finally reader.close()
   }
+
+  test("multi-branch unions read as memberN structs with an inferred schema") {
+    // a foreign producer's schema graft could never write: a 3-branch
+    // union and a union holding a record branch, plus timestamp-millis
+    val dir = tmpDir()
+    import org.apache.avro.{LogicalTypes, Schema, SchemaBuilder}
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val inner = SchemaBuilder.record("Inner").fields().requiredLong("a").endRecord()
+    val tsMs = LogicalTypes.timestampMillis().addToSchema(Schema.create(Schema.Type.LONG))
+    val avroSchema = SchemaBuilder.record("ext").fields()
+      .requiredLong("id")
+      .name("u").`type`().unionOf().intType().and().stringType().and().nullType()
+      .endUnion().noDefault()
+      .name("u2").`type`(Schema.createUnion(inner, Schema.create(Schema.Type.STRING))).noDefault()
+      .name("ts_ms").`type`(tsMs).noDefault()
+      .endRecord()
+    val w = new org.apache.avro.file.DataFileWriter(
+      new GenericDatumWriter[GenericRecord](avroSchema))
+    w.create(avroSchema, new java.io.File(dir, "u.avro"))
+    def rec(id: Long, u: Any, u2: Any): GenericRecord = {
+      val r = new GenericData.Record(avroSchema)
+      r.put("id", id); r.put("u", u); r.put("u2", u2); r.put("ts_ms", 1709640000123L)
+      r
+    }
+    def innerRec(a: Long): GenericRecord = {
+      val r = new GenericData.Record(inner); r.put("a", a); r
+    }
+    w.append(rec(1L, Int.box(42), innerRec(9L)))
+    w.append(rec(2L, "hi", "plain"))
+    w.append(rec(3L, null, innerRec(1L)))
+    w.close()
+    val df = Avro.read(spark, s"$dir/u.avro")
+    val uType = df.schema("u").dataType.asInstanceOf[StructType]
+    assert(uType.fieldNames.toSeq == Seq("member0", "member1"))
+    assert(uType("member0").dataType == IntegerType && uType("member1").dataType == StringType)
+    assert(df.schema("u2").dataType.asInstanceOf[StructType]("member0").dataType
+      .isInstanceOf[StructType])
+    assert(df.schema("ts_ms").dataType == TimestampType)
+    val back = df.collect().sortBy(_.getLong(0))
+    assert(back(0).getStruct(1).getInt(0) == 42 && back(0).getStruct(1).isNullAt(1))
+    assert(back(0).getStruct(2).getStruct(0).getLong(0) == 9L)
+    assert(back(1).getStruct(1).isNullAt(0) && back(1).getStruct(1).getString(1) == "hi")
+    assert(back(1).getStruct(2).getString(1) == "plain")
+    assert(back(2).isNullAt(1))
+    assert(back(2).getStruct(2).getStruct(0).getLong(0) == 1L)
+    // millis logical type scaled to a real timestamp, not read as micros
+    assert(back(0).getTimestamp(3).getTime == 1709640000123L)
+  }
+
+  test("int/long and float/double unions promote to the wide Spark type") {
+    val dir = tmpDir()
+    import org.apache.avro.SchemaBuilder
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val avroSchema = SchemaBuilder.record("prom").fields()
+      .requiredLong("id")
+      .name("n").`type`().unionOf().intType().and().longType().and().nullType()
+      .endUnion().noDefault()
+      .name("x").`type`().unionOf().floatType().and().doubleType().endUnion().noDefault()
+      .endRecord()
+    val w = new org.apache.avro.file.DataFileWriter(
+      new GenericDatumWriter[GenericRecord](avroSchema))
+    w.create(avroSchema, new java.io.File(dir, "p.avro"))
+    def rec(id: Long, n: Any, x: Any): GenericRecord = {
+      val r = new GenericData.Record(avroSchema)
+      r.put("id", id); r.put("n", n); r.put("x", x); r
+    }
+    w.append(rec(1L, Int.box(5), Float.box(1.5f)))
+    w.append(rec(2L, Long.box(1L << 40), Double.box(2.25)))
+    w.close()
+    val df = Avro.read(spark, s"$dir/p.avro")
+    assert(df.schema("n").dataType == LongType && df.schema("n").nullable)
+    assert(df.schema("x").dataType == DoubleType && !df.schema("x").nullable)
+    val back = df.collect().sortBy(_.getLong(0))
+    assert(back(0).getLong(1) == 5L && back(0).getDouble(2) == 1.5)
+    assert(back(1).getLong(1) == (1L << 40) && back(1).getDouble(2) == 2.25)
+  }
+
+  test("declared enum and fixed columns write as real avro enum/fixed") {
+    val dir = tmpDir()
+    val declared = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("color", StringType, nullable = true,
+        metadata = Avro.enumMetadata(Seq("RED", "GREEN", "BLUE"))),
+      StructField("digest", BinaryType, nullable = false, metadata = Avro.fixedMetadata(4)),
+      StructField("tags", ArrayType(StringType, containsNull = false), nullable = false,
+        metadata = Avro.enumMetadata(Seq("X", "Y")))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, "GREEN", Array[Byte](1, 2, 3, 4), Seq("X", "Y")),
+      Row(2L, null, Array[Byte](9, 8, 7, 6), Seq("Y"))), 1), declared)
+    Avro.write(df, dir)
+    // stock reader sees genuine enum/fixed schemas and values
+    val part = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".avro")).head
+    val reader = new org.apache.avro.file.DataFileReader(
+      part, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    try {
+      import org.apache.avro.Schema
+      import scala.jdk.CollectionConverters._
+      val s = reader.getSchema
+      def branch(f: String): Schema = {
+        val fs = s.getField(f).schema()
+        if (fs.getType == Schema.Type.UNION)
+          fs.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+        else fs
+      }
+      assert(branch("color").getType == Schema.Type.ENUM)
+      assert(branch("color").getEnumSymbols.asScala.toSeq == Seq("RED", "GREEN", "BLUE"))
+      assert(branch("digest").getType == Schema.Type.FIXED && branch("digest").getFixedSize == 4)
+      assert(branch("tags").getElementType.getType == Schema.Type.ENUM)
+      val recs = reader.iterator().asScala.toSeq.sortBy(_.get("id").asInstanceOf[Long])
+      assert(recs.head.get("color").isInstanceOf[org.apache.avro.generic.GenericData.EnumSymbol])
+      assert(recs.head.get("color").toString == "GREEN")
+      assert(recs.head.get("digest").asInstanceOf[org.apache.avro.generic.GenericFixed]
+        .bytes().toSeq == Seq[Byte](1, 2, 3, 4))
+    } finally reader.close()
+    // graft reads its own enum/fixed back (inferred: string/binary)
+    val back = Avro.read(spark, dir).collect().sortBy(_.getLong(0))
+    assert(back(0).getString(1) == "GREEN" && back(1).isNullAt(1))
+    assert(back(0).getAs[Array[Byte]](2).toSeq == Seq[Byte](1, 2, 3, 4))
+    assert(back(0).getSeq[String](3) == Seq("X", "Y"))
+    // a value outside the declared symbol table refuses to encode
+    val bad = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(3L, "MAGENTA", Array[Byte](0, 0, 0, 0), Seq("X"))), 1), declared)
+    val e = intercept[org.apache.spark.SparkException](Avro.write(bad, tmpDir()))
+    assert(e.getMessage.contains("not a symbol") ||
+      Option(e.getCause).exists(_.getMessage.contains("not a symbol")))
+  }
 }
