@@ -687,6 +687,33 @@ object Voyager {
       (0 until n).map(_.toString), dim, space, m, efConstruction, seed)
   }
 
+  /** [[buildFrom]] without the dense-id requirement: ANY id column
+    * (long, string, …) — rows are assigned dense labels in collect
+    * order and the original id rides as the element's NAME string, so
+    * [[searchTopK]]/`Index.name` surface the caller's ids unchanged.
+    * Same byte budget and one-job collect as [[buildFrom]].
+    */
+  def buildFromAny(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                   space: Int = SpaceCosine, m: Int = 16, efConstruction: Int = 200,
+                   seed: Long = 1L, maxBytes: Long = 2L << 30): (Index, Array[Byte]) = {
+    val perItem = 4L * (2L * m + 1) + 4L * dim + 8L
+    val maxItems = math.min(maxBytes / perItem, Int.MaxValue - 1L).toInt
+    require(maxItems >= 1, s"maxBytes=$maxBytes cannot hold one dim=$dim element ($perItem B)")
+    val collected =
+      df.select(col(idCol).cast("string"), col(vecCol)).limit(maxItems + 1).collect()
+    val n = collected.length
+    require(n <= maxItems,
+      s"Voyager.buildFromAny: corpus exceeds maxBytes=$maxBytes (> $maxItems items of " +
+        s"$perItem B each) — a voyager index is a fits-in-memory artifact; raise " +
+        "maxBytes only if the driver can hold it")
+    val names = collected.map(_.getString(0))
+    require(names.distinct.length == n, "id column holds duplicates — names must be unique")
+    val vecs = collected.map(_.getSeq[Float](1).toArray)
+    build(scala.collection.immutable.ArraySeq.unsafeWrapArray(vecs),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(names), dim, space, m,
+      efConstruction, seed)
+  }
+
   // ---------------------------------------------------------------- files
 
   private def writeFile(fs: FileSystem, p: Path, bytes: Array[Byte]): Unit = {

@@ -305,6 +305,29 @@ class VoyagerSpec extends SparkSpec {
     }
   }
 
+  test("buildFromAny carries arbitrary sparse ids as names through a file roundtrip") {
+    // non-dense ids (the real-corpus case buildFrom's 0..n-1 contract
+    // rejects): dense labels are assigned internally, the caller's id
+    // rides as the element name
+    val sparseIds = emb.withColumn("doc_id", col("vec_id") * 1000L + 7L)
+    val (idx0, bytes) = Voyager.buildFromAny(sparseIds, "doc_id", "embedding", dim = 64,
+      space = Voyager.SpaceEuclidean, m = 8, efConstruction = 60)
+    assert(idx0.nItems == emb.count())
+    val dir = tmpDir()
+    Voyager.write(spark, idx0, bytes, dir)
+    val idx = Voyager.read(spark, dir)
+    // a self-query's top hit is itself, surfaced under the sparse id
+    val row = sparseIds.filter(col("vec_id") === 3L).collect().head
+    val q = row.getAs[scala.collection.Seq[Float]]("embedding").toArray
+    val top = idx.query(q, 1, ef = idx.nItems).head._1
+    assert(idx.name(idx.labels(top)) == "3007")
+    // duplicate ids refuse to build (names must be unique)
+    val dup = sparseIds.withColumn("doc_id", lit(1L))
+    val e = intercept[IllegalArgumentException](
+      Voyager.buildFromAny(dup, "doc_id", "embedding", dim = 64))
+    assert(e.getMessage.contains("duplicates"))
+  }
+
   test("buildFrom byte guard aborts an oversized corpus at the budget") {
     val e = intercept[IllegalArgumentException](
       Voyager.buildFrom(emb, "vec_id", "embedding", dim = 64,
