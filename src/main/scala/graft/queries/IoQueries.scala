@@ -255,6 +255,24 @@ object IoQueries extends QueryPack {
         .orderBy(col("o_orderpriority"))
     },
 
+    // scio-extra sparkey asLargeMapSideInput/largeHashJoin: a side too
+    // big to broadcast, written ONCE as a bucketed+sorted table, then
+    // probed shuffle-free on the stored side (only the probe moves —
+    // plan asserted in SideInputsSpec). The oracle checks the lookup's
+    // content against a plain DuckDB left join.
+    "q_large_lookup" -> { (s, dir) =>
+      val t = tables(s, dir)
+      val base = tmp(dir, "large_side")
+      val table = s"graft_large_customer_$runToken"
+      val side = graft.operators.SideInputs.asLargeMap(
+        t.customer.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")),
+        table, s"$base/customer", Seq("c_custkey"), buckets = 32)
+      side.lookup(t.orders.select(col("o_custkey"), col("o_totalprice")), Seq("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("sum_price"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     // generic protobuf file IO (scio saveAsProtobufFile/protobufFile):
     // rows → schema-driven proto3 wire messages → bytes records in
     // Avro containers (scio's exact layout), read back through the
@@ -371,6 +389,10 @@ object IoQueries extends QueryPack {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_smb_write" ->
       """SELECT count(*) AS n, round(sum(l_quantity), 2) AS qty FROM lineitem""",
+    "q_large_lookup" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_io_protobuf" ->
       """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price,
         |  CAST(max(o_orderkey) AS BIGINT) AS max_key, min(o_orderstatus) AS min_status

@@ -58,4 +58,45 @@ class SideInputsSpec extends SparkSpec {
       .select(col("k"), col("v"), coalesce(col("name"), lit("?")).as("name"))
     assert(sortedRows(viaSide) == sortedRows(viaJoin))
   }
+
+  test("asLargeMap: a side too big to broadcast probes with no Exchange on the stored side") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_large_side").toFile
+    dir.deleteOnExit()
+    // 100 rows exceeds an asMap guard of 10 — the broadcast path
+    // refuses; the disk-backed path takes over
+    val side = spark.range(100).selectExpr("id AS k", "id * 2 AS v")
+    intercept[IllegalArgumentException](
+      SideInputs.asMap(side.as[(Long, Long)], maxRows = 10))
+    val large = SideInputs.asLargeMap(side, "graft_test_large_map",
+      s"$dir/side", Seq("k"), buckets = 4)
+    val probe = spark.range(120).selectExpr("id AS pk", "CAST(id % 7 AS STRING) AS tag")
+    val looked = large.lookup(probe, Seq("pk"))
+    val plan = looked.queryExecution.executedPlan.toString()
+    // sort-merge against the bucketed layout: no broadcast of the side,
+    // and the ONLY Exchange in the plan is the probe's
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"side must not broadcast:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"only the probe side may shuffle:\n$plan")
+    val rows = looked.collect()
+    assert(rows.length == 120)
+    assert(rows.filter(_.isNullAt(3)).map(_.getLong(0)).sorted.toSeq == (100L until 120L))
+    assert(rows.find(_.getLong(0) == 42L).get.getLong(3) == 84L)
+    // semi/anti verbs against the same stored layout
+    assert(large.intersectKeys(probe, Seq("pk")).count() == 100)
+    assert(large.subtractKeys(probe, Seq("pk")).count() == 20)
+  }
+
+  test("asLargeMap rejects duplicate keys; asLargeMultiMap keeps them") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_large_dup").toFile
+    dir.deleteOnExit()
+    val dup = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
+    val e = intercept[IllegalArgumentException](
+      SideInputs.asLargeMap(dup, "graft_test_large_dup", s"$dir/dup", Seq("k"), buckets = 2))
+    assert(e.getMessage.contains("unique keys"))
+    val mm = SideInputs.asLargeMultiMap(dup, "graft_test_large_mm",
+      s"$dir/mm", Seq("k"), buckets = 2)
+    val out = mm.lookup(Seq(1L).toDF("pk"), Seq("pk")).collect()
+    assert(out.map(_.getString(2)).sorted.toSeq == Seq("a", "b"))
+  }
 }
