@@ -77,6 +77,52 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("scalaudf"), s"proto decode planned as a UDF:\n$p")
   }
 
+  test("q_window_session: ONE hash shuffle serves both window functions and the session agg") {
+    // lag + running sum partition by user_id; the groupBy(user_id,
+    // sess_id) clusters on a superset, so the window's partitioning
+    // must be reused — a second hash exchange means sessionization
+    // shuffles the events twice at 100 TB
+    val p = plan("q_window_session")
+    assert(p.contains("Window"), s"no window operator:\n$p")
+    val hashExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(hashExchanges == 1, s"session agg re-shuffled the window output:\n$p")
+  }
+
+  test("q_top_by_key: rank filter is pushed as WindowGroupLimit, one hash shuffle") {
+    // topByKey must plan the per-key limit BELOW the full window sort
+    // (WindowGroupLimit keeps only k rows per key per partition);
+    // without it every key's full row set survives to the rank filter
+    val p = plan("q_top_by_key")
+    assert(p.contains("WindowGroupLimit"), s"top-k not pushed as WindowGroupLimit:\n$p")
+    val hashExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(hashExchanges == 1, s"topByKey needs exactly the window's shuffle:\n$p")
+  }
+
+  test("q_multimodal_bulk: per-partition batched decode, shuffle-free up to the global agg") {
+    // media decode is a typed mapPartitions kernel: no Python, no UDF
+    // re-plan, and the only exchange is the final single-partition agg
+    val p = plan("q_multimodal_bulk")
+    assert(!p.contains("BatchEvalPython"), s"decode left the JVM:\n$p")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges == 1, s"decode pipeline shuffled before the agg:\n$p")
+  }
+
+  test("q_skewed_split: hot-key probes broadcast; cold path joins plain; no product join") {
+    // sampled skew split: the hot-key frame reaches both sides as
+    // BROADCAST semi/anti probes (a shuffle there would defeat the
+    // point), the two paths union, and nothing degenerates to a
+    // cartesian/nested-loop product
+    val p = plan("q_skewed_split")
+    assert(p.contains("BroadcastHashJoin"), s"hot-key probes not broadcast:\n$p")
+    assert(p.contains("Union"), s"hot/cold paths not unioned:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"skew split planned a product join:\n$p")
+  }
+
   test("q_cms_heavy: the sketch prefilter sits below the aggregation exchange") {
     val p = plan("q_cms_heavy")
     assert(p.contains("graft_cms_estimate"), s"CMS kernel missing:\n$p")
