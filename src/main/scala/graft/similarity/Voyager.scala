@@ -55,9 +55,13 @@ import org.apache.spark.sql.types._
   * HONESTY NOTE: this container has no voyager runtime and no network,
   * so the loader is validated against hand-constructed golden bytes
   * from the documented layout and write→read roundtrips (VoyagerSpec),
-  * NOT against binaries produced by stock voyager. E4M3 quantized
-  * storage (which carries index-level scale state in the runtime) is
-  * rejected with a clear error rather than decoded approximately.
+  * NOT against binaries produced by stock voyager. E4M3 storage is
+  * decoded per the published OCP FP8 E4M3 bit layout (1 sign, 4
+  * exponent bits bias 7, 3 mantissa bits, no infinities, NaN =
+  * S.1111.111) — the same fixed layout voyager's E4M3.h implements —
+  * validated against the spec's value table rather than stock
+  * binaries. Encoding rounds to the nearest representable value,
+  * ties to the even byte pattern, saturating at ±448.
   *
   * Cosine semantics follow voyager: vectors are L2-normalized when
   * ADDED to a cosine-space index, and queries are normalized at search
@@ -77,7 +81,7 @@ object Voyager {
 
   val StorageFloat8 = 16  // fixed-point int8 / 127
   val StorageFloat32 = 32
-  val StorageE4M3 = 48    // rejected — see honesty note
+  val StorageE4M3 = 48    // OCP FP8 E4M3 — see honesty note
 
   val IndexFile = "index.hnsw"
   val NamesFile = "names.json"
@@ -89,12 +93,50 @@ object Voyager {
   private def dataBytesPerDim(storage: Int): Int = storage match {
     case StorageFloat32 => 4
     case StorageFloat8  => 1
-    case StorageE4M3 =>
-      throw new IllegalArgumentException(
-        "voyager E4M3 quantized storage is not supported by this loader " +
-          "(it carries runtime scale state); re-save the index as float32 or float8")
+    case StorageE4M3    => 1
     case other =>
       throw new IllegalArgumentException(s"unknown voyager storage data type $other")
+  }
+
+  /** OCP FP8 E4M3 decode table: sign ⋅ 2^(e−7) ⋅ (1 + m/8) for e ≥ 1,
+    * subnormal sign ⋅ 2^−6 ⋅ m/8 for e = 0, NaN at S.1111.111. No
+    * infinities; max finite ±448.
+    */
+  private[similarity] val E4M3Table: Array[Float] = Array.tabulate(256) { b =>
+    val sign = if ((b & 0x80) != 0) -1f else 1f
+    val e = (b >> 3) & 0xF
+    val m = b & 0x7
+    if (e == 0xF && m == 0x7) Float.NaN
+    else if (e == 0) sign * (m / 8.0f) / 64.0f
+    else sign * java.lang.Math.scalb(1.0f + m / 8.0f, e - 7)
+  }
+
+  /** Nearest representable E4M3 byte for `x`: binary search over the
+    * monotone positive half of the table, ties to the even byte
+    * pattern, saturate at ±448; NaN encodes as 0x7F.
+    */
+  private[similarity] def e4m3Encode(x: Float): Byte = {
+    if (x.isNaN) return 0x7F.toByte
+    val neg = x < 0f
+    val a = math.abs(x)
+    val signBit = if (neg) 0x80 else 0x00
+    if (a >= E4M3Table(0x7E)) return (signBit | 0x7E).toByte // saturate at 448
+    // bytes 0x00..0x7E decode to strictly increasing non-negative values
+    var lo = 0; var hi = 0x7E
+    while (lo < hi) { // smallest byte whose value >= a
+      val mid = (lo + hi) >>> 1
+      if (E4M3Table(mid) < a) lo = mid + 1 else hi = mid
+    }
+    val b =
+      if (lo == 0) 0
+      else {
+        val dHi = E4M3Table(lo) - a
+        val dLo = a - E4M3Table(lo - 1)
+        if (dLo < dHi) lo - 1
+        else if (dHi < dLo) lo
+        else if ((lo & 1) == 0) lo else lo - 1 // tie → even byte pattern
+      }
+    (signBit | b).toByte
   }
 
   private def l2normalize(v: Array[Float]): Array[Float] = {
@@ -256,6 +298,8 @@ object Voyager {
     var j = 0
     if (storage == StorageFloat32) {
       while (j < dim) { v(j) = buf.getFloat(off + 4 * j); j += 1 }
+    } else if (storage == StorageE4M3) {
+      while (j < dim) { v(j) = E4M3Table(buf.get(off + j) & 0xFF); j += 1 }
     } else { // float8 fixed point
       while (j < dim) { v(j) = buf.get(off + j) / 127.0f; j += 1 }
     }
@@ -490,6 +534,8 @@ object Voyager {
     val vecs: IndexedSeq[Array[Float]] =
       if (storage == StorageFloat8)
         prep.map(v => v.map(x => (math.max(-127, math.min(127, math.round(x * 127))) / 127.0f)))
+      else if (storage == StorageE4M3)
+        prep.map(v => v.map(x => E4M3Table(e4m3Encode(x) & 0xFF)))
       else prep
 
     val maxM = m
@@ -632,6 +678,8 @@ object Voyager {
       j = 0
       if (storage == StorageFloat8) {
         while (j < dim) { buf.put(math.max(-127, math.min(127, math.round(v(j) * 127))).toByte); j += 1 }
+      } else if (storage == StorageE4M3) {
+        while (j < dim) { buf.put(e4m3Encode(v(j))); j += 1 }
       } else {
         while (j < dim) { buf.putFloat(v(j)); j += 1 }
       }

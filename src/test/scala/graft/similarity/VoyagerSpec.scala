@@ -122,7 +122,7 @@ class VoyagerSpec extends SparkSpec {
     assert(idx.toDataFrame(spark).count() == 2)
   }
 
-  test("corrupt streams and E4M3 storage are rejected with clear errors") {
+  test("corrupt streams and mis-declared storage are rejected with clear errors") {
     val good = withHeader(extraMaxNormField = false)
     // flip the body so invariants fail
     val bad = good.clone(); bad(20) = 99
@@ -132,9 +132,57 @@ class VoyagerSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](
       Voyager.parse(goldenBody(), null, Voyager.SpaceEuclidean, 3, Voyager.StorageFloat32))
     assert(e2.getMessage.contains("structural invariants"))
+    // a float32 body declared as E4M3 shifts every offset — must reject
     val e3 = intercept[IllegalArgumentException](
       Voyager.parse(goldenBody(), null, Voyager.SpaceEuclidean, 2, Voyager.StorageE4M3))
-    assert(e3.getMessage.contains("E4M3"))
+    assert(e3.getMessage.contains("structural invariants"))
+  }
+
+  test("E4M3 decode matches the published FP8 value table") {
+    val t = Voyager.E4M3Table
+    assert(t(0x00) == 0f && t(0x80) == 0f)
+    assert(t(0x01) == 1f / 512f)         // smallest subnormal 2^-9
+    assert(t(0x07) == 7f / 512f)         // largest subnormal
+    assert(t(0x08) == 1f / 64f)          // smallest normal 2^-6
+    assert(t(0x30) == 0.5f && t(0x38) == 1.0f && t(0x39) == 1.125f && t(0x40) == 2.0f)
+    assert(t(0x7E) == 448f)              // max finite
+    assert(t(0xFE) == -448f && t(0xB8) == -1.0f)
+    assert(t(0x7F).isNaN && t(0xFF).isNaN) // S.1111.111, no infinities
+    // strictly monotone over the positive finite range
+    (1 to 0x7E).foreach(b => assert(t(b) > t(b - 1), s"byte $b"))
+  }
+
+  test("E4M3 encode: nearest value, ties-to-even, saturation, roundtrip") {
+    // every finite byte pattern roundtrips exactly
+    (0 to 0xFE).filter(b => !Voyager.E4M3Table(b).isNaN).foreach { b =>
+      val enc = Voyager.e4m3Encode(Voyager.E4M3Table(b)) & 0xFF
+      if (Voyager.E4M3Table(b) == 0f) assert((enc & 0x7F) == 0)
+      else assert(enc == b, s"byte $b")
+    }
+    assert((Voyager.e4m3Encode(1.06f) & 0xFF) == 0x38)   // nearest is 1.0
+    assert((Voyager.e4m3Encode(1.10f) & 0xFF) == 0x39)   // nearest is 1.125
+    assert((Voyager.e4m3Encode(1.0625f) & 0xFF) == 0x38) // midpoint → even byte
+    assert((Voyager.e4m3Encode(1e6f) & 0xFF) == 0x7E)    // saturate at 448
+    assert((Voyager.e4m3Encode(-1e6f) & 0xFF) == 0xFE)
+    assert((Voyager.e4m3Encode(Float.NaN) & 0xFF) == 0x7F)
+  }
+
+  test("E4M3 storage builds, serializes, and reparses bit-exact") {
+    val vecs = IndexedSeq(Array(0.37f, -0.92f), Array(1.7f, 0.004f), Array(-300f, 60f))
+    val (idx, bytes) = Voyager.build(vecs, IndexedSeq("a", "b", "c"), 2,
+      space = Voyager.SpaceEuclidean, m = 2, efConstruction = 10,
+      storage = Voyager.StorageE4M3)
+    assert(idx.storage == Voyager.StorageE4M3)
+    // stored values are the E4M3-quantized inputs
+    vecs.indices.foreach { i =>
+      val want = vecs(i).map(x => Voyager.E4M3Table(Voyager.e4m3Encode(x) & 0xFF))
+      assert(idx.vectors(i).toSeq == want.toSeq, s"vector $i")
+    }
+    val re = Voyager.parse(bytes)
+    assert(re.storage == Voyager.StorageE4M3)
+    vecs.indices.foreach(i => assert(re.vectors(i).toSeq == idx.vectors(i).toSeq))
+    // search runs over the quantized values
+    assert(re.query(Array(0.4f, -0.9f), 1, ef = 3).map(_._1) == Seq(0))
   }
 
   test("build → serialize → parse roundtrip recovers vectors, labels, names") {
