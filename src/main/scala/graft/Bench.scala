@@ -42,8 +42,35 @@ object Bench {
   private def loadAvg(): Double =
     java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
+  /** Wait (bounded) for the 1-minute load average to decay below the
+    * pollution threshold before timing anything. The driver runs the
+    * bench right after the correctness sweep, so the load the sweep
+    * left behind pollutes the first minutes — two consecutive rounds
+    * shipped a flagged official artifact for exactly this reason.
+    * Waiting out the decay turns a flagged artifact into a clean one;
+    * if the machine stays busy past the budget we proceed and the
+    * polluted stamp still tells the truth. SPARK_GRAFT_BENCH_WAIT
+    * overrides the budget in seconds (0 disables).
+    */
+  private def awaitIdle(threshold: Double): Double = {
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_WAIT", "300").toInt
+    val deadline = System.nanoTime() + budgetSec * 1000000000L
+    var load = loadAvg()
+    var announced = false
+    while (load > threshold && System.nanoTime() < deadline) {
+      if (!announced) {
+        System.err.println(
+          f"[bench] load_avg=$load%.2f > $threshold%.1f — waiting up to ${budgetSec}s for idle")
+        announced = true
+      }
+      Thread.sleep(5000)
+      load = loadAvg()
+    }
+    load
+  }
+
   def main(args: Array[String]): Unit = {
-    val loadStart = loadAvg()
+    val loadStart = awaitIdle(0.5)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.configure(
