@@ -68,6 +68,38 @@ object TextFunctions {
   /** Hamming distance between two 64-bit signatures. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Overlapping character chunks — the context-window prep step of a
+    * training/RAG pipeline (reference analogue: none; scio leaves
+    * chunking to user code — graft ships it because every LLM corpus
+    * job needs it). Chunk starts are 1, 1+step, 1+2·step, … while the
+    * start is inside the text (step = size − overlap), so consecutive
+    * chunks share `overlap` characters and the final chunk may be
+    * shorter. Empty/null text yields one empty chunk (no row loss —
+    * the wordShingles contract). Builtin exprs only: one sequence +
+    * substr per row, linear in text length.
+    */
+  def chunkChars(text: Column, chunkSize: Int, overlap: Int): Column = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val step = chunkSize - overlap
+    val t = coalesce(text, lit(""))
+    transform(sequence(lit(1), greatest(length(t), lit(1)), lit(step)),
+      s => t.substr(s, lit(chunkSize)))
+  }
+
+  /** Overlapping whitespace-token chunks of `chunkSize` tokens sharing
+    * `overlap` tokens, re-joined with single spaces (the form a
+    * tokenizer consumes). Same start/step contract as [[chunkChars]].
+    */
+  def chunkWords(text: Column, chunkSize: Int, overlap: Int): Column = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val step = chunkSize - overlap
+    val toks = tokens(coalesce(text, lit("")))
+    transform(sequence(lit(1), greatest(size(toks), lit(1)), lit(step)),
+      s => array_join(slice(toks, s, lit(chunkSize)), " "))
+  }
+
   /** Exact Jaccard similarity of two token/shingle arrays (as sets). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

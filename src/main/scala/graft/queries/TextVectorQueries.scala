@@ -316,6 +316,24 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // overlapping character chunks — context-window prep, oracle-checked.
+    "q_chunk_chars" -> { (s, dir) =>
+      tables(s, dir).documents
+        .filter(col("doc_id") <= 200)
+        .select(col("doc_id"),
+          posexplode(TextFunctions.chunkChars(col("text"), 64, 16)).as(Seq("chunk_idx", "chunk")))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
+    // overlapping word chunks (the tokenizer-facing form), oracle-checked.
+    "q_chunk_words" -> { (s, dir) =>
+      tables(s, dir).documents
+        .filter(col("doc_id") <= 200)
+        .select(col("doc_id"),
+          posexplode(TextFunctions.chunkWords(col("text"), 40, 8)).as(Seq("chunk_idx", "chunk")))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    },
+
     // order-sensitive document fingerprint (chained rolling hash).
     // Oracle-checkable indirectly: with a collision-free 64-bit hash
     // on this corpus, distinct fingerprints == distinct normalized
@@ -561,6 +579,21 @@ object TextVectorQueries extends QueryPack {
         |  len(string_split(trim(text), ' ')) AS n_ws_tokens,
         |  CAST(list_sum([CAST(ceil(len(x) / 4.0) AS BIGINT) FOR x IN string_split(trim(text), ' ')]) AS BIGINT) AS n_bpe_est
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // chunk starts are 1 + k*step, so chunk_idx = (start-1)/step
+    // reproduces posexplode's 0-based index exactly.
+    "q_chunk_chars" ->
+      """WITH t AS (SELECT doc_id, coalesce(text, '') AS txt FROM documents WHERE doc_id <= 200),
+        |st AS (SELECT doc_id, txt, unnest(range(1, greatest(len(txt), 1) + 1, 48)) AS s FROM t)
+        |SELECT doc_id, CAST((s - 1) // 48 AS INT) AS chunk_idx, substr(txt, s, 64) AS chunk
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_chunk_words" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS toks
+        |  FROM documents WHERE doc_id <= 200),
+        |st AS (SELECT doc_id, toks, unnest(range(1, greatest(len(toks), 1) + 1, 32)) AS s FROM t)
+        |SELECT doc_id, CAST((s - 1) // 32 AS INT) AS chunk_idx,
+        |  array_to_string(toks[s:s + 39], ' ') AS chunk
+        |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
     "q_fingerprint" ->
       """SELECT count(*) AS n_docs,
         |  count(DISTINCT array_to_string(regexp_split_to_array(trim(text), '\s+'), ' ')) AS n_distinct_fp

@@ -77,4 +77,34 @@ class TextSpec extends SparkSpec {
     assert(m(3L) == ((5L, 4L, 0.4, 0.4)))
     assert(m(4L) == ((1L, 1L, 0.0, 1.0)))
   }
+
+  test("chunkChars: overlapping windows cover the text; short/empty texts yield one chunk") {
+    val df = Seq(
+      (1L, "abcdefghij"),   // 10 chars, size 4 overlap 1 → starts 1,4,7,10
+      (2L, "ab"),           // shorter than one chunk
+      (3L, "")              // empty → one empty chunk
+    ).toDF("id", "text")
+    val out = df.select(col("id"), TextFunctions.chunkChars(col("text"), 4, 1).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("abcd", "defg", "ghij", "j"))
+    assert(out(2L) == Seq("ab"))
+    assert(out(3L) == Seq(""))
+    // consecutive chunks share exactly `overlap` characters
+    out(1L).sliding(2).foreach { case Seq(a, b) => assert(a.takeRight(1) == b.take(1)); case _ => }
+  }
+
+  test("chunkWords: token windows share `overlap` tokens and rejoin with single spaces") {
+    val df = Seq((1L, "w1  w2 w3\tw4 w5 w6 w7"), (2L, "only two"), (3L, "")).toDF("id", "text")
+    val out = df.select(col("id"), TextFunctions.chunkWords(col("text"), 3, 1).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("w1 w2 w3", "w3 w4 w5", "w5 w6 w7", "w7"))
+    assert(out(2L) == Seq("only two"))
+    assert(out(3L) == Seq(""))
+  }
+
+  test("chunk functions validate size/overlap arguments") {
+    intercept[IllegalArgumentException](TextFunctions.chunkChars(col("t"), 0, 0))
+    intercept[IllegalArgumentException](TextFunctions.chunkChars(col("t"), 4, 4))
+    intercept[IllegalArgumentException](TextFunctions.chunkWords(col("t"), 4, -1))
+  }
 }
