@@ -22,13 +22,14 @@ object TextVectorQueries extends QueryPack {
     * iters), so a cached artifact is always identical to a retrain.
     */
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
-  private def ivfCentroidsFor(s: org.apache.spark.sql.SparkSession, dir: String,
-                              emb: org.apache.spark.sql.DataFrame): Seq[Seq[Double]] = {
-    // corpus fingerprint (size+mtime folded over every leaf file, via
-    // the Hadoop FileSystem API so HDFS/object-store paths fingerprint
-    // too — java.io.File silently yields 0 for those) keys BOTH the
-    // artifact name and the in-JVM memo: regenerated test data can
-    // never resurrect a stale quantizer, on disk or in memory
+
+  /** Corpus fingerprint (size+mtime folded over every leaf file, via
+    * the Hadoop FileSystem API so HDFS/object-store paths fingerprint
+    * too — java.io.File silently yields 0 for those); keys BOTH the
+    * artifact name and the in-JVM memo: regenerated test data can
+    * never resurrect a stale quantizer, on disk or in memory.
+    */
+  private def corpusFingerprint(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val srcPath = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
     val fs = srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val leaves: Seq[org.apache.hadoop.fs.FileStatus] = {
@@ -41,11 +42,16 @@ object TextVectorQueries extends QueryPack {
         b.result().sortBy(_.getPath.toString)
       }
     }
-    val fp = java.lang.Long.toHexString(leaves.foldLeft(0x9E3779B97F4A7C15L) { (h, st) =>
+    java.lang.Long.toHexString(leaves.foldLeft(0x9E3779B97F4A7C15L) { (h, st) =>
       val x = h ^ (st.getPath.getName.hashCode.toLong << 32) ^
         st.getLen ^ java.lang.Long.rotateLeft(st.getModificationTime, 21)
       x * 0xBF58476D1CE4E5B9L
     })
+  }
+
+  private def ivfCentroidsFor(s: org.apache.spark.sql.SparkSession, dir: String,
+                              emb: org.apache.spark.sql.DataFrame): Seq[Seq[Double]] = {
+    val fp = corpusFingerprint(s, dir)
     ivfCache.computeIfAbsent(s"$dir|$fp", { _ =>
       val path = new java.io.File(
         s"/tmp/graft_io/ivf_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp.givf")
@@ -55,6 +61,28 @@ object TextVectorQueries extends QueryPack {
         val cents = KNN.trainIvfCentroids(emb, "vec_id", "embedding", k = 16, dim = 64, iters = 3)
         KNN.saveCentroids(s, cents, path.getAbsolutePath)
         cents
+      }
+    })
+  }
+
+  /** Train-once-per-corpus PQ codebooks, persisted through the
+    * KNN.savePqCodebooks artifact and memoized per JVM — the same
+    * offline-artifact shape as [[ivfCentroidsFor]].
+    */
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Seq[Double]]]]()
+  private def pqCodebooksFor(s: org.apache.spark.sql.SparkSession, dir: String,
+                             emb: org.apache.spark.sql.DataFrame): Seq[Seq[Seq[Double]]] = {
+    val fp = corpusFingerprint(s, dir)
+    pqCache.computeIfAbsent(s"$dir|$fp", { _ =>
+      val path = new java.io.File(
+        s"/tmp/graft_io/pq_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp.gpq")
+      path.getParentFile.mkdirs()
+      if (path.isFile) KNN.loadPqCodebooks(s, path.getAbsolutePath)
+      else {
+        val books = KNN.trainPqCodebooks(emb, "vec_id", "embedding",
+          m = 8, k = 16, dim = 64, iters = 3)
+        KNN.savePqCodebooks(s, books, path.getAbsolutePath)
+        books
       }
     })
   }
@@ -253,6 +281,27 @@ object TextVectorQueries extends QueryPack {
       KNN.ivfKMeansTopK(emb, emb.filter(col("vec_id") <= 10), "vec_id", "embedding",
           k = 5, centroids = cents, nprobe = 4)
         .select(col("probe_id"), col("rank"), col("id").as("neighbor_id"))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+
+    // PQ-compressed ANN (Jégou et al. product quantization): corpus
+    // encoded to M-byte codes, candidates ranked by per-probe ADC
+    // lookup tables, survivors re-ranked by exact cosine. Codebooks
+    // are trained ONCE per corpus and persisted (savePqCodebooks /
+    // loadPqCodebooks on the cold path, like q_knn_ivf's quantizer).
+    // With refine ≥ corpus size every candidate survives to the exact
+    // re-rank, so the result is oracle-EXACT against the same
+    // brute-force SQL as q_knn_brute — the encode/LUT/ADC kernels
+    // stay on the critical path (they produce the candidate ranking
+    // being refined); recall at realistic refine is pinned in
+    // SimilaritySpec.
+    "q_knn_pq" -> { (s, dir) =>
+      val emb = tables(s, dir).embeddings
+      val books = pqCodebooksFor(s, dir, emb)
+      KNN.pqTopK(emb, emb.filter(col("vec_id") <= 10), "vec_id", "embedding",
+          k = 5, codebooks = books, refine = 1000000)
+        .select(col("probe_id"), col("rank").cast("long").as("rank"),
+          col("id").as("neighbor_id"))
         .orderBy(col("probe_id"), col("rank"))
     },
 
@@ -648,6 +697,18 @@ object TextVectorQueries extends QueryPack {
         |ORDER BY jaccard DESC, id_a, id_b
         |LIMIT 25""".stripMargin,
     "q_knn_brute" ->
+      """WITH probes AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id <= 10),
+        |scored AS (
+        |  SELECT pid AS probe_id, vec_id AS neighbor_id,
+        |         list_cosine_similarity(embedding, pe) AS sim
+        |  FROM embeddings, probes WHERE vec_id != pid),
+        |ranked AS (
+        |  SELECT probe_id, neighbor_id,
+        |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT probe_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+        |ORDER BY probe_id, rank""".stripMargin,
+    "q_knn_pq" ->
       """WITH probes AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id <= 10),
         |scored AS (
         |  SELECT pid AS probe_id, vec_id AS neighbor_id,

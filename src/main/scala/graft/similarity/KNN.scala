@@ -209,6 +209,167 @@ object KNN {
       .filter(col("rank") <= k)
   }
 
+  /** Train product-quantization codebooks: per-subspace k-means, all
+    * M subspaces jointly — one bounded shuffle per Lloyd's iteration
+    * (assign is the pure-projection [[graft.expressions.PqEncode]];
+    * the mean recompute explodes the TRAINING SAMPLE to
+    * (subspace, code, pos, x) and partial-aggregates map-side), the
+    * same scale shape as [[trainIvfCentroids]]. Deterministic given
+    * the seed: init is the first k vectors in (xxhash64(id), id)
+    * order sliced per subspace, iterations are fixed.
+    *
+    * Vectors are unit-normalized before training iff `normalizeFirst`
+    * (default): [[pqTopK]] scores normalized vectors so ADC dot ≈
+    * cosine, and the codebooks must quantize the same space.
+    *
+    * Returns codebooks[subspace][code][dim-within-subspace] — the
+    * side-input artifact ([[savePqCodebooks]]) every encode/search
+    * job loads instead of re-running Lloyd's.
+    */
+  def trainPqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                       m: Int, k: Int, dim: Int, iters: Int = 4,
+                       trainFraction: Double = 1.0, seed: Long = 42L,
+                       normalizeFirst: Boolean = true): Seq[Seq[Seq[Double]]] = {
+    require(m >= 1 && dim % m == 0, s"dim must split evenly: dim=$dim m=$m")
+    require(k >= 2 && k <= 256, s"codes must fit one byte: k in [2, 256], got $k")
+    require(k.toLong * dim <= 16L * 1000 * 1000,
+      s"k×dim must fit a driver-side side input, got k=$k dim=$dim")
+    require(iters >= 1 && iters <= 100, s"iters must be in [1, 100], got $iters")
+    val subDim = dim / m
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import graft.operators.SideInputs
+    val rawVec = col(vecCol)
+    val unit = if (normalizeFirst)
+      graft.functions.VectorFunctions.normalize(rawVec).cast("array<float>") else rawVec
+    val base = corpus.select(col(idCol).as("id"), unit.as("vec"))
+      .filter(size(col("vec")) === dim && !exists(col("vec"), _.isNull))
+    val train = (if (trainFraction < 1.0)
+      base.sample(withReplacement = false, trainFraction, seed) else base).persist()
+    try {
+      val initRows: Seq[Seq[Float]] = SideInputs.asList(
+        train.orderBy(xxhash64(col("id")), col("id")).limit(k)
+          .select(col("vec")).as[Seq[Float]], maxRows = k).value
+      require(initRows.size == k, s"training set has only ${initRows.size} rows for k=$k")
+      var books: Seq[Seq[Seq[Double]]] = (0 until m).map(mi =>
+        initRows.map(_.slice(mi * subDim, (mi + 1) * subDim).map(_.toDouble)))
+      for (_ <- 1 to iters) {
+        val codes = graft.expressions.PqExpressions.pqEncodeF(col("vec"), books)
+        // byte mi of the binary code, extracted with builtins (two hex
+        // chars per byte) — keeps the whole assign+explode projection
+        // codegen'd with no extra kernel.
+        val miCol = (col("pos") / subDim).cast("int")
+        val codeCol = conv(hex(col("codes")).substr(miCol * 2 + 1, lit(2)), 16, 10).cast("int")
+        val means = train
+          .select(codes.as("codes"), posexplode(col("vec")).as(Seq("pos", "x")))
+          .groupBy(miCol.as("mi"), codeCol.as("code"), (col("pos") % subDim).cast("int").as("sp"))
+          .agg(avg(col("x")).as("mean"))
+          .as[(Int, Int, Int, Double)]
+        val byCell = SideInputs.asList(means, maxRows = k * dim).value
+          .groupBy(r => (r._1, r._2))
+        // empty cells keep their previous codeword (standard Lloyd's)
+        books = books.zipWithIndex.map { case (book, mi) =>
+          book.zipWithIndex.map { case (old, c) =>
+            byCell.get((mi, c)).map(_.sortBy(_._3).map(_._4)).getOrElse(old)
+          }
+        }
+      }
+      books
+    } finally { train.unpersist(); () }
+  }
+
+  /** Persist trained PQ codebooks (magic, m, k, subDim, row-major
+    * doubles) — same temp + atomic-rename artifact contract as
+    * [[saveCentroids]].
+    */
+  def savePqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                      codebooks: Seq[Seq[Seq[Double]]], path: String): Unit = {
+    graft.expressions.PqCodebooks.validate(codebooks)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, s".${p.getName}.tmp-${java.util.UUID.randomUUID()}")
+    val fs = org.apache.hadoop.fs.FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(fs.create(tmp, true)))
+    try {
+      out.writeInt(0x47505131) // "GPQ1"
+      out.writeInt(codebooks.size)
+      out.writeInt(codebooks.head.size)
+      out.writeInt(codebooks.head.head.size)
+      codebooks.foreach(_.foreach(_.foreach(out.writeDouble)))
+    } finally out.close()
+    // as saveCentroids: the artifact is deterministic for a corpus, so
+    // when two writers race either complete copy is correct.
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+  }
+
+  /** Load codebooks written by [[savePqCodebooks]]. */
+  def loadPqCodebooks(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Seq[Seq[Seq[Double]]] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(fs.open(p)))
+    try {
+      require(in.readInt() == 0x47505131, s"$path is not a graft PQ codebook file")
+      val (m, k, subDim) = (in.readInt(), in.readInt(), in.readInt())
+      require(m >= 1 && m <= 4096 && k >= 1 && k <= 256 && subDim >= 1 && subDim <= 65536,
+        s"$path declares implausible PQ shape m=$m k=$k subDim=$subDim")
+      Seq.fill(m)(Seq.fill(k)(Seq.fill(subDim)(in.readDouble())))
+    } finally in.close()
+  }
+
+  /** PQ-compressed ANN: candidates ranked by asymmetric-distance
+    * lookups over M-byte codes, then the top `refine` per probe
+    * re-ranked by exact cosine. Two phases, both scale-shaped:
+    *
+    *  1. ADC pass — the corpus is projected to (id, codes): M bytes
+    *     per row instead of 4·dim, which is what flows through the
+    *     candidate window. Probes precompute their M×k LUT once
+    *     (pre-broadcast), so each candidate costs M table lookups.
+    *  2. Refine pass — only the ≤ refine×#probes surviving candidate
+    *     ids join back to the corpus for raw vectors (AQE broadcasts
+    *     the candidate side when it is small, which it is by
+    *     construction at realistic `refine`) and are re-ranked by the
+    *     exact fused-loop cosine.
+    *
+    * Both sides are unit-normalized for the ADC phase so the
+    * approximate dot IS approximate cosine; the refine cosine runs on
+    * raw vectors (cosine is normalization-invariant). With `refine` ≥
+    * corpus size the result is exactly [[bruteForceTopK]] — the
+    * oracle-exact gate shape; recall at realistic refine is pinned in
+    * SimilaritySpec.
+    */
+  def pqTopK(corpus: DataFrame, probes: DataFrame,
+             idCol: String, vecCol: String, k: Int,
+             codebooks: Seq[Seq[Seq[Double]]], refine: Int = 50): DataFrame = {
+    graft.expressions.PqCodebooks.validate(codebooks)
+    require(k >= 1 && refine >= k, s"need refine >= k >= 1, got k=$k refine=$refine")
+    import graft.expressions.PqExpressions._
+    val kk = codebooks.head.size
+    val unit = (c: org.apache.spark.sql.Column) =>
+      graft.functions.VectorFunctions.normalize(c).cast("array<float>")
+    val c = corpus.select(col(idCol).as("id"),
+      pqEncodeF(unit(col(vecCol)), codebooks).as("codes"))
+    val p = probes.select(col(idCol).as("probe_id"),
+      pqLutF(unit(col(vecCol)), codebooks).as("lut"))
+    val wAdc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc").desc, col("id").asc)
+    val cand = c.crossJoin(broadcast(p))
+      .filter(col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id"), pqAdcF(col("codes"), col("lut"), kk).as("adc"))
+      .withColumn("rn", row_number().over(wAdc)).filter(col("rn") <= refine)
+      .select(col("probe_id"), col("id"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("id").asc)
+    cand
+      .join(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), Seq("id"))
+      .join(broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))),
+        Seq("probe_id"))
+      .select(col("probe_id"), col("id"), cosineF(col("vec"), col("probe_vec")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-based near-dup detection: nearest neighbor per probe
     * with a duplicate flag at the given cosine threshold.
     */

@@ -172,6 +172,122 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"recall@$k was $recall")
   }
 
+  // ---- product quantization ----
+
+  private def clustered(dim: Int, nClusters: Int, perCluster: Int, seed: Int = 7) = {
+    val rnd = new scala.util.Random(seed)
+    val centers = Array.fill(nClusters, dim)(rnd.nextGaussian())
+    val rows = for { c <- centers.indices; i <- 0 until perCluster } yield
+      ((c * perCluster + i).toLong,
+        centers(c).map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq)
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("PQ encode: M bytes, codes in range, deterministic; ADC equals dot against the reconstruction") {
+    import graft.expressions.PqExpressions._
+    val dim = 16; val m = 4; val k = 8
+    val corpus = clustered(dim, 8, 25)
+    val books = KNN.trainPqCodebooks(corpus, "vec_id", "embedding",
+      m = m, k = k, dim = dim, iters = 3)
+    assert(books.size == m && books.forall(_.size == k)
+      && books.forall(_.forall(_.size == dim / m)))
+    val unit = graft.functions.VectorFunctions.normalize(col("embedding")).cast("array<float>")
+    val enc = corpus.select(col("vec_id"), unit.as("vec"),
+      pqEncodeF(unit, books).as("codes"))
+    val codeRows = enc.select(col("codes")).collect().map(_.getAs[Array[Byte]]("codes"))
+    assert(codeRows.forall(c => c.length == m && c.forall(b => (b & 0xFF) < k)))
+    // the ADC-LUT identity: sum of table lookups == dot(probe, decode(codes)), exactly
+    val probe = enc.filter(col("vec_id") === 0)
+      .select(col("vec").as("probe_vec"), pqLutF(col("vec"), books).as("lut"))
+    import graft.expressions.VectorExpressions.dotF
+    val maxDiff = enc.crossJoin(probe)
+      .select(abs(pqAdcF(col("codes"), col("lut"), k)
+        - dotF(col("probe_vec"), pqDecodeF(col("codes"), books))).as("d"))
+      .agg(max("d")).as[Double].head()
+    assert(maxDiff < 1e-12, s"ADC diverged from decoded dot by $maxDiff")
+  }
+
+  test("PQ null contract: wrong dim, null element, foreign code byte -> null, never a crash") {
+    import graft.expressions.PqExpressions._
+    val books = Seq.fill(2)(Seq.fill(4)(Seq(0.0, 1.0))) // m=2, k=4, subDim=2
+    val df = Seq(
+      (1L, Seq[java.lang.Float](1f, 2f, 3f, 4f)),   // ok
+      (2L, Seq[java.lang.Float](1f, 2f)),           // wrong dim
+      (3L, Seq[java.lang.Float](1f, null, 3f, 4f))  // null element
+    ).toDF("vec_id", "embedding")
+    val out = df.select(col("vec_id"), pqEncodeF(col("embedding"), books).as("codes"))
+      .orderBy("vec_id").collect()
+    assert(out(0).getAs[Array[Byte]]("codes") != null)
+    assert(out(1).isNullAt(1) && out(2).isNullAt(1))
+    // a code byte >= k (foreign/corrupt codes) nulls decode and ADC
+    val bad = Seq(Tuple1(Array[Byte](0, 9))).toDF("codes")
+    assert(bad.select(pqDecodeF(col("codes"), books).as("v")).collect().head.isNullAt(0))
+    val lut = Seq(Tuple1(Seq.fill(8)(1.0))).toDF("lut")
+    assert(bad.crossJoin(lut).select(pqAdcF(col("codes"), col("lut"), 4).as("s"))
+      .collect().head.isNullAt(0))
+  }
+
+  test("trainPqCodebooks is deterministic; dirty rows excluded") {
+    val corpus = clustered(8, 4, 30, seed = 13)
+    val b1 = KNN.trainPqCodebooks(corpus, "vec_id", "embedding", m = 2, k = 4, dim = 8, iters = 3)
+    val b2 = KNN.trainPqCodebooks(corpus, "vec_id", "embedding", m = 2, k = 4, dim = 8, iters = 3)
+    assert(b1 == b2, "same seed + data must give identical codebooks")
+    val dirty = corpus.unionByName(Seq(
+        (9001L, Seq[java.lang.Float](1f, null, 1f, 1f, 1f, 1f, 1f, 1f)),
+        (9002L, Seq[java.lang.Float](1f))
+      ).toDF("vec_id", "embedding"))
+    val b3 = KNN.trainPqCodebooks(dirty, "vec_id", "embedding", m = 2, k = 4, dim = 8, iters = 3)
+    assert(b3.size == 2 && b3.forall(_.size == 4))
+  }
+
+  test("PQ codebook save/load roundtrip is bit-exact; foreign files rejected") {
+    val corpus = clustered(8, 4, 30)
+    val books = KNN.trainPqCodebooks(corpus, "vec_id", "embedding", m = 2, k = 4, dim = 8, iters = 2)
+    val d = java.nio.file.Files.createTempDirectory("graft_pq").toFile
+    d.deleteOnExit()
+    val path = s"${d.getAbsolutePath}/codebooks.gpq"
+    KNN.savePqCodebooks(spark, books, path)
+    assert(KNN.loadPqCodebooks(spark, path) == books)
+    // an IVF centroid file (different magic) is rejected loudly
+    val ivfPath = s"${d.getAbsolutePath}/centroids.givf"
+    KNN.saveCentroids(spark, Seq(Seq(1.0, 2.0)), ivfPath)
+    val err = intercept[IllegalArgumentException](KNN.loadPqCodebooks(spark, ivfPath))
+    assert(err.getMessage.contains("not a graft PQ codebook"))
+  }
+
+  test("pqTopK: exact emitted scores, high recall at modest refine, brute-exact at full refine") {
+    val dim = 16; val k = 5
+    val corpus = clustered(dim, 10, 30)
+    val probes = corpus.filter(col("vec_id") % 30 === 0)
+    val books = KNN.trainPqCodebooks(corpus, "vec_id", "embedding",
+      m = 4, k = 16, dim = dim, iters = 4)
+    // refine must cover a whole cluster here: the clusters are so
+    // tight that same-cluster members share one code, so their ADC
+    // scores tie exactly and a sub-cluster-size cut is id-order chance
+    val pq = KNN.pqTopK(corpus, probes, "vec_id", "embedding", k, books, refine = 30)
+    // emitted scores are exact (refine re-ranks with the true cosine)
+    val brute = KNN.bruteForceTopK(corpus, probes, "vec_id", "embedding", 1000000)
+      .select(col("probe_id"), col("id"), col("cos_sim").as("brute_sim"))
+    val maxDiff = pq.join(brute, Seq("probe_id", "id"))
+      .select(abs(col("cos_sim") - col("brute_sim")).as("d")).agg(max("d")).as[Double].head()
+    assert(maxDiff < 1e-9)
+    // recall vs brute force top-k at refine = 3k
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("probe_id").agg(collect_set(col("id")).as("ids"))
+        .collect().map(r => r.getAs[Long]("probe_id") -> r.getSeq[Long](1).toSet).toMap
+    val bs = sets(KNN.bruteForceTopK(corpus, probes, "vec_id", "embedding", k))
+    val ps = sets(pq)
+    val recall = bs.keys.toSeq.map(p => (ps.getOrElse(p, Set()) & bs(p)).size.toDouble / k)
+      .sum / bs.size
+    assert(recall >= 0.8, s"recall@$k was $recall")
+    // refine >= corpus makes the result identical to brute force
+    val full = KNN.pqTopK(corpus, probes, "vec_id", "embedding", k, books, refine = 1000000)
+      .select("probe_id", "id", "rank").collect().map(_.toSeq).toSet
+    val bf = KNN.bruteForceTopK(corpus, probes, "vec_id", "embedding", k)
+      .select("probe_id", "id", "rank").collect().map(_.toSeq).toSet
+    assert(full == bf)
+  }
+
   test("nearDupByEmbedding flags an exact duplicate vector") {
     val corpus = vecDf(1L -> Seq(1f, 2f, 3f), 2L -> Seq(1f, 2f, 3f), 3L -> Seq(-3f, 1f, 0f))
     val out = KNN.nearDupByEmbedding(corpus, corpus.filter(col("vec_id") === 1), "vec_id", "embedding", 0.95)
