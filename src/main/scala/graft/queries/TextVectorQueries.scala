@@ -305,6 +305,26 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("probe_id"), col("rank"))
     },
 
+    // IVF-PQ (the FAISS IndexIVFPQ composition): trained coarse
+    // quantizer prunes cells, PQ codes give compressed in-cell ADC
+    // scoring, exact-cosine refine on survivors — both persisted
+    // artifacts (GIVF centroids + GPQ1 codebooks) on the cold path.
+    // nprobe = all 16 cells + refine ≥ corpus ⇒ exhaustive exact
+    // ranking ⇒ hash-exact vs the brute-force oracle (the established
+    // ef=corpus pattern); realistic-knob recall pinned in
+    // SimilaritySpec.
+    "q_knn_ivfpq" -> { (s, dir) =>
+      val emb = tables(s, dir).embeddings
+      val cents = ivfCentroidsFor(s, dir, emb)
+      val books = pqCodebooksFor(s, dir, emb)
+      KNN.ivfPqTopK(emb, emb.filter(col("vec_id") <= 10), "vec_id", "embedding",
+          k = 5, centroids = cents, codebooks = books,
+          nprobe = cents.size, refine = 1000000)
+        .select(col("probe_id"), col("rank").cast("long").as("rank"),
+          col("id").as("neighbor_id"))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+
     // vector norms — oracle-checked (exact arithmetic both sides).
     "q_embed_norm" -> { (s, dir) =>
       tables(s, dir).embeddings
@@ -697,6 +717,18 @@ object TextVectorQueries extends QueryPack {
         |ORDER BY jaccard DESC, id_a, id_b
         |LIMIT 25""".stripMargin,
     "q_knn_brute" ->
+      """WITH probes AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id <= 10),
+        |scored AS (
+        |  SELECT pid AS probe_id, vec_id AS neighbor_id,
+        |         list_cosine_similarity(embedding, pe) AS sim
+        |  FROM embeddings, probes WHERE vec_id != pid),
+        |ranked AS (
+        |  SELECT probe_id, neighbor_id,
+        |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT probe_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+        |ORDER BY probe_id, rank""".stripMargin,
+    "q_knn_ivfpq" ->
       """WITH probes AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id <= 10),
         |scored AS (
         |  SELECT pid AS probe_id, vec_id AS neighbor_id,

@@ -370,6 +370,68 @@ object KNN {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-PQ: the composed scale architecture (what FAISS calls
+    * IndexIVFPQ — coarse quantizer + product codes). The corpus is
+    * projected once to (cell, id, codes): an int and M bytes per row.
+    * Each probe searches only its `nprobe` nearest cells (the IVF
+    * prune from [[ivfKMeansTopK]]), scores the cells' candidates by
+    * ADC lookups (the PQ compression from [[pqTopK]]), and the top
+    * `refine` survivors join back for the exact-cosine re-rank.
+    * Per-probe work ≈ (nprobe / #centroids) · corpus, touching M
+    * bytes per candidate — the shape that holds at 100 TB.
+    *
+    * With nprobe = #centroids AND refine ≥ corpus the search
+    * degenerates to exhaustive exact ranking ([[bruteForceTopK]]) —
+    * the oracle-exact gate shape; recall at realistic knobs is pinned
+    * in SimilaritySpec.
+    */
+  def ivfPqTopK(corpus: DataFrame, probes: DataFrame,
+                idCol: String, vecCol: String, k: Int,
+                centroids: Seq[Seq[Double]], codebooks: Seq[Seq[Seq[Double]]],
+                nprobe: Int = 4, refine: Int = 50): DataFrame = {
+    graft.expressions.PqCodebooks.validate(codebooks)
+    require(nprobe >= 1 && nprobe <= centroids.size,
+      s"nprobe must be in [1, ${centroids.size}], got $nprobe")
+    require(k >= 1 && refine >= k, s"need refine >= k >= 1, got k=$k refine=$refine")
+    import graft.expressions.PqExpressions._
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val kk = codebooks.head.size
+    val unit = (c: org.apache.spark.sql.Column) =>
+      graft.functions.VectorFunctions.normalize(c).cast("array<float>")
+    val cidOf = (v: org.apache.spark.sql.Column) =>
+      graft.expressions.VectorExpressions.nearestCentroidF(v, centroids)
+    val c = corpus.select(col(idCol).as("id"), cidOf(col(vecCol)).as("cell"),
+      pqEncodeF(unit(col(vecCol)), codebooks).as("codes"))
+    // probe side: nprobe nearest cells (by centroid cosine) × its LUT
+    val centsDf = centroids.zipWithIndex
+      .map { case (cent, i) => (i, cent.map(_.toFloat)) }.toDF("cell", "cvec")
+    val pw = Window.partitionBy(col("probe_id")).orderBy(col("csim").desc, col("cell"))
+    val p = probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"),
+        pqLutF(unit(col(vecCol)), codebooks).as("lut"))
+      .crossJoin(broadcast(centsDf))
+      .select(col("probe_id"), col("lut"), col("cell"),
+        cosineF(col("probe_vec"), col("cvec")).as("csim"))
+      .withColumn("rn", row_number().over(pw)).filter(col("rn") <= nprobe)
+      .select(col("probe_id"), col("lut"), col("cell"))
+    val wAdc = Window.partitionBy(col("probe_id"))
+      .orderBy(col("adc").desc, col("id").asc)
+    val cand = c.join(broadcast(p), Seq("cell"))
+      .filter(col("id") =!= col("probe_id"))
+      .select(col("probe_id"), col("id"), pqAdcF(col("codes"), col("lut"), kk).as("adc"))
+      .withColumn("rn", row_number().over(wAdc)).filter(col("rn") <= refine)
+      .select(col("probe_id"), col("id"))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos_sim").desc, col("id").asc)
+    cand
+      .join(corpus.select(col(idCol).as("id"), col(vecCol).as("vec")), Seq("id"))
+      .join(broadcast(probes.select(col(idCol).as("probe_id"), col(vecCol).as("probe_vec"))),
+        Seq("probe_id"))
+      .select(col("probe_id"), col("id"), cosineF(col("vec"), col("probe_vec")).as("cos_sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-based near-dup detection: nearest neighbor per probe
     * with a duplicate flag at the given cosine threshold.
     */

@@ -288,6 +288,39 @@ class SimilaritySpec extends SparkSpec {
     assert(full == bf)
   }
 
+  test("ivfPqTopK: exact emitted scores, high recall at realistic knobs, brute-exact at full coverage") {
+    val dim = 16; val k = 5
+    val corpus = clustered(dim, 10, 30)
+    val probes = corpus.filter(col("vec_id") % 30 === 0)
+    val cents = KNN.trainIvfCentroids(corpus, "vec_id", "embedding", k = 10, dim = dim, iters = 4)
+    val books = KNN.trainPqCodebooks(corpus, "vec_id", "embedding",
+      m = 4, k = 16, dim = dim, iters = 4)
+    // realistic knobs: 3 of 10 cells probed, refine covers a cluster
+    // (same tie rationale as the pqTopK test)
+    val ivfpq = KNN.ivfPqTopK(corpus, probes, "vec_id", "embedding", k,
+      cents, books, nprobe = 3, refine = 30)
+    val brute = KNN.bruteForceTopK(corpus, probes, "vec_id", "embedding", 1000000)
+      .select(col("probe_id"), col("id"), col("cos_sim").as("brute_sim"))
+    val maxDiff = ivfpq.join(brute, Seq("probe_id", "id"))
+      .select(abs(col("cos_sim") - col("brute_sim")).as("d")).agg(max("d")).as[Double].head()
+    assert(maxDiff < 1e-9)
+    def sets(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("probe_id").agg(collect_set(col("id")).as("ids"))
+        .collect().map(r => r.getAs[Long]("probe_id") -> r.getSeq[Long](1).toSet).toMap
+    val bs = sets(KNN.bruteForceTopK(corpus, probes, "vec_id", "embedding", k))
+    val is = sets(ivfpq)
+    val recall = bs.keys.toSeq.map(p => (is.getOrElse(p, Set()) & bs(p)).size.toDouble / k)
+      .sum / bs.size
+    assert(recall >= 0.8, s"recall@$k was $recall")
+    // full coverage (nprobe = all cells, refine >= corpus) == brute force
+    val full = KNN.ivfPqTopK(corpus, probes, "vec_id", "embedding", k,
+        cents, books, nprobe = cents.size, refine = 1000000)
+      .select("probe_id", "id", "rank").collect().map(_.toSeq).toSet
+    val bf = KNN.bruteForceTopK(corpus, probes, "vec_id", "embedding", k)
+      .select("probe_id", "id", "rank").collect().map(_.toSeq).toSet
+    assert(full == bf)
+  }
+
   test("nearDupByEmbedding flags an exact duplicate vector") {
     val corpus = vecDf(1L -> Seq(1f, 2f, 3f), 2L -> Seq(1f, 2f, 3f), 3L -> Seq(-3f, 1f, 0f))
     val out = KNN.nearDupByEmbedding(corpus, corpus.filter(col("vec_id") === 1), "vec_id", "embedding", 0.95)
