@@ -179,10 +179,7 @@ object Bench {
           else
             spark.readStream.schema(schema)
               .option("pathGlobFilter", "events.parquet").parquet(sfDir)
-        val ev = if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
-        else raw
+        val ev = Tables.normalizeTs(raw)
         val q = graft.streaming.Windows
           .fixedGroups(ev, "ts", "1 hour", "10 minutes",
             org.apache.spark.sql.functions.col("event_type"))

@@ -34,8 +34,14 @@ object GraftSession {
       // whole-stage codegen. (The 128-column MinHash aggregate that
       // first motivated this is now a single native MinHashAgg.)
       .config("spark.sql.codegen.maxFields", "256")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
-      // default; read as Long and convert in Tables.events.
+      // events.parquet has shipped in two shapes across test-data
+      // generations: TIMESTAMP(NANOS) (rejected by default — read as
+      // Long and convert in Tables.events) and timezone-less
+      // TIMESTAMP(MICROS) (inferred as TIMESTAMP_NTZ by default, which
+      // unix_micros/window() reject). Pin both to plain TimestampType:
+      // with a UTC session the NTZ wall clock and the instant coincide,
+      // matching what DuckDB computes on the same files.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
 }

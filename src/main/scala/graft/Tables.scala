@@ -18,17 +18,27 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame = t("part")
   def orders: DataFrame = t("orders")
   def lineitem: DataFrame = t("lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS); with
-    * spark.sql.legacy.parquet.nanosAsLong=true it scans as Long ns —
-    * convert to a µs TimestampType column (integer division keeps
-    * full precision; double math would lose bits past 2^53).
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) (scans as Long
+    * ns under nanosAsLong — integer division keeps full precision;
+    * double math would lose bits past 2^53) and as timezone-less
+    * TIMESTAMP(MICROS) (scans as TIMESTAMP_NTZ unless the session
+    * disables inferTimestampNTZ). Normalize every shape to plain
+    * TimestampType; with a UTC session the NTZ cast is instant-exact.
     */
-  def events: DataFrame = {
-    val raw = t("events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
-  }
+  def events: DataFrame = Tables.normalizeTs(t("events"))
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  /** Normalize an events frame's `ts` to plain TimestampType whichever
+    * physical shape the source files carry (see `Tables#events`).
+    */
+  def normalizeTs(raw: DataFrame): DataFrame = raw.schema("ts").dataType match {
+    case LongType =>
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    case _ => raw
+  }
 }

@@ -55,16 +55,11 @@ object ScaleUp {
     val supplier = read("supplier"); val suppBase = maxOf(supplier, "s_suppkey")
     val part = read("part"); val partBase = maxOf(part, "p_partkey")
     val orders = read("orders"); val orderBase = maxOf(orders, "o_orderkey")
-    // the driver writes events.ts at NANOSECOND parquet precision,
-    // which Spark surfaces as a raw long; re-written as-is it would
-    // reach DuckDB as BIGINT and break every timestamp oracle. Emit a
-    // real (microsecond) timestamp — both engines then read the same
-    // type, exactly as they do for the driver's own ms/µs columns.
-    val eventsRaw = read("events")
-    val events =
-      if (eventsRaw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        eventsRaw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else eventsRaw
+    // the driver has written events.ts as parquet NANOS (surfaces as a
+    // raw long — re-written as-is it would reach DuckDB as BIGINT and
+    // break every timestamp oracle) and as tz-less MICROS. Normalize to
+    // a real microsecond timestamp so both engines read the same type.
+    val events = graft.Tables.normalizeTs(read("events"))
     val eventBase = maxOf(events, "event_id")
     val userBase = maxOf(events, "user_id")
     val docs = read("documents"); val docBase = maxOf(docs, "doc_id")

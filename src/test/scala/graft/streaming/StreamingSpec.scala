@@ -381,8 +381,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("Sessionize batch mode (emitOpen) matches declarative sessionization") {
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.Tables.normalizeTs(spark.read.parquet(s"$sf/events.parquet"))
       .select(col("user_id").as("userId"), col("ts"), col("value")).as[Event]
     val stateful = Sessionize.sessions(ev, gapSec = 1800L, emitOpen = true)
       .toDF().select(col("userId"), col("sessStart"), col("nEvents"))
