@@ -12,6 +12,7 @@ object SparkEntry {
     IoQueries,
     PairQueries,
     StatsWindowQueries,
+    TextCleanQueries,
     TextVectorQueries
   )
 

@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Corpus-cleaning primitives for training-data pipelines: PII
+  * redaction, HTML/boilerplate stripping, URL parsing/filtering.
+  * The reference pipelines documents through scio's map/filter verbs
+  * with user lambdas (reference: scio-core SCollection map/filter);
+  * graft ships the common cleaning verbs themselves as builtin
+  * column expressions — every one is a regexp/string expr chain that
+  * stays inside whole-stage codegen, no UDF serialization boundary.
+  *
+  * Pattern dialect note: every regex here restricts itself to the
+  * syntax subset shared by java.util.regex (Spark executors) and RE2
+  * (DuckDB oracle, Go/C++ tooling): no backreferences, no lookaround.
+  * That keeps the semantics portable — the exact same pattern text is
+  * embedded in the correctness oracle SQL.
+  */
+object TextClean {
+
+  /** Email addresses (pragmatic RFC-5322 subset). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** North-American-style phone numbers: optional +1/1 prefix,
+    * 3-3-4 groups with ., -, space or nothing between them, optional
+    * parens on the area code. Anchored on non-digit boundaries so
+    * arbitrary long digit runs (ids, hashes) are not redacted.
+    */
+  val PhoneRe = "(\\+?1[ .-]?)?(\\([0-9]{3}\\)|[0-9]{3})[ .-]?[0-9]{3}[ .-][0-9]{4}"
+
+  /** IPv4 dotted quads (octet range enforced: 0-255). */
+  val Ipv4Re =
+    "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}"
+
+  /** US-SSN-shaped ids: 3-2-4 digit groups with - separators. */
+  val SsnRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+  /** Replace each PII family with a typed placeholder token. Order
+    * matters: SSN before phone (a 3-2-4 group must not be half-eaten
+    * by the phone pattern), email before IP (a host part may embed
+    * digit runs).
+    */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, EmailRe, "<EMAIL>")
+    val s = regexp_replace(e, SsnRe, "<SSN>")
+    val p = regexp_replace(s, PhoneRe, "<PHONE>")
+    regexp_replace(p, Ipv4Re, "<IP>")
+  }
+
+  /** Per-family match counts (the audit row a redaction pass reports
+    * alongside the rewrite): struct(n_emails, n_ssns, n_phones, n_ips).
+    * Counted on the SAME progressively-redacted text the replacement
+    * chain sees, so counts always agree with what [[redactPii]] did.
+    */
+  def piiCounts(text: Column): Column = {
+    val e = regexp_replace(text, EmailRe, "<EMAIL>")
+    val s = regexp_replace(e, SsnRe, "<SSN>")
+    val p = regexp_replace(s, PhoneRe, "<PHONE>")
+    struct(
+      size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(e, lit(SsnRe), lit(0))).cast("long").as("n_ssns"),
+      size(regexp_extract_all(s, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(p, lit(Ipv4Re), lit(0))).cast("long").as("n_ips"))
+  }
+
+  /** Strip HTML down to visible text: drop script/style subtrees
+    * (their text is code, not prose), then all remaining tags, then
+    * HTML comments, decode the common entities, and collapse runs of
+    * whitespace to single spaces. `(?s)` (dot-matches-newline) and
+    * `(?i)` are both java.util.regex- and RE2-portable.
+    */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTag = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&") // &amp; LAST: it may produce '&' of other entities' text forms
+      .foldLeft(noTag) { case (c, (ent, ch)) => regexp_replace(c, ent, ch) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  private val UrlRe = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)\\??([^#]*)"
+
+  /** Decompose a URL column into struct(scheme, host, path, query,
+    * domain, tld). `domain` is the registrable-suffix heuristic
+    * (last two host labels) — the shape a blocklist keys on.
+    * Pure regexp_extract chain (codegen'd, portable dialect).
+    */
+  def urlParts(url: Column): Column = {
+    val host = lower(regexp_extract(url, UrlRe, 2))
+    // strip :port and userinfo@ from the authority
+    val bare = regexp_extract(host, "([^@]*@)?([^:]*)", 2)
+    val domain = regexp_extract(bare, "([^.]+\\.[^.]+)$", 1)
+    struct(
+      lower(regexp_extract(url, UrlRe, 1)).as("scheme"),
+      bare.as("host"),
+      regexp_extract(url, UrlRe, 3).as("path"),
+      regexp_extract(url, UrlRe, 4).as("query"),
+      domain.as("domain"),
+      regexp_extract(bare, "\\.([^.]+)$", 1).as("tld"))
+  }
+
+  /** Keep rows whose url's registrable domain is NOT in the blocklist
+    * (C4-style source filtering). The blocklist is a literal array —
+    * for big lists broadcast a frame and anti-join instead.
+    */
+  def filterByDomainBlocklist(urlCol: Column, blocked: Seq[String]): Column =
+    !urlParts(urlCol).getField("domain").isin(blocked.map(_.toLowerCase): _*)
+}

@@ -1,0 +1,95 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Edge-case behavior of the corpus-cleaning verbs; the oracle gate
+  * (q_pii_redact / q_strip_html / q_url_parts) covers engine parity,
+  * this spec pins the semantics on hand-picked inputs.
+  */
+class TextCleanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def redact(s: String): String =
+    Seq(s).toDF("t").select(TextClean.redactPii(col("t"))).as[String].head()
+
+  private def counts(s: String): (Long, Long, Long, Long) =
+    Seq(s).toDF("t").select(TextClean.piiCounts(col("t")).as("c"))
+      .selectExpr("c.n_emails", "c.n_ssns", "c.n_phones", "c.n_ips")
+      .as[(Long, Long, Long, Long)].head()
+
+  private def strip(s: String): String =
+    Seq(s).toDF("t").select(TextClean.stripHtml(col("t"))).as[String].head()
+
+  private def parts(s: String): (String, String, String, String, String, String) =
+    Seq(s).toDF("t").select(TextClean.urlParts(col("t")).as("c"))
+      .selectExpr("c.scheme", "c.host", "c.path", "c.query", "c.domain", "c.tld")
+      .as[(String, String, String, String, String, String)].head()
+
+  test("redactPii replaces every family with its typed token") {
+    assert(redact("mail a.b+c@x-y.example.com now") == "mail <EMAIL> now")
+    assert(redact("call (415) 555-1234 or +1 212.555.9999") == "call <PHONE> or <PHONE>")
+    assert(redact("ssn 078-05-1120") == "ssn <SSN>")
+    assert(redact("host 10.0.255.7 up") == "host <IP> up")
+  }
+
+  test("redaction order: SSN not half-eaten by the phone pattern") {
+    // 3-2-4 digits would prefix-match a sloppy phone regex; SSN runs first.
+    assert(redact("id 123-45-6789.") == "id <SSN>.")
+  }
+
+  test("long digit runs and out-of-range octets are not redacted whole") {
+    assert(redact("txn 1234567890123") == "txn 1234567890123")
+    // 999 is not a valid octet; the tail that IS a valid quad still matches.
+    assert(redact("v 999.1.1.1") == "v 9<IP>")
+  }
+
+  test("piiCounts agrees with what redactPii did") {
+    val (e, s, p, i) =
+      counts("a@b.co c@d.org 111-22-3333 (415) 555-1234 10.0.0.1 8.8.8.8")
+    assert((e, s, p, i) == (2L, 1L, 1L, 2L))
+  }
+
+  test("stripHtml drops script/style subtrees including raw < inside") {
+    val h = "<p>keep</p><script>if (1 < 2 && x > 0) bad()</script><style>a{b:c}</style>tail"
+    assert(strip(h) == "keep tail")
+  }
+
+  test("stripHtml decodes entities after tag removal, amp last") {
+    // &lt;fin&gt; decodes to literal <fin> and must survive (tags were
+    // already stripped); &amp;lt; decodes to the TEXT "&lt;", not "<".
+    assert(strip("x &lt;fin&gt; y &amp;lt; z") == "x <fin> y &lt; z")
+    assert(strip("a&nbsp;&quot;q&quot;&#39;s&#39;") == "a \"q\"'s'")
+  }
+
+  test("stripHtml strips comments and collapses whitespace") {
+    assert(strip("a <!-- hidden\nmultiline --> b\n\n  c") == "a b c")
+  }
+
+  test("urlParts full decomposition") {
+    val (scheme, host, path, query, domain, tld) =
+      parts("HTTPS://user:pw@Sub.Example.COM:8443/a/b?x=1&y=2#frag")
+    assert(scheme == "https")
+    assert(host == "sub.example.com")
+    assert(path == "/a/b")
+    assert(query == "x=1&y=2")
+    assert(domain == "example.com")
+    assert(tld == "com")
+  }
+
+  test("urlParts minimal url and single-label host") {
+    val (scheme, host, path, query, domain, tld) = parts("http://localhost/x")
+    assert((scheme, host, path, query) == ("http", "localhost", "/x", ""))
+    assert(domain == "" && tld == "") // no registrable suffix on a bare label
+  }
+
+  test("filterByDomainBlocklist keys on the registrable domain, case-insensitive") {
+    val df = Seq(
+      "https://ads.Tracker.NET/x",     // blocked (domain tracker.net)
+      "https://tracker.net.safe.org/x", // kept: domain is safe.org
+      "https://ok.example.com/x").toDF("u")
+    val kept = df.filter(TextClean.filterByDomainBlocklist(col("u"), Seq("tracker.net")))
+      .as[String].collect().toSet
+    assert(kept == Set("https://tracker.net.safe.org/x", "https://ok.example.com/x"))
+  }
+}
