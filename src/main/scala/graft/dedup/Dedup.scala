@@ -392,4 +392,66 @@ object Dedup {
       .withColumn("contaminated", col("__contam_id").isNotNull)
       .drop("__contam_id")
   }
+
+  /** Repeated-substring statistics at k-token granularity — the
+    * distributed re-expression of suffix-array substring dedup
+    * (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better"; the reference pipelines this as user code over
+    * scio's flatMap/groupBy verbs, reference scio-core
+    * SCollection.scala): a k-gram occurring more than once ANYWHERE in
+    * the corpus (other docs or a repeat within the same doc) is a
+    * duplicated substring; each doc reports how many of its k-grams
+    * are duplicated and what fraction of its tokens at least one
+    * duplicated k-gram covers — the number substring-dedup trimming
+    * or doc-level filtering (`dup_fraction > θ`) keys on.
+    *
+    * Returns one row per input doc:
+    * (id, n_tokens, n_dup_grams, covered_tokens, dup_fraction).
+    *
+    * Scale shape: k-gram rows are produced NARROWLY inside each scan
+    * task (token-hash array → positional gram hashes → posexplode, no
+    * window/lead shuffle), aggregated by gram hash with map-side
+    * partial counts, and the duplicated-gram set joins back by hash
+    * with AQE skew-splitting — never a self-join on docs. The k×
+    * position blowup for coverage counting happens ONLY on duplicated
+    * gram positions (a small minority in a healthy corpus). Gram rows
+    * are recomputed for the join-back rather than persisted: at
+    * 100 TB the gram stream dwarfs cluster memory, and the recompute
+    * is a narrow in-task pipeline off the scan. Gram identity is the
+    * 64-bit hash of the k-token-hash tuple, as everywhere in this
+    * file; docs shorter than k tokens have no k-grams and report
+    * dup_fraction 0.
+    */
+  def substringStats(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val th = transform(tokens(txt(col(textCol))), t => xxhash64(t))
+    def gramRows(d: DataFrame): DataFrame = {
+      val arr = col("__th")
+      val gramHashes = transform(
+        sequence(lit(0), size(arr) - k),
+        i => xxhash64((0 until k).map(j => element_at(arr, i + lit(j + 1))): _*))
+      d.select(col(idCol).as("id"), th.as("__th"))
+        .filter(size(col("__th")) >= k)
+        .select(col("id"), posexplode(gramHashes).as(Seq("pos", "h")))
+    }
+    val dupHashes = gramRows(df)
+      .groupBy(col("h")).agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > 1)
+      .select(col("h"))
+    val perDoc = gramRows(df)
+      .join(dupHashes, Seq("h"))
+      .select(col("id"), col("pos"),
+        explode(sequence(col("pos"), col("pos") + (k - 1))).as("idx"))
+      .groupBy(col("id"))
+      .agg(countDistinct(col("pos")).as("n_dup_grams"),
+        countDistinct(col("idx")).as("covered_tokens"))
+    df.select(col(idCol).as("id"), size(th).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)) /
+          greatest(col("n_tokens"), lit(1)), 6).as("dup_fraction"))
+  }
 }

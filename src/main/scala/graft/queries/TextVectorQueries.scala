@@ -111,6 +111,15 @@ object TextVectorQueries extends QueryPack {
           min(col("keeper")).as("first_keeper"))
     },
 
+    // repeated-substring (k-gram) coverage per doc — suffix-array-
+    // style substring dedup re-expressed distributed; oracle-checked
+    // (dup identity is hash-independent: a gram is duplicated iff its
+    // token tuple occurs twice, which DuckDB recomputes from strings).
+    "q_substr_dup" -> { (s, dir) =>
+      Dedup.substringStats(tables(s, dir).documents, "doc_id", "text", k = 8)
+        .orderBy(col("id"))
+    },
+
     // MinHash+LSH near-dup clustering: every doc → cluster + keep flag.
     "q_dedup_minhash" -> { (s, dir) =>
       Dedup.minhashClusters(tables(s, dir).documents, "doc_id", "text")
@@ -680,6 +689,27 @@ object TextVectorQueries extends QueryPack {
         |WHERE doc_id % 37 <> 0
         |  AND s IN (SELECT s FROM sh WHERE doc_id % 37 = 0)
         |ORDER BY doc_id""".stripMargin,
+    "q_substr_dup" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(range(0, len(t) - 8 + 1)) AS pos, t
+        |  FROM tok WHERE len(t) >= 8),
+        |g2 AS (SELECT doc_id, pos, array_to_string(t[pos + 1:pos + 8], ' ') AS s FROM grams),
+        |dup AS (SELECT s FROM g2 GROUP BY s HAVING count(*) > 1),
+        |dpos AS (SELECT doc_id, pos FROM g2 JOIN dup USING (s)),
+        |cov AS (
+        |  SELECT doc_id, count(DISTINCT pos) AS n_dup_grams,
+        |         count(DISTINCT idx) AS covered_tokens
+        |  FROM (SELECT doc_id, pos, unnest(range(pos, pos + 8)) AS idx FROM dpos)
+        |  GROUP BY doc_id)
+        |SELECT tok.doc_id AS id, len(tok.t) AS n_tokens,
+        |  coalesce(cov.n_dup_grams, 0) AS n_dup_grams,
+        |  coalesce(cov.covered_tokens, 0) AS covered_tokens,
+        |  round(coalesce(cov.covered_tokens, 0)::DOUBLE / greatest(len(tok.t), 1), 6) AS dup_fraction
+        |FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id
+        |ORDER BY id""".stripMargin,
     "q_repetition" ->
       """WITH tok AS (
         |  SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t

@@ -206,4 +206,25 @@ class DedupSpec extends SparkSpec {
       Dedup.decontaminate(corpus.withColumn("contaminated", lit(false)),
         "doc_id", "text", bench, "bench_text", k = 3))
   }
+
+  test("substringStats: cross-doc and within-doc repeats, overlap-union coverage") {
+    val docs = Seq(
+      (1L, "a b c d e f"),   // "a b c" shared with doc 2 at pos 0
+      (2L, "a b c x y z"),
+      (3L, "p q r p q r p"), // within-doc repeat: "p q r" at pos 0 and 3, "q r p" at 1 and 4
+      (4L, "u v"),           // shorter than k: no grams
+      (5L, "m n o q w t")    // all grams unique
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringStats(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // doc 1: gram "a b c" (pos 0) duplicated -> covers tokens 0..2 of 6
+    assert(out(1L) == ((6L, 1L, 3L, 0.5)))
+    assert(out(2L) == ((6L, 1L, 3L, 0.5)))
+    // doc 3: dup grams at pos 0,1,3,4 ("p q r" x2, "q r p" x2, and
+    // "r p q" at pos 2 is unique) -> coverage union = tokens 0..6 = all 7
+    assert(out(3L) == ((7L, 4L, 7L, 1.0)))
+    assert(out(4L) == ((2L, 0L, 0L, 0.0))) // below k: present, zeroed
+    assert(out(5L) == ((6L, 0L, 0L, 0.0)))
+  }
 }
