@@ -1,0 +1,41 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.tokens
+import graft.operators.GlobalOrder
+
+/** Sequence packing for LLM pretraining export: concatenate every
+  * document's tokens in corpus (id) order and split the stream into
+  * fixed-size context windows — the standard concat-then-chunk
+  * packing. Each doc's placement is pure integer arithmetic over its
+  * global token offset, which [[GlobalOrder.withGlobalOffset]]
+  * computes with one balanced shuffle (never a single-partition
+  * window), so the op holds at 100 TB.
+  */
+object Pack {
+
+  /** Per-doc packing spans: where each document lands in the packed
+    * sequence stream. Returns (id, n_tokens, start_offset, first_seq,
+    * last_seq, n_seqs): the doc's tokens occupy global positions
+    * [start_offset, start_offset + n_tokens) and therefore sequences
+    * first_seq..last_seq of size `window`. Token counts follow the
+    * whitespace-token contract of [[graft.functions.TextFunctions
+    * .tokens]] (an empty/null text is one empty token, so every doc
+    * occupies at least one position and none vanishes).
+    */
+  def sequenceSpans(df: DataFrame, idCol: String, textCol: String,
+                    window: Int, numBuckets: Int = 1024): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val counted = df.select(col(idCol).as("id"),
+      size(tokens(coalesce(col(textCol), lit("")))).cast("long").as("n_tokens"))
+    GlobalOrder.withGlobalOffset(counted, "id", col("n_tokens"),
+        offsetCol = "start_offset", numBuckets = numBuckets)
+      .select(col("id"), col("n_tokens"), col("start_offset"),
+        // integer `div`, not `/`: long / long is DOUBLE in Spark, and
+        // global offsets at corpus scale must not round through it
+        expr(s"start_offset div $window").as("first_seq"),
+        expr(s"(start_offset + n_tokens - 1) div $window").as("last_seq"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+  }
+}

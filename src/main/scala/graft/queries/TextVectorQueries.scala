@@ -111,6 +111,15 @@ object TextVectorQueries extends QueryPack {
           min(col("keeper")).as("first_keeper"))
     },
 
+    // concat-then-chunk sequence packing: each doc's global token
+    // offset and context-window span. Oracle-checked: the balanced
+    // bucketed prefix sum must equal DuckDB's naive global cumsum.
+    "q_pack_sequences" -> { (s, dir) =>
+      graft.pipeline.Pack.sequenceSpans(tables(s, dir).documents, "doc_id", "text",
+          window = 256)
+        .orderBy(col("id"))
+    },
+
     // repeated-substring (k-gram) coverage per doc — suffix-array-
     // style substring dedup re-expressed distributed; oracle-checked
     // (dup identity is hash-independent: a gram is duplicated iff its
@@ -689,6 +698,22 @@ object TextVectorQueries extends QueryPack {
         |WHERE doc_id % 37 <> 0
         |  AND s IN (SELECT s FROM sh WHERE doc_id % 37 = 0)
         |ORDER BY doc_id""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |    CAST(len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER
+        |      (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_offset
+        |  FROM t)
+        |SELECT id, n_tokens, start_offset,
+        |  start_offset // 256 AS first_seq,
+        |  (start_offset + n_tokens - 1) // 256 AS last_seq,
+        |  (start_offset + n_tokens - 1) // 256 - start_offset // 256 + 1 AS n_seqs
+        |FROM o ORDER BY id""".stripMargin,
     "q_substr_dup" ->
       """WITH tok AS (
         |  SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.pipeline.Pack
+import org.apache.spark.sql.functions._
+
+class GlobalOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("withGlobalOffset equals the naive global cumsum, across buckets") {
+    // non-contiguous, negative, unordered keys; enough rows to spread
+    // over several buckets with a deliberately small numBuckets
+    val rows = scala.util.Random.shuffle(
+      (-50L to 149L).map(i => (i * 7, math.abs(i % 11) + 1))).toSeq
+    val df = rows.toDF("k", "w")
+    val out = GlobalOrder.withGlobalOffset(df, "k", col("w"), numBuckets = 7)
+      .select("k", "offset").as[(Long, Long)].collect().toMap
+    var acc = 0L
+    rows.sortBy(_._1).foreach { case (k, w) =>
+      assert(out(k) == acc, s"k=$k"); acc += w
+    }
+  }
+
+  test("zipWithGlobalIndex is dense 0..n-1 in key order") {
+    val df = Seq(30L, 10L, 20L, 40L).toDF("k")
+    val idx = GlobalOrder.zipWithGlobalIndex(df, "k", numBuckets = 2)
+      .orderBy("k").select("index").as[Long].collect().toSeq
+    assert(idx == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("duplicate order keys fail loudly") {
+    val df = Seq((1L, 1), (1L, 2), (2L, 3)).toDF("k", "w")
+    val e = intercept[IllegalArgumentException](
+      GlobalOrder.withGlobalOffset(df, "k", col("w")))
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("single row and empty input") {
+    assert(GlobalOrder.withGlobalOffset(Seq((5L, 9)).toDF("k", "w"), "k", col("w"))
+      .select("offset").as[Long].head() == 0L)
+    assert(GlobalOrder.withGlobalOffset(
+      Seq.empty[(Long, Int)].toDF("k", "w"), "k", col("w")).count() == 0L)
+  }
+
+  test("sequenceSpans packs docs contiguously into fixed windows") {
+    val docs = Seq(
+      (1L, "a b c d e"),      // offset 0, tokens 5  -> seq 0
+      (2L, "f g h"),          // offset 5  -> seq 0
+      (3L, "i j k l m n o p") // offset 8, 8 tokens -> positions 8..15, seqs 1..1 at window 8
+    ).toDF("doc_id", "text")
+    val out = Pack.sequenceSpans(docs, "doc_id", "text", window = 8)
+      .orderBy("id")
+      .select("id", "n_tokens", "start_offset", "first_seq", "last_seq", "n_seqs")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 5L, 0L, 0L, 0L, 1L),
+      (2L, 3L, 5L, 0L, 0L, 1L),
+      (3L, 8L, 8L, 1L, 1L, 1L)))
+    // a doc straddling a window boundary spans both sequences
+    val straddle = Pack.sequenceSpans(
+      Seq((1L, "a b c d e f"), (2L, "g h i j")).toDF("doc_id", "text"), "doc_id", "text",
+      window = 8).orderBy("id")
+      .select("first_seq", "last_seq", "n_seqs").as[(Long, Long, Long)].collect().toSeq
+    assert(straddle == Seq((0L, 0L, 1L), (0L, 1L, 2L)))
+  }
+}
