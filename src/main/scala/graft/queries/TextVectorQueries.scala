@@ -29,8 +29,9 @@ object TextVectorQueries extends QueryPack {
     * artifact name and the in-JVM memo: regenerated test data can
     * never resurrect a stale quantizer, on disk or in memory.
     */
-  private def corpusFingerprint(s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val srcPath = new org.apache.hadoop.fs.Path(s"$dir/embeddings.parquet")
+  private def corpusFingerprint(s: org.apache.spark.sql.SparkSession, dir: String,
+                                table: String = "embeddings.parquet"): String = {
+    val srcPath = new org.apache.hadoop.fs.Path(s"$dir/$table")
     val fs = srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     val leaves: Seq[org.apache.hadoop.fs.FileStatus] = {
       val st = fs.getFileStatus(srcPath)
@@ -87,6 +88,27 @@ object TextVectorQueries extends QueryPack {
     })
   }
 
+  /** Train-once-per-corpus BPE merges, persisted through the
+    * Bpe.save artifact (exercised on every cold path: train → save →
+    * LOAD → use the loaded model) and memoized per JVM, keyed by the
+    * documents-table fingerprint — the same offline-artifact shape as
+    * [[ivfCentroidsFor]].
+    */
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[String, graft.pipeline.Bpe.Model]()
+  private def bpeModelFor(s: org.apache.spark.sql.SparkSession, dir: String): graft.pipeline.Bpe.Model = {
+    val fp = corpusFingerprint(s, dir, "documents.parquet")
+    bpeCache.computeIfAbsent(s"$dir|$fp", { _ =>
+      val path = new java.io.File(
+        s"/tmp/graft_io/bpe_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp.gbpe")
+      path.getParentFile.mkdirs()
+      if (!path.isFile) {
+        val m = graft.pipeline.Bpe.train(tables(s, dir).documents, "text", numMerges = 40)
+        graft.pipeline.Bpe.save(s, m, path.getAbsolutePath)
+      }
+      graft.pipeline.Bpe.load(s, path.getAbsolutePath)
+    })
+  }
+
   override val queries: Map[String, Q] = Map(
 
     // end-to-end curation pipeline (quality gate → exact dedup →
@@ -109,6 +131,37 @@ object TextVectorQueries extends QueryPack {
           sum(col("n_copies")).as("n_docs"),
           sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
           min(col("keeper")).as("first_keeper"))
+    },
+
+    // trained-BPE merge table (rows-only: merge symbols are corpus-
+    // derived; training determinism + the classic-corpus merge
+    // sequence are pinned in BpeSpec).
+    "q_bpe_merges" -> { (s, dir) =>
+      import s.implicits._
+      bpeModelFor(s, dir).merges.zipWithIndex
+        .map { case ((l, r), rank) => (rank.toLong, l, r) }
+        .toDF("rank", "left", "right")
+        .orderBy(col("rank"))
+    },
+
+    // distributed BPE encode, gated by its exact detokenization
+    // invariant: concatenating every doc's pieces and turning each
+    // end-of-word marker back into a space must reproduce the
+    // whitespace-normalized text, and the number of marker-closed
+    // pieces must equal the doc's token count — both of which DuckDB
+    // states independently of the learned merges.
+    "q_bpe_roundtrip" -> { (s, dir) =>
+      val enc = graft.pipeline.Bpe.encode(
+        tables(s, dir).documents, "doc_id", "text", bpeModelFor(s, dir))
+      val detok = rtrim(regexp_replace(concat_ws("", col("pieces")),
+        graft.pipeline.Bpe.EndOfWord, " "))
+      enc.join(tables(s, dir).documents.select(col("doc_id").as("id"), col("text")), Seq("id"))
+        .select(col("id"),
+          size(filter(col("pieces"), p => p.endsWith(graft.pipeline.Bpe.EndOfWord)))
+            .cast("long").as("n_words"),
+          (detok === concat_ws(" ",
+            TextFunctions.tokens(coalesce(col("text"), lit(""))))).as("detok_ok"))
+        .orderBy(col("id"))
     },
 
     // concat-then-chunk sequence packing: each doc's global token
@@ -698,6 +751,11 @@ object TextVectorQueries extends QueryPack {
         |WHERE doc_id % 37 <> 0
         |  AND s IN (SELECT s FROM sh WHERE doc_id % 37 = 0)
         |ORDER BY doc_id""".stripMargin,
+    "q_bpe_roundtrip" ->
+      """SELECT doc_id AS id,
+        |  CAST(len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS BIGINT) AS n_words,
+        |  true AS detok_ok
+        |FROM documents ORDER BY id""".stripMargin,
     "q_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id AS id,

@@ -156,7 +156,10 @@ object KNN {
     // so clear the target first; if another writer lands between the
     // delete and the rename, keep its (identical) file.
     fs.delete(p, false)
-    if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"rename $tmp -> $p failed; artifact write aborted")
+    }
   }
 
   /** Load a quantizer written by [[saveCentroids]]. */
@@ -300,7 +303,10 @@ object KNN {
     // as saveCentroids: the artifact is deterministic for a corpus, so
     // when two writers race either complete copy is correct.
     fs.delete(p, false)
-    if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"rename $tmp -> $p failed; artifact write aborted")
+    }
   }
 
   /** Load codebooks written by [[savePqCodebooks]]. */
