@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dataset splitting for training pipelines:
+  * train/valid/test assignment that is a pure function of
+  * (seed, key) — stable under repartitioning, re-runs, and corpus
+  * growth (a doc keeps its split when new docs arrive), which
+  * `randomSplit`'s partition-dependent RNG cannot promise. The split
+  * coordinate is the first 32 bits of md5(seed ":" key), compared
+  * against pre-computed INTEGER thresholds — no floating point
+  * anywhere, so any engine that can md5 reproduces the assignment
+  * bit-for-bit (the correctness oracle does exactly that in SQL).
+  * One codegen'd hash per row, no shuffle at all.
+  */
+object Splits {
+
+  private val Span = 1L << 32
+
+  /** Cumulative integer upper bounds on the 32-bit hash space for
+    * `splits` (label → positive weight, normalized internally); the
+    * last bound is exactly 2^32 so every row is assigned.
+    */
+  def thresholds(splits: Seq[(String, Double)]): Seq[Long] = {
+    require(splits.nonEmpty, "splits must be non-empty")
+    require(splits.forall(_._2 > 0), s"split weights must be positive: $splits")
+    val total = splits.map(_._2).sum
+    val cum = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }.tail
+    cum.dropRight(1).map(c => math.floor(c * Span).toLong) :+ Span
+  }
+
+  /** The 32-bit split coordinate: first 8 md5 hex digits of
+    * "seed:key" as an unsigned int in [0, 2^32).
+    */
+  def hashCoordinate(key: Column, seed: String): Column =
+    conv(substring(md5(concat_ws(":", lit(seed), key.cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+
+  /** Adds `outCol` with the split label for each row: the label whose
+    * [[thresholds]] interval contains [[hashCoordinate]](key, seed).
+    */
+  def assignSplit(df: DataFrame, keyCol: String, splits: Seq[(String, Double)],
+                  seed: String, outCol: String = "split"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"input already has a '$outCol' column; pass a different outCol")
+    val h = hashCoordinate(col(keyCol), seed)
+    val bounds = thresholds(splits)
+    val labeled = splits.map(_._1).zip(bounds).dropRight(1)
+      .foldLeft(when(lit(false), lit(""))) { case (c, (label, hi)) =>
+        c.when(h < hi, label)
+      }
+      .otherwise(splits.last._1)
+    df.withColumn(outCol, labeled)
+  }
+}

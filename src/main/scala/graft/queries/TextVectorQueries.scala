@@ -133,6 +133,25 @@ object TextVectorQueries extends QueryPack {
           min(col("keeper")).as("first_keeper"))
     },
 
+    // TF-IDF term weighting: corpus-wide doc frequencies, smoothed
+    // idf, output restricted to a doc window after the global pass.
+    "q_tfidf" -> { (s, dir) =>
+      graft.functions.Tfidf.termDoc(tables(s, dir).documents, "doc_id", "text")
+        .filter(col("id") <= 30)
+        .select(col("id"), col("term"), col("tf"), col("doc_freq"),
+          r6(col("tfidf")).as("tfidf"))
+        .orderBy(col("id"), col("term"))
+    },
+
+    // deterministic md5-threshold split assignment — reshuffle-stable
+    // train/valid/test labels, integer thresholds, no fp boundaries.
+    "q_split_assign" -> { (s, dir) =>
+      graft.operators.Splits.assignSplit(
+          tables(s, dir).documents.select(col("doc_id")), "doc_id",
+          Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1), seed = "graft")
+        .orderBy(col("doc_id"))
+    },
+
     // trained-BPE merge table (rows-only: merge symbols are corpus-
     // derived; training determinism + the classic-corpus merge
     // sequence are pinned in BpeSpec).
@@ -751,6 +770,33 @@ object TextVectorQueries extends QueryPack {
         |WHERE doc_id % 37 <> 0
         |  AND s IN (SELECT s FROM sh WHERE doc_id % 37 = 0)
         |ORDER BY doc_id""".stripMargin,
+    "q_tfidf" ->
+      """WITH terms AS (
+        |  SELECT doc_id AS id,
+        |    unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS term
+        |  FROM documents),
+        |t2 AS (SELECT id, term FROM terms WHERE len(term) > 0),
+        |tf AS (SELECT id, term, count(*) AS tf FROM t2 GROUP BY id, term),
+        |dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT tf.id, tf.term, tf.tf, dfreq.doc_freq,
+        |  round(tf.tf * (ln((n.n + 1.0) / (dfreq.doc_freq + 1.0)) + 1.0), 6) AS tfidf
+        |FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        |WHERE tf.id <= 30 ORDER BY id, term""".stripMargin,
+    "q_split_assign" -> {
+      val t = graft.operators.Splits.thresholds(
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    CAST(concat('0x', substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8))
+         |         AS UBIGINT) AS h
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN h < ${t(0)} THEN 'train'
+         |       WHEN h < ${t(1)} THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM h ORDER BY doc_id""".stripMargin
+    },
     "q_bpe_roundtrip" ->
       """SELECT doc_id AS id,
         |  CAST(len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS BIGINT) AS n_words,
