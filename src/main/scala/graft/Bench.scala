@@ -30,7 +30,12 @@ object Bench {
     "q_smb_join",
     "q_window_session",
     "q_top_by_key",
-    "q_multimodal_bulk"
+    "q_multimodal_bulk",
+    // r10 training-pipeline additions: corpus-wide gram counting and
+    // the bucketed global prefix sum — both all-doc shuffle shapes
+    // worth tracking per round.
+    "q_substr_dup",
+    "q_pack_sequences"
   )
 
   /** 1-minute system load average — the machine-busy dial. Sampled at

@@ -134,4 +134,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(filterIdx > exchangeIdx, // tree prints top-down: deeper = later lines
       s"CMS filter not below the exchange:\n$p")
   }
+
+  test("q_pack_sequences: prefix sum is bucketed — no single-partition exchange or global sort") {
+    val p = plan("q_pack_sequences")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"global cumsum collapsed to one partition:\n$p")
+    // the cumsum window must be keyed by the range bucket, not empty
+    assert(p.contains("hashpartitioning(__go_bucket"),
+      s"window not partitioned by the prefix bucket:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"bucket offsets not broadcast:\n$p")
+  }
+
+  test("q_substr_dup: gram counting partial-aggregates; no per-row UDF; no product join") {
+    val p = plan("q_substr_dup")
+    assert(p.contains("partial_"), s"no map-side partial aggregation:\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
+      s"UDF in the gram pipeline:\n$p")
+    assert(!p.contains("CartesianProduct"), s"product join in substring dedup:\n$p")
+  }
+
+  test("q_split_assign and q_tfidf stay codegen'd: no UDF anywhere") {
+    Seq("q_split_assign", "q_tfidf").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("ScalaUDF"), s"$q uses a UDF:\n$p")
+    }
+    // split assignment adds no shuffle at all
+    val ps = plan("q_split_assign")
+    val exchanges = ps.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("rangepartitioning"))
+    assert(exchanges == 0, s"q_split_assign shuffles beyond the presentation sort:\n$ps")
+  }
 }
