@@ -393,6 +393,54 @@ object Dedup {
       .drop("__contam_id")
   }
 
+  /** C4-style line-level dedup: a LINE occurring more than
+    * `maxOccurrences` times across the corpus is boilerplate
+    * (navigation, cookie banners, footers); every doc drops its
+    * copies except the deterministic owner's (the minimum doc id
+    * containing the line keeps its copies, so no content is lost
+    * corpus-wide — the keep-first rule C4's three-sentence dedup
+    * uses, made deterministic).
+    *
+    * Returns one row per doc: (id, text, n_lines, n_removed) with
+    * `text` rebuilt from the surviving lines in original order.
+    *
+    * Scale shape mirrors [[substringStats]]: lines explode narrowly
+    * in-task; the global line census aggregates by 64-bit line hash
+    * with map-side partial min/count (never shuffling line text);
+    * the join-back is by hash with AQE skew handling; the rebuild is
+    * one groupBy(id) whose sort_array keeps line order without a
+    * window. Degenerate hot lines (the empty line, "Home") are
+    * exactly why the census is by hash: their rows partial-aggregate
+    * to one per task before the exchange.
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+                 maxOccurrences: Long = 1L): DataFrame = {
+    require(maxOccurrences >= 1, s"maxOccurrences must be >= 1, got $maxOccurrences")
+    val lines = df
+      .select(col(idCol).as("id"),
+        posexplode(split(txt(col(textCol)), "\n")).as(Seq("lineno", "line")))
+      .withColumn("h", xxhash64(col("line")))
+    val census = lines
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("__n"), min(col("id")).as("__owner"))
+      .filter(col("__n") > maxOccurrences)
+    val kept = lines
+      .join(census, Seq("h"), "left")
+      .filter(col("__n").isNull || col("id") === col("__owner"))
+    kept
+      .groupBy(col("id"))
+      .agg(
+        concat_ws("\n",
+          transform(sort_array(collect_list(struct(col("lineno"), col("line")))),
+            s => s.getField("line"))).as("text"),
+        count(lit(1)).as("n_kept"))
+      .join(df.select(col(idCol).as("id"),
+        size(split(txt(col(textCol)), "\n")).cast("long").as("n_lines")),
+        Seq("id"), "right") // a doc that lost EVERY line stays, emptied
+      .select(col("id"), coalesce(col("text"), lit("")).as("text"), col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Repeated-substring statistics at k-token granularity — the
     * distributed re-expression of suffix-array substring dedup
     * (Lee et al. 2021, "Deduplicating Training Data Makes Language

@@ -81,7 +81,8 @@ object TextClean {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
-  private val UrlRe = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)\\??([^#]*)"
+  /** scheme://authority path ?query (fragment excluded by callers). */
+  val UrlRe = "^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)\\??([^#]*)"
 
   /** Decompose a URL column into struct(scheme, host, path, query,
     * domain, tld). `domain` is the registrable-suffix heuristic
@@ -100,6 +101,32 @@ object TextClean {
       regexp_extract(url, UrlRe, 4).as("query"),
       domain.as("domain"),
       regexp_extract(bare, "\\.([^.]+)$", 1).as("tld"))
+  }
+
+  /** Canonicalize a URL into its dedup key: drop the fragment,
+    * lowercase scheme and host, strip userinfo and the scheme's
+    * default port (:80 http / :443 https — a NON-default port stays),
+    * trim trailing slashes off the path (bare root stays "/"),
+    * and drop tracking query params (utm_*, gclid, fbclid, ref)
+    * preserving the order of the rest. Pure regexp/array exprs in the
+    * shared java.regex/RE2 dialect — codegen'd, oracle-reproducible.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val scheme = lower(regexp_extract(noFrag, UrlRe, 1))
+    val auth = lower(regexp_extract(noFrag, UrlRe, 2))
+    val hostport = regexp_extract(auth, "([^@]*@)?(.*)", 2)
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val trimmed = regexp_replace(regexp_extract(noFrag, UrlRe, 3), "/+$", "")
+    val path = when(trimmed === "", lit("/")).otherwise(trimmed)
+    val params = filter(split(regexp_extract(noFrag, UrlRe, 4), "&"), p =>
+      !(p.startsWith("utm_") || p.startsWith("gclid=") ||
+        p.startsWith("fbclid=") || p.startsWith("ref=") || p === ""))
+    val q = array_join(params, "&")
+    concat(scheme, lit("://"), host, path,
+      when(q === "", lit("")).otherwise(concat(lit("?"), q)))
   }
 
   /** Keep rows whose url's registrable domain is NOT in the blocklist

@@ -97,7 +97,75 @@ object TextCleanQueries extends QueryPack {
       | || CASE WHEN doc_id % 6 = 0 THEN '#sec' || CAST(doc_id % 3 AS VARCHAR) ELSE '' END"""
       .stripMargin.replace("\n", "")
 
+  /** URL with case/userinfo/port/trailing-slash/tracking-param/
+    * fragment variety for the canonicalization query.
+    */
+  private def messyUrl: Column = concat(
+    when(col("doc_id") % 4 === 0, lit("https"))
+      .when(col("doc_id") % 4 === 1, lit("HTTP"))
+      .when(col("doc_id") % 4 === 2, lit("http")).otherwise(lit("HTTPS")),
+    lit("://"),
+    when(col("doc_id") % 5 === 0, lit("User:Pw@")).otherwise(lit("")),
+    lit("WWW.Site"), (col("doc_id") % 30).cast("string"), lit(".Example.com"),
+    when(col("doc_id") % 3 === 0, lit(":443"))
+      .when(col("doc_id") % 3 === 1, lit(":80")).otherwise(lit(":8080")),
+    lit("/Path/"), (col("doc_id") % 20).cast("string"),
+    when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+    when(col("doc_id") % 2 === 0,
+      concat(lit("?utm_source=x&q="), (col("doc_id") % 7).cast("string"),
+        lit("&utm_medium=y&gclid=abc")))
+      .when(col("doc_id") % 3 === 0, lit("?ref=home")).otherwise(lit("")),
+    when(col("doc_id") % 6 === 0, lit("#frag")).otherwise(lit("")))
+
+  private val messyUrlSql: String =
+    """CASE WHEN doc_id % 4 = 0 THEN 'https' WHEN doc_id % 4 = 1 THEN 'HTTP'
+      |      WHEN doc_id % 4 = 2 THEN 'http' ELSE 'HTTPS' END
+      | || '://'
+      | || CASE WHEN doc_id % 5 = 0 THEN 'User:Pw@' ELSE '' END
+      | || 'WWW.Site' || CAST(doc_id % 30 AS VARCHAR) || '.Example.com'
+      | || CASE WHEN doc_id % 3 = 0 THEN ':443' WHEN doc_id % 3 = 1 THEN ':80' ELSE ':8080' END
+      | || '/Path/' || CAST(doc_id % 20 AS VARCHAR)
+      | || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+      | || CASE WHEN doc_id % 2 = 0
+      |        THEN '?utm_source=x&q=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_medium=y&gclid=abc'
+      |        WHEN doc_id % 3 = 0 THEN '?ref=home' ELSE '' END
+      | || CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END"""
+      .stripMargin.replace("\n", "")
+
+  /** Multi-line text: the doc body plus a corpus-wide footer, an
+    * every-other-doc banner, and a per-doc unique line.
+    */
+  private def multiLine: Column = concat(
+    coalesce(col("text"), lit("")), lit("\nCOMMON FOOTER\n"),
+    when(col("doc_id") % 2 === 0, lit("EVEN BANNER\n")).otherwise(lit("")),
+    lit("unique "), id)
+
+  private val multiLineSql: String =
+    """coalesce(text, '') || chr(10) || 'COMMON FOOTER' || chr(10)
+      | || CASE WHEN doc_id % 2 = 0 THEN 'EVEN BANNER' || chr(10) ELSE '' END
+      | || 'unique ' || CAST(doc_id AS VARCHAR)"""
+      .stripMargin.replace("\n", "")
+
   override val queries: Map[String, Q] = Map(
+
+    // URL canonicalization → dedup keys: per-row canonical form plus
+    // the corpus-level collapse count the dedup pass would key on.
+    "q_url_canon" -> { (s, dir) =>
+      tables(s, dir).documents
+        .filter(col("doc_id") <= 400)
+        .select(col("doc_id"), TextClean.canonicalizeUrl(messyUrl).as("canon"))
+        .orderBy(col("doc_id"))
+    },
+
+    // C4-style line-level dedup over synthesized multi-line docs:
+    // corpus-duplicated lines survive only in the min-id owner doc.
+    "q_line_dedup" -> { (s, dir) =>
+      val docs = tables(s, dir).documents
+        .select(col("doc_id"), multiLine.as("text"))
+      graft.dedup.Dedup.dedupLines(docs, "doc_id", "text")
+        .orderBy(col("id"))
+    },
+
     // PII redaction + per-family audit counts. Codegen'd regexp chain,
     // no shuffle besides the final presentation sort.
     "q_pii_redact" -> { (s, dir) =>
@@ -134,6 +202,51 @@ object TextCleanQueries extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_url_canon" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, $messyUrlSql AS url FROM documents WHERE doc_id <= 400),
+         |nf AS (SELECT doc_id, regexp_replace(url, '#.*', '', 'g') AS nf FROM u),
+         |parts AS (
+         |  SELECT doc_id,
+         |    lower(regexp_extract(nf, '${TextClean.UrlRe}', 1)) AS scheme,
+         |    regexp_extract(lower(regexp_extract(nf, '${TextClean.UrlRe}', 2)),
+         |                   '([^@]*@)?(.*)', 2) AS hostport,
+         |    regexp_extract(nf, '${TextClean.UrlRe}', 3) AS path0,
+         |    regexp_extract(nf, '${TextClean.UrlRe}', 4) AS q0
+         |  FROM nf),
+         |canon AS (
+         |  SELECT doc_id, scheme,
+         |    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$$', '')
+         |         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$$', '')
+         |         ELSE hostport END AS host,
+         |    CASE WHEN regexp_replace(path0, '/+$$', '') = '' THEN '/'
+         |         ELSE regexp_replace(path0, '/+$$', '') END AS path,
+         |    coalesce(array_to_string(list_filter(string_split(q0, '&'),
+         |      p -> NOT (starts_with(p, 'utm_') OR starts_with(p, 'gclid=')
+         |                OR starts_with(p, 'fbclid=') OR starts_with(p, 'ref=')
+         |                OR p = '')), '&'), '') AS q
+         |  FROM parts)
+         |SELECT doc_id,
+         |  scheme || '://' || host || path
+         |    || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon
+         |FROM canon ORDER BY doc_id""".stripMargin,
+    "q_line_dedup" ->
+      s"""WITH d AS (SELECT doc_id, $multiLineSql AS t FROM documents),
+         |ls AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d),
+         |l AS (SELECT doc_id, unnest(range(1, len(ls) + 1)) AS lineno,
+         |             unnest(ls) AS line FROM ls),
+         |census AS (SELECT line, min(doc_id) AS owner FROM l
+         |           GROUP BY line HAVING count(*) > 1),
+         |kept AS (SELECT l.doc_id, l.lineno, l.line
+         |         FROM l LEFT JOIN census ON l.line = census.line
+         |         WHERE census.line IS NULL OR l.doc_id = census.owner),
+         |reb AS (SELECT doc_id, array_to_string(list(line ORDER BY lineno), chr(10)) AS text,
+         |               count(*) AS n_kept
+         |        FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id AS id, coalesce(reb.text, '') AS text,
+         |  CAST(len(string_split(d.t, chr(10))) AS BIGINT) AS n_lines,
+         |  CAST(len(string_split(d.t, chr(10))) - coalesce(reb.n_kept, 0) AS BIGINT) AS n_removed
+         |FROM d LEFT JOIN reb ON d.doc_id = reb.doc_id ORDER BY id""".stripMargin,
     "q_pii_redact" ->
       s"""WITH dirty AS (
          |  SELECT doc_id, $dirtyPiiSql AS d FROM documents WHERE doc_id <= 400),

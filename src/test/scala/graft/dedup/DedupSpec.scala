@@ -207,6 +207,27 @@ class DedupSpec extends SparkSpec {
         "doc_id", "text", bench, "bench_text", k = 3))
   }
 
+  test("dedupLines: duplicated lines survive only in the min-id owner, order kept") {
+    val docs = Seq(
+      (1L, "alpha\nFOOTER\nbeta"),
+      (2L, "gamma\nFOOTER\ndelta"),
+      (3L, "FOOTER\nepsilon"),
+      (4L, "FOOTER")              // loses its only line -> emptied, still present
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("alpha\nFOOTER\nbeta", 3L, 0L))) // owner keeps it, in place
+    assert(out(2L) == (("gamma\ndelta", 3L, 1L)))
+    assert(out(3L) == (("epsilon", 2L, 1L)))
+    assert(out(4L) == (("", 1L, 1L)))
+    // maxOccurrences tolerance: a line on exactly 2 docs survives at max=2
+    val pair = Seq((1L, "x\nshared"), (2L, "shared\ny")).toDF("doc_id", "text")
+    val lenient = Dedup.dedupLines(pair, "doc_id", "text", maxOccurrences = 2L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lenient(1L) == "x\nshared" && lenient(2L) == "shared\ny")
+  }
+
   test("substringStats: cross-doc and within-doc repeats, overlap-union coverage") {
     val docs = Seq(
       (1L, "a b c d e f"),   // "a b c" shared with doc 2 at pos 0

@@ -83,6 +83,34 @@ class TextCleanSpec extends SparkSpec {
     assert(domain == "" && tld == "") // no registrable suffix on a bare label
   }
 
+  private def canon(s: String): String =
+    Seq(s).toDF("u").select(TextClean.canonicalizeUrl(col("u"))).as[String].head()
+
+  test("canonicalizeUrl: case, userinfo, default ports, slashes, tracking params, fragment") {
+    assert(canon("HTTPS://User:Pw@WWW.Site.COM:443/A/B/?utm_source=x&q=1&gclid=z#frag")
+      == "https://www.site.com/A/B?q=1")
+    // non-default port survives; default port for the OTHER scheme survives
+    assert(canon("http://h.com:8080/x") == "http://h.com:8080/x")
+    assert(canon("https://h.com:80/x") == "https://h.com:80/x")
+    assert(canon("http://h.com:80/x") == "http://h.com/x")
+    // bare host canonicalizes to the root path; all-tracking query drops the '?'
+    assert(canon("http://h.com") == "http://h.com/")
+    assert(canon("http://h.com/?utm_medium=a&ref=b") == "http://h.com/")
+    // path case is preserved (paths are case-sensitive)
+    assert(canon("http://h.com/CaseSensitive") == "http://h.com/CaseSensitive")
+  }
+
+  test("canonicalizeUrl is a dedup key: variants of one page collapse") {
+    val variants = Seq(
+      "https://www.example.com/page?utm_source=tw",
+      "HTTPS://www.Example.com:443/page",
+      "https://www.example.com/page/",
+      "https://www.example.com/page#sec2")
+    val keys = variants.toDF("u")
+      .select(TextClean.canonicalizeUrl(col("u"))).as[String].collect().toSet
+    assert(keys == Set("https://www.example.com/page"))
+  }
+
   test("filterByDomainBlocklist keys on the registrable domain, case-insensitive") {
     val df = Seq(
       "https://ads.Tracker.NET/x",     // blocked (domain tracker.net)
