@@ -37,6 +37,25 @@ object Splits {
     conv(substring(md5(concat_ws(":", lit(seed), key.cast("string"))), 1, 8), 16, 10)
       .cast("long")
 
+  /** Deterministic EXACT-quota stratified sample: for each stratum,
+    * the `n` rows with the smallest [[hashCoordinate]] (ties broken
+    * by key) — a uniform sample that is reproducible, exactly sized
+    * per stratum (where the stratum has ≥ n rows), and stable under
+    * repartitioning, unlike `sampleBy`'s probabilistic quotas. Adds
+    * `rank` (1-based within stratum). Scale shape: the rank filter
+    * plans as WindowGroupLimit, so each task prunes to its local
+    * top-n BEFORE the stratum shuffle — per-stratum traffic is
+    * O(n × tasks), not the stratum size.
+    */
+  def sampleQuota(df: DataFrame, strataCol: String, keyCol: String, n: Int,
+                  seed: String): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(hashCoordinate(col(keyCol), seed), col(keyCol))
+    df.withColumn("rank", row_number().over(w)).filter(col("rank") <= n)
+  }
+
   /** Adds `outCol` with the split label for each row: the label whose
     * [[thresholds]] interval contains [[hashCoordinate]](key, seed).
     */

@@ -143,6 +143,15 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("id"), col("term"))
     },
 
+    // exact-quota stratified sample: 20 docs per source stratum by
+    // smallest md5 coordinate — reproducible quotas, WindowGroupLimit.
+    "q_quota_sample" -> { (s, dir) =>
+      graft.operators.Splits.sampleQuota(
+          tables(s, dir).documents.select(col("doc_id"), col("source")),
+          "source", "doc_id", n = 20, seed = "quota")
+        .orderBy(col("source"), col("rank"))
+    },
+
     // deterministic md5-threshold split assignment — reshuffle-stable
     // train/valid/test labels, integer thresholds, no fp boundaries.
     "q_split_assign" -> { (s, dir) =>
@@ -783,6 +792,18 @@ object TextVectorQueries extends QueryPack {
         |  round(tf.tf * (ln((n.n + 1.0) / (dfreq.doc_freq + 1.0)) + 1.0), 6) AS tfidf
         |FROM tf JOIN dfreq USING (term) CROSS JOIN n
         |WHERE tf.id <= 30 ORDER BY id, term""".stripMargin,
+    "q_quota_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, source,
+        |    CAST(concat('0x', substr(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |         AS UBIGINT) AS h
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS INT) AS rank
+        |  FROM h)
+        |SELECT doc_id, source, rank FROM r WHERE rank <= 20
+        |ORDER BY source, rank""".stripMargin,
     "q_split_assign" -> {
       val t = graft.operators.Splits.thresholds(
         Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))

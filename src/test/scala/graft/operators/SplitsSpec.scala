@@ -48,6 +48,24 @@ class SplitsSpec extends SparkSpec {
       Seq(1L << 31, 1L << 32))
   }
 
+  test("sampleQuota: exact per-stratum quotas, partition-stable, group-limit planned") {
+    val df = (1L to 1000L).map(i => (i, s"s${i % 3}")).toDF("id", "stratum")
+    val out = Splits.sampleQuota(df, "stratum", "id", n = 10, seed = "q")
+    val counts = out.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(counts.values.toSet == Set(10L))
+    // reproducible across partitioning
+    val again = Splits.sampleQuota(df.repartition(17), "stratum", "id", 10, "q")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(again == out.select("id").as[Long].collect().sorted.toSeq)
+    // a stratum smaller than the quota keeps all its rows
+    val tiny = Splits.sampleQuota(Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "stratum"),
+      "stratum", "id", 5, "q")
+    assert(tiny.count() == 3)
+    // per-task pruning: the rank filter plans as a group limit
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
+  }
+
   test("guards: empty splits, non-positive weight, column collision") {
     val df = Seq(1L).toDF("id")
     intercept[IllegalArgumentException](Splits.thresholds(Nil))
