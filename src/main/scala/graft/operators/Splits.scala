@@ -37,6 +37,15 @@ object Splits {
     conv(substring(md5(concat_ws(":", lit(seed), key.cast("string"))), 1, 8), 16, 10)
       .cast("long")
 
+  /** Deterministic shard id in [0, numShards): the export-sharding
+    * companion of [[assignSplit]] — same md5 coordinate, so a row's
+    * shard never depends on partitioning or corpus size.
+    */
+  def assignShard(key: Column, numShards: Int, seed: String): Column = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    pmod(hashCoordinate(key, seed), lit(numShards.toLong))
+  }
+
   /** Deterministic EXACT-quota stratified sample: for each stratum,
     * the `n` rows with the smallest [[hashCoordinate]] (ties broken
     * by key) — a uniform sample that is reproducible, exactly sized

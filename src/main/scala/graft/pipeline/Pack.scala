@@ -38,4 +38,21 @@ object Pack {
         expr(s"(start_offset + n_tokens - 1) div $window").as("last_seq"))
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
   }
+
+  /** Sharded training-data export: each row lands in a deterministic
+    * shard ([[graft.operators.Splits.assignShard]] — stable under
+    * re-runs and repartitioning, so incremental jobs and their
+    * consumers agree on placement forever), written as one Hive-style
+    * `shard=K` directory per shard. The pre-write repartition ON the
+    * shard id means each shard's files come from one task — without
+    * it, every input task would open a writer per shard it touches
+    * (tasks × shards small files, the classic partitionBy blowup).
+    */
+  def writeShards(df: DataFrame, keyCol: String, numShards: Int, seed: String,
+                  outDir: String): Unit = {
+    df.withColumn("shard",
+        graft.operators.Splits.assignShard(col(keyCol), numShards, seed))
+      .repartition(numShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+  }
 }

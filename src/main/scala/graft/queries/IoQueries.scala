@@ -240,6 +240,24 @@ object IoQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("qty"))
     },
 
+    // deterministic sharded training-data export: md5-stable shard
+    // assignment → one shard=K dir per shard → read back and profile.
+    // The oracle recomputes every per-shard stat straight from the
+    // documents table, so the gate checks the written content.
+    "q_export_shards" -> { (s, dir) =>
+      val base = tmp(dir, "export_shards")
+      graft.pipeline.Pack.writeShards(
+        tables(s, dir).documents.select(col("doc_id"), col("text")),
+        "doc_id", numShards = 16, seed = "shard", outDir = base)
+      s.read.parquet(base)
+        .groupBy(col("shard").cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(graft.functions.TextFunctions.tokens(
+            coalesce(col("text"), lit(""))))).cast("long").as("n_tokens"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("shard"))
+    },
+
     // scio-smb: exchange-free join over bucketed+sorted tables
     // (bucket-pruned SMJ; no-Exchange plan asserted in SmbSpec). The
     // bucketed tables are written ONCE per (JVM, sf dir) — the bench's
@@ -389,6 +407,16 @@ object IoQueries extends QueryPack {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_smb_write" ->
       """SELECT count(*) AS n, round(sum(l_quantity), 2) AS qty FROM lineitem""",
+    "q_export_shards" ->
+      """WITH h AS (
+        |  SELECT doc_id, text,
+        |    CAST(CAST(concat('0x', substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |         AS UBIGINT) % 16 AS BIGINT) AS shard
+        |  FROM documents)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_split_to_array(trim(coalesce(text, '')), '\s+'))) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM h GROUP BY shard ORDER BY shard""".stripMargin,
     "q_large_lookup" ->
       """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
         |FROM orders LEFT JOIN customer ON o_custkey = c_custkey

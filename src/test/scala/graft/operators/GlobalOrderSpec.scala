@@ -42,6 +42,25 @@ class GlobalOrderSpec extends SparkSpec {
       Seq.empty[(Long, Int)].toDF("k", "w"), "k", col("w")).count() == 0L)
   }
 
+  test("writeShards: deterministic placement, one shard dir each, no file blowup") {
+    val docs = (1L to 2000L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val out = s"/tmp/graft_io/shards_spec_${java.util.UUID.randomUUID()}"
+    Pack.writeShards(docs, "doc_id", numShards = 8, seed = "s", outDir = out)
+    val back = spark.read.parquet(out)
+    assert(back.count() == 2000)
+    // every doc in exactly the shard assignShard says, regardless of layout
+    val expect = docs.withColumn("shard", Splits.assignShard(col("doc_id"), 8, "s"))
+    assert(back.select(col("doc_id"), col("shard").cast("long"))
+      .except(expect.select(col("doc_id"), col("shard"))).count() == 0)
+    // 8 shard dirs; repartition-on-shard keeps it to ~one file per shard
+    val dirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("shard="))
+    assert(dirs.length == 8)
+    dirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length <= 2, s"${d.getName} fragmented into ${files.length} files")
+    }
+  }
+
   test("sequenceSpans packs docs contiguously into fixed windows") {
     val docs = Seq(
       (1L, "a b c d e"),      // offset 0, tokens 5  -> seq 0

@@ -154,6 +154,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"product join in substring dedup:\n$p")
   }
 
+  test("q_line_dedup: census partial-aggregates; rebuild has no window; no product join") {
+    val p = plan("q_line_dedup")
+    assert(p.contains("partial_"), s"line census lacks map-side partial agg:\n$p")
+    assert(!p.contains("Window"), s"rebuild planned a window (sort_array should):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"product join in line dedup:\n$p")
+  }
+
   test("q_split_assign and q_tfidf stay codegen'd: no UDF anywhere") {
     Seq("q_split_assign", "q_tfidf").foreach { q =>
       val p = plan(q)
