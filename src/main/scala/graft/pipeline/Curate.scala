@@ -10,9 +10,11 @@ import graft.functions.TextFunctions.{qualityStruct, tokenCounts}
 /** End-to-end training-data curation — the composition the library
   * exists for, wired from its own operators:
   *
+  *   (optional) PII redaction → (optional) line-level dedup →
   *   quality gate → (optional) repetition gate → exact content dedup →
-  *   (optional) MinHash near-dup dedup → (optional) benchmark
-  *   decontamination → token accounting
+  *   (optional) MinHash near-dup dedup → (optional) substring-
+  *   duplication gate → (optional) benchmark decontamination →
+  *   token accounting → (optional) split assignment
   *
   * Every stage is declarative, so Catalyst plans the whole pipeline as
   * one DAG: the quality filter pushes onto the scan, exact dedup is a
@@ -45,15 +47,50 @@ object Curate {
     *                   LAST so the shipped corpus is clean); None → off.
     * @param benchTextCol text column in `benchmark`.
     * @param decontamK  shingle width for decontamination overlap.
+    * @param redactPii  rewrite the text through
+    *                   [[graft.functions.TextClean.redactPii]] FIRST,
+    *                   so every downstream hash/shingle sees the
+    *                   redacted form (two near-identical docs that
+    *                   differ only in embedded PII dedup together).
+    * @param lineDedupMaxOcc  drop corpus-duplicated lines (C4-style
+    *                   boilerplate removal, [[graft.dedup.Dedup
+    *                   .dedupLines]]) before quality scoring; None → off.
+    * @param maxSubstrDupFrac  drop docs whose duplicated-substring
+    *                   coverage ([[graft.dedup.Dedup.substringStats]]
+    *                   `dup_fraction`) exceeds this; None → off.
+    * @param substrK    k-gram width for the substring gate.
+    * @param split      append a deterministic `split` label column
+    *                   ([[graft.operators.Splits.assignSplit]]) as
+    *                   (weights, seed); None → no column.
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              minTokens: Long = 10L, minAlpha: Double = 0.5,
              nearDup: Boolean = true,
              maxDupGramFrac: Option[Double] = None, repetitionN: Int = 2,
              benchmark: Option[DataFrame] = None, benchTextCol: String = "text",
-             decontamK: Int = 13): DataFrame = {
+             decontamK: Int = 13,
+             redactPii: Boolean = false,
+             lineDedupMaxOcc: Option[Long] = None,
+             maxSubstrDupFrac: Option[Double] = None, substrK: Int = 8,
+             split: Option[(Seq[(String, Double)], String)] = None): DataFrame = {
+    val redacted =
+      if (!redactPii) docs
+      else docs.withColumn(textCol,
+        graft.functions.TextClean.redactPii(col(textCol)))
+    val lined = lineDedupMaxOcc match {
+      case Some(maxOcc) =>
+        // dedupLines rebuilds text on (id, text) only; join the
+        // rebuilt text back onto the full row (other columns survive)
+        val rebuilt = Dedup.dedupLines(redacted, idCol, textCol, maxOcc)
+          .select(col("id").as("__ld_id"), col("text").as("__ld_text"))
+        redacted.drop(textCol)
+          .join(rebuilt, col(idCol) === col("__ld_id"))
+          .withColumn(textCol, col("__ld_text"))
+          .drop("__ld_id", "__ld_text")
+      case None => redacted
+    }
     val q = qualityStruct(col(textCol))
-    val qualityGated = docs
+    val qualityGated = lined
       .withColumn("__q", q)
       .filter(col("__q").getField("n_tokens") >= minTokens &&
         col("__q").getField("alpha_ratio") >= minAlpha)
@@ -91,19 +128,33 @@ object Curate {
           .filter(col("keep")).select(col("id").as(idCol))
         shared.join(reps, Seq(idCol), "left_semi")
       }
+    val calmed = maxSubstrDupFrac match {
+      case Some(t) =>
+        val shared = deduped.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val keep = Dedup.substringStats(shared, idCol, textCol, substrK)
+          .filter(col("dup_fraction") <= t).select(col("id").as(idCol))
+        shared.join(keep, Seq(idCol), "left_semi")
+      case None => deduped
+    }
     val clean = benchmark match {
       case Some(b) =>
-        val shared = deduped.persist(
+        val shared = calmed.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         Dedup.decontaminate(shared, idCol, textCol, b, benchTextCol, decontamK)
           .filter(!col("contaminated")).drop("contaminated")
-      case None => deduped
+      case None => calmed
     }
     val tc = tokenCounts(col(textCol))
-    clean
+    val counted = clean
       .withColumn("__tc", tc)
       .withColumn("n_tokens", col("__tc").getField("n_ws_tokens"))
       .withColumn("n_bpe_est", col("__tc").getField("n_bpe_est"))
       .drop("__tc")
+    split match {
+      case Some((weights, seed)) =>
+        graft.operators.Splits.assignSplit(counted, idCol, weights, seed)
+      case None => counted
+    }
   }
 }

@@ -56,6 +56,48 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(loose.count() == 4)
   }
 
+  test("curate: r10 stages — redaction, line dedup, substring gate, split labels") {
+    val corpus = Seq(
+      // near-identical pair differing ONLY in embedded PII: redaction
+      // must make them dedup together (one survivor)
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mail a@x.com here"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa mail b@y.org here"),
+      // boilerplate FOOTER line on several docs: line dedup strips it
+      // from non-owners before quality scoring
+      (3L, "one two three four five six seven eight nine ten\nSHARED FOOTER LINE HERE NOW"),
+      (4L, "ichi ni san shi go roku nana hachi kyu ju\nSHARED FOOTER LINE HERE NOW"),
+      // heavily self-repeating doc: substring gate drops it
+      (5L, ("spam ham " * 20).trim),
+      // clean doc
+      (6L, "clean doc with plenty of distinct words to pass every quality gate easily today")
+    ).toDF("doc_id", "text")
+    val out = Curate.curate(corpus, "doc_id", "text",
+      minTokens = 5L, minAlpha = 0.5, nearDup = false,
+      redactPii = true, lineDedupMaxOcc = Some(1L),
+      maxSubstrDupFrac = Some(0.5), substrK = 4,
+      split = Some((Seq("train" -> 0.9, "valid" -> 0.1), "seed"))).cache()
+    try {
+      val ids = out.select("doc_id").as[Long].collect().toSet
+      assert(!(ids.contains(1L) && ids.contains(2L)),
+        s"redacted twins both survived: $ids") // one of 1/2 deduped away
+      assert(ids.contains(1L) || ids.contains(2L))
+      assert(ids.contains(3L) && ids.contains(4L) && ids.contains(6L))
+      assert(!ids.contains(5L), s"self-repeating doc survived the substring gate: $ids")
+      // PII never ships
+      assert(out.filter(col("text").contains("@x.com") || col("text").contains("@y.org"))
+        .count() == 0L)
+      assert(out.filter(col("text").contains("<EMAIL>")).count() <= 1)
+      // the footer line survives only in its min-id owner (doc 3)
+      val t4 = out.filter(col("doc_id") === 4L).select("text").as[String].head()
+      assert(!t4.contains("SHARED FOOTER"), s"non-owner kept the boilerplate line: $t4")
+      val t3 = out.filter(col("doc_id") === 3L).select("text").as[String].head()
+      assert(t3.contains("SHARED FOOTER"))
+      // split labels present and from the declared set
+      assert(out.select("split").distinct().as[String].collect().toSet.subsetOf(
+        Set("train", "valid")))
+    } finally out.unpersist()
+  }
+
   test("curated corpus ships as TFRecord shards and reads back intact") {
     val curated = Curate.curate(docs, "doc_id", "text", nearDup = true)
     val path = "/tmp/graft_test/pipeline_tfrecord"
