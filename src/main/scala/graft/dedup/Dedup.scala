@@ -393,6 +393,32 @@ object Dedup {
       .drop("__contam_id")
   }
 
+  /** Incremental corpus diff between two crawls/snapshots: per id,
+    * whether the doc was added, removed, changed (content hash
+    * differs) or unchanged — the audit table an incremental curation
+    * run keys its re-processing on (only `added`/`changed` docs need
+    * re-scoring; `removed` ids need tombstones downstream).
+    *
+    * One full outer join on id over md5-projected sides: the hash is
+    * computed in the scan projection, so the shuffle carries (id,
+    * 32-hex) rows, never document text. AQE handles size asymmetry
+    * (a small delta crawl broadcasts).
+    */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
+                 idCol: String, textCol: String): DataFrame = {
+    def hashed(d: DataFrame, side: String) =
+      d.select(col(idCol).as(s"__${side}_id"),
+        md5(txt(col(textCol))).as(s"__${side}_h"))
+    hashed(oldDf, "old")
+      .join(hashed(newDf, "new"), col("__old_id") === col("__new_id"), "full_outer")
+      .select(
+        coalesce(col("__old_id"), col("__new_id")).as("id"),
+        when(col("__old_id").isNull, "added")
+          .when(col("__new_id").isNull, "removed")
+          .when(col("__old_h") === col("__new_h"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** C4-style line-level dedup: a LINE occurring more than
     * `maxOccurrences` times across the corpus is boilerplate
     * (navigation, cookie banners, footers); every doc drops its

@@ -157,6 +157,24 @@ object TextCleanQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // incremental corpus diff: the "new crawl" drops every 10th doc,
+    // edits every 7th, and adds shifted ids for every 13th — each
+    // reconstruction deterministic in both engines.
+    "q_corpus_diff" -> { (s, dir) =>
+      val docs = tables(s, dir).documents
+      val newCrawl = docs
+        .filter(col("doc_id") % 10 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, concat(coalesce(col("text"), lit("")), lit(" edited")))
+            .otherwise(col("text")).as("text"))
+        .union(docs.filter(col("doc_id") % 13 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      graft.dedup.Dedup.corpusDiff(docs, newCrawl, "doc_id", "text")
+        .groupBy(col("status")).agg(count(lit(1)).as("n"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .orderBy(col("status"))
+    },
+
     // C4-style line-level dedup over synthesized multi-line docs:
     // corpus-duplicated lines survive only in the min-id owner doc.
     "q_line_dedup" -> { (s, dir) =>
@@ -230,6 +248,24 @@ object TextCleanQueries extends QueryPack {
          |  scheme || '://' || host || path
          |    || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canon
          |FROM canon ORDER BY doc_id""".stripMargin,
+    "q_corpus_diff" ->
+      """WITH old AS (SELECT doc_id, md5(coalesce(text, '')) AS h FROM documents),
+        |newc AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 7 = 0 THEN coalesce(text, '') || ' edited'
+        |             ELSE coalesce(text, '') END) AS h
+        |  FROM documents WHERE doc_id % 10 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, md5(coalesce(text, '')) AS h
+        |  FROM documents WHERE doc_id % 13 = 0),
+        |j AS (
+        |  SELECT coalesce(old.doc_id, newc.doc_id) AS id,
+        |    CASE WHEN old.doc_id IS NULL THEN 'added'
+        |         WHEN newc.doc_id IS NULL THEN 'removed'
+        |         WHEN old.h = newc.h THEN 'unchanged' ELSE 'changed' END AS status
+        |  FROM old FULL OUTER JOIN newc ON old.doc_id = newc.doc_id)
+        |SELECT status, count(*) AS n, min(id) AS min_id, max(id) AS max_id
+        |FROM j GROUP BY status ORDER BY status""".stripMargin,
     "q_line_dedup" ->
       s"""WITH d AS (SELECT doc_id, $multiLineSql AS t FROM documents),
          |ls AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d),

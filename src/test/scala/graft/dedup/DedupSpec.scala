@@ -207,6 +207,18 @@ class DedupSpec extends SparkSpec {
         "doc_id", "text", bench, "bench_text", k = 3))
   }
 
+  test("corpusDiff labels added/removed/changed/unchanged per id") {
+    val old = Seq((1L, "same"), (2L, "before"), (3L, "gone"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val neu = Seq((1L, "same"), (2L, "after"), (5L, "fresh"), (4L, ""))
+      .toDF("doc_id", "text")
+    val out = Dedup.corpusDiff(old, neu, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", // null and "" hash alike by the null-text contract
+      5L -> "added"))
+  }
+
   test("dedupLines: duplicated lines survive only in the min-id owner, order kept") {
     val docs = Seq(
       (1L, "alpha\nFOOTER\nbeta"),
