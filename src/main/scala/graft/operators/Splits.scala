@@ -59,6 +59,8 @@ object Splits {
   def sampleQuota(df: DataFrame, strataCol: String, keyCol: String, n: Int,
                   seed: String): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    require(!df.columns.contains("rank"),
+      "input already has a 'rank' column; rename it before sampleQuota")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(strataCol))
       .orderBy(hashCoordinate(col(keyCol), seed), col(keyCol))

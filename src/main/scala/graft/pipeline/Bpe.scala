@@ -142,9 +142,14 @@ object Bpe {
     * order, each word closed by an [[EndOfWord]]-suffixed piece) and
     * `n_pieces: long`. The merge table broadcasts; each partition
     * memoizes word→pieces, so repeated words (the overwhelming bulk
-    * of a real corpus) encode once per partition.
+    * of a real corpus) encode once per partition. `idCol` must be
+    * numeric (it rides the typed encode row as a long; re-key
+    * string-id corpora via [[graft.operators.GlobalOrder.zipWithGlobalIndex]] first —
+    * a non-castable id fails loudly here, not silently).
     */
   def encode(df: DataFrame, idCol: String, textCol: String, model: Model): DataFrame = {
+    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"idCol '$idCol' must be numeric for encode; zipWithGlobalIndex string-keyed corpora first")
     val spark = df.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model.rank)
