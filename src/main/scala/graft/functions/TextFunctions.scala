@@ -100,6 +100,19 @@ object TextFunctions {
       s => array_join(slice(toks, s, lit(chunkSize)), " "))
   }
 
+  /** Sentence segmentation: maximal runs of non-terminator text with
+    * their closing .!? run attached, trimmed, empties dropped. The
+    * pattern deliberately avoids lookbehind (java.regex-only) so the
+    * exact same text runs in RE2 oracles/tooling — the cost is that
+    * abbreviation dots ("e.g.") split like sentence ends, the
+    * standard trade of regex segmenters. Null/empty → empty array.
+    */
+  def sentences(text: Column): Column =
+    filter(
+      transform(regexp_extract_all(coalesce(text, lit("")),
+        lit("[^.!?]+[.!?]*"), lit(0)), s => trim(s)),
+      s => s =!= "")
+
   /** Exact Jaccard similarity of two token/shingle arrays (as sets). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -484,6 +484,18 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // sentence segmentation over synthesized punctuated text.
+    "q_sentences" -> { (s, dir) =>
+      val punctuated = concat(coalesce(col("text"), lit("")),
+        lit(". Extra one for doc "), col("doc_id").cast("string"),
+        lit("! And a question? Trailing tail"))
+      tables(s, dir).documents
+        .filter(col("doc_id") <= 200)
+        .select(col("doc_id"),
+          posexplode(TextFunctions.sentences(punctuated)).as(Seq("idx", "sentence")))
+        .orderBy(col("doc_id"), col("idx"))
+    },
+
     // overlapping character chunks — context-window prep, oracle-checked.
     "q_chunk_chars" -> { (s, dir) =>
       tables(s, dir).documents
@@ -747,6 +759,19 @@ object TextVectorQueries extends QueryPack {
         |  len(string_split(trim(text), ' ')) AS n_ws_tokens,
         |  CAST(list_sum([CAST(ceil(len(x) / 4.0) AS BIGINT) FOR x IN string_split(trim(text), ' ')]) AS BIGINT) AS n_bpe_est
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_sentences" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    coalesce(text, '') || '. Extra one for doc ' || CAST(doc_id AS VARCHAR)
+        |      || '! And a question? Trailing tail' AS t
+        |  FROM documents WHERE doc_id <= 200),
+        |sl AS (
+        |  SELECT doc_id,
+        |    list_filter(list_transform(regexp_extract_all(t, '[^.!?]+[.!?]*'),
+        |      s -> trim(s)), s -> s <> '') AS ss
+        |  FROM d)
+        |SELECT doc_id, CAST(unnest(range(0, len(ss))) AS INT) AS idx, unnest(ss) AS sentence
+        |FROM sl ORDER BY doc_id, idx""".stripMargin,
     // chunk starts are 1 + k*step, so chunk_idx = (start-1)/step
     // reproduces posexplode's 0-based index exactly.
     "q_chunk_chars" ->

@@ -102,6 +102,20 @@ class TextSpec extends SparkSpec {
     assert(out(3L) == Seq(""))
   }
 
+  test("sentences: terminator-attached segments, trimmed, empties dropped") {
+    import spark.implicits._
+    def seg(s: String): Seq[String] =
+      Seq(s).toDF("t").select(TextFunctions.sentences(org.apache.spark.sql.functions.col("t")))
+        .as[Seq[String]].head()
+    assert(seg("One two. Three!  Four? five") == Seq("One two.", "Three!", "Four?", "five"))
+    assert(seg("No terminator at all") == Seq("No terminator at all"))
+    assert(seg("Ellipsis... then more.") == Seq("Ellipsis...", "then more."))
+    assert(seg("") == Seq.empty)
+    // pure-terminator text has no sentence content (the pattern needs
+    // at least one non-terminator char) — identical in the RE2 oracle
+    assert(seg("...") == Seq.empty)
+  }
+
   test("chunk functions validate size/overlap arguments") {
     intercept[IllegalArgumentException](TextFunctions.chunkChars(col("t"), 0, 0))
     intercept[IllegalArgumentException](TextFunctions.chunkChars(col("t"), 4, 4))
