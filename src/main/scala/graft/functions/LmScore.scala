@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import TextFunctions.tokens
+
+/** Corpus-LM quality scoring (the CCNet recipe, unigram form): score
+  * each document by its mean negative log-probability under a
+  * Laplace-smoothed unigram model TRAINED ON THE CORPUS ITSELF —
+  * documents whose word distribution diverges from the corpus (spam,
+  * gibberish, wrong-language fragments) score high and get filtered
+  * or bucketed (CCNet's head/middle/tail split).
+  *
+  * p(w) = (n_w + α) / (T + α(V + 1)), with the +1 pooling every
+  * unseen word into one OOV bucket — well-defined on docs the model
+  * never saw (the score is also usable cross-corpus: train once,
+  * score a different crawl).
+  *
+  * Scale shape mirrors [[Tfidf]]: one (doc, term) explode with
+  * map-side partial counts for training; scoring joins doc-term rows
+  * back against the vocabulary-sized count table (AQE broadcasts it)
+  * and aggregates per doc. Corpus constants T and V come from one
+  * two-number agg to the driver.
+  */
+object LmScore {
+
+  /** Per-doc unigram score: (id, n_tokens, avg_nll) where avg_nll =
+    * −(1/n)·Σ ln p(wᵢ) — lower is more corpus-typical. Rounded to
+    * 6 dp (sum order across engines differs in the last ulps).
+    */
+  def unigram(df: DataFrame, idCol: String, textCol: String,
+              alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val terms = df
+      .select(col(idCol).as("id"),
+        explode(tokens(coalesce(col(textCol), lit("")))).as("term"))
+      .filter(length(col("term")) > 0)
+    val vocab = terms.groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val Array(t, v) = vocab.agg(sum(col("n")), count(lit(1)))
+      .collect()(0).toSeq.map(x => Option(x).map(_.toString.toLong).getOrElse(0L)).toArray
+    val denom = t + alpha * (v + 1)
+    val scored = terms
+      .join(vocab, Seq("term")) // self-trained: every term is in-vocab
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        round(-avg(log((col("n") + alpha) / denom)), 6).as("avg_nll"))
+    // token-less docs are exactly what a quality filter must see:
+    // keep them, scoreless (null avg_nll), instead of dropping them
+    df.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("avg_nll"))
+  }
+}

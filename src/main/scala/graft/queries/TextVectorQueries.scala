@@ -133,6 +133,14 @@ object TextVectorQueries extends QueryPack {
           min(col("keeper")).as("first_keeper"))
     },
 
+    // CCNet-style unigram-LM quality score: corpus-trained smoothed
+    // word probabilities → per-doc mean negative log-likelihood.
+    "q_lm_score" -> { (s, dir) =>
+      graft.functions.LmScore.unigram(tables(s, dir).documents, "doc_id", "text")
+        .filter(col("id") <= 300)
+        .orderBy(col("id"))
+    },
+
     // TF-IDF term weighting: corpus-wide doc frequencies, smoothed
     // idf, output restricted to a doc window after the global pass.
     "q_tfidf" -> { (s, dir) =>
@@ -804,6 +812,21 @@ object TextVectorQueries extends QueryPack {
         |WHERE doc_id % 37 <> 0
         |  AND s IN (SELECT s FROM sh WHERE doc_id % 37 = 0)
         |ORDER BY doc_id""".stripMargin,
+    "q_lm_score" ->
+      """WITH terms AS (
+        |  SELECT doc_id AS id,
+        |    unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS term
+        |  FROM documents),
+        |t2 AS (SELECT id, term FROM terms WHERE len(term) > 0),
+        |vocab AS (SELECT term, count(*) AS n FROM t2 GROUP BY term),
+        |c AS (SELECT CAST(sum(n) AS DOUBLE) AS t, CAST(count(*) AS DOUBLE) AS v FROM vocab),
+        |scored AS (
+        |  SELECT id, count(*) AS n_tokens,
+        |    round(-avg(ln((n + 1.0) / (t + 1.0 * (v + 1)))), 6) AS avg_nll
+        |  FROM t2 JOIN vocab USING (term) CROSS JOIN c GROUP BY id)
+        |SELECT d.doc_id AS id, coalesce(s.n_tokens, 0) AS n_tokens, s.avg_nll
+        |FROM documents d LEFT JOIN scored s ON d.doc_id = s.id
+        |WHERE d.doc_id <= 300 ORDER BY id""".stripMargin,
     "q_tfidf" ->
       """WITH terms AS (
         |  SELECT doc_id AS id,

@@ -1,0 +1,39 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LmScoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("unigram matches hand arithmetic; atypical docs score higher") {
+    val docs = Seq(
+      (1L, "a a b"), // corpus-typical
+      (2L, "a b"),
+      (3L, "z")      // rare word -> highest nll
+    ).toDF("doc_id", "text")
+    // counts: a=3, b=2, z=1; T=6, V=3; denom = 6 + 1*(3+1) = 10
+    def p(n: Long) = (n + 1.0) / 10.0
+    val out = LmScore.unigram(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 == 3L)
+    assert(math.abs(out(1L)._2 - (-(2 * math.log(p(3)) + math.log(p(2))) / 3)) < 1e-6)
+    assert(math.abs(out(3L)._2 - (-math.log(p(1)))) < 1e-6)
+    assert(out(3L)._2 > out(1L)._2 && out(3L)._2 > out(2L)._2)
+  }
+
+  test("token-less docs stay in the output, scoreless") {
+    val docs = Seq((1L, "word word"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = LmScore.unigram(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.isNullAt(2)))).toMap
+    assert(out(1L) == ((2L, false)))
+    assert(out(2L) == ((0L, true)))
+    assert(out(3L) == ((0L, true)))
+  }
+
+  test("alpha must be positive") {
+    intercept[IllegalArgumentException](
+      LmScore.unigram(Seq((1L, "x")).toDF("doc_id", "text"), "doc_id", "text", alpha = 0.0))
+  }
+}
