@@ -39,6 +39,35 @@ object Pack {
       .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
   }
 
+  /** Materialize the packed sequences themselves: every token of
+    * every doc, placed at its global position (doc offset + local
+    * index) and grouped into fixed `window`-token sequences — the
+    * rows a pretraining data loader consumes. The final sequence may
+    * be shorter than `window`; no padding (the loader pads).
+    *
+    * Scale shape: the token array rides THROUGH the prefix-sum (one
+    * balanced shuffle) so tokens explode narrowly after it with their
+    * doc offset already attached — no second join; then one shuffle
+    * groups by sequence id, and sort_array orders tokens in-place
+    * (no window function). Sequence rows are bounded by `window`
+    * tokens each, so the final aggregation state is small and even.
+    */
+  def packedSequences(df: DataFrame, idCol: String, textCol: String,
+                      window: Int, numBuckets: Int = 1024): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val counted = df.select(col(idCol).as("id"),
+      tokens(coalesce(col(textCol), lit(""))).as("__toks"))
+      .withColumn("__n", size(col("__toks")).cast("long"))
+    GlobalOrder.withGlobalOffset(counted, "id", col("__n"),
+        offsetCol = "__off", numBuckets = numBuckets)
+      .select(col("__off"), posexplode(col("__toks")).as(Seq("__j", "__tok")))
+      .select((col("__off") + col("__j")).as("pos"), col("__tok"))
+      .groupBy(expr(s"pos div $window").as("seq_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        array_join(transform(sort_array(collect_list(struct(col("pos"), col("__tok")))),
+          s => s.getField("__tok")), " ").as("text"))
+  }
+
   /** Sharded training-data export: each row lands in a deterministic
     * shard ([[graft.operators.Splits.assignShard]] — stable under
     * re-runs and repartitioning, so incremental jobs and their

@@ -209,6 +209,14 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // the packed sequences themselves: every corpus token at its
+    // global position, grouped into 512-token training rows.
+    "q_pack_export" -> { (s, dir) =>
+      graft.pipeline.Pack.packedSequences(tables(s, dir).documents, "doc_id", "text",
+          window = 512)
+        .orderBy(col("seq_id"))
+    },
+
     // repeated-substring (k-gram) coverage per doc — suffix-array-
     // style substring dedup re-expressed distributed; oracle-checked
     // (dup identity is hash-independent: a gram is duplicated iff its
@@ -887,6 +895,23 @@ object TextVectorQueries extends QueryPack {
         |  (start_offset + n_tokens - 1) // 256 AS last_seq,
         |  (start_offset + n_tokens - 1) // 256 - start_offset // 256 + 1 AS n_seqs
         |FROM o ORDER BY id""".stripMargin,
+    "q_pack_export" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |    regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS toks
+        |  FROM documents),
+        |o AS (
+        |  SELECT id, toks,
+        |    CAST(coalesce(sum(len(toks)) OVER
+        |      (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS off
+        |  FROM t),
+        |tok AS (
+        |  SELECT id, off + unnest(range(0, len(toks))) AS pos, unnest(toks) AS tk
+        |  FROM o)
+        |SELECT pos // 512 AS seq_id, count(*) AS n_tokens,
+        |  array_to_string(list(tk ORDER BY pos), ' ') AS text
+        |FROM tok GROUP BY 1 ORDER BY seq_id""".stripMargin,
     "q_substr_dup" ->
       """WITH tok AS (
         |  SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t

@@ -42,6 +42,21 @@ class GlobalOrderSpec extends SparkSpec {
       Seq.empty[(Long, Int)].toDF("k", "w"), "k", col("w")).count() == 0L)
   }
 
+  test("packedSequences: the token stream re-concatenates exactly, windows full") {
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "f g h"), (3L, "i j k l m n o p q r s t")
+    ).toDF("doc_id", "text")
+    val seqs = Pack.packedSequences(docs, "doc_id", "text", window = 8)
+      .orderBy("seq_id")
+      .select("seq_id", "n_tokens", "text").as[(Long, Long, String)].collect().toSeq
+    // 20 tokens at window 8 -> sequences of 8, 8, 4
+    assert(seqs.map(_._2) == Seq(8L, 8L, 4L))
+    assert(seqs.map(_._1) == Seq(0L, 1L, 2L))
+    // doc 2 straddles nothing, doc 3 straddles seqs 1..2; the stream
+    // reads back exactly as the docs concatenated in id order
+    assert(seqs.map(_._3).mkString(" ") == "a b c d e f g h i j k l m n o p q r s t")
+  }
+
   test("writeShards: deterministic placement, one shard dir each, no file blowup") {
     val docs = (1L to 2000L).map(i => (i, s"text $i")).toDF("doc_id", "text")
     val out = s"/tmp/graft_io/shards_spec_${java.util.UUID.randomUUID()}"
