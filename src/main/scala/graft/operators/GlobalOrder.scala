@@ -46,13 +46,21 @@ object GlobalOrder {
     require(!df.columns.contains(offsetCol),
       s"input already has a '$offsetCol' column; pass a different offsetCol")
     val k = col(orderCol).cast("double")
-    val Array(mn, mx, n, nd) = df
-      .agg(min(k), max(k), count(lit(1)), countDistinct(col(orderCol)))
-      .collect()(0).toSeq.toArray // 1-row agg: bounds + uniqueness probe
+    // one probe agg: bounds, uniqueness, and the two key pathologies
+    // that would otherwise DROP rows silently (null keys never join a
+    // bucket; NaN poisons floor() into a null bucket)
+    val Array(mn, mx, n, nd, nNull, nNan) = df
+      .agg(min(k), max(k), count(lit(1)), countDistinct(col(orderCol)),
+        count(when(k.isNull, 1)), count(when(isnan(k), 1)))
+      .collect()(0).toSeq.toArray
     val (lo, hi, total) =
       (Option(mn).map(_.toString.toDouble).getOrElse(0.0),
         Option(mx).map(_.toString.toDouble).getOrElse(0.0),
         n.toString.toLong)
+    require(nNull.toString.toLong == 0,
+      s"orderCol '$orderCol' has ${nNull} null keys; the global order is undefined for them")
+    require(nNan.toString.toLong == 0,
+      s"orderCol '$orderCol' has ${nNan} NaN keys; the global order is undefined for them")
     require(nd.toString.toLong == total,
       s"orderCol '$orderCol' has duplicate values (${total - nd.toString.toLong} collisions); " +
         "the global prefix sum needs a unique order key")

@@ -28,11 +28,18 @@ class GlobalOrderSpec extends SparkSpec {
     assert(idx == Seq(0L, 1L, 2L, 3L))
   }
 
-  test("duplicate order keys fail loudly") {
+  test("duplicate, null, and NaN order keys fail loudly (never dropped)") {
     val df = Seq((1L, 1), (1L, 2), (2L, 3)).toDF("k", "w")
     val e = intercept[IllegalArgumentException](
       GlobalOrder.withGlobalOffset(df, "k", col("w")))
     assert(e.getMessage.contains("duplicate"))
+    val withNull = Seq((java.lang.Long.valueOf(1L), 1), (null.asInstanceOf[java.lang.Long], 2))
+      .toDF("k", "w")
+    assert(intercept[IllegalArgumentException](
+      GlobalOrder.withGlobalOffset(withNull, "k", col("w"))).getMessage.contains("null"))
+    val withNan = Seq((1.0, 1), (Double.NaN, 2)).toDF("k", "w")
+    assert(intercept[IllegalArgumentException](
+      GlobalOrder.withGlobalOffset(withNan, "k", col("w"))).getMessage.contains("NaN"))
   }
 
   test("single row and empty input") {
