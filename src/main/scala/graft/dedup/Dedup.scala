@@ -406,9 +406,17 @@ object Dedup {
     */
   def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
                  idCol: String, textCol: String): DataFrame = {
-    def hashed(d: DataFrame, side: String) =
+    def hashed(d: DataFrame, side: String) = {
+      // a duplicate id would fan the full outer join out into
+      // contradictory status rows (one 'changed' AND one 'unchanged'
+      // for the same doc) — reject loudly, like GlobalOrder's keys
+      val Array(n, nd) = d.agg(count(lit(1)), countDistinct(col(idCol)))
+        .collect()(0).toSeq.map(_.toString.toLong).toArray
+      require(n == nd,
+        s"$side snapshot has ${n - nd} duplicate '$idCol' ids; corpusDiff needs one row per id")
       d.select(col(idCol).as(s"__${side}_id"),
         md5(txt(col(textCol))).as(s"__${side}_h"))
+    }
     hashed(oldDf, "old")
       .join(hashed(newDf, "new"), col("__old_id") === col("__new_id"), "full_outer")
       .select(

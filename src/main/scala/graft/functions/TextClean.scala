@@ -23,9 +23,14 @@ object TextClean {
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 
   /** North-American-style phone numbers: optional +1/1 prefix,
-    * 3-3-4 groups with ., -, space or nothing between them, optional
-    * parens on the area code. Anchored on non-digit boundaries so
-    * arbitrary long digit runs (ids, hashes) are not redacted.
+    * optional parens on the area code, an optional separator after
+    * it, and a MANDATORY ., - or space before the last 4 digits —
+    * that final separator is the guard that keeps arbitrary 10+-digit
+    * runs (ids, hashes, timestamps) from being redacted, at the cost
+    * of missing fully separator-less phones ("4155551234"). The
+    * pattern is deliberately unanchored (RE2 has no \b), so a
+    * phone-shaped substring INSIDE a longer mixed token still
+    * redacts; [[piiCounts]] audits exactly what [[redactPii]] did.
     */
   val PhoneRe = "(\\+?1[ .-]?)?(\\([0-9]{3}\\)|[0-9]{3})[ .-]?[0-9]{3}[ .-][0-9]{4}"
 

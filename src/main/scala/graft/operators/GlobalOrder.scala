@@ -37,7 +37,8 @@ object GlobalOrder {
   /** Adds `offsetCol` = sum of `weight` over all rows with a smaller
     * `orderCol` (exclusive prefix sum in global `orderCol` order).
     * `orderCol` must be numeric and unique; `weight` must be
-    * non-negative. One balanced shuffle at any corpus size.
+    * non-null and non-negative (both validated by the probe agg).
+    * One balanced shuffle at any corpus size.
     */
   def withGlobalOffset(df: DataFrame, orderCol: String, weight: Column,
                        offsetCol: String = "offset",
@@ -49,9 +50,10 @@ object GlobalOrder {
     // one probe agg: bounds, uniqueness, and the two key pathologies
     // that would otherwise DROP rows silently (null keys never join a
     // bucket; NaN poisons floor() into a null bucket)
-    val Array(mn, mx, n, nd, nNull, nNan) = df
+    val Array(mn, mx, n, nd, nNull, nNan, nBadW) = df
       .agg(min(k), max(k), count(lit(1)), countDistinct(col(orderCol)),
-        count(when(k.isNull, 1)), count(when(isnan(k), 1)))
+        count(when(k.isNull, 1)), count(when(isnan(k), 1)),
+        count(when(weight.isNull || weight < 0, 1)))
       .collect()(0).toSeq.toArray
     val (lo, hi, total) =
       (Option(mn).map(_.toString.toDouble).getOrElse(0.0),
@@ -61,6 +63,8 @@ object GlobalOrder {
       s"orderCol '$orderCol' has ${nNull} null keys; the global order is undefined for them")
     require(nNan.toString.toLong == 0,
       s"orderCol '$orderCol' has ${nNan} NaN keys; the global order is undefined for them")
+    require(nBadW.toString.toLong == 0,
+      s"weight is null/negative on ${nBadW} rows; offsets would silently skip or regress")
     require(nd.toString.toLong == total,
       s"orderCol '$orderCol' has duplicate values (${total - nd.toString.toLong} collisions); " +
         "the global prefix sum needs a unique order key")

@@ -138,18 +138,39 @@ object Bpe {
     syms
   }
 
+  /** EXACTLY the [[graft.functions.TextFunctions.tokens]] contract,
+    * replicated on the JVM side: SQL `trim` strips SPACES only (not
+    * tabs/newlines — Java's String.trim would), and SQL `split` keeps
+    * leading AND trailing empty tokens (Java's default split drops
+    * trailing ones). Any divergence here silently breaks the
+    * q_bpe_roundtrip detokenization invariant on whitespace-edged
+    * text.
+    */
+  private[pipeline] def sqlTokens(t: String): Seq[String] = {
+    var i = 0; var j = t.length
+    while (i < j && t.charAt(i) == ' ') i += 1
+    while (j > i && t.charAt(j - 1) == ' ') j -= 1
+    t.substring(i, j).split("\\s+", -1).toSeq
+  }
+
+  private val IntegralTypes: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(ByteType, ShortType, IntegerType, LongType)
+  }
+
   /** Adds `pieces: array<string>` (per-token subword pieces, in token
     * order, each word closed by an [[EndOfWord]]-suffixed piece) and
     * `n_pieces: long`. The merge table broadcasts; each partition
     * memoizes word→pieces, so repeated words (the overwhelming bulk
-    * of a real corpus) encode once per partition. `idCol` must be
-    * numeric (it rides the typed encode row as a long; re-key
-    * string-id corpora via [[graft.operators.GlobalOrder.zipWithGlobalIndex]] first —
-    * a non-castable id fails loudly here, not silently).
+    * of a real corpus) encode once per partition. `idCol` must be an
+    * integral type (it rides the typed encode row as a long; re-key
+    * string- or fractional-keyed corpora via
+    * [[graft.operators.GlobalOrder.zipWithGlobalIndex]] first).
     */
   def encode(df: DataFrame, idCol: String, textCol: String, model: Model): DataFrame = {
-    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"idCol '$idCol' must be numeric for encode; zipWithGlobalIndex string-keyed corpora first")
+    require(IntegralTypes.contains(df.schema(idCol).dataType),
+      s"idCol '$idCol' must be an integral type for encode (fractional ids would " +
+        "truncate and collide); zipWithGlobalIndex string-keyed corpora first")
     val spark = df.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(model.rank)
@@ -160,7 +181,7 @@ object Bpe {
         val rank = bc.value
         val memo = collection.mutable.Map.empty[String, Seq[String]]
         it.map { case (id, t) =>
-          val pieces = t.trim.split("\\s+").toSeq
+          val pieces = sqlTokens(t)
             .flatMap(w => memo.getOrElseUpdate(w, encodeWord(w, rank)))
           (id, pieces)
         }
@@ -190,7 +211,10 @@ object Bpe {
     fs.delete(p, false)
     if (!fs.rename(tmp, p)) {
       fs.delete(tmp, false)
-      throw new java.io.IOException(s"rename $tmp -> $p failed; model write aborted")
+      // deterministic training: a concurrent writer's artifact is
+      // byte-identical, so losing the rename race is benign
+      if (!fs.exists(p))
+        throw new java.io.IOException(s"rename $tmp -> $p failed; model write aborted")
     }
   }
 

@@ -158,7 +158,11 @@ object KNN {
     fs.delete(p, false)
     if (!fs.rename(tmp, p)) {
       fs.delete(tmp, false)
-      throw new java.io.IOException(s"rename $tmp -> $p failed; artifact write aborted")
+      // training is deterministic, so a concurrent writer that landed
+      // between our delete and rename left an IDENTICAL artifact —
+      // benign; only a rename failure with NO artifact is an error
+      if (!fs.exists(p))
+        throw new java.io.IOException(s"rename $tmp -> $p failed; artifact write aborted")
     }
   }
 
@@ -305,7 +309,11 @@ object KNN {
     fs.delete(p, false)
     if (!fs.rename(tmp, p)) {
       fs.delete(tmp, false)
-      throw new java.io.IOException(s"rename $tmp -> $p failed; artifact write aborted")
+      // training is deterministic, so a concurrent writer that landed
+      // between our delete and rename left an IDENTICAL artifact —
+      // benign; only a rename failure with NO artifact is an error
+      if (!fs.exists(p))
+        throw new java.io.IOException(s"rename $tmp -> $p failed; artifact write aborted")
     }
   }
 

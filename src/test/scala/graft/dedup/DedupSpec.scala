@@ -217,6 +217,12 @@ class DedupSpec extends SparkSpec {
     assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
       4L -> "unchanged", // null and "" hash alike by the null-text contract
       5L -> "added"))
+    // duplicate ids in either snapshot would fan the join out into
+    // contradictory statuses — rejected loudly
+    val dup = Seq((1L, "x"), (1L, "y")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      Dedup.corpusDiff(old, dup, "doc_id", "text").collect())
+    assert(e.getMessage.contains("duplicate"))
   }
 
   test("dedupLines: duplicated lines survive only in the min-id owner, order kept") {

@@ -40,6 +40,11 @@ class GlobalOrderSpec extends SparkSpec {
     val withNan = Seq((1.0, 1), (Double.NaN, 2)).toDF("k", "w")
     assert(intercept[IllegalArgumentException](
       GlobalOrder.withGlobalOffset(withNan, "k", col("w"))).getMessage.contains("NaN"))
+    // null/negative weights are rejected too (they would silently
+    // skip rows in the cumsum or regress offsets)
+    val badW = Seq((1L, 1), (2L, -3)).toDF("k", "w")
+    assert(intercept[IllegalArgumentException](
+      GlobalOrder.withGlobalOffset(badW, "k", col("w"))).getMessage.contains("negative"))
   }
 
   test("single row and empty input") {

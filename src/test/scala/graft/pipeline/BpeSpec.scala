@@ -69,6 +69,34 @@ class BpeSpec extends SparkSpec {
     assert(byId(2L) == local)
   }
 
+  test("encode tokenization matches the SQL tokens() contract on whitespace edges") {
+    val model = Bpe.Model(Bpe.trainLocal(sennrich, 6, 2), truncated = false)
+    // SQL trim strips SPACES only: a leading tab keeps its empty token
+    val docs = Seq((1L, "\tlow"), (2L, "low\t"), (3L, "  low  "), (4L, "low\nnewest"))
+      .toDF("doc_id", "text")
+    val enc = Bpe.encode(docs, "doc_id", "text", model)
+      .select("id", "pieces").as[(Long, Seq[String])].collect().toMap
+    assert(enc(1L) == Seq(Bpe.EndOfWord, "low", Bpe.EndOfWord)) // ["", "low"]
+    assert(enc(2L) == Seq("low", Bpe.EndOfWord, Bpe.EndOfWord)) // ["low", ""]
+    assert(enc(3L) == Seq("low", Bpe.EndOfWord))                // spaces trimmed
+    assert(enc(4L).count(_.endsWith(Bpe.EndOfWord)) == 2)       // \n splits words
+    // parity with the column-side tokens() on the same strings
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val sqlSide = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(coalesce(col("text"), lit(""))).as("t"))
+      .as[(Long, Seq[String])].collect().toMap
+    sqlSide.foreach { case (id, toks) =>
+      assert(enc(id) == toks.flatMap(w => Bpe.encodeWord(w, model.rank)), s"id=$id")
+    }
+  }
+
+  test("encode rejects fractional id columns (silent truncation would collide ids)") {
+    val model = Bpe.Model(Nil, truncated = false)
+    val df = Seq((3.2, "a"), (3.9, "b")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](Bpe.encode(df, "doc_id", "text", model))
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("save/load roundtrip is byte-stable and malformed files fail loudly") {
     val model = Bpe.Model(Bpe.trainLocal(sennrich, 6, 2), truncated = true)
     val path = s"/tmp/graft_io/bpe_spec_${java.util.UUID.randomUUID()}.gbpe"
