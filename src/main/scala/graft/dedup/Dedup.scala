@@ -448,11 +448,16 @@ object Dedup {
     * to one per task before the exchange.
     */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
-                 maxOccurrences: Long = 1L): DataFrame = {
+                 maxOccurrences: Long = 1L, unit: String = "\n"): DataFrame = {
     require(maxOccurrences >= 1, s"maxOccurrences must be >= 1, got $maxOccurrences")
+    require(unit.nonEmpty, "unit separator must be non-empty")
+    // `unit` is a LITERAL separator (quoted for the regex split) so
+    // split and rejoin are exact inverses: "\n" = line dedup,
+    // "\n\n" = paragraph dedup
     val lines = df
       .select(col(idCol).as("id"),
-        posexplode(split(txt(col(textCol)), "\n")).as(Seq("lineno", "line")))
+        posexplode(split(txt(col(textCol)),
+          java.util.regex.Pattern.quote(unit))).as(Seq("lineno", "line")))
       .withColumn("h", xxhash64(col("line")))
     val census = lines
       .groupBy(col("h"))
@@ -464,12 +469,13 @@ object Dedup {
     kept
       .groupBy(col("id"))
       .agg(
-        concat_ws("\n",
+        concat_ws(unit,
           transform(sort_array(collect_list(struct(col("lineno"), col("line")))),
             s => s.getField("line"))).as("text"),
         count(lit(1)).as("n_kept"))
       .join(df.select(col(idCol).as("id"),
-        size(split(txt(col(textCol)), "\n")).cast("long").as("n_lines")),
+        size(split(txt(col(textCol)),
+          java.util.regex.Pattern.quote(unit))).cast("long").as("n_lines")),
         Seq("id"), "right") // a doc that lost EVERY line stays, emptied
       .select(col("id"), coalesce(col("text"), lit("")).as("text"), col("n_lines"),
         (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))

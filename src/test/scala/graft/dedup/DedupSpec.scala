@@ -244,6 +244,15 @@ class DedupSpec extends SparkSpec {
     val lenient = Dedup.dedupLines(pair, "doc_id", "text", maxOccurrences = 2L)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(lenient(1L) == "x\nshared" && lenient(2L) == "shared\ny")
+    // paragraph mode: unit is a LITERAL "\n\n" — single newlines stay
+    // inside their paragraph, duplicated paragraphs dedup as units
+    val paras = Seq(
+      (1L, "first para\nline two\n\nSHARED PARA"),
+      (2L, "other text\n\nSHARED PARA")).toDF("doc_id", "text")
+    val p = Dedup.dedupLines(paras, "doc_id", "text", unit = "\n\n")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(p(1L) == "first para\nline two\n\nSHARED PARA")
+    assert(p(2L) == "other text")
   }
 
   test("substringStats: cross-doc and within-doc repeats, overlap-union coverage") {
