@@ -133,6 +133,16 @@ object TextVectorQueries extends QueryPack {
           min(col("keeper")).as("first_keeper"))
     },
 
+    // SemDeDup semantic dedup over the trained IVF clusters — rows-
+    // only (cluster ids are centroid-dependent); the drop rule and
+    // cap behavior are pinned in SimilaritySpec.
+    "q_semantic_dedup" -> { (s, dir) =>
+      val emb = tables(s, dir).embeddings
+      KNN.semanticDedup(emb, "vec_id", "embedding",
+          ivfCentroidsFor(s, dir, emb), threshold = 0.95)
+        .orderBy(col("id"))
+    },
+
     // CCNet-style unigram-LM quality score: corpus-trained smoothed
     // word probabilities → per-doc mean negative log-likelihood.
     "q_lm_score" -> { (s, dir) =>

@@ -492,4 +492,38 @@ object KNN {
         cosineF(col("a.vec"), col("b.vec")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): k-means clusters
+    * bound the pair search — cosine comparisons happen only WITHIN a
+    * cluster, never across, so the quadratic term is per-cluster and
+    * capped — and a point is dropped when a lower-id point in its
+    * cluster sits above the cosine threshold (the paper keeps one
+    * representative per semantic-dup group; min id makes that choice
+    * deterministic). Returns (id, cluster, keep).
+    *
+    * Pass centroids from [[trainIvfCentroids]] (train once, persist,
+    * reuse — the quantizer artifact contract). Clusters larger than
+    * `maxCluster` are excluded from pair generation and their members
+    * kept — the hot-bucket contract of [[nearDupPairs]]: a degenerate
+    * mega-cluster belongs to exact/minhash dedup, not an O(m²) scan.
+    */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    centroids: Seq[Seq[Double]], threshold: Double,
+                    maxCluster: Int = 100000): DataFrame = {
+    require(maxCluster > 0, s"maxCluster must be positive, got $maxCluster")
+    require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
+    val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      graft.expressions.VectorExpressions.nearestCentroidF(col(vecCol), centroids)
+        .as("cluster"))
+    val hot = assigned.groupBy(col("cluster")).count()
+      .filter(col("count") > maxCluster).select(col("cluster"))
+    val cool = assigned.join(broadcast(hot), Seq("cluster"), "left_anti")
+    val dominated = cool.as("a")
+      .join(cool.as("b"), col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .filter(cosineF(col("a.vec"), col("b.vec")) >= threshold)
+      .select(col("b.id").as("__dup_id")).distinct()
+    assigned.join(dominated, col("id") === col("__dup_id"), "left")
+      .select(col("id"), col("cluster"), col("__dup_id").isNull.as("keep"))
+  }
 }

@@ -329,4 +329,27 @@ class SimilaritySpec extends SparkSpec {
     assert(out.getAs[Boolean]("is_dup"))
     assert(math.abs(out.getAs[Double]("cos_sim") - 1.0) < 1e-9)
   }
+
+  test("semanticDedup: lower-id representative survives, cross-cluster pairs never compared") {
+    // two well-separated directions -> two k-means clusters; near-dups
+    // only within the first
+    val corpus = vecDf(
+      1L -> Seq(1f, 0f, 0f), 2L -> Seq(0.999f, 0.01f, 0f), // dups of each other
+      3L -> Seq(0.998f, -0.02f, 0f),                        // also near 1
+      4L -> Seq(0f, 0f, 1f), 5L -> Seq(0f, 0.01f, 0.999f))  // dup pair, other cluster
+    val cents = KNN.trainIvfCentroids(corpus, "vec_id", "embedding", k = 2, dim = 3, iters = 5)
+    val out = KNN.semanticDedup(corpus, "vec_id", "embedding", cents, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.size == 5) // every vector assigned and present
+    assert(out(1L) && !out(2L) && !out(3L)) // min id keeps, rest drop
+    assert(out(4L) && !out(5L))
+    // determinism: same inputs, same keeps
+    val again = KNN.semanticDedup(corpus, "vec_id", "embedding", cents, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(again == out)
+    // hot-cluster cap: everything in one capped cluster is kept (no pair scan)
+    val capped = KNN.semanticDedup(corpus, "vec_id", "embedding", cents,
+      threshold = 0.99, maxCluster = 1)
+    assert(capped.filter(!col("keep")).count() == 0)
+  }
 }
