@@ -162,6 +162,23 @@ class PlanAuditSpec extends SparkSpec {
       s"product join in line dedup:\n$p")
   }
 
+  test("q_pack_export: no single-partition exchange; tokens group without a window") {
+    val p = plan("q_pack_export")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"packed-sequence export collapsed to one partition:\n$p")
+    assert(p.contains("hashpartitioning(__go_bucket"),
+      s"prefix sum not bucketed:\n$p")
+    assert(p.contains("partial_"), s"sequence agg lacks map-side partials:\n$p")
+  }
+
+  test("q_semantic_dedup: within-cluster join only, no cartesian, hot set broadcast") {
+    val p = plan("q_semantic_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"semantic dedup planned a product join:\n$p")
+    assert(p.contains("BroadcastExchange"), s"hot-cluster set not broadcast:\n$p")
+    assert(p.contains("graft_nearest_centroid"), s"fused centroid assignment missing:\n$p")
+  }
+
   test("q_split_assign and q_tfidf stay codegen'd: no UDF anywhere") {
     Seq("q_split_assign", "q_tfidf").foreach { q =>
       val p = plan(q)
