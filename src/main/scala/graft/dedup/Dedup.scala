@@ -514,26 +514,45 @@ object Dedup {
                      k: Int = 20): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val th = transform(tokens(txt(col(textCol))), t => xxhash64(t))
-    def gramRows(d: DataFrame): DataFrame = {
-      val arr = col("__th")
-      val gramHashes = transform(
-        sequence(lit(0), size(arr) - k),
-        i => xxhash64((0 until k).map(j => element_at(arr, i + lit(j + 1))): _*))
-      d.select(col(idCol).as("id"), th.as("__th"))
-        .filter(size(col("__th")) >= k)
-        .select(col("id"), posexplode(gramHashes).as(Seq("pos", "h")))
-    }
-    val dupHashes = gramRows(df)
+    def gramHashes(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column = transform(
+      sequence(lit(0), size(arr) - k),
+      i => xxhash64((0 until k).map(j => element_at(arr, i + lit(j + 1))): _*))
+    // Dup detection shuffles BARE hashes (8 bytes/row): the count per
+    // gram doesn't need id/pos, and at 100 TB the gram stream is the
+    // single biggest shuffle in this operator — halving its row width
+    // halves the bottleneck stage's network volume.
+    val dupHashes = df
+      .select(th.as("__th"))
+      .filter(size(col("__th")) >= k)
+      .select(explode(gramHashes(col("__th"))).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > 1)
       .select(col("h"))
-    val perDoc = gramRows(df)
+    // Post-join rows are unique per (id, pos) — gramRows emits one row
+    // per position and dupHashes is distinct — so the dup-gram count is
+    // a plain count, and token coverage is the union length of the
+    // sorted fixed-width intervals [pos, pos+k): a single-pass fold
+    // over the per-doc position list. (The earlier shape exploded k
+    // index rows per gram and ran TWO countDistincts — an Expand that
+    // doubled the already k×-multiplied stream; a healthy corpus has
+    // few dup grams, but boilerplate-heavy shards at 100 TB are
+    // exactly the skewed case that blew up.)
+    val gramRows = df
+      .select(col(idCol).as("id"), th.as("__th"))
+      .filter(size(col("__th")) >= k)
+      .select(col("id"), posexplode(gramHashes(col("__th"))).as(Seq("pos", "h")))
+    val coverFold = aggregate(
+      array_sort(col("__ps")),
+      struct(lit(0L).as("covered"), lit(0L).as("end")),
+      (acc, s) => struct(
+        (acc("covered") + (s + k) - greatest(s.cast("long"), acc("end"))).as("covered"),
+        (s + k).cast("long").as("end")),
+      acc => acc("covered"))
+    val perDoc = gramRows
       .join(dupHashes, Seq("h"))
-      .select(col("id"), col("pos"),
-        explode(sequence(col("pos"), col("pos") + (k - 1))).as("idx"))
       .groupBy(col("id"))
-      .agg(countDistinct(col("pos")).as("n_dup_grams"),
-        countDistinct(col("idx")).as("covered_tokens"))
+      .agg(count(lit(1)).as("n_dup_grams"), collect_list(col("pos")).as("__ps"))
+      .select(col("id"), col("n_dup_grams"), coverFold.as("covered_tokens"))
     df.select(col(idCol).as("id"), size(th).cast("long").as("n_tokens"))
       .join(perDoc, Seq("id"), "left")
       .select(col("id"), col("n_tokens"),
