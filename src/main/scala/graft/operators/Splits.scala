@@ -67,6 +67,52 @@ object Splits {
     df.withColumn("rank", row_number().over(w)).filter(col("rank") <= n)
   }
 
+  /** Temperature-weighted domain-mixture resampling — the
+    * multi-domain rebalancing rule from multilingual-pretraining data
+    * recipes (sample domain d with probability q_d ∝ p_d^alpha where
+    * p_d is the domain's corpus share; alpha < 1 flattens the head so
+    * small domains are not drowned): given a row budget
+    * `targetRows`, each domain keeps rate_d = min(1, q_d·T / c_d),
+    * decided PER ROW by the md5 coordinate — deterministic,
+    * repartition-stable, and reproducible by any engine with md5.
+    * Domains whose rate caps at 1 keep everything; the `epochs`
+    * column reports q_d·T / c_d uncapped so a caller that truly wants
+    * >1 epoch can replicate downstream.
+    *
+    * Output: the kept rows plus `rate` and `epochs` (both rounded to
+    * 6 dp). Scale shape: one tiny per-domain count agg broadcast back
+    * onto the corpus; the keep decision is a codegen'd integer
+    * compare, h·10^6 < ⌊rate·10^6⌋·2^32, so NO floating point crosses
+    * the row filter — the only double math is per-DOMAIN (counts →
+    * rate), quantized to a 10^-6 grid before it touches row fate.
+    * alpha = 0.5 computes via sqrt (IEEE correctly-rounded, so the
+    * DuckDB oracle reproduces it bit-for-bit); other alphas use pow.
+    */
+  def mixtureSample(df: DataFrame, domainCol: String, keyCol: String,
+                    targetRows: Long, alpha: Double = 0.5,
+                    seed: String = "mix"): DataFrame = {
+    require(targetRows >= 1, s"targetRows must be >= 1, got $targetRows")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy(lit(1))
+    def tempWeight(p: Column): Column =
+      if (alpha == 0.5) sqrt(p) else pow(p, alpha)
+    val rates = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).cast("double").as("__c"))
+      .withColumn("__p", col("__c") / sum(col("__c")).over(all))
+      .withColumn("__w", tempWeight(col("__p")))
+      .withColumn("__q", col("__w") / sum(col("__w")).over(all))
+      .withColumn("__epochs", col("__q") * targetRows / col("__c"))
+      .withColumn("__rate", least(lit(1.0), col("__epochs")))
+      .select(col(domainCol), col("__rate"), col("__epochs"))
+    val h = hashCoordinate(col(keyCol), seed)
+    df.join(broadcast(rates), Seq(domainCol))
+      .filter(h * lit(1000000L) < floor(col("__rate") * 1e6).cast("long") * lit(Span))
+      .withColumn("rate", round(col("__rate"), 6))
+      .withColumn("epochs", round(col("__epochs"), 6))
+      .drop("__rate", "__epochs")
+  }
+
   /** Adds `outCol` with the split label for each row: the label whose
     * [[thresholds]] interval contains [[hashCoordinate]](key, seed).
     */

@@ -170,6 +170,16 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("source"), col("rank"))
     },
 
+    // temperature-weighted domain mixture: per-domain keep rates from
+    // q_d ∝ p_d^0.5, row fate by integer md5-threshold compare.
+    "q_domain_mix" -> { (s, dir) =>
+      graft.operators.Splits.mixtureSample(
+          tables(s, dir).documents.select(col("doc_id"), col("source")),
+          "source", "doc_id", targetRows = 300L, alpha = 0.5, seed = "mix")
+        .select(col("doc_id"), col("source"), col("rate"), col("epochs"))
+        .orderBy(col("doc_id"))
+    },
+
     // deterministic md5-threshold split assignment — reshuffle-stable
     // train/valid/test labels, integer thresholds, no fp boundaries.
     "q_split_assign" -> { (s, dir) =>
@@ -870,6 +880,17 @@ object TextVectorQueries extends QueryPack {
         |  FROM h)
         |SELECT doc_id, source, rank FROM r WHERE rank <= 20
         |ORDER BY source, rank""".stripMargin,
+    "q_domain_mix" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS c FROM documents GROUP BY source),
+        |w AS (SELECT source, c, sqrt(c / (SELECT sum(c) FROM c)) AS w FROM c),
+        |q AS (SELECT source, c, w / (SELECT sum(w) FROM w) AS q FROM w),
+        |r AS (SELECT source, least(1.0, q * 300 / c) AS rate_x, q * 300 / c AS epochs_x FROM q)
+        |SELECT d.doc_id, d.source, round(r.rate_x, 6) AS rate, round(r.epochs_x, 6) AS epochs
+        |FROM documents d JOIN r USING (source)
+        |WHERE CAST(concat('0x', substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+        |        AS UBIGINT) * 1000000
+        |      < CAST(floor(r.rate_x * 1000000) AS UBIGINT) * 4294967296
+        |ORDER BY d.doc_id""".stripMargin,
     "q_split_assign" -> {
       val t = graft.operators.Splits.thresholds(
         Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))

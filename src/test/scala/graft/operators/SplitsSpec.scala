@@ -73,4 +73,56 @@ class SplitsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Splits.assignSplit(
       df.withColumn("split", lit("x")), "id", splits, "s"))
   }
+
+  // 90/9/1 skew: big=9000, mid=900, small=100 rows
+  private def skewed = (1L to 10000L).map { i =>
+    val d = if (i <= 9000) "big" else if (i <= 9900) "mid" else "small"
+    (i, d)
+  }.toDF("id", "domain")
+
+  test("mixtureSample: alpha=1 preserves shares; alpha=0.5 flattens the head") {
+    def shares(alpha: Double): Map[String, Double] = {
+      val kept = Splits.mixtureSample(skewed, "domain", "id",
+        targetRows = 2000L, alpha = alpha, seed = "m")
+      val byDomain = kept.groupBy("domain").count().as[(String, Long)].collect().toMap
+      val total = byDomain.values.sum.toDouble
+      byDomain.view.mapValues(_ / total).toMap
+    }
+    val s1 = shares(1.0)
+    // alpha=1: target share ≈ corpus share (hash sampling noise ~±2%)
+    assert(math.abs(s1("big") - 0.90) < 0.03, s"alpha=1 big share: $s1")
+    val s05 = shares(0.5)
+    // alpha=0.5: q_d ∝ sqrt(p_d) → small/mid gain, big loses
+    assert(s05("big") < s1("big") - 0.05, s"alpha=0.5 should flatten: $s05 vs $s1")
+    assert(s05("small") > s1("small"), s"small domain should gain: $s05 vs $s1")
+  }
+
+  test("mixtureSample: rate caps at 1, epochs reports the uncapped demand") {
+    // targetRows >> corpus: every domain caps; all rows kept
+    val kept = Splits.mixtureSample(skewed, "domain", "id",
+      targetRows = 1000000L, alpha = 0.5, seed = "m")
+    assert(kept.count() == 10000L)
+    val rates = kept.select("domain", "rate", "epochs").distinct()
+      .as[(String, Double, Double)].collect()
+    assert(rates.forall(_._2 == 1.0), rates.mkString(","))
+    assert(rates.forall(r => r._3 > 1.0), s"epochs must exceed 1 when capped: ${rates.mkString(",")}")
+  }
+
+  test("mixtureSample: deterministic and repartition-stable") {
+    val a = Splits.mixtureSample(skewed.repartition(13), "domain", "id", 2000L, 0.5, "m")
+      .select("id").as[Long].collect().sorted.toSeq
+    val b = Splits.mixtureSample(skewed.coalesce(1), "domain", "id", 2000L, 0.5, "m")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+    val c = Splits.mixtureSample(skewed, "domain", "id", 2000L, 0.5, "other")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(c != a, "different seed must sample a different set")
+  }
+
+  test("mixtureSample: guards") {
+    intercept[IllegalArgumentException](
+      Splits.mixtureSample(skewed, "domain", "id", 0L, 0.5, "m"))
+    intercept[IllegalArgumentException](
+      Splits.mixtureSample(skewed, "domain", "id", 10L, 1.5, "m"))
+  }
 }
