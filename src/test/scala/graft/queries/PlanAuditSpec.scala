@@ -179,6 +179,24 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("graft_nearest_centroid"), s"fused centroid assignment missing:\n$p")
   }
 
+  test("q_domain_mix: rates broadcast back; rows never shuffle; no UDF") {
+    val p = plan("q_domain_mix")
+    assert(p.contains("BroadcastExchange"), s"per-domain rates not broadcast:\n$p")
+    assert(!p.contains("ScalaUDF"), s"mixture filter uses a UDF:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus rows shuffled for the rate join (must be broadcast):\n$p")
+    assert(!p.contains("CartesianProduct"), s"product join in domain mix:\n$p")
+  }
+
+  test("q5_local_supplier: dims prune before the fact joins") {
+    val p = plan("q5_local_supplier")
+    // the ASIA semi-filter must sit under the customer/supplier joins:
+    // region appears only inside broadcast subtrees, never above lineitem
+    assert(p.contains("BroadcastExchange"), s"no broadcast in Q5:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"product join in Q5:\n$p")
+  }
+
   test("q_split_assign and q_tfidf stay codegen'd: no UDF anywhere") {
     Seq("q_split_assign", "q_tfidf").foreach { q =>
       val p = plan(q)
