@@ -275,4 +275,33 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == ((2L, 0L, 0L, 0.0))) // below k: present, zeroed
     assert(out(5L) == ((6L, 0L, 0L, 0.0)))
   }
+
+  test("substringStats: randomized corpus matches a brute-force recount") {
+    // small alphabet forces plenty of duplicated grams, including the
+    // overlapping-interval unions the fold must merge correctly
+    val rnd = new scala.util.Random(7)
+    val alphabet = Vector("aa", "bb", "cc", "dd")
+    val k = 4
+    val corpus = (1L to 40L).map { id =>
+      val n = 2 + rnd.nextInt(20)
+      (id, Vector.fill(n)(alphabet(rnd.nextInt(alphabet.size))).mkString(" "))
+    }
+    // brute force: global gram multiset → dup set → per-doc coverage
+    val toks = corpus.map { case (id, t) => id -> t.split(" ").toVector }.toMap
+    val allGrams = toks.toSeq.flatMap { case (id, ts) =>
+      ts.sliding(k).zipWithIndex.collect { case (g, p) if g.size == k => (id, p, g) }
+    }
+    val dup = allGrams.groupBy(_._3).filter(_._2.size > 1).keySet
+    val expect = corpus.map { case (id, _) =>
+      val ts = toks(id)
+      val dupPos = ts.sliding(k).zipWithIndex.collect {
+        case (g, p) if g.size == k && dup(g) => p
+      }.toVector
+      val covered = dupPos.flatMap(p => p until p + k).distinct.size
+      id -> ((ts.size.toLong, dupPos.size.toLong, covered.toLong))
+    }.toMap
+    val out = Dedup.substringStats(corpus.toDF("doc_id", "text"), "doc_id", "text", k)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out == expect)
+  }
 }
