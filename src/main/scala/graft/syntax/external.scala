@@ -76,6 +76,20 @@ object external {
         it.flatMap(t => f(r, t))
       }
 
+    /** Reference `collectWithResource`: filter + map by a partial
+      * function sharing the per-task resource.
+      */
+    def collectWithResource[R, U: Encoder](create: () => R, close: R => Unit)(
+        pf: PartialFunction[(R, T), U]): Dataset[U] =
+      ds.mapPartitions { it =>
+        lazy val r: R = {
+          val res = create()
+          onTaskEnd(close(res))
+          res
+        }
+        it.flatMap(t => pf.lift((r, t)))
+      }
+
     /** Reference `filterWithResource`. */
     def filterWithResource[R](create: () => R, close: R => Unit)(
         pred: (R, T) => Boolean)(implicit te: Encoder[T]): Dataset[T] =
@@ -113,6 +127,59 @@ object external {
             override def hasNext: Boolean = { fill(); inflight.nonEmpty }
             override def next(): U = { fill(); Await.result(inflight.dequeue(), Duration.Inf) }
           }
+        }
+      }
+    }
+
+    /** Reference `filterWithParallelism`: bounded-concurrency
+      * predicate evaluation (an external validity check), order
+      * preserved.
+      */
+    def filterWithParallelism(parallelism: Int)(pred: T => Boolean)(
+        implicit te: Encoder[T]): Dataset[T] = {
+      require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
+      ds.mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val pool = Executors.newFixedThreadPool(parallelism, daemonFactory("par"))
+          onTaskEnd { pool.shutdown(); pool.awaitTermination(10, TimeUnit.SECONDS); () }
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+          val inflight = mutable.Queue.empty[Future[(T, Boolean)]]
+          new Iterator[(T, Boolean)] {
+            private def fill(): Unit =
+              while (inflight.size < parallelism && it.hasNext) {
+                val t = it.next()
+                inflight += Future((t, pred(t)))
+              }
+            override def hasNext: Boolean = { fill(); inflight.nonEmpty }
+            override def next(): (T, Boolean) = { fill(); Await.result(inflight.dequeue(), Duration.Inf) }
+          }.collect { case (t, true) => t }
+        }
+      }
+    }
+
+    /** Reference `collectWithParallelism`: partial function under the
+      * bounded-concurrency window.
+      */
+    def collectWithParallelism[U: Encoder](parallelism: Int)(
+        pf: PartialFunction[T, U]): Dataset[U] = {
+      require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
+      ds.mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val pool = Executors.newFixedThreadPool(parallelism, daemonFactory("par"))
+          onTaskEnd { pool.shutdown(); pool.awaitTermination(10, TimeUnit.SECONDS); () }
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+          val inflight = mutable.Queue.empty[Future[Option[U]]]
+          new Iterator[Option[U]] {
+            private def fill(): Unit =
+              while (inflight.size < parallelism && it.hasNext) {
+                val t = it.next()
+                inflight += Future(pf.lift(t))
+              }
+            override def hasNext: Boolean = { fill(); inflight.nonEmpty }
+            override def next(): Option[U] = { fill(); Await.result(inflight.dequeue(), Duration.Inf) }
+          }.flatten
         }
       }
     }

@@ -83,6 +83,23 @@ class ExternalSpec extends SparkSpec {
     }
   }
 
+  test("collectWithResource, filterWithParallelism, collectWithParallelism") {
+    val cw = (1 to 10).toDS().coalesce(1)
+      .collectWithResource[AnyRef, Int](() => new Object, _ => ()) {
+        case (_, i) if i % 3 == 0 => i * 100
+      }
+      .collect().sorted.toSeq
+    assert(cw == Seq(300, 600, 900))
+    val fp = (1 to 20).toDS().repartition(2)
+      .filterWithParallelism(3)(_ % 2 == 1)
+      .collect().sorted.toSeq
+    assert(fp == (1 to 20).filter(_ % 2 == 1))
+    val cp = (1 to 20).toDS().coalesce(1)
+      .collectWithParallelism(3) { case i if i > 15 => i - 15 }
+      .collect().toSeq
+    assert(cp == (1 to 5))
+  }
+
   test("mapAsync: future-returning client, order preserved") {
     import scala.concurrent.ExecutionContext.Implicits.global
     val out = (1 to 50).toDS().coalesce(1)
