@@ -86,6 +86,94 @@ object AnalyticsQueries extends QueryPack {
         .groupBy(col("n_name"))
         .agg(sumMoney(netDec(col("l_extendedprice"), col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // TPC-H Q7 shape: bidirectional nation-pair trade volume by ship
+    // year. The nation filter lands on BOTH keyed dims before the fact
+    // joins (the Q5 lesson, applied at authoring time); the OR-pair
+    // condition evaluates on the joined row, not as a join explosion.
+    "q7_nation_volume" -> { (s, dir) =>
+      val t = tables(s, dir)
+      val n1 = "NATION_1"
+      val n2 = "NATION_2"
+      val nat = t.nation.filter(col("n_name").isin(n1, n2))
+        .select(col("n_nationkey"), col("n_name"))
+      val supp = t.supplier.join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = t.customer.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      t.lineitem
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"), year(col("l_shipdate")).as("l_year"))
+        .join(t.orders.select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nation") === n1 && col("cust_nation") === n2) ||
+          (col("supp_nation") === n2 && col("cust_nation") === n1))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sumMoney(netDec(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
+    // TPC-H Q8 shape: a supplier nation's market share inside a
+    // customer region for one part type, by order year — conditional
+    // aggregation over a 7-table join, every dim broadcast.
+    "q8_market_share" -> { (s, dir) =>
+      val t = tables(s, dir)
+      val asiaNations = t.nation
+        .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val cust = t.customer.join(broadcast(asiaNations),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val prt = t.part.filter(col("p_type") === "ECONOMY").select(col("p_partkey"))
+      val supp = t.supplier
+        .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val vol = netDec(col("l_extendedprice"), col("l_discount"))
+      t.lineitem
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+        .join(t.orders
+            .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+            .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("o_year"))
+        .agg(r6(sum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0))) /
+          sum(vol)).cast("double").as("mkt_share"))
+        .orderBy(col("o_year"))
+    },
+
+    // TPC-H Q9 shape: per-nation profit by year for parts matching a
+    // LIKE pattern (no partsupp table in this corpus, so profit is
+    // net revenue). The part filter broadcasts; nation resolves
+    // through the supplier.
+    "q9_product_profit" -> { (s, dir) =>
+      val t = tables(s, dir)
+      val prt = t.part.filter(col("p_name").like("%red%")).select(col("p_partkey"))
+      val supp = t.supplier
+        .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      t.lineitem
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+        .join(t.orders.select(col("o_orderkey"), year(col("o_orderdate")).as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("n_name"), col("o_year"))
+        .agg(sumMoney(netDec(col("l_extendedprice"), col("l_discount"))).as("profit"))
+        .orderBy(col("n_name"), col("o_year"))
     }
   )
 
@@ -131,6 +219,48 @@ object AnalyticsQueries extends QueryPack {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name
-        |ORDER BY revenue DESC, n_name""".stripMargin
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(round(sum(CASE WHEN n2.n_name = 'NATION_3'
+        |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+        |    ELSE 0 END)
+        |   / sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 6) AS DOUBLE) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
