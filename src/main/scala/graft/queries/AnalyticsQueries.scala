@@ -174,6 +174,63 @@ object AnalyticsQueries extends QueryPack {
         .groupBy(col("n_name"), col("o_year"))
         .agg(sumMoney(netDec(col("l_extendedprice"), col("l_discount"))).as("profit"))
         .orderBy(col("n_name"), col("o_year"))
+    },
+
+    // TPC-H Q4 shape: priority census of orders with at least one
+    // late-shipping lineitem — an INEQUALITY left-semi join (the
+    // EXISTS); the fact side never multiplies.
+    "q4_order_priority" -> { (s, dir) =>
+      val t = tables(s, dir)
+      val ord = t.orders
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val li = t.lineitem.select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li,
+          ord("o_orderkey") === li("l_orderkey") &&
+            li("l_shipdate") > ord("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // TPC-H Q18 shape: large-volume orders — group-filter (HAVING) on
+    // the fact, then join order/customer context, top-n. The HAVING
+    // aggregation partial-aggregates; only qualifying keys join.
+    "q18_large_orders" -> { (s, dir) =>
+      val t = tables(s, dir)
+      val big = t.lineitem
+        .groupBy(col("l_orderkey"))
+        .agg(r2(sum(col("l_quantity"))).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      t.orders
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t.customer.select(col("c_custkey"), col("c_name"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          r2(col("o_totalprice")).as("totalprice"), col("sum_qty"))
+        .orderBy(col("totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // TPC-H Q22 shape: per-nation count/balance of rich-but-inactive
+    // customers — scalar aggregate threshold + ANTI join against
+    // orders (the NOT EXISTS), customer side broadcast-filtered.
+    "q22_sales_opportunity" -> { (s, dir) =>
+      val t = tables(s, dir)
+      val avgBal = t.customer.filter(col("c_acctbal") > 0)
+        .agg(avg(col("c_acctbal")).as("__avg"))
+      val rich = t.customer
+        .join(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("__avg"))
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"))
+      rich.join(t.orders.select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"), r2(sum(col("c_acctbal"))).as("totacctbal"))
+        .orderBy(col("c_nationkey"))
     }
   )
 
@@ -261,6 +318,33 @@ object AnalyticsQueries extends QueryPack {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE p_name LIKE '%red%'
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) > 250)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  round(o_totalprice, 2) AS totalprice, sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY totalprice DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q22_sales_opportunity" ->
+      """SELECT c_nationkey, count(*) AS numcust,
+        |  round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
