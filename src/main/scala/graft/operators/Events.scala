@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics: funnels and cohort retention — the
+  * product-analytics shapes scio pipelines assemble from groupBy/join
+  * verbs over event streams (reference: scio-core values/
+  * PairSCollectionFunctions.scala join + aggregateByKey building
+  * blocks; scio-examples event pipelines). Declarative join-chains,
+  * no per-user state collection.
+  */
+object Events {
+
+  /** Per-user step-completion times for an ordered funnel: the user's
+    * time for step i is the EARLIEST event of `steps(i)` strictly
+    * after their step-(i-1) time (first-touch attribution), optionally
+    * within `withinSec` seconds of the step-1 time. Returns one row
+    * per user who completed at least step 1: (user, t1 … tk), null
+    * for unreached steps.
+    *
+    * Scale shape: one filtered min-aggregate per step (map-side
+    * partial), chained through user-keyed joins whose right side
+    * shrinks monotonically (step-i completers ⊆ step-(i-1)
+    * completers); no window over the raw stream, no event
+    * re-sort, no per-user event collection.
+    */
+  def funnelTimes(df: DataFrame, userCol: String, typeCol: String, tsCol: String,
+                  steps: Seq[String], withinSec: Option[Long] = None): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
+    withinSec.foreach(w => require(w > 0, s"withinSec must be > 0, got $w"))
+    val first = df.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol).as("__u"))
+      .agg(min(col(tsCol)).as("t1"))
+    // chain carries (__u, t1, t_last): t1 anchors the horizon, t_last
+    // gates the next step's strict ordering. Each step's (user, time)
+    // frame is kept aside; the cumulative left-join assembly at the
+    // end is sound because step-i completion implies step-(i-1)
+    // completion — nulls cascade by construction.
+    var chain = first.select(col("__u"), col("t1"), col("t1").as("__tlast"))
+    val frames = scala.collection.mutable.ArrayBuffer[(String, DataFrame)](
+      "t1" -> first)
+    steps.zipWithIndex.drop(1).foreach { case (step, i) =>
+      val tThis = s"t${i + 1}"
+      val horizon = withinSec match {
+        case Some(w) => col(tsCol) <= col("t1") + expr(s"INTERVAL $w SECONDS")
+        case None    => lit(true)
+      }
+      val next = df.filter(col(typeCol) === step)
+        .join(chain, col(userCol) === col("__u"))
+        .filter(col(tsCol) > col("__tlast") && horizon)
+        .groupBy(col("__u"))
+        .agg(min(col("t1")).as("t1"), min(col(tsCol)).as(tThis))
+      frames += tThis -> next.select(col("__u"), col(tThis))
+      chain = next.select(col("__u"), col("t1"), col(tThis).as("__tlast"))
+    }
+    frames.map(_._2).reduceLeft { (acc, f) =>
+      val other = f.withColumnRenamed("__u", "__u2")
+      acc.join(other, col("__u") === col("__u2"), "left").drop("__u2")
+    }.withColumnRenamed("__u", userCol)
+  }
+
+  /** Funnel summary: one row per step with the user count that
+    * reached it. (step_idx, step, users).
+    */
+  def funnel(df: DataFrame, userCol: String, typeCol: String, tsCol: String,
+             steps: Seq[String], withinSec: Option[Long] = None): DataFrame = {
+    val times = funnelTimes(df, userCol, typeCol, tsCol, steps, withinSec)
+    val counts = times.agg(
+      count(col("t1")).as("c1"),
+      (2 to steps.size).map(i => count(col(s"t$i")).as(s"c$i")): _*)
+    val rows = steps.zipWithIndex.map { case (s, i) =>
+      struct(lit(i + 1).as("step_idx"), lit(s).as("step"),
+        col(s"c${i + 1}").as("users"))
+    }
+    counts.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.step_idx"), col("r.step"), col("r.users"))
+      .orderBy(col("step_idx"))
+  }
+
+  /** Cohort retention: users are cohorted by the DAY of their first
+    * `cohortType` event; a user is active in period n if they have
+    * ANY event in [cohort + n·periodDays, cohort + (n+1)·periodDays).
+    * Returns (cohort_day, period, active_users). Period arithmetic is
+    * pure integer microseconds — engine-exact.
+    *
+    * Scale shape: per-user min-agg for cohorts, one user-keyed join
+    * back (no broadcast assumption — user cardinality is unbounded),
+    * distinct on (user, cohort, period), then the tiny final agg.
+    */
+  def retention(df: DataFrame, userCol: String, typeCol: String, tsCol: String,
+                cohortType: String, periodDays: Int = 7): DataFrame = {
+    require(periodDays >= 1, s"periodDays must be >= 1, got $periodDays")
+    val periodMicros = periodDays * 86400L * 1000000L
+    val cohorts = df.filter(col(typeCol) === cohortType)
+      .groupBy(col(userCol).as("__u"))
+      .agg(date_trunc("day", min(col(tsCol))).as("__cohort"))
+    df.select(col(userCol), col(tsCol))
+      .join(cohorts, col(userCol) === col("__u"))
+      .filter(col(tsCol) >= col("__cohort"))
+      .select(col("__u"),
+        col("__cohort"),
+        floor((unix_micros(col(tsCol)) - unix_micros(col("__cohort"))) / periodMicros)
+          .cast("int").as("period"))
+      .distinct()
+      .groupBy(col("__cohort"), col("period"))
+      .agg(count(lit(1)).as("active_users"))
+      .select(date_format(col("__cohort"), "yyyy-MM-dd").as("cohort_day"),
+        col("period"), col("active_users"))
+      .orderBy(col("cohort_day"), col("period"))
+  }
+}

@@ -61,6 +61,20 @@ object StatsWindowQueries extends QueryPack {
         .orderBy(col("status"), col("priority"))
     },
 
+    // ordered event funnel with a 24h horizon: per-step user counts,
+    // first-touch attribution, strict step ordering.
+    "q_funnel" -> { (s, dir) =>
+      graft.operators.Events.funnel(tables(s, dir).events,
+        "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), withinSec = Some(86400L))
+    },
+
+    // weekly cohort retention from the first signup event.
+    "q_retention" -> { (s, dir) =>
+      graft.operators.Events.retention(tables(s, dir).events,
+        "user_id", "event_type", "ts", cohortType = "signup", periodDays = 7)
+    },
+
     // windowByDays: calendar bucketing.
     "q_window_daily" -> { (s, dir) =>
       tables(s, dir).events
@@ -213,6 +227,38 @@ object StatsWindowQueries extends QueryPack {
         |  coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "q_funnel" ->
+      """WITH u1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+        |u2 AS (
+        |  SELECT e.user_id, min(u1.t1) AS t1, min(e.ts) AS t2
+        |  FROM events e JOIN u1 ON e.user_id = u1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > u1.t1
+        |    AND e.ts <= u1.t1 + INTERVAL 86400 SECONDS
+        |  GROUP BY 1),
+        |u3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN u2 ON e.user_id = u2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > u2.t2
+        |    AND e.ts <= u2.t1 + INTERVAL 86400 SECONDS
+        |  GROUP BY 1)
+        |SELECT CAST(step_idx AS INT) AS step_idx, step, users FROM (
+        |  SELECT 1 AS step_idx, 'view' AS step, (SELECT count(*) FROM u1) AS users
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM u2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM u3))
+        |ORDER BY step_idx""".stripMargin,
+    "q_retention" ->
+      """WITH c AS (
+        |  SELECT user_id, date_trunc('day', min(ts)) AS cohort
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |a AS (
+        |  SELECT DISTINCT e.user_id, c.cohort,
+        |    CAST(floor((epoch_us(e.ts) - epoch_us(c.cohort)) / (7 * 86400 * 1000000.0)) AS INT) AS period
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.ts >= c.cohort)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day, period,
+        |  count(*) AS active_users
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_window_daily" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
         |  count(*) AS n, round(sum(value), 2) AS sum_v

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSpec
+import java.sql.Timestamp
+
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(1700000000000L + min * 60000L)
+
+  // (user, type, ts-minute)
+  private def ev(rows: (String, String, Int)*) =
+    rows.map { case (u, t, m) => (u, t, ts(m)) }.toDF("user", "type", "ts")
+
+  test("funnelTimes: strict ordering, first-touch, null cascade") {
+    val df = ev(
+      ("a", "view", 0), ("a", "click", 10), ("a", "buy", 20),   // full funnel
+      ("b", "view", 0), ("b", "click", 5),                      // stalls at click
+      ("c", "click", 0), ("c", "view", 10), ("c", "buy", 20),   // click BEFORE view: no click after view... but buy>view ok only if click after view exists
+      ("d", "buy", 0), ("d", "view", 5)                         // only view reached
+    )
+    val t = Events.funnelTimes(df, "user", "type", "ts", Seq("view", "click", "buy"))
+      .collect().map(r => r.getString(0) -> ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3))))).toMap
+    assert(t("a") == ((Some(ts(0)), Some(ts(10)), Some(ts(20)))))
+    assert(t("b") == ((Some(ts(0)), Some(ts(5)), None)))
+    // c: view at 10, no click strictly after 10 → stalls at view (buy needs click first)
+    assert(t("c") == ((Some(ts(10)), None, None)))
+    assert(t("d") == ((Some(ts(5)), None, None)))
+  }
+
+  test("funnelTimes: first-touch picks the earliest qualifying event per step") {
+    val df = ev(
+      ("a", "view", 2), ("a", "view", 4),
+      ("a", "click", 1),                  // before the first view → not qualifying
+      ("a", "click", 7), ("a", "click", 5) // earliest after view(2) is 5
+    )
+    val r = Events.funnelTimes(df, "user", "type", "ts", Seq("view", "click")).collect()(0)
+    assert(r.getTimestamp(1) == ts(2) && r.getTimestamp(2) == ts(5))
+  }
+
+  test("funnel: horizon bounds later steps relative to step 1") {
+    val df = ev(
+      ("a", "view", 0), ("a", "click", 30),    // inside 1h horizon
+      ("b", "view", 0), ("b", "click", 90)     // outside 1h horizon
+    )
+    val counts = Events.funnel(df, "user", "type", "ts", Seq("view", "click"),
+      withinSec = Some(3600L)).collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(counts == Map("view" -> 2L, "click" -> 1L))
+  }
+
+  test("funnel: guards") {
+    val df = ev(("a", "view", 0))
+    intercept[IllegalArgumentException](Events.funnel(df, "user", "type", "ts", Nil))
+    intercept[IllegalArgumentException](
+      Events.funnel(df, "user", "type", "ts", Seq("view", "view")))
+    intercept[IllegalArgumentException](
+      Events.funnel(df, "user", "type", "ts", Seq("view"), withinSec = Some(0L)))
+  }
+
+  test("retention: period arithmetic and distinct users per period") {
+    val day = 24 * 60
+    val df = ev(
+      ("a", "signup", 0),
+      ("a", "click", 1), ("a", "click", 2),            // period 0, counted once
+      ("a", "click", 8 * day),                          // period 1
+      ("b", "signup", 0), ("b", "view", 20 * day),      // periods 0 (signup itself), 2
+      ("c", "click", 5)                                 // never signed up → excluded
+    )
+    val r = Events.retention(df, "user", "type", "ts", "signup", periodDays = 7)
+      .collect().map(row => (row.getString(0), row.getInt(1)) -> row.getLong(2)).toMap
+    val cohortDay = Events.retention(df, "user", "type", "ts", "signup", 7)
+      .collect()(0).getString(0)
+    // both users signed up the same day: period 0 has both, 1 has a, 2 has b
+    assert(r == Map((cohortDay, 0) -> 2L, (cohortDay, 1) -> 1L, (cohortDay, 2) -> 1L))
+  }
+
+  test("retention: events before the cohort day are ignored") {
+    val df = ev(("a", "click", 0), ("a", "signup", 100), ("a", "view", 101))
+    val r = Events.retention(df, "user", "type", "ts", "signup", 7).collect()
+    assert(r.map(_.getLong(2)).sum == 1L) // only the post-signup activity period
+  }
+}
