@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout for scan pruning at lake scale —
+  * Z-order (Morton-curve) clustering, the technique behind
+  * Delta/Iceberg `OPTIMIZE ZORDER BY`: rows close on the curve are
+  * close in EVERY listed dimension, so parquet footer min/max ranges
+  * per file stay narrow in all of them and point/range predicates on
+  * any dimension skip most files. (The reference has no layout
+  * optimizer — scio delegates file layout to the sink — but a 100 TB
+  * lake lives or dies by it; graft treats it as a first-class
+  * operator.)
+  *
+  * Scale shape: per-dimension bucket boundaries come from ONE driver
+  * `approxQuantile` pass (sampled sketch, bounded size 2^bits); rank
+  * lookup is a broadcast boundary array folded per row (single-pass
+  * HOF per the §4 rule — 2^bits ≤ 256 adds); the z-value is a pure
+  * integer bit-interleave (codegen); the final placement is
+  * `repartitionByRange(zvalue)` + in-partition sort — one balanced
+  * range shuffle, exactly what a sorted write costs anyway.
+  */
+object Layout {
+
+  /** Morton interleave of per-dimension bucket ids: bit j of dim i
+    * lands at position j * nDims + i.
+    */
+  private def interleave(buckets: Seq[Column], bits: Int): Column = {
+    val nDims = buckets.size
+    val terms = for {
+      (b, i) <- buckets.zipWithIndex
+      j <- 0 until bits
+    } yield shiftleft(shiftright(b, j).bitwiseAND(lit(1L)), j * nDims + i)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Bucket id in [0, 2^bits) for `c` given sorted inner boundaries
+    * (length 2^bits - 1): the count of boundaries ≤ value. Nulls sort
+    * to bucket 0 (they carry no range information).
+    */
+  private def bucketOf(c: Column, boundaries: Array[Double], bits: Int): Column = {
+    val arr = array(boundaries.map(lit(_)): _*)
+    val folded = aggregate(arr, lit(0L),
+      (acc, b) => acc + when(c.isNotNull && c.cast("double") >= b, 1L).otherwise(0L))
+    least(folded, lit((1L << bits) - 1))
+  }
+
+  /** Returns `df` with a `zvalue` column and rows range-clustered +
+    * sorted by it — write the result out directly and every listed
+    * dimension prunes. `cols` must be numeric/date-like (castable to
+    * double for quantile ranking); 2-4 dimensions and bits ≤ 8 is the
+    * practical envelope (ranks beyond ~256 buckets stop improving
+    * file skipping long before they slow the fold).
+    */
+  def zorderBy(df: DataFrame, cols: Seq[String], bits: Int = 8,
+               numPartitions: Option[Int] = None): DataFrame = {
+    require(cols.nonEmpty, "zorderBy needs at least one column")
+    require(cols.size * bits <= 63, s"cols*bits must fit a long: ${cols.size}*$bits")
+    require(bits >= 1 && bits <= 8, s"bits must be in [1, 8], got $bits")
+    require(!df.columns.contains("zvalue"),
+      "input already has a 'zvalue' column; rename it before zorderBy")
+    val nBuckets = 1 << bits
+    // inner boundaries at the (1/n … (n-1)/n) quantiles; relativeError
+    // trades one sketch pass for boundary precision — file skipping is
+    // insensitive to boundary jitter at these widths
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val doubled = cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      d.withColumn(s"__zd$i", col(c).cast("double"))
+    }
+    val boundaries = doubled.stat.approxQuantile(
+      cols.indices.map(i => s"__zd$i").toArray, probs, 0.001)
+    val buckets = cols.indices.map(i =>
+      bucketOf(col(s"__zd$i"), boundaries(i).distinct.sorted, bits))
+    val withZ = doubled
+      .withColumn("zvalue", interleave(buckets, bits))
+      .drop(cols.indices.map(i => s"__zd$i"): _*)
+    val parted = numPartitions match {
+      case Some(n) => withZ.repartitionByRange(n, col("zvalue"))
+      case None    => withZ.repartitionByRange(col("zvalue"))
+    }
+    parted.sortWithinPartitions(col("zvalue"))
+  }
+}

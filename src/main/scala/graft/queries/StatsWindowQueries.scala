@@ -61,6 +61,17 @@ object StatsWindowQueries extends QueryPack {
         .orderBy(col("status"), col("priority"))
     },
 
+    // z-order layout: content preservation through the quantile-
+    // sketch + bucket-fold + range-shuffle path (the pruning benefit
+    // itself is pinned in LayoutSpec's partitions-touched test).
+    "q_zorder" -> { (s, dir) =>
+      graft.operators.Layout.zorderBy(
+          tables(s, dir).documents.select(col("doc_id"), col("n_chars")),
+          Seq("doc_id", "n_chars"), bits = 6)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
     // ordered event funnel with a 24h horizon: per-step user counts,
     // first-touch attribution, strict step ordering.
     "q_funnel" -> { (s, dir) =>
@@ -227,6 +238,8 @@ object StatsWindowQueries extends QueryPack {
         |  coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS n
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "q_zorder" ->
+      """SELECT doc_id, n_chars FROM documents ORDER BY doc_id""".stripMargin,
     "q_funnel" ->
       """WITH u1 AS (
         |  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
