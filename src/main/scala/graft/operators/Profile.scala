@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One-pass column profiling — the per-column census (nulls, distinct
+  * cardinality, min/max) a pipeline runs before trusting a new feed.
+  * scio users assemble this from aggregate/countApproxDistinct per
+  * column (reference: scio-core values/SCollection.scala aggregate,
+  * estimators); graft ships it as one operator that computes EVERY
+  * column's stats in a single scan.
+  *
+  * Returns one row per column: (col_name, n_rows, n_nulls,
+  * n_distinct, min_value, max_value) — min/max cast to string so
+  * heterogeneous columns share a schema.
+  *
+  * Scale shape: [[profile]] is exact — multiple count(DISTINCT) in one
+  * aggregate plan via Expand, one stream duplication per column;
+  * right for gate-sized validation, wrong for a 100 TB census.
+  * [[profileApprox]] swaps HLL++ sketches in (map-side partial, no
+  * Expand) — the at-scale default, with the 2% HLL error bound.
+  */
+object Profile {
+
+  private def rows(df: DataFrame, cols: Seq[String], distinctAgg: String => org.apache.spark.sql.Column): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not in frame: $missing")
+    val aggs =
+      Seq(count(lit(1)).as("__n")) ++
+        cols.flatMap { c =>
+          Seq(
+            sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+            distinctAgg(c).as(s"__dist_$c"),
+            min(col(c)).cast("string").as(s"__min_$c"),
+            max(col(c)).cast("string").as(s"__max_$c"))
+        }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val structs = cols.map { c =>
+      struct(lit(c).as("col_name"), col("__n").as("n_rows"),
+        col(s"__nulls_$c").as("n_nulls"), col(s"__dist_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_value"), col(s"__max_$c").as("max_value"))
+    }
+    one.select(explode(array(structs: _*)).as("r"))
+      .select(col("r.col_name"), col("r.n_rows"), col("r.n_nulls"),
+        col("r.n_distinct"), col("r.min_value"), col("r.max_value"))
+      .orderBy(col("col_name"))
+  }
+
+  /** Exact profile (count DISTINCT via Expand) — gate-sized data. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame =
+    rows(df, cols, c => countDistinct(col(c)))
+
+  /** HLL++ profile — the 100 TB path: one scan, map-side partials,
+    * no Expand; n_distinct is approximate (rsd 2%).
+    */
+  def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame =
+    rows(df, cols, c => approx_count_distinct(col(c), 0.02))
+}

@@ -61,6 +61,14 @@ object StatsWindowQueries extends QueryPack {
         .orderBy(col("status"), col("priority"))
     },
 
+    // one-pass exact column profile over documents (string casts are
+    // restricted to BIGINT/VARCHAR columns, where both engines format
+    // identically; the approx variant is ApproxSpec-bounded).
+    "q_profile" -> { (s, dir) =>
+      graft.operators.Profile.profile(tables(s, dir).documents,
+        Seq("doc_id", "lang", "source", "n_chars"))
+    },
+
     // z-order layout: content preservation through the quantile-
     // sketch + bucket-fold + range-shuffle path (the pruning benefit
     // itself is pinned in LayoutSpec's partitions-touched test).
@@ -240,6 +248,17 @@ object StatsWindowQueries extends QueryPack {
         |ORDER BY status, priority""".stripMargin,
     "q_zorder" ->
       """SELECT doc_id, n_chars FROM documents ORDER BY doc_id""".stripMargin,
+    "q_profile" -> {
+      val cols = Seq("doc_id", "lang", "source", "n_chars")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_value,
+           |  CAST(max($c) AS VARCHAR) AS max_value
+           |FROM documents""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     "q_funnel" ->
       """WITH u1 AS (
         |  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
