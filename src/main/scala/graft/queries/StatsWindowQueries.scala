@@ -61,6 +61,16 @@ object StatsWindowQueries extends QueryPack {
         .orderBy(col("status"), col("priority"))
     },
 
+    // distribution drift (PSI) of order totals: pre-1998 reference vs
+    // 1998+ feed, 10 equi-probable reference buckets.
+    "q_drift" -> { (s, dir) =>
+      val ord = tables(s, dir).orders
+      graft.operators.Drift.psiBuckets(
+        ord.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        ord.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")),
+        "o_totalprice", nBuckets = 10)
+    },
+
     // one-pass exact column profile over documents (string casts are
     // restricted to BIGINT/VARCHAR columns, where both engines format
     // identically; the approx variant is ApproxSpec-bounded).
@@ -248,6 +258,25 @@ object StatsWindowQueries extends QueryPack {
         |ORDER BY status, priority""".stripMargin,
     "q_zorder" ->
       """SELECT doc_id, n_chars FROM documents ORDER BY doc_id""".stripMargin,
+    "q_drift" ->
+      """WITH ref AS (SELECT o_totalprice AS v FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+        |cur AS (SELECT o_totalprice AS v FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+        |b AS (SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bounds FROM ref),
+        |rb AS (SELECT len(list_filter(b.bounds, x -> v >= x)) AS bucket, count(*) AS n_ref
+        |       FROM ref, b GROUP BY 1),
+        |cb AS (SELECT len(list_filter(b.bounds, x -> v >= x)) AS bucket, count(*) AS n_cur
+        |       FROM cur, b GROUP BY 1),
+        |base AS (SELECT range AS bucket FROM range(10)),
+        |j AS (SELECT base.bucket, coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+        |      FROM base LEFT JOIN rb USING (bucket) LEFT JOIN cb USING (bucket)),
+        |t AS (SELECT bucket, n_ref, n_cur,
+        |        greatest(n_ref / (SELECT sum(n_ref) FROM j), 1e-6) AS pr,
+        |        greatest(n_cur / (SELECT sum(n_cur) FROM j), 1e-6) AS pc
+        |      FROM j)
+        |SELECT CAST(bucket AS INT) AS bucket, n_ref, n_cur,
+        |  round(pr, 6) AS p_ref, round(pc, 6) AS p_cur,
+        |  round((pc - pr) * ln(pc / pr), 6) AS contrib
+        |FROM t ORDER BY bucket""".stripMargin,
     "q_profile" -> {
       val cols = Seq("doc_id", "lang", "source", "n_chars")
       cols.map { c =>
