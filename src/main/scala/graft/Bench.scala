@@ -35,7 +35,11 @@ object Bench {
     // the bucketed global prefix sum — both all-doc shuffle shapes
     // worth tracking per round.
     "q_substr_dup",
-    "q_pack_sequences"
+    "q_pack_sequences",
+    // r10 continuation: the event-funnel join chain — a multi-round
+    // keyed-join shape (per-step min-aggs through shrinking joins)
+    // the suite didn't represent.
+    "q_funnel"
   )
 
   /** 1-minute system load average — the machine-busy dial. Sampled at
