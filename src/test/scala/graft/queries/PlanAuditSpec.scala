@@ -197,6 +197,37 @@ class PlanAuditSpec extends SparkSpec {
       s"product join in Q5:\n$p")
   }
 
+  test("q_funnel: no product join, no window over the raw stream, partial aggs") {
+    val p = plan("q_funnel")
+    assert(!p.contains("CartesianProduct"), s"product join in funnel:\n$p")
+    assert(!p.contains("Window"), s"funnel planned a window over events:\n$p")
+    assert(p.contains("partial_"), s"step aggs lack map-side partials:\n$p")
+  }
+
+  test("q_retention: no broadcast assumption baked in, distinct before the final agg") {
+    val p = plan("q_retention")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"product join in retention:\n$p")
+    assert(p.contains("partial_"), s"retention lacks partial aggs:\n$p")
+  }
+
+  test("q_drift: boundaries broadcast; snapshots never sort") {
+    val p = plan("q_drift")
+    assert(p.contains("BroadcastExchange"), s"bounds not broadcast:\n$p")
+    // the only Sort allowed is the final nBuckets-row presentation
+    // sort/window; the full snapshots must not range-sort
+    assert(!p.contains("rangepartitioning(__v"), s"snapshot sorted for drift:\n$p")
+    assert(!p.contains("ScalaUDF"), s"UDF in drift:\n$p")
+  }
+
+  test("q_profile approx variant: no Expand, partial aggs (exact variant may Expand)") {
+    val df = graft.operators.Profile.profileApprox(
+      spark.read.parquet(s"$dir/documents.parquet"), Seq("doc_id", "source"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Expand"), s"approx profile expanded:\n$p")
+    assert(p.contains("partial_"), s"approx profile lacks partials:\n$p")
+  }
+
   test("q_split_assign and q_tfidf stay codegen'd: no UDF anywhere") {
     Seq("q_split_assign", "q_tfidf").foreach { q =>
       val p = plan(q)
