@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bucketed histograms with the reference's exact interval contract
+  * (scio-core values/DoubleSCollectionFunctions.scala:108 `histogram`,
+  * itself Spark's classic DoubleRDDFunctions semantics): buckets
+  * `[b0,b1), [b1,b2), …, [b_{k-1}, b_k]` — half-open except the LAST,
+  * which includes its upper bound; values outside `[b0, b_k]` and
+  * nulls/NaN are ignored. `q_histogram` covers the fixed-width form;
+  * this operator takes arbitrary boundaries and the bucketCount form
+  * computes min/max in one aggregate first (scio
+  * DoubleSCollectionFunctions.scala:67).
+  *
+  * Scale shape: boundaries ride a broadcast 1-row frame, bucket id is
+  * a single-pass fold per row, counts partial-aggregate; the
+  * all-buckets frame (`spark.range(k)`) left-joins the counts so empty
+  * buckets report 0 — one scan, one tiny shuffle.
+  */
+object Stats {
+
+  /** Histogram rows (bucket, lo, hi, n) for explicit boundaries
+    * (ascending, length ≥ 2).
+    */
+  def histogram(df: DataFrame, colName: String, buckets: Array[Double]): DataFrame = {
+    require(buckets.length >= 2, s"need >= 2 boundaries, got ${buckets.length}")
+    require(buckets.zip(buckets.tail).forall { case (a, b) => a < b },
+      "boundaries must be strictly ascending")
+    val k = buckets.length - 1
+    val inner = buckets.slice(1, buckets.length - 1)
+    val innerArr = array(inner.map(lit(_)): _*)
+    val counts = df
+      .select(col(colName).cast("double").as("__v"))
+      .filter(col("__v").isNotNull && !isnan(col("__v")) &&
+        col("__v") >= buckets.head && col("__v") <= buckets.last)
+      .select(least(
+        aggregate(innerArr, lit(0), (acc, b) => acc + when(col("__v") >= b, 1).otherwise(0)),
+        lit(k - 1)).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val lows = array(buckets.dropRight(1).map(lit(_)): _*)
+    val highs = array(buckets.drop(1).map(lit(_)): _*)
+    df.sparkSession.range(k).select(col("id").cast("int").as("bucket"))
+      .join(broadcast(counts), Seq("bucket"), "left")
+      .select(col("bucket"),
+        element_at(lows, col("bucket") + 1).as("lo"),
+        element_at(highs, col("bucket") + 1).as("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Even-width histogram over the observed [min, max] — the
+    * bucketCount form. Throws on an empty/NaN/infinite column (the
+    * reference contract); min == max collapses to a single bucket.
+    */
+  def histogram(df: DataFrame, colName: String, bucketCount: Int): DataFrame = {
+    require(bucketCount >= 1, s"bucketCount must be >= 1, got $bucketCount")
+    val row = df.select(col(colName).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .agg(min(col("__v")).as("mn"), max(col("__v")).as("mx"))
+      .collect()(0)
+    require(!row.isNullAt(0), s"histogram on an empty column $colName")
+    val (mn, mx) = (row.getDouble(0), row.getDouble(1))
+    require(!mn.isNaN && !mx.isNaN && !mn.isInfinite && !mx.isInfinite,
+      s"histogram on a column containing NaN/infinity: [$mn, $mx]")
+    if (mn == mx) {
+      // all values identical → single bucket (reference contract)
+      val n = df.select(col(colName).cast("double").as("__v"))
+        .filter(col("__v").isNotNull).count()
+      df.sparkSession.range(1).select(lit(0).as("bucket"),
+        lit(mn).as("lo"), lit(mx).as("hi"), lit(n).as("n"))
+    } else {
+      val bounds = (0 to bucketCount).map(i => mn + (mx - mn) * i / bucketCount).toArray
+      histogram(df, colName, bounds)
+    }
+  }
+}

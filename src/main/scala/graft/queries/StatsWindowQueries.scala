@@ -36,6 +36,13 @@ object StatsWindowQueries extends QueryPack {
         .orderBy(col("bucket"))
     },
 
+    // histogram(buckets): the reference's arbitrary-boundary form —
+    // half-open intervals, last bucket inclusive, out-of-range ignored.
+    "q_histogram_buckets" -> { (s, dir) =>
+      graft.operators.Stats.histogram(tables(s, dir).orders, "o_totalprice",
+        Array(0.0, 25000.0, 75000.0, 150000.0, 300000.0))
+    },
+
     // scio-extra rollup: hierarchical subtotal aggregation.
     "q_rollup" -> { (s, dir) =>
       val t = tables(s, dir)
@@ -243,6 +250,21 @@ object StatsWindowQueries extends QueryPack {
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket, count(*) AS n
         |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_histogram_buckets" ->
+      """WITH b AS (SELECT [25000.0, 75000.0, 150000.0] AS inner_b,
+        |            [0.0, 25000.0, 75000.0, 150000.0] AS lows,
+        |            [25000.0, 75000.0, 150000.0, 300000.0] AS highs),
+        |v AS (SELECT o_totalprice AS v FROM orders
+        |      WHERE o_totalprice >= 0.0 AND o_totalprice <= 300000.0),
+        |c AS (SELECT least(len(list_filter(b.inner_b, x -> v >= x)), 3) AS bucket,
+        |        count(*) AS n
+        |      FROM v, b GROUP BY 1),
+        |base AS (SELECT range AS bucket FROM range(4))
+        |SELECT CAST(base.bucket AS INT) AS bucket,
+        |  b.lows[base.bucket + 1] AS lo, b.highs[base.bucket + 1] AS hi,
+        |  coalesce(c.n, 0) AS n
+        |FROM base CROSS JOIN b LEFT JOIN c ON base.bucket = c.bucket
+        |ORDER BY bucket""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
         |  count(*) AS n_supp, round(sum(s_acctbal), 2) AS sum_bal
