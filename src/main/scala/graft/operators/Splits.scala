@@ -106,7 +106,12 @@ object Splits {
       .withColumn("__rate", least(lit(1.0), col("__epochs")))
       .select(col(domainCol), col("__rate"), col("__epochs"))
     val h = hashCoordinate(col(keyCol), seed)
-    df.join(broadcast(rates), Seq(domainCol))
+    // null-safe join: a null domain is its own stratum (the count agg
+    // already groups it); a plain equi-join would silently drop those
+    // rows while still counting them into the rate denominators
+    val ratesR = rates.withColumnRenamed(domainCol, "__dom")
+    df.join(broadcast(ratesR), col(domainCol) <=> col("__dom"))
+      .drop("__dom")
       .filter(h * lit(1000000L) < floor(col("__rate") * 1e6).cast("long") * lit(Span))
       .withColumn("rate", round(col("__rate"), 6))
       .withColumn("epochs", round(col("__epochs"), 6))

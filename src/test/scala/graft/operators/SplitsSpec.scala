@@ -119,6 +119,15 @@ class SplitsSpec extends SparkSpec {
     assert(c != a, "different seed must sample a different set")
   }
 
+  test("mixtureSample: null domain is its own stratum, not silently dropped") {
+    val df = Seq((1L, Some("a")), (2L, Some("a")), (3L, None), (4L, None))
+      .toDF("id", "domain")
+    // budget >> corpus: every domain caps at rate 1 → ALL rows kept,
+    // including the null-domain ones
+    val kept = Splits.mixtureSample(df, "domain", "id", targetRows = 1000L, 0.5, "m")
+    assert(kept.count() == 4L, "null-domain rows must survive the rate join")
+  }
+
   test("mixtureSample: guards") {
     intercept[IllegalArgumentException](
       Splits.mixtureSample(skewed, "domain", "id", 0L, 0.5, "m"))
