@@ -37,7 +37,7 @@ object Drift {
       array(probs.map(p => percentile(col(colName), lit(p))): _*).as("__bounds"))
     def bucketed(df: DataFrame): DataFrame =
       df.select(col(colName).cast("double").as("__v"))
-        .filter(col("__v").isNotNull)
+        .filter(col("__v").isNotNull && !isnan(col("__v")))
         .crossJoin(broadcast(boundsRow))
         .select(aggregate(col("__bounds"), lit(0),
           (acc, b) => acc + when(col("__v") >= b, 1).otherwise(0)).as("bucket"))

@@ -30,7 +30,11 @@ object Events {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
     withinSec.foreach(w => require(w > 0, s"withinSec must be > 0, got $w"))
-    val first = df.filter(col(typeCol) === steps.head)
+    // anonymous (null-user) events cannot funnel: every step link is a
+    // user-keyed join, so a null user would inconsistently reach step 1
+    // and never step 2 — excluded up front instead
+    val ev = df.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+    val first = ev.filter(col(typeCol) === steps.head)
       .groupBy(col(userCol).as("__u"))
       .agg(min(col(tsCol)).as("t1"))
     // chain carries (__u, t1, t_last): t1 anchors the horizon, t_last
@@ -47,7 +51,7 @@ object Events {
         case Some(w) => col(tsCol) <= col("t1") + expr(s"INTERVAL $w SECONDS")
         case None    => lit(true)
       }
-      val next = df.filter(col(typeCol) === step)
+      val next = ev.filter(col(typeCol) === step)
         .join(chain, col(userCol) === col("__u"))
         .filter(col(tsCol) > col("__tlast") && horizon)
         .groupBy(col("__u"))
@@ -93,10 +97,13 @@ object Events {
                 cohortType: String, periodDays: Int = 7): DataFrame = {
     require(periodDays >= 1, s"periodDays must be >= 1, got $periodDays")
     val periodMicros = periodDays * 86400L * 1000000L
-    val cohorts = df.filter(col(typeCol) === cohortType)
+    // null users cannot cohort (every link is a user-keyed join) —
+    // excluded up front, same contract as the funnel
+    val ev = df.filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+    val cohorts = ev.filter(col(typeCol) === cohortType)
       .groupBy(col(userCol).as("__u"))
       .agg(date_trunc("day", min(col(tsCol))).as("__cohort"))
-    df.select(col(userCol), col(tsCol))
+    ev.select(col(userCol), col(tsCol))
       .join(cohorts, col(userCol) === col("__u"))
       .filter(col(tsCol) >= col("__cohort"))
       .select(col("__u"),
