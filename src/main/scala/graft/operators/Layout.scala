@@ -46,6 +46,62 @@ object Layout {
     least(folded, lit((1L << bits) - 1))
   }
 
+  /** Hilbert index of a 2-D cell — the classic xy→d walk (one
+    * quadrant-rotation step per bit, most significant first),
+    * expressed as a single-pass fold with (x, y, d) struct state.
+    * Hilbert beats Morton on locality: successive curve positions are
+    * always ADJACENT cells (Morton jumps at quadrant boundaries), so
+    * range-partition cuts produce tighter per-file bounding boxes.
+    */
+  private[operators] def hilbertIndex(xb: Column, yb: Column, bits: Int): Column = {
+    val svals = (0 until bits).reverse.map(1L << _)
+    aggregate(
+      array(svals.map(lit(_)): _*),
+      struct(xb.cast("long").as("x"), yb.cast("long").as("y"), lit(0L).as("d")),
+      (acc, s) => {
+        val rx = when(acc("x").bitwiseAND(s) > 0, 1L).otherwise(0L)
+        val ry = when(acc("y").bitwiseAND(s) > 0, 1L).otherwise(0L)
+        val d2 = acc("d") + s * s * ((lit(3L) * rx).bitwiseXOR(ry))
+        // rotate quadrant: ry==0 → (maybe flip) then swap x/y
+        val fx = when(rx === 1L, s - 1 - acc("x")).otherwise(acc("x"))
+        val fy = when(rx === 1L, s - 1 - acc("y")).otherwise(acc("y"))
+        struct(
+          when(ry === 0L, fy).otherwise(acc("x")).as("x"),
+          when(ry === 0L, fx).otherwise(acc("y")).as("y"),
+          d2.as("d"))
+      },
+      acc => acc("d"))
+  }
+
+  /** Hilbert-curve variant of [[zorderBy]] (2 dimensions): same
+    * quantile bucketing and range shuffle, better per-file bounding
+    * boxes from the curve's strict adjacency. Adds `hvalue`.
+    */
+  def hilbertBy(df: DataFrame, cols: Seq[String], bits: Int = 8,
+                numPartitions: Option[Int] = None): DataFrame = {
+    require(cols.size == 2, s"hilbertBy is 2-dimensional, got ${cols.size} columns")
+    require(bits >= 1 && bits <= 8, s"bits must be in [1, 8], got $bits")
+    require(!df.columns.contains("hvalue"),
+      "input already has an 'hvalue' column; rename it before hilbertBy")
+    val nBuckets = 1 << bits
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val doubled = cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+      d.withColumn(s"__hd$i", col(c).cast("double"))
+    }
+    val boundaries = doubled.stat.approxQuantile(
+      cols.indices.map(i => s"__hd$i").toArray, probs, 0.001)
+    val buckets = cols.indices.map(i =>
+      bucketOf(col(s"__hd$i"), boundaries(i).distinct.sorted, bits))
+    val withH = doubled
+      .withColumn("hvalue", hilbertIndex(buckets(0), buckets(1), bits))
+      .drop(cols.indices.map(i => s"__hd$i"): _*)
+    val parted = numPartitions match {
+      case Some(n) => withH.repartitionByRange(n, col("hvalue"))
+      case None    => withH.repartitionByRange(col("hvalue"))
+    }
+    parted.sortWithinPartitions(col("hvalue"))
+  }
+
   /** Returns `df` with a `zvalue` column and rows range-clustered +
     * sorted by it — write the result out directly and every listed
     * dimension prunes. `cols` must be numeric/date-like (castable to

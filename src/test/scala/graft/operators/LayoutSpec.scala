@@ -47,6 +47,55 @@ class LayoutSpec extends SparkSpec {
     assert(zTouchX <= n / 2, s"z-order must prune on x too: touched $zTouchX of $n")
   }
 
+  /** Reference Hilbert xy→d (the classic bit-walk) for the exactness
+    * cross-check of the expression-level fold.
+    */
+  private def hilbertRef(bits: Int, x0: Int, y0: Int): Long = {
+    var (x, y, d) = (x0.toLong, y0.toLong, 0L)
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  test("hilbertIndex matches the reference walk on every cell of a 32x32 grid") {
+    val bits = 5
+    val cells = (for (x <- 0 until 32; y <- 0 until 32) yield (x, y)).toDF("x", "y")
+    val got = cells
+      .withColumn("h", Layout.hilbertIndex(col("x"), col("y"), bits))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for (x <- 0 until 32; y <- 0 until 32)
+      assert(got((x, y)) == hilbertRef(bits, x, y), s"cell ($x,$y)")
+    // the curve visits every cell exactly once
+    assert(got.values.toSeq.sorted == (0L until 1024L))
+  }
+
+  test("hilbertBy preserves content and prunes both dimensions") {
+    val n = 16
+    val h = Layout.hilbertBy(grid, Seq("x", "y"), bits = 6, numPartitions = Some(n))
+    val a = grid.select("x", "y").collect().map(r => (r.getInt(0), r.getInt(1))).sorted
+    val b = h.select("x", "y").collect().map(r => (r.getInt(0), r.getInt(1))).sorted
+    assert(a.toSeq == b.toSeq)
+    def spans(df: org.apache.spark.sql.DataFrame, colIdx: Int): Seq[(Int, Int)] =
+      df.select("x", "y").rdd.mapPartitions { it =>
+        val vs = it.map(_.getInt(colIdx)).toVector
+        if (vs.isEmpty) Iterator.empty else Iterator((vs.min, vs.max))
+      }.collect().toSeq
+    def touched(sp: Seq[(Int, Int)], lo: Int, hi: Int): Int =
+      sp.count { case (mn, mx) => mx >= lo && mn <= hi }
+    val hd = h.drop("hvalue")
+    assert(touched(spans(hd, 0), 0, 7) <= n / 2, "hilbert must prune on x")
+    assert(touched(spans(hd, 1), 0, 7) <= n / 2, "hilbert must prune on y")
+  }
+
   test("zorderBy handles nulls, low-cardinality columns, and guards") {
     val df = Seq((Some(1), 1), (None, 2), (Some(3), 3)).toDF("x", "y")
     val out = Layout.zorderBy(df, Seq("x", "y"), bits = 4)
