@@ -70,4 +70,48 @@ object Drift {
   def psi(ref: DataFrame, cur: DataFrame, colName: String, nBuckets: Int = 10): Double =
     psiBuckets(ref, cur, colName, nBuckets)
       .agg(sum(col("contrib"))).collect()(0).getDouble(0)
+
+  /** EXACT two-sample Kolmogorov–Smirnov statistic — the bucket-free
+    * drift test (PSI depends on a bucketing choice; KS is the sup of
+    * the empirical-CDF gap and has the classical significance table).
+    * Returns one row: (n_ref, n_cur, d_stat, at_value) where d_stat =
+    * max_v |F_ref(v) − F_cur(v)| over the pooled support and at_value
+    * is the smallest value attaining it (tie-deterministic).
+    *
+    * Scale shape — never a global sort of the data and never a
+    * single-partition window: per-value counts partial-aggregate
+    * map-side (support-sized output); the two CDFs are exclusive
+    * prefix sums via [[GlobalOrder.withGlobalOffset]]'s balanced
+    * bucketed pass; totals ride in as a broadcast 1-row frame. All
+    * counts are integers, so cumulative sums are EXACT in any
+    * summation order and both engines produce bit-identical CDFs.
+    * Null/NaN values carry no order information and are excluded
+    * (disclosed, same contract as [[psiBuckets]]).
+    */
+  def ksStat(ref: DataFrame, cur: DataFrame, colName: String): DataFrame = {
+    def side(df: DataFrame, tag: Int): DataFrame =
+      df.select(col(colName).cast("double").as("__v"))
+        .filter(col("__v").isNotNull && !isnan(col("__v")))
+        .withColumn("__t", lit(tag))
+    val counts = side(ref, 0).unionAll(side(cur, 1))
+      .groupBy(col("__v"))
+      .agg(sum(when(col("__t") === 0, 1L).otherwise(0L)).as("n_ref_v"),
+        sum(when(col("__t") === 1, 1L).otherwise(0L)).as("n_cur_v"))
+    val cdf = GlobalOrder.withGlobalOffset(
+      GlobalOrder.withGlobalOffset(counts, "__v", col("n_ref_v"), "__off_ref"),
+      "__v", col("n_cur_v"), "__off_cur")
+    val totals = broadcast(counts.agg(
+      sum(col("n_ref_v")).as("__nr"), sum(col("n_cur_v")).as("__nc")))
+    val best = cdf.crossJoin(totals)
+      .select(col("__v"), col("__nr"), col("__nc"),
+        abs((col("__off_ref") + col("n_ref_v")) / col("__nr") -
+          (col("__off_cur") + col("n_cur_v")) / col("__nc")).as("__d"))
+      // max d, ties broken to the SMALLEST value: lexicographic struct
+      // max on (d, -v) is deterministic under any partitioning
+      .agg(max(col("__nr")).as("n_ref"), max(col("__nc")).as("n_cur"),
+        max(struct(col("__d"), (-col("__v")).as("__negv"))).as("__best"))
+    best.select(col("n_ref"), col("n_cur"),
+      col("__best").getField("__d").as("d_stat"),
+      (-col("__best").getField("__negv")).as("at_value"))
+  }
 }

@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al.,
+  * NeurIPS 2023): pick raw-corpus examples whose hashed-n-gram
+  * distribution looks like a target corpus. The standard recipe for
+  * "give me Wikipedia-like documents out of a web crawl" at
+  * pretraining scale; the reference has no counterpart (scio users
+  * hand-roll it from keyed verbs), graft ships it first-class.
+  *
+  *  1. featurize: unigrams + bigrams hashed into `numBuckets` buckets
+  *     (md5-derived buckets so any engine reproduces them);
+  *  2. fit two smoothed bag-of-buckets unigram models — target p and
+  *     raw q (each is `numBuckets` rows, broadcast-sized no matter
+  *     how big the corpora);
+  *  3. per raw doc: log importance weight = Σ_b cnt_b · (ln p_b − ln q_b);
+  *  4. resample: Gumbel-perturbed top-k (sampling without replacement
+  *     ∝ softmax of the weights), seeded md5 noise so the draw is
+  *     reproducible.
+  *
+  * Scale shape: one narrow (id, bucket) shuffle per corpus featurize
+  * (partial-agg counts); both models and their log-ratio table are
+  * `numBuckets`-row broadcasts; the weight pass is one map-side join +
+  * per-doc partial agg. Nothing about either corpus is collected.
+  */
+object Dsir {
+
+  /** md5-derived feature bucket in [0, numBuckets) — first 32 bits of
+    * md5(term), mod buckets; cross-engine reproducible (no JVM-only
+    * hash in the contract).
+    */
+  private def bucketOf(term: Column, numBuckets: Int): Column =
+    pmod(conv(substring(md5(term), 1, 8), 16, 10).cast("long"), lit(numBuckets.toLong))
+
+  /** Per-doc hashed n-gram feature counts: (id, bucket, cnt) rows over
+    * unigrams + bigrams of the whitespace tokens.
+    */
+  def featureRows(df: DataFrame, idCol: String, textCol: String,
+                  numBuckets: Int): DataFrame = {
+    require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
+    val toks = filter(split(trim(coalesce(col(textCol), lit(""))), "\\s+"),
+      w => length(w) > 0)
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).as("id"),
+        explode(concat(toks, bigrams)).as("term"))
+      .select(col("id"), bucketOf(col("term"), numBuckets).as("bucket"))
+      .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Laplace-smoothed log-probability per bucket over ALL buckets
+    * 0..numBuckets-1 (empty buckets get the smoothing floor):
+    * ln((n_b + alpha) / (N + alpha·numBuckets)). `numBuckets` rows.
+    */
+  def bucketLogProbs(feats: DataFrame, numBuckets: Int,
+                     alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    val counts = feats.groupBy(col("bucket")).agg(sum(col("cnt")).as("n"))
+    val all = feats.sparkSession.range(numBuckets)
+      .select(col("id").cast("long").as("bucket"))
+    val total = broadcast(counts.agg(
+      coalesce(sum(col("n")), lit(0L)).cast("double").as("__n_total")))
+    all.join(broadcast(counts), Seq("bucket"), "left")
+      .crossJoin(total)
+      .select(col("bucket"),
+        log((coalesce(col("n"), lit(0L)) + lit(alpha)) /
+          (col("__n_total") + lit(alpha * numBuckets))).as("lp"))
+  }
+
+  /** Per-raw-doc DSIR log importance weight: (id, n_feats, logw).
+    * Docs with no features (empty text) keep a row with n_feats 0 and
+    * logw 0 — selection decides their fate, not silent row loss.
+    */
+  def logWeights(raw: DataFrame, target: DataFrame, idCol: String,
+                 textCol: String, numBuckets: Int = 10000,
+                 alpha: Double = 1.0): DataFrame = {
+    val rawFeats = featureRows(raw, idCol, textCol, numBuckets)
+    val ratio = bucketLogProbs(featureRows(target, idCol, textCol, numBuckets),
+        numBuckets, alpha)
+      .withColumnRenamed("lp", "lp_t")
+      .join(bucketLogProbs(rawFeats, numBuckets, alpha)
+        .withColumnRenamed("lp", "lp_r"), Seq("bucket"))
+      .select(col("bucket"), (col("lp_t") - col("lp_r")).as("lr"))
+    val perDoc = rawFeats.join(broadcast(ratio), Seq("bucket"))
+      .groupBy(col("id"))
+      .agg(sum(col("cnt")).as("n_feats"), sum(col("cnt") * col("lr")).as("logw"))
+    raw.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("logw"), lit(0.0)).as("logw"))
+  }
+
+  /** Gumbel top-k resample over the log weights — k draws without
+    * replacement ∝ softmax(logw) (the Gumbel-max trick), with
+    * md5-seeded noise so the draw is reproducible under reshuffling
+    * and growth. Returns (id, n_feats, logw, score) for the k kept
+    * docs. k is driver-bounded (TakeOrdered keeps k rows on the
+    * driver): for billion-row keeps, filter on a score threshold from
+    * `approxQuantile` instead — disclosed contract.
+    */
+  def resampleTopK(weights: DataFrame, k: Int, seed: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // u in (0,1): (h + 0.5) / 2^32 from the first 32 md5 bits of seed:id
+    val h = conv(substring(md5(concat(lit(seed), lit(":"),
+      col("id").cast("string"))), 1, 8), 16, 10).cast("double")
+    val u = (h + 0.5) / lit(4294967296.0)
+    val score = col("logw") + (-log(-log(u)))
+    weights.withColumn("score", score)
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+}

@@ -78,6 +78,19 @@ object StatsWindowQueries extends QueryPack {
         "o_totalprice", nBuckets = 10)
     },
 
+    // exact two-sample KS statistic over the same pre/post-1998 split
+    // as q_drift — bucket-free CDF-gap drift test; all cumulative
+    // arithmetic is integer so both engines agree bit-exactly.
+    "q_ks_drift" -> { (s, dir) =>
+      val ord = tables(s, dir).orders
+      graft.operators.Drift.ksStat(
+          ord.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          ord.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")),
+          "o_totalprice")
+        .select(col("n_ref"), col("n_cur"),
+          r6(col("d_stat")).as("d_stat"), col("at_value"))
+    },
+
     // one-pass exact column profile over documents (string casts are
     // restricted to BIGINT/VARCHAR columns, where both engines format
     // identically; the approx variant is ApproxSpec-bounded).
@@ -91,6 +104,17 @@ object StatsWindowQueries extends QueryPack {
     // itself is pinned in LayoutSpec's partitions-touched test).
     "q_zorder" -> { (s, dir) =>
       graft.operators.Layout.zorderBy(
+          tables(s, dir).documents.select(col("doc_id"), col("n_chars")),
+          Seq("doc_id", "n_chars"), bits = 6)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Hilbert-curve layout: content preservation through the same
+    // quantile + fold + range-shuffle path as q_zorder (the curve's
+    // adjacency benefit is pinned bit-exact in LayoutSpec).
+    "q_hilbert" -> { (s, dir) =>
+      graft.operators.Layout.hilbertBy(
           tables(s, dir).documents.select(col("doc_id"), col("n_chars")),
           Seq("doc_id", "n_chars"), bits = 6)
         .select(col("doc_id"), col("n_chars"))
@@ -280,6 +304,8 @@ object StatsWindowQueries extends QueryPack {
         |ORDER BY status, priority""".stripMargin,
     "q_zorder" ->
       """SELECT doc_id, n_chars FROM documents ORDER BY doc_id""".stripMargin,
+    "q_hilbert" ->
+      """SELECT doc_id, n_chars FROM documents ORDER BY doc_id""".stripMargin,
     "q_drift" ->
       """WITH ref AS (SELECT o_totalprice AS v FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
         |cur AS (SELECT o_totalprice AS v FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
@@ -299,6 +325,19 @@ object StatsWindowQueries extends QueryPack {
         |  round(pr, 6) AS p_ref, round(pc, 6) AS p_cur,
         |  round((pc - pr) * ln(pc / pr), 6) AS contrib
         |FROM t ORDER BY bucket""".stripMargin,
+    "q_ks_drift" ->
+      """WITH ref AS (SELECT o_totalprice AS v FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+        |cur AS (SELECT o_totalprice AS v FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+        |u AS (SELECT v, 1 AS r, 0 AS c FROM ref UNION ALL SELECT v, 0 AS r, 1 AS c FROM cur),
+        |g AS (SELECT v, sum(r) AS nr, sum(c) AS nc FROM u GROUP BY v),
+        |cd AS (SELECT v, sum(nr) OVER (ORDER BY v) AS cr,
+        |               sum(nc) OVER (ORDER BY v) AS cc FROM g),
+        |t AS (SELECT (SELECT count(*) FROM ref) AS tnr, (SELECT count(*) FROM cur) AS tnc),
+        |d AS (SELECT v, abs(CAST(cr AS DOUBLE) / CAST(t.tnr AS DOUBLE)
+        |                  - CAST(cc AS DOUBLE) / CAST(t.tnc AS DOUBLE)) AS dd
+        |      FROM cd CROSS JOIN t)
+        |SELECT t.tnr AS n_ref, t.tnc AS n_cur, round(d.dd, 6) AS d_stat, d.v AS at_value
+        |FROM d CROSS JOIN t ORDER BY d.dd DESC, d.v LIMIT 1""".stripMargin,
     "q_profile" -> {
       val cols = Seq("doc_id", "lang", "source", "n_chars")
       cols.map { c =>

@@ -161,6 +161,28 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("id"), col("term"))
     },
 
+    // DSIR importance weights: hashed unigram+bigram bag models of
+    // the en-language target vs the whole raw corpus; per-doc log
+    // importance ratio (md5-derived buckets — engine-reproducible).
+    "q_dsir" -> { (s, dir) =>
+      val docs = tables(s, dir).documents
+      graft.pipeline.Dsir.logWeights(docs, docs.filter(col("lang") === "en"),
+          "doc_id", "text", numBuckets = 1024)
+        .filter(col("id") <= 300)
+        .select(col("id"), col("n_feats"), r6(col("logw")).as("logw"))
+        .orderBy(col("id"))
+    },
+
+    // Okapi BM25 weights: corpus doc frequencies + length-normalized
+    // term saturation, output restricted after the global pass.
+    "q_bm25" -> { (s, dir) =>
+      graft.functions.Tfidf.bm25(tables(s, dir).documents, "doc_id", "text")
+        .filter(col("id") <= 30)
+        .select(col("id"), col("term"), col("tf"), col("doc_freq"), col("dl"),
+          r6(col("bm25")).as("bm25"))
+        .orderBy(col("id"), col("term"))
+    },
+
     // exact-quota stratified sample: 20 docs per source stratum by
     // smallest md5 coordinate — reproducible quotas, WindowGroupLimit.
     "q_quota_sample" -> { (s, dir) =>
@@ -511,6 +533,28 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Gopher rule battery over text with synthesized bullet/ellipsis
+    // lines (so every rule has signal): per-doc signals + keep flag.
+    "q_gopher_quality" -> { (s, dir) =>
+      val synth = concat(coalesce(col("text"), lit("")),
+        lit("\n- bullet item "), col("doc_id").cast("string"),
+        lit("\nplain closing line"),
+        when(col("doc_id") % 3 === 0, lit("...")).otherwise(lit("")))
+      val g = graft.functions.QualityRules.gopherStruct(synth)
+      tables(s, dir).documents
+        .filter(col("doc_id") <= 150)
+        .select(col("doc_id"),
+          g.getField("n_words").as("n_words"),
+          r6(g.getField("mean_word_len")).as("mean_word_len"),
+          r6(g.getField("symbol_ratio")).as("symbol_ratio"),
+          r6(g.getField("bullet_ratio")).as("bullet_ratio"),
+          r6(g.getField("ellipsis_ratio")).as("ellipsis_ratio"),
+          r6(g.getField("alpha_ratio")).as("alpha_ratio"),
+          g.getField("stop_hits").as("stop_hits"),
+          g.getField("keep").cast("int").as("keep"))
+        .orderBy(col("doc_id"))
+    },
+
     // token counting — whitespace + BPE-ish estimate, oracle-checked.
     "q_token_count" -> { (s, dir) =>
       val tc = TextFunctions.tokenCounts(col("text"))
@@ -790,6 +834,51 @@ object TextVectorQueries extends QueryPack {
         |  round(len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
         |        / greatest(len(text), 1), 6) AS alpha_ratio
         |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin,
+    "q_gopher_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    coalesce(text, '') || chr(10) || '- bullet item ' || CAST(doc_id AS VARCHAR)
+        |      || chr(10) || 'plain closing line'
+        |      || CASE WHEN doc_id % 3 = 0 THEN '...' ELSE '' END AS t
+        |  FROM documents WHERE doc_id <= 150),
+        |w AS (
+        |  SELECT doc_id, t,
+        |    list_filter(regexp_split_to_array(trim(t), '\s+'), x -> len(x) > 0) AS words,
+        |    list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)),
+        |                l -> len(l) > 0) AS lines
+        |  FROM d),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(words) AS DOUBLE) AS nw,
+        |    CAST(list_sum(list_transform(words, x -> len(x))) AS DOUBLE)
+        |      / greatest(CAST(len(words) AS DOUBLE), 1.0) AS mean_len,
+        |    (CAST(len(t) - len(replace(t, '#', '')) AS DOUBLE)
+        |     + CAST((len(t) - len(replace(t, '...', ''))) // 3 AS DOUBLE)
+        |     + CAST(len(t) - len(replace(t, '…', '')) AS DOUBLE))
+        |      / greatest(CAST(len(words) AS DOUBLE), 1.0) AS sym_r,
+        |    CAST(len(list_filter(lines, l -> starts_with(l, '•')
+        |      OR starts_with(l, '- ') OR starts_with(l, '* '))) AS DOUBLE)
+        |      / greatest(CAST(len(lines) AS DOUBLE), 1.0) AS bul_r,
+        |    CAST(len(list_filter(lines, l -> ends_with(l, '...')
+        |      OR ends_with(l, '…'))) AS DOUBLE)
+        |      / greatest(CAST(len(lines) AS DOUBLE), 1.0) AS ell_r,
+        |    CAST(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE)
+        |      / greatest(CAST(len(words) AS DOUBLE), 1.0) AS alp_r,
+        |    len(list_intersect(list_distinct(list_transform(words, x -> lower(x))),
+        |      ['the','be','to','of','and','that','have','with'])) AS hits
+        |  FROM w)
+        |SELECT doc_id,
+        |  CAST(nw AS BIGINT) AS n_words,
+        |  round(mean_len, 6) AS mean_word_len,
+        |  round(sym_r, 6) AS symbol_ratio,
+        |  round(bul_r, 6) AS bullet_ratio,
+        |  round(ell_r, 6) AS ellipsis_ratio,
+        |  round(alp_r, 6) AS alpha_ratio,
+        |  CAST(hits AS BIGINT) AS stop_hits,
+        |  CAST(nw >= 50 AND nw <= 100000 AND mean_len >= 3.0 AND mean_len <= 10.0
+        |    AND sym_r < 0.1 AND bul_r <= 0.9 AND ell_r <= 0.3 AND alp_r >= 0.8
+        |    AND hits >= 2 AS INT) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         |  len(string_split(trim(text), ' ')) AS n_ws_tokens,
@@ -867,6 +956,61 @@ object TextVectorQueries extends QueryPack {
         |SELECT tf.id, tf.term, tf.tf, dfreq.doc_freq,
         |  round(tf.tf * (ln((n.n + 1.0) / (dfreq.doc_freq + 1.0)) + 1.0), 6) AS tfidf
         |FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        |WHERE tf.id <= 30 ORDER BY id, term""".stripMargin,
+    "q_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\s+'),
+        |                w -> len(w) > 0) AS t
+        |  FROM documents),
+        |terms AS (
+        |  SELECT id, unnest(t || CASE WHEN len(t) >= 2
+        |    THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+        |    ELSE CAST([] AS VARCHAR[]) END) AS term
+        |  FROM toks),
+        |feats AS (
+        |  SELECT id,
+        |    CAST(CAST(concat('0x', substr(md5(term), 1, 8)) AS UBIGINT) % 1024
+        |         AS BIGINT) AS bucket,
+        |    count(*) AS cnt
+        |  FROM terms GROUP BY id, bucket),
+        |rawn AS (SELECT bucket, sum(cnt) AS n FROM feats GROUP BY bucket),
+        |rawt AS (SELECT CAST(coalesce(sum(n), 0) AS DOUBLE) AS tot FROM rawn),
+        |tfeats AS (SELECT f.* FROM feats f JOIN documents d ON f.id = d.doc_id
+        |           WHERE d.lang = 'en'),
+        |tn AS (SELECT bucket, sum(cnt) AS n FROM tfeats GROUP BY bucket),
+        |tt AS (SELECT CAST(coalesce(sum(n), 0) AS DOUBLE) AS tot FROM tn),
+        |allb AS (SELECT range AS bucket FROM range(1024)),
+        |ratio AS (
+        |  SELECT allb.bucket,
+        |    ln((coalesce(tn.n, 0) + 1.0) / (tt.tot + 1024.0))
+        |      - ln((coalesce(rawn.n, 0) + 1.0) / (rawt.tot + 1024.0)) AS lr
+        |  FROM allb LEFT JOIN tn USING (bucket) LEFT JOIN rawn USING (bucket)
+        |  CROSS JOIN tt CROSS JOIN rawt),
+        |w AS (
+        |  SELECT f.id, sum(f.cnt) AS n_feats, sum(f.cnt * r.lr) AS logw
+        |  FROM feats f JOIN ratio r USING (bucket) GROUP BY f.id)
+        |SELECT d.doc_id AS id, CAST(coalesce(w.n_feats, 0) AS BIGINT) AS n_feats,
+        |  round(coalesce(w.logw, 0.0), 6) AS logw
+        |FROM documents d LEFT JOIN w ON d.doc_id = w.id
+        |WHERE d.doc_id <= 300 ORDER BY id""".stripMargin,
+    "q_bm25" ->
+      """WITH terms AS (
+        |  SELECT doc_id AS id,
+        |    unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS term
+        |  FROM documents),
+        |t2 AS (SELECT id, term FROM terms WHERE len(term) > 0),
+        |tf AS (SELECT id, term, count(*) AS tf FROM t2 GROUP BY id, term),
+        |dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY id),
+        |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+        |dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT tf.id, tf.term, tf.tf, dfreq.doc_freq, dl.dl,
+        |  round(ln(1.0 + (n.n - dfreq.doc_freq + 0.5) / (dfreq.doc_freq + 0.5))
+        |    * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / ad.avgdl)), 6)
+        |    AS bm25
+        |FROM tf JOIN dfreq USING (term) JOIN dl USING (id)
+        |CROSS JOIN ad CROSS JOIN n
         |WHERE tf.id <= 30 ORDER BY id, term""".stripMargin,
     "q_quota_sample" ->
       """WITH h AS (

@@ -30,4 +30,37 @@ class DriftSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum == 4L)
     intercept[IllegalArgumentException](Drift.psiBuckets(ref, ref, "v", nBuckets = 1))
   }
+
+  test("ksStat: identical samples give 0, disjoint samples give 1") {
+    val a = (1 to 500).map(_.toDouble).toDF("v")
+    val b = (501 to 1000).map(_.toDouble).toDF("v")
+    val same = Drift.ksStat(a, a, "v").collect()(0)
+    assert(same.getLong(0) == 500L && same.getLong(1) == 500L)
+    assert(same.getDouble(2) == 0.0)
+    val dis = Drift.ksStat(a, b, "v").collect()(0)
+    assert(dis.getDouble(2) == 1.0)
+    assert(dis.getDouble(3) == 500.0, "sup attained first at ref's max value")
+  }
+
+  test("ksStat matches a brute-force CDF scan; null/NaN excluded") {
+    val rnd = new scala.util.Random(7)
+    val xs = Seq.fill(400)(rnd.nextInt(50).toDouble)
+    val ys = Seq.fill(300)(rnd.nextInt(60).toDouble + 5)
+    val support = (xs ++ ys).distinct.sorted
+    val brute = support.map(v =>
+      math.abs(xs.count(_ <= v).toDouble / xs.size -
+        ys.count(_ <= v).toDouble / ys.size)).max
+    val noisy = (ys.map(Option(_)) ++ Seq(None, Some(Double.NaN))).toDF("v")
+    val r = Drift.ksStat(xs.toDF("v"), noisy, "v").collect()(0)
+    assert(r.getLong(0) == 400L && r.getLong(1) == 300L)
+    assert(math.abs(r.getDouble(2) - brute) < 1e-12)
+  }
+
+  test("ksStat is stable under repartitioning") {
+    val a = (1 to 997).map(i => ((i * 31) % 200).toDouble).toDF("v")
+    val b = (1 to 800).map(i => ((i * 17) % 220).toDouble).toDF("v")
+    val r1 = Drift.ksStat(a, b, "v").collect()(0)
+    val r2 = Drift.ksStat(a.repartition(13), b.repartition(7), "v").collect()(0)
+    assert(r1 == r2)
+  }
 }
