@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional data layout for scan pruning at lake scale —
@@ -100,6 +101,64 @@ object Layout {
       case None    => withH.repartitionByRange(col("hvalue"))
     }
     parted.sortWithinPartitions(col("hvalue"))
+  }
+
+  /** Result of a [[compactParquet]] run: input file census, the file
+    * count the byte budget asked for, and what the write produced.
+    */
+  final case class CompactStats(filesIn: Long, bytesIn: Long,
+                                targetFiles: Int, filesOut: Long)
+
+  /** Small-file compaction — the `OPTIMIZE` half of Delta/Iceberg
+    * table maintenance (zorderBy/hilbertBy are the `ZORDER BY` half).
+    * Streaming sinks and fine-grained ingests leave thousands of tiny
+    * parquet files per partition; at lake scale the scan's task-per-
+    * file scheduling and footer reads dominate the query. This rewrites
+    * a parquet tree into ≈`targetFileBytes`-sized files: ONE balanced
+    * shuffle (round-robin, or a range shuffle + in-partition sort when
+    * `orderCols` asks the layout to stay clustered for min/max
+    * pruning).
+    *
+    * The output file count comes from the INPUT's actual byte census
+    * (Hadoop FS listing — no data pass), so compressed size estimates
+    * stay honest: parquet-in to parquet-out re-compresses at ≈1:1.
+    * Writes `outputDir` with overwrite semantics; the read of
+    * `inputDir` and write commit are the standard Spark jobs, so a
+    * failed run leaves the input untouched.
+    */
+  def compactParquet(spark: SparkSession, inputDir: String, outputDir: String,
+                     targetFileBytes: Long = 128L << 20,
+                     orderCols: Seq[String] = Nil): CompactStats = {
+    require(targetFileBytes > 0, s"targetFileBytes must be > 0, got $targetFileBytes")
+    require(new Path(inputDir) != new Path(outputDir),
+      "compactParquet cannot overwrite its own input; write to a new dir and swap")
+    def census(dir: String): (Long, Long) = {
+      val p = new Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.exists(p), s"input dir does not exist: $dir")
+      var files = 0L; var bytes = 0L
+      val it = fs.listFiles(p, true)
+      while (it.hasNext) {
+        val f = it.next()
+        val n = f.getPath.getName
+        if (f.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")) {
+          files += 1; bytes += f.getLen
+        }
+      }
+      (files, bytes)
+    }
+    val (filesIn, bytesIn) = census(inputDir)
+    require(filesIn > 0, s"no parquet files under $inputDir")
+    val nOut = math.max(1L, (bytesIn + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(inputDir)
+    val placed =
+      if (orderCols.nonEmpty)
+        df.repartitionByRange(nOut, orderCols.map(col): _*)
+          .sortWithinPartitions(orderCols.map(col): _*)
+      else df.repartition(nOut)
+    placed.write.mode("overwrite").parquet(outputDir)
+    val (filesOut, _) = census(outputDir)
+    CompactStats(filesIn, bytesIn, nOut, filesOut)
   }
 
   /** Returns `df` with a `zvalue` column and rows range-clustered +

@@ -240,6 +240,21 @@ object IoQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("qty"))
     },
 
+    // small-file compaction: scatter documents into 32 tiny parquet
+    // files, rewrite to the byte-budgeted layout (clustered on doc_id
+    // for min/max pruning), read the COMPACTED tree back — the oracle
+    // checks the rewrite preserved every row.
+    "q_compact" -> { (s, dir) =>
+      val base = tmp(dir, "compact")
+      tables(s, dir).documents.select(col("doc_id"), col("source"), col("n_chars"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$base/small")
+      graft.operators.Layout.compactParquet(s, s"$base/small", s"$base/compacted",
+        targetFileBytes = 4L << 20, orderCols = Seq("doc_id"))
+      s.read.parquet(s"$base/compacted")
+        .orderBy(col("doc_id"))
+    },
+
     // deterministic sharded training-data export: md5-stable shard
     // assignment → one shard=K dir per shard → read back and profile.
     // The oracle recomputes every per-shard stat straight from the
@@ -407,6 +422,8 @@ object IoQueries extends QueryPack {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_smb_write" ->
       """SELECT count(*) AS n, round(sum(l_quantity), 2) AS qty FROM lineitem""",
+    "q_compact" ->
+      """SELECT doc_id, source, n_chars FROM documents ORDER BY doc_id""",
     "q_export_shards" ->
       """WITH h AS (
         |  SELECT doc_id, text,

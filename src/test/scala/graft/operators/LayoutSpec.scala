@@ -96,6 +96,52 @@ class LayoutSpec extends SparkSpec {
     assert(touched(spans(hd, 1), 0, 7) <= n / 2, "hilbert must prune on y")
   }
 
+  test("compactParquet merges small files to the byte budget, content intact") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val in = s"$base/small"; val out = s"$base/big"
+    try {
+      val df = (1 to 5000).map(i => (i.toLong, s"row $i", i % 97)).toDF("id", "s", "k")
+      df.repartition(40).write.parquet(in)
+      val inFiles = new java.io.File(in).listFiles().count(_.getName.endsWith(".parquet"))
+      assert(inFiles == 40)
+      val totalBytes = new java.io.File(in).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      // budget = a quarter of the input → 4 output files
+      val stats = Layout.compactParquet(spark, in, out,
+        targetFileBytes = (totalBytes + 3) / 4, orderCols = Seq("id"))
+      assert(stats.filesIn == 40L && stats.bytesIn == totalBytes)
+      assert(stats.targetFiles == 4 && stats.filesOut == 4L)
+      val back = spark.read.parquet(out)
+      assert(sortedRows(back.select("id", "s", "k")) ==
+        sortedRows(df.select("id", "s", "k")))
+      // orderCols keeps the layout range-clustered: per-FILE id spans
+      // disjoint (each file read alone — the footer stats a scan prunes on)
+      val spans = new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val r = spark.read.parquet(f.toString)
+            .agg(min(col("id")), max(col("id"))).collect()(0)
+          (r.getLong(0), r.getLong(1))
+        }.sortBy(_._1)
+      assert(spans.sliding(2).forall {
+        case Array((_, hi), (lo, _)) => hi < lo
+        case _ => true
+      }, s"clustered compaction must keep disjoint id ranges: ${spans.toSeq}")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
+  test("compactParquet guards: empty input, bad budget, in-place rewrite") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact2").toString
+    try {
+      intercept[IllegalArgumentException](
+        Layout.compactParquet(spark, s"$base/nope", s"$base/out", 1L))
+      Seq((1, "a")).toDF("a", "b").write.parquet(s"$base/one")
+      intercept[IllegalArgumentException](
+        Layout.compactParquet(spark, s"$base/one", s"$base/one", 1L))
+      intercept[IllegalArgumentException](
+        Layout.compactParquet(spark, s"$base/one", s"$base/out", 0L))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("zorderBy handles nulls, low-cardinality columns, and guards") {
     val df = Seq((Some(1), 1), (None, 2), (Some(3), 3)).toDF("x", "y")
     val out = Layout.zorderBy(df, Seq("x", "y"), bits = 4)
