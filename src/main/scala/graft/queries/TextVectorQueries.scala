@@ -161,6 +161,21 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("id"), col("term"))
     },
 
+    // fastText-style quality classifier (rows-only: LBFGS coefficients
+    // carry fp-summation noise; semantics pinned in
+    // QualityClassifierSpec): en-language docs as the reference class,
+    // scored over the whole corpus.
+    "q_quality_classifier" -> { (s, dir) =>
+      val docs = tables(s, dir).documents
+      val model = graft.pipeline.QualityClassifier.train(
+        docs.filter(col("lang") === "en"), docs.filter(col("lang") =!= "en"),
+        "doc_id", "text", numBuckets = 1024, maxIter = 20)
+      graft.pipeline.QualityClassifier.score(docs, model, "doc_id", "text", 1024)
+        .filter(col("id") <= 300)
+        .select(col("id"), round(col("quality"), 3).as("quality"))
+        .orderBy(col("id"))
+    },
+
     // DSIR importance weights: hashed unigram+bigram bag models of
     // the en-language target vs the whole raw corpus; per-doc log
     // importance ratio (md5-derived buckets — engine-reproducible).
