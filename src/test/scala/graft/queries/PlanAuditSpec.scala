@@ -228,6 +228,43 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), s"approx profile lacks partials:\n$p")
   }
 
+  test("q_gopher_quality: pure per-row expressions — no UDF, no shuffle, no explode") {
+    val p = plan("q_gopher_quality")
+    assert(!p.contains("ScalaUDF"), s"rule battery uses a UDF:\n$p")
+    assert(!p.contains("Generate"), s"rule battery exploded the token array:\n$p")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("rangepartitioning"))
+    assert(exchanges == 0, s"rule battery shuffles beyond the presentation sort:\n$p")
+  }
+
+  test("q_dsir: ratio table broadcasts; feature counts partial-aggregate; no UDF") {
+    val p = plan("q_dsir")
+    assert(p.contains("BroadcastHashJoin"), s"bucket log-ratio table not broadcast:\n$p")
+    assert(p.contains("partial_"), s"feature counts lack map-side partials:\n$p")
+    assert(!p.contains("ScalaUDF"), s"UDF in DSIR:\n$p")
+    assert(!p.contains("CartesianProduct"), s"product join in DSIR:\n$p")
+  }
+
+  test("q_bm25: one (doc,term) shuffle family; avgdl broadcast; vocabulary join-back") {
+    val p = plan("q_bm25")
+    assert(p.contains("partial_"), s"tf counts lack map-side partials:\n$p")
+    assert(p.contains("BroadcastExchange"), s"avgdl scalar not broadcast:\n$p")
+    assert(!p.contains("ScalaUDF") && !p.contains("CartesianProduct"),
+      s"UDF or product join in bm25:\n$p")
+  }
+
+  test("q_ks_drift: CDF via bucketed prefix sum — no single-partition exchange") {
+    val p = plan("q_ks_drift")
+    assert(!p.contains("Exchange SinglePartition") ||
+      // the final 1-row agg may legitimately single-partition; the
+      // window must not
+      !p.linesIterator.exists(l => l.contains("Window") && l.contains("SinglePartition")),
+      s"KS window collapsed to one partition:\n$p")
+    assert(p.contains("hashpartitioning(__go_bucket"),
+      s"CDF window not keyed by the prefix bucket:\n$p")
+    assert(p.contains("partial_"), s"per-value counts lack map-side partials:\n$p")
+  }
+
   test("q_split_assign and q_tfidf stay codegen'd: no UDF anywhere") {
     Seq("q_split_assign", "q_tfidf").foreach { q =>
       val p = plan(q)
