@@ -51,4 +51,33 @@ object LmScore {
       .select(col("id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         col("avg_nll"))
   }
+
+  /** CCNet's head/middle/tail corpus split: bucket each doc by where
+    * its [[unigram]] score falls against exact score percentiles
+    * (default thirds) — "head" is the most corpus-typical third, the
+    * slice CCNet feeds to training first. Returns (id, n_tokens,
+    * avg_nll, bucket); token-less docs carry a null score and a null
+    * bucket (kept, disclosed — dropping is the caller's filter).
+    *
+    * Scale shape: scoring as in [[unigram]]; the two thresholds are
+    * ONE exact-percentile agg broadcast back as a 1-row frame (the
+    * [[graft.operators.Drift]] boundary pattern) — no sort of the
+    * corpus, no driver collect of data.
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+                        cuts: (Double, Double) = (1.0 / 3, 2.0 / 3),
+                        alpha: Double = 1.0): DataFrame = {
+    require(cuts._1 > 0 && cuts._2 < 1 && cuts._1 < cuts._2,
+      s"need 0 < cut1 < cut2 < 1, got $cuts")
+    val scored = unigram(df, idCol, textCol, alpha)
+    val th = broadcast(scored.filter(col("avg_nll").isNotNull)
+      .agg(percentile(col("avg_nll"), lit(cuts._1)).as("__t1"),
+        percentile(col("avg_nll"), lit(cuts._2)).as("__t2")))
+    scored.crossJoin(th)
+      .select(col("id"), col("n_tokens"), col("avg_nll"),
+        when(col("avg_nll").isNull, lit(null).cast("string"))
+          .when(col("avg_nll") <= col("__t1"), "head")
+          .when(col("avg_nll") <= col("__t2"), "middle")
+          .otherwise("tail").as("bucket"))
+  }
 }

@@ -88,6 +88,23 @@ object GlobalOrder {
       .drop("__go_bucket", "__go_w", "__go_off")
   }
 
+  /** Greedy budgeted prefix: the rows of the contiguous ascending-
+    * `orderCol` prefix whose cumulative `weight` stays within
+    * `budget` — "fill the token budget in priority order", the final
+    * step after scoring/ranking a corpus (order by a priority key,
+    * weight by token counts). With non-negative weights the inclusive
+    * running total is monotone in the order, so the single filter IS
+    * the contiguous prefix. Same one-balanced-shuffle machinery and
+    * key contract as [[withGlobalOffset]].
+    */
+  def takePrefixByWeight(df: DataFrame, orderCol: String, weight: Column,
+                         budget: Long, numBuckets: Int = 1024): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    withGlobalOffset(df, orderCol, weight, "__tp_off", numBuckets)
+      .filter(col("__tp_off") + weight.cast("long") <= budget)
+      .drop("__tp_off")
+  }
+
   /** Dense 0..n-1 global index in `orderCol` order (scio/RDD
     * zipWithIndex parity, DataFrame-native and balanced).
     */

@@ -161,6 +161,33 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("id"), col("term"))
     },
 
+    // CCNet head/middle/tail corpus split: unigram-LM scores bucketed
+    // at exact score-percentile thirds; per-bucket census.
+    "q_ccnet_buckets" -> { (s, dir) =>
+      graft.functions.LmScore.perplexityBuckets(
+          tables(s, dir).documents, "doc_id", "text")
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          r6(min(col("avg_nll"))).as("min_nll"),
+          r6(max(col("avg_nll"))).as("max_nll"))
+        .orderBy(col("bucket"))
+    },
+
+    // greedy token-budget selection: longest-docs-first priority key,
+    // keep the contiguous prefix whose token total fits the budget
+    // (the balanced prefix-sum path, never a single-partition window).
+    "q_token_budget" -> { (s, dir) =>
+      val docs = tables(s, dir).documents
+        .select(col("doc_id"), col("n_chars"),
+          size(TextFunctions.tokens(coalesce(col("text"), lit(""))))
+            .cast("long").as("n_toks"))
+        .withColumn("prio", -(col("n_chars") * 10000000L + col("doc_id")))
+      graft.operators.GlobalOrder.takePrefixByWeight(
+          docs, "prio", col("n_toks"), budget = 20000L)
+        .select(col("doc_id"), col("n_chars"), col("n_toks"))
+        .orderBy(col("doc_id"))
+    },
+
     // fastText-style quality classifier (rows-only: LBFGS coefficients
     // carry fp-summation noise; semantics pinned in
     // QualityClassifierSpec): en-language docs as the reference class,
@@ -972,6 +999,47 @@ object TextVectorQueries extends QueryPack {
         |  round(tf.tf * (ln((n.n + 1.0) / (dfreq.doc_freq + 1.0)) + 1.0), 6) AS tfidf
         |FROM tf JOIN dfreq USING (term) CROSS JOIN n
         |WHERE tf.id <= 30 ORDER BY id, term""".stripMargin,
+    "q_ccnet_buckets" ->
+      """WITH terms AS (
+        |  SELECT doc_id AS id,
+        |    unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS term
+        |  FROM documents),
+        |t2 AS (SELECT id, term FROM terms WHERE len(term) > 0),
+        |vocab AS (SELECT term, count(*) AS n FROM t2 GROUP BY term),
+        |c AS (SELECT CAST(sum(n) AS DOUBLE) AS t, CAST(count(*) AS DOUBLE) AS v FROM vocab),
+        |scored AS (
+        |  SELECT id, round(-avg(ln((n + 1.0) / (t + 1.0 * (v + 1)))), 6) AS avg_nll
+        |  FROM t2 JOIN vocab USING (term) CROSS JOIN c GROUP BY id),
+        |alldocs AS (
+        |  SELECT d.doc_id AS id, s.avg_nll
+        |  FROM documents d LEFT JOIN scored s ON d.doc_id = s.id),
+        |th AS (SELECT quantile_cont(avg_nll, 1.0/3) AS t1,
+        |              quantile_cont(avg_nll, 2.0/3) AS t2
+        |       FROM alldocs WHERE avg_nll IS NOT NULL),
+        |b AS (
+        |  SELECT id, avg_nll,
+        |    CASE WHEN avg_nll IS NULL THEN NULL
+        |         WHEN avg_nll <= th.t1 THEN 'head'
+        |         WHEN avg_nll <= th.t2 THEN 'middle'
+        |         ELSE 'tail' END AS bucket
+        |  FROM alldocs CROSS JOIN th)
+        |SELECT bucket, count(*) AS n_docs,
+        |  round(min(avg_nll), 6) AS min_nll, round(max(avg_nll), 6) AS max_nll
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(regexp_split_to_array(trim(coalesce(text, '')), '\s+'))
+        |         AS BIGINT) AS n_toks,
+        |    -(n_chars * 10000000 + doc_id) AS prio
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_chars, n_toks,
+        |    sum(n_toks) OVER (ORDER BY prio
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d)
+        |SELECT doc_id, n_chars, n_toks FROM c WHERE cum <= 20000
+        |ORDER BY doc_id""".stripMargin,
     "q_dsir" ->
       """WITH toks AS (
         |  SELECT doc_id AS id,

@@ -36,4 +36,21 @@ class LmScoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       LmScore.unigram(Seq((1L, "x")).toDF("doc_id", "text"), "doc_id", "text", alpha = 0.0))
   }
+
+  test("perplexityBuckets: thirds by score, typical docs head, gibberish tail") {
+    // 30 corpus-typical docs + 10 rare-vocabulary docs
+    val docs = ((1 to 30).map(i => (i.toLong, "the cat sat on the mat")) ++
+      (31 to 40).map(i => (i.toLong, s"zxqv$i wkjh$i")) :+
+      (41L, "")).map { case (i, t) => (i, t) }.toDF("doc_id", "text")
+    val out = LmScore.perplexityBuckets(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) null else r.getString(3))).toMap
+    assert((1L to 30L).forall(out(_) == "head"),
+      "corpus-typical docs must land in head")
+    assert((31L to 40L).forall(out(_) == "tail"),
+      "rare-vocabulary docs must land in tail")
+    assert(out(41L) == null, "token-less docs carry a null bucket")
+    intercept[IllegalArgumentException](
+      LmScore.perplexityBuckets(docs, "doc_id", "text", cuts = (0.8, 0.2)))
+  }
 }

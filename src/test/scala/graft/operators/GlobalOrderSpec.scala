@@ -54,6 +54,23 @@ class GlobalOrderSpec extends SparkSpec {
       Seq.empty[(Long, Int)].toDF("k", "w"), "k", col("w")).count() == 0L)
   }
 
+  test("takePrefixByWeight keeps exactly the contiguous in-budget prefix") {
+    val rows = scala.util.Random.shuffle(
+      (1L to 100L).map(i => (i, (i % 7) + 1))).toSeq
+    val df = rows.toDF("k", "w")
+    // brute force: cumulative in k order until the budget trips
+    val sorted = rows.sortBy(_._1)
+    val cums = sorted.scanLeft(0L) { case (acc, (_, w)) => acc + w }.tail
+    val budget = cums(59) // exactly the first 60 rows fit
+    val kept = GlobalOrder.takePrefixByWeight(df, "k", col("w"), budget,
+      numBuckets = 9).select("k").as[Long].collect().toSet
+    assert(kept == sorted.take(60).map(_._1).toSet)
+    // a budget below the first weight keeps nothing; 0 keeps nothing
+    assert(GlobalOrder.takePrefixByWeight(df, "k", col("w"), 0L).count() == 0L)
+    // a huge budget keeps everything
+    assert(GlobalOrder.takePrefixByWeight(df, "k", col("w"), 1000000L).count() == 100L)
+  }
+
   test("packedSequences: the token stream re-concatenates exactly, windows full") {
     val docs = Seq(
       (1L, "a b c d e"), (2L, "f g h"), (3L, "i j k l m n o p q r s t")
