@@ -39,7 +39,13 @@ object Bench {
     // r10 continuation: the event-funnel join chain — a multi-round
     // keyed-join shape (per-step min-aggs through shrinking joins)
     // the suite didn't represent.
-    "q_funnel"
+    "q_funnel",
+    // r10 second continuation: the two new curation-scoring shapes —
+    // a pure-codegen per-row rule scan (no shuffle at all: measures
+    // expression throughput over the text corpus) and the DSIR
+    // featurize→broadcast-ratio-join→partial-agg pipeline.
+    "q_gopher_quality",
+    "q_dsir"
   )
 
   /** 1-minute system load average — the machine-busy dial. Sampled at

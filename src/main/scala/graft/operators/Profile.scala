@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** One-pass column profiling — the per-column census (nulls, distinct
@@ -56,4 +56,47 @@ object Profile {
     */
   def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame =
     rows(df, cols, c => approx_count_distinct(col(c), 0.02))
+
+  /** Data-contract gate (the expectations check a pipeline runs before
+    * admitting a feed, Great-Expectations-shaped): each named
+    * expectation is a row-level predicate that must hold on every row.
+    * Returns one row per expectation — (expectation, n_rows,
+    * n_violations, pass) — ALL computed in ONE scan as conditional
+    * partial-aggregate counts (no Expand, no per-expectation pass).
+    *
+    * Null contract: a predicate evaluating to null (e.g. `col > 0` on
+    * a null) counts as a VIOLATION — a contract an unknown value
+    * cannot be shown to satisfy is not satisfied. Express nullable
+    * intent explicitly (`col.isNull || col > 0`).
+    */
+  def expect(df: DataFrame, expectations: Seq[(String, Column)]): DataFrame = {
+    require(expectations.nonEmpty, "expect needs at least one expectation")
+    require(expectations.map(_._1).distinct.size == expectations.size,
+      "expectation names must be unique")
+    val aggs =
+      Seq(count(lit(1)).as("__n")) ++
+        expectations.zipWithIndex.map { case ((_, pred), i) =>
+          sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__viol_$i")
+        }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val structs = expectations.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("expectation"), col("__n").as("n_rows"),
+        col(s"__viol_$i").as("n_violations"),
+        (col(s"__viol_$i") === 0L).as("pass"))
+    }
+    one.select(explode(array(structs: _*)).as("r"))
+      .select(col("r.expectation"), col("r.n_rows"), col("r.n_violations"),
+        col("r.pass"))
+      .orderBy(col("expectation"))
+  }
+
+  /** A bounded sample of rows violating `pred` — the debugging
+    * companion to [[expect]] (the gate says HOW MANY, this shows
+    * WHICH). `limit` bounds driver/downstream exposure; the filter
+    * prunes distributed before the limit.
+    */
+  def violations(df: DataFrame, pred: Column, limit: Int = 100): DataFrame = {
+    require(limit > 0, s"limit must be > 0, got $limit")
+    df.filter(!coalesce(pred, lit(false))).limit(limit)
+  }
 }

@@ -99,6 +99,20 @@ object StatsWindowQueries extends QueryPack {
         Seq("doc_id", "lang", "source", "n_chars"))
     },
 
+    // data-contract expectations over orders in one scan: passing
+    // contracts, a deliberately violated threshold, and the
+    // null-counts-as-violation contract.
+    "q_expectations" -> { (s, dir) =>
+      graft.operators.Profile.expect(tables(s, dir).orders, Seq(
+        "positive_total" -> (col("o_totalprice") > 0),
+        "priority_domain" -> col("o_orderpriority").isin(
+          "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+        "date_present" -> col("o_orderdate").isNotNull,
+        "total_under_200k" -> (col("o_totalprice") < 200000.0)))
+        .select(col("expectation"), col("n_rows"), col("n_violations"),
+          col("pass").cast("int").as("pass"))
+    },
+
     // z-order layout: content preservation through the quantile-
     // sketch + bucket-fold + range-shuffle path (the pruning benefit
     // itself is pinned in LayoutSpec's partitions-touched test).
@@ -325,6 +339,24 @@ object StatsWindowQueries extends QueryPack {
         |  round(pr, 6) AS p_ref, round(pc, 6) AS p_cur,
         |  round((pc - pr) * ln(pc / pr), 6) AS contrib
         |FROM t ORDER BY bucket""".stripMargin,
+    "q_expectations" ->
+      """WITH t AS (SELECT count(*) AS n FROM orders),
+        |e AS (
+        |  SELECT 'positive_total' AS expectation,
+        |    count(*) FILTER (WHERE NOT coalesce(o_totalprice > 0, FALSE)) AS v
+        |  FROM orders
+        |  UNION ALL SELECT 'priority_domain',
+        |    count(*) FILTER (WHERE NOT coalesce(o_orderpriority IN
+        |      ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'), FALSE))
+        |  FROM orders
+        |  UNION ALL SELECT 'date_present',
+        |    count(*) FILTER (WHERE o_orderdate IS NULL) FROM orders
+        |  UNION ALL SELECT 'total_under_200k',
+        |    count(*) FILTER (WHERE NOT coalesce(o_totalprice < 200000.0, FALSE))
+        |  FROM orders)
+        |SELECT e.expectation, t.n AS n_rows, e.v AS n_violations,
+        |  CAST(e.v = 0 AS INT) AS pass
+        |FROM e CROSS JOIN t ORDER BY expectation""".stripMargin,
     "q_ks_drift" ->
       """WITH ref AS (SELECT o_totalprice AS v FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
         |cur AS (SELECT o_totalprice AS v FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),

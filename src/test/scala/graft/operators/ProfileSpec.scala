@@ -30,4 +30,36 @@ class ProfileSpec extends SparkSpec {
     intercept[IllegalArgumentException](Profile.profile(df, Nil))
     intercept[IllegalArgumentException](Profile.profile(df, Seq("nope")))
   }
+
+  test("expect: one scan counts violations per contract; nulls violate") {
+    import org.apache.spark.sql.functions._
+    val d = Seq((Some(1), "a"), (Some(-2), "b"), (None, "a"), (Some(3), null))
+      .toDF("x", "s")
+    val out = Profile.expect(d, Seq(
+      "x_positive" -> (col("x") > 0),
+      "s_in_domain" -> col("s").isin("a", "b"),
+      "x_nullable_pos" -> (col("x").isNull || col("x") > 0)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("x_positive") == ((4L, 2L, false)), "null x counts as violation")
+    assert(out("s_in_domain") == ((4L, 1L, false)), "null s violates the domain")
+    assert(out("x_nullable_pos") == ((4L, 1L, false)), "explicit nullable passes nulls")
+    // single scan: one aggregate, no Expand, no join
+    val plan = Profile.expect(d, Seq("a" -> (col("x") > 0), "b" -> col("s").isNotNull))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand") && !plan.contains("Join"), s"expect fanned out:\n$plan")
+    intercept[IllegalArgumentException](Profile.expect(d, Nil))
+    intercept[IllegalArgumentException](
+      Profile.expect(d, Seq("dup" -> lit(true), "dup" -> lit(false))))
+  }
+
+  test("violations: bounded sample of failing rows, null predicate rows included") {
+    import org.apache.spark.sql.functions._
+    val d = Seq((Some(1), 1), (Some(-2), 2), (None, 3), (Some(-4), 4))
+      .toDF("x", "id")
+    val v = Profile.violations(d, col("x") > 0).select("id").as[Int].collect().toSet
+    assert(v == Set(2, 3, 4))
+    assert(Profile.violations(d, col("x") > 0, limit = 2).count() == 2L)
+    intercept[IllegalArgumentException](Profile.violations(d, col("x") > 0, 0))
+  }
 }
