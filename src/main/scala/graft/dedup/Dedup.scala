@@ -334,7 +334,39 @@ object Dedup {
     */
   def blockedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                           blockCol: String, shingleK: Int = 3,
-                          maxBlock: Int = 1000): DataFrame = {
+                          maxBlock: Int = 1000): DataFrame =
+    cappedBlockPairs(df, idCol, textCol, blockCol, shingleK, maxBlock,
+      "blocked_jaccard")
+      .select(col("block"), col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+
+  /** Asymmetric CONTAINMENT over the same blocked candidate pairs:
+    * containment_a = |A∩B| / |A| (the fraction of A's shingle set
+    * inside B), and symmetrically containment_b. Jaccard misses
+    * subset duplication — a paragraph quoted whole inside a larger
+    * doc scores low Jaccard but containment_a ≈ 1 — which is exactly
+    * the quote/inclusion duplication a corpus sweep wants to flag.
+    * Same capped-block scale contract as [[blockedJaccardPairs]].
+    */
+  def blockedContainmentPairs(df: DataFrame, idCol: String, textCol: String,
+                              blockCol: String, shingleK: Int = 3,
+                              maxBlock: Int = 1000): DataFrame =
+    cappedBlockPairs(df, idCol, textCol, blockCol, shingleK, maxBlock,
+      "blocked_containment")
+      .select(col("block"), col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          greatest(size(col("sh_a")), lit(1)).cast("double")).as("containment_a"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          greatest(size(col("sh_b")), lit(1)).cast("double")).as("containment_b"))
+
+  /** Shared candidate-pair machinery for the blocked similarity
+    * verbs: shingle-set per doc, per-block deterministic cap (see
+    * [[blockedJaccardPairs]]'s scale note), capped self-join within
+    * the block. Returns (block, id_a, id_b, sh_a, sh_b).
+    */
+  private def cappedBlockPairs(df: DataFrame, idCol: String, textCol: String,
+                               blockCol: String, shingleK: Int,
+                               maxBlock: Int, op: String): DataFrame = {
     require(maxBlock > 0, s"maxBlock must be positive, got $maxBlock")
     val rw = Window.partitionBy(col("block")).orderBy(col("id"))
     val sh = shingleRows(df, idCol, textCol, shingleK)
@@ -345,12 +377,12 @@ object Dedup {
     // observe on ONE join side only (counts each block row once; the
     // other side's subtree stays identical below the window exchange
     // so exchange reuse still deduplicates the shingle computation).
-    observeCap(sh, "blocked_jaccard", col("__bn"), maxBlock)
+    observeCap(sh, op, col("__bn"), maxBlock)
       .filter(col("__bn") <= maxBlock).drop("__bn").as("a")
       .join(capped.as("b"),
         col("a.block") === col("b.block") && col("a.id") < col("b.id"))
       .select(col("a.block").as("block"), col("a.id").as("id_a"), col("b.id").as("id_b"),
-        jaccard(col("a.sh"), col("b.sh")).as("jaccard"))
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
   }
 
   /** Benchmark decontamination: flags every corpus doc that shares at

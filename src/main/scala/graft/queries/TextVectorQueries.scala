@@ -365,6 +365,14 @@ object TextVectorQueries extends QueryPack {
         .limit(25)
     },
 
+    // asymmetric containment over the same blocked candidates:
+    // |A∩B|/|A| flags subset/quote duplication Jaccard misses.
+    "q_containment" -> { (s, dir) =>
+      Dedup.blockedContainmentPairs(tables(s, dir).documents, "doc_id", "text", "source")
+        .orderBy(col("containment_a").desc, col("id_a"), col("id_b"))
+        .limit(25)
+    },
+
     // corpus-scale all-pairs embedding near-dup: LSH-bucketed
     // self-join (Hamming-1 cells) + exact cosine verification — the
     // whole-corpus path (no probe set, never n²).
@@ -1031,7 +1039,7 @@ object TextVectorQueries extends QueryPack {
         |  SELECT doc_id, n_chars,
         |    CAST(len(regexp_split_to_array(trim(coalesce(text, '')), '\s+'))
         |         AS BIGINT) AS n_toks,
-        |    -(n_chars * 10000000 + doc_id) AS prio
+        |    -(CAST(n_chars AS BIGINT) * 10000000 + doc_id) AS prio
         |  FROM documents),
         |c AS (
         |  SELECT doc_id, n_chars, n_toks,
@@ -1226,6 +1234,26 @@ object TextVectorQueries extends QueryPack {
         |       ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(list_distinct(a.s || b.s)) END AS jaccard
         |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
         |ORDER BY jaccard DESC, id_a, id_b
+        |LIMIT 25""".stripMargin,
+    "q_containment" ->
+      """WITH sampled AS (
+        |  SELECT doc_id, source, text,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, source, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t
+        |  FROM sampled WHERE rk <= 1000),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+        |         ELSE list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN range(1, len(t) - 1)])
+        |    END AS s
+        |  FROM toks)
+        |SELECT a.source AS block, a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / greatest(len(a.s), 1) AS containment_a,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / greatest(len(b.s), 1) AS containment_b
+        |FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        |ORDER BY containment_a DESC, id_a, id_b
         |LIMIT 25""".stripMargin,
     "q_knn_brute" ->
       """WITH probes AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id <= 10),

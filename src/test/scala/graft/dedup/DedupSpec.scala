@@ -179,6 +179,24 @@ class DedupSpec extends SparkSpec {
     assert(cold.head.getAs[Double]("jaccard") == 1.0)
   }
 
+  test("blockedContainmentPairs: full subset scores containment 1 while jaccard stays low") {
+    val short = "alpha beta gamma delta epsilon"
+    val long = short + " " + (1 to 40).map(i => s"filler$i").mkString(" ")
+    val docs2 = Seq((1L, short, "s"), (2L, long, "s"), (3L, "totally different words here now", "s"))
+      .toDF("doc_id", "text", "src")
+    val pairs = Dedup.blockedContainmentPairs(docs2, "doc_id", "text", "src")
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        ((r.getAs[Double]("containment_a"), r.getAs[Double]("containment_b")))).toMap
+    // every 3-shingle of the short doc appears in the long doc
+    assert(pairs((1L, 2L))._1 == 1.0, "short doc fully contained in the long one")
+    assert(pairs((1L, 2L))._2 < 0.2, "long doc barely contained in the short one")
+    val jac = Dedup.blockedJaccardPairs(docs2, "doc_id", "text", "src")
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(jac((1L, 2L)) < 0.2, "jaccard misses the subset duplication containment catches")
+    assert(pairs((1L, 3L))._1 == 0.0)
+  }
+
   test("decontaminate flags exactly the docs sharing a k-shingle with the bench set") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),   // shares "beta gamma delta" with bench
