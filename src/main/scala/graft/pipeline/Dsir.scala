@@ -59,7 +59,12 @@ object Dsir {
   def bucketLogProbs(feats: DataFrame, numBuckets: Int,
                      alpha: Double = 1.0): DataFrame = {
     require(alpha > 0, s"alpha must be > 0, got $alpha")
+    // numBuckets rows, consumed twice (total agg + join): persist so
+    // the upstream featurize runs ONCE, not once per consumer (a
+    // one-shot pipeline never unpersists — Spark evicts LRU; the
+    // Curate stages set the precedent)
     val counts = feats.groupBy(col("bucket")).agg(sum(col("cnt")).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val all = feats.sparkSession.range(numBuckets)
       .select(col("id").cast("long").as("bucket"))
     val total = broadcast(counts.agg(
@@ -78,9 +83,43 @@ object Dsir {
   def logWeights(raw: DataFrame, target: DataFrame, idCol: String,
                  textCol: String, numBuckets: Int = 10000,
                  alpha: Double = 1.0): DataFrame = {
+    // the raw featurize feeds BOTH the raw bag model and the per-doc
+    // weight pass: persist the aggregated narrow (id, bucket, cnt)
+    // rows — far smaller than the corpus text they derive from — so
+    // the tokenize+hash explode runs once (MEMORY_AND_DISK spills
+    // rather than recomputes at corpus scale)
     val rawFeats = featureRows(raw, idCol, textCol, numBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ratio = bucketLogProbs(featureRows(target, idCol, textCol, numBuckets),
         numBuckets, alpha)
+      .withColumnRenamed("lp", "lp_t")
+      .join(bucketLogProbs(rawFeats, numBuckets, alpha)
+        .withColumnRenamed("lp", "lp_r"), Seq("bucket"))
+      .select(col("bucket"), (col("lp_t") - col("lp_r")).as("lr"))
+    val perDoc = rawFeats.join(broadcast(ratio), Seq("bucket"))
+      .groupBy(col("id"))
+      .agg(sum(col("cnt")).as("n_feats"), sum(col("cnt") * col("lr")).as("logw"))
+    raw.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("logw"), lit(0.0)).as("logw"))
+  }
+
+  /** [[logWeights]] for the common case where the target is a LABELED
+    * SUBSET of the raw corpus (lang == 'en', source == 'wiki', a
+    * classifier flag): the corpus featurizes ONCE and the target's
+    * feature rows are a semi-join of the persisted result — identical
+    * arithmetic to featurizing the subset separately (per-doc feature
+    * counts are independent), at half the scan cost.
+    */
+  def logWeightsWithin(raw: DataFrame, targetFilter: Column, idCol: String,
+                       textCol: String, numBuckets: Int = 10000,
+                       alpha: Double = 1.0): DataFrame = {
+    val rawFeats = featureRows(raw, idCol, textCol, numBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val targetIds = raw.filter(targetFilter).select(col(idCol).as("id"))
+    val targetFeats = rawFeats.join(targetIds, Seq("id"), "left_semi")
+    val ratio = bucketLogProbs(targetFeats, numBuckets, alpha)
       .withColumnRenamed("lp", "lp_t")
       .join(bucketLogProbs(rawFeats, numBuckets, alpha)
         .withColumnRenamed("lp", "lp_r"), Seq("bucket"))

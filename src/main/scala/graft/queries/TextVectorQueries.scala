@@ -207,9 +207,8 @@ object TextVectorQueries extends QueryPack {
     // the en-language target vs the whole raw corpus; per-doc log
     // importance ratio (md5-derived buckets — engine-reproducible).
     "q_dsir" -> { (s, dir) =>
-      val docs = tables(s, dir).documents
-      graft.pipeline.Dsir.logWeights(docs, docs.filter(col("lang") === "en"),
-          "doc_id", "text", numBuckets = 1024)
+      graft.pipeline.Dsir.logWeightsWithin(tables(s, dir).documents,
+          col("lang") === "en", "doc_id", "text", numBuckets = 1024)
         .filter(col("id") <= 300)
         .select(col("id"), col("n_feats"), r6(col("logw")).as("logw"))
         .orderBy(col("id"))

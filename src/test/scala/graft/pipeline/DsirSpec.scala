@@ -47,6 +47,17 @@ class DsirSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("logWeightsWithin equals logWeights on the same labeled subset") {
+    val docs = (1 to 150).map(i =>
+      (i.toLong, s"tok${i % 13} tok${i % 7} tok${i % 3}", if (i % 4 == 0) "en" else "xx"))
+      .toDF("doc_id", "text", "lang")
+    val a = sortedRows(Dsir.logWeights(docs,
+      docs.filter(col("lang") === "en"), "doc_id", "text", 128))
+    val b = sortedRows(Dsir.logWeightsWithin(docs,
+      col("lang") === "en", "doc_id", "text", 128))
+    assert(a == b)
+  }
+
   test("resampleTopK: reproducible seeded draw, k bounds, high weights favored") {
     val w = ((1 to 50).map(i => (i.toLong, 10L, 5.0)) ++
       (51 to 100).map(i => (i.toLong, 10L, -5.0)))
