@@ -303,3 +303,45 @@ object StreamSinks {
     ds.writeStream.foreachBatch(perBatch(path)((df, p) =>
       graft.sources.Dynamic.saveAsDynamicText(df, p, destCol, textCol)))
 }
+
+/** Per-micro-batch data-quality monitoring — [[graft.operators.Profile.expect]]
+  * lifted to unbounded streams. `withExpectations` rides the named
+  * row-level contracts on the SAME pass as the query via `observe()`
+  * (accumulator-backed — zero extra scans, works under any sink);
+  * each micro-batch's row and violation counts surface in
+  * `StreamingQueryProgress.observedMetrics(name)`, where an alerting
+  * hook (or [[latestCounts]]) reads them. Null contract matches the
+  * batch gate: an unknown value violates unless nullability is
+  * explicit.
+  */
+object StreamMonitor {
+
+  import org.apache.spark.sql.Column
+
+  def withExpectations(df: DataFrame, expectations: Seq[(String, Column)],
+                       name: String = "graft_expectations"): DataFrame = {
+    require(expectations.nonEmpty, "withExpectations needs at least one expectation")
+    require(expectations.map(_._1).distinct.size == expectations.size,
+      "expectation names must be unique")
+    val aggs = count(lit(1)).as("n_rows") +:
+      expectations.map { case (n, pred) =>
+        sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"viol_$n")
+      }
+    df.observe(name, aggs.head, aggs.tail: _*)
+  }
+
+  /** The observed counts from a query's latest progress, as
+    * (metric → value); empty until the first batch completes or if
+    * `name` was never attached.
+    */
+  def latestCounts(q: org.apache.spark.sql.streaming.StreamingQuery,
+                   name: String = "graft_expectations"): Map[String, Long] =
+    Option(q.lastProgress)
+      .flatMap(p => Option(p.observedMetrics.get(name)))
+      .map { row =>
+        row.schema.fieldNames.zipWithIndex.collect {
+          case (f, i) if !row.isNullAt(i) => f -> row.getLong(i)
+        }.toMap
+      }
+      .getOrElse(Map.empty)
+}

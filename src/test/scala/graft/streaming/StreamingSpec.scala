@@ -450,4 +450,25 @@ class StreamingSpec extends SparkSpec {
     assert(all.map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
       Seq((1L, "alpha"), (2L, "beta")))
   }
+
+  test("StreamMonitor: per-micro-batch expectation counts ride the query") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val monitored = StreamMonitor.withExpectations(input.toDF(), Seq(
+      "value_positive" -> (col("value") > 0),
+      "user_known" -> (col("userId") < 100L)))
+    val q = monitored.writeStream.format("noop").start()
+    try {
+      input.addData(Event(1L, ts(0), 1.0), Event(2L, ts(1), -3.0), Event(999L, ts(2), 2.0))
+      q.processAllAvailable()
+      val c1 = StreamMonitor.latestCounts(q)
+      assert(c1 == Map("n_rows" -> 3L, "viol_value_positive" -> 1L, "viol_user_known" -> 1L))
+      input.addData(Event(3L, ts(3), 5.0))
+      q.processAllAvailable()
+      val c2 = StreamMonitor.latestCounts(q)
+      assert(c2 == Map("n_rows" -> 1L, "viol_value_positive" -> 0L, "viol_user_known" -> 0L))
+    } finally q.stop()
+    intercept[IllegalArgumentException](
+      StreamMonitor.withExpectations(input.toDF(), Nil))
+  }
 }
