@@ -215,6 +215,98 @@ object AnalyticsQueries extends QueryPack {
         .limit(10)
     },
 
+    // TPC-H Q6 shape: pure scan-filter-aggregate forecast — every
+    // predicate pushes to the parquet scan, one partial-agg row out.
+    "q6_forecast" -> { (s, dir) =>
+      tables(s, dir).lineitem
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg(sumMoney(dec(col("l_extendedprice")) * dec(col("l_discount"))).as("revenue"))
+    },
+
+    // TPC-H Q10 shape: top customers by returned-item revenue — fact
+    // filter, two joins (customer context broadcast), agg, top-n.
+    "q10_returned" -> { (s, dir) =>
+      val t = tables(s, dir)
+      val ord = t.orders
+        .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = t.customer
+        .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      t.lineitem.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sumMoney(netDec(col("l_extendedprice"), col("l_discount"))).as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          r2(col("c_acctbal")).as("acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // TPC-H Q14 shape: promo revenue share — broadcast part join,
+    // conditional aggregation ratio, one row.
+    "q14_promo" -> { (s, dir) =>
+      val t = tables(s, dir)
+      val net = netDec(col("l_extendedprice"), col("l_discount"))
+      t.lineitem
+        .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(t.part.select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(r6(sum(when(col("p_type") === "PROMO", net).otherwise(lit(0)))
+            .cast("double") * 100.0 / sum(net).cast("double"))
+          .as("promo_share"))
+    },
+
+    // TPC-H Q19 shape: disjunctive multi-attribute predicate (OR of
+    // brand/size/quantity bands) evaluated on the joined row — the
+    // classic pushdown-hostile filter kept tight against one join.
+    "q19_discounted" -> { (s, dir) =>
+      val t = tables(s, dir)
+      t.lineitem
+        .select(col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 15)) ||
+          (col("p_brand") === "Brand#7" && col("p_size").between(1, 20) &&
+            col("l_quantity").between(10, 25)) ||
+          (col("p_brand") === "Brand#13" && col("p_size").between(1, 30) &&
+            col("l_quantity").between(20, 35)))
+        .agg(sumMoney(netDec(col("l_extendedprice"), col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // TPC-H Q20 shape: suppliers with excess promo supply — nested
+    // qualification (HAVING over the fact) feeding a left-semi join,
+    // nation context broadcast.
+    "q20_excess_supply" -> { (s, dir) =>
+      val t = tables(s, dir)
+      val bigSupp = t.lineitem
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(t.part.filter(col("p_type") === "PROMO").select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(r2(sum(col("l_quantity"))).as("tot_qty"))
+        .filter(col("tot_qty") > 400)
+      t.supplier
+        .join(bigSupp, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_name"), col("n_name"))
+        .orderBy(col("s_name"))
+    },
+
     // TPC-H Q22 shape: per-nation count/balance of rich-but-inactive
     // customers — scalar aggregate threshold + ANTI join against
     // orders (the NOT EXISTS), customer side broadcast-filtered.
@@ -339,6 +431,51 @@ object AnalyticsQueries extends QueryPack {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY totalprice DESC, o_orderkey
         |LIMIT 10""".stripMargin,
+    "q6_forecast" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q10_returned" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue,
+        |  round(c_acctbal, 2) AS acctbal, n_name
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-07-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "q14_promo" ->
+      """SELECT round(CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))
+        |    ELSE 0 END) AS DOUBLE) * 100.0
+        |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 6) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-09-01' AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin,
+    "q19_discounted" ->
+      """SELECT
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+        |   OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 20 AND l_quantity BETWEEN 10 AND 25)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 30 AND l_quantity BETWEEN 20 AND 35)""".stripMargin,
+    "q20_excess_supply" ->
+      """WITH big AS (
+        |  SELECT l_suppkey, round(sum(l_quantity), 2) AS tot_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type = 'PROMO'
+        |    AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  GROUP BY 1 HAVING round(sum(l_quantity), 2) > 400)
+        |SELECT s_name, n_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM big)
+        |ORDER BY s_name""".stripMargin,
     "q22_sales_opportunity" ->
       """SELECT c_nationkey, count(*) AS numcust,
         |  round(sum(c_acctbal), 2) AS totacctbal
