@@ -66,4 +66,56 @@ object Graph {
         lit(converged).as("converged"))
     } finally { und.unpersist() }
   }
+
+  /** PageRank over a DIRECTED edge list (Brin & Page 1998; the other
+    * canonical hand-rolled-on-scio graph loop). Power iteration with
+    * damping `d`: rank = (1−d)/N + d·(Σ_in rank/outdeg + dangling/N),
+    * dangling mass redistributed uniformly so ranks sum to 1 every
+    * iteration. Returns (vertex, rank) after `iters` rounds.
+    *
+    * Scale shape mirrors [[connectedComponents]]: per iteration one
+    * keyed join (ranks → out-edges, contributions partial-aggregate
+    * by destination) plus a 1-row dangling-mass agg broadcast back;
+    * ranks `localCheckpoint` each round (same lineage-OOM lesson).
+    * Vertices = edge endpoints; isolated vertices that appear in the
+    * frame still receive the teleport share.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int = 10, damping: Double = 0.85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .filter(col("__s").isNotNull && col("__d").isNotNull)
+      .distinct()
+      .persist()
+    try {
+      val verts = e.select(col("__s").as("__v"))
+        .union(e.select(col("__d").as("__v"))).distinct().persist()
+      val n = verts.count().toDouble
+      val outDeg = e.groupBy(col("__s")).agg(count(lit(1)).as("__deg")).persist()
+      var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+      (1 to iters).foreach { _ =>
+        val withDeg = ranks.join(outDeg, ranks("__v") === outDeg("__s"), "left")
+        // dangling vertices (no out-edges) spread their mass uniformly
+        val dangling = withDeg.filter(col("__deg").isNull)
+          .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
+        val contribs = e
+          .join(ranks.select(col("__v").as("__s"), col("rank")), Seq("__s"))
+          .join(outDeg, Seq("__s"))
+          .select(col("__d").as("__v"), (col("rank") / col("__deg")).as("__c"))
+          .groupBy(col("__v")).agg(sum(col("__c")).as("__in"))
+        ranks = verts
+          .join(contribs, Seq("__v"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(col("__v"),
+            (lit((1.0 - damping) / n) +
+              lit(damping) * (coalesce(col("__in"), lit(0.0)) + col("__dm") / n))
+              .as("rank"))
+          .localCheckpoint(true)
+      }
+      // ranks is eagerly checkpointed — the scratch frames can release
+      verts.unpersist(); outDeg.unpersist()
+      ranks.select(col("__v").as("vertex"), col("rank"))
+    } finally { e.unpersist(); () }
+  }
 }

@@ -62,4 +62,53 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(a == b)
   }
+
+  /** Reference power iteration with uniform dangling redistribution. */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+                          d: Double = 0.85): Map[Long, Double] = {
+    val e = edges.distinct
+    val verts = (e.map(_._1) ++ e.map(_._2)).distinct.sorted
+    val n = verts.size.toDouble
+    val out = e.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var r = verts.map(_ -> 1.0 / n).toMap
+    (1 to iters).foreach { _ =>
+      val dangling = verts.filterNot(out.contains).map(r).sum
+      val in = verts.map { v => v -> 0.0 }.toMap ++
+        e.groupBy(_._2).map { case (dst, es) =>
+          dst -> es.map { case (s, _) => r(s) / out(s).size }.sum
+        }
+      r = verts.map(v => v -> ((1 - d) / n + d * (in(v) + dangling / n))).toMap
+    }
+    r
+  }
+
+  test("pageRank matches the reference power iteration; mass conserved") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L), (5L, 4L))
+    val got = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters = 15)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = refPageRank(edges, 15)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (v, p) => assert(math.abs(p - want(v)) < 1e-9, s"vertex $v") }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, "ranks must sum to 1")
+    // the hub (3) outranks the periphery
+    assert(got(3L) > got(5L))
+  }
+
+  test("pageRank handles dangling sinks and is repartition-stable") {
+    // 2 is a pure sink: its mass must recycle, not vanish
+    val edges = Seq((1L, 2L), (3L, 2L), (3L, 1L))
+    val got = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    val want = refPageRank(edges, 20)
+    got.foreach { case (v, p) => assert(math.abs(p - want(v)) < 1e-9) }
+    val again = Graph.pageRank(
+      edges.toDF("src", "dst").repartition(7), "src", "dst", iters = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got.foreach { case (v, p) => assert(math.abs(again(v) - p) < 1e-12) }
+    intercept[IllegalArgumentException](
+      Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters = 0))
+    intercept[IllegalArgumentException](
+      Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", damping = 1.0))
+  }
 }
