@@ -74,4 +74,58 @@ object Stats {
       histogram(df, colName, bounds)
     }
   }
+
+  /** Winsorization: clamp `colName` into its exact [pLo, pHi]
+    * percentile band — the standard outlier-taming step before
+    * statistics or feature export. Adds `outCol` next to the
+    * original; nulls pass through null (they carry no magnitude to
+    * clamp). Thresholds come from ONE exact-percentile agg broadcast
+    * back as a 1-row frame (the Drift boundary pattern); the clamp
+    * itself is a pure projection — no shuffle of the data.
+    */
+  def winsorize(df: DataFrame, colName: String, pLo: Double = 0.01,
+                pHi: Double = 0.99, outCol: String = ""): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"need 0 <= pLo < pHi <= 1, got $pLo/$pHi")
+    val out = if (outCol.nonEmpty) outCol else s"${colName}_w"
+    require(!df.columns.contains(out), s"output column '$out' already exists")
+    val v = col(colName).cast("double")
+    val th = broadcast(df.filter(v.isNotNull && !isnan(v))
+      .agg(percentile(v, lit(pLo)).as("__wlo"), percentile(v, lit(pHi)).as("__whi")))
+    df.crossJoin(th)
+      .withColumn(out, when(v.isNull, lit(null).cast("double"))
+        .otherwise(greatest(least(v, col("__whi")), col("__wlo"))))
+      .drop("__wlo", "__whi")
+  }
+
+  /** Robust z-score outlier flags: |x − median| / (1.4826·MAD) > k —
+    * the median/MAD form that, unlike mean/stddev, is not dragged by
+    * the outliers it is hunting. Adds `robust_z` and `is_outlier`;
+    * null/NaN values carry null z and false. Degenerate MAD == 0
+    * (over half the values identical) yields null z and flags exactly
+    * the values different from the median — disclosed contract.
+    *
+    * Scale shape: two percentile aggs (median, then MAD over the
+    * residuals), each a broadcast 1-row frame; flagging is a pure
+    * projection.
+    */
+  def robustOutliers(df: DataFrame, colName: String, k: Double = 3.5): DataFrame = {
+    require(k > 0, s"k must be > 0, got $k")
+    require(!df.columns.contains("robust_z") && !df.columns.contains("is_outlier"),
+      "input already has robust_z/is_outlier columns")
+    val v = col(colName).cast("double")
+    val med = broadcast(df.filter(v.isNotNull && !isnan(v))
+      .agg(percentile(v, lit(0.5)).as("__med")))
+    val withMed = df.crossJoin(med)
+    val mad = broadcast(withMed.filter(v.isNotNull && !isnan(v))
+      .agg(percentile(abs(v - col("__med")), lit(0.5)).as("__mad")))
+    withMed.crossJoin(mad)
+      .withColumn("robust_z",
+        when(v.isNull || isnan(v) || col("__mad") === 0.0, lit(null).cast("double"))
+          .otherwise(abs(v - col("__med")) / (lit(1.4826) * col("__mad"))))
+      .withColumn("is_outlier",
+        when(v.isNull || isnan(v), lit(false))
+          .when(col("__mad") === 0.0, v =!= col("__med"))
+          .otherwise(col("robust_z") > k))
+      .drop("__med", "__mad")
+  }
 }

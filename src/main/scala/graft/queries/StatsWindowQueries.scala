@@ -99,6 +99,23 @@ object StatsWindowQueries extends QueryPack {
         Seq("doc_id", "lang", "source", "n_chars"))
     },
 
+    // winsorized order totals: clamp at exact [p01, p99], profile the
+    // clamped column (avg at 6 dp keeps the digit budget safe).
+    "q_winsorize" -> { (s, dir) =>
+      graft.operators.Stats.winsorize(tables(s, dir).orders, "o_totalprice",
+          0.01, 0.99, outCol = "w")
+        .agg(count(lit(1)).as("n"), r6(avg(col("w"))).as("avg_w"),
+          r2(min(col("w"))).as("min_w"), r2(max(col("w"))).as("max_w"))
+    },
+
+    // robust z-score outliers on order totals: median/MAD flags.
+    "q_robust_outliers" -> { (s, dir) =>
+      graft.operators.Stats.robustOutliers(tables(s, dir).orders, "o_totalprice", k = 2.5)
+        .agg(count(lit(1)).as("n"),
+          sum(col("is_outlier").cast("long")).as("n_outliers"),
+          r6(max(col("robust_z"))).as("max_z"))
+    },
+
     // data-contract expectations over orders in one scan: passing
     // contracts, a deliberately violated threshold, and the
     // null-counts-as-violation contract.
@@ -339,6 +356,23 @@ object StatsWindowQueries extends QueryPack {
         |  round(pr, 6) AS p_ref, round(pc, 6) AS p_cur,
         |  round((pc - pr) * ln(pc / pr), 6) AS contrib
         |FROM t ORDER BY bucket""".stripMargin,
+    "q_winsorize" ->
+      """WITH th AS (SELECT quantile_cont(o_totalprice, 0.01) AS lo,
+        |                   quantile_cont(o_totalprice, 0.99) AS hi FROM orders)
+        |SELECT count(*) AS n,
+        |  round(avg(greatest(least(o_totalprice, th.hi), th.lo)), 6) AS avg_w,
+        |  round(min(greatest(least(o_totalprice, th.hi), th.lo)), 2) AS min_w,
+        |  round(max(greatest(least(o_totalprice, th.hi), th.lo)), 2) AS max_w
+        |FROM orders CROSS JOIN th""".stripMargin,
+    "q_robust_outliers" ->
+      """WITH m AS (SELECT quantile_cont(o_totalprice, 0.5) AS med FROM orders),
+        |d AS (SELECT quantile_cont(abs(o_totalprice - m.med), 0.5) AS mad
+        |      FROM orders CROSS JOIN m)
+        |SELECT count(*) AS n,
+        |  CAST(sum(CASE WHEN abs(o_totalprice - m.med) / (1.4826 * d.mad) > 2.5
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  round(max(abs(o_totalprice - m.med) / (1.4826 * d.mad)), 6) AS max_z
+        |FROM orders CROSS JOIN m CROSS JOIN d""".stripMargin,
     "q_expectations" ->
       """WITH t AS (SELECT count(*) AS n FROM orders),
         |e AS (

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions.col
 
 class StatsSpec extends SparkSpec {
   import spark.implicits._
@@ -36,5 +37,40 @@ class StatsSpec extends SparkSpec {
       Stats.histogram(Seq(1.0).toDF("v"), "v", Array(2.0, 1.0)))
     intercept[IllegalArgumentException](
       Stats.histogram(Seq(1.0).toDF("v"), "v", Array(1.0)))
+  }
+
+  test("winsorize clamps to the exact percentile band; nulls pass through") {
+    val vals = (1 to 100).map(_.toDouble)
+    val df = (vals.map(Option(_)) :+ None).toDF("v")
+    val w = Stats.winsorize(df, "v", 0.05, 0.95)
+      .collect().map(r => Option(r.get(0)).map(_.toString.toDouble) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    // exact interpolated p05/p95 of 1..100: 5.95 and 95.05
+    assert(w(Some(1.0)) == Some(5.95))
+    assert(w(Some(100.0)) == Some(95.05))
+    assert(w(Some(50.0)) == Some(50.0), "in-band values untouched")
+    assert(w(None).isEmpty, "null stays null")
+    intercept[IllegalArgumentException](Stats.winsorize(df, "v", 0.9, 0.1))
+    intercept[IllegalArgumentException](
+      Stats.winsorize(df.withColumnRenamed("v", "x").withColumn("x_w", col("x")), "x"))
+  }
+
+  test("robustOutliers flags by median/MAD; degenerate MAD contract") {
+    // median 10, residuals mostly 1 → MAD 1; 1000 is a screaming outlier
+    val df = (Seq(9.0, 10.0, 11.0, 9.0, 11.0, 10.0, 1000.0).map(Option(_)) :+ None)
+      .toDF("v")
+    val out = Stats.robustOutliers(df, "v", k = 3.5)
+      .collect().map { r =>
+        Option(r.get(0)).map(_.toString.toDouble) ->
+          ((if (r.isNullAt(1)) None else Some(r.getDouble(1))), r.getBoolean(2))
+      }.toMap
+    assert(out(Some(1000.0))._2, "the outlier must flag")
+    assert(!out(Some(9.0))._2 && !out(Some(11.0))._2)
+    assert(out(None) == ((None, false)), "null carries null z, false flag")
+    // degenerate: >half identical → MAD 0 → different-from-median flags
+    val deg = Seq(5.0, 5.0, 5.0, 5.0, 7.0).toDF("v")
+    val dz = Stats.robustOutliers(deg, "v")
+      .collect().map(r => r.getDouble(0) -> ((r.isNullAt(1), r.getBoolean(2)))).toMap
+    assert(dz(5.0) == ((true, false)) && dz(7.0) == ((true, true)))
   }
 }
