@@ -116,6 +116,18 @@ object StatsWindowQueries extends QueryPack {
           r6(max(col("robust_z"))).as("max_z"))
     },
 
+    // PageRank centrality over the supplier→part supply graph
+    // (rows-only: iterative fp ranks are engine-specific; the
+    // reference-match/mass-conservation semantics are GraphSpec's).
+    "q_pagerank" -> { (s, dir) =>
+      val edges = tables(s, dir).lineitem
+        .select(col("l_suppkey").as("src"), (col("l_partkey") + 1000000L).as("dst"))
+      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 5)
+        .orderBy(col("rank").desc, col("vertex"))
+        .limit(20)
+        .select(col("vertex"), round(col("rank"), 4).as("rank"))
+    },
+
     // data-contract expectations over orders in one scan: passing
     // contracts, a deliberately violated threshold, and the
     // null-counts-as-violation contract.
