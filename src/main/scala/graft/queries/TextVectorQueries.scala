@@ -161,6 +161,30 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("id"), col("term"))
     },
 
+    // chat/SFT rendering: synthesized 4-turn conversations flattened
+    // to one training string + assistant loss-mask spans; the oracle
+    // recomputes every span offset AND the masked substring, so a
+    // 1-char drift anywhere fails the gate.
+    "q_chat_render" -> { (s, dir) =>
+      val t = coalesce(col("text"), lit(""))
+      val conv = array(
+        struct(lit("user").as("role"), substring(t, 1, 40).as("content")),
+        struct(lit("assistant").as("role"), substring(t, 41, 60).as("content")),
+        struct(lit("user").as("role"), lit("continue").as("content")),
+        struct(lit("assistant").as("role"),
+          concat(lit("summary of doc "), col("doc_id").cast("string")).as("content")))
+      val r = graft.functions.Chat.render(conv)
+      tables(s, dir).documents.filter(col("doc_id") <= 200)
+        .select(col("doc_id"), r.getField("text").as("rendered"),
+          posexplode(r.getField("spans")).as(Seq("turn", "span")))
+        .select(col("doc_id"), col("turn"),
+          col("span.lo").as("lo"), col("span.hi").as("hi"),
+          length(col("rendered")).cast("long").as("text_len"),
+          col("rendered").substr(col("span.lo").cast("int") + 1,
+            (col("span.hi") - col("span.lo")).cast("int")).as("masked"))
+        .orderBy(col("doc_id"), col("turn"))
+    },
+
     // CCNet head/middle/tail corpus split: unigram-LM scores bucketed
     // at exact score-percentile thirds; per-bucket census.
     "q_ccnet_buckets" -> { (s, dir) =>
@@ -1006,6 +1030,35 @@ object TextVectorQueries extends QueryPack {
         |  round(tf.tf * (ln((n.n + 1.0) / (dfreq.doc_freq + 1.0)) + 1.0), 6) AS tfidf
         |FROM tf JOIN dfreq USING (term) CROSS JOIN n
         |WHERE tf.id <= 30 ORDER BY id, term""".stripMargin,
+    "q_chat_render" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    substr(coalesce(text, ''), 1, 40) AS t1,
+        |    substr(coalesce(text, ''), 41, 60) AS a1,
+        |    'summary of doc ' || CAST(doc_id AS VARCHAR) AS a2
+        |  FROM documents WHERE doc_id <= 200),
+        |r AS (
+        |  SELECT doc_id, t1, a1, a2,
+        |    '<|user|>' || chr(10) || t1 || chr(10)
+        |      || '<|assistant|>' || chr(10) || a1 || chr(10)
+        |      || '<|user|>' || chr(10) || 'continue' || chr(10)
+        |      || '<|assistant|>' || chr(10) || a2 || chr(10) AS rendered,
+        |    9 + len(t1) + 1 + 14 AS lo0
+        |  FROM d),
+        |s AS (
+        |  SELECT doc_id, rendered, lo0, lo0 + len(a1) AS hi0,
+        |    lo0 + len(a1) + 1 + 9 + 8 + 1 + 14 AS lo1,
+        |    lo0 + len(a1) + 1 + 9 + 8 + 1 + 14 + len(a2) AS hi1
+        |  FROM r)
+        |SELECT doc_id, CAST(turn AS INT) AS turn,
+        |  CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi,
+        |  CAST(len(rendered) AS BIGINT) AS text_len,
+        |  substr(rendered, CAST(lo AS INT) + 1, CAST(hi - lo AS INT)) AS masked
+        |FROM (
+        |  SELECT doc_id, rendered, 0 AS turn, lo0 AS lo, hi0 AS hi FROM s
+        |  UNION ALL
+        |  SELECT doc_id, rendered, 1 AS turn, lo1 AS lo, hi1 AS hi FROM s)
+        |ORDER BY doc_id, turn""".stripMargin,
     "q_ccnet_buckets" ->
       """WITH terms AS (
         |  SELECT doc_id AS id,
