@@ -30,21 +30,27 @@ object Chat {
              assistantTag: String = "<|assistant|>\n",
              sep: String = "\n",
              assistantRole: String = "assistant"): Column = {
-    val init = struct(lit("").as("text"),
+    def tagOf(turn: Column): Column =
+      when(turn.getField("role") === assistantRole, lit(assistantTag))
+        .otherwise(lit(userTag))
+    def contentOf(turn: Column): Column =
+      coalesce(turn.getField("content"), lit(""))
+    // the text builds ONCE from per-turn pieces (a fold that
+    // re-concatenated the accumulated string each turn would copy
+    // O(turns²) characters); the fold below carries only a running
+    // character position and the span array — pure integer work
+    val text = array_join(
+      transform(conv, t => concat(tagOf(t), contentOf(t), lit(sep))), "")
+    val init = struct(lit(0L).as("pos"),
       array().cast("array<struct<lo:long,hi:long>>").as("spans"))
-    aggregate(conv, init, (acc, turn) => {
-      val role = turn.getField("role")
-      val content = coalesce(turn.getField("content"), lit(""))
-      val tag = when(role === assistantRole, lit(assistantTag)).otherwise(lit(userTag))
-      val lo = length(acc.getField("text")).cast("long") + length(tag)
-      val hi = lo + length(content)
-      val newSpans = when(role === assistantRole,
-        concat(acc.getField("spans"),
-          array(struct(lo.as("lo"), hi.as("hi")))))
+    val folded = aggregate(conv, init, (acc, turn) => {
+      val lo = acc.getField("pos") + length(tagOf(turn)).cast("long")
+      val hi = lo + length(contentOf(turn)).cast("long")
+      val spans = when(turn.getField("role") === assistantRole,
+        concat(acc.getField("spans"), array(struct(lo.as("lo"), hi.as("hi")))))
         .otherwise(acc.getField("spans"))
-      struct(
-        concat(acc.getField("text"), tag, content, lit(sep)).as("text"),
-        newSpans.as("spans"))
+      struct((hi + lit(sep.length.toLong)).as("pos"), spans.as("spans"))
     })
+    struct(text.as("text"), folded.getField("spans").as("spans"))
   }
 }

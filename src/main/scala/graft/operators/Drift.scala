@@ -93,10 +93,14 @@ object Drift {
       df.select(col(colName).cast("double").as("__v"))
         .filter(col("__v").isNotNull && !isnan(col("__v")))
         .withColumn("__t", lit(tag))
+    // support-sized and consumed by ~6 downstream jobs (two prefix-sum
+    // probe aggs + bucket collects, the totals agg, the final pass):
+    // persist so the union+group shuffle over BOTH corpora runs once
     val counts = side(ref, 0).unionAll(side(cur, 1))
       .groupBy(col("__v"))
       .agg(sum(when(col("__t") === 0, 1L).otherwise(0L)).as("n_ref_v"),
         sum(when(col("__t") === 1, 1L).otherwise(0L)).as("n_cur_v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cdf = GlobalOrder.withGlobalOffset(
       GlobalOrder.withGlobalOffset(counts, "__v", col("n_ref_v"), "__off_ref"),
       "__v", col("n_cur_v"), "__off_cur")

@@ -50,10 +50,11 @@ object GlobalOrder {
     // one probe agg: bounds, uniqueness, and the two key pathologies
     // that would otherwise DROP rows silently (null keys never join a
     // bucket; NaN poisons floor() into a null bucket)
-    val Array(mn, mx, n, nd, nNull, nNan, nBadW) = df
+    val Array(mn, mx, n, nd, nNull, nNan, nBadW, nFracW) = df
       .agg(min(k), max(k), count(lit(1)), countDistinct(col(orderCol)),
         count(when(k.isNull, 1)), count(when(isnan(k), 1)),
-        count(when(weight.isNull || weight < 0, 1)))
+        count(when(weight.isNull || weight < 0, 1)),
+        count(when(weight =!= weight.cast("long"), 1)))
       .collect()(0).toSeq.toArray
     val (lo, hi, total) =
       (Option(mn).map(_.toString.toDouble).getOrElse(0.0),
@@ -65,6 +66,9 @@ object GlobalOrder {
       s"orderCol '$orderCol' has ${nNan} NaN keys; the global order is undefined for them")
     require(nBadW.toString.toLong == 0,
       s"weight is null/negative on ${nBadW} rows; offsets would silently skip or regress")
+    require(nFracW.toString.toLong == 0,
+      s"weight is fractional on ${nFracW} rows; the long prefix sum would silently " +
+        "truncate — scale fractional weights to integers first")
     require(nd.toString.toLong == total,
       s"orderCol '$orderCol' has duplicate values (${total - nd.toString.toLong} collisions); " +
         "the global prefix sum needs a unique order key")

@@ -88,11 +88,11 @@ object Graph {
       .filter(col("__s").isNotNull && col("__d").isNotNull)
       .distinct()
       .persist()
+    val verts = e.select(col("__s").as("__v"))
+      .union(e.select(col("__d").as("__v"))).distinct().persist()
+    val outDeg = e.groupBy(col("__s")).agg(count(lit(1)).as("__deg")).persist()
     try {
-      val verts = e.select(col("__s").as("__v"))
-        .union(e.select(col("__d").as("__v"))).distinct().persist()
       val n = verts.count().toDouble
-      val outDeg = e.groupBy(col("__s")).agg(count(lit(1)).as("__deg")).persist()
       var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
       (1 to iters).foreach { _ =>
         val withDeg = ranks.join(outDeg, ranks("__v") === outDeg("__s"), "left")
@@ -113,9 +113,12 @@ object Graph {
               .as("rank"))
           .localCheckpoint(true)
       }
-      // ranks is eagerly checkpointed — the scratch frames can release
-      verts.unpersist(); outDeg.unpersist()
       ranks.select(col("__v").as("vertex"), col("rank"))
-    } finally { e.unpersist(); () }
+    } finally {
+      // ranks is eagerly checkpointed each round, so every scratch
+      // frame can release — on failure paths too, or repeated failed
+      // runs would pin blocks for the session's lifetime
+      e.unpersist(); verts.unpersist(); outDeg.unpersist(); ()
+    }
   }
 }

@@ -130,11 +130,20 @@ object Layout {
                      targetFileBytes: Long = 128L << 20,
                      orderCols: Seq[String] = Nil): CompactStats = {
     require(targetFileBytes > 0, s"targetFileBytes must be > 0, got $targetFileBytes")
-    require(new Path(inputDir) != new Path(outputDir),
+    // qualify both paths (scheme + working dir resolved) before the
+    // self-overwrite check: "file:///data/t" vs "/data/t" or a
+    // relative spelling of the same dir must not slip past the guard —
+    // overwrite would destroy the input before the lazy read scans it
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qualified(dir: String): Path = {
+      val p = new Path(dir)
+      p.getFileSystem(conf).makeQualified(p)
+    }
+    require(qualified(inputDir) != qualified(outputDir),
       "compactParquet cannot overwrite its own input; write to a new dir and swap")
     def census(dir: String): (Long, Long) = {
       val p = new Path(dir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fs = p.getFileSystem(conf)
       require(fs.exists(p), s"input dir does not exist: $dir")
       var files = 0L; var bytes = 0L
       val it = fs.listFiles(p, true)

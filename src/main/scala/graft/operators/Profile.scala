@@ -57,6 +57,25 @@ object Profile {
   def profileApprox(df: DataFrame, cols: Seq[String]): DataFrame =
     rows(df, cols, c => approx_count_distinct(col(c), 0.02))
 
+  /** The shared violation-count aggregate expressions — the ONE place
+    * the null-counts-as-violation contract is stated; [[expect]] and
+    * the streaming mirror (graft.streaming.StreamMonitor) both build
+    * from here so batch and stream gates cannot drift apart.
+    * `coalesce(sum, 0)` keeps an EMPTY frame reporting 0 violations
+    * (a day with no rows passes its contracts) instead of nulls.
+    */
+  private[graft] def violationAggs(expectations: Seq[(String, Column)],
+                                   prefix: String): Seq[Column] = {
+    require(expectations.nonEmpty, "expect needs at least one expectation")
+    require(expectations.map(_._1).distinct.size == expectations.size,
+      "expectation names must be unique")
+    count(lit(1)).as(s"${prefix}n_rows") +:
+      expectations.map { case (n, pred) =>
+        coalesce(sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)), lit(0L))
+          .as(s"$prefix$n")
+      }
+  }
+
   /** Data-contract gate (the expectations check a pipeline runs before
     * admitting a feed, Great-Expectations-shaped): each named
     * expectation is a row-level predicate that must hold on every row.
@@ -70,17 +89,15 @@ object Profile {
     * intent explicitly (`col.isNull || col > 0`).
     */
   def expect(df: DataFrame, expectations: Seq[(String, Column)]): DataFrame = {
-    require(expectations.nonEmpty, "expect needs at least one expectation")
+    // validate the USER names here — violationAggs below only sees the
+    // positional aliases, which are unique by construction
     require(expectations.map(_._1).distinct.size == expectations.size,
       "expectation names must be unique")
-    val aggs =
-      Seq(count(lit(1)).as("__n")) ++
-        expectations.zipWithIndex.map { case ((_, pred), i) =>
-          sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__viol_$i")
-        }
+    val aggs = violationAggs(
+      expectations.zipWithIndex.map { case ((_, p), i) => (s"viol_$i", p) }, "__")
     val one = df.agg(aggs.head, aggs.tail: _*)
     val structs = expectations.zipWithIndex.map { case ((name, _), i) =>
-      struct(lit(name).as("expectation"), col("__n").as("n_rows"),
+      struct(lit(name).as("expectation"), col("__n_rows").as("n_rows"),
         col(s"__viol_$i").as("n_violations"),
         (col(s"__viol_$i") === 0L).as("pass"))
     }

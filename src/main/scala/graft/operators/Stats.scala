@@ -78,8 +78,8 @@ object Stats {
   /** Winsorization: clamp `colName` into its exact [pLo, pHi]
     * percentile band — the standard outlier-taming step before
     * statistics or feature export. Adds `outCol` next to the
-    * original; nulls pass through null (they carry no magnitude to
-    * clamp). Thresholds come from ONE exact-percentile agg broadcast
+    * original; null and NaN pass through unchanged (they carry no
+    * magnitude to clamp). Thresholds come from ONE exact-percentile agg broadcast
     * back as a 1-row frame (the Drift boundary pattern); the clamp
     * itself is a pure projection — no shuffle of the data.
     */
@@ -91,8 +91,11 @@ object Stats {
     val v = col(colName).cast("double")
     val th = broadcast(df.filter(v.isNotNull && !isnan(v))
       .agg(percentile(v, lit(pLo)).as("__wlo"), percentile(v, lit(pHi)).as("__whi")))
+    // NaN passes through unchanged: Spark orders NaN above every
+    // double, so an unguarded least/greatest would silently fabricate
+    // the p-hi threshold where the NaN was
     df.crossJoin(th)
-      .withColumn(out, when(v.isNull, lit(null).cast("double"))
+      .withColumn(out, when(v.isNull || isnan(v), v)
         .otherwise(greatest(least(v, col("__whi")), col("__wlo"))))
       .drop("__wlo", "__whi")
   }

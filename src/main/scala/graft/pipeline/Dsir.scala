@@ -83,26 +83,9 @@ object Dsir {
   def logWeights(raw: DataFrame, target: DataFrame, idCol: String,
                  textCol: String, numBuckets: Int = 10000,
                  alpha: Double = 1.0): DataFrame = {
-    // the raw featurize feeds BOTH the raw bag model and the per-doc
-    // weight pass: persist the aggregated narrow (id, bucket, cnt)
-    // rows — far smaller than the corpus text they derive from — so
-    // the tokenize+hash explode runs once (MEMORY_AND_DISK spills
-    // rather than recomputes at corpus scale)
-    val rawFeats = featureRows(raw, idCol, textCol, numBuckets)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val ratio = bucketLogProbs(featureRows(target, idCol, textCol, numBuckets),
-        numBuckets, alpha)
-      .withColumnRenamed("lp", "lp_t")
-      .join(bucketLogProbs(rawFeats, numBuckets, alpha)
-        .withColumnRenamed("lp", "lp_r"), Seq("bucket"))
-      .select(col("bucket"), (col("lp_t") - col("lp_r")).as("lr"))
-    val perDoc = rawFeats.join(broadcast(ratio), Seq("bucket"))
-      .groupBy(col("id"))
-      .agg(sum(col("cnt")).as("n_feats"), sum(col("cnt") * col("lr")).as("logw"))
-    raw.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
-        coalesce(col("logw"), lit(0.0)).as("logw"))
+    val rawFeats = persistedRawFeats(raw, idCol, textCol, numBuckets)
+    weightsFrom(raw, rawFeats,
+      featureRows(target, idCol, textCol, numBuckets), idCol, numBuckets, alpha)
   }
 
   /** [[logWeights]] for the common case where the target is a LABELED
@@ -115,10 +98,30 @@ object Dsir {
   def logWeightsWithin(raw: DataFrame, targetFilter: Column, idCol: String,
                        textCol: String, numBuckets: Int = 10000,
                        alpha: Double = 1.0): DataFrame = {
-    val rawFeats = featureRows(raw, idCol, textCol, numBuckets)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rawFeats = persistedRawFeats(raw, idCol, textCol, numBuckets)
     val targetIds = raw.filter(targetFilter).select(col(idCol).as("id"))
-    val targetFeats = rawFeats.join(targetIds, Seq("id"), "left_semi")
+    weightsFrom(raw, rawFeats,
+      rawFeats.join(targetIds, Seq("id"), "left_semi"), idCol, numBuckets, alpha)
+  }
+
+  /** The raw featurize feeds BOTH the raw bag model and the per-doc
+    * weight pass: persist the aggregated narrow (id, bucket, cnt)
+    * rows — far smaller than the corpus text they derive from — so
+    * the tokenize+hash explode runs once (MEMORY_AND_DISK spills
+    * rather than recomputes at corpus scale).
+    */
+  private def persistedRawFeats(raw: DataFrame, idCol: String, textCol: String,
+                                numBuckets: Int): DataFrame =
+    featureRows(raw, idCol, textCol, numBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Shared weight pass of both entry points: bag-model log-ratio
+    * table (broadcast) → per-doc Σ cnt·lr → left join back so
+    * featureless docs keep their zero-weight row.
+    */
+  private def weightsFrom(raw: DataFrame, rawFeats: DataFrame,
+                          targetFeats: DataFrame, idCol: String,
+                          numBuckets: Int, alpha: Double): DataFrame = {
     val ratio = bucketLogProbs(targetFeats, numBuckets, alpha)
       .withColumnRenamed("lp", "lp_t")
       .join(bucketLogProbs(rawFeats, numBuckets, alpha)

@@ -34,9 +34,22 @@ object QualityClassifier {
   /** (id, features) rows: L1-normalized hashed n-gram counts as an ML
     * sparse vector. Docs with no tokens keep a row with the zero
     * vector (no silent row loss).
+    *
+    * `idCol` must be an integral column (the vector assembly is a
+    * typed Dataset map keyed by Long) — validated loudly here, because
+    * a silent cast would turn uncastable ids into null join keys and
+    * hand those docs the zero vector. String-keyed corpora: add a
+    * dense surrogate first (GlobalOrder.zipWithGlobalIndex).
     */
   def featurize(df: DataFrame, idCol: String, textCol: String,
                 numBuckets: Int): DataFrame = {
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"idCol '$idCol' must be integral for the vector assembly, got $other; " +
+          "derive a dense surrogate id first (GlobalOrder.zipWithGlobalIndex)")
+    }
     val spark = df.sparkSession
     import spark.implicits._
     val feats = Dsir.featureRows(df, idCol, textCol, numBuckets)

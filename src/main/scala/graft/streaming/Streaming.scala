@@ -320,13 +320,10 @@ object StreamMonitor {
 
   def withExpectations(df: DataFrame, expectations: Seq[(String, Column)],
                        name: String = "graft_expectations"): DataFrame = {
-    require(expectations.nonEmpty, "withExpectations needs at least one expectation")
-    require(expectations.map(_._1).distinct.size == expectations.size,
-      "expectation names must be unique")
-    val aggs = count(lit(1)).as("n_rows") +:
-      expectations.map { case (n, pred) =>
-        sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"viol_$n")
-      }
+    // the aggregate bodies come from Profile.violationAggs — batch and
+    // streaming gates share ONE statement of the null-violates contract
+    val aggs = graft.operators.Profile.violationAggs(
+      expectations.map { case (n, p) => (s"viol_$n", p) }, prefix = "")
     df.observe(name, aggs.head, aggs.tail: _*)
   }
 

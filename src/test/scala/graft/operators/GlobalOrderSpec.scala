@@ -45,6 +45,13 @@ class GlobalOrderSpec extends SparkSpec {
     val badW = Seq((1L, 1), (2L, -3)).toDF("k", "w")
     assert(intercept[IllegalArgumentException](
       GlobalOrder.withGlobalOffset(badW, "k", col("w"))).getMessage.contains("negative"))
+    // fractional weights would silently truncate in the long cumsum
+    val fracW = Seq((1L, 0.9), (2L, 0.9)).toDF("k", "w")
+    assert(intercept[IllegalArgumentException](
+      GlobalOrder.withGlobalOffset(fracW, "k", col("w"))).getMessage.contains("fractional"))
+    // whole-valued doubles are fine
+    assert(GlobalOrder.withGlobalOffset(Seq((1L, 2.0), (2L, 3.0)).toDF("k", "w"),
+      "k", col("w")).count() == 2L)
   }
 
   test("single row and empty input") {

@@ -137,6 +137,11 @@ class LayoutSpec extends SparkSpec {
       Seq((1, "a")).toDF("a", "b").write.parquet(s"$base/one")
       intercept[IllegalArgumentException](
         Layout.compactParquet(spark, s"$base/one", s"$base/one", 1L))
+      // differently-spelled same dir must not slip past the guard
+      intercept[IllegalArgumentException](
+        Layout.compactParquet(spark, s"file://$base/one", s"$base/one", 1L))
+      intercept[IllegalArgumentException](
+        Layout.compactParquet(spark, s"$base/one", s"$base/x/../one", 1L))
       intercept[IllegalArgumentException](
         Layout.compactParquet(spark, s"$base/one", s"$base/out", 0L))
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))

@@ -51,6 +51,11 @@ class ProfileSpec extends SparkSpec {
     intercept[IllegalArgumentException](Profile.expect(d, Nil))
     intercept[IllegalArgumentException](
       Profile.expect(d, Seq("dup" -> lit(true), "dup" -> lit(false))))
+    // an EMPTY feed passes its contracts (0 violations, pass=true) —
+    // not null counts a caller can neither pass nor fail on
+    val empty = Profile.expect(d.filter(lit(false)), Seq("x_pos" -> (col("x") > 0)))
+      .collect()(0)
+    assert(empty.getLong(1) == 0L && empty.getLong(2) == 0L && empty.getBoolean(3))
   }
 
   test("violations: bounded sample of failing rows, null predicate rows included") {

@@ -50,6 +50,11 @@ class StatsSpec extends SparkSpec {
     assert(w(Some(100.0)) == Some(95.05))
     assert(w(Some(50.0)) == Some(50.0), "in-band values untouched")
     assert(w(None).isEmpty, "null stays null")
+    // NaN must pass through, not clamp to the upper threshold (Spark
+    // orders NaN above every double)
+    val nan = Stats.winsorize(Seq(1.0, 2.0, 3.0, Double.NaN).toDF("v"), "v", 0.25, 0.75)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(nan.exists { case (in, out) => in.isNaN && out.isNaN }, "NaN stays NaN")
     intercept[IllegalArgumentException](Stats.winsorize(df, "v", 0.9, 0.1))
     intercept[IllegalArgumentException](
       Stats.winsorize(df.withColumnRenamed("v", "x").withColumn("x_w", col("x")), "x"))

@@ -36,6 +36,13 @@ class QualityClassifierSpec extends SparkSpec {
       "separable vocabularies must score disjointly")
   }
 
+  test("featurize rejects non-integral id columns loudly") {
+    val stringIds = Seq(("a", "some text")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      QualityClassifier.featurize(stringIds, "doc_id", "text", 64))
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("featurize: L1-normalized vectors, empty docs keep a zero-vector row") {
     val df = Seq((1L, "a b a"), (2L, ""), (3L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
