@@ -62,6 +62,16 @@ object Curate {
     * @param split      append a deterministic `split` label column
     *                   ([[graft.operators.Splits.assignSplit]]) as
     *                   (weights, seed); None → no column.
+    * @param gopherRules also require the full Gopher rule battery
+    *                   ([[graft.functions.QualityRules.gopherStruct]]
+    *                   `keep`) — pure per-row, rides the same scan as
+    *                   the quality gate.
+    * @param maxAvgNll  drop docs whose corpus-LM score
+    *                   ([[graft.functions.LmScore.unigram]] `avg_nll`)
+    *                   exceeds this (the CCNet tail trim — spam/
+    *                   gibberish/wrong-language score high); token-less
+    *                   docs carry a null score and are KEPT by this
+    *                   gate (the token gate owns them); None → off.
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              minTokens: Long = 10L, minAlpha: Double = 0.5,
@@ -72,7 +82,9 @@ object Curate {
              redactPii: Boolean = false,
              lineDedupMaxOcc: Option[Long] = None,
              maxSubstrDupFrac: Option[Double] = None, substrK: Int = 8,
-             split: Option[(Seq[(String, Double)], String)] = None): DataFrame = {
+             split: Option[(Seq[(String, Double)], String)] = None,
+             gopherRules: Boolean = false,
+             maxAvgNll: Option[Double] = None): DataFrame = {
     val redacted =
       if (!redactPii) docs
       else docs.withColumn(textCol,
@@ -90,11 +102,15 @@ object Curate {
       case None => redacted
     }
     val q = qualityStruct(col(textCol))
-    val qualityGated = lined
+    val qualityGated0 = lined
       .withColumn("__q", q)
       .filter(col("__q").getField("n_tokens") >= minTokens &&
         col("__q").getField("alpha_ratio") >= minAlpha)
       .drop("__q")
+    val qualityGated =
+      if (!gopherRules) qualityGated0
+      else qualityGated0.filter(
+        graft.functions.QualityRules.gopherStruct(col(textCol)).getField("keep"))
     // each optional stage that fans its input out to two subtrees
     // (metric side + kept side) persists that input first — the same
     // double-planning guard as the near-dup stage below
@@ -107,11 +123,23 @@ object Curate {
         shared.join(calm, Seq(idCol), "left_semi")
       case None => qualityGated
     }
+    // CCNet-style corpus-LM tail trim: the model trains on the gated
+    // corpus itself, so the gate needs the shared frame twice
+    val lmGated = maxAvgNll match {
+      case Some(t) =>
+        val shared = scored.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ok = graft.functions.LmScore.unigram(shared, idCol, textCol)
+          .filter(col("avg_nll").isNull || col("avg_nll") <= t)
+          .select(col("id").as(idCol))
+        shared.join(ok, Seq(idCol), "left_semi")
+      case None => scored
+    }
     // exact dedup: keep the deterministic keeper (min id) per content —
     // window-min over the content hash, not Dedup.exact + join-back
     // (the join form re-plans the quality-filtered scan for both sides)
     val byContent = Window.partitionBy(md5(coalesce(col(textCol), lit(""))))
-    val exactDeduped = scored
+    val exactDeduped = lmGated
       .withColumn("__keeper", min(col(idCol)).over(byContent))
       .filter(col("__keeper") === col(idCol))
       .drop("__keeper")

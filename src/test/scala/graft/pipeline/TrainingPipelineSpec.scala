@@ -98,6 +98,33 @@ class TrainingPipelineSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("curate: gopher rule battery and corpus-LM tail trim stages") {
+    val typical = "the quick brown fox jumps over the lazy dog and that cat with style"
+    val corpus = (
+      // 20 corpus-typical docs padded past the 50-word Gopher floor
+      (1L to 20L).map(i => (i, (typical + " ") * 4 + s"doc number $i")) :+
+      // mostly-gibberish vocabulary (keeps 2 stopwords for the rule
+      // battery): the LM tail — words the corpus never repeats
+      (50L, typical + " " + (1 to 45).map(j => s"zzqx${j}vw").mkString(" ")) :+
+      // stopword-free doc: fails the Gopher battery, passes the basic gate
+      (60L, Seq.fill(60)("word").mkString(" "))
+    ).toDF("doc_id", "text")
+    // threshold from the data: midpoint between the worst typical
+    // score and the gibberish score (robust to vocabulary shifts)
+    val scores = graft.functions.LmScore.unigram(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val worstTypical = (1L to 20L).map(scores).max
+    assert(scores(50L) > worstTypical, "the gibberish doc must score worst")
+    val threshold = (worstTypical + scores(50L)) / 2
+    val out = Curate.curate(corpus, "doc_id", "text",
+      minTokens = 5L, minAlpha = 0.5, nearDup = false,
+      gopherRules = true, maxAvgNll = Some(threshold))
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert((1L to 20L).toSet.subsetOf(ids), s"typical docs must survive: $ids")
+    assert(!ids.contains(60L), "the stopword-free doc must fail the rule battery")
+    assert(!ids.contains(50L), "the gibberish doc must fail the LM tail trim")
+  }
+
   test("curated corpus ships as TFRecord shards and reads back intact") {
     val curated = Curate.curate(docs, "doc_id", "text", nearDup = true)
     val path = "/tmp/graft_test/pipeline_tfrecord"
