@@ -38,6 +38,25 @@ class ChatSpec extends SparkSpec {
     }
   }
 
+  test("randomized conversations: spans always extract their contents") {
+    val rnd = new scala.util.Random(11)
+    (1 to 20).foreach { trial =>
+      val turns = (0 until rnd.nextInt(8) + 1).map { _ =>
+        val role = Seq("user", "assistant", "system")(rnd.nextInt(3))
+        val content = Seq.fill(rnd.nextInt(6))(
+          ("abc xyz! π" + rnd.nextInt(100)).substring(rnd.nextInt(3)))
+          .mkString(" ")
+        (role, content)
+      }
+      val (text, spans) = render(turns)
+      val assistantContents = turns.filter(_._1 == "assistant").map(_._2)
+      assert(spans.size == assistantContents.size, s"trial $trial")
+      spans.zip(assistantContents).foreach { case ((lo, hi), c) =>
+        assert(text.substring(lo.toInt, hi.toInt) == c, s"trial $trial span ($lo,$hi)")
+      }
+    }
+  }
+
   test("null content renders empty; empty conversation; unknown role takes user tag") {
     val (t1, s1) = render(Seq("assistant" -> null))
     assert(t1 == "<|assistant|>\n\n")
