@@ -52,6 +52,57 @@ object LmScore {
         col("avg_nll"))
   }
 
+  /** Interpolated bigram score — the stronger corpus-LM signal (the
+    * published pipelines use n-gram KenLM models; this is the honest
+    * distributed 2-gram form): per-transition probability
+    * λ·p_bi(w2|w1) + (1−λ)·p_uni(w2) with add-α smoothing on both
+    * components, per-doc mean negative log over the doc's
+    * transitions. Repetitive/garbled word ORDER scores high even when
+    * the unigram bag looks corpus-typical. Docs with fewer than two
+    * tokens have no transitions: kept, scoreless (null avg_nll).
+    *
+    * Scale shape: one narrow (id, w1, w2) transition explode; bigram,
+    * context, and unigram count tables are vocabulary-sized
+    * join-backs (AQE broadcasts them); corpus constants from one
+    * two-number agg.
+    */
+  def bigram(df: DataFrame, idCol: String, textCol: String,
+             lambdaBi: Double = 0.7, alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    require(lambdaBi >= 0 && lambdaBi <= 1, s"lambdaBi must be in [0,1], got $lambdaBi")
+    val toks = filter(tokens(coalesce(col(textCol), lit(""))), w => length(w) > 0)
+    val trans = df
+      .select(col(idCol).as("id"),
+        explode(when(size(toks) >= 2,
+          transform(sequence(lit(1), size(toks) - 1),
+            i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("t"))
+      .select(col("id"), col("t.w1").as("w1"), col("t.w2").as("w2"))
+    val uniTerms = df
+      .select(col(idCol).as("id"), explode(toks).as("term"))
+    val vocab = uniTerms.groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val Array(t, v) = vocab.agg(sum(col("n")), count(lit(1)))
+      .collect()(0).toSeq.map(x => Option(x).map(_.toString.toLong).getOrElse(0L)).toArray
+    val uniDenom = t + alpha * (v + 1)
+    val biCounts = trans.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("nb"))
+    val ctxCounts = trans.groupBy(col("w1")).agg(count(lit(1)).as("nc"))
+    val pBi = (col("nb") + alpha) / (col("nc") + lit(alpha) * (v + 1))
+    val pUni = (col("n") + alpha) / uniDenom
+    val scored = trans
+      .join(biCounts, Seq("w1", "w2"))
+      .join(ctxCounts, Seq("w1"))
+      .join(vocab.select(col("term").as("w2"), col("n")), Seq("w2"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_transitions"),
+        round(-avg(log(lit(lambdaBi) * pBi + lit(1.0 - lambdaBi) * pUni)), 6)
+          .as("avg_nll"))
+    df.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_transitions"), lit(0L)).as("n_transitions"),
+        col("avg_nll"))
+  }
+
   /** CCNet's head/middle/tail corpus split: bucket each doc by where
     * its [[unigram]] score falls against exact score percentiles
     * (default thirds) — "head" is the most corpus-typical third, the

@@ -185,6 +185,14 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("doc_id"), col("turn"))
     },
 
+    // interpolated bigram-LM score: word-ORDER quality signal on top
+    // of the unigram bag (garbled order scores high).
+    "q_lm_bigram" -> { (s, dir) =>
+      graft.functions.LmScore.bigram(tables(s, dir).documents, "doc_id", "text")
+        .filter(col("id") <= 300)
+        .orderBy(col("id"))
+    },
+
     // CCNet head/middle/tail corpus split: unigram-LM scores bucketed
     // at exact score-percentile thirds; per-bucket census.
     "q_ccnet_buckets" -> { (s, dir) =>
@@ -1059,6 +1067,31 @@ object TextVectorQueries extends QueryPack {
         |  UNION ALL
         |  SELECT doc_id, rendered, 1 AS turn, lo1 AS lo, hi1 AS hi FROM s)
         |ORDER BY doc_id, turn""".stripMargin,
+    "q_lm_bigram" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\s+'),
+        |                w -> len(w) > 0) AS t
+        |  FROM documents),
+        |tr2 AS (
+        |  SELECT id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |  FROM toks WHERE len(t) >= 2),
+        |uni AS (SELECT id, unnest(t) AS term FROM toks),
+        |vocab AS (SELECT term, count(*) AS n FROM uni GROUP BY term),
+        |c AS (SELECT CAST(sum(n) AS DOUBLE) AS t, CAST(count(*) AS DOUBLE) AS v FROM vocab),
+        |bi AS (SELECT w1, w2, count(*) AS nb FROM tr2 GROUP BY 1, 2),
+        |ctx AS (SELECT w1, count(*) AS nc FROM tr2 GROUP BY 1),
+        |scored AS (
+        |  SELECT id, count(*) AS n_transitions,
+        |    round(-avg(ln(0.7 * ((nb + 1.0) / (nc + 1.0 * (c.v + 1)))
+        |      + (1.0 - 0.7) * ((vocab.n + 1.0) / (c.t + 1.0 * (c.v + 1))))), 6) AS avg_nll
+        |  FROM tr2 JOIN bi USING (w1, w2) JOIN ctx USING (w1)
+        |  JOIN vocab ON tr2.w2 = vocab.term CROSS JOIN c
+        |  GROUP BY id)
+        |SELECT d.doc_id AS id,
+        |  CAST(coalesce(s.n_transitions, 0) AS BIGINT) AS n_transitions, s.avg_nll
+        |FROM documents d LEFT JOIN scored s ON d.doc_id = s.id
+        |WHERE d.doc_id <= 300 ORDER BY id""".stripMargin,
     "q_ccnet_buckets" ->
       """WITH terms AS (
         |  SELECT doc_id AS id,

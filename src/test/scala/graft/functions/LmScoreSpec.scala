@@ -37,6 +37,27 @@ class LmScoreSpec extends SparkSpec {
       LmScore.unigram(Seq((1L, "x")).toDF("doc_id", "text"), "doc_id", "text", alpha = 0.0))
   }
 
+  test("bigram: word ORDER matters — same bag, scrambled order scores higher") {
+    val docs = ((1L to 20L).map(i => (i, "alpha beta gamma delta")) :+
+      (99L, "delta gamma beta alpha") :+   // same unigram bag, reversed order
+      (100L, "single") :+ (101L, "")).toDF("doc_id", "text")
+    val bi = LmScore.bigram(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(bi(1L)._1 == 3L)
+    assert(bi(99L)._2.get > bi(1L)._2.get,
+      "reversed word order must score worse than the corpus-typical order")
+    // the unigram model cannot tell them apart (identical bags)
+    val uni = LmScore.unigram(docs, "doc_id", "text")
+      .collect().filterNot(_.isNullAt(2))
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni(99L) == uni(1L))
+    assert(bi(100L) == ((0L, None)), "single-token doc has no transitions, kept scoreless")
+    assert(bi(101L) == ((0L, None)))
+    intercept[IllegalArgumentException](
+      LmScore.bigram(docs, "doc_id", "text", lambdaBi = 1.5))
+  }
+
   test("perplexityBuckets: thirds by score, typical docs head, gibberish tail") {
     // 30 corpus-typical docs + 10 rare-vocabulary docs
     val docs = ((1 to 30).map(i => (i.toLong, "the cat sat on the mat")) ++
