@@ -240,6 +240,20 @@ object IoQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("qty"))
     },
 
+    // WebDataset-style tar shards: named binary members through the
+    // native USTAR codec (write + read on the critical path; stock
+    // GNU-tar interop is pinned in TarSpec).
+    "q_io_tar" -> { (s, dir) =>
+      val base = tmp(dir, "tar")
+      val docs = tables(s, dir).documents
+        .select(concat(lit("doc_"), col("doc_id").cast("string"), lit(".txt")).as("name"),
+          encode(coalesce(col("text"), lit("")), "UTF-8").as("value"))
+      graft.sources.Tar.write(docs.repartition(8), s"$base/shards")
+      graft.sources.Tar.read(s, s"$base/shards")
+        .select(col("name"), decode(col("value"), "UTF-8").as("text"))
+        .orderBy(col("name"))
+    },
+
     // small-file compaction: scatter documents into 32 tiny parquet
     // files, rewrite to the byte-budgeted layout (clustered on doc_id
     // for min/max pruning), read the COMPACTED tree back — the oracle
@@ -424,6 +438,10 @@ object IoQueries extends QueryPack {
       """SELECT count(*) AS n, round(sum(l_quantity), 2) AS qty FROM lineitem""",
     "q_compact" ->
       """SELECT doc_id, source, n_chars FROM documents ORDER BY doc_id""",
+    "q_io_tar" ->
+      """SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
+        |  coalesce(text, '') AS text
+        |FROM documents ORDER BY name""".stripMargin,
     "q_export_shards" ->
       """WITH h AS (
         |  SELECT doc_id, text,
