@@ -302,6 +302,12 @@ object StreamSinks {
       : DataStreamWriter[Row] =
     ds.writeStream.foreachBatch(perBatch(path)((df, p) =>
       graft.sources.Dynamic.saveAsDynamicText(df, p, destCol, textCol)))
+
+  /** WebDataset-style tar shards per micro-batch
+    * (`name` string + `value` binary columns — [[graft.sources.Tar]]).
+    */
+  def toTar(ds: Dataset[Row], path: String): DataStreamWriter[Row] =
+    ds.writeStream.foreachBatch(perBatch(path)((df, p) => graft.sources.Tar.write(df, p)))
 }
 
 /** Per-micro-batch data-quality monitoring — [[graft.operators.Profile.expect]]

@@ -451,6 +451,32 @@ class StreamingSpec extends SparkSpec {
       Seq((1L, "alpha"), (2L, "beta")))
   }
 
+  test("streaming tar sink: per-batch shards list and read back intact") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_tar").toString
+    val ckp = s"$dir/ckp"
+    val input = MemoryStream[(String, String)]
+    input.addData(("m1.txt", "first"), ("m2.txt", "second"))
+    val frame = input.toDF().toDF("name", "text")
+      .select(col("name"), encode(col("text"), "UTF-8").as("value"))
+    val q = StreamSinks.toTar(frame, s"$dir/out")
+      .option("checkpointLocation", ckp).start()
+    try {
+      q.processAllAvailable()
+      input.addData(("m3.txt", "third"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val batchDirs = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.startsWith("batch-")).map(_.getAbsolutePath)
+    assert(batchDirs.length == 2)
+    val back = batchDirs.flatMap(d => graft.sources.Tar.read(spark, d)
+      .select("name", "value").collect()
+      .map(r => r.getString(0) -> new String(r.getAs[Array[Byte]](1), "UTF-8")))
+      .toMap
+    assert(back == Map("m1.txt" -> "first", "m2.txt" -> "second", "m3.txt" -> "third"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("StreamMonitor: per-micro-batch expectation counts ride the query") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
