@@ -307,6 +307,56 @@ object AnalyticsQueries extends QueryPack {
         .orderBy(col("s_name"))
     },
 
+    // TPC-H Q13 shape: customer order-count distribution — left outer
+    // join (customers with no orders count at 0), two-level agg.
+    "q13_order_dist" -> { (s, dir) =>
+      val t = tables(s, dir)
+      t.customer.select(col("c_custkey"))
+        .join(t.orders.select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_custkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+
+    // TPC-H Q15 shape: the top-revenue supplier(s) — an aggregated
+    // "view" joined against its own maximum (ties kept, per the spec).
+    "q15_top_supplier" -> { (s, dir) =>
+      val t = tables(s, dir)
+      val revenue = t.lineitem
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sumMoney(netDec(col("l_extendedprice"), col("l_discount"))).as("total_rev"))
+      val maxRev = broadcast(revenue.agg(max(col("total_rev")).as("__mx")))
+      t.supplier
+        .join(revenue, col("s_suppkey") === col("l_suppkey"))
+        .crossJoin(maxRev)
+        .filter(col("total_rev") === col("__mx"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    // TPC-H Q17 shape: small-quantity-order revenue — per-part avg
+    // quantity (the correlated subquery) joined back against the same
+    // fact rows; the brand filter broadcasts into both sides.
+    "q17_small_qty" -> { (s, dir) =>
+      val t = tables(s, dir)
+      val brandParts = t.part.filter(col("p_brand") === "Brand#13")
+        .select(col("p_partkey"))
+      val li = t.lineitem
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      val avgQty = li.groupBy(col("l_partkey").as("__pk"))
+        .agg((avg(col("l_quantity")) * 0.5).as("__half_avg"))
+      li.join(avgQty, col("l_partkey") === col("__pk"))
+        .filter(col("l_quantity") < col("__half_avg"))
+        .agg(r2(sum(dec(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n_small"))
+    },
+
     // TPC-H Q22 shape: per-nation count/balance of rich-but-inactive
     // customers — scalar aggregate threshold + ANTI join against
     // orders (the NOT EXISTS), customer side broadcast-filtered.
@@ -431,6 +481,35 @@ object AnalyticsQueries extends QueryPack {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY totalprice DESC, o_orderkey
         |LIMIT 10""".stripMargin,
+    "q13_order_dist" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_custkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q17_small_qty" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#13'),
+        |a AS (SELECT l_partkey AS pk, avg(l_quantity) * 0.5 AS half_avg
+        |      FROM li GROUP BY 1)
+        |SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0, 2)
+        |    AS avg_yearly,
+        |  count(*) AS n_small
+        |FROM li JOIN a ON l_partkey = a.pk
+        |WHERE l_quantity < a.half_avg""".stripMargin,
     "q6_forecast" ->
       """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
         |FROM lineitem

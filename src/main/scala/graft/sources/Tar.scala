@@ -160,6 +160,26 @@ object Tar {
       StructField("value", BinaryType, nullable = false))))
   }
 
+  /** WebDataset consumption: group members into SAMPLES by the
+    * WebDataset key rule — key = member name up to the FIRST dot,
+    * extension = everything after it (so `0001.seg.json` has key
+    * `0001`, ext `seg.json`). One row per (shard, key) with a
+    * map<ext, bytes> of the sample's parts — the unit a multimodal
+    * loader consumes. Members without a dot get ext "". Duplicate
+    * extensions within a sample fail the map constructor loudly.
+    */
+  def readSamples(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    read(spark, path)
+      .select(col("path"),
+        regexp_extract(col("name"), "^([^.]*)", 1).as("key"),
+        regexp_extract(col("name"), "^[^.]*\\.(.*)$", 1).as("ext"),
+        col("value"))
+      .groupBy(col("path"), col("key"))
+      .agg(map_from_entries(collect_list(struct(col("ext"), col("value"))))
+        .as("parts"))
+  }
+
   /** Write `(nameCol string, valueCol binary)` rows as one tar shard
     * per partition under `path` (repartition upstream for shard
     * sizing; co-partition a sample's members if the loader expects

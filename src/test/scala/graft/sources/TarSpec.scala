@@ -65,6 +65,27 @@ class TarSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("readSamples groups members into WebDataset samples by key prefix") {
+    val base = tmpDir("wds")
+    try {
+      Tar.write(Seq(
+        ("0001.jpg", Array[Byte](1, 1)), ("0001.txt", "cap one".getBytes("UTF-8")),
+        ("0001.seg.json", "{}".getBytes("UTF-8")),
+        ("0002.jpg", Array[Byte](2, 2)), ("0002.txt", "cap two".getBytes("UTF-8")),
+        ("plain", Array[Byte](9)))
+        .toDF("name", "value").coalesce(1), s"$base/out")
+      val samples = Tar.readSamples(spark, s"$base/out")
+        .collect().map(r => r.getString(1) ->
+          r.getMap[String, Array[Byte]](2).toMap.view.mapValues(_.toSeq).toMap).toMap
+      assert(samples.keySet == Set("0001", "0002", "plain"))
+      assert(samples("0001").keySet == Set("jpg", "txt", "seg.json"),
+        "multi-dot extension keeps everything after the FIRST dot")
+      assert(new String(samples("0001")("txt").toArray, "UTF-8") == "cap one")
+      assert(samples("0002")("jpg") == Seq[Byte](2, 2))
+      assert(samples("plain").keySet == Set(""))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("corrupt archives fail loudly; guards on names and nulls") {
     val base = tmpDir("bad")
     try {
