@@ -265,6 +265,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), s"per-value counts lack map-side partials:\n$p")
   }
 
+  test("new TPC-H shapes: no product joins, partial aggs, brand/part dims broadcast") {
+    Seq("q13_order_dist", "q15_top_supplier", "q17_small_qty",
+      "q6_forecast", "q10_returned", "q14_promo", "q19_discounted",
+      "q20_excess_supply").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q planned a product join:\n$p")
+      assert(p.contains("partial_"), s"$q lacks map-side partial aggregation:\n$p")
+    }
+    // the part-dim joins broadcast
+    Seq("q14_promo", "q17_small_qty", "q19_discounted").foreach { q =>
+      assert(plan(q).contains("BroadcastHashJoin"), s"$q part dim not broadcast")
+    }
+    // q6 is pure scan+agg: predicates reach the scan, no join at all
+    val p6 = plan("q6_forecast")
+    assert(!p6.contains("Join"), s"q6 must not join:\n$p6")
+    assert(p6.contains("PushedFilters:"), s"q6 filters not pushed:\n$p6")
+  }
+
   test("q_split_assign and q_tfidf stay codegen'd: no UDF anywhere") {
     Seq("q_split_assign", "q_tfidf").foreach { q =>
       val p = plan(q)

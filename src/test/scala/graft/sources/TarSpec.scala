@@ -86,6 +86,25 @@ class TarSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("fuzz: random byte streams reject loudly, never hang or mis-parse") {
+    val base = tmpDir("fuzz")
+    try {
+      val rnd = new scala.util.Random(42)
+      (1 to 10).foreach { i =>
+        val junk = new Array[Byte](rnd.nextInt(4000) + 100)
+        rnd.nextBytes(junk)
+        java.nio.file.Files.write(Paths.get(s"$base/junk$i.tar"), junk)
+        try {
+          val n = Tar.read(spark, s"$base/junk$i.tar").count()
+          // only an all-zero prefix (end-of-archive) may read as empty
+          assert(n == 0L, s"fuzz $i parsed $n members from random bytes")
+        } catch {
+          case _: org.apache.spark.SparkException => () // loud reject — expected
+        }
+      }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("corrupt archives fail loudly; guards on names and nulls") {
     val base = tmpDir("bad")
     try {
