@@ -117,4 +117,39 @@ object Events {
         col("period"), col("active_users"))
       .orderBy(col("cohort_day"), col("period"))
   }
+
+  /** Last-touch attribution: for each conversion event, the most
+    * recent preceding touch event (per user, within `lookbackSec`) —
+    * the standard marketing/causal-credit question over an event
+    * stream, composed from the as-of join machinery ([[Temporal
+    * .asofJoin]]: one keyed window pass, O(touches + conversions),
+    * never an inequality range join). Conversions with no in-window
+    * touch keep their row with a null `touch_type`/`touch_ts`
+    * (unattributed conversions are the interesting ones).
+    *
+    * Returns (userCol, conv_ts, touch_type, touch_ts). Ties: a touch
+    * at the conversion's exact timestamp attributes (backward as-of
+    * includes equal-ts rows); two touches at the SAME instant
+    * collapse deterministically to the lexicographically largest
+    * type before the join (real data has ties — an arbitrary pick
+    * would flake).
+    */
+  def lastTouch(df: DataFrame, userCol: String, typeCol: String, tsCol: String,
+                touchTypes: Seq[String], conversionType: String,
+                lookbackSec: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "lastTouch needs at least one touch type")
+    require(lookbackSec > 0, s"lookbackSec must be positive, got $lookbackSec")
+    require(!touchTypes.contains(conversionType),
+      s"conversion type '$conversionType' cannot also be a touch type")
+    val conversions = df.filter(col(typeCol) === conversionType)
+      .select(col(userCol), col(tsCol).as("conv_ts"))
+    val touches = df.filter(col(typeCol).isin(touchTypes: _*))
+      .groupBy(col(userCol), col(tsCol).as("__touch_ts"))
+      .agg(max(col(typeCol)).as("touch_type"))
+    Temporal.asofJoin(conversions, touches, userCol,
+        "conv_ts", "__touch_ts", valueCols = Seq("touch_type"),
+        direction = "backward", toleranceSec = Some(lookbackSec),
+        matchedTsCol = Some("touch_ts"))
+      .select(col(userCol), col("conv_ts"), col("touch_type"), col("touch_ts"))
+  }
 }

@@ -53,7 +53,10 @@ object Temporal {
     * `matchedTsCol` if requested) are null when no right row
     * qualifies. `toleranceSec` additionally nulls matches farther
     * than the bound from the left timestamp (pandas merge_asof
-    * tolerance).
+    * tolerance). The gap compares WHOLE seconds (timestamp→long
+    * truncation): a 7200.3 s gap passes a 7200 s tolerance — the
+    * sub-second part never disqualifies a match (sf1-gate-verified
+    * contract; oracles must mirror the truncation).
     *
     * Right-side ties on (key, ts) resolve last-wins in unspecified
     * order — pre-aggregate the right side to unique (key, ts) for

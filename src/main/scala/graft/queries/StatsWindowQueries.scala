@@ -172,6 +172,19 @@ object StatsWindowQueries extends QueryPack {
         Seq("view", "click", "purchase"), withinSec = Some(86400L))
     },
 
+    // last-touch attribution: every purchase credited to the most
+    // recent click/view within a 2h lookback (as-of composition;
+    // DuckDB's native ASOF JOIN is the oracle).
+    "q_attribution" -> { (s, dir) =>
+      graft.operators.Events.lastTouch(tables(s, dir).events,
+          "user_id", "event_type", "ts",
+          touchTypes = Seq("click", "view"), conversionType = "purchase",
+          lookbackSec = 7200L)
+        .select(col("user_id"), unix_micros(col("conv_ts")).as("conv_us"),
+          col("touch_type"), unix_micros(col("touch_ts")).as("touch_us"))
+        .orderBy(col("user_id"), col("conv_us"), col("touch_us"))
+    },
+
     // weekly cohort retention from the first signup event.
     "q_retention" -> { (s, dir) =>
       graft.operators.Events.retention(tables(s, dir).events,
@@ -447,6 +460,25 @@ object StatsWindowQueries extends QueryPack {
         |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM u2)
         |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM u3))
         |ORDER BY step_idx""".stripMargin,
+    "q_attribution" ->
+      """WITH conv AS (
+        |  SELECT user_id, ts AS conv_ts FROM events WHERE event_type = 'purchase'),
+        |tch AS (
+        |  SELECT user_id, ts AS touch_ts, max(event_type) AS touch_type
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY user_id, ts),
+        |j AS (
+        |  SELECT c.user_id, c.conv_ts, t.touch_type, t.touch_ts
+        |  FROM conv c ASOF LEFT JOIN tch t
+        |    ON c.user_id = t.user_id AND c.conv_ts >= t.touch_ts)
+        |SELECT user_id, epoch_us(conv_ts) AS conv_us,
+        |  CASE WHEN touch_ts IS NOT NULL
+        |        AND (epoch_us(conv_ts) // 1000000) - (epoch_us(touch_ts) // 1000000) <= 7200
+        |       THEN touch_type END AS touch_type,
+        |  CASE WHEN touch_ts IS NOT NULL
+        |        AND (epoch_us(conv_ts) // 1000000) - (epoch_us(touch_ts) // 1000000) <= 7200
+        |       THEN epoch_us(touch_ts) END AS touch_us
+        |FROM j ORDER BY user_id, conv_us, touch_us""".stripMargin,
     "q_retention" ->
       """WITH c AS (
         |  SELECT user_id, date_trunc('day', min(ts)) AS cohort

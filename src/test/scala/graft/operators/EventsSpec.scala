@@ -79,4 +79,27 @@ class EventsSpec extends SparkSpec {
     val r = Events.retention(df, "user", "type", "ts", "signup", 7).collect()
     assert(r.map(_.getLong(2)).sum == 1L) // only the post-signup activity period
   }
+
+  test("lastTouch: most recent in-window touch, lookback bound, tie rules") {
+    val df = ev(
+      ("a", "view", 0), ("a", "click", 10), ("a", "buy", 15),   // click wins (latest)
+      ("b", "view", 0), ("b", "buy", 200),                      // outside 60-min lookback
+      ("c", "buy", 5),                                          // no touch at all
+      ("d", "click", 20), ("d", "buy", 20),                     // equal-ts touch attributes
+      ("e", "view", 30), ("e", "click", 30), ("e", "buy", 31)   // same-instant touches → max type
+    )
+    val out = Events.lastTouch(df, "user", "type", "ts",
+        touchTypes = Seq("view", "click"), conversionType = "buy",
+        lookbackSec = 3600L)
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.getString(2)), Option(r.get(3))))).toMap
+    assert(out("a") == ((Some("click"), Some(ts(10)))))
+    assert(out("b") == ((None, None)), "touch outside the lookback must not attribute")
+    assert(out("c") == ((None, None)))
+    assert(out("d") == ((Some("click"), Some(ts(20)))), "equal-ts touch attributes")
+    assert(out("e") == ((Some("view"), Some(ts(30)))),
+      "same-instant touches collapse to the lexicographically largest type")
+    intercept[IllegalArgumentException](Events.lastTouch(df, "user", "type", "ts",
+      Seq("buy"), "buy", 10L))
+  }
 }
