@@ -10,6 +10,7 @@ object SparkEntry {
     AnalyticsQueries,
     CoreQueries,
     IoQueries,
+    MaintenanceQueries,
     PairQueries,
     StatsWindowQueries,
     TextCleanQueries,

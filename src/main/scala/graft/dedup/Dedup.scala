@@ -286,24 +286,43 @@ object Dedup {
     * [[simhashClusters]].
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3,
-                   maxBucket: Int = 1000): DataFrame = {
+                   maxBucket: Int = 1000): DataFrame =
+    hammingPairs(simhashes(df, idCol, textCol), "id", "simhash", maxDist, maxBucket,
+      op = "simhash_pairs")
+
+  /** Generic hamming-≤-`maxDist` pairs over any 64-bit signature
+    * column (SimHash text signatures, dHash image signatures, …),
+    * candidate-blocked by 16-bit signature chunks — pigeonhole: any
+    * pair within hamming 3 shares at least one of the 4 chunks, so
+    * for maxDist ≤ 3 blocking is EXHAUSTIVE (modulo the bucket cap)
+    * and the blocked result equals the all-pairs result.
+    *
+    * Same hot-bucket contract as [[minhashPairs]]: chunk buckets
+    * larger than `maxBucket` are dropped before the self-join (linear
+    * window count), so no degenerate chunk can go quadratic; the
+    * excluded row count surfaces via observe().
+    */
+  def hammingPairs(sigs: DataFrame, idCol: String, sigCol: String, maxDist: Int,
+                   maxBucket: Int = 1000, op: String = "hamming_pairs"): DataFrame = {
     require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
-    val hashed = simhashes(df, idCol, textCol)
-    val withBn = hashed.select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
-        .as(Seq("chunk_idx", "chunk")))
+    require(maxDist >= 0 && maxDist <= 64, s"maxDist must be in [0, 64], got $maxDist")
+    val withBn = sigs
+      .select(col(idCol).as("id"), col(sigCol).cast("long").as("__sig"))
+      .select(col("id"), col("__sig"),
+        posexplode(array((0 until 4).map(i =>
+          shiftrightunsigned(col("__sig"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("chunk_idx", "chunk")))
       .withColumn("__bn", count(lit(1)).over(Window.partitionBy(col("chunk_idx"), col("chunk"))))
     val chunked = withBn.filter(col("__bn") <= maxBucket).drop("__bn")
     // observed side mirrors minhashPairs: count once, keep the other
     // side's subtree reuse-identical.
-    observeCap(withBn, "simhash_pairs", col("__bn"), maxBucket)
+    observeCap(withBn, op, col("__bn"), maxBucket)
       .filter(col("__bn") <= maxBucket).drop("__bn").as("a")
       .join(chunked.as("b"),
         col("a.chunk_idx") === col("b.chunk_idx") && col("a.chunk") === col("b.chunk") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+        col("a.__sig").as("sh_a"), col("b.__sig").as("sh_b"))
       .distinct()
       .withColumn("hamming", hammingDist(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxDist)

@@ -509,4 +509,112 @@ object Multimodal {
         }
       }
   }
+
+  // ------------------------------------------------------------------
+  // Perceptual image hashing (dHash) — the image counterpart of
+  // SimHash text near-dup: a 64-bit gradient signature whose hamming
+  // distance tracks visual similarity, robust to re-encoding and
+  // uniform brightness shifts.
+  // ------------------------------------------------------------------
+
+  /** dHash grid: comparisons run on a (DHashW+1) × DHashH grayscale. */
+  val DHashW = 8
+  val DHashH = 8
+
+  /** Mean-channel gray at (x, y), 0..255 (exact when r == g == b). */
+  def grayAt(img: BufferedImage, x: Int, y: Int): Int = {
+    val rgb = img.getRGB(x, y)
+    (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3
+  }
+
+  /** 64-bit difference hash: resize to 9×8 grayscale (skipped when the
+    * image already is exactly 9×8 — keeps synthetic-oracle pixels
+    * bit-exact), bit `y*8+x` set iff gray(x+1, y) > gray(x, y).
+    */
+  def dHash(img: BufferedImage): Long = {
+    val g = if (img.getWidth == DHashW + 1 && img.getHeight == DHashH)
+      img else resizeImage(img, DHashW + 1, DHashH)
+    var hash = 0L
+    var y = 0
+    while (y < DHashH) {
+      var x = 0
+      while (x < DHashW) {
+        if (grayAt(g, x + 1, y) > grayAt(g, x, y)) hash |= (1L << (y * DHashW + x))
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** Per-row dHash row: null-marker is `decoded = false`. */
+  final case class DHashRow(id: Long, decoded: Boolean, dhash: Long)
+
+  /** REAL batched dHash over an (id, modality, payload) media table:
+    * per-partition, per-batch ImageIO decode (first frame for framed
+    * video / gif payloads) then [[dHash]]. Undecodable rows come back
+    * `decoded = false` (audit channel), mirroring [[decodeImageMeta]].
+    */
+  def dHashes(media: Dataset[_], batchSize: Int = 64): Dataset[DHashRow] = {
+    implicit val enc = Encoders.product[DHashRow]
+    media.toDF().select(col("id"), col("modality"), col("payload"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val id = r.getLong(0)
+            val first = r.getString(1) match {
+              case "video" => unpackFrames(r.getAs[Array[Byte]](2))
+                .headOption.flatMap(decodeImage)
+              case "gif" => decodeFrames(r.getAs[Array[Byte]](2)).headOption
+              case _ => decodeImage(r.getAs[Array[Byte]](2))
+            }
+            first match {
+              case Some(img) => DHashRow(id, decoded = true, dHash(img))
+              case None => DHashRow(id, decoded = false, 0L)
+            }
+          }
+        }
+      }
+  }
+
+  /** Deterministic patterned-pixel formula shared by the generator,
+    * the specs, and the DuckDB oracles (the [[synthGray]] counterpart
+    * with per-PIXEL variation, so gradient hashes are non-trivial):
+    * gray(x, y) = (pat·(x+1)·(y+3) + 7x + 13y [+ bump at (0,0)]) mod 256.
+    */
+  def synthPatternGray(pat: Long, x: Int, y: Int, bump: Int): Int =
+    math.floorMod(pat * (x + 1) * (y + 3) + 7L * x + 13L * y +
+      (if (x == 0 && y == 0) bump.toLong else 0L), 256L).toInt
+
+  /** Synthetic patterned-image table: one REAL PNG per input row whose
+    * pixel (x, y) is [[synthPatternGray]] of `patternCol` — rows with
+    * the same pattern value and a small `bumpCol` perturbation are
+    * near-duplicates by construction (the dHash test corpus shape).
+    * Default dims are the dHash grid so the hash needs no resample
+    * and an external oracle can recompute every bit.
+    */
+  def syntheticPatternImages(df: DataFrame, idCol: String, patternCol: String,
+                             bumpCol: String, w: Int = DHashW + 1,
+                             h: Int = DHashH): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    df.select(col(idCol).cast("long").as("id"), col(patternCol).cast("long").as("pat"),
+        col(bumpCol).cast("int").as("bump"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (id, pat, bump) = (r.getLong(0), r.getLong(1), r.getInt(2))
+          val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val g = synthPatternGray(pat, x, y, bump)
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          MediaRow(id, "image", encodePng(img))
+        }
+      }
+  }
 }

@@ -121,4 +121,62 @@ object Graph {
       e.unpersist(); verts.unpersist(); outDeg.unpersist(); ()
     }
   }
+
+  /** Per-vertex triangle counts over an undirected edge list (self
+    * loops and duplicate/reversed edges collapse first). Returns
+    * (vertex, triangles) for every vertex of the graph, zeros
+    * included; `sum(triangles) / 3` is the global triangle count.
+    *
+    * Scale shape: the standard degree-ordered wedge algorithm — every
+    * edge is oriented from its lower-(degree, id) endpoint to the
+    * higher, so wedges enumerate at each triangle's LOWEST-order apex
+    * exactly once and a hub vertex of degree d contributes wedges only
+    * through neighbors ordered above it (bounding the classic d² hub
+    * blowup by the arboricity, Chiba–Nishizeki). Three hash joins +
+    * one partial-agg count; nothing collects.
+    */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // canonical undirected edges: lo < hi, deduped. Scratch frames are
+    // eagerly localCheckpoint-ed (not persist-ed): the RESULT is lazy,
+    // so a persist/unpersist-in-finally pair would drop the cache
+    // before the caller ever executes the plan.
+    val canon = edges
+      .select(col(srcCol).cast("long").as("__a"), col(dstCol).cast("long").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull && col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("__lo"),
+        greatest(col("__a"), col("__b")).as("__hi"))
+      .distinct()
+      .localCheckpoint(true)
+    val degrees = canon.select(col("__lo").as("__v"))
+      .union(canon.select(col("__hi").as("__v")))
+      .groupBy(col("__v")).agg(count(lit(1)).as("__deg"))
+      .localCheckpoint(true)
+    // orient each edge from the lower-(deg, id) endpoint u to the
+    // higher w; ordering is total, so orientation is acyclic
+    val oriented = canon
+      .join(degrees.select(col("__v").as("__lo"), col("__deg").as("__dl")), Seq("__lo"))
+      .join(degrees.select(col("__v").as("__hi"), col("__deg").as("__dh")), Seq("__hi"))
+      .select(
+        when(struct(col("__dl"), col("__lo")) < struct(col("__dh"), col("__hi")),
+          col("__lo")).otherwise(col("__hi")).as("__u"),
+        when(struct(col("__dl"), col("__lo")) < struct(col("__dh"), col("__hi")),
+          col("__hi")).otherwise(col("__lo")).as("__w"))
+      .localCheckpoint(true)
+    // wedges at apex u: unordered neighbor pairs (x, y) both ABOVE u
+    // in orientation order, id-canonicalized (x < y) so the closing
+    // edge probes the canonical edge set with a plain EQUI-join (an
+    // OR-of-orientations condition would force a nested-loop join)
+    val e1 = oriented.select(col("__u"), col("__w").as("__x"))
+    val e2 = oriented.select(col("__u"), col("__w").as("__y"))
+    val wedges = e1.join(e2, Seq("__u")).filter(col("__x") < col("__y"))
+    val triangles = wedges.join(canon,
+      col("__x") === col("__lo") && col("__y") === col("__hi"))
+      .select(col("__u"), col("__x"), col("__y"))
+    val perVertex = triangles
+      .select(explode(array(col("__u"), col("__x"), col("__y"))).as("__v"))
+      .groupBy(col("__v")).agg(count(lit(1)).as("triangles"))
+    degrees.select(col("__v"))
+      .join(perVertex, Seq("__v"), "left")
+      .select(col("__v").as("vertex"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
 }

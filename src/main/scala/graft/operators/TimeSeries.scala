@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Time-series verbs scio pipelines hand-roll from stateful DoFns and
+  * Iterators.timeSeries (reference: scio-extra Iterators.scala:45 and
+  * the examples' sessionization patterns): fixed-grid resampling with
+  * forward fill, interval coalescing, and exponential moving averages.
+  *
+  * Scale shape: resample/gap-fill is one per-(key,bucket) partial agg
+  * plus one per-key window pass (the grid explodes from a per-key
+  * 2-value aggregate, never from the raw rows); interval coalescing is
+  * one window pass + one partial agg; EMA is a true streaming fold —
+  * repartition by key, sort within partitions, one linear scan — so a
+  * key's history is never materialized as an array.
+  */
+object TimeSeries {
+
+  /** Resample to a fixed `stepSec` grid per key with forward fill:
+    * each bucket reports the LAST observation in it (ties broken
+    * lexicographically on the value struct — deterministic), and empty
+    * buckets between a key's first and last observation carry the
+    * previous bucket's value forward. Output: key, `ts` (bucket start,
+    * timestamp), one filled column per `valCols`.
+    */
+  def gapFill(df: DataFrame, keyCol: String, tsCol: String, valCols: Seq[String],
+              stepSec: Long): DataFrame = {
+    require(stepSec > 0, s"stepSec must be positive, got $stepSec")
+    require(valCols.nonEmpty, "gapFill needs at least one value column")
+    import org.apache.spark.sql.expressions.Window
+    val bucket = floor(unix_seconds(col(tsCol)) / stepSec) * stepSec
+    // last observation per (key, bucket): ONE lexicographic max struct
+    // — partial-aggregates map-side, no window over raw rows
+    val ordStruct = struct(col(tsCol) +: valCols.map(col): _*)
+    val sampled = df
+      .filter(col(tsCol).isNotNull)
+      .groupBy(col(keyCol).as("__k"), bucket.as("__b"))
+      .agg(max(ordStruct).as("__last"))
+      .select(col("__k"), col("__b"),
+        struct(valCols.map(v => col(s"__last.$v").as(v)): _*).as("__v"))
+    // grid from the per-key [min,max] bucket span — two numbers per
+    // key, so the explode is narrow and never touches raw rows
+    val grid = sampled.groupBy(col("__k"))
+      .agg(min(col("__b")).as("__lo"), max(col("__b")).as("__hi"))
+      .select(col("__k"),
+        explode(sequence(col("__lo"), col("__hi"), lit(stepSec))).as("__b"))
+    // forward fill: one window pass per key ordered by bucket
+    val w = Window.partitionBy(col("__k")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(sampled, Seq("__k", "__b"), "left")
+      .withColumn("__f", last(col("__v"), ignoreNulls = true).over(w))
+      .select(col("__k").as(keyCol) +: timestamp_seconds(col("__b")).as(tsCol) +:
+        valCols.map(v => col(s"__f.$v").as(v)): _*)
+  }
+
+  /** Merge overlapping or abutting [startCol, endCol] intervals per
+    * key (interval coalescing): output one row per merged span with
+    * `n_merged` source intervals. Intervals where end < start are
+    * rejected; touching intervals (next.start == prev.end) merge.
+    * One window pass (running max of end) + one partial agg.
+    */
+  def coalesceIntervals(df: DataFrame, keyCols: Seq[String], startCol: String,
+                        endCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "coalesceIntervals needs at least one key column")
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(startCol), col(endCol))
+    val prevMax = max(col(endCol)).over(byKey.rowsBetween(Window.unboundedPreceding, -1))
+    val marked = df
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull)
+      .withColumn("__new", when(prevMax.isNull || col(startCol) > prevMax, 1L).otherwise(0L))
+      .withColumn("__grp", sum(col("__new"))
+        .over(byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked.groupBy(keyCols.map(col) :+ col("__grp"): _*)
+      .agg(min(col(startCol)).as(startCol), max(col(endCol)).as(endCol),
+        count(lit(1)).as("n_merged"))
+      .drop("__grp")
+  }
+
+  /** Exponential moving average per key over event order: with
+    * smoothing `alpha`, `ema_1 = x_1` and
+    * `ema_i = alpha * x_i + (1 - alpha) * ema_{i-1}` over rows ordered
+    * by (`tsCol`, `tieCols`…) within each key. Appends `outCol` to the
+    * input columns.
+    *
+    * A recursive fold has no window-function form, so this is the one
+    * shape a stateful pass is genuinely for: repartition by key, sort
+    * within partitions, ONE linear scan carrying (key, running ema) —
+    * the per-key history is never collected into memory (scio: a
+    * stateful DoFn; Iterators.scala would buffer the window).
+    */
+  def ema(df: DataFrame, keyCol: String, tsCol: String, valCol: String, alpha: Double,
+          outCol: String = "ema", tieCols: Seq[String] = Nil): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(!df.columns.contains(outCol), s"column $outCol already exists")
+    val sorted = df
+      .filter(col(valCol).isNotNull)
+      .repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol) +: col(tsCol) +: tieCols.map(col): _*)
+    val outSchema = StructType(sorted.schema.fields :+ StructField(outCol, DoubleType))
+    val keyIdx = sorted.schema.fieldIndex(keyCol)
+    val valIdx = sorted.schema.fieldIndex(valCol)
+    val oneMinus = 1 - alpha
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    sorted.mapPartitions { rows =>
+      var curKey: Any = null
+      var started = false
+      var acc = 0.0
+      rows.map { r =>
+        val k = r.get(keyIdx)
+        val x = r.get(valIdx) match {
+          case n: java.lang.Number => n.doubleValue()
+          case other => throw new IllegalArgumentException(
+            s"ema needs a numeric value column, got $other")
+        }
+        if (!started || k != curKey) { curKey = k; started = true; acc = x }
+        else acc = alpha * x + oneMinus * acc
+        Row.fromSeq(r.toSeq :+ acc)
+      }
+    }(enc)
+  }
+}

@@ -322,4 +322,24 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(out == expect)
   }
+
+  test("hammingPairs: blocked result equals brute force for maxDist <= 3 (pigeonhole)") {
+    val rnd = new scala.util.Random(19)
+    // random signatures plus planted near-dups: flip 0..3 bits of a base
+    val base = (1 to 60).map(i => (i.toLong, rnd.nextLong()))
+    val planted = base.take(15).zipWithIndex.map { case ((id, sig), i) =>
+      val flips = (0 to i % 4).map(_ => 1L << rnd.nextInt(64)).foldLeft(0L)(_ | _)
+      (id + 1000L, sig ^ flips)
+    }
+    val sigs = (base ++ planted).toDF("id", "sig")
+    val got = Dedup.hammingPairs(sigs, "id", "sig", maxDist = 3, maxBucket = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val all = (base ++ planted)
+    val want = (for {
+      (ia, sa) <- all; (ib, sb) <- all if ia < ib
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 3
+    } yield (ia, ib, d)).toSet
+    assert(got == want)
+    assert(want.nonEmpty) // the planted dups actually exercise the match path
+  }
 }

@@ -183,4 +183,68 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_.id).toSeq == Seq(2L))
     assert(out.head.features.forall(v => math.abs(v - 60f / 255f) < 1e-6f))
   }
+
+  test("dHash: bits are exactly the adjacent-pixel gradient comparisons") {
+    // hand-built 9×8 image with a known pattern → recompute every bit locally
+    val img = new java.awt.image.BufferedImage(9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    def g(x: Int, y: Int): Int = Multimodal.synthPatternGray(42L, x, y, 0)
+    for (y <- 0 until 8; x <- 0 until 9) {
+      val v = g(x, y); img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    var want = 0L
+    for (y <- 0 until 8; x <- 0 until 8)
+      if (g(x + 1, y) > g(x, y)) want |= (1L << (y * 8 + x))
+    assert(Multimodal.dHash(img) == want)
+    // PNG round trip preserves the hash (lossless codec on the critical path)
+    val back = Multimodal.decodeImage(Multimodal.encodePng(img)).get
+    assert(Multimodal.dHash(back) == want)
+  }
+
+  test("dHash: robust to uniform brightness shift and to re-scaling") {
+    val base = new java.awt.image.BufferedImage(90, 80, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val shifted = new java.awt.image.BufferedImage(90, 80, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rnd = new scala.util.Random(3)
+    // smooth horizontal ramp with per-row offsets: gradient signs survive +20
+    for (y <- 0 until 80; x <- 0 until 90) {
+      val v = math.min(200, (x * 2 + y / 8 + rnd.nextInt(2)))
+      base.setRGB(x, y, (v << 16) | (v << 8) | v)
+      val w = v + 20
+      shifted.setRGB(x, y, (w << 16) | (w << 8) | w)
+    }
+    assert(Multimodal.dHash(base) == Multimodal.dHash(shifted))
+    // 2× upscale preserves most gradient signs (hamming stays small)
+    val scaled = Multimodal.resizeImage(base, 180, 160)
+    val d = java.lang.Long.bitCount(Multimodal.dHash(base) ^ Multimodal.dHash(scaled))
+    assert(d <= 6, s"hamming after rescale was $d")
+  }
+
+  test("dHashes: distributed batched decode; video first frame; undecodable audited") {
+    val img = Multimodal.solidImage(9, 8, 10)
+    // non-uniform column so the hash is non-zero
+    for (y <- 0 until 8) img.setRGB(3, y, (200 << 16) | (200 << 8) | 200)
+    val media = Seq(
+      (1L, "image", Multimodal.encodePng(img)),
+      (2L, "video", Multimodal.packFrames(Seq(Multimodal.encodePng(img)))),
+      (3L, "image", Array[Byte](1, 2, 3))
+    ).toDF("id", "modality", "payload")
+    val got = Multimodal.dHashes(media).collect().map(r => r.id -> (r.decoded, r.dhash)).toMap
+    assert(got(1L)._1 && got(1L)._2 == Multimodal.dHash(img))
+    assert(got(2L) == got(1L)) // first frame of the framed container
+    assert(!got(3L)._1)
+  }
+
+  test("syntheticPatternImages: real PNGs whose pixels are the pattern formula; bump at (0,0)") {
+    val rows = Seq((7L, 7L, 0), (8L, 7L, 1)).toDF("rid", "pat", "bump")
+    val media = Multimodal.syntheticPatternImages(rows, "rid", "pat", "bump")
+      .collect().map(m => m.id -> m.payload).toMap
+    val a = Multimodal.decodeImage(media(7L)).get
+    val b = Multimodal.decodeImage(media(8L)).get
+    for (y <- 0 until 8; x <- 0 until 9) {
+      assert(Multimodal.grayAt(a, x, y) == Multimodal.synthPatternGray(7L, x, y, 0))
+      assert(Multimodal.grayAt(b, x, y) == Multimodal.synthPatternGray(7L, x, y, 1))
+    }
+    // the twin differs in exactly the (0,0) pixel → hamming ≤ 1
+    val d = java.lang.Long.bitCount(Multimodal.dHash(a) ^ Multimodal.dHash(b))
+    assert(d <= 1)
+  }
 }

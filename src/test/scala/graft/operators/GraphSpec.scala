@@ -111,4 +111,43 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", damping = 1.0))
   }
+
+  test("triangleCount: K4 has C(3,2)=3 per vertex; path has none; zeros included") {
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val gotK4 = Graph.triangleCount(k4.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotK4 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val gotPath = Graph.triangleCount(path, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotPath == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+  }
+
+  test("triangleCount: duplicate/reversed edges and self loops collapse; one triangle") {
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (1L, 1L))
+      .toDF("a", "b")
+    val got = Graph.triangleCount(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("triangleCount: matches brute force on a random graph; repartition-stable") {
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 300).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val canon = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val verts = canon.flatMap(e => Seq(e._1, e._2))
+    val tris = for {
+      Seq(a, b, c) <- verts.toSeq.sorted.combinations(3)
+      if canon((a, b)) && canon((b, c)) && canon((a, c))
+    } yield Seq(a, b, c)
+    val counts = tris.toSeq.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = verts.map(v => v -> counts.getOrElse(v, 0L)).toMap
+    val got = Graph.triangleCount(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    val again = Graph.triangleCount(edges.toDF("a", "b").repartition(7), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+  }
 }

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+
+  test("gapFill: last-per-bucket downsample, forward fill across empty buckets") {
+    val df = Seq(
+      ("a", ts(0), 1.0),
+      ("a", ts(5), 2.0),   // same bucket as t=0 (step 10): last wins
+      ("a", ts(35), 5.0),  // buckets 10, 20 empty → filled with 2.0
+      ("b", ts(100), 7.0)  // single observation → single grid row
+    ).toDF("k", "t", "v")
+    val got = TimeSeries.gapFill(df, "k", "t", Seq("v"), 10L)
+      .select(col("k"), unix_seconds(col("t")), col("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(
+      ("a", 0L, 2.0), ("a", 10L, 2.0), ("a", 20L, 2.0), ("a", 30L, 5.0),
+      ("b", 100L, 7.0)))
+  }
+
+  test("gapFill: same-timestamp ties break on the larger value struct (deterministic)") {
+    val df = Seq(("a", ts(1), 3.0), ("a", ts(1), 9.0)).toDF("k", "t", "v")
+    val got = TimeSeries.gapFill(df, "k", "t", Seq("v"), 10L)
+      .select("v").as[Double].collect().toSeq
+    assert(got == Seq(9.0))
+  }
+
+  test("coalesceIntervals: overlap and abutment merge; gaps split; per-key isolation") {
+    val df = Seq(
+      ("a", 0L, 10L), ("a", 5L, 12L),   // overlap → [0, 12]
+      ("a", 12L, 20L),                  // abuts → extends to [0, 20]
+      ("a", 25L, 30L),                  // gap → own group
+      ("a", 26L, 27L),                  // contained → same group
+      ("b", 0L, 1L)
+    ).toDF("k", "s", "e")
+    val got = TimeSeries.coalesceIntervals(df, Seq("k"), "s", "e")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(("a", 0L, 20L, 3L), ("a", 25L, 30L, 2L), ("b", 0L, 1L, 1L)))
+  }
+
+  test("coalesceIntervals: containment with early long interval; null endpoints dropped") {
+    val df = Seq(
+      ("a", Some(0L), Some(100L)), ("a", Some(10L), Some(20L)), ("a", Some(50L), Some(150L)),
+      ("a", None, Some(5L)), ("a", Some(3L), None)
+    ).toDF("k", "s", "e")
+    val got = TimeSeries.coalesceIntervals(df, Seq("k"), "s", "e")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set((0L, 150L, 3L)))
+  }
+
+  test("ema: matches the local recursive fold; per-key isolation; repartition-stable") {
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      k <- 1 to 5; i <- 1 to 40
+    } yield (k.toLong, i.toLong, rnd.nextDouble() * 100)
+    val df = rows.toDF("k", "t", "v")
+    val alpha = 0.3
+    def ref(xs: Seq[Double]): Double = xs.tail.foldLeft(xs.head)((a, x) => alpha * x + (1 - alpha) * a)
+    val want = rows.groupBy(_._1).map { case (k, rs) =>
+      k -> ref(rs.sortBy(_._2).map(_._3))
+    }
+    val last = TimeSeries.ema(df, "k", "t", "v", alpha)
+      .groupBy(col("k")).agg(max(struct(col("t"), col("ema"))).as("l"))
+      .select(col("k"), col("l.ema"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    want.foreach { case (k, w) => assert(math.abs(last(k) - w) < 1e-12, s"key $k") }
+    // every row carries the running value, not just the last
+    val allRows = TimeSeries.ema(df, "k", "t", "v", alpha)
+      .filter(col("k") === 1L).orderBy(col("t"))
+      .select("ema").as[Double].collect()
+    val xs = rows.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    val running = xs.tail.scanLeft(xs.head)((a, x) => alpha * x + (1 - alpha) * a)
+    allRows.zip(running).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12) }
+    // stability under input partitioning
+    val again = TimeSeries.ema(df.repartition(13), "k", "t", "v", alpha)
+      .groupBy(col("k")).agg(max(struct(col("t"), col("ema"))).as("l"))
+      .select(col("k"), col("l.ema"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    last.foreach { case (k, v) => assert(again(k) == v) }
+  }
+
+  test("ema: null values dropped; alpha bounds enforced; out column collision rejected") {
+    val df = Seq((1L, 1L, Some(2.0)), (1L, 2L, None), (1L, 3L, Some(4.0))).toDF("k", "t", "v")
+    val got = TimeSeries.ema(df, "k", "t", "v", 0.5).select("ema").as[Double].collect().toSeq
+    assert(got.sorted == Seq(2.0, 3.0)) // null row skipped entirely
+    intercept[IllegalArgumentException](TimeSeries.ema(df, "k", "t", "v", 0.0))
+    intercept[IllegalArgumentException](TimeSeries.ema(df, "k", "t", "v", 1.5))
+    intercept[IllegalArgumentException](
+      TimeSeries.ema(df.withColumn("ema", lit(1)), "k", "t", "v", 0.5))
+  }
+}
