@@ -295,4 +295,64 @@ class PlanAuditSpec extends SparkSpec {
       l.contains("Exchange") && !l.contains("rangepartitioning"))
     assert(exchanges == 0, s"q_split_assign shuffles beyond the presentation sort:\n$ps")
   }
+
+  test("q_merge_upsert: the anti-join probe carries keys only and broadcasts") {
+    // MERGE's matched-row elimination must not shuffle the target on a
+    // payload-wide side: the updates KEY projection broadcasts into a
+    // left-anti hash join
+    val p = plan("q_merge_upsert")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"upsert anti-join not a broadcast left-anti:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"upsert planned a product join:\n$p")
+  }
+
+  test("q_scd2: one hash shuffle serves both window passes (lag compress + lead spans)") {
+    val p = plan("q_scd2")
+    assert(p.contains("Window"), s"no window operator:\n$p")
+    val hashExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(hashExchanges == 1,
+      s"scd2 re-shuffled between the compress and span passes:\n$p")
+  }
+
+  test("q_ema: one key shuffle feeds the sorted fold; no extra exchange before the agg") {
+    // repartition(key) + sortWithinPartitions + mapPartitions: the
+    // fold itself adds exactly one hash exchange; the final per-key
+    // reduction re-clusters the typed output (mapPartitions erases
+    // partitioning info), nothing more
+    val p = plan("q_ema")
+    assert(!p.toLowerCase.contains("scalaudf"), s"ema planned a UDF:\n$p")
+    val hashExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(hashExchanges <= 2, s"ema shuffled more than fold + reduce:\n$p")
+    assert(p.contains("partial_"), s"final reduction not partial-aggregated:\n$p")
+  }
+
+  test("q_gap_fill: grid explodes from the per-key span agg, never the raw rows") {
+    val p = plan("q_gap_fill")
+    // the sequence() explode must sit above an aggregate (two numbers
+    // per key), and the whole query stays product-join-free
+    assert(p.contains("Generate explode(sequence"), s"grid not a sequence explode:\n$p")
+    assert(p.contains("partial_"), s"bucket downsample not partial-aggregated:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"gap fill planned a product join:\n$p")
+  }
+
+  test("q_triangles: every join is an equi hash/merge join — no product anywhere") {
+    // the wedge self-join and the closing-edge probe are both
+    // equi-joins by construction; a product join here is quadratic in
+    // the edge list at 100 TB
+    val p = plan("q_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle count planned a product join:\n$p")
+    assert(p.contains("partial_"), s"per-vertex count not partial-aggregated:\n$p")
+  }
+
+  test("q_image_dedup: chunk-blocked candidates only — equi-joins, no UDF, capped window") {
+    val p = plan("q_image_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"image near-dup planned a product join:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"), s"hamming verify left codegen:\n$p")
+  }
 }
