@@ -612,4 +612,116 @@ object Dedup {
         round(coalesce(col("covered_tokens"), lit(0L)) /
           greatest(col("n_tokens"), lit(1)), 6).as("dup_fraction"))
   }
+
+  // ------------------------------------------------------------------
+  // Incremental near-dup: a persisted MinHash index artifact
+  // ------------------------------------------------------------------
+
+  /** Parameters a MinHash index was built with — new docs MUST hash
+    * with the same settings or band buckets are meaningless.
+    */
+  final case class MinhashIndexParams(shingleK: Int, numHashes: Int, bands: Int)
+
+  private val MinhashIndexMeta = "_GRAFT_MINHASH"
+
+  /** Persist a corpus's MinHash signatures + band buckets as a
+    * reusable index artifact at `path` — the incremental-curation
+    * shape: shingle the historical corpus ONCE, then dedup each new
+    * crawl against the artifact without ever re-reading old text
+    * ([[minhashNewVsIndex]]). Layout: `sigs/` (id, sig), `bands/`
+    * (band, bh, id, n — n is the bucket size, precomputed here so the
+    * query-time hot-bucket cap is a pushable filter instead of a
+    * window over the index), plus a `_GRAFT_MINHASH` JSON sidecar
+    * pinning the parameters (validated on every use; a mismatched
+    * read fails loudly instead of silently finding nothing).
+    */
+  def saveMinhashIndex(df: DataFrame, idCol: String, textCol: String, path: String,
+                       shingleK: Int = 3, numHashes: Int = 128, bands: Int = 64): Unit = {
+    val spark = df.sparkSession
+    val sigs = signatures(df, idCol, textCol, shingleK, numHashes, bands,
+      withShingleSets = false)
+    sigs.select(col("id"), col("sig")).write.mode("overwrite").parquet(s"$path/sigs")
+    val bandRows = sigs.select(col("id"), posexplode(col("bandhashes")).as(Seq("band", "bh")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+    bandRows.write.mode("overwrite").parquet(s"$path/bands")
+    val meta = new org.apache.hadoop.fs.Path(s"$path/$MinhashIndexMeta")
+    val fs = org.apache.hadoop.fs.FileSystem.get(meta.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(meta, true)
+    out.write(
+      s"""{"shingleK":$shingleK,"numHashes":$numHashes,"bands":$bands}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  /** Read back a MinHash index's parameter sidecar (loud failure when
+    * absent — the directory is not an index artifact).
+    */
+  def loadMinhashIndexParams(spark: org.apache.spark.sql.SparkSession,
+                             path: String): MinhashIndexParams = {
+    val meta = new org.apache.hadoop.fs.Path(s"$path/$MinhashIndexMeta")
+    val fs = org.apache.hadoop.fs.FileSystem.get(meta.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(meta),
+      s"$path is not a graft MinHash index (no $MinhashIndexMeta sidecar)")
+    val in = fs.open(meta)
+    val raw = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    def field(name: String): Int = {
+      val m = s""""$name"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(raw)
+      require(m.isDefined, s"malformed $MinhashIndexMeta sidecar at $path: $raw")
+      m.get.group(1).toInt
+    }
+    MinhashIndexParams(field("shingleK"), field("numHashes"), field("bands"))
+  }
+
+  /** Near-dup candidates of NEW docs against a persisted MinHash
+    * index ([[saveMinhashIndex]]): shingle + sign only the new crawl
+    * (the historical corpus's text is never touched again), probe the
+    * stored band buckets, and score each candidate by signature
+    * agreement — est_jaccard = |{j : sigNew[j] = sigIdx[j]}| /
+    * numHashes, the standard MinHash estimate (E[est] = true
+    * Jaccard). Output: (id, index_id, est_jaccard) with est_jaccard ≥
+    * `minEstJaccard`, rounded to 6 dp. A re-crawled id that is also in
+    * the index matches itself (est = 1); filter `id != index_id`
+    * downstream if self-pairs are noise.
+    *
+    * Scale shape: one shuffle of the new crawl's shingles (map-side
+    * partial mins, same as [[minhashPairs]]), one equi-join of its
+    * band rows against the stored buckets (the hot-bucket cap `n <=
+    * maxBucket` is a plain pushable filter on the artifact — the
+    * bucket census was precomputed at save time, so no window over
+    * the index at query time), and one numHashes-wide zip per
+    * candidate pair. The index side never re-shingles — at 100 TB
+    * that is the entire point.
+    */
+  def minhashNewVsIndex(newDf: DataFrame, idCol: String, textCol: String,
+                        indexPath: String, minEstJaccard: Double = 0.5,
+                        maxBucket: Int = 1000): DataFrame = {
+    require(maxBucket > 0, s"maxBucket must be positive, got $maxBucket")
+    require(minEstJaccard >= 0 && minEstJaccard <= 1,
+      s"minEstJaccard must be in [0, 1], got $minEstJaccard")
+    val spark = newDf.sparkSession
+    val p = loadMinhashIndexParams(spark, indexPath)
+    val idxSigs = spark.read.parquet(s"$indexPath/sigs")
+      .select(col("id").as("index_id"), col("sig").as("__isig"))
+    val idxBands = spark.read.parquet(s"$indexPath/bands")
+      .filter(col("n") <= maxBucket)
+      .select(col("band"), col("bh"), col("id").as("index_id"))
+    val newSigs = signatures(newDf, idCol, textCol, p.shingleK, p.numHashes, p.bands,
+      withShingleSets = false)
+    val newBands = newSigs
+      .select(col("id"), posexplode(col("bandhashes")).as(Seq("band", "bh")))
+    val cand = newBands.join(idxBands, Seq("band", "bh"))
+      .select(col("id"), col("index_id")).distinct()
+    val agree = aggregate(
+      zip_with(col("__nsig"), col("__isig"), (a, b) => when(a === b, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    cand
+      .join(newSigs.select(col("id"), col("sig").as("__nsig")), Seq("id"))
+      .join(idxSigs, Seq("index_id"))
+      .withColumn("est_jaccard", round(agree.cast("double") / p.numHashes, 6))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("id"), col("index_id"), col("est_jaccard"))
+  }
 }

@@ -66,6 +66,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.functions.VectorFunctions.hyperplanes(dim, nBits, seed).map(_.toSeq).toSeq)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_normalize(str, form) takes (string, literal form NFC/NFD/NFKC/NFKD)")
+        val form = children(1) match {
+          case e if e.foldable => e.eval() match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+            case other => throw new IllegalArgumentException(
+              s"graft_normalize form must be a string literal, got $other")
+          }
+          case _ => throw new IllegalArgumentException(
+            "graft_normalize form must be a literal")
+        }
+        UnicodeNormalize(children(0), form)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_minhash_agg"),
       new ExpressionInfo(classOf[MinHashAgg].getName, "graft_minhash_agg"),
       (children: Seq[Expression]) => {

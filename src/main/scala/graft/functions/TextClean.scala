@@ -140,4 +140,27 @@ object TextClean {
     */
   def filterByDomainBlocklist(urlCol: Column, blocked: Seq[String]): Column =
     !urlParts(urlCol).getField("domain").isin(blocked.map(_.toLowerCase): _*)
+
+  /** Unicode NFC normalization (native codegen expression): the same
+    * logical text arrives precomposed or decomposed from different
+    * crawls — dedup keys built on raw bytes treat "é" (U+00E9) and
+    * "é" as different documents. `graft_normalize(text, 'NFC')`
+    * in SQL. Other forms via [[graft.expressions.UnicodeNormalize]].
+    */
+  def nfc(text: Column): Column =
+    graft.expressions.UnicodeNormalize.normalizeF(text, "NFC")
+
+  /** Full dedup-key canonicalization: NFKC-fold compatibility
+    * variants (ﬁ → fi, fullwidth → ASCII), lowercase, strip
+    * diacritics (NFD then drop combining marks — \p{Mn} is in the
+    * java∩RE2 shared dialect), collapse whitespace runs, trim.
+    * Everything after the two native normalize calls is builtin
+    * regexp/string exprs — the whole chain codegens.
+    */
+  def normalizeText(text: Column): Column = {
+    val folded = lower(graft.expressions.UnicodeNormalize.normalizeF(text, "NFKC"))
+    val stripped = regexp_replace(
+      graft.expressions.UnicodeNormalize.normalizeF(folded, "NFD"), "\\p{Mn}", "")
+    trim(regexp_replace(stripped, "\\s+", " "))
+  }
 }

@@ -118,6 +118,61 @@ object Splits {
       .drop("__rate", "__epochs")
   }
 
+  /** Seeded deterministic global training-order shuffle: adds `outCol`
+    * = this row's dense position in 0..n-1 when the corpus is ordered
+    * by (md5(seed:key), key) — the per-epoch example shuffle a training
+    * export needs, reproducible across re-runs and repartitionings
+    * (`orderBy(rand())` is neither). A new seed per epoch gives an
+    * independent permutation.
+    *
+    * Scale shape (never a single-partition global window): the 60-bit
+    * md5 coordinate is uniform in [0, 2^60) BY CONSTRUCTION, so rows
+    * range-bucket evenly with no sampling/probe pass; per-bucket counts
+    * (map-side partial agg, `numBuckets` rows to the driver) become
+    * exclusive prefix offsets broadcast back; one balanced shuffle by
+    * bucket, a per-bucket row_number adds the offset. Hash collisions
+    * tie-break on the key itself, so the order is total; `keyCol` must
+    * be unique and non-null (validated in the same counts pass —
+    * duplicates/nulls would make the permutation nondeterministic).
+    */
+  def epochOrder(df: DataFrame, keyCol: String, seed: String,
+                 outCol: String = "ord", numBuckets: Int = 1024): DataFrame = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    require(!df.columns.contains(outCol),
+      s"input already has a '$outCol' column; pass a different outCol")
+    import org.apache.spark.sql.expressions.Window
+    val h = conv(substring(md5(concat_ws(":", lit(seed), col(keyCol).cast("string"))), 1, 15),
+      16, 10).cast("long")
+    val span = 1L << 60
+    val width = math.max(span / numBuckets, 1L)
+    val bucket = least(floor(h / lit(width)), lit(numBuckets - 1L)).cast("long")
+    val withB = df.withColumn("__eo_h", h).withColumn("__eo_bucket", bucket)
+    // one probe pass, numBuckets rows to the driver: bucket counts for
+    // the prefix offsets AND the key-contract checks (a key always
+    // lands in its own bucket, so per-bucket distinct sums see every
+    // global duplicate)
+    val stats = withB.groupBy(col("__eo_bucket"))
+      .agg(count(lit(1)).as("__n"), countDistinct(col(keyCol)).as("__nd"),
+        count(when(col(keyCol).isNull, 1)).as("__nn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    val nNull = stats.map(_._4).sum
+    require(nNull == 0,
+      s"keyCol '$keyCol' has $nNull null values; the shuffle order is undefined for them")
+    val dupes = stats.map(s => s._2 - s._3).sum
+    require(dupes == 0,
+      s"keyCol '$keyCol' has $dupes duplicate values; epochOrder needs a unique key")
+    val prefixes = stats.map(s => (s._1, s._2))
+      .scanLeft((Long.MinValue, 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
+      .sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }.toSeq
+    val offsets = broadcast(
+      df.sparkSession.createDataFrame(prefixes).toDF("__eo_bucket", "__eo_off"))
+    val w = Window.partitionBy(col("__eo_bucket")).orderBy(col("__eo_h"), col(keyCol))
+    withB.join(offsets, Seq("__eo_bucket"))
+      .withColumn(outCol, col("__eo_off") + row_number().over(w).cast("long") - 1L)
+      .drop("__eo_bucket", "__eo_h", "__eo_off")
+  }
+
   /** Adds `outCol` with the split label for each row: the label whose
     * [[thresholds]] interval contains [[hashCoordinate]](key, seed).
     */

@@ -146,7 +146,37 @@ object TextCleanQueries extends QueryPack {
       | || 'unique ' || CAST(doc_id AS VARCHAR)"""
       .stripMargin.replace("\n", "")
 
+  /** Accent/compatibility-laden text: decomposed e+acute (NFC composes
+    * to é), precomposed é (stays), A+combining ring (→ Å), the
+    * Angstrom sign U+212B (NFC maps it to Å U+00C5), and on even rows
+    * a ﬁ ligature (NFC must PRESERVE it — compatibility folding is
+    * NFKC's job). Oracle rebuilds the identical string via chr().
+    */
+  private def dirtyUni: Column = concat(
+    coalesce(col("text"), lit("")),
+    lit(" cafe\u0301 \u00e9 A\u030a \u212b"),
+    when(col("doc_id") % 2 === 0, lit(" ligature \ufb01n")).otherwise(lit("")))
+
+  private val dirtyUniSql: String =
+    """coalesce(text, '') || ' caf' || chr(101) || chr(769) || ' ' || chr(233)
+      | || ' A' || chr(778) || ' ' || chr(8491)
+      | || CASE WHEN doc_id % 2 = 0 THEN ' ligature ' || chr(64257) || 'n' ELSE '' END"""
+      .stripMargin.replace("\n", "")
+
   override val queries: Map[String, Q] = Map(
+
+    // Unicode NFC canonicalization (native codegen expression) —
+    // byte-level dedup keys for text that arrives precomposed vs
+    // decomposed. Length shrink proves real composition happened.
+    "q_normalize" -> { (s, dir) =>
+      tables(s, dir).documents
+        .filter(col("doc_id") <= 400)
+        .select(col("doc_id"),
+          TextClean.nfc(dirtyUni).as("norm"),
+          length(dirtyUni).cast("long").as("raw_len"),
+          length(TextClean.nfc(dirtyUni)).cast("long").as("norm_len"))
+        .orderBy(col("doc_id"))
+    },
 
     // URL canonicalization → dedup keys: per-row canonical form plus
     // the corpus-level collapse count the dedup pass would key on.
@@ -220,6 +250,13 @@ object TextCleanQueries extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_normalize" ->
+      s"""WITH u AS (
+         |  SELECT doc_id, $dirtyUniSql AS raw FROM documents WHERE doc_id <= 400)
+         |SELECT doc_id, nfc_normalize(raw) AS norm,
+         |  CAST(length(raw) AS BIGINT) AS raw_len,
+         |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS norm_len
+         |FROM u ORDER BY doc_id""".stripMargin,
     "q_url_canon" ->
       s"""WITH u AS (
          |  SELECT doc_id, $messyUrlSql AS url FROM documents WHERE doc_id <= 400),

@@ -23,6 +23,12 @@ object TextVectorQueries extends QueryPack {
     */
   private val ivfCache = new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Double]]]()
 
+  /** Build-once-per-corpus persisted MinHash index (same offline-
+    * artifact shape as [[ivfCentroidsFor]]; the index build is
+    * deterministic, so a cached artifact equals a rebuild).
+    */
+  private val minhashIdxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Corpus fingerprint (size+mtime folded over every leaf file, via
     * the Hadoop FileSystem API so HDFS/object-store paths fingerprint
     * too — java.io.File silently yields 0 for those); keys BOTH the
@@ -275,6 +281,15 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // seeded deterministic global training-order shuffle: dense 0..n-1
+    // position under the md5 permutation, balanced bucketed machinery
+    // (never a single-partition global window).
+    "q_epoch_shuffle" -> { (s, dir) =>
+      graft.operators.Splits.epochOrder(
+          tables(s, dir).documents.select(col("doc_id")), "doc_id", seed = "ep0")
+        .orderBy(col("doc_id"))
+    },
+
     // deterministic md5-threshold split assignment — reshuffle-stable
     // train/valid/test labels, integer thresholds, no fp boundaries.
     "q_split_assign" -> { (s, dir) =>
@@ -346,6 +361,33 @@ object TextVectorQueries extends QueryPack {
       Dedup.minhashClusters(tables(s, dir).documents, "doc_id", "text")
         .select(col("id"), col("cluster"), col("keep"))
         .orderBy(col("id"))
+    },
+
+    // incremental near-dup against a PERSISTED MinHash index (the
+    // 100 TB shape: the historical corpus shingles once into an
+    // artifact; each new crawl probes it without re-reading old
+    // text). Index = docs with doc_id % 3 != 0; "new crawl" = the
+    // remaining docs plus exact re-crawls of index docs (doc_id % 9
+    // == 1) under shifted ids, which must match their originals at
+    // est ≈ 1.
+    // rows-only: est_jaccard is a signature-agreement fraction over
+    // engine-specific xxhash64 minima; semantics pinned in DedupSpec
+    // (estimate ≈ exact Jaccard, artifact roundtrip, param guard).
+    "q_dedup_incremental" -> { (s, dir) =>
+      val docs = tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val fp = corpusFingerprint(s, dir, "documents.parquet")
+      val path = s"/tmp/graft_io/mhidx_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
+      minhashIdxCache.computeIfAbsent(path, { _ =>
+        Dedup.saveMinhashIndex(docs.filter(col("doc_id") % 3 =!= 0),
+          "doc_id", "text", path)
+        path
+      })
+      val newCrawl = docs.filter(col("doc_id") % 3 === 0)
+        .union(docs.filter(col("doc_id") % 9 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.minhashNewVsIndex(newCrawl, "doc_id", "text", path,
+          minEstJaccard = 0.5)
+        .orderBy(col("id"), col("index_id"))
     },
 
     // transitive near-dup chains (connected components over the
@@ -1211,6 +1253,15 @@ object TextVectorQueries extends QueryPack {
         |        AS UBIGINT) * 1000000
         |      < CAST(floor(r.rate_x * 1000000) AS UBIGINT) * 4294967296
         |ORDER BY d.doc_id""".stripMargin,
+    "q_epoch_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substr(md5('ep0:' || CAST(doc_id AS VARCHAR)), 1, 15))
+        |         AS UBIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS ord
+        |FROM h ORDER BY doc_id""".stripMargin,
     "q_split_assign" -> {
       val t = graft.operators.Splits.thresholds(
         Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))

@@ -342,4 +342,49 @@ class DedupSpec extends SparkSpec {
     assert(got == want)
     assert(want.nonEmpty) // the planted dups actually exercise the match path
   }
+
+  test("minhash index artifact: exact re-crawls match at est 1, disjoint text stays out") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhidx").toFile
+    val path = s"${dir.getAbsolutePath}/idx"
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    def doc(seed: Int): String =
+      (0 until 40).map(i => words((seed * 7 + i * 3) % words.size)).mkString(" ")
+    val corpus = (1 to 30).map(i => (i.toLong, doc(i)))
+    Dedup.saveMinhashIndex(corpus.toDF("doc_id", "text"), "doc_id", "text", path)
+    // new crawl: exact copies of docs 1..5 under new ids, plus five
+    // docs of vocabulary the corpus has never seen (zero overlap)
+    val fresh = (1 to 5).map(i => (100L + i, doc(i))) ++
+      (1 to 5).map(i => (200L + i, s"nov$i " * 40))
+    val got = Dedup.minhashNewVsIndex(fresh.toDF("doc_id", "text"), "doc_id", "text",
+        path, minEstJaccard = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // every re-crawl matches its original at estimate 1.0
+    for (i <- 1 to 5)
+      assert(got.exists { case (a, b, e) => a == 100L + i && b == i.toLong && e == 1.0 },
+        s"re-crawl of doc $i must match itself, got ${got.toSeq}")
+    assert(!got.exists(_._1 > 200L), "novel-vocabulary docs must not match anything")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
+  test("minhash index: estimate tracks exact Jaccard; param sidecar guards reads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhidx2").toFile
+    val path = s"${dir.getAbsolutePath}/idx"
+    val base = (0 until 60).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((1L, base))
+    Dedup.saveMinhashIndex(corpus.toDF("doc_id", "text"), "doc_id", "text", path,
+      bands = 32)
+    // probe shares a 45/60-word prefix: shingle Jaccard = 43/73 ≈ 0.59
+    val probe = ((0 until 45).map(i => s"w$i") ++ (0 until 15).map(i => s"x$i")).mkString(" ")
+    val got = Dedup.minhashNewVsIndex(Seq((9L, probe)).toDF("doc_id", "text"),
+      "doc_id", "text", path, minEstJaccard = 0.0).collect()
+    assert(got.length == 1)
+    val est = got(0).getDouble(2)
+    // 128-hash estimate of a 0.59 true Jaccard: ±0.2 is a loose 4-sigma band
+    assert(est > 0.39 && est < 0.79, s"estimate $est far from exact 0.59")
+    val p = Dedup.loadMinhashIndexParams(spark, path)
+    assert(p == Dedup.MinhashIndexParams(3, 128, 32))
+    intercept[IllegalArgumentException](
+      Dedup.loadMinhashIndexParams(spark, dir.getAbsolutePath))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
 }

@@ -120,4 +120,43 @@ class TextCleanSpec extends SparkSpec {
       .as[String].collect().toSet
     assert(kept == Set("https://tracker.net.safe.org/x", "https://ok.example.com/x"))
   }
+
+  private def nfc1(s: String): String =
+    Seq(s).toDF("t").select(TextClean.nfc(col("t"))).as[String].head()
+
+  test("nfc composes decomposed sequences and canonical singletons, keeps ligatures") {
+    assert(nfc1("cafe\u0301") == "caf\u00e9")   // e + combining acute composes
+    assert(nfc1("A\u030a") == "\u00c5")         // A + combining ring composes
+    assert(nfc1("\u212b") == "\u00c5")          // Angstrom sign -> canonical singleton
+    assert(nfc1("\ufb01n") == "\ufb01n")        // fi ligature is COMPATIBILITY - NFC keeps it
+    assert(nfc1("plain ascii 123") == "plain ascii 123")
+  }
+
+  test("graft_normalize matches java.text.Normalizer through codegen for every form") {
+    val samples = Seq("caf\u00e9", "e\u0301\u0301x", "\u212b\ufb01",
+      "ascii only", "", "g\u00e4rten \u1100\u1161\uac00", "\ufeffbom\u00a0nbsp",
+      "\uff26\uff35\uff2cwide")
+    for (form <- Seq("NFC", "NFD", "NFKC", "NFKD")) {
+      val got = samples.toDF("t")
+        .select(expr(s"graft_normalize(t, '$form')")).as[String].collect().toSeq
+      val want = samples.map(java.text.Normalizer.normalize(_,
+        java.text.Normalizer.Form.valueOf(form)))
+      assert(got == want, s"form $form")
+    }
+  }
+
+  test("graft_normalize null propagates; bad form fails at plan time") {
+    val out = Seq[Option[String]](None, Some("\u00e1")).toDF("t")
+      .select(TextClean.nfc(col("t"))).as[Option[String]].collect().toSeq
+    assert(out == Seq(None, Some("\u00e1")))
+    intercept[Exception] {
+      Seq("x").toDF("t").select(expr("graft_normalize(t, 'NFX')")).collect()
+    }
+  }
+
+  test("normalizeText folds compatibility forms, case, accents, and whitespace") {
+    val out = Seq(" Caf\u00e9  \ufb01ne\n\t\uff26\uff35\uff2c\uff2c ").toDF("t")
+      .select(TextClean.normalizeText(col("t"))).as[String].head()
+    assert(out == "cafe fine full")
+  }
 }

@@ -134,4 +134,42 @@ class SplitsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Splits.mixtureSample(skewed, "domain", "id", 10L, 1.5, "m"))
   }
+
+  test("epochOrder is a dense 0..n-1 permutation, stable under repartitioning") {
+    val df = (1L to 5000L).toDF("id")
+    val a = Splits.epochOrder(df.repartition(17), "id", seed = "e1", numBuckets = 8)
+      .select("id", "ord").as[(Long, Long)].collect().toMap
+    assert(a.values.toSeq.sorted == (0L until 5000L), "dense permutation")
+    val b = Splits.epochOrder(df.coalesce(1), "id", "e1", numBuckets = 8)
+      .select("id", "ord").as[(Long, Long)].collect().toMap
+    assert(a == b, "repartition-stable")
+    // matches the reference order: sort by (md5 coordinate, key)
+    val ref = (1L to 5000L).map { id =>
+      val h = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"e1:$id".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15), 16)
+      (h, id)
+    }.sorted.map(_._2).zipWithIndex.map { case (id, i) => (id, i.toLong) }.toMap
+    assert(a == ref, "order equals the md5 permutation")
+  }
+
+  test("epochOrder: a different seed is a different permutation; one bucket still works") {
+    val df = (1L to 300L).toDF("id")
+    val a = Splits.epochOrder(df, "id", "e1").select("id", "ord")
+      .as[(Long, Long)].collect().toMap
+    val b = Splits.epochOrder(df, "id", "e2").select("id", "ord")
+      .as[(Long, Long)].collect().toMap
+    assert(a != b, "seed changes the permutation")
+    val one = Splits.epochOrder(df, "id", "e1", numBuckets = 1)
+      .select("id", "ord").as[(Long, Long)].collect().toMap
+    assert(one == a, "bucket count must not change the order")
+  }
+
+  test("epochOrder rejects duplicate and null keys") {
+    intercept[IllegalArgumentException](
+      Splits.epochOrder(Seq(1L, 2L, 2L).toDF("id"), "id", "s").collect())
+    intercept[IllegalArgumentException](
+      Splits.epochOrder(Seq(Some(1L), None).toDF("id"), "id", "s").collect())
+  }
 }
