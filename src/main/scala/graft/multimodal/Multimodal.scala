@@ -469,6 +469,87 @@ object Multimodal {
       }
   }
 
+  /** Per-row frequency features: DFT power at the first `nBins` bins
+    * plus the dominant non-DC bin. `dom_bin = 0` + empty powers marks
+    * an undecodable payload (the audit channel, like [[MediaMeta]]).
+    */
+  final case class AudioSpectrum(id: Long, sampleRate: Int, nSamples: Long,
+                                 domBin: Int, bandPower: Array[Double])
+
+  // deterministic synthetic-tone formulas (shared with specs/oracles):
+  // a pure sine EXACTLY on DFT bin k of an n-sample frame, so the
+  // spectrum concentrates at k and the oracle can recompute the argmax
+  def synthToneBin(id: Long, nBins: Int): Int =
+    1 + math.floorMod(id * 11, (nBins - 1).toLong).toInt
+  def synthToneAmp(id: Long): Int = 8000 + math.floorMod(id, 7L).toInt * 1000
+
+  /** Synthetic tone table: one REAL WAV per id carrying
+    * trunc(amp·sin(2π·k·i/n)) PCM — sample values any engine with sin()
+    * reproduces (truncation toward zero = SQL trunc; ±1-ulp sin noise
+    * at integer boundaries only perturbs samples by 1, which cannot
+    * move the spectral argmax of an on-bin tone).
+    */
+  def syntheticTones(df: DataFrame, idCol: String, n: Int = 256,
+                     sampleRate: Int = 8000, nBins: Int = 16): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    df.select(col(idCol).cast("long").as("id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val k = synthToneBin(id, nBins)
+        val a = synthToneAmp(id)
+        val samples = Array.tabulate(n)(i =>
+          (a * math.sin(2.0 * math.Pi * k * i / n)).toShort)
+        MediaRow(id, "audio", encodeWavPcm16(samples, sampleRate))
+      }
+    }
+  }
+
+  /** REAL batched spectral analysis: decode WAV, direct DFT at the
+    * first `nBins` bins (power |Σ sₙ·e^(−2πi·b·n/N)|²), dominant
+    * non-DC bin (ties → lowest). O(nBins·N) per row — for a feature
+    * extractor reading a handful of bins that beats an FFT's setup;
+    * swap the kernel for a JNI FFT when nBins approaches N/2. Same
+    * narrow no-shuffle mapPartitions shape as [[decodeAudioMeta]];
+    * undecodable rows become zero-rate audit rows, never task kills.
+    */
+  def audioSpectrum(media: Dataset[_], nBins: Int = 16,
+                    batchSize: Int = 64): Dataset[AudioSpectrum] = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    implicit val enc = Encoders.product[AudioSpectrum]
+    media.toDF().select(col("id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val id = r.getLong(0)
+            decodeWav(r.getAs[Array[Byte]](1)) match {
+              case Some((rate, _, samples)) if samples.nonEmpty =>
+                val n = samples.length
+                val power = Array.tabulate(nBins) { b =>
+                  var re = 0.0
+                  var im = 0.0
+                  var i = 0
+                  while (i < n) {
+                    val theta = 2.0 * math.Pi * b * i / n
+                    re += samples(i) * math.cos(theta)
+                    im += samples(i) * math.sin(theta)
+                    i += 1
+                  }
+                  re * re + im * im
+                }
+                var dom = 1
+                var i = 2
+                while (i < nBins) {
+                  if (power(i) > power(dom)) dom = i
+                  i += 1
+                }
+                AudioSpectrum(id, rate, n.toLong, dom, power)
+              case _ => AudioSpectrum(id, 0, 0L, 0, Array.empty)
+            }
+          }
+        }
+      }
+  }
+
   // ------------------------------------------------------------------
   // Text-payload plumbing (kept: the binary-column schema contract and
   // a length-derived metadata path an external oracle can recompute

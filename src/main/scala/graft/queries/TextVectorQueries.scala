@@ -805,6 +805,20 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // REAL spectral analysis: a real WAV pure tone EXACTLY on DFT bin
+    // k per doc, decoded and DFT'd on executors; the dominant bin must
+    // recover k. Oracle recomputes the same trunc(a·sin) samples and
+    // the full 16-bin DFT argmax in SQL — float ulp noise cannot move
+    // an on-bin tone's argmax.
+    "q_audio_spectrum" -> { (s, dir) =>
+      val tones = Multimodal.syntheticTones(
+        tables(s, dir).documents.filter(col("doc_id") <= 100), "doc_id")
+      Multimodal.audioSpectrum(tones).toDF()
+        .select(col("id"), col("sampleRate").as("sample_rate"),
+          col("nSamples").as("n_samples"), col("domBin").as("dom_bin"))
+        .orderBy(col("id"))
+    },
+
     // REAL feature extraction: decode + Graphics2D resize to a 2×2
     // pixel grid; on a solid image every cell equals gray/255, so
     // round(cell*255) recovers the exact source gray level.
@@ -1503,6 +1517,27 @@ object TextVectorQueries extends QueryPack {
         |  CAST(10 AS INT) AS width, CAST(8 AS INT) AS height,
         |  CAST((doc_id * 37 + i) % 256 AS INT) AS gray
         |FROM f ORDER BY id, frame_idx""".stripMargin,
+    "q_audio_spectrum" ->
+      """WITH p AS (
+        |  SELECT doc_id AS id, 1 + (doc_id*11) % 15 AS k, 8000 + (doc_id % 7)*1000 AS a
+        |  FROM documents WHERE doc_id <= 100),
+        |s AS (
+        |  SELECT id, n.n AS n, trunc(a * sin(2*pi()*k*n.n/256)) AS v
+        |  FROM p, generate_series(0,255) n(n)),
+        |t AS (
+        |  SELECT id, b.b AS bin,
+        |    sum(v * cos(2*pi()*b.b*n/256)) AS re,
+        |    sum(v * sin(2*pi()*b.b*n/256)) AS im
+        |  FROM s, generate_series(0,15) b(b)
+        |  GROUP BY id, b.b),
+        |pw AS (
+        |  SELECT id, bin,
+        |    row_number() OVER (PARTITION BY id
+        |      ORDER BY CASE WHEN bin = 0 THEN -1 ELSE re*re+im*im END DESC, bin) AS rn
+        |  FROM t)
+        |SELECT id, CAST(8000 AS INT) AS sample_rate, CAST(256 AS BIGINT) AS n_samples,
+        |  CAST(bin AS INT) AS dom_bin
+        |FROM pw WHERE rn = 1 ORDER BY id""".stripMargin,
     "q_multimodal_audio" ->
       """SELECT doc_id AS id, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
         |  CAST(800 + (doc_id % 5) * 160 AS BIGINT) AS n_samples,

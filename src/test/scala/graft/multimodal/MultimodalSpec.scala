@@ -247,4 +247,43 @@ class MultimodalSpec extends SparkSpec {
     val d = java.lang.Long.bitCount(Multimodal.dHash(a) ^ Multimodal.dHash(b))
     assert(d <= 1)
   }
+
+  test("audioSpectrum: on-bin tones concentrate at their bin; corrupt rows audit") {
+    val ids = Seq(1L, 5L, 9L, 13L).toDF("id")
+    val tones = Multimodal.syntheticTones(ids, "id")
+    val got = Multimodal.audioSpectrum(tones).collect().map(s => s.id -> s).toMap
+    for (id <- Seq(1L, 5L, 9L, 13L)) {
+      val k = Multimodal.synthToneBin(id, 16)
+      val s = got(id)
+      assert(s.domBin == k, s"id $id: dom ${s.domBin} != tone bin $k")
+      assert(s.sampleRate == 8000 && s.nSamples == 256L)
+      // a pure on-bin tone: the signal bin carries essentially all
+      // non-DC energy (quantization noise is ~50 dB down)
+      val nonDc = s.bandPower.drop(1)
+      assert(nonDc(k - 1) / math.max(nonDc.sum, 1e-12) > 0.99,
+        s"id $id: power not concentrated (${nonDc.toSeq})")
+    }
+    val corrupt = Seq((99L, "audio", Array[Byte](1, 2, 3))).toDF("id", "modality", "payload")
+    val audit = Multimodal.audioSpectrum(corrupt).collect()
+    assert(audit.length == 1 && audit(0).sampleRate == 0 && audit(0).bandPower.isEmpty)
+  }
+
+  test("audioSpectrum matches a reference DFT on an arbitrary (off-bin) signal") {
+    // non-sinusoidal ramp: every bin carries energy; compare each
+    // band power against a direct driver-side DFT of the same samples
+    val samples = Array.tabulate(200)(i => ((i * 131) % 4001 - 2000).toShort)
+    val wav = Multimodal.encodeWavPcm16(samples, 8000)
+    val media = Seq((1L, "audio", wav)).toDF("id", "modality", "payload")
+    val got = Multimodal.audioSpectrum(media, nBins = 8).collect()(0)
+    for (b <- 0 until 8) {
+      var re = 0.0; var im = 0.0
+      for (i <- samples.indices) {
+        val th = 2.0 * math.Pi * b * i / samples.length
+        re += samples(i) * math.cos(th); im += samples(i) * math.sin(th)
+      }
+      val want = re * re + im * im
+      assert(math.abs(got.bandPower(b) - want) <= math.abs(want) * 1e-12 + 1e-6,
+        s"bin $b: ${got.bandPower(b)} vs $want")
+    }
+  }
 }
