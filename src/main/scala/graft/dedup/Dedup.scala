@@ -675,6 +675,49 @@ object Dedup {
     MinhashIndexParams(field("shingleK"), field("numHashes"), field("bands"))
   }
 
+  /** Grow a persisted MinHash index with a new crawl WITHOUT
+    * re-reading any historical text — the property that makes the
+    * artifact worth keeping: only the new docs shingle + sign; the
+    * stored signatures union in as-is and band buckets + bucket sizes
+    * recompute from SIGNATURES alone (numHashes longs per doc, not
+    * the documents). Writes a complete artifact at `outPath` (must
+    * differ from `indexPath` — the source is read lazily while the
+    * output writes, and a failed in-place rewrite would destroy the
+    * only copy). Ids present in both the index and the new crawl fail
+    * loudly: an id maps to one document.
+    */
+  def extendMinhashIndex(newDf: DataFrame, idCol: String, textCol: String,
+                         indexPath: String, outPath: String): Unit = {
+    val spark = newDf.sparkSession
+    require(new org.apache.hadoop.fs.Path(outPath).toUri.normalize !=
+      new org.apache.hadoop.fs.Path(indexPath).toUri.normalize,
+      s"extendMinhashIndex cannot rewrite an index in place; write to a new path ($indexPath)")
+    val p = loadMinhashIndexParams(spark, indexPath)
+    val rowsPerBand = p.numHashes / p.bands
+    val old = spark.read.parquet(s"$indexPath/sigs")
+    val fresh = signatures(newDf, idCol, textCol, p.shingleK, p.numHashes, p.bands,
+      withShingleSets = false).select(col("id"), col("sig"))
+    val clashes = old.select(col("id")).join(fresh, Seq("id"), "left_semi").limit(5)
+      .collect().map(_.get(0))
+    require(clashes.isEmpty,
+      s"new crawl reuses ids already in the index at $indexPath: ${clashes.mkString(", ")}")
+    val all = old.select(col("id"), col("sig")).union(fresh)
+    all.write.mode("overwrite").parquet(s"$outPath/sigs")
+    val bandRows = all
+      .withColumn("bandhashes", lshBandHashes(col("sig"), p.bands, rowsPerBand))
+      .select(col("id"), posexplode(col("bandhashes")).as(Seq("band", "bh")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+    bandRows.write.mode("overwrite").parquet(s"$outPath/bands")
+    val meta = new org.apache.hadoop.fs.Path(s"$outPath/$MinhashIndexMeta")
+    val fs = org.apache.hadoop.fs.FileSystem.get(meta.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(meta, true)
+    out.write(
+      s"""{"shingleK":${p.shingleK},"numHashes":${p.numHashes},"bands":${p.bands}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
   /** Near-dup candidates of NEW docs against a persisted MinHash
     * index ([[saveMinhashIndex]]): shingle + sign only the new crawl
     * (the historical corpus's text is never touched again), probe the

@@ -387,4 +387,35 @@ class DedupSpec extends SparkSpec {
       Dedup.loadMinhashIndexParams(spark, dir.getAbsolutePath))
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
+
+  test("extendMinhashIndex: extended artifact equals a from-scratch build; id clash rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhidx3").toFile
+    val words = Vector("red", "green", "blue", "cyan", "teal", "pink")
+    def doc(seed: Int): String =
+      (0 until 30).map(i => words((seed * 5 + i) % words.size)).mkString(" ")
+    val gen1 = (1 to 10).map(i => (i.toLong, doc(i)))
+    val gen2 = (11 to 20).map(i => (i.toLong, doc(i)))
+    val p0 = s"${dir.getAbsolutePath}/gen1"
+    val p1 = s"${dir.getAbsolutePath}/gen2"
+    val pAll = s"${dir.getAbsolutePath}/full"
+    Dedup.saveMinhashIndex(gen1.toDF("doc_id", "text"), "doc_id", "text", p0)
+    Dedup.extendMinhashIndex(gen2.toDF("doc_id", "text"), "doc_id", "text", p0, p1)
+    Dedup.saveMinhashIndex((gen1 ++ gen2).toDF("doc_id", "text"), "doc_id", "text", pAll)
+    // probing the extended index gives exactly what the from-scratch
+    // index over the union gives (bucket sizes included, via the cap)
+    val probe = Seq((99L, doc(3)), (98L, doc(15))).toDF("doc_id", "text")
+    def hits(path: String) =
+      Dedup.minhashNewVsIndex(probe, "doc_id", "text", path, minEstJaccard = 0.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(hits(p1) == hits(pAll))
+    assert(hits(p1).exists(h => h._1 == 99L && h._2 == 3L && h._3 == 1.0))
+    assert(hits(p1).exists(h => h._1 == 98L && h._2 == 15L && h._3 == 1.0))
+    // in-place rewrite and id reuse both fail loudly
+    intercept[IllegalArgumentException](
+      Dedup.extendMinhashIndex(gen2.toDF("doc_id", "text"), "doc_id", "text", p1, p1))
+    intercept[IllegalArgumentException](
+      Dedup.extendMinhashIndex(Seq((5L, "x")).toDF("doc_id", "text"),
+        "doc_id", "text", p1, s"${dir.getAbsolutePath}/clash"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
 }

@@ -355,4 +355,41 @@ class PlanAuditSpec extends SparkSpec {
       s"image near-dup planned a product join:\n$p")
     assert(!p.toLowerCase.contains("scalaudf"), s"hamming verify left codegen:\n$p")
   }
+
+  test("q_normalize: the native normalize expression stays inside codegen — no UDF") {
+    val df = graft.SparkEntry.queries("q_normalize")(spark, dir)
+    df.collect() // AQE prints codegen spans only in the FINAL executed plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("graft_normalize"), s"normalize not planned as the native expr:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"), s"normalize fell back to a UDF:\n$p")
+    // the `*(n)` stage prefix is the compact-plan WholeStageCodegen
+    // marker: the projection carrying the expression must be inside one
+    assert(p.linesIterator.exists(l =>
+      l.contains("graft_normalize") && l.trim.stripPrefix("+- ").startsWith("*(")),
+      s"normalize's projection not inside a codegen stage:\n$p")
+  }
+
+  test("q_epoch_shuffle: bucket offsets broadcast; exactly one data shuffle + per-bucket window") {
+    val p = plan("q_epoch_shuffle")
+    assert(p.contains("BroadcastHashJoin"), s"offsets not broadcast-joined:\n$p")
+    // the data moves once (hash by bucket for the window); the
+    // presentation sort's range exchange is the query's own orderBy
+    val hashExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(hashExchanges == 1, s"epoch shuffle moved the data more than once:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"epoch shuffle collapsed to a single partition:\n$p")
+  }
+
+  test("q_dedup_incremental: the index's bucket cap is a pushed scan filter, not a window") {
+    val p = graft.SparkEntry.queries("q_dedup_incremental")(spark, dir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the bands scan must arrive pre-filtered (n <= maxBucket pushed
+    // into parquet) and the probe side must not re-aggregate the index
+    assert(p.contains("LessThanOrEqual(n,1000"),
+      s"hot-bucket cap not pushed into the index scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"incremental dedup planned a product join:\n$p")
+  }
 }
