@@ -84,4 +84,48 @@ object Pack {
       .repartition(numShards, col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
   }
+
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022, the
+    * FIM recipe infilling-capable code/text models pretrain with):
+    * a deterministic `fimRate` fraction of docs is rewritten into
+    * PSM order — prefix, suffix, middle, each introduced by a
+    * sentinel — so the model learns to infill; the rest pass through
+    * verbatim. Document selection AND both character cut points are
+    * pure md5 integer arithmetic over (seed, id): reshuffle-stable,
+    * growth-stable, and reproducible by the SQL oracle (no RNG state,
+    * unlike the paper's runtime sampling — determinism is what makes
+    * the transform auditable at corpus scale). Cuts are character-
+    * level (the paper's context-level splitting); sentinels are
+    * caller-visible constants. Output adds: `fim` (selected),
+    * `fim_text` (PSM rendering, or the original text when not
+    * selected). Pure per-row projection — no shuffle, no UDF.
+    */
+  val FimPrefix = "<|fim_pre|>"
+  val FimSuffix = "<|fim_suf|>"
+  val FimMiddle = "<|fim_mid|>"
+
+  def fimTransform(df: DataFrame, idCol: String, textCol: String,
+                   fimRate: Double, seed: String): DataFrame = {
+    require(fimRate >= 0 && fimRate <= 1, s"fimRate must be in [0, 1], got $fimRate")
+    def h32(tag: String) = conv(substring(
+      md5(concat_ws(":", lit(seed), lit(tag), col(idCol).cast("string"))), 1, 8),
+      16, 10).cast("long")
+    val text = coalesce(col(textCol).cast("string"), lit(""))
+    val len = length(text).cast("long")
+    // rate quantized to a 1e-6 grid, integer threshold compare — the
+    // same no-fp-crosses-row-fate rule as Splits.mixtureSample
+    val selected = h32("pick") * lit(1000000L) <
+      lit(math.floor(fimRate * 1e6).toLong * (1L << 32))
+    val cutA = pmod(h32("cutA"), len + 1L)
+    val cutB = pmod(h32("cutB"), len + 1L)
+    val lo = least(cutA, cutB)
+    val hi = greatest(cutA, cutB)
+    // substring is 1-based; prefix = [1, lo], middle = (lo, hi], suffix = (hi, len]
+    val rendered = concat(
+      lit(FimPrefix), text.substr(lit(1), lo.cast("int")),
+      lit(FimSuffix), text.substr((hi + 1L).cast("int"), (len - hi).cast("int")),
+      lit(FimMiddle), text.substr((lo + 1L).cast("int"), (hi - lo).cast("int")))
+    df.withColumn("fim", selected)
+      .withColumn("fim_text", when(selected, rendered).otherwise(text))
+  }
 }

@@ -281,6 +281,18 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // fill-in-the-middle rewriting: a deterministic half of the corpus
+    // renders as <pre>prefix<suf>suffix<mid>middle with md5-decided
+    // selection and character cut points — every byte oracle-checked.
+    "q_fim" -> { (s, dir) =>
+      graft.pipeline.Pack.fimTransform(
+          tables(s, dir).documents.filter(col("doc_id") <= 400)
+            .select(col("doc_id"), col("text")),
+          "doc_id", "text", fimRate = 0.5, seed = "fim")
+        .select(col("doc_id"), col("fim"), col("fim_text"))
+        .orderBy(col("doc_id"))
+    },
+
     // seeded deterministic global training-order shuffle: dense 0..n-1
     // position under the md5 permutation, balanced bucketed machinery
     // (never a single-partition global window).
@@ -1267,6 +1279,27 @@ object TextVectorQueries extends QueryPack {
         |        AS UBIGINT) * 1000000
         |      < CAST(floor(r.rate_x * 1000000) AS UBIGINT) * 4294967296
         |ORDER BY d.doc_id""".stripMargin,
+    "q_fim" ->
+      """WITH t AS (
+        |  SELECT doc_id, coalesce(text, '') AS text,
+        |    CAST(concat('0x', substr(md5('fim:pick:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS hp,
+        |    CAST(concat('0x', substr(md5('fim:cutA:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS ha,
+        |    CAST(concat('0x', substr(md5('fim:cutB:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS hb
+        |  FROM documents WHERE doc_id <= 400),
+        |c AS (
+        |  SELECT doc_id, text, hp * 1000000 < 500000 * 4294967296 AS fim,
+        |    length(text) AS len,
+        |    ha % (length(text) + 1) AS ca, hb % (length(text) + 1) AS cb
+        |  FROM t),
+        |d AS (SELECT doc_id, text, fim, len,
+        |        least(ca, cb) AS lo, greatest(ca, cb) AS hi FROM c)
+        |SELECT doc_id, fim,
+        |  CASE WHEN fim THEN
+        |    '<|fim_pre|>' || substr(text, 1, CAST(lo AS INT))
+        |      || '<|fim_suf|>' || substr(text, CAST(hi + 1 AS INT), CAST(len - hi AS INT))
+        |      || '<|fim_mid|>' || substr(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT))
+        |  ELSE text END AS fim_text
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q_epoch_shuffle" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -133,4 +133,41 @@ class GlobalOrderSpec extends SparkSpec {
       .select("first_seq", "last_seq", "n_seqs").as[(Long, Long, Long)].collect().toSeq
     assert(straddle == Seq((0L, 0L, 1L), (0L, 1L, 2L)))
   }
+
+  test("fimTransform: PSM rendering is a lossless permutation; selection honors the rate") {
+    import graft.pipeline.Pack
+    val docs = (1L to 400L).map(id => (id, s"doc $id " + ("x" * (id % 23).toInt)))
+    val out = Pack.fimTransform(docs.toDF("doc_id", "text"), "doc_id", "text",
+        fimRate = 0.5, seed = "s")
+      .select("doc_id", "fim", "fim_text")
+      .as[(Long, Boolean, String)].collect().toSeq
+    val byId = docs.toMap
+    var nFim = 0
+    for ((id, fim, rendered) <- out) {
+      if (!fim) assert(rendered == byId(id))
+      else {
+        nFim += 1
+        // parse the three sections back and reassemble the original
+        val pre = rendered.indexOf(Pack.FimPrefix)
+        val suf = rendered.indexOf(Pack.FimSuffix)
+        val mid = rendered.indexOf(Pack.FimMiddle)
+        assert(pre == 0 && suf > 0 && mid > suf, s"bad sentinels in $rendered")
+        val p = rendered.substring(Pack.FimPrefix.length, suf)
+        val sx = rendered.substring(suf + Pack.FimSuffix.length, mid)
+        val m = rendered.substring(mid + Pack.FimMiddle.length)
+        assert(p + m + sx == byId(id), s"FIM lost bytes for doc $id")
+      }
+    }
+    assert(math.abs(nFim / 400.0 - 0.5) < 0.1, s"selection far from rate: $nFim/400")
+    // deterministic: the same seed reproduces; a new seed re-selects
+    val again = Pack.fimTransform(docs.toDF("doc_id", "text").repartition(7),
+        "doc_id", "text", 0.5, "s")
+      .select("doc_id", "fim", "fim_text").as[(Long, Boolean, String)].collect().toSeq
+    assert(again.sortBy(_._1) == out.sortBy(_._1))
+    // rate 0 and 1 are total
+    assert(Pack.fimTransform(docs.toDF("doc_id", "text"), "doc_id", "text", 0.0, "s")
+      .filter(col("fim")).count() == 0L)
+    assert(Pack.fimTransform(docs.toDF("doc_id", "text"), "doc_id", "text", 1.0, "s")
+      .filter(!col("fim")).count() == 0L)
+  }
 }
