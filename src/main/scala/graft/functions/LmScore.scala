@@ -131,4 +131,81 @@ object LmScore {
           .when(col("avg_nll") <= col("__t2"), "middle")
           .otherwise("tail").as("bucket"))
   }
+
+  // ------------------------------------------------------------------
+  // Persisted corpus-LM artifact: train once on the historical corpus,
+  // score every future crawl against it (the cross-corpus use the
+  // p(w) docstring above promises, made a first-class artifact like
+  // GraftBloom/GraftCms/the MinHash index).
+  // ------------------------------------------------------------------
+
+  private val UnigramMeta = "_GRAFT_UNILM"
+
+  /** Train the Laplace-smoothable unigram counts on `df` and persist
+    * them at `path`: `vocab/` parquet (term, n) + a sidecar pinning
+    * total tokens T and vocabulary size V (so scoring never rescans
+    * the artifact for constants). α is a SCORE-time knob — the
+    * artifact stores raw counts.
+    */
+  def saveUnigramModel(df: DataFrame, idCol: String, textCol: String,
+                       path: String): Unit = {
+    val spark = df.sparkSession
+    val vocab = df
+      .select(explode(tokens(coalesce(col(textCol), lit("")))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    vocab.write.mode("overwrite").parquet(s"$path/vocab")
+    val Array(t, v) = spark.read.parquet(s"$path/vocab")
+      .agg(sum(col("n")), count(lit(1)))
+      .collect()(0).toSeq.map(x => Option(x).map(_.toString.toLong).getOrElse(0L)).toArray
+    val meta = new org.apache.hadoop.fs.Path(s"$path/$UnigramMeta")
+    val fs = org.apache.hadoop.fs.FileSystem.get(meta.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(meta, true)
+    out.write(s"""{"totalTokens":$t,"vocabSize":$v}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  /** Score ANY crawl against a persisted unigram model: same
+    * (id, n_tokens, avg_nll) contract as [[unigram]], but p(w) comes
+    * from the artifact's counts — out-of-vocabulary words take the
+    * smoothed OOV mass α/(T + α(V+1)) instead of being impossible.
+    * Scale shape: the crawl's (doc, term) rows LEFT-join the
+    * vocabulary-sized count table (AQE broadcasts it when small);
+    * the model corpus itself is never touched.
+    */
+  def scoreWithUnigramModel(df: DataFrame, idCol: String, textCol: String,
+                            modelPath: String, alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, s"alpha must be positive, got $alpha")
+    val spark = df.sparkSession
+    val meta = new org.apache.hadoop.fs.Path(s"$modelPath/$UnigramMeta")
+    val fs = org.apache.hadoop.fs.FileSystem.get(meta.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(meta),
+      s"$modelPath is not a graft unigram-LM artifact (no $UnigramMeta sidecar)")
+    val in = fs.open(meta)
+    val raw = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    def field(name: String): Long = {
+      val m = s""""$name"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(raw)
+      require(m.isDefined, s"malformed $UnigramMeta sidecar at $modelPath: $raw")
+      m.get.group(1).toLong
+    }
+    val denom = field("totalTokens") + alpha * (field("vocabSize") + 1)
+    val vocab = spark.read.parquet(s"$modelPath/vocab")
+    val terms = df
+      .select(col(idCol).as("id"),
+        explode(tokens(coalesce(col(textCol), lit("")))).as("term"))
+      .filter(length(col("term")) > 0)
+    val scored = terms
+      .join(vocab, Seq("term"), "left") // OOV keeps the row, n = null
+      .groupBy(col("id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        round(-avg(log((coalesce(col("n"), lit(0L)) + alpha) / denom)), 6).as("avg_nll"))
+    df.select(col(idCol).as("id"))
+      .join(scored, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("avg_nll"))
+  }
 }

@@ -29,6 +29,9 @@ object TextVectorQueries extends QueryPack {
     */
   private val minhashIdxCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Train-once persisted unigram-LM artifact (same shape). */
+  private val lmModelCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Corpus fingerprint (size+mtime folded over every leaf file, via
     * the Hadoop FileSystem API so HDFS/object-store paths fingerprint
     * too — java.io.File silently yields 0 for those); keys BOTH the
@@ -279,6 +282,25 @@ object TextVectorQueries extends QueryPack {
           "source", "doc_id", targetRows = 300L, alpha = 0.5, seed = "mix")
         .select(col("doc_id"), col("source"), col("rate"), col("epochs"))
         .orderBy(col("doc_id"))
+    },
+
+    // cross-corpus LM scoring against a PERSISTED unigram model:
+    // train on the even-id half (artifact on disk, built once), score
+    // the odd-id half against it — OOV words take the smoothed OOV
+    // mass. Oracle retrains and rescores entirely in SQL.
+    "q_lm_artifact" -> { (s, dir) =>
+      val docs = tables(s, dir).documents
+      val fp = corpusFingerprint(s, dir, "documents.parquet")
+      val path = s"/tmp/graft_io/unilm_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp"
+      lmModelCache.computeIfAbsent(path, { _ =>
+        graft.functions.LmScore.saveUnigramModel(
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", path)
+        path
+      })
+      graft.functions.LmScore.scoreWithUnigramModel(
+          docs.filter(col("doc_id") % 2 === 1 && col("doc_id") <= 301),
+          "doc_id", "text", path)
+        .orderBy(col("id"))
     },
 
     // fill-in-the-middle rewriting: a deterministic half of the corpus
@@ -1279,6 +1301,26 @@ object TextVectorQueries extends QueryPack {
         |        AS UBIGINT) * 1000000
         |      < CAST(floor(r.rate_x * 1000000) AS UBIGINT) * 4294967296
         |ORDER BY d.doc_id""".stripMargin,
+    "q_lm_artifact" ->
+      """WITH tr AS (
+        |  SELECT unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS term
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |vocab AS (SELECT term, count(*) AS n FROM tr WHERE len(term) > 0 GROUP BY term),
+        |c AS (SELECT CAST(sum(n) AS DOUBLE) AS t, CAST(count(*) AS DOUBLE) AS v FROM vocab),
+        |probe AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1 AND doc_id <= 301),
+        |pt AS (
+        |  SELECT doc_id AS id,
+        |    unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS term
+        |  FROM probe),
+        |pt2 AS (SELECT id, term FROM pt WHERE len(term) > 0),
+        |scored AS (
+        |  SELECT id, count(*) AS n_tokens,
+        |    round(-avg(ln((coalesce(n, 0) + 1.0) / (t + 1.0 * (v + 1)))), 6) AS avg_nll
+        |  FROM pt2 LEFT JOIN vocab USING (term) CROSS JOIN c GROUP BY id)
+        |SELECT p.doc_id AS id, coalesce(s.n_tokens, 0) AS n_tokens, s.avg_nll
+        |FROM probe p LEFT JOIN scored s ON p.doc_id = s.id
+        |ORDER BY id""".stripMargin,
     "q_fim" ->
       """WITH t AS (
         |  SELECT doc_id, coalesce(text, '') AS text,

@@ -74,4 +74,33 @@ class LmScoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       LmScore.perplexityBuckets(docs, "doc_id", "text", cuts = (0.8, 0.2)))
   }
+
+  test("persisted unigram model: cross-corpus scores match the closed-form; OOV smoothed") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_unilm").toFile
+    val path = s"${dir.getAbsolutePath}/lm"
+    // train corpus: "a" ×6, "b" ×3, "c" ×1 → T=10, V=3, denom = 10 + 1·4 = 14
+    val train = Seq((1L, "a a a b b c"), (2L, "a a a b")).toDF("doc_id", "text")
+    LmScore.saveUnigramModel(train, "doc_id", "text", path)
+    val probe = Seq((10L, "a b"), (11L, "zz"), (12L, "")).toDF("doc_id", "text")
+    val got = LmScore.scoreWithUnigramModel(probe, "doc_id", "text", path)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble // Spark round() semantics
+    assert(got(10L)._1 == 2L)
+    assert(got(10L)._2 == r6(-(math.log(7.0 / 14) + math.log(4.0 / 14)) / 2))
+    assert(got(11L)._1 == 1L)
+    assert(got(11L)._2 == r6(-math.log(1.0 / 14)), "OOV word takes the alpha mass")
+    assert(got(12L)._1 == 0L && got(12L)._2.isNaN, "token-less doc kept scoreless")
+    // scoring the training corpus against its own artifact == unigram()
+    val self = LmScore.scoreWithUnigramModel(train, "doc_id", "text", path)
+      .orderBy("id").collect().map(_.toString).toSeq
+    val direct = LmScore.unigram(train, "doc_id", "text")
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(self == direct)
+    intercept[IllegalArgumentException](
+      LmScore.scoreWithUnigramModel(probe, "doc_id", "text", dir.getAbsolutePath))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
 }
