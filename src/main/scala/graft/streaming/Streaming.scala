@@ -310,6 +310,32 @@ object StreamSinks {
     ds.writeStream.foreachBatch(perBatch(path)((df, p) => graft.sources.Tar.write(df, p)))
 }
 
+/** Incremental near-dup lifted to unbounded streams: every micro-batch
+  * of documents probes the SAME persisted MinHash index the batch path
+  * uses ([[graft.dedup.Dedup.saveMinhashIndex]] /
+  * `minhashNewVsIndex`) — new crawl arrives as a stream, matches land
+  * as parquet match tables, the historical corpus is never re-read.
+  * Batch-dir-per-checkpoint-tracked-batch-id is the idempotence unit
+  * (a replayed batch overwrites its own dir only), the same contract
+  * as [[StreamSinks]]. Only the micro-batch's documents shingle; the
+  * per-batch work is exactly the batch operator's.
+  */
+object StreamNearDup {
+
+  import org.apache.spark.sql.streaming.DataStreamWriter
+  import org.apache.spark.sql.Row
+
+  def againstIndex(ds: Dataset[Row], idCol: String, textCol: String,
+                   indexPath: String, outPath: String,
+                   minEstJaccard: Double = 0.5, maxBucket: Int = 1000)
+      : DataStreamWriter[Row] =
+    ds.writeStream.foreachBatch { (batch: Dataset[Row], id: Long) =>
+      graft.dedup.Dedup.minhashNewVsIndex(batch.toDF(), idCol, textCol,
+          indexPath, minEstJaccard, maxBucket)
+        .write.mode("overwrite").parquet(f"$outPath%s/batch-$id%05d")
+    }
+}
+
 /** Per-micro-batch data-quality monitoring — [[graft.operators.Profile.expect]]
   * lifted to unbounded streams. `withExpectations` rides the named
   * row-level contracts on the SAME pass as the query via `observe()`

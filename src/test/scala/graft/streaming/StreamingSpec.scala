@@ -497,4 +497,44 @@ class StreamingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       StreamMonitor.withExpectations(input.toDF(), Nil))
   }
+
+  test("StreamNearDup.againstIndex: streamed micro-batches equal the batch probe") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val words = Vector("sun", "moon", "star", "rain", "wind", "snow", "fog")
+    def doc(seed: Int): String =
+      (0 until 30).map(i => words((seed * 3 + i) % words.size)).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_streamdedup").toFile
+    dir.deleteOnExit()
+    val idx = new java.io.File(dir, "idx").getAbsolutePath
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    val ckp = new java.io.File(dir, "ckp").getAbsolutePath
+    val corpus = (1 to 12).map(i => (i.toLong, doc(i)))
+    graft.dedup.Dedup.saveMinhashIndex(corpus.toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    // stream two micro-batches: re-crawls of docs 2 and 7 + a novel doc
+    val input = MemoryStream[(Long, String)]
+    input.addData((102L, doc(2)))
+    val q = StreamNearDup.againstIndex(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", idx, out)
+      .option("checkpointLocation", ckp).start()
+    try q.processAllAvailable() finally q.stop()
+    input.addData((107L, doc(7)), (200L, "quasar " * 30))
+    val q2 = StreamNearDup.againstIndex(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text", idx, out)
+      .option("checkpointLocation", ckp).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val batchDirs = new java.io.File(out).listFiles().filter(_.getName.startsWith("batch-"))
+    assert(batchDirs.length == 2, s"expected 2 batch dirs: ${batchDirs.map(_.getName).toSeq}")
+    val streamed = batchDirs.flatMap(d => spark.read.parquet(d.getAbsolutePath).collect())
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = graft.dedup.Dedup.minhashNewVsIndex(
+        Seq((102L, doc(2)), (107L, doc(7)), (200L, "quasar " * 30))
+          .toDF("doc_id", "text"), "doc_id", "text", idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == direct, s"stream != batch: $streamed vs $direct")
+    assert(streamed.exists(h => h._1 == 102L && h._2 == 2L && h._3 == 1.0))
+    assert(streamed.exists(h => h._1 == 107L && h._2 == 7L && h._3 == 1.0))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
 }
