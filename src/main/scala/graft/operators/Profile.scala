@@ -116,4 +116,36 @@ object Profile {
     require(limit > 0, s"limit must be > 0, got $limit")
     df.filter(!coalesce(pred, lit(false))).limit(limit)
   }
+
+  /** Pairwise Pearson correlations over numeric columns in ONE scan:
+    * all n·(n−1)/2 `corr` aggregates run as partial aggs of a single
+    * pass (no per-pair jobs, no driver-side matrix assembly beyond
+    * the 1-row result), unpivoted to (col_a, col_b, corr) rows.
+    * Rounded to 5 dp — correlation accumulates via a one-pass
+    * co-moment update in both Spark and the SQL oracle, and 5 digits
+    * survives the cross-engine summation-order noise the §5 digit
+    * budget warns about. Null pairs are ignored by `corr` itself;
+    * a constant column yields a null correlation (kept, disclosed).
+    */
+  def correlations(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"need at least two columns, got $cols")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    // corr() under ANSI mode raises DIVIDE_BY_ZERO on a zero-variance
+    // column; the covar/stddev spelling with try_divide returns the
+    // SQL-standard null instead (same one-pass co-moment math, the
+    // (n−1) denominators cancel identically)
+    val aggs = pairs.map { case (a, b) =>
+      round(try_divide(covar_samp(col(a), col(b)),
+        stddev_samp(col(a)) * stddev_samp(col(b))), 5).as(s"__corr_${a}__$b")
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"__corr_${a}__$b").as("corr"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
 }

@@ -99,6 +99,14 @@ object StatsWindowQueries extends QueryPack {
         Seq("doc_id", "lang", "source", "n_chars"))
     },
 
+    // pairwise Pearson correlations over the lineitem measures in one
+    // scan (6 pairs as partial aggs of a single pass, unpivoted).
+    "q_corr" -> { (s, dir) =>
+      graft.operators.Profile.correlations(tables(s, dir).lineitem,
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy(col("col_a"), col("col_b"))
+    },
+
     // winsorized order totals: clamp at exact [p01, p99], profile the
     // clamped column (avg at 6 dp keeps the digit budget safe).
     "q_winsorize" -> { (s, dir) =>
@@ -381,6 +389,21 @@ object StatsWindowQueries extends QueryPack {
         |  round(pr, 6) AS p_ref, round(pc, 6) AS p_cur,
         |  round((pc - pr) * ln(pc / pr), 6) AS contrib
         |FROM t ORDER BY bucket""".stripMargin,
+    "q_corr" ->
+      """SELECT * FROM (
+        |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |    round(corr(l_quantity, l_extendedprice), 5) AS corr FROM lineitem
+        |  UNION ALL SELECT 'l_quantity', 'l_discount',
+        |    round(corr(l_quantity, l_discount), 5) FROM lineitem
+        |  UNION ALL SELECT 'l_quantity', 'l_tax',
+        |    round(corr(l_quantity, l_tax), 5) FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount',
+        |    round(corr(l_extendedprice, l_discount), 5) FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax',
+        |    round(corr(l_extendedprice, l_tax), 5) FROM lineitem
+        |  UNION ALL SELECT 'l_discount', 'l_tax',
+        |    round(corr(l_discount, l_tax), 5) FROM lineitem)
+        |ORDER BY col_a, col_b""".stripMargin,
     "q_winsorize" ->
       """WITH th AS (SELECT quantile_cont(o_totalprice, 0.01) AS lo,
         |                   quantile_cont(o_totalprice, 0.99) AS hi FROM orders)

@@ -67,4 +67,24 @@ class ProfileSpec extends SparkSpec {
     assert(Profile.violations(d, col("x") > 0, limit = 2).count() == 2L)
     intercept[IllegalArgumentException](Profile.violations(d, col("x") > 0, 0))
   }
+
+  test("correlations: one-scan pairwise Pearson matches closed forms; constant column null") {
+    import org.apache.spark.sql.functions._
+    val d = (1 to 50).map(i => (i.toDouble, 2.0 * i + 3, -i.toDouble, 7.0))
+      .toDF("x", "y2x", "neg", "const")
+    val out = Profile.correlations(d, Seq("x", "y2x", "neg", "const"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    assert(out.size == 6)
+    assert(out(("x", "y2x")) == 1.0)       // exact linear
+    assert(out(("x", "neg")) == -1.0)      // exact anti-linear
+    assert(out(("y2x", "neg")) == -1.0)
+    assert(out(("x", "const")).isNaN, "constant column must yield null corr")
+    intercept[IllegalArgumentException](Profile.correlations(d, Seq("x")))
+    intercept[IllegalArgumentException](Profile.correlations(d, Seq("x", "x")))
+    // exactly one scan: a single partial+final aggregate pair, no join
+    val p = Profile.correlations(d, Seq("x", "y2x", "neg")).queryExecution
+      .executedPlan.toString
+    assert(!p.contains("Join"), s"correlations planned a join:\n$p")
+  }
 }
