@@ -113,6 +113,31 @@ object TextFunctions {
         lit("[^.!?]+[.!?]*"), lit(0)), s => trim(s)),
       s => s =!= "")
 
+  /** Flesch readability struct — the classic surface-statistics
+    * quality signal (reading-ease + Flesch–Kincaid grade) used as a
+    * corpus filter/bucketing key alongside the Gopher rules. Counts
+    * are the standard regex approximations, all in the java∩RE2
+    * shared dialect so the oracle reproduces them verbatim:
+    * words = non-empty whitespace tokens; sentences = `[.!?]+` runs,
+    * floored at 1; syllables = `[aeiouy]+` vowel-group runs, floored
+    * at one per word. Scores are the published formulas
+    * (206.835 − 1.015·W/S − 84.6·Syl/W and 0.39·W/S + 11.8·Syl/W −
+    * 15.59), 4 dp, null on token-less docs. Pure codegen projection.
+    */
+  def readability(text: Column): Column = {
+    val t = coalesce(text, lit(""))
+    val nWords = size(filter(tokens(t), w => length(w) > 0)).cast("long")
+    val nSent = greatest(regexp_count(t, lit("[.!?]+")), lit(1)).cast("long")
+    val nSyll = greatest(regexp_count(lower(t), lit("[aeiouy]+")), nWords)
+    val w = nWords.cast("double")
+    val flesch = round(lit(206.835) - lit(1.015) * w / nSent - lit(84.6) * nSyll / w, 4)
+    val grade = round(lit(0.39) * w / nSent + lit(11.8) * nSyll / w - lit(15.59), 4)
+    struct(
+      nWords.as("n_words"), nSent.as("n_sentences"), nSyll.as("n_syllables"),
+      when(nWords === 0, lit(null).cast("double")).otherwise(flesch).as("flesch"),
+      when(nWords === 0, lit(null).cast("double")).otherwise(grade).as("fk_grade"))
+  }
+
   /** Exact Jaccard similarity of two token/shingle arrays (as sets). */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -690,6 +690,20 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // Flesch readability: word/sentence/syllable counts + both
+    // published scores, every regexp in the shared java∩RE2 dialect.
+    "q_readability" -> { (s, dir) =>
+      val r = TextFunctions.readability(col("text"))
+      tables(s, dir).documents
+        .filter(col("doc_id") <= 300)
+        .select(col("doc_id"), r.getField("n_words").as("n_words"),
+          r.getField("n_sentences").as("n_sentences"),
+          r.getField("n_syllables").as("n_syllables"),
+          r.getField("flesch").as("flesch"),
+          r.getField("fk_grade").as("fk_grade"))
+        .orderBy(col("doc_id"))
+    },
+
     // Gopher rule battery over text with synthesized bullet/ellipsis
     // lines (so every rule has signal): per-doc signals + keep flag.
     "q_gopher_quality" -> { (s, dir) =>
@@ -1005,6 +1019,26 @@ object TextVectorQueries extends QueryPack {
         |  round(len(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
         |        / greatest(len(text), 1), 6) AS alpha_ratio
         |FROM documents WHERE doc_id <= 100 ORDER BY doc_id""".stripMargin,
+    "q_readability" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len([x FOR x IN regexp_split_to_array(trim(coalesce(text, '')), '\s+')
+        |              IF len(x) > 0]) AS BIGINT) AS n_words,
+        |    CAST(greatest(len(regexp_extract_all(coalesce(text, ''), '[.!?]+')), 1)
+        |         AS BIGINT) AS n_sentences,
+        |    CAST(len(regexp_extract_all(lower(coalesce(text, '')), '[aeiouy]+'))
+        |         AS BIGINT) AS n_syll0
+        |  FROM documents WHERE doc_id <= 300),
+        |k AS (SELECT doc_id, n_words, n_sentences,
+        |        greatest(n_syll0, n_words) AS n_syllables FROM c)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words = 0 THEN NULL ELSE
+        |    round(206.835 - (1.015 * n_words) / n_sentences
+        |                  - (84.6 * n_syllables) / n_words, 4) END AS flesch,
+        |  CASE WHEN n_words = 0 THEN NULL ELSE
+        |    round((0.39 * n_words) / n_sentences
+        |          + (11.8 * n_syllables) / n_words - 15.59, 4) END AS fk_grade
+        |FROM k ORDER BY doc_id""".stripMargin,
     "q_gopher_quality" ->
       """WITH d AS (
         |  SELECT doc_id,

@@ -121,4 +121,26 @@ class TextSpec extends SparkSpec {
     intercept[IllegalArgumentException](TextFunctions.chunkChars(col("t"), 4, 4))
     intercept[IllegalArgumentException](TextFunctions.chunkWords(col("t"), 4, -1))
   }
+
+  test("readability: counts and both Flesch formulas on hand-checked text") {
+    import spark.implicits._
+    def r(s: String) = Seq(s).toDF("t")
+      .select(TextFunctions.readability(col("t")).as("r"))
+      .selectExpr("r.n_words", "r.n_sentences", "r.n_syllables", "r.flesch", "r.fk_grade")
+      .collect()(0)
+    // "the cat sat. it ran!" → 5 words, 2 sentences; vowel groups:
+    // e, a, a, i, a = 5 syllables
+    val row = r("the cat sat. it ran!")
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == (5L, 2L, 5L))
+    val flesch = 206.835 - 1.015 * 5 / 2 - 84.6 * 5 / 5.0
+    assert(math.abs(row.getDouble(3) - flesch) < 1e-9)
+    val grade = 0.39 * 5 / 2 + 11.8 * 5 / 5.0 - 15.59
+    assert(math.abs(row.getDouble(4) - grade) < 1e-9)
+    // no terminator → 1 sentence floor; 0-vowel words floor at 1 syllable each
+    val row2 = r("xyz pqrst")
+    assert((row2.getLong(0), row2.getLong(1), row2.getLong(2)) == (2L, 1L, 2L))
+    // empty / null-ish text: zero words, null scores
+    val row3 = r("")
+    assert(row3.getLong(0) == 0L && row3.isNullAt(3) && row3.isNullAt(4))
+  }
 }
