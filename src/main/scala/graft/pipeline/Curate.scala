@@ -72,6 +72,11 @@ object Curate {
     *                   gibberish/wrong-language score high); token-less
     *                   docs carry a null score and are KEPT by this
     *                   gate (the token gate owns them); None → off.
+    * @param normalizeUnicode  NFC-normalize the text BEFORE any stage
+    *                   hashes it ([[graft.functions.TextClean.nfc]]),
+    *                   so precomposed and decomposed renditions of the
+    *                   same text dedup together; runs even before PII
+    *                   redaction (patterns then see canonical forms).
     */
   def curate(docs: DataFrame, idCol: String, textCol: String,
              minTokens: Long = 10L, minAlpha: Double = 0.5,
@@ -84,10 +89,18 @@ object Curate {
              maxSubstrDupFrac: Option[Double] = None, substrK: Int = 8,
              split: Option[(Seq[(String, Double)], String)] = None,
              gopherRules: Boolean = false,
-             maxAvgNll: Option[Double] = None): DataFrame = {
-    val redacted =
-      if (!redactPii) docs
+             maxAvgNll: Option[Double] = None,
+             normalizeUnicode: Boolean = false): DataFrame = {
+    // Unicode NFC before anything hashes: precomposed vs decomposed
+    // renditions of the same text must dedup together (native codegen
+    // expression, ASCII rows untouched without allocation)
+    val canonical =
+      if (!normalizeUnicode) docs
       else docs.withColumn(textCol,
+        graft.functions.TextClean.nfc(col(textCol)))
+    val redacted =
+      if (!redactPii) canonical
+      else canonical.withColumn(textCol,
         graft.functions.TextClean.redactPii(col(textCol)))
     val lined = lineDedupMaxOcc match {
       case Some(maxOcc) =>

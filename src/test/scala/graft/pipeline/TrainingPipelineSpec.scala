@@ -98,6 +98,27 @@ class TrainingPipelineSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("curate: unicode normalization makes precomposed/decomposed twins dedup together") {
+    // same sentence, one rendition precomposed (é), one decomposed
+    // (e + combining acute): byte-level exact dedup sees two distinct
+    // docs unless the normalize stage canonicalizes first
+    val pre = "caf\u00e9 haute cuisine menu avec des plats vari\u00e9s et du bon vin rouge"
+    val dec = "cafe\u0301 haute cuisine menu avec des plats varie\u0301s et du bon vin rouge"
+    val corpus = Seq((1L, pre), (2L, dec),
+      (3L, "a completely different clean document with many distinct words here today"))
+      .toDF("doc_id", "text")
+    val without = Curate.curate(corpus, "doc_id", "text",
+      minTokens = 5L, minAlpha = 0.3, nearDup = false)
+    assert(without.count() == 3L, "without normalization the twins are distinct bytes")
+    val out = Curate.curate(corpus, "doc_id", "text",
+      minTokens = 5L, minAlpha = 0.3, nearDup = false, normalizeUnicode = true)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L), s"normalized twins must dedup to the min id: $ids")
+    // shipped text is the canonical (precomposed) form
+    val shipped = out.filter(col("doc_id") === 1L).select("text").as[String].head()
+    assert(shipped == pre)
+  }
+
   test("curate: gopher rule battery and corpus-LM tail trim stages") {
     val typical = "the quick brown fox jumps over the lazy dog and that cat with style"
     val corpus = (
