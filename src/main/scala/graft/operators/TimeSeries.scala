@@ -121,4 +121,30 @@ object TimeSeries {
       }
     }(enc)
   }
+
+  /** Per-key trailing time-window aggregates: for each row, count /
+    * sum / avg / min / max of `valCol` over this key's rows in the
+    * half-open trailing window (t − windowSec, t] — the rolling
+    * metrics view (per-device rates, per-user activity) a monitoring
+    * pipeline keys dashboards on. One window spec = one hash shuffle
+    * + per-key sort; the RANGE frame makes timestamp TIES
+    * frame-deterministic (all peers included) regardless of their
+    * sort order, so the result is engine- and partitioning-stable.
+    * Skew contract matches [[graft.operators.Temporal.asofJoin]]:
+    * WindowExec gives one linear task per hot key; chunk the key for
+    * ultra-hot streams (asofJoinChunked shows the shape).
+    */
+  def rolling(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+              windowSec: Long): DataFrame = {
+    require(windowSec >= 1, s"windowSec must be >= 1, got $windowSec")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-(windowSec * 1000000L) + 1L, 0L)
+    df.withColumn("roll_n", count(col(valCol)).over(w))
+      .withColumn("roll_sum", sum(col(valCol)).over(w))
+      .withColumn("roll_avg", avg(col(valCol)).over(w))
+      .withColumn("roll_min", min(col(valCol)).over(w))
+      .withColumn("roll_max", max(col(valCol)).over(w))
+  }
 }

@@ -100,6 +100,20 @@ object MaintenanceQueries extends QueryPack {
         .orderBy(col("user_id"))
     },
 
+    // Trailing 6h rolling stats per user (RANGE frame over event-time
+    // microseconds — tie-deterministic by frame construction).
+    "q_rolling" -> { (s, dir) =>
+      val ev = tables(s, dir).events
+        .filter(col("user_id") % 11 === 0)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      graft.operators.TimeSeries.rolling(ev, "user_id", "ts", "value", 21600L)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          col("roll_n"), round(col("roll_sum"), 4).as("roll_sum"),
+          round(col("roll_avg"), 6).as("roll_avg"),
+          round(col("roll_min"), 4).as("roll_min"), round(col("roll_max"), 4).as("roll_max"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    },
+
     // Pivot: order-priority census per order status (explicit value
     // list → deterministic columns).
     "q_pivot" -> { (s, dir) =>
@@ -282,6 +296,17 @@ object MaintenanceQueries extends QueryPack {
         |  round(list_reduce(list(value ORDER BY ts, event_id),
         |    (acc, x) -> 0.1 * x + 0.9 * acc), 6) AS ema_last
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rolling" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |  count(value) OVER w AS roll_n,
+        |  round(sum(value) OVER w, 4) AS roll_sum,
+        |  round(avg(value) OVER w, 6) AS roll_avg,
+        |  round(min(value) OVER w, 4) AS roll_min,
+        |  round(max(value) OVER w, 4) AS roll_max
+        |FROM events WHERE user_id % 11 = 0
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 21599999999 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
     "q_pivot" ->
       """SELECT o_orderstatus,
         |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS p_urgent,

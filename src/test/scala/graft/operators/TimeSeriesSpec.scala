@@ -93,4 +93,28 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TimeSeries.ema(df.withColumn("ema", lit(1)), "k", "t", "v", 0.5))
   }
+
+  test("rolling: trailing time-window stats equal brute force, ties framed together") {
+    val rnd = new scala.util.Random(23)
+    // irregular timestamps incl. exact duplicates (frame peers)
+    val rows = for {
+      k <- 1L to 4L
+      i <- 1 to 40
+    } yield (k, (rnd.nextInt(500) * 10).toLong, rnd.nextInt(100).toDouble)
+    val df = rows.toDF("k", "t_s", "v")
+      .withColumn("ts", timestamp_seconds(col("t_s")))
+    val win = 100L
+    val got = TimeSeries.rolling(df.repartition(7), "k", "ts", "v", win)
+      .select(col("k"), col("t_s"), col("v"), col("roll_n"), col("roll_sum"),
+        col("roll_min"), col("roll_max"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)) ->
+        (r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    for (((k, t, _), (n, s, mn, mx)) <- got) {
+      val frame = rows.filter { case (k2, t2, _) => k2 == k && t2 > t - win && t2 <= t }
+      assert(n == frame.size.toLong, s"count at ($k,$t)")
+      assert(math.abs(s - frame.map(_._3).sum) < 1e-9, s"sum at ($k,$t)")
+      assert(mn == frame.map(_._3).min && mx == frame.map(_._3).max)
+    }
+    intercept[IllegalArgumentException](TimeSeries.rolling(df, "k", "ts", "v", 0L))
+  }
 }
