@@ -131,4 +131,82 @@ object Stats {
           .otherwise(col("robust_z") > k))
       .drop("__med", "__mad")
   }
+
+  // ------------------------------------------------------------------
+  // Persisted quantile-grid artifact: score calibration against a
+  // historical corpus — the percentile-rank companion of the other
+  // train-once artifacts (GraftBloom/GraftCms/MinHash index/unigram LM).
+  // ------------------------------------------------------------------
+
+  private val QuantileMeta = "_GRAFT_QGRID"
+
+  /** Persist the exact interpolated quantile grid of `colName` at
+    * `path`: gridSize+1 boundary values (p=0 … p=1 inclusive) from ONE
+    * `percentile` aggregation, stored as a JSON sidecar (a few KB —
+    * the sketch IS the artifact). Exact interpolated quantiles are
+    * engine-reproducible (the [[graft.operators.Drift]] boundary
+    * rule), so an oracle can rebuild the identical grid.
+    */
+  def saveQuantileGrid(df: DataFrame, colName: String, path: String,
+                       gridSize: Int = 1024): Unit = {
+    require(gridSize >= 2, s"gridSize must be >= 2, got $gridSize")
+    val spark = df.sparkSession
+    val ps = (0 to gridSize).map(_.toDouble / gridSize)
+    val grid = df
+      .filter(col(colName).isNotNull && !isnan(col(colName).cast("double")))
+      .agg(percentile(col(colName), typedLit(ps)).as("q"))
+      .collect()(0).getAs[scala.collection.Seq[Double]](0)
+    require(grid != null && grid.nonEmpty,
+      s"cannot build a quantile grid over an empty/all-null '$colName'")
+    val meta = new org.apache.hadoop.fs.Path(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(meta.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(meta, true)
+    // raw bits, not decimal rendering: the probe-side <= compares must
+    // see the EXACT doubles the aggregation produced
+    out.write((s"""{"marker":"$QuantileMeta","gridSize":$gridSize,"bits":[""" +
+      grid.map(d => java.lang.Double.doubleToLongBits(d).toString).mkString(",") +
+      "]}").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  /** Load a quantile grid's boundary values. */
+  def loadQuantileGrid(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Array[Double] = {
+    val meta = new org.apache.hadoop.fs.Path(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(meta.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(meta), s"$path does not exist")
+    val in = fs.open(meta)
+    val raw = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    require(raw.contains(s""""marker":"$QuantileMeta""""),
+      s"$path is not a graft quantile-grid artifact")
+    val bits = """"bits":\[([^\]]*)\]""".r.findFirstMatchIn(raw)
+      .getOrElse(throw new IllegalArgumentException(s"malformed quantile grid at $path"))
+      .group(1)
+    bits.split(",").map(s => java.lang.Double.longBitsToDouble(s.trim.toLong))
+  }
+
+  /** Percentile rank of `colName` against a PERSISTED grid
+    * ([[saveQuantileGrid]]): rank = (#{grid boundaries ≤ x} − 1) /
+    * gridSize, clamped to [0, 1] — 0 at/below the historical min, 1
+    * at/above the historical max, resolution 1/gridSize between. The
+    * grid broadcasts as a literal array; the count is one single-pass
+    * HOF per row (≤ gridSize+1 compares against a few-KB array —
+    * no join, no shuffle, the corpus that built the grid untouched).
+    * Adds `outCol`; null/NaN values rank null.
+    */
+  def percentileRank(df: DataFrame, colName: String, gridPath: String,
+                     outCol: String = "pct_rank"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"input already has a '$outCol' column; pass a different outCol")
+    val grid = loadQuantileGrid(df.sparkSession, gridPath)
+    val gridSize = grid.length - 1
+    val v = col(colName).cast("double")
+    val cnt = size(filter(typedLit(grid.toSeq), b => b <= v))
+    val rank = least(greatest((cnt - 1).cast("double") / gridSize, lit(0.0)), lit(1.0))
+    df.withColumn(outCol,
+      when(v.isNull || isnan(v), lit(null).cast("double")).otherwise(rank))
+  }
 }

@@ -107,6 +107,24 @@ object StatsWindowQueries extends QueryPack {
         .orderBy(col("col_a"), col("col_b"))
     },
 
+    // percentile ranks against a PERSISTED quantile grid: train the
+    // 512-point grid on even orders (artifact on disk), rank odd
+    // orders against it — cross-corpus score calibration. Exact
+    // interpolated quantiles are engine-reproducible, so the oracle
+    // rebuilds the identical grid and count arithmetic in SQL.
+    "q_pct_rank" -> { (s, dir) =>
+      val orders = tables(s, dir).orders
+      val path = java.nio.file.Files.createTempDirectory("graft_qgrid")
+        .resolve("grid.json").toString
+      graft.operators.Stats.saveQuantileGrid(
+        orders.filter(col("o_orderkey") % 2 === 0), "o_totalprice", path, gridSize = 512)
+      graft.operators.Stats.percentileRank(
+          orders.filter(col("o_orderkey") % 2 === 1 && col("o_orderkey") <= 20000),
+          "o_totalprice", path)
+        .select(col("o_orderkey"), col("pct_rank"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // winsorized order totals: clamp at exact [p01, p99], profile the
     // clamped column (avg at 6 dp keeps the digit budget safe).
     "q_winsorize" -> { (s, dir) =>
@@ -389,6 +407,20 @@ object StatsWindowQueries extends QueryPack {
         |  round(pr, 6) AS p_ref, round(pc, 6) AS p_cur,
         |  round((pc - pr) * ln(pc / pr), 6) AS contrib
         |FROM t ORDER BY bucket""".stripMargin,
+    "q_pct_rank" -> {
+      val ps = (0 to 512).map(i => (i.toDouble / 512).toString).mkString(", ")
+      s"""WITH g AS (
+         |  SELECT quantile_cont(o_totalprice, [$ps]) AS grid
+         |  FROM orders WHERE o_orderkey % 2 = 0),
+         |p AS (
+         |  SELECT o_orderkey, o_totalprice FROM orders
+         |  WHERE o_orderkey % 2 = 1 AND o_orderkey <= 20000)
+         |SELECT o_orderkey,
+         |  least(greatest(
+         |    (len([b FOR b IN g.grid IF b <= p.o_totalprice]) - 1) / 512.0, 0.0), 1.0)
+         |    AS pct_rank
+         |FROM p, g ORDER BY o_orderkey""".stripMargin
+    },
     "q_corr" ->
       """SELECT * FROM (
         |  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, percentile, typedLit}
 
 class StatsSpec extends SparkSpec {
   import spark.implicits._
@@ -77,5 +77,35 @@ class StatsSpec extends SparkSpec {
     val dz = Stats.robustOutliers(deg, "v")
       .collect().map(r => r.getDouble(0) -> ((r.isNullAt(1), r.getBoolean(2)))).toMap
     assert(dz(5.0) == ((true, false)) && dz(7.0) == ((true, true)))
+  }
+
+  test("quantile grid artifact: bit-exact roundtrip; ranks calibrate new values") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_qgrid_spec").toFile
+    val path = s"${dir.getAbsolutePath}/grid.json"
+    // uniform 1..1000 training corpus
+    val train = (1 to 1000).map(_.toDouble).toDF("v")
+    Stats.saveQuantileGrid(train, "v", path, gridSize = 100)
+    val grid = Stats.loadQuantileGrid(spark, path)
+    assert(grid.length == 101 && grid.head == 1.0 && grid.last == 1000.0)
+    // roundtrip is bit-exact (raw long bits in the sidecar)
+    val direct = train.agg(
+        percentile(col("v"), typedLit((0 to 100).map(_ / 100.0))).as("q"))
+      .collect()(0).getAs[scala.collection.Seq[Double]](0)
+    assert(grid.toSeq == direct.toSeq)
+    val probe = Seq(Some(0.5), Some(1.0), Some(500.5), Some(1000.0), Some(2000.0), None)
+      .toDF("v")
+    val ranks = Stats.percentileRank(probe, "v", path)
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getDouble(0)) ->
+        (if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toMap
+    assert(ranks(0.5) == 0.0, "below historical min ranks 0")
+    assert(ranks(1.0) == 0.0, "at the min ranks 0")
+    assert(ranks(2000.0) == 1.0, "above historical max ranks 1")
+    assert(ranks(1000.0) == 1.0)
+    assert(math.abs(ranks(500.5) - 0.5) <= 0.01, s"median ranks ~0.5: ${ranks(500.5)}")
+    assert(ranks(null).isNaN, "null value ranks null")
+    intercept[IllegalArgumentException](
+      Stats.saveQuantileGrid(train.filter(lit(false)), "v", path))
+    intercept[IllegalArgumentException](Stats.loadQuantileGrid(spark, s"$path.missing"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 }
