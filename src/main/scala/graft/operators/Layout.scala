@@ -170,6 +170,26 @@ object Layout {
     CompactStats(filesIn, bytesIn, nOut, filesOut)
   }
 
+  /** Per-FILE manifest of a parquet tree: (file, n_rows, min/max per
+    * listed column) — the file-skipping audit table for a clustered
+    * layout ([[zorderBy]]/[[hilbertBy]]/[[compactParquet]] with
+    * orderCols): disjoint per-file ranges mean a range predicate
+    * prunes to few files, overlapping ranges mean the clustering
+    * degraded and a re-OPTIMIZE is due (the check Delta/Iceberg run
+    * off their manifests; plain parquet trees have no manifest, so
+    * graft derives one). One distributed scan grouped by
+    * `input_file_name()` — file count rows out, no driver listing.
+    */
+  def fileManifest(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "fileManifest needs at least one column")
+    val df = spark.read.parquet(dir)
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    df.withColumn("file", regexp_extract(input_file_name(), "([^/]+)$", 1))
+      .groupBy(col("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Returns `df` with a `zvalue` column and rows range-clustered +
     * sorted by it — write the result out directly and every listed
     * dimension prunes. `cols` must be numeric/date-like (castable to

@@ -39,6 +39,17 @@ object IoQueries extends QueryPack {
       .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
   }
 
+  /** Run-scoped scratch for q_manifest — dir-INDEPENDENT because the
+    * static oracle SQL must embed the same path the query writes (one
+    * sf dir per Verify JVM, so no collision; concurrent runs are
+    * separated by the token like all other scratch).
+    */
+  private def manifestBase: String = {
+    val mine = new java.io.File(s"/tmp/graft_io/$runToken/manifest")
+    mine.mkdirs()
+    mine.getAbsolutePath
+  }
+
   private def tmp(dir: String, leaf: String): String = {
     sweepStale
     // keep the live token dir's mtime fresh: nested writes don't bump
@@ -269,6 +280,26 @@ object IoQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // per-file min/max manifest of a clustered parquet tree: compact
+    // documents ordered on doc_id, manifest the result — BOTH engines
+    // read the very files the query wrote (oracle via read_parquet
+    // filename=true at the run-scoped path), so per-file ranges and
+    // counts are facts of the written data; file names (uuid-random)
+    // are replaced by the rank in disjoint-range order.
+    "q_manifest" -> { (s, dir) =>
+      val base = manifestBase
+      tables(s, dir).documents.select(col("doc_id"), col("source"))
+        .repartition(16)
+        .write.mode("overwrite").parquet(s"$base/small")
+      graft.operators.Layout.compactParquet(s, s"$base/small", s"$base/t",
+        targetFileBytes = 16L << 10, orderCols = Seq("doc_id"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("min_doc_id"))
+      graft.operators.Layout.fileManifest(s, s"$base/t", Seq("doc_id"))
+        .withColumn("file_rank", row_number().over(w))
+        .select(col("file_rank"), col("n_rows"), col("min_doc_id"), col("max_doc_id"))
+        .orderBy(col("file_rank"))
+    },
+
     // deterministic sharded training-data export: md5-stable shard
     // assignment → one shard=K dir per shard → read back and profile.
     // The oracle recomputes every per-shard stat straight from the
@@ -438,6 +469,15 @@ object IoQueries extends QueryPack {
       """SELECT count(*) AS n, round(sum(l_quantity), 2) AS qty FROM lineitem""",
     "q_compact" ->
       """SELECT doc_id, source, n_chars FROM documents ORDER BY doc_id""",
+    "q_manifest" ->
+      s"""WITH m AS (
+         |  SELECT filename, count(*) AS n_rows,
+         |    min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+         |  FROM read_parquet('$manifestBase/t/*.parquet', filename=true)
+         |  GROUP BY 1)
+         |SELECT CAST(row_number() OVER (ORDER BY min_doc_id) AS INT) AS file_rank,
+         |  n_rows, min_doc_id, max_doc_id
+         |FROM m ORDER BY file_rank""".stripMargin,
     "q_io_tar" ->
       """SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS name,
         |  coalesce(text, '') AS text

@@ -158,4 +158,27 @@ class LayoutSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Layout.zorderBy(df.withColumn("zvalue", lit(1)), Seq("x")))
   }
+
+  test("fileManifest: per-file stats cover the table; clustered ranges are disjoint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_manifest").toFile
+    val small = s"${dir.getAbsolutePath}/small"
+    val out = s"${dir.getAbsolutePath}/t"
+    val df = (1L to 2000L).map(i => (i, s"v$i")).toDF("id", "v")
+    df.repartition(8).write.mode("overwrite").parquet(small)
+    Layout.compactParquet(spark, small, out,
+      targetFileBytes = 8L << 10, orderCols = Seq("id"))
+    val m = Layout.fileManifest(spark, out, Seq("id")).collect()
+    assert(m.length >= 2, s"want several files, got ${m.length}")
+    assert(m.map(_.getAs[Long]("n_rows")).sum == 2000L)
+    val ranges = m.map(r => (r.getAs[Long]("min_id"), r.getAs[Long]("max_id")))
+      .sortBy(_._1)
+    assert(ranges.forall { case (lo, hi) => lo <= hi })
+    // clustered on id → per-file ranges must not overlap
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2, s"overlap: $hi1 vs $lo2")
+      case _ =>
+    }
+    intercept[IllegalArgumentException](Layout.fileManifest(spark, out, Nil))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
 }
