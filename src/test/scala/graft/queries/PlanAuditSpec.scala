@@ -381,6 +381,34 @@ class PlanAuditSpec extends SparkSpec {
       s"epoch shuffle collapsed to a single partition:\n$p")
   }
 
+  test("q_rolling: one hash exchange feeds the range-frame window; no join, no UDF") {
+    val p = plan("q_rolling")
+    val hashExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(hashExchanges == 1, s"rolling shuffled more than the window clustering:\n$p")
+    assert(p.contains("specifiedwindowframe(RangeFrame"),
+      s"rolling lost the RANGE frame:\n$p")
+    assert(!p.contains("Join"), s"rolling planned a join:\n$p")
+  }
+
+  test("q_pct_rank: the probe side ranks with NO shuffle and NO join — grid is a literal") {
+    // percentileRank's plan is scan → project (HOF over the broadcast
+    // literal grid) → presentation sort; the training corpus appears
+    // nowhere (it was consumed at artifact-build time)
+    val p = plan("q_pct_rank")
+    assert(!p.contains("Join"), s"pct_rank planned a join:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"pct_rank shuffled the probe:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"), s"pct_rank planned a UDF:\n$p")
+  }
+
+  test("q_corr: every pairwise coefficient rides ONE aggregate pair — no joins, no expand") {
+    val p = plan("q_corr")
+    assert(!p.contains("Join"), s"correlations planned a join:\n$p")
+    assert(!p.contains("Expand"), s"correlations planned an Expand:\n$p")
+    assert(p.contains("partial_"), s"correlation aggs not partial (map-side):\n$p")
+  }
+
   test("q_dedup_incremental: the index's bucket cap is a pushed scan filter, not a window") {
     val p = graft.SparkEntry.queries("q_dedup_incremental")(spark, dir)
       .queryExecution.explainString(
