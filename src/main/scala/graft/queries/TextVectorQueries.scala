@@ -577,6 +577,16 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("probe_id"), col("rank"))
     },
 
+    // embedding OOD flags against a FIXED reference centroid set
+    // (deterministic literals, so the oracle recomputes assignment,
+    // similarity, and flag exactly — the trained-centroid form is the
+    // same code path with loadCentroids artifacts).
+    "q_embed_outlier" -> { (s, dir) =>
+      KNN.embeddingOutliers(tables(s, dir).embeddings, "vec_id", "embedding",
+          outlierCentroids, minSim = 0.05)
+        .orderBy(col("id"))
+    },
+
     // IVF with a TRAINED k-means quantizer (vs q_knn_lsh's static
     // hyperplane cells). Centroids are data-dependent (trained inside
     // the query, deterministic seed), so there is no closed-form SQL
@@ -945,6 +955,34 @@ object TextVectorQueries extends QueryPack {
     * Double.toString), computes the same cells and Hamming-1
     * multi-probe, and ranks by the same cosine.
     */
+  /** Fixed reference centroids for q_embed_outlier: hyperplane
+    * directions rounded THROUGH float (the kernel compares float-cast
+    * centroid literals, and Double.toString of the widened float
+    * round-trips exactly in the oracle's SQL parser).
+    */
+  private val outlierCentroids: Seq[Seq[Double]] =
+    graft.functions.VectorFunctions.hyperplanes(dim = 64, nBits = 4, seed = 7L)
+      .map(_.map(_.toFloat.toDouble).toSeq).toSeq
+
+  private val embedOutlierOracle: String = {
+    def centList(c: Int) = outlierCentroids(c).map(_.toString).mkString("[", ", ", "]")
+    def simExpr(c: Int) =
+      s"""(CASE WHEN list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding]) = 0
+         |      THEN 0.0 ELSE
+         |  list_sum([CAST(p[1] AS DOUBLE) * p[2] FOR p IN list_zip(embedding, ${centList(c)})])
+         |  / (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding]))
+         |     * sqrt(list_sum([y * y FOR y IN ${centList(c)}]))) END)""".stripMargin
+    s"""WITH sims AS (
+       |  SELECT vec_id AS id,
+       |    [${(0 until 4).map(simExpr).mkString(",\n")}] AS arr
+       |  FROM embeddings)
+       |SELECT id,
+       |  CAST(list_position(arr, list_max(arr)) - 1 AS INT) AS cluster,
+       |  round(list_max(arr), 6) AS centroid_sim,
+       |  round(list_max(arr), 6) < 0.05 AS is_outlier
+       |FROM sims ORDER BY id""".stripMargin
+  }
+
   private val knnLshOracle: String = {
     val planes = graft.functions.VectorFunctions.hyperplanes(dim = 64, nBits = 4, seed = 42L)
     def planeList(b: Int) = planes(b).map(_.toString).mkString("[", ", ", "]")
@@ -973,6 +1011,7 @@ object TextVectorQueries extends QueryPack {
   override val oracles: Map[String, String] = Map(
     "q_lang_id" -> langIdOracle,
     "q_knn_lsh" -> knnLshOracle,
+    "q_embed_outlier" -> embedOutlierOracle,
     "q_embed_dedup_pairs" -> embedDedupPairsOracle,
     "q_dedup_exact" ->
       """SELECT count(*) AS n_unique, CAST(sum(n_copies) AS BIGINT) AS n_docs,

@@ -508,6 +508,39 @@ object KNN {
     * kept — the hot-bucket contract of [[nearDupPairs]]: a degenerate
     * mega-cluster belongs to exact/minhash dedup, not an O(m²) scan.
     */
+  /** Per-row nearest-centroid assignment + cosine similarity to that
+    * centroid — embedding-space quality scoring: rows far from every
+    * cluster of the (historical) corpus are OOD/noise/garbage
+    * embeddings, the vector-space analogue of the corpus-LM tail.
+    * Pure projection over the broadcast centroid literals (the fused
+    * [[graft.expressions.NearestCentroid]] argmax + ONE cosine against
+    * the selected centroid via `element_at` — no join, no shuffle);
+    * centroids come from [[trainIvfCentroids]]/[[loadCentroids]] or
+    * any fixed reference set. Zero/degenerate vectors assign cluster 0
+    * with similarity 0 (the NearestCentroid contract).
+    */
+  def centroidSimilarity(df: DataFrame, idCol: String, vecCol: String,
+                         centroids: Seq[Seq[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val centLit = typedLit(centroids.map(_.map(_.toFloat)))
+    val idx = graft.expressions.VectorExpressions.nearestCentroidF(col(vecCol), centroids)
+    df.select(col(idCol).as("id"), idx.as("cluster"),
+      round(cosineF(col(vecCol).cast("array<float>"),
+        element_at(centLit, idx + 1)), 6).as("centroid_sim"))
+  }
+
+  /** OOD flags from [[centroidSimilarity]]: `is_outlier` when the
+    * similarity to the nearest corpus centroid falls below `minSim`
+    * (null similarity — malformed vector — flags true: a vector the
+    * reference space cannot place is exactly what the filter exists
+    * to catch).
+    */
+  def embeddingOutliers(df: DataFrame, idCol: String, vecCol: String,
+                        centroids: Seq[Seq[Double]], minSim: Double): DataFrame =
+    centroidSimilarity(df, idCol, vecCol, centroids)
+      .withColumn("is_outlier",
+        coalesce(col("centroid_sim") < minSim, lit(true)))
+
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
                     centroids: Seq[Seq[Double]], threshold: Double,
                     maxCluster: Int = 100000): DataFrame = {

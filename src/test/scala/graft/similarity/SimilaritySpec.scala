@@ -352,4 +352,27 @@ class SimilaritySpec extends SparkSpec {
       threshold = 0.99, maxCluster = 1)
     assert(capped.filter(!col("keep")).count() == 0)
   }
+
+  test("embeddingOutliers: OOD flags from nearest-centroid similarity, degenerate contracts") {
+    // axis-aligned centroids in 4-d; rows on/near/far from them
+    val cents = Seq(Seq(1.0, 0, 0, 0), Seq(0, 1.0, 0, 0))
+    val rows = Seq(
+      (1L, Array(10f, 0f, 0f, 0f)),   // exactly centroid 0 → sim 1
+      (2L, Array(0f, 3f, 0.1f, 0f)),  // near centroid 1
+      (3L, Array(0f, 0f, 1f, 1f)),    // orthogonal to both → sim 0, outlier
+      (4L, Array(0f, 0f, 0f, 0f)),    // zero vector → cluster 0, sim 0, outlier
+      (5L, Array(1f, 1f))             // wrong dim → null sim, outlier
+    ).toDF("vec_id", "embedding")
+    val out = KNN.embeddingOutliers(rows, "vec_id", "embedding", cents, minSim = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1 else r.getInt(1)),
+          (if (r.isNullAt(2)) Double.NaN else r.getDouble(2)), r.getBoolean(3))).toMap
+    assert(out(1L) == ((0, 1.0, false)))
+    assert(out(2L)._1 == 1 && out(2L)._2 > 0.99 && !out(2L)._3)
+    assert(out(3L)._2 == 0.0 && out(3L)._3)
+    assert(out(4L) == ((0, 0.0, true)), "zero vector: cluster 0, sim 0, flagged")
+    assert(out(5L)._2.isNaN && out(5L)._3, "malformed vector flags as outlier")
+    intercept[IllegalArgumentException](
+      KNN.embeddingOutliers(rows, "vec_id", "embedding", Nil, 0.5))
+  }
 }
