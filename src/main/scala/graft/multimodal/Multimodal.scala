@@ -228,6 +228,60 @@ object Multimodal {
       }
   }
 
+  /** Per-transition motion row from [[frameDiffStats]]. */
+  final case class FrameDiff(id: Long, frameIdx: Int, meanAbsDiff: Double,
+                             maxAbsDiff: Int, changedFrac: Double)
+
+  /** REAL motion analysis over the framed video container: decode
+    * consecutive frame pairs and report, per transition i→i+1, the
+    * mean/max absolute gray-level change and the fraction of pixels
+    * that changed by more than `changeThreshold` — the scene-change /
+    * static-video signals a video curation pass filters on (a
+    * near-zero meanAbsDiff across all transitions = a still image
+    * padded into a clip; spikes = cuts). Same batched no-shuffle
+    * mapPartitions shape as the other decoders; single-frame or
+    * undecodable rows emit no transitions (audit via
+    * [[decodeImageMeta]]). Mismatched frame dimensions score the
+    * overlapping region (top-left crop) — the honest bound without
+    * resampling.
+    */
+  def frameDiffStats(media: Dataset[_], changeThreshold: Int = 8,
+                     batchSize: Int = 16): Dataset[FrameDiff] = {
+    require(changeThreshold >= 0, s"changeThreshold must be >= 0, got $changeThreshold")
+    implicit val enc = Encoders.product[FrameDiff]
+    media.toDF().select(col("id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.flatMap { r =>
+            val id = r.getLong(0)
+            val frames = unpackFrames(r.getAs[Array[Byte]](1)).flatMap(decodeImage)
+            frames.sliding(2).zipWithIndex.collect {
+              case (Seq(a, b), i) =>
+                val w = math.min(a.getWidth, b.getWidth)
+                val h = math.min(a.getHeight, b.getHeight)
+                var sum = 0L
+                var mx = 0
+                var changed = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val d = math.abs(grayAt(a, x, y) - grayAt(b, x, y))
+                    sum += d
+                    if (d > mx) mx = d
+                    if (d > changeThreshold) changed += 1
+                    x += 1
+                  }
+                  y += 1
+                }
+                val n = math.max(w.toLong * h, 1L)
+                FrameDiff(id, i, sum.toDouble / n, mx, changed.toDouble / n)
+            }.toSeq
+          }
+        }
+      }
+  }
+
   /** REAL frame sampling: unpack the framed container, decode every
     * `stride`-th frame with ImageIO, report true dims + exact mean
     * intensity, and re-encode a Graphics2D thumbnail bounded by

@@ -863,6 +863,21 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // REAL motion analysis: synthetic solid-frame videos through the
+    // PNG codec; per-transition gray delta follows the frame formula
+    // (consecutive grays differ by 1 except the 256-wrap's 255), so
+    // the oracle recomputes every stat from doc_id alone.
+    "q_video_motion" -> { (s, dir) =>
+      val vids = Multimodal.syntheticVideos(
+        tables(s, dir).documents.filter(col("doc_id") <= 200), "doc_id")
+      Multimodal.frameDiffStats(vids).toDF()
+        .select(col("id"), col("frameIdx").as("frame_idx"),
+          col("meanAbsDiff").as("mean_abs_diff"),
+          col("maxAbsDiff").as("max_abs_diff"),
+          col("changedFrac").as("changed_frac"))
+        .orderBy(col("id"), col("frame_idx"))
+    },
+
     // REAL spectral analysis: a real WAV pure tone EXACTLY on DFT bin
     // k per doc, decoded and DFT'd on executors; the dominant bin must
     // recover k. Oracle recomputes the same trunc(a·sin) samples and
@@ -1665,6 +1680,19 @@ object TextVectorQueries extends QueryPack {
         |  CAST(10 AS INT) AS width, CAST(8 AS INT) AS height,
         |  CAST((doc_id * 37 + i) % 256 AS INT) AS gray
         |FROM f ORDER BY id, frame_idx""".stripMargin,
+    "q_video_motion" ->
+      """WITH f AS (
+        |  SELECT doc_id AS id, unnest(range(0, doc_id % 5)) AS i
+        |  FROM documents WHERE doc_id <= 200),
+        |d AS (
+        |  SELECT id, CAST(i AS INT) AS frame_idx,
+        |    abs(CAST((id*37 + i + 1) % 256 AS INT)
+        |        - CAST((id*37 + i) % 256 AS INT)) AS diff
+        |  FROM f)
+        |SELECT id, frame_idx, CAST(diff AS DOUBLE) AS mean_abs_diff,
+        |  CAST(diff AS INT) AS max_abs_diff,
+        |  CASE WHEN diff > 8 THEN 1.0 ELSE 0.0 END AS changed_frac
+        |FROM d ORDER BY id, frame_idx""".stripMargin,
     "q_audio_spectrum" ->
       """WITH p AS (
         |  SELECT doc_id AS id, 1 + (doc_id*11) % 15 AS k, 8000 + (doc_id % 7)*1000 AS a

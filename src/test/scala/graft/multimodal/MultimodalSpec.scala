@@ -268,6 +268,38 @@ class MultimodalSpec extends SparkSpec {
     assert(audit.length == 1 && audit(0).sampleRate == 0 && audit(0).bandPower.isEmpty)
   }
 
+  test("frameDiffStats: per-transition motion stats; threshold and single-pixel change") {
+    val a = Multimodal.solidImage(8, 6, 10)
+    val b = Multimodal.solidImage(8, 6, 20)
+    val vid = Multimodal.packFrames(Seq(a, b, b).map(Multimodal.encodePng))
+    val media = Seq((1L, "video", vid)).toDF("id", "modality", "payload")
+    val out = Multimodal.frameDiffStats(media).collect().sortBy(_.frameIdx)
+    assert(out.length == 2)
+    assert(out(0).meanAbsDiff == 10.0 && out(0).maxAbsDiff == 10 && out(0).changedFrac == 1.0)
+    assert(out(1).meanAbsDiff == 0.0 && out(1).maxAbsDiff == 0 && out(1).changedFrac == 0.0)
+    // threshold above the delta: nothing counts as changed
+    val strict = Multimodal.frameDiffStats(media, changeThreshold = 15)
+      .collect().sortBy(_.frameIdx)
+    assert(strict(0).changedFrac == 0.0 && strict(0).meanAbsDiff == 10.0)
+    // a single-pixel bump changes exactly 1/(w·h) of the frame
+    val p0 = Multimodal.decodeImage(Multimodal.syntheticPatternImages(
+      Seq((1L, 7L, 0)).toDF("rid", "pat", "bump"), "rid", "pat", "bump")
+      .collect()(0).payload).get
+    val p1 = Multimodal.decodeImage(Multimodal.syntheticPatternImages(
+      Seq((1L, 7L, 200)).toDF("rid", "pat", "bump"), "rid", "pat", "bump")
+      .collect()(0).payload).get
+    val vid2 = Multimodal.packFrames(Seq(p0, p1).map(Multimodal.encodePng))
+    val one = Multimodal.frameDiffStats(
+      Seq((2L, "video", vid2)).toDF("id", "modality", "payload"),
+      changeThreshold = 0).collect()(0)
+    assert(one.changedFrac == 1.0 / (p0.getWidth * p0.getHeight),
+      s"single-pixel change: ${one.changedFrac}")
+    // single frame → no transitions
+    val single = Seq((3L, "video",
+      Multimodal.packFrames(Seq(Multimodal.encodePng(a))))).toDF("id", "modality", "payload")
+    assert(Multimodal.frameDiffStats(single).count() == 0L)
+  }
+
   test("audioSpectrum matches a reference DFT on an arbitrary (off-bin) signal") {
     // non-sinusoidal ramp: every bin carries energy; compare each
     // band power against a direct driver-side DFT of the same samples
