@@ -523,6 +523,75 @@ object Multimodal {
       }
   }
 
+  /** Per-row audio quality metrics from [[audioQuality]]. */
+  final case class AudioQuality(id: Long, sampleRate: Int, nSamples: Long,
+                                clipFrac: Double, silenceFrac: Double,
+                                dcOffset: Double, peak: Int)
+
+  /** Synthetic saturating-tone WAVs: trunc(amp·sin) clamped into
+    * int16 — amp ABOVE 32767 produces real clipped audio (flat-topped
+    * sine), engine-reproducible sample by sample (explicit
+    * least/greatest saturation, never Scala's wrapping toShort).
+    */
+  def syntheticClipped(df: DataFrame, idCol: String, n: Int = 256,
+                       sampleRate: Int = 8000): Dataset[MediaRow] = {
+    implicit val enc = Encoders.product[MediaRow]
+    df.select(col(idCol).cast("long").as("id")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        // every third id overdrives (clips); amplitude formula shared
+        // with the oracle
+        val amp = 20000 + math.floorMod(id, 3L).toInt * 8000
+        val k = 1 + math.floorMod(id, 7L).toInt
+        val samples = Array.tabulate(n) { i =>
+          val raw = (amp * math.sin(2.0 * math.Pi * k * i / n)).toLong
+          math.max(-32768L, math.min(32767L, raw)).toShort
+        }
+        MediaRow(id, "audio", encodeWavPcm16(samples, sampleRate))
+      }
+    }
+  }
+
+  /** REAL audio-quality screen: decode WAV and report the clipping
+    * fraction (|s| ≥ clipLevel), near-silence fraction
+    * (|s| ≤ silenceLevel), DC offset (mean sample), and peak — the
+    * reject-before-transcribe gates of an audio curation pass
+    * (clipped or silent clips waste label/compute budget). Same
+    * batched no-shuffle shape as [[decodeAudioMeta]]; undecodable
+    * rows become zero-rate audit rows.
+    */
+  def audioQuality(media: Dataset[_], clipLevel: Int = 32767,
+                   silenceLevel: Int = 3, batchSize: Int = 64): Dataset[AudioQuality] = {
+    require(clipLevel > 0 && silenceLevel >= 0, s"bad levels ($clipLevel, $silenceLevel)")
+    implicit val enc = Encoders.product[AudioQuality]
+    media.toDF().select(col("id"), col("payload"))
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.map { r =>
+            val id = r.getLong(0)
+            decodeWav(r.getAs[Array[Byte]](1)) match {
+              case Some((rate, _, samples)) if samples.nonEmpty =>
+                var clip = 0L
+                var silent = 0L
+                var sum = 0L
+                var peak = 0
+                samples.foreach { s =>
+                  val a = math.abs(s.toInt)
+                  if (a >= clipLevel) clip += 1
+                  if (a <= silenceLevel) silent += 1
+                  if (a > peak) peak = a
+                  sum += s.toInt
+                }
+                val n = samples.length
+                AudioQuality(id, rate, n.toLong, clip.toDouble / n,
+                  silent.toDouble / n, sum.toDouble / n, peak)
+              case _ => AudioQuality(id, 0, 0L, 0.0, 0.0, 0.0, 0)
+            }
+          }
+        }
+      }
+  }
+
   /** Per-row frequency features: DFT power at the first `nBins` bins
     * plus the dominant non-DC bin. `dom_bin = 0` + empty powers marks
     * an undecodable payload (the audit channel, like [[MediaMeta]]).

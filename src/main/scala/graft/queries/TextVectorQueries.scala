@@ -863,6 +863,21 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // REAL audio-quality screen: saturating tones (every sample an
+    // explicit least/greatest clamp of trunc(amp·sin)) decoded back;
+    // clipping/silence fractions, DC offset, and peak all recompute
+    // from doc_id in SQL.
+    "q_audio_quality" -> { (s, dir) =>
+      val tones = Multimodal.syntheticClipped(
+        tables(s, dir).documents.filter(col("doc_id") <= 150), "doc_id")
+      Multimodal.audioQuality(tones).toDF()
+        .select(col("id"), col("nSamples").as("n_samples"),
+          round(col("clipFrac"), 6).as("clip_frac"),
+          round(col("silenceFrac"), 6).as("silence_frac"),
+          round(col("dcOffset"), 6).as("dc_offset"), col("peak"))
+        .orderBy(col("id"))
+    },
+
     // REAL motion analysis: synthetic solid-frame videos through the
     // PNG codec; per-transition gray delta follows the frame formula
     // (consecutive grays differ by 1 except the 256-wrap's 255), so
@@ -1680,6 +1695,22 @@ object TextVectorQueries extends QueryPack {
         |  CAST(10 AS INT) AS width, CAST(8 AS INT) AS height,
         |  CAST((doc_id * 37 + i) % 256 AS INT) AS gray
         |FROM f ORDER BY id, frame_idx""".stripMargin,
+    "q_audio_quality" ->
+      """WITH p AS (
+        |  SELECT doc_id AS id, 20000 + (doc_id % 3) * 8000 AS amp, 1 + doc_id % 7 AS k
+        |  FROM documents WHERE doc_id <= 150),
+        |s AS (
+        |  SELECT id,
+        |    greatest(-32768, least(32767, trunc(amp * sin(2*pi()*k*n.n/256)))) AS v
+        |  FROM p, generate_series(0,255) n(n))
+        |SELECT id, CAST(count(*) AS BIGINT) AS n_samples,
+        |  round(CAST(count(*) FILTER (WHERE abs(v) >= 32767) AS DOUBLE) / count(*), 6)
+        |    AS clip_frac,
+        |  round(CAST(count(*) FILTER (WHERE abs(v) <= 3) AS DOUBLE) / count(*), 6)
+        |    AS silence_frac,
+        |  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS dc_offset,
+        |  CAST(max(abs(v)) AS INT) AS peak
+        |FROM s GROUP BY id ORDER BY id""".stripMargin,
     "q_video_motion" ->
       """WITH f AS (
         |  SELECT doc_id AS id, unnest(range(0, doc_id % 5)) AS i

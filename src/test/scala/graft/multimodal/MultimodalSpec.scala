@@ -300,6 +300,30 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.frameDiffStats(single).count() == 0L)
   }
 
+  test("audioQuality: clipping/silence fractions, DC offset, peak on hand-built PCM") {
+    // 8 samples: two clipped, two silent-ish, known mean and peak
+    val samples = Array[Short](32767, -32767, 0, 2, 100, -100, 5000, -5000)
+    val wav = Multimodal.encodeWavPcm16(samples, 8000)
+    val media = Seq((1L, "audio", wav), (2L, "audio", Array[Byte](9, 9))).toDF(
+      "id", "modality", "payload")
+    val out = Multimodal.audioQuality(media).collect().map(q => q.id -> q).toMap
+    val q1 = out(1L)
+    assert(q1.nSamples == 8L && q1.peak == 32767)
+    assert(q1.clipFrac == 2.0 / 8 && q1.silenceFrac == 2.0 / 8)
+    assert(math.abs(q1.dcOffset - samples.map(_.toInt).sum / 8.0) < 1e-12)
+    assert(out(2L).sampleRate == 0 && out(2L).nSamples == 0L, "corrupt row audits")
+    // saturating generator really clips when overdriven
+    val clipped = Multimodal.audioQuality(
+      Multimodal.syntheticClipped(Seq(4L).toDF("id"), "id")).collect()(0)
+    // id 4: amp = 20000 + (4 % 3)·8000 = 28000 < 32767 → no clipping
+    assert(clipped.clipFrac == 0.0 && clipped.peak <= 28000)
+    val hot = Multimodal.audioQuality(
+      Multimodal.syntheticClipped(Seq(2L).toDF("id"), "id")).collect()(0)
+    // id 2: amp = 36000 > 32767 → flat-topped sine clips; the negative
+    // rail clamps to −32768, so the absolute peak reads 32768
+    assert(hot.clipFrac > 0.0 && hot.peak == 32768, s"overdriven tone must clip: $hot")
+  }
+
   test("audioSpectrum matches a reference DFT on an arbitrary (off-bin) signal") {
     // non-sinusoidal ramp: every bin carries energy; compare each
     // band power against a direct driver-side DFT of the same samples
