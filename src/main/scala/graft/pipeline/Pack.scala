@@ -104,6 +104,45 @@ object Pack {
   val FimSuffix = "<|fim_suf|>"
   val FimMiddle = "<|fim_mid|>"
 
+  /** Deterministic masked-LM corruption (BERT-style denoising): each
+    * whitespace token masks independently when its md5 coordinate
+    * falls under `maskRate`; RUNS of masked tokens collapse to one
+    * `<mask>` sentinel (span-corruption shape without sentinel
+    * numbering — numbering needs a per-row prefix sum, O(n²) as a
+    * HOF, and the unnumbered form is what a masked-LM objective
+    * consumes). Adds `masked_text` (sentinel-collapsed rendering),
+    * `targets` (the masked tokens, in order), `n_masked`. Selection
+    * is md5(seed:id:position) integer arithmetic — reshuffle/growth
+    * stable, SQL-reproducible, and a fresh seed per epoch gives
+    * independent corruption. Pure per-row builtin array exprs: the
+    * run-collapse is a lag compare (mask_i && !mask_{i-1}), never a
+    * sequential fold.
+    */
+  def maskCorrupt(df: DataFrame, idCol: String, textCol: String,
+                  maskRate: Double, seed: String,
+                  sentinel: String = "<mask>"): DataFrame = {
+    require(maskRate >= 0 && maskRate <= 1, s"maskRate must be in [0, 1], got $maskRate")
+    val toks = tokens(coalesce(col(textCol).cast("string"), lit("")))
+    val idxs = sequence(lit(1), size(toks))
+    def maskedAt(i: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat_ws(":", lit(seed), col(idCol).cast("string"),
+        i.cast("string"))), 1, 8), 16, 10).cast("long") * lit(1000000L) <
+        lit(math.floor(maskRate * 1e6).toLong * (1L << 32))
+    // rendering: keep unmasked tokens; a masked token emits the
+    // sentinel only when it STARTS a run (previous token unmasked or
+    // absent); empty strings filter out before the join
+    val pieces = transform(idxs, i =>
+      when(!maskedAt(i), element_at(toks, i))
+        .when(i === 1 || !maskedAt(i - 1), lit(sentinel))
+        .otherwise(lit("")))
+    val targets = filter(transform(idxs, i =>
+      when(maskedAt(i), element_at(toks, i)).otherwise(lit(""))), p => p =!= "")
+    df.withColumn("masked_text",
+        concat_ws(" ", filter(pieces, p => p =!= "")))
+      .withColumn("targets", targets)
+      .withColumn("n_masked", size(targets).cast("long"))
+  }
+
   def fimTransform(df: DataFrame, idCol: String, textCol: String,
                    fimRate: Double, seed: String): DataFrame = {
     require(fimRate >= 0 && fimRate <= 1, s"fimRate must be in [0, 1], got $fimRate")

@@ -303,6 +303,19 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // masked-LM corruption: per-token md5 selection, runs collapse to
+    // one sentinel; every byte of the rendering + targets recomputed
+    // in SQL.
+    "q_mask_corrupt" -> { (s, dir) =>
+      graft.pipeline.Pack.maskCorrupt(
+          tables(s, dir).documents.filter(col("doc_id") <= 200)
+            .select(col("doc_id"), col("text")),
+          "doc_id", "text", maskRate = 0.15, seed = "mlm")
+        .select(col("doc_id"), col("masked_text"),
+          concat_ws(" ", col("targets")).as("targets_str"), col("n_masked"))
+        .orderBy(col("doc_id"))
+    },
+
     // fill-in-the-middle rewriting: a deterministic half of the corpus
     // renders as <pre>prefix<suf>suffix<mid>middle with md5-decided
     // selection and character cut points — every byte oracle-checked.
@@ -1424,6 +1437,31 @@ object TextVectorQueries extends QueryPack {
         |SELECT p.doc_id AS id, coalesce(s.n_tokens, 0) AS n_tokens, s.avg_nll
         |FROM probe p LEFT JOIN scored s ON p.doc_id = s.id
         |ORDER BY id""".stripMargin,
+    "q_mask_corrupt" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS tk
+        |  FROM documents WHERE doc_id <= 200),
+        |m AS (
+        |  SELECT doc_id, tk,
+        |    [CAST(concat('0x', substr(md5('mlm:' || CAST(doc_id AS VARCHAR) || ':'
+        |                                  || CAST(i AS VARCHAR)), 1, 8)) AS UBIGINT)
+        |       * 1000000 < 150000 * 4294967296
+        |     FOR i IN range(1, len(tk) + 1)] AS msk
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_filter(
+        |      [CASE WHEN NOT msk[i] THEN tk[i]
+        |            WHEN i = 1 OR NOT msk[i - 1] THEN '<mask>'
+        |            ELSE '' END FOR i IN range(1, len(tk) + 1)],
+        |      p -> p != ''), ' ') AS masked_text,
+        |    list_filter([CASE WHEN msk[i] THEN tk[i] ELSE '' END
+        |                 FOR i IN range(1, len(tk) + 1)], p -> p != '') AS tgt
+        |  FROM m)
+        |SELECT doc_id, masked_text,
+        |  coalesce(array_to_string(tgt, ' '), '') AS targets_str,
+        |  CAST(len(tgt) AS BIGINT) AS n_masked
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q_fim" ->
       """WITH t AS (
         |  SELECT doc_id, coalesce(text, '') AS text,

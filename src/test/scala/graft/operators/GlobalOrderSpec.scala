@@ -134,6 +134,40 @@ class GlobalOrderSpec extends SparkSpec {
     assert(straddle == Seq((0L, 0L, 1L), (0L, 1L, 2L)))
   }
 
+  test("maskCorrupt: runs collapse to one sentinel; masked+kept reconstruct the doc") {
+    import graft.pipeline.Pack
+    val docs = (1L to 200L).map(id => (id, (1 to 30).map(j => s"w${id}_$j").mkString(" ")))
+    val out = Pack.maskCorrupt(docs.toDF("doc_id", "text"), "doc_id", "text",
+        maskRate = 0.3, seed = "m1")
+      .select("doc_id", "masked_text", "targets", "n_masked")
+      .as[(Long, String, Seq[String], Long)].collect()
+    val byId = docs.toMap
+    var totMasked = 0L
+    for ((id, masked, targets, n) <- out) {
+      assert(n == targets.size)
+      totMasked += n
+      // kept tokens + masked targets = the original multiset, order kept
+      val keptSeq = masked.split(" ").filter(_ != "<mask>").toSeq
+      val orig = byId(id).split(" ").toSeq
+      assert((keptSeq ++ targets).sorted == orig.sorted, s"doc $id lost tokens")
+      // no two adjacent sentinels (runs collapse)
+      assert(!masked.contains("<mask> <mask>"), s"doc $id has un-collapsed runs")
+      // interleaving order: removing sentinels keeps original relative order
+      assert(orig.filter(keptSeq.contains) == keptSeq)
+    }
+    assert(math.abs(totMasked / 6000.0 - 0.3) < 0.05, s"mask rate off: $totMasked/6000")
+    // deterministic under repartition; total at rate 0 and 1
+    val again = Pack.maskCorrupt(docs.toDF("doc_id", "text").repartition(5),
+        "doc_id", "text", 0.3, "m1")
+      .select("doc_id", "masked_text").as[(Long, String)].collect().toMap
+    assert(out.map(r => r._1 -> r._2).toMap == again)
+    assert(Pack.maskCorrupt(docs.toDF("doc_id", "text"), "doc_id", "text", 0.0, "m1")
+      .agg(sum("n_masked")).as[Long].head() == 0L)
+    val full = Pack.maskCorrupt(docs.toDF("doc_id", "text"), "doc_id", "text", 1.0, "m1")
+      .select("masked_text").as[String].collect()
+    assert(full.forall(_ == "<mask>"), "rate 1: whole doc is one collapsed sentinel")
+  }
+
   test("fimTransform: PSM rendering is a lossless permutation; selection honors the rate") {
     import graft.pipeline.Pack
     val docs = (1L to 400L).map(id => (id, s"doc $id " + ("x" * (id % 23).toInt)))
