@@ -118,4 +118,66 @@ object Drift {
       col("__best").getField("__d").as("d_stat"),
       (-col("__best").getField("__negv")).as("at_value"))
   }
+
+  /** Welch's two-sample t statistic (unequal variances) with the
+    * Welch–Satterthwaite degrees of freedom — the mean-shift test an
+    * experiment/monitoring readout pairs with the distribution-shape
+    * tests above ([[ksStat]] sees shape, this sees location). One
+    * count/mean/variance aggregate per side (map-side partial), a
+    * 1-row cross join, pure arithmetic after — nothing shuffles.
+    * Output: (n_ref, n_cur, mean_ref, mean_cur, t_stat, df), nulls
+    * when either side has < 2 rows or both variances are 0 (the
+    * statistic is undefined; a monitoring caller treats null as
+    * "cannot decide", never as "no drift"). Values rounded to 6 dp.
+    */
+  def welchT(ref: DataFrame, cur: DataFrame, colName: String): DataFrame = {
+    def side(df: DataFrame, tag: String) = df
+      .filter(col(colName).isNotNull && !isnan(col(colName).cast("double")))
+      .agg(count(lit(1)).as(s"n_$tag"),
+        avg(col(colName).cast("double")).as(s"mean_$tag"),
+        var_samp(col(colName).cast("double")).as(s"var_$tag"))
+    val joined = side(ref, "ref").crossJoin(side(cur, "cur"))
+    val se2 = col("var_ref") / col("n_ref") + col("var_cur") / col("n_cur")
+    val t = (col("mean_cur") - col("mean_ref")) / sqrt(se2)
+    val dfW = (se2 * se2) /
+      ((col("var_ref") / col("n_ref")) * (col("var_ref") / col("n_ref")) / (col("n_ref") - 1) +
+        (col("var_cur") / col("n_cur")) * (col("var_cur") / col("n_cur")) / (col("n_cur") - 1))
+    val defined = col("n_ref") >= 2 && col("n_cur") >= 2 && se2 > 0
+    joined.select(col("n_ref"), col("n_cur"),
+      round(col("mean_ref"), 6).as("mean_ref"), round(col("mean_cur"), 6).as("mean_cur"),
+      when(defined, round(t, 6)).otherwise(lit(null).cast("double")).as("t_stat"),
+      when(defined, round(dfW, 6)).otherwise(lit(null).cast("double")).as("df"))
+  }
+
+  /** Pearson chi-square statistic between two CATEGORICAL snapshots:
+    * Σ over categories of (obs − exp)² / exp where exp scales the
+    * reference distribution to the current total — the drift test for
+    * label/source/language mixes (PSI's cousin with a classical null
+    * distribution: χ²_{k−1}). Categories absent from the reference
+    * contribute through `floorCount` pseudo-counts (a zero expected
+    * cell would divide by zero exactly when drift is most extreme).
+    * One partial-agg census per side, full-outer joined on the
+    * category, tiny final agg. Output: (n_categories, n_ref, n_cur,
+    * chi2) rounded to 6 dp.
+    */
+  def chiSquare(ref: DataFrame, cur: DataFrame, colName: String,
+                floorCount: Double = 0.5): DataFrame = {
+    require(floorCount > 0, s"floorCount must be positive, got $floorCount")
+    def census(df: DataFrame, tag: String) = df
+      .groupBy(col(colName).cast("string").as("__cat"))
+      .agg(count(lit(1)).as(s"__c_$tag"))
+    val cells = census(ref, "ref").join(census(cur, "cur"), Seq("__cat"), "full_outer")
+      .select(col("__cat"),
+        coalesce(col("__c_ref"), lit(0L)).as("__r"),
+        coalesce(col("__c_cur"), lit(0L)).as("__c"))
+    val tot = cells.agg(sum(col("__r")).as("__tr"), sum(col("__c")).as("__tc"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("__cat"), col("__r"), col("__c"), col("__tr"), col("__tc"),
+        greatest(col("__r").cast("double"), lit(floorCount)).as("__rf"))
+      .withColumn("__exp", col("__rf") / col("__tr") * col("__tc"))
+      .agg(count(lit(1)).as("n_categories"),
+        max(col("__tr")).as("n_ref"), max(col("__tc")).as("n_cur"),
+        round(sum((col("__c") - col("__exp")) * (col("__c") - col("__exp")) / col("__exp")),
+          6).as("chi2"))
+  }
 }

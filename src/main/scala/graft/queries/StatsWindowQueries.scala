@@ -78,6 +78,26 @@ object StatsWindowQueries extends QueryPack {
         "o_totalprice", nBuckets = 10)
     },
 
+    // Welch's t over the same pre/post-1998 split (location drift next
+    // to q_drift's shape drift); every moment recomputed in SQL.
+    "q_welch_t" -> { (s, dir) =>
+      val ord = tables(s, dir).orders
+      graft.operators.Drift.welchT(
+        ord.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        ord.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")),
+        "o_totalprice")
+    },
+
+    // chi-square drift between the order-priority mixes of the two
+    // date halves (categorical cousin of q_drift's PSI).
+    "q_chi2_drift" -> { (s, dir) =>
+      val ord = tables(s, dir).orders
+      graft.operators.Drift.chiSquare(
+        ord.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        ord.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")),
+        "o_orderpriority")
+    },
+
     // exact two-sample KS statistic over the same pre/post-1998 split
     // as q_drift — bucket-free CDF-gap drift test; all cumulative
     // arithmetic is integer so both engines agree bit-exactly.
@@ -407,6 +427,40 @@ object StatsWindowQueries extends QueryPack {
         |  round(pr, 6) AS p_ref, round(pc, 6) AS p_cur,
         |  round((pc - pr) * ln(pc / pr), 6) AS contrib
         |FROM t ORDER BY bucket""".stripMargin,
+    "q_welch_t" ->
+      """WITH r AS (
+        |  SELECT count(*) AS n_ref, avg(o_totalprice) AS mean_ref,
+        |    var_samp(o_totalprice) AS var_ref
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+        |c AS (
+        |  SELECT count(*) AS n_cur, avg(o_totalprice) AS mean_cur,
+        |    var_samp(o_totalprice) AS var_cur
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+        |j AS (SELECT *, var_ref/n_ref + var_cur/n_cur AS se2 FROM r CROSS JOIN c)
+        |SELECT n_ref, n_cur, round(mean_ref, 6) AS mean_ref, round(mean_cur, 6) AS mean_cur,
+        |  round((mean_cur - mean_ref) / sqrt(se2), 6) AS t_stat,
+        |  round(se2*se2 / ((var_ref/n_ref)*(var_ref/n_ref)/(n_ref-1)
+        |                   + (var_cur/n_cur)*(var_cur/n_cur)/(n_cur-1)), 6) AS df
+        |FROM j""".stripMargin,
+    "q_chi2_drift" ->
+      """WITH r AS (
+        |  SELECT o_orderpriority AS cat, count(*) AS cr FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1),
+        |c AS (
+        |  SELECT o_orderpriority AS cat, count(*) AS cc FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY 1),
+        |cells AS (
+        |  SELECT coalesce(r.cat, c.cat) AS cat, coalesce(cr, 0) AS cr, coalesce(cc, 0) AS cc
+        |  FROM r FULL OUTER JOIN c ON r.cat = c.cat),
+        |t AS (SELECT sum(cr) AS tr, sum(cc) AS tc FROM cells),
+        |e AS (
+        |  SELECT cat, cc, tr, tc,
+        |    greatest(CAST(cr AS DOUBLE), 0.5) / tr * tc AS expd
+        |  FROM cells CROSS JOIN t)
+        |SELECT count(*) AS n_categories,
+        |  CAST(max(tr) AS BIGINT) AS n_ref, CAST(max(tc) AS BIGINT) AS n_cur,
+        |  round(sum((cc - expd) * (cc - expd) / expd), 6) AS chi2
+        |FROM e""".stripMargin,
     "q_pct_rank" -> {
       val ps = (0 to 512).map(i => (i.toDouble / 512).toString).mkString(", ")
       s"""WITH g AS (

@@ -63,4 +63,42 @@ class DriftSpec extends SparkSpec {
     val r2 = Drift.ksStat(a.repartition(13), b.repartition(7), "v").collect()(0)
     assert(r1 == r2)
   }
+
+  test("welchT matches the closed form; identical samples give t=0; degenerates null") {
+    val ref = Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("v")
+    val cur = Seq(3.0, 4.0, 5.0, 6.0, 7.0, 8.0).toDF("v")
+    val r = Drift.welchT(ref, cur, "v").collect()(0)
+    assert(r.getLong(0) == 5L && r.getLong(1) == 6L)
+    // closed form: means 3 and 5.5, vars 2.5 and 3.5
+    val se2 = 2.5 / 5 + 3.5 / 6
+    val t = (5.5 - 3.0) / math.sqrt(se2)
+    val dfW = se2 * se2 / ((2.5 / 5) * (2.5 / 5) / 4 + (3.5 / 6) * (3.5 / 6) / 5)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) == r6(t) && r.getDouble(5) == r6(dfW))
+    val same = Drift.welchT(ref, ref, "v").collect()(0)
+    assert(same.getDouble(4) == 0.0)
+    // both constant → se2 = 0 → undefined
+    val const = Seq(2.0, 2.0, 2.0).toDF("v")
+    assert(Drift.welchT(const, const, "v").collect()(0).isNullAt(4))
+    // one row on a side → undefined
+    assert(Drift.welchT(Seq(1.0).toDF("v"), cur, "v").collect()(0).isNullAt(4))
+  }
+
+  test("chiSquare: identical mixes score 0; novel categories hit the floor path") {
+    val ref = (Seq.fill(60)("a") ++ Seq.fill(30)("b") ++ Seq.fill(10)("c")).toDF("cat")
+    val r0 = Drift.chiSquare(ref, ref, "cat").collect()(0)
+    assert(r0.getLong(0) == 3L && r0.getDouble(3) == 0.0)
+    // shifted mix: closed form with expected = ref share × cur total
+    val cur = (Seq.fill(30)("a") ++ Seq.fill(60)("b") ++ Seq.fill(10)("c")).toDF("cat")
+    val r1 = Drift.chiSquare(ref, cur, "cat").collect()(0)
+    def term(obs: Double, exp: Double) = (obs - exp) * (obs - exp) / exp
+    val want = term(30, 60) + term(60, 30) + term(10, 10)
+    assert(math.abs(r1.getDouble(3) - want) < 1e-9)
+    // a category the reference never saw: finite via the pseudo-count
+    val novel = (Seq.fill(90)("a") ++ Seq.fill(10)("z")).toDF("cat")
+    val r2 = Drift.chiSquare(ref, novel, "cat").collect()(0)
+    assert(r2.getLong(0) == 4L && !r2.isNullAt(3) && r2.getDouble(3) > 100,
+      s"novel category must register extreme drift: $r2")
+    intercept[IllegalArgumentException](Drift.chiSquare(ref, cur, "cat", floorCount = 0))
+  }
 }
