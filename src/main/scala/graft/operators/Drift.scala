@@ -119,6 +119,58 @@ object Drift {
       (-col("__best").getField("__negv")).as("at_value"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) — the nonparametric location
+    * test: U_cur counts (ref, cur) pairs where the cur value wins
+    * (ties half), computed through midranks; heavy-tailed metrics
+    * where Welch's t is unreliable are exactly where monitoring needs
+    * this. Same balanced machinery as [[ksStat]]: per-value counts,
+    * one bucketed prefix sum over the pooled support, totals
+    * broadcast — never a global sort. All rank arithmetic is exact
+    * over 2·counts integers (midranks are halves), so both engines
+    * agree bit-for-bit; `z` applies the normal approximation with the
+    * standard tie-corrected variance (null when either side is empty
+    * or every value ties). Output: (n_ref, n_cur, u_cur, z — 6 dp).
+    */
+  def mannWhitney(ref: DataFrame, cur: DataFrame, colName: String): DataFrame = {
+    def side(df: DataFrame, tag: Int): DataFrame =
+      df.select(col(colName).cast("double").as("__v"))
+        .filter(col("__v").isNotNull && !isnan(col("__v")))
+        .withColumn("__t", lit(tag))
+    val counts = side(ref, 0).unionAll(side(cur, 1))
+      .groupBy(col("__v"))
+      .agg(sum(when(col("__t") === 0, 1L).otherwise(0L)).as("n_ref_v"),
+        sum(when(col("__t") === 1, 1L).otherwise(0L)).as("n_cur_v"))
+      .withColumn("__m", col("n_ref_v") + col("n_cur_v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted for the prefix-sum probe + totals + final pass, like
+    // ksStat (the caller's one action consumes it; Spark evicts LRU)
+    val ranked = GlobalOrder.withGlobalOffset(counts, "__v", col("__m"), "__off")
+      val totals = broadcast(counts.agg(
+        sum(col("n_ref_v")).as("__nr"), sum(col("n_cur_v")).as("__nc"),
+        // tie-correction term Σ m·(m²−1) over the support
+        sum(col("__m") * (col("__m") * col("__m") - 1)).as("__tiesum")))
+      // midrank of value v = off + (m+1)/2; rank sums stay exact as
+      // 2×rank integers (every midrank is a half)
+      val agg = ranked
+        .agg(sum(col("n_cur_v") * (lit(2L) * col("__off") + col("__m") + 1L)).as("__r2cur"))
+      agg.crossJoin(totals).select(
+        col("__nr").as("n_ref"), col("__nc").as("n_cur"),
+        // U_cur = R_cur − n_cur(n_cur+1)/2, with R_cur = __r2cur/2
+        (col("__r2cur").cast("double") / 2 -
+          col("__nc").cast("double") * (col("__nc") + 1) / 2).as("__u"),
+        col("__tiesum"))
+        .select(col("n_ref"), col("n_cur"), col("__u").as("u_cur"),
+          locally {
+            val n = col("n_ref") + col("n_cur")
+            val mu = col("n_ref").cast("double") * col("n_cur") / 2
+            val varU = col("n_ref").cast("double") * col("n_cur") / 12 *
+              ((n + 1) - col("__tiesum").cast("double") / (n * (n - 1)))
+            when(col("n_ref") > 0 && col("n_cur") > 0 && varU > 0,
+              round((col("__u") - mu) / sqrt(varU), 6))
+              .otherwise(lit(null).cast("double")).as("z")
+          })
+  }
+
   /** Welch's two-sample t statistic (unequal variances) with the
     * Welch–Satterthwaite degrees of freedom — the mean-shift test an
     * experiment/monitoring readout pairs with the distribution-shape

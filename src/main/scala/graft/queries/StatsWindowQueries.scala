@@ -88,6 +88,16 @@ object StatsWindowQueries extends QueryPack {
         "o_totalprice")
     },
 
+    // Mann–Whitney U over the same split — rank-based location drift;
+    // midrank arithmetic is exact integers/halves in both engines.
+    "q_mann_whitney" -> { (s, dir) =>
+      val ord = tables(s, dir).orders
+      graft.operators.Drift.mannWhitney(
+        ord.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+        ord.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")),
+        "o_totalprice")
+    },
+
     // chi-square drift between the order-priority mixes of the two
     // date halves (categorical cousin of q_drift's PSI).
     "q_chi2_drift" -> { (s, dir) =>
@@ -442,6 +452,31 @@ object StatsWindowQueries extends QueryPack {
         |  round(se2*se2 / ((var_ref/n_ref)*(var_ref/n_ref)/(n_ref-1)
         |                   + (var_cur/n_cur)*(var_cur/n_cur)/(n_cur-1)), 6) AS df
         |FROM j""".stripMargin,
+    "q_mann_whitney" ->
+      """WITH s AS (
+        |  SELECT o_totalprice AS v,
+        |    CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 0 ELSE 1 END AS t
+        |  FROM orders),
+        |c AS (SELECT v, sum(CASE WHEN t = 0 THEN 1 ELSE 0 END) AS nr,
+        |             sum(CASE WHEN t = 1 THEN 1 ELSE 0 END) AS nc
+        |      FROM s GROUP BY v),
+        |o AS (SELECT v, nr, nc, nr + nc AS m,
+        |        coalesce(sum(nr + nc) OVER (ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |      FROM c),
+        |t AS (SELECT sum(nr) AS tnr, sum(nc) AS tnc,
+        |        sum(m * (m * m - 1)) AS tiesum,
+        |        sum(nc * (2 * off + m + 1)) AS r2cur
+        |      FROM o)
+        |SELECT CAST(tnr AS BIGINT) AS n_ref, CAST(tnc AS BIGINT) AS n_cur,
+        |  CAST(r2cur AS DOUBLE) / 2 - CAST(tnc AS DOUBLE) * (tnc + 1) / 2 AS u_cur,
+        |  round((CAST(r2cur AS DOUBLE) / 2 - CAST(tnc AS DOUBLE) * (tnc + 1) / 2
+        |         - CAST(tnr AS DOUBLE) * tnc / 2)
+        |        / sqrt(CAST(tnr AS DOUBLE) * tnc / 12
+        |               * ((tnr + tnc + 1)
+        |                  - CAST(tiesum AS DOUBLE) / ((tnr + tnc) * (tnr + tnc - 1)))), 6)
+        |    AS z
+        |FROM t""".stripMargin,
     "q_chi2_drift" ->
       """WITH r AS (
         |  SELECT o_orderpriority AS cat, count(*) AS cr FROM orders

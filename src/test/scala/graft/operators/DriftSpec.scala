@@ -84,6 +84,25 @@ class DriftSpec extends SparkSpec {
     assert(Drift.welchT(Seq(1.0).toDF("v"), cur, "v").collect()(0).isNullAt(4))
   }
 
+  test("mannWhitney matches brute-force pair counting with ties; symmetric identity") {
+    val rnd = new scala.util.Random(41)
+    val a = Seq.fill(80)((rnd.nextInt(25)).toDouble)
+    val b = Seq.fill(65)((rnd.nextInt(25) + 5).toDouble)
+    val r = Drift.mannWhitney(a.toDF("v"), b.toDF("v"), "v").collect()(0)
+    assert(r.getLong(0) == 80L && r.getLong(1) == 65L)
+    // brute force: U_cur = #{(x in ref, y in cur): y > x} + ties/2
+    val brute = (for (x <- a; y <- b) yield
+      if (y > x) 1.0 else if (y == x) 0.5 else 0.0).sum
+    assert(r.getDouble(2) == brute, s"U ${r.getDouble(2)} != brute $brute")
+    // identical samples: U = n²/2, z = 0
+    val same = Drift.mannWhitney(a.toDF("v"), a.toDF("v"), "v").collect()(0)
+    assert(same.getDouble(2) == 80.0 * 80 / 2 && same.getDouble(3) == 0.0)
+    // all values tied → zero variance → null z
+    val const = Seq.fill(10)(3.0)
+    assert(Drift.mannWhitney(const.toDF("v"), const.toDF("v"), "v")
+      .collect()(0).isNullAt(3))
+  }
+
   test("chiSquare: identical mixes score 0; novel categories hit the floor path") {
     val ref = (Seq.fill(60)("a") ++ Seq.fill(30)("b") ++ Seq.fill(10)("c")).toDF("cat")
     val r0 = Drift.chiSquare(ref, ref, "cat").collect()(0)
