@@ -152,4 +152,25 @@ object Events {
         matchedTsCol = Some("touch_ts"))
       .select(col(userCol), col("conv_ts"), col("touch_type"), col("touch_ts"))
   }
+
+  /** First-order transition census over each user's event stream —
+    * the (from → to) counts behind flow/Sankey views and Markov-chain
+    * behavior models: consecutive event pairs in per-user
+    * (ts, tieCols) order, counted corpus-wide. Pass `tieCols` (e.g.
+    * the event id) whenever timestamps can repeat — without a total
+    * order the successor of a tied event is undefined and the census
+    * is not reproducible. One window pass clustered by user (per-user
+    * linear; ultra-hot users chunk like asofJoinChunked) + one
+    * partial-agg count; transition cardinality ≤ |types|², tiny.
+    */
+  def transitions(df: DataFrame, userCol: String, tsCol: String, typeCol: String,
+                  tieCols: Seq[String] = Nil): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol))
+      .orderBy(col(tsCol) +: tieCols.map(col): _*)
+    df.withColumn("__next", lead(col(typeCol), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

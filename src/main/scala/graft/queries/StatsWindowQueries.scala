@@ -228,6 +228,14 @@ object StatsWindowQueries extends QueryPack {
         Seq("view", "click", "purchase"), withinSec = Some(86400L))
     },
 
+    // first-order event-transition census (flow/Sankey counts):
+    // consecutive pairs per user in (ts, event_id) order.
+    "q_transitions" -> { (s, dir) =>
+      graft.operators.Events.transitions(tables(s, dir).events,
+          "user_id", "ts", "event_type", tieCols = Seq("event_id"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+
     // last-touch attribution: every purchase credited to the most
     // recent click/view within a 2h lookback (as-of composition;
     // DuckDB's native ASOF JOIN is the oracle).
@@ -452,6 +460,16 @@ object StatsWindowQueries extends QueryPack {
         |  round(se2*se2 / ((var_ref/n_ref)*(var_ref/n_ref)/(n_ref-1)
         |                   + (var_cur/n_cur)*(var_cur/n_cur)/(n_cur-1)), 6) AS df
         |FROM j""".stripMargin,
+    "q_transitions" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type AS from_type, next_type AS to_type,
+        |  count(*) AS n
+        |FROM s WHERE next_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY from_type, to_type""".stripMargin,
     "q_mann_whitney" ->
       """WITH s AS (
         |  SELECT o_totalprice AS v,

@@ -102,4 +102,24 @@ class EventsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Events.lastTouch(df, "user", "type", "ts",
       Seq("buy"), "buy", 10L))
   }
+
+  test("transitions: per-user consecutive pairs, tie-ordered, cross-user isolation") {
+    val df = Seq(
+      ("a", "view", ts(0), 1L), ("a", "click", ts(1), 2L), ("a", "buy", ts(2), 3L),
+      ("b", "view", ts(0), 4L), ("b", "view", ts(1), 5L), ("b", "click", ts(2), 6L),
+      // same-instant pair for user c: event_id breaks the tie
+      ("c", "click", ts(5), 8L), ("c", "view", ts(5), 7L),
+      ("d", "buy", ts(9), 9L) // single event → no transition
+    ).toDF("user", "type", "ts", "eid")
+    val out = Events.transitions(df, "user", "ts", "type", tieCols = Seq("eid"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("view", "click") -> 3L,  // a; b's second view; c: view(7)→click(8)
+      ("click", "buy") -> 1L,
+      ("view", "view") -> 1L))
+    // repartition-stable (the window orders totally via the tie col)
+    val again = Events.transitions(df.repartition(5), "user", "ts", "type", Seq("eid"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(again == out)
+  }
 }
