@@ -6,8 +6,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** SparkSessionExtensions hook registering graft's native expressions
   * as SQL functions (`graft_cosine`, `graft_dot`,
-  * `graft_hyperplane_cell`, `graft_minhash_agg`, `graft_simhash_agg`),
-  * so `spark.sql` users get the fused kernels too:
+  * `graft_hyperplane_cell`, `graft_minhash_agg`, `graft_simhash_agg`,
+  * `graft_normalize`, and the theta-sketch algebra
+  * `graft_theta_sketch_agg` / `graft_theta_estimate` /
+  * `graft_theta_union` / `graft_theta_intersect` /
+  * `graft_theta_anotb`), so `spark.sql` users get the fused kernels
+  * too:
   *
   *   SparkSession.builder().withExtensions(new GraftExtensions)
   *   // or spark.sql.extensions=graft.expressions.GraftExtensions
@@ -96,6 +100,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "graft_simhash_agg(h) takes one bigint argument")
         SimHashAgg(children(0)).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_theta_sketch_agg"),
+      new ExpressionInfo(classOf[ThetaSketchAgg].getName, "graft_theta_sketch_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_theta_sketch_agg(v, lgK) takes (long/string/binary, int literal)")
+        ThetaSketchAgg(children(0), intArg(children(1), "lgK")).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_theta_estimate"),
+      new ExpressionInfo(classOf[ThetaEstimate].getName, "graft_theta_estimate"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          "graft_theta_estimate(sketch) takes one binary argument")
+        ThetaEstimate(children(0))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_theta_union"),
+      new ExpressionInfo(classOf[ThetaCombine].getName, "graft_theta_union"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_theta_union(a, b) takes two binary arguments")
+        ThetaCombine(children(0), children(1), ThetaOps.OpUnion)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_theta_intersect"),
+      new ExpressionInfo(classOf[ThetaCombine].getName, "graft_theta_intersect"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_theta_intersect(a, b) takes two binary arguments")
+        ThetaCombine(children(0), children(1), ThetaOps.OpIntersect)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_theta_anotb"),
+      new ExpressionInfo(classOf[ThetaCombine].getName, "graft_theta_anotb"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_theta_anotb(a, b) takes two binary arguments")
+        ThetaCombine(children(0), children(1), ThetaOps.OpANotB)
       }))
   }
 }

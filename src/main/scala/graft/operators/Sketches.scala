@@ -1,0 +1,246 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.expressions.{ThetaCombine, ThetaEstimate, ThetaSketchAgg}
+
+/** Mergeable distinct-count sketches as PERSISTED, incrementally
+  * growable artifacts — the cross-crawl accounting layer of a 100 TB
+  * curation pipeline.
+  *
+  * Reference intent: scio's distinct-count surface is
+  * `SCollection.countApproxDistinct` backed by the
+  * `ApproxDistinctCounter` estimator SPI (scio-core
+  * estimators/ApproxDistinctCounter.scala) with zetasketch HLL++ as
+  * the production implementation (scio-extra hll/zetasketch) — chosen
+  * precisely because its sketches MERGE, so per-shard results
+  * combine without recount. Graft re-expresses that design Spark-first:
+  *
+  *  - per-group HLL sketches via Spark's codegen'd DataSketches
+  *    `hll_sketch_agg` (partial-aggregated map-side like any agg);
+  *  - the sketch table saved ONCE as a parquet artifact with a
+  *    parameter sidecar (`_GRAFT_SKETCH`), the same
+  *    train-once-persist-reuse contract as the MinHash / IVF / BPE
+  *    artifacts;
+  *  - `extendHllIndex`: a new crawl unions its sketches into the
+  *    stored ones per group — historical rows are NEVER re-read
+  *    (register-max union is lossless and order-independent, so the
+  *    extended artifact equals a from-scratch rebuild, spec-pinned);
+  *  - theta sketches ([[graft.expressions.ThetaSketchAgg]]) for the
+  *    set-ALGEBRA questions HLL cannot answer without error
+  *    amplification: crawl-overlap (intersection), novelty
+  *    (difference) — `thetaSetEstimates` joins two sketch tables
+  *    full-outer per group and emits union/intersection/difference
+  *    estimates from sketch-sized inputs only.
+  *
+  * Everything here moves sketches (≤ ~1 MB), never rows: build is one
+  * shuffle of partial sketches per side; set ops join tables whose
+  * row count is the number of GROUPS.
+  */
+object Sketches {
+
+  final case class SketchIndexParams(kind: String, lgK: Int, valueCol: String,
+                                     groupCols: Seq[String])
+
+  private val Meta = "_GRAFT_SKETCH"
+
+  // ---------------------------------------------------------------
+  // build
+
+  /** Per-group HLL sketch table: groupCols* + `sketch` binary.
+    * No groupCols → one global row (group key `_global` omitted).
+    */
+  def hllSketches(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                  lgK: Int = 12): DataFrame = {
+    require(lgK >= 4 && lgK <= 21, s"hll lgConfigK must be in [4,21], got $lgK")
+    val agg = hll_sketch_agg(col(valueCol), lgK).as("sketch")
+    if (groupCols.isEmpty) df.agg(agg)
+    else df.groupBy(groupCols.map(col): _*).agg(agg)
+  }
+
+  /** Per-group theta sketch table: groupCols* + `sketch` binary. */
+  def thetaSketches(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                    lgK: Int = 14): DataFrame = {
+    val agg = ThetaSketchAgg.thetaAggF(col(valueCol), lgK).as("sketch")
+    if (groupCols.isEmpty) df.agg(agg)
+    else df.groupBy(groupCols.map(col): _*).agg(agg)
+  }
+
+  /** Append a `distinct_est` column to a sketch table (either kind). */
+  def withEstimate(sketchTable: DataFrame, kind: String): DataFrame = kind match {
+    case "hll" =>
+      sketchTable.withColumn("distinct_est", hll_sketch_estimate(col("sketch")))
+    case "theta" =>
+      sketchTable.withColumn("distinct_est", ThetaEstimate.thetaEstimateF(col("sketch")))
+    case other => throw new IllegalArgumentException(s"unknown sketch kind '$other'")
+  }
+
+  // ---------------------------------------------------------------
+  // artifact
+
+  /** Build and persist a sketch index: parquet sketch table + param
+    * sidecar. `kind` ∈ {hll, theta}.
+    */
+  def saveIndex(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                path: String, kind: String = "hll", lgK: Int = 12): Unit = {
+    val table = kind match {
+      case "hll" => hllSketches(df, valueCol, groupCols, lgK)
+      case "theta" => thetaSketches(df, valueCol, groupCols, lgK)
+      case other => throw new IllegalArgumentException(s"unknown sketch kind '$other'")
+    }
+    table.write.mode("overwrite").parquet(s"$path/sketches")
+    val spark = df.sparkSession
+    val meta = new org.apache.hadoop.fs.Path(s"$path/$Meta")
+    val fs = org.apache.hadoop.fs.FileSystem.get(meta.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(meta, true)
+    val groups = groupCols.map(g => s""""$g"""").mkString(",")
+    out.write(
+      s"""{"kind":"$kind","lgK":$lgK,"valueCol":"$valueCol","groupCols":[$groups]}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  /** Read back an index's parameter sidecar (loud failure when absent —
+    * the directory is not a sketch artifact).
+    */
+  def loadIndexParams(spark: SparkSession, path: String): SketchIndexParams = {
+    val meta = new org.apache.hadoop.fs.Path(s"$path/$Meta")
+    val fs = org.apache.hadoop.fs.FileSystem.get(meta.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(meta), s"$path is not a graft sketch index (no $Meta sidecar)")
+    val in = fs.open(meta)
+    val raw = try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    def str(name: String): String = {
+      val m = s""""$name"\\s*:\\s*"([^"]*)"""".r.findFirstMatchIn(raw)
+      require(m.isDefined, s"malformed $Meta sidecar at $path: $raw")
+      m.get.group(1)
+    }
+    val lgK = {
+      val m = """"lgK"\s*:\s*(\d+)""".r.findFirstMatchIn(raw)
+      require(m.isDefined, s"malformed $Meta sidecar at $path: $raw")
+      m.get.group(1).toInt
+    }
+    val groups = {
+      val m = """"groupCols"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(raw)
+      require(m.isDefined, s"malformed $Meta sidecar at $path: $raw")
+      """"([^"]*)"""".r.findAllMatchIn(m.get.group(1)).map(_.group(1)).toSeq
+    }
+    SketchIndexParams(str("kind"), lgK, str("valueCol"), groups)
+  }
+
+  /** The stored sketch table. */
+  def loadIndex(spark: SparkSession, path: String): DataFrame = {
+    loadIndexParams(spark, path) // sidecar validation
+    spark.read.parquet(s"$path/sketches")
+  }
+
+  /** Merge two sketch tables of the SAME params per group (full outer
+    * on the group keys; a group absent from one side contributes the
+    * empty set).
+    */
+  private def unionTables(kind: String, groupCols: Seq[String],
+                          a: DataFrame, b: DataFrame): DataFrame = {
+    val aa = a.withColumnRenamed("sketch", "sk_a")
+    val bb = b.withColumnRenamed("sketch", "sk_b")
+    val joined =
+      if (groupCols.isEmpty) aa.crossJoin(bb) // both single-row global sketches
+      else aa.join(bb, groupCols, "full_outer")
+    val merged = kind match {
+      case "hll" =>
+        // hll_union is null-intolerant; coalesce an absent side to the
+        // present one (register-max with one side = that side)
+        when(col("sk_a").isNull, col("sk_b"))
+          .when(col("sk_b").isNull, col("sk_a"))
+          .otherwise(hll_union(col("sk_a"), col("sk_b")))
+      case "theta" => ThetaCombine.thetaUnionF(col("sk_a"), col("sk_b"))
+      case other => throw new IllegalArgumentException(s"unknown sketch kind '$other'")
+    }
+    joined.select(groupCols.map(col) :+ merged.as("sketch"): _*)
+  }
+
+  /** Grow a persisted sketch index with a new crawl WITHOUT re-reading
+    * any historical rows: the new crawl sketches itself, the stored
+    * sketches union in as-is (register-max / set union — lossless and
+    * order-independent, so extended == from-scratch, spec-pinned).
+    * Writes a complete artifact at `outPath` (must differ from
+    * `indexPath` — an in-place rewrite of a lazily-read source would
+    * destroy the only copy on failure).
+    */
+  def extendIndex(newDf: DataFrame, indexPath: String, outPath: String): Unit = {
+    val spark = newDf.sparkSession
+    require(new org.apache.hadoop.fs.Path(outPath).toUri.normalize !=
+      new org.apache.hadoop.fs.Path(indexPath).toUri.normalize,
+      s"extendIndex cannot rewrite an index in place; write to a new path ($indexPath)")
+    val p = loadIndexParams(spark, indexPath)
+    val old = spark.read.parquet(s"$indexPath/sketches")
+    val fresh = p.kind match {
+      case "hll" => hllSketches(newDf, p.valueCol, p.groupCols, p.lgK)
+      case _ => thetaSketches(newDf, p.valueCol, p.groupCols, p.lgK)
+    }
+    unionTables(p.kind, p.groupCols, old, fresh)
+      .write.mode("overwrite").parquet(s"$outPath/sketches")
+    val meta = new org.apache.hadoop.fs.Path(s"$outPath/$Meta")
+    val fs = org.apache.hadoop.fs.FileSystem.get(meta.toUri,
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(meta, true)
+    val groups = p.groupCols.map(g => s""""$g"""").mkString(",")
+    out.write(
+      s"""{"kind":"${p.kind}","lgK":${p.lgK},"valueCol":"${p.valueCol}","groupCols":[$groups]}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+  }
+
+  // ---------------------------------------------------------------
+  // set algebra (theta)
+
+  /** Per-group set-operation estimates between two theta sketch
+    * tables: est_a, est_b, est_union, est_intersection, est_a_only,
+    * est_b_only (+ ±2σ bounds on the intersection — the op whose
+    * error users must see). Inputs are sketch tables from
+    * [[thetaSketches]] with the SAME lgK and group columns; groups
+    * absent from one side count as empty. Join traffic is
+    * groups × sketch bytes — never rows.
+    */
+  def thetaSetEstimates(a: DataFrame, b: DataFrame,
+                        groupCols: Seq[String]): DataFrame = {
+    val aa = a.withColumnRenamed("sketch", "sk_a")
+    val bb = b.withColumnRenamed("sketch", "sk_b")
+    val joined =
+      if (groupCols.isEmpty) aa.crossJoin(bb)
+      else aa.join(bb, groupCols, "full_outer")
+    // a side's sketch column is null for groups it never saw — that is
+    // the empty set (estimate 0), matching the combine null contract
+    val est = (c: Column) =>
+      coalesce(ThetaEstimate.thetaEstimateF(c), lit(0.0))
+    val inter = ThetaCombine.thetaIntersectF(col("sk_a"), col("sk_b"))
+    joined.select(groupCols.map(col) ++ Seq(
+      est(col("sk_a")).as("est_a"),
+      est(col("sk_b")).as("est_b"),
+      est(ThetaCombine.thetaUnionF(col("sk_a"), col("sk_b"))).as("est_union"),
+      est(inter).as("est_intersection"),
+      est(ThetaCombine.thetaANotBF(col("sk_a"), col("sk_b"))).as("est_a_only"),
+      est(ThetaCombine.thetaANotBF(col("sk_b"), col("sk_a"))).as("est_b_only")): _*)
+  }
+
+  /** One-row corpus-overlap summary between two frames: distinct
+    * counts per side, union, intersection, difference, and the
+    * containment/Jaccard ratios curation planning reads ("how much of
+    * crawl B is already in A?"). Exact when lgK exceeds the true
+    * distinct cardinality (theta exact mode).
+    */
+  def overlap(a: DataFrame, b: DataFrame, valueCol: String,
+              lgK: Int = 20): DataFrame = {
+    val sa = thetaSketches(a, valueCol, Seq.empty, lgK)
+    val sb = thetaSketches(b, valueCol, Seq.empty, lgK)
+    thetaSetEstimates(sa, sb, Seq.empty)
+      .withColumn("jaccard",
+        when(col("est_union") > 0, col("est_intersection") / col("est_union"))
+          .otherwise(lit(0.0)))
+      .withColumn("containment_b_in_a",
+        when(col("est_b") > 0, col("est_intersection") / col("est_b"))
+          .otherwise(lit(0.0)))
+  }
+}

@@ -356,6 +356,54 @@ object StatsWindowQueries extends QueryPack {
         .orderBy(col("l_returnflag"))
     },
 
+    // theta-sketch crawl-overlap algebra (DataSketches theta via the
+    // native ThetaSketchAgg): distinct ordering customers per priority
+    // in the two calendar halves — union / intersection / difference
+    // per group from SKETCHES only (join traffic = groups × sketch
+    // bytes, never rows). lgK=18 keeps every sketch in EXACT mode at
+    // all gate scales (distincts per group ≪ 2^18), so each estimate
+    // IS the true count and the oracle recomputes it with plain
+    // COUNT(DISTINCT) set arithmetic; estimation-mode error bounds
+    // are SketchesSpec's.
+    "q_theta_overlap" -> { (s, dir) =>
+      val o = tables(s, dir).orders
+      val a = o.filter(month(col("o_orderdate")) <= 6)
+      val b = o.filter(month(col("o_orderdate")) > 6)
+      val sk = (side: org.apache.spark.sql.DataFrame) =>
+        graft.operators.Sketches.thetaSketches(
+          side, "o_custkey", Seq("o_orderpriority"), lgK = 18)
+      graft.operators.Sketches.thetaSetEstimates(sk(a), sk(b), Seq("o_orderpriority"))
+        .select(col("o_orderpriority"),
+          col("est_a").cast("long").as("n_a"),
+          col("est_b").cast("long").as("n_b"),
+          col("est_union").cast("long").as("n_union"),
+          col("est_intersection").cast("long").as("n_inter"),
+          col("est_a_only").cast("long").as("n_a_only"),
+          col("est_b_only").cast("long").as("n_b_only"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // persisted mergeable HLL index (scio countApproxDistinct +
+    // zetasketch's merge-don't-recount design as an ARTIFACT): sketch
+    // per market segment built from even custkeys, EXTENDED with the
+    // odd ones — historical rows never re-read — then estimates read
+    // from the merged artifact. Rows-only: HLL estimates are
+    // engine-specific; extended==rebuild and the error bound are
+    // SketchesSpec's.
+    "q_hll_index" -> { (s, dir) =>
+      val c = tables(s, dir).customer
+      val base = java.nio.file.Files.createTempDirectory("graft_hllidx").toString
+      graft.operators.Sketches.saveIndex(
+        c.filter(col("c_custkey") % 2 === 0), "c_custkey", Seq("c_mktsegment"),
+        s"$base/idx0", kind = "hll", lgK = 14)
+      graft.operators.Sketches.extendIndex(
+        c.filter(col("c_custkey") % 2 === 1), s"$base/idx0", s"$base/idx1")
+      graft.operators.Sketches.withEstimate(
+          graft.operators.Sketches.loadIndex(s, s"$base/idx1"), "hll")
+        .select(col("c_mktsegment"), col("distinct_est").cast("long").as("n_est"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     // CMS-guided EXACT heavy hitters (scio Algebird-CMS shapes): the
     // sketch prefilter only prunes — CMS never undercounts, so the
     // exact aggregation over surviving rows makes the answer
@@ -382,6 +430,30 @@ object StatsWindowQueries extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_theta_overlap" ->
+      """WITH a AS (SELECT DISTINCT o_orderpriority AS p, o_custkey AS c
+        |           FROM orders WHERE month(o_orderdate) <= 6),
+        |     b AS (SELECT DISTINCT o_orderpriority AS p, o_custkey AS c
+        |           FROM orders WHERE month(o_orderdate) > 6),
+        |     ca AS (SELECT p, count(*) AS n_a FROM a GROUP BY p),
+        |     cb AS (SELECT p, count(*) AS n_b FROM b GROUP BY p),
+        |     cu AS (SELECT p, count(*) AS n_union FROM
+        |              (SELECT p, c FROM a UNION SELECT p, c FROM b) GROUP BY p),
+        |     ci AS (SELECT p, count(*) AS n_inter FROM
+        |              (SELECT p, c FROM a INTERSECT SELECT p, c FROM b) GROUP BY p)
+        |SELECT cu.p AS o_orderpriority,
+        |       coalesce(n_a, 0) AS n_a,
+        |       coalesce(n_b, 0) AS n_b,
+        |       n_union AS n_union,
+        |       coalesce(n_inter, 0) AS n_inter,
+        |       coalesce(n_a, 0) - coalesce(n_inter, 0) AS n_a_only,
+        |       coalesce(n_b, 0) - coalesce(n_inter, 0) AS n_b_only
+        |FROM cu
+        |LEFT JOIN ca ON cu.p = ca.p
+        |LEFT JOIN cb ON cu.p = cb.p
+        |LEFT JOIN ci ON cu.p = ci.p
+        |ORDER BY o_orderpriority""".stripMargin,
+
     "q_cms_heavy" ->
       """SELECT user_id, count(*) AS n FROM events
         |GROUP BY user_id HAVING count(*) >= 60 ORDER BY user_id""".stripMargin,

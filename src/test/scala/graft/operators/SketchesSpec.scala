@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.expressions.{ThetaCombine, ThetaEstimate, ThetaOps, ThetaSketchAgg}
+
+/** Theta-sketch set algebra + the persisted mergeable sketch index.
+  *
+  * The two contracts the oracle gate can't check directly:
+  *  - EXACT mode: while a theta sketch retains fewer than 2^lgK
+  *    hashes, estimates and set ops equal the true distinct counts
+  *    (what makes q_theta_overlap oracle-exact);
+  *  - estimation mode: error stays inside the sketch's own ±Nσ
+  *    bounds, and union/extend is order- and partitioning-independent.
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val orders = spark.read.parquet(s"$sf/orders.parquet")
+  private lazy val customer = spark.read.parquet(s"$sf/customer.parquet")
+
+  private def estimateOf(df: org.apache.spark.sql.DataFrame): Double =
+    df.select(ThetaEstimate.thetaEstimateF(col("sketch")).as("e")).as[Double].head()
+
+  test("theta exact mode: global estimate equals countDistinct exactly") {
+    val exact = orders.select(countDistinct(col("o_custkey"))).as[Long].head()
+    val est = estimateOf(Sketches.thetaSketches(orders, "o_custkey", Seq.empty, lgK = 18))
+    assert(est == exact.toDouble, s"exact-mode theta must be exact: est=$est exact=$exact")
+  }
+
+  test("theta exact mode: per-group estimates equal countDistinct, any partitioning") {
+    val exact = orders.groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("e"))
+      .as[(String, Long)].collect().toMap
+    for (parts <- Seq(1, 7)) {
+      val got = Sketches.withEstimate(
+          Sketches.thetaSketches(orders.repartition(parts), "o_custkey",
+            Seq("o_orderpriority"), lgK = 18), "theta")
+        .select(col("o_orderpriority"), col("distinct_est"))
+        .as[(String, Double)].collect().toMap
+      assert(got.keySet == exact.keySet)
+      got.foreach { case (k, e) =>
+        assert(e == exact(k).toDouble, s"parts=$parts key=$k est=$e exact=${exact(k)}")
+      }
+    }
+  }
+
+  test("theta set algebra is exact on a constructed overlap") {
+    // A = [0, 3000), B = [2000, 6000): |A∩B| = 1000, |A∪B| = 6000
+    val a = spark.range(0, 3000).toDF("v")
+    val b = spark.range(2000, 6000).toDF("v")
+    val row = Sketches.thetaSetEstimates(
+        Sketches.thetaSketches(a, "v", Seq.empty, lgK = 14),
+        Sketches.thetaSketches(b, "v", Seq.empty, lgK = 14), Seq.empty)
+      .select(col("est_a"), col("est_b"), col("est_union"),
+        col("est_intersection"), col("est_a_only"), col("est_b_only"))
+      .as[(Double, Double, Double, Double, Double, Double)].head()
+    assert(row == ((3000.0, 4000.0, 6000.0, 1000.0, 2000.0, 3000.0)))
+  }
+
+  test("overlap() reports exact jaccard/containment in exact mode") {
+    val a = spark.range(0, 3000).toDF("v")
+    val b = spark.range(2000, 6000).toDF("v")
+    val (j, c) = Sketches.overlap(a, b, "v", lgK = 14)
+      .select(col("jaccard"), col("containment_b_in_a")).as[(Double, Double)].head()
+    assert(j == 1000.0 / 6000.0 && c == 1000.0 / 4000.0, s"jaccard=$j containment=$c")
+  }
+
+  test("estimation mode: estimate within the sketch's own ±3σ bounds") {
+    val n = 20000L
+    val df = spark.range(0, n).toDF("v")
+    val bytes = Sketches.thetaSketches(df, "v", Seq.empty, lgK = 4)
+      .select(col("sketch")).as[Array[Byte]].head()
+    val est = ThetaOps.estimate(bytes)
+    val lo = ThetaOps.bound(bytes, 3, upper = false)
+    val hi = ThetaOps.bound(bytes, 3, upper = true)
+    assert(est != n.toDouble, "lgK=4 over 20k distincts must be estimating, not exact")
+    assert(lo <= n && n <= hi, s"true $n outside [$lo, $hi] (est $est)")
+  }
+
+  test("estimation mode: union is partitioning-independent") {
+    val df = spark.range(0, 20000).toDF("v")
+    val e1 = estimateOf(Sketches.thetaSketches(df.repartition(1), "v", Seq.empty, lgK = 6))
+    val e8 = estimateOf(Sketches.thetaSketches(df.repartition(8), "v", Seq.empty, lgK = 6))
+    // theta union keeps the k smallest hashes under min-theta — a set
+    // property, not an order property
+    assert(e1 == e8, s"repartition changed the theta estimate: $e1 vs $e8")
+  }
+
+  test("null inputs are skipped; all-null and empty relations sketch to 0") {
+    val mixed = Seq(Some(1L), None, Some(2L), Some(1L)).toDF("v")
+    assert(estimateOf(Sketches.thetaSketches(mixed, "v", Seq.empty, lgK = 10)) == 2.0)
+    val allNull = Seq[Option[Long]](None, None).toDF("v")
+    assert(estimateOf(Sketches.thetaSketches(allNull, "v", Seq.empty, lgK = 10)) == 0.0)
+    val empty = spark.range(0).toDF("v")
+    assert(estimateOf(Sketches.thetaSketches(empty, "v", Seq.empty, lgK = 10)) == 0.0)
+  }
+
+  test("ThetaCombine treats a null side as the empty set") {
+    val s = Sketches.thetaSketches(spark.range(0, 100).toDF("v"), "v", Seq.empty, lgK = 10)
+      .select(col("sketch")).as[Array[Byte]].head()
+    val one = Seq((Option(s), Option.empty[Array[Byte]])).toDF("a", "b")
+    val (u, i, d1, d2) = one.select(
+        ThetaEstimate.thetaEstimateF(ThetaCombine.thetaUnionF(col("a"), col("b"))).as("u"),
+        ThetaEstimate.thetaEstimateF(ThetaCombine.thetaIntersectF(col("a"), col("b"))).as("i"),
+        ThetaEstimate.thetaEstimateF(ThetaCombine.thetaANotBF(col("a"), col("b"))).as("d1"),
+        ThetaEstimate.thetaEstimateF(ThetaCombine.thetaANotBF(col("b"), col("a"))).as("d2"))
+      .as[(Double, Double, Double, Double)].head()
+    assert((u, i, d1, d2) == ((100.0, 0.0, 100.0, 0.0)))
+  }
+
+  test("missing group in one table counts as empty (full-outer semantics)") {
+    val a = Seq((1L, "g1"), (2L, "g1"), (3L, "g2")).toDF("v", "g")
+    val b = Seq((2L, "g1"), (9L, "g3")).toDF("v", "g")
+    val rows = Sketches.thetaSetEstimates(
+        Sketches.thetaSketches(a, "v", Seq("g"), lgK = 10),
+        Sketches.thetaSketches(b, "v", Seq("g"), lgK = 10), Seq("g"))
+      .select(col("g"), col("est_a"), col("est_b"), col("est_intersection"))
+      .as[(String, Double, Double, Double)].collect()
+      .map { case (g, ea, eb, ei) => g -> ((ea, eb, ei)) }.toMap
+    assert(rows("g1") == ((2.0, 1.0, 1.0)))
+    assert(rows("g2") == ((1.0, 0.0, 0.0)))
+    assert(rows("g3") == ((0.0, 1.0, 0.0)))
+  }
+
+  test("grouped theta build partial-aggregates: one exchange, object hash agg") {
+    val plan = Sketches.thetaSketches(orders, "o_custkey", Seq("o_orderpriority"), lgK = 14)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(500))
+    assert("Exchange".r.findAllIn(plan).size == 1,
+      s"grouped sketch build should shuffle exactly once:\n${plan.take(800)}")
+  }
+
+  test("SQL registration: the theta algebra is reachable from spark.sql") {
+    orders.createOrReplaceTempView("sk_orders")
+    val est = spark.sql(
+      """SELECT graft_theta_estimate(graft_theta_sketch_agg(o_custkey, 18)) AS e
+        |FROM sk_orders""".stripMargin).as[Double].head()
+    val exact = orders.select(countDistinct(col("o_custkey"))).as[Long].head()
+    assert(est == exact.toDouble)
+  }
+
+  // ---------------------------------------------------------------
+  // persisted index
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graft_sketch_spec").toString
+
+  test("hll index: save → params roundtrip, estimates within 5% of exact") {
+    val base = tmpDir()
+    Sketches.saveIndex(customer, "c_custkey", Seq("c_mktsegment"),
+      s"$base/idx", kind = "hll", lgK = 14)
+    val p = Sketches.loadIndexParams(spark, s"$base/idx")
+    assert(p == Sketches.SketchIndexParams("hll", 14, "c_custkey", Seq("c_mktsegment")))
+    val exact = customer.groupBy("c_mktsegment")
+      .agg(countDistinct(col("c_custkey")).as("e")).as[(String, Long)].collect().toMap
+    val got = Sketches.withEstimate(Sketches.loadIndex(spark, s"$base/idx"), "hll")
+      .select(col("c_mktsegment"), col("distinct_est")).as[(String, Double)].collect().toMap
+    assert(got.keySet == exact.keySet)
+    got.foreach { case (k, e) =>
+      assert(math.abs(e - exact(k)) / exact(k) < 0.05, s"key=$k est=$e exact=${exact(k)}")
+    }
+  }
+
+  test("hll extendIndex == from-scratch rebuild; history never re-read") {
+    val base = tmpDir()
+    val even = customer.filter(col("c_custkey") % 2 === 0)
+    val odd = customer.filter(col("c_custkey") % 2 === 1)
+    Sketches.saveIndex(even, "c_custkey", Seq("c_mktsegment"),
+      s"$base/idx0", kind = "hll", lgK = 12)
+    Sketches.extendIndex(odd, s"$base/idx0", s"$base/idx1")
+    Sketches.saveIndex(customer, "c_custkey", Seq("c_mktsegment"),
+      s"$base/full", kind = "hll", lgK = 12)
+    val ext = Sketches.withEstimate(Sketches.loadIndex(spark, s"$base/idx1"), "hll")
+      .select(col("c_mktsegment"), col("distinct_est")).as[(String, Double)].collect().toMap
+    val full = Sketches.withEstimate(Sketches.loadIndex(spark, s"$base/full"), "hll")
+      .select(col("c_mktsegment"), col("distinct_est")).as[(String, Double)].collect().toMap
+    assert(ext == full, "register-max union must equal the from-scratch sketch")
+  }
+
+  test("theta index: save/extend keeps exact-mode estimates exact") {
+    val base = tmpDir()
+    val even = customer.filter(col("c_custkey") % 2 === 0)
+    val odd = customer.filter(col("c_custkey") % 2 === 1)
+    Sketches.saveIndex(even, "c_custkey", Seq("c_mktsegment"),
+      s"$base/idx0", kind = "theta", lgK = 16)
+    Sketches.extendIndex(odd, s"$base/idx0", s"$base/idx1")
+    val exact = customer.groupBy("c_mktsegment")
+      .agg(countDistinct(col("c_custkey")).as("e")).as[(String, Long)].collect().toMap
+    val got = Sketches.withEstimate(Sketches.loadIndex(spark, s"$base/idx1"), "theta")
+      .select(col("c_mktsegment"), col("distinct_est")).as[(String, Double)].collect().toMap
+    assert(got.view.mapValues(_.toLong).toMap == exact)
+  }
+
+  test("index guards: in-place extend, missing sidecar, bad kind are loud") {
+    val base = tmpDir()
+    Sketches.saveIndex(customer, "c_custkey", Seq.empty, s"$base/idx", "hll", 12)
+    val inPlace = intercept[IllegalArgumentException] {
+      Sketches.extendIndex(customer, s"$base/idx", s"$base/idx")
+    }
+    assert(inPlace.getMessage.contains("in place"))
+    val notIdx = intercept[IllegalArgumentException] {
+      Sketches.loadIndexParams(spark, s"$base/nowhere")
+    }
+    assert(notIdx.getMessage.contains("not a graft sketch index"))
+    val badKind = intercept[IllegalArgumentException] {
+      Sketches.saveIndex(customer, "c_custkey", Seq.empty, s"$base/bad", "tdigest", 12)
+    }
+    assert(badKind.getMessage.contains("unknown sketch kind"))
+  }
+}
