@@ -132,6 +132,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ThetaCombine(children(0), children(1), ThetaOps.OpIntersect)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_freq_sketch_agg"),
+      new ExpressionInfo(classOf[FreqItemsAgg].getName, "graft_freq_sketch_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_freq_sketch_agg(v, maxMapSize) takes (long/string, int literal)")
+        FreqItemsAgg(children(0), intArg(children(1), "maxMapSize")).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_freq_top_items"),
+      new ExpressionInfo(classOf[FreqTopItems].getName, "graft_freq_top_items"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2 || children.size == 3,
+          "graft_freq_top_items(sketch, threshold[, noFalsePositives]) takes (binary, bigint literal[, boolean literal])")
+        val nfp = if (children.size < 3) true else {
+          require(children(2).foldable, "noFalsePositives must be a literal")
+          children(2).eval() match {
+            case b: java.lang.Boolean => b.booleanValue()
+            case other => throw new IllegalArgumentException(
+              s"noFalsePositives must be a boolean literal, got $other")
+          }
+        }
+        FreqTopItems(children(0), longArg(children(1), "threshold"), nfp)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_freq_merge"),
+      new ExpressionInfo(classOf[FreqMerge].getName, "graft_freq_merge"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_freq_merge(a, b) takes two binary arguments")
+        FreqMerge(children(0), children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_theta_anotb"),
       new ExpressionInfo(classOf[ThetaCombine].getName, "graft_theta_anotb"),
       (children: Seq[Expression]) => {

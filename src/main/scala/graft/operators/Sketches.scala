@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.expressions.{ThetaCombine, ThetaEstimate, ThetaSketchAgg}
+import graft.expressions.{FreqItemsAgg, FreqMerge, FreqTopItems, ThetaCombine, ThetaEstimate, ThetaSketchAgg}
 
 /** Mergeable distinct-count sketches as PERSISTED, incrementally
   * growable artifacts — the cross-crawl accounting layer of a 100 TB
@@ -32,7 +32,11 @@ import graft.expressions.{ThetaCombine, ThetaEstimate, ThetaSketchAgg}
   *    amplification: crawl-overlap (intersection), novelty
   *    (difference) — `thetaSetEstimates` joins two sketch tables
   *    full-outer per group and emits union/intersection/difference
-  *    estimates from sketch-sized inputs only.
+  *    estimates from sketch-sized inputs only;
+  *  - frequent-items sketches ([[graft.expressions.FreqItemsAgg]])
+  *    for ONE-pass heavy-hitter discovery with deterministic bounds
+  *    (`frequentItems`) — all three kinds share the same artifact
+  *    contract via `saveIndex(kind = "hll" | "theta" | "freq")`.
   *
   * Everything here moves sketches (≤ ~1 MB), never rows: build is one
   * shuffle of partial sketches per side; set ops join tables whose
@@ -67,6 +71,39 @@ object Sketches {
     else df.groupBy(groupCols.map(col): _*).agg(agg)
   }
 
+  /** Per-group frequent-items sketch table: groupCols* + `sketch`.
+    * maxMapSize must be a power of 2; exact while distinct keys per
+    * group stay under ~75% of it.
+    */
+  def freqSketches(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                   maxMapSize: Int = 1 << 12): DataFrame = {
+    val agg = FreqItemsAgg.freqAggF(col(valueCol), maxMapSize).as("sketch")
+    if (groupCols.isEmpty) df.agg(agg)
+    else df.groupBy(groupCols.map(col): _*).agg(agg)
+  }
+
+  /** ONE-pass heavy hitters: per group, the items whose frequency
+    * estimate meets `threshold`, with the sketch's deterministic
+    * bounds (lb ≤ true ≤ ub). Unlike the CMS two-pass heavyHitters
+    * (sketch prefilter + exact recount), this never re-reads the
+    * data — the discovery and the counts come from the same pass,
+    * which is the only option when the source is a stream or a
+    * crawl you won't scan twice. Exact (and then identical to the
+    * exact groupBy-HAVING answer) while the per-group sketch never
+    * purges.
+    */
+  def frequentItems(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                    threshold: Long, maxMapSize: Int = 1 << 12,
+                    noFalsePositives: Boolean = true): DataFrame = {
+    val sk = freqSketches(df, valueCol, groupCols, maxMapSize)
+    sk.select(groupCols.map(col) :+
+        explode(FreqTopItems.freqTopItemsF(col("sketch"), threshold, noFalsePositives))
+          .as("hit"): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("hit.item").as("item"), col("hit.est").as("est"),
+        col("hit.lb").as("lb"), col("hit.ub").as("ub")): _*)
+  }
+
   /** Append a `distinct_est` column to a sketch table (either kind). */
   def withEstimate(sketchTable: DataFrame, kind: String): DataFrame = kind match {
     case "hll" =>
@@ -87,6 +124,7 @@ object Sketches {
     val table = kind match {
       case "hll" => hllSketches(df, valueCol, groupCols, lgK)
       case "theta" => thetaSketches(df, valueCol, groupCols, lgK)
+      case "freq" => freqSketches(df, valueCol, groupCols, 1 << lgK)
       case other => throw new IllegalArgumentException(s"unknown sketch kind '$other'")
     }
     table.write.mode("overwrite").parquet(s"$path/sketches")
@@ -156,6 +194,10 @@ object Sketches {
           .when(col("sk_b").isNull, col("sk_a"))
           .otherwise(hll_union(col("sk_a"), col("sk_b")))
       case "theta" => ThetaCombine.thetaUnionF(col("sk_a"), col("sk_b"))
+      case "freq" =>
+        when(col("sk_a").isNull, col("sk_b"))
+          .when(col("sk_b").isNull, col("sk_a"))
+          .otherwise(FreqMerge.freqMergeF(col("sk_a"), col("sk_b")))
       case other => throw new IllegalArgumentException(s"unknown sketch kind '$other'")
     }
     joined.select(groupCols.map(col) :+ merged.as("sketch"): _*)
@@ -178,7 +220,8 @@ object Sketches {
     val old = spark.read.parquet(s"$indexPath/sketches")
     val fresh = p.kind match {
       case "hll" => hllSketches(newDf, p.valueCol, p.groupCols, p.lgK)
-      case _ => thetaSketches(newDf, p.valueCol, p.groupCols, p.lgK)
+      case "theta" => thetaSketches(newDf, p.valueCol, p.groupCols, p.lgK)
+      case _ => freqSketches(newDf, p.valueCol, p.groupCols, 1 << p.lgK)
     }
     unionTables(p.kind, p.groupCols, old, fresh)
       .write.mode("overwrite").parquet(s"$outPath/sketches")

@@ -404,6 +404,21 @@ object StatsWindowQueries extends QueryPack {
         .orderBy(col("c_mktsegment"))
     },
 
+    // ONE-pass frequent-items heavy hitters (DataSketches Misra-Gries
+    // family via the native FreqItemsAgg): same answer as the CMS+
+    // exact two-pass q_cms_heavy, but the heavy keys are DISCOVERED in
+    // the counting pass itself — no second scan, the shape required
+    // when the source won't be read twice. The 2^16 map never purges
+    // at any gate scale (distinct users ≪ 49k), so the sketch is
+    // exact and the oracle is the plain HAVING query.
+    "q_freq_items" -> { (s, dir) =>
+      graft.operators.Sketches.frequentItems(
+          tables(s, dir).events.select(col("user_id")), "user_id", Seq.empty,
+          threshold = 60L, maxMapSize = 1 << 16)
+        .select(col("item").cast("long").as("user_id"), col("est").as("n"))
+        .orderBy(col("user_id"))
+    },
+
     // CMS-guided EXACT heavy hitters (scio Algebird-CMS shapes): the
     // sketch prefilter only prunes — CMS never undercounts, so the
     // exact aggregation over surviving rows makes the answer
@@ -455,6 +470,10 @@ object StatsWindowQueries extends QueryPack {
         |ORDER BY o_orderpriority""".stripMargin,
 
     "q_cms_heavy" ->
+      """SELECT user_id, count(*) AS n FROM events
+        |GROUP BY user_id HAVING count(*) >= 60 ORDER BY user_id""".stripMargin,
+
+    "q_freq_items" ->
       """SELECT user_id, count(*) AS n FROM events
         |GROUP BY user_id HAVING count(*) >= 60 ORDER BY user_id""".stripMargin,
     "q_stats" ->

@@ -193,6 +193,111 @@ class SketchesSpec extends SparkSpec {
     assert(got.view.mapValues(_.toLong).toMap == exact)
   }
 
+  // ---------------------------------------------------------------
+  // frequent-items
+
+  private lazy val events = spark.read.parquet(s"$sf/events.parquet")
+
+  test("freq exact mode: one-pass heavy hitters equal groupBy-HAVING, any partitioning") {
+    val exact = events.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 20).as[(Long, Long)].collect().toMap
+    for (parts <- Seq(1, 7)) {
+      val got = Sketches.frequentItems(
+          events.repartition(parts).select(col("user_id")), "user_id", Seq.empty,
+          threshold = 20L, maxMapSize = 1 << 12)
+        .select(col("item").cast("long"), col("est"), col("lb"), col("ub"))
+        .as[(Long, Long, Long, Long)].collect()
+      assert(got.map(r => r._1 -> r._2).toMap == exact, s"parts=$parts")
+      got.foreach { case (_, est, lb, ub) => assert(lb == est && est == ub,
+        "exact-mode bounds must collapse onto the estimate") }
+    }
+  }
+
+  test("freq string items: per-group event-type counts, exact") {
+    val exact = events.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val got = Sketches.frequentItems(events, "event_type", Seq.empty,
+        threshold = 1L, maxMapSize = 1 << 8)
+      .select(col("item"), col("est")).as[(String, Long)].collect().toMap
+    assert(got == exact)
+  }
+
+  test("freq estimation mode: deterministic bounds hold, NFP ⊆ NFN") {
+    // skewed stream: 10 heavy keys × 5000 + 1000 singleton tail keys,
+    // forced through a 64-slot map so the tail purges
+    val heavy = spark.range(1, 11)
+      .selectExpr("explode(sequence(1, 5000)) AS x", "id AS v").select(col("v"))
+    val tail = spark.range(100, 1100).toDF("v")
+    val sk = Sketches.freqSketches(heavy.union(tail), "v", Seq.empty, maxMapSize = 64)
+      .select(col("sketch")).as[Array[Byte]].head()
+    val maxErr = graft.expressions.FreqOps.maxError(sk)
+    assert(maxErr > 0, "64-slot map over 1010 keys must purge")
+    // the guarantees are only meaningful for thresholds above the
+    // sketch's own reported error — pick one well above it
+    val threshold = 4000L
+    assert(maxErr < threshold, s"reported maxError $maxErr defeats the test threshold")
+    val items = (nfp: Boolean) => {
+      val g = graft.expressions.FreqOps.topItems(sk, threshold, noFalsePositives = nfp)
+      (0 until g.numElements()).map { i =>
+        val r = g.getStruct(i, 4); (r.getUTF8String(0).toString.toLong,
+          r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+    }
+    val nfpItems = items(true); val nfnItems = items(false)
+    assert(nfpItems.map(_._1).toSet.subsetOf(nfnItems.map(_._1).toSet))
+    // NO_FALSE_NEGATIVES must include every truly-heavy key, and every
+    // reported bound interval must contain the true count (5000)
+    assert((1L to 10L).toSet.subsetOf(nfnItems.map(_._1).toSet))
+    nfnItems.filter(_._1 <= 10).foreach { case (k, _, lb, ub) =>
+      assert(lb <= 5000 && 5000 <= ub, s"true count of key $k outside [$lb, $ub]") }
+  }
+
+  test("freq nulls are skipped; long/string sketches refuse to merge") {
+    val mixed = Seq(Some(1L), None, Some(1L)).toDF("v")
+    val got = Sketches.frequentItems(mixed, "v", Seq.empty, 1L, 1 << 4)
+      .select(col("item").cast("long"), col("est")).as[(Long, Long)].collect()
+    assert(got.toSeq == Seq((1L, 2L)))
+    val sl = Sketches.freqSketches(Seq(1L).toDF("v"), "v", Seq.empty, 1 << 4)
+      .select(col("sketch")).as[Array[Byte]].head()
+    val ss = Sketches.freqSketches(Seq("a").toDF("v"), "v", Seq.empty, 1 << 4)
+      .select(col("sketch")).as[Array[Byte]].head()
+    val err = intercept[IllegalArgumentException] {
+      graft.expressions.FreqOps.merge(sl, ss)
+    }
+    assert(err.getMessage.contains("different item types"))
+  }
+
+  test("freq index: save/extend == from-scratch in exact mode") {
+    val base = tmpDir()
+    val even = events.filter(col("event_id") % 2 === 0)
+    val odd = events.filter(col("event_id") % 2 === 1)
+    Sketches.saveIndex(even, "user_id", Seq("event_type"),
+      s"$base/idx0", kind = "freq", lgK = 12)
+    Sketches.extendIndex(odd, s"$base/idx0", s"$base/idx1")
+    val exact = events.groupBy("event_type", "user_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 10).as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val got = Sketches.loadIndex(spark, s"$base/idx1")
+      .select(col("event_type"), explode(graft.expressions.FreqTopItems
+        .freqTopItemsF(col("sketch"), 10L)).as("hit"))
+      .select(col("event_type"), col("hit.item").cast("long"), col("hit.est"))
+      .as[(String, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == exact, "extended freq index must equal the exact census")
+  }
+
+  test("freq SQL registration: agg + top items reachable from spark.sql") {
+    events.createOrReplaceTempView("sk_events")
+    val got = spark.sql(
+      """SELECT h.item AS item, h.est AS est FROM (
+        |  SELECT explode(graft_freq_top_items(
+        |    graft_freq_sketch_agg(user_id, 4096), 60)) AS h
+        |  FROM sk_events)""".stripMargin)
+      .as[(String, Long)].collect().map { case (i, n) => i.toLong -> n }.toMap
+    val exact = events.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 60).as[(Long, Long)].collect().toMap
+    assert(got == exact)
+  }
+
   test("index guards: in-place extend, missing sidecar, bad kind are loud") {
     val base = tmpDir()
     Sketches.saveIndex(customer, "c_custkey", Seq.empty, s"$base/idx", "hll", 12)
