@@ -156,6 +156,43 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FreqTopItems(children(0), longArg(children(1), "threshold"), nfp)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_kll_sketch_agg"),
+      new ExpressionInfo(classOf[KllSketchAgg].getName, "graft_kll_sketch_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_kll_sketch_agg(v, k) takes (double/long, int literal)")
+        KllSketchAgg(children(0), intArg(children(1), "k")).toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kll_quantiles"),
+      new ExpressionInfo(classOf[KllQuantiles].getName, "graft_kll_quantiles"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_kll_quantiles(sketch, array(probs…)) takes (binary, literal array<double>)")
+        require(children(1).foldable, "quantile probs must be a literal array")
+        val probs = children(1).eval() match {
+          case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+            a.toDoubleArray().toSeq
+          case other => throw new IllegalArgumentException(
+            s"quantile probs must be an array<double> literal, got $other")
+        }
+        KllQuantiles(children(0), probs)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kll_rank"),
+      new ExpressionInfo(classOf[KllRank].getName, "graft_kll_rank"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_kll_rank(sketch, value) takes (binary, double)")
+        KllRank(children(0), children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_kll_merge"),
+      new ExpressionInfo(classOf[KllMerge].getName, "graft_kll_merge"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_kll_merge(a, b) takes two binary arguments")
+        KllMerge(children(0), children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_freq_merge"),
       new ExpressionInfo(classOf[FreqMerge].getName, "graft_freq_merge"),
       (children: Seq[Expression]) => {

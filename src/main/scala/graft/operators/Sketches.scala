@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.expressions.{FreqItemsAgg, FreqMerge, FreqTopItems, ThetaCombine, ThetaEstimate, ThetaSketchAgg}
+import graft.expressions.{FreqItemsAgg, FreqMerge, FreqTopItems, KllMerge, KllQuantiles, KllRank, KllSketchAgg, ThetaCombine, ThetaEstimate, ThetaSketchAgg}
 
 /** Mergeable distinct-count sketches as PERSISTED, incrementally
   * growable artifacts — the cross-crawl accounting layer of a 100 TB
@@ -35,8 +35,16 @@ import graft.expressions.{FreqItemsAgg, FreqMerge, FreqTopItems, ThetaCombine, T
   *    estimates from sketch-sized inputs only;
   *  - frequent-items sketches ([[graft.expressions.FreqItemsAgg]])
   *    for ONE-pass heavy-hitter discovery with deterministic bounds
-  *    (`frequentItems`) — all three kinds share the same artifact
-  *    contract via `saveIndex(kind = "hll" | "theta" | "freq")`.
+  *    (`frequentItems`);
+  *  - KLL quantile sketches ([[graft.expressions.KllSketchAgg]]) for
+  *    MERGEABLE percentiles — each crawl sketches itself, the stored
+  *    distribution extends without re-scanning history (the
+  *    incremental counterpart of `Stats.saveQuantileGrid`).
+  *
+  * All four kinds share one artifact contract via
+  * `saveIndex(kind = "hll" | "theta" | "freq" | "kll")`; the sidecar's
+  * `lgK` slot carries each kind's size parameter (hll lgConfigK,
+  * theta lgK, freq log2(maxMapSize), kll k).
   *
   * Everything here moves sketches (≤ ~1 MB), never rows: build is one
   * shuffle of partial sketches per side; set ops join tables whose
@@ -104,6 +112,45 @@ object Sketches {
         col("hit.lb").as("lb"), col("hit.ub").as("ub")): _*)
   }
 
+  /** Per-group KLL quantile sketch table: groupCols* + `sketch`. */
+  def kllSketches(df: DataFrame, valueCol: String, groupCols: Seq[String],
+                  k: Int = 200): DataFrame = {
+    val agg = KllSketchAgg.kllAggF(col(valueCol), k).as("sketch")
+    if (groupCols.isEmpty) df.agg(agg)
+    else df.groupBy(groupCols.map(col): _*).agg(agg)
+  }
+
+  /** Append per-prob quantile columns (`p50`, `p99`, …; prob 0.5 →
+    * "p50", 0.995 → "p99_5") to a KLL sketch table — the read side of
+    * a persisted quantile artifact.
+    */
+  def withQuantiles(sketchTable: DataFrame, probs: Seq[Double]): DataFrame = {
+    val qs = KllQuantiles.kllQuantilesF(col("sketch"), probs)
+    val named = probs.zipWithIndex.map { case (p, i) =>
+      val label = "p" + (BigDecimal(p) * 100).bigDecimal.stripTrailingZeros
+        .toPlainString.replace(".", "_")
+      element_at(col("_q"), i + 1).as(label)
+    }
+    sketchTable.withColumn("_q", qs)
+      .select(sketchTable.columns.map(col).toSeq ++ named: _*)
+      .drop("_q")
+  }
+
+  /** Percentile rank of each row's `valueCol` against a KLL sketch
+    * table's distribution for its group — calibration against a
+    * persisted (possibly extended) corpus distribution. Sketch-sized
+    * broadcast join, then a pure projection.
+    */
+  def kllRank(df: DataFrame, valueCol: String, sketchTable: DataFrame,
+              groupCols: Seq[String], outCol: String = "pct_rank"): DataFrame = {
+    val joined =
+      if (groupCols.isEmpty) df.crossJoin(broadcast(sketchTable))
+      else df.join(broadcast(sketchTable), groupCols, "left")
+    joined.withColumn(outCol,
+        KllRank.kllRankF(col("sketch"), col(valueCol).cast("double")))
+      .drop("sketch")
+  }
+
   /** Append a `distinct_est` column to a sketch table (either kind). */
   def withEstimate(sketchTable: DataFrame, kind: String): DataFrame = kind match {
     case "hll" =>
@@ -125,6 +172,7 @@ object Sketches {
       case "hll" => hllSketches(df, valueCol, groupCols, lgK)
       case "theta" => thetaSketches(df, valueCol, groupCols, lgK)
       case "freq" => freqSketches(df, valueCol, groupCols, 1 << lgK)
+      case "kll" => kllSketches(df, valueCol, groupCols, lgK)
       case other => throw new IllegalArgumentException(s"unknown sketch kind '$other'")
     }
     table.write.mode("overwrite").parquet(s"$path/sketches")
@@ -198,6 +246,10 @@ object Sketches {
         when(col("sk_a").isNull, col("sk_b"))
           .when(col("sk_b").isNull, col("sk_a"))
           .otherwise(FreqMerge.freqMergeF(col("sk_a"), col("sk_b")))
+      case "kll" =>
+        when(col("sk_a").isNull, col("sk_b"))
+          .when(col("sk_b").isNull, col("sk_a"))
+          .otherwise(KllMerge.kllMergeF(col("sk_a"), col("sk_b")))
       case other => throw new IllegalArgumentException(s"unknown sketch kind '$other'")
     }
     joined.select(groupCols.map(col) :+ merged.as("sketch"): _*)
@@ -221,7 +273,8 @@ object Sketches {
     val fresh = p.kind match {
       case "hll" => hllSketches(newDf, p.valueCol, p.groupCols, p.lgK)
       case "theta" => thetaSketches(newDf, p.valueCol, p.groupCols, p.lgK)
-      case _ => freqSketches(newDf, p.valueCol, p.groupCols, 1 << p.lgK)
+      case "freq" => freqSketches(newDf, p.valueCol, p.groupCols, 1 << p.lgK)
+      case _ => kllSketches(newDf, p.valueCol, p.groupCols, p.lgK)
     }
     unionTables(p.kind, p.groupCols, old, fresh)
       .write.mode("overwrite").parquet(s"$outPath/sketches")

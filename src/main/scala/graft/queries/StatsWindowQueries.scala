@@ -404,6 +404,28 @@ object StatsWindowQueries extends QueryPack {
         .orderBy(col("c_mktsegment"))
     },
 
+    // mergeable KLL quantile artifact: per-priority distribution
+    // sketched on even orderkeys, EXTENDED with the odd ones (history
+    // never re-scanned), quantiles read off the merged artifact. The
+    // bounded key subset keeps every per-group sketch below its
+    // compaction capacity at ALL gate scales, so INCLUSIVE quantiles
+    // are true order statistics and DuckDB's quantile_disc is the
+    // oracle; estimation-mode rank bounds are SketchesSpec's.
+    "q_kll_quantiles" -> { (s, dir) =>
+      val o = tables(s, dir).orders.filter(col("o_orderkey") <= 20000)
+      val base = java.nio.file.Files.createTempDirectory("graft_kllidx").toString
+      graft.operators.Sketches.saveIndex(
+        o.filter(col("o_orderkey") % 2 === 0), "o_totalprice", Seq("o_orderpriority"),
+        s"$base/idx0", kind = "kll", lgK = 32768)
+      graft.operators.Sketches.extendIndex(
+        o.filter(col("o_orderkey") % 2 === 1), s"$base/idx0", s"$base/idx1")
+      graft.operators.Sketches.withQuantiles(
+          graft.operators.Sketches.loadIndex(s, s"$base/idx1"),
+          Seq(0.25, 0.5, 0.75, 0.9))
+        .select(col("o_orderpriority"), col("p25"), col("p50"), col("p75"), col("p90"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // ONE-pass frequent-items heavy hitters (DataSketches Misra-Gries
     // family via the native FreqItemsAgg): same answer as the CMS+
     // exact two-pass q_cms_heavy, but the heavy keys are DISCOVERED in
@@ -476,6 +498,15 @@ object StatsWindowQueries extends QueryPack {
     "q_freq_items" ->
       """SELECT user_id, count(*) AS n FROM events
         |GROUP BY user_id HAVING count(*) >= 60 ORDER BY user_id""".stripMargin,
+
+    "q_kll_quantiles" ->
+      """SELECT o_orderpriority,
+        |       quantile_disc(o_totalprice, 0.25) AS p25,
+        |       quantile_disc(o_totalprice, 0.5) AS p50,
+        |       quantile_disc(o_totalprice, 0.75) AS p75,
+        |       quantile_disc(o_totalprice, 0.9) AS p90
+        |FROM orders WHERE o_orderkey <= 20000
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_stats" ->
       """SELECT count(*) AS n, round(avg(value), 6) AS mean,
         |  round(stddev_samp(value), 6) AS stdev,

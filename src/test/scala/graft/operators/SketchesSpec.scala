@@ -298,6 +298,83 @@ class SketchesSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  // ---------------------------------------------------------------
+  // KLL quantiles
+
+  test("kll exact mode: inclusive quantiles are true order statistics, any partitioning") {
+    // 1..1000 with k=2048: never compacts, quantiles exact
+    val df = spark.range(1, 1001).selectExpr("CAST(id AS DOUBLE) AS v")
+    for (parts <- Seq(1, 7)) {
+      val qs = Sketches.withQuantiles(
+          Sketches.kllSketches(df.repartition(parts), "v", Seq.empty, k = 2048),
+          Seq(0.25, 0.5, 0.9))
+        .select(col("p25"), col("p50"), col("p90")).as[(Double, Double, Double)].head()
+      assert(qs == ((250.0, 500.0, 900.0)), s"parts=$parts got $qs")
+    }
+  }
+
+  test("kll extendIndex == full rebuild in exact mode; rank calibration reads the artifact") {
+    val base = tmpDir()
+    val o = orders.filter(col("o_orderkey") <= 2000)
+    Sketches.saveIndex(o.filter(col("o_orderkey") % 2 === 0), "o_totalprice",
+      Seq.empty, s"$base/idx0", kind = "kll", lgK = 8192)
+    Sketches.extendIndex(o.filter(col("o_orderkey") % 2 === 1),
+      s"$base/idx0", s"$base/idx1")
+    val merged = Sketches.loadIndex(spark, s"$base/idx1")
+    val sk = merged.select(col("sketch")).as[Array[Byte]].head()
+    assert(graft.expressions.KllOps.retainedExact(sk), "merged sketch must remain exact")
+    // inclusive rank of the true median must be ~0.5 exactly (n even/odd aside)
+    val median = Sketches.withQuantiles(merged, Seq(0.5)).select(col("p50")).as[Double].head()
+    val n = o.count().toDouble
+    val atOrBelow = o.filter(col("o_totalprice") <= median).count().toDouble
+    val rank = Sketches.kllRank(o.limit(1).select(lit(1).as("x")), "x", merged, Seq.empty)
+    // rank column exists and is in [0,1]; exact value checked against census below
+    val got = merged.select(graft.expressions.KllRank
+      .kllRankF(col("sketch"), lit(median)).as("r")).as[Double].head()
+    assert(got == atOrBelow / n, s"inclusive rank $got != census ${atOrBelow / n}")
+    assert(rank.columns.contains("pct_rank"))
+  }
+
+  test("kll estimation mode: rank error within the sketch's published bound") {
+    val n = 200000
+    val df = spark.range(1, n + 1).selectExpr("CAST(id AS DOUBLE) AS v")
+    val sk = Sketches.kllSketches(df, "v", Seq.empty, k = 200)
+      .select(col("sketch")).as[Array[Byte]].head()
+    assert(!graft.expressions.KllOps.retainedExact(sk), "200k values at k=200 must compact")
+    val eps = graft.expressions.KllOps.rankError(sk)
+    for (p <- Seq(0.1, 0.5, 0.9)) {
+      val q = graft.expressions.KllOps
+        .quantiles(sk, Array(p)).toDoubleArray()(0)
+      val trueRank = q / n // v's inclusive rank is v/n by construction
+      assert(math.abs(trueRank - p) <= 2 * eps,
+        s"p=$p got value $q (rank $trueRank), eps=$eps")
+    }
+  }
+
+  test("kll nulls and NaNs are skipped; empty sketch quantiles are null") {
+    val mixed = Seq(Some(1.0), None, Some(Double.NaN), Some(3.0)).toDF("v")
+    val qs = Sketches.withQuantiles(
+        Sketches.kllSketches(mixed, "v", Seq.empty, k = 64), Seq(0.0, 1.0))
+      .select(col("p0"), col("p100")).as[(Double, Double)].head()
+    assert(qs == ((1.0, 3.0)))
+    val empty = spark.range(0).selectExpr("CAST(id AS DOUBLE) AS v")
+    val row = Sketches.withQuantiles(
+        Sketches.kllSketches(empty, "v", Seq.empty, k = 64), Seq(0.5))
+      .select(col("p50").isNull).as[Boolean].head()
+    assert(row, "empty sketch must yield null quantiles, not a sentinel")
+  }
+
+  test("kll SQL registration: agg + quantiles + rank reachable from spark.sql") {
+    spark.range(1, 101).selectExpr("CAST(id AS DOUBLE) AS v")
+      .createOrReplaceTempView("sk_kll")
+    val (p50, r) = spark.sql(
+      """SELECT element_at(graft_kll_quantiles(sk, array(0.5D)), 1) AS p50,
+        |       graft_kll_rank(sk, 25.0D) AS r
+        |FROM (SELECT graft_kll_sketch_agg(v, 1024) AS sk FROM sk_kll)""".stripMargin)
+      .as[(Double, Double)].head()
+    assert(p50 == 50.0 && r == 0.25, s"p50=$p50 rank=$r")
+  }
+
   test("index guards: in-place extend, missing sidecar, bad kind are loud") {
     val base = tmpDir()
     Sketches.saveIndex(customer, "c_custkey", Seq.empty, s"$base/idx", "hll", 12)
