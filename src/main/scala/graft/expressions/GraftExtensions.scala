@@ -156,6 +156,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FreqTopItems(children(0), longArg(children(1), "threshold"), nfp)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_varopt_sketch_agg"),
+      new ExpressionInfo(classOf[VarOptSketchAgg].getName, "graft_varopt_sketch_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_varopt_sketch_agg(item, weight, k) takes (string, double, int literal)")
+        VarOptSketchAgg(children(0), children(1), intArg(children(2), "k"))
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_varopt_samples"),
+      new ExpressionInfo(classOf[VarOptSamples].getName, "graft_varopt_samples"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          "graft_varopt_samples(sketch) takes one binary argument")
+        VarOptSamples(children(0))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_varopt_merge"),
+      new ExpressionInfo(classOf[VarOptMerge].getName, "graft_varopt_merge"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_varopt_merge(a, b) takes two binary arguments")
+        VarOptMerge(children(0), children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_kll_sketch_agg"),
       new ExpressionInfo(classOf[KllSketchAgg].getName, "graft_kll_sketch_agg"),
       (children: Seq[Expression]) => {

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.expressions.{FreqItemsAgg, FreqMerge, FreqTopItems, KllMerge, KllQuantiles, KllRank, KllSketchAgg, ThetaCombine, ThetaEstimate, ThetaSketchAgg}
+import graft.expressions.{FreqItemsAgg, FreqMerge, FreqTopItems, KllMerge, KllQuantiles, KllRank, KllSketchAgg, ThetaCombine, ThetaEstimate, ThetaSketchAgg, VarOptMerge, VarOptSamples, VarOptSketchAgg}
 
 /** Mergeable distinct-count sketches as PERSISTED, incrementally
   * growable artifacts — the cross-crawl accounting layer of a 100 TB
@@ -41,10 +41,16 @@ import graft.expressions.{FreqItemsAgg, FreqMerge, FreqTopItems, KllMerge, KllQu
   *    distribution extends without re-scanning history (the
   *    incremental counterpart of `Stats.saveQuantileGrid`).
   *
-  * All four kinds share one artifact contract via
-  * `saveIndex(kind = "hll" | "theta" | "freq" | "kll")`; the sidecar's
-  * `lgK` slot carries each kind's size parameter (hll lgConfigK,
-  * theta lgK, freq log2(maxMapSize), kll k).
+  *  - VarOpt weighted samples ([[graft.expressions.VarOptSketchAgg]])
+  *    — a bounded MERGEABLE representative sample (k items, HT
+  *    weights) that extends as crawls land, where scio's A-Res
+  *    `sampleWeighted` draw cannot be combined after the fact.
+  *
+  * All five kinds share one artifact contract via
+  * `saveIndex(kind = "hll" | "theta" | "freq" | "kll" | "varopt")`;
+  * the sidecar's `lgK` slot carries each kind's size parameter (hll
+  * lgConfigK, theta lgK, freq log2(maxMapSize), kll k, varopt k), and
+  * `weightCol` is non-empty only for varopt.
   *
   * Everything here moves sketches (≤ ~1 MB), never rows: build is one
   * shuffle of partial sketches per side; set ops join tables whose
@@ -53,7 +59,7 @@ import graft.expressions.{FreqItemsAgg, FreqMerge, FreqTopItems, KllMerge, KllQu
 object Sketches {
 
   final case class SketchIndexParams(kind: String, lgK: Int, valueCol: String,
-                                     groupCols: Seq[String])
+                                     groupCols: Seq[String], weightCol: String = "")
 
   private val Meta = "_GRAFT_SKETCH"
 
@@ -151,6 +157,32 @@ object Sketches {
       .drop("sketch")
   }
 
+  /** Per-group VarOpt weighted-sample sketch table: groupCols* +
+    * `sketch`. Items render to string; weights must be positive
+    * doubles (zero/negative/NaN rows are skipped).
+    */
+  def varoptSketches(df: DataFrame, itemCol: String, weightCol: String,
+                     groupCols: Seq[String], k: Int): DataFrame = {
+    val agg = VarOptSketchAgg.varoptAggF(
+      col(itemCol).cast("string"), col(weightCol).cast("double"), k).as("sketch")
+    if (groupCols.isEmpty) df.agg(agg)
+    else df.groupBy(groupCols.map(col): _*).agg(agg)
+  }
+
+  /** Per-group bounded weighted sample: one row per retained item with
+    * its Horvitz-Thompson adjusted weight (subset-sum estimates over
+    * these rows are unbiased; the whole-group sum is exact). With
+    * n ≤ k per group this IS the input.
+    */
+  def weightedSample(df: DataFrame, itemCol: String, weightCol: String,
+                     groupCols: Seq[String], k: Int): DataFrame = {
+    val sk = varoptSketches(df, itemCol, weightCol, groupCols, k)
+    sk.select(groupCols.map(col) :+
+        explode(VarOptSamples.varoptSamplesF(col("sketch"))).as("s"): _*)
+      .select(groupCols.map(col) ++ Seq(
+        col("s.item").as("item"), col("s.weight").as("weight")): _*)
+  }
+
   /** Append a `distinct_est` column to a sketch table (either kind). */
   def withEstimate(sketchTable: DataFrame, kind: String): DataFrame = kind match {
     case "hll" =>
@@ -167,23 +199,33 @@ object Sketches {
     * sidecar. `kind` ∈ {hll, theta}.
     */
   def saveIndex(df: DataFrame, valueCol: String, groupCols: Seq[String],
-                path: String, kind: String = "hll", lgK: Int = 12): Unit = {
+                path: String, kind: String = "hll", lgK: Int = 12,
+                weightCol: String = ""): Unit = {
     val table = kind match {
       case "hll" => hllSketches(df, valueCol, groupCols, lgK)
       case "theta" => thetaSketches(df, valueCol, groupCols, lgK)
       case "freq" => freqSketches(df, valueCol, groupCols, 1 << lgK)
       case "kll" => kllSketches(df, valueCol, groupCols, lgK)
+      case "varopt" =>
+        require(weightCol.nonEmpty, "varopt index needs weightCol")
+        varoptSketches(df, valueCol, weightCol, groupCols, lgK)
       case other => throw new IllegalArgumentException(s"unknown sketch kind '$other'")
     }
     table.write.mode("overwrite").parquet(s"$path/sketches")
-    val spark = df.sparkSession
+    writeMeta(df.sparkSession, path,
+      SketchIndexParams(kind, lgK, valueCol, groupCols, weightCol))
+  }
+
+  private def writeMeta(spark: SparkSession, path: String,
+                        p: SketchIndexParams): Unit = {
     val meta = new org.apache.hadoop.fs.Path(s"$path/$Meta")
     val fs = org.apache.hadoop.fs.FileSystem.get(meta.toUri,
       spark.sparkContext.hadoopConfiguration)
     val out = fs.create(meta, true)
-    val groups = groupCols.map(g => s""""$g"""").mkString(",")
+    val groups = p.groupCols.map(g => s""""$g"""").mkString(",")
     out.write(
-      s"""{"kind":"$kind","lgK":$lgK,"valueCol":"$valueCol","groupCols":[$groups]}"""
+      (s"""{"kind":"${p.kind}","lgK":${p.lgK},"valueCol":"${p.valueCol}",""" +
+        s""""weightCol":"${p.weightCol}","groupCols":[$groups]}""")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     out.close()
   }
@@ -214,7 +256,10 @@ object Sketches {
       require(m.isDefined, s"malformed $Meta sidecar at $path: $raw")
       """"([^"]*)"""".r.findAllMatchIn(m.get.group(1)).map(_.group(1)).toSeq
     }
-    SketchIndexParams(str("kind"), lgK, str("valueCol"), groups)
+    // weightCol is absent in pre-varopt sidecars → ""
+    val weight = """"weightCol"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(raw)
+      .map(_.group(1)).getOrElse("")
+    SketchIndexParams(str("kind"), lgK, str("valueCol"), groups, weight)
   }
 
   /** The stored sketch table. */
@@ -250,6 +295,10 @@ object Sketches {
         when(col("sk_a").isNull, col("sk_b"))
           .when(col("sk_b").isNull, col("sk_a"))
           .otherwise(KllMerge.kllMergeF(col("sk_a"), col("sk_b")))
+      case "varopt" =>
+        when(col("sk_a").isNull, col("sk_b"))
+          .when(col("sk_b").isNull, col("sk_a"))
+          .otherwise(VarOptMerge.varoptMergeF(col("sk_a"), col("sk_b")))
       case other => throw new IllegalArgumentException(s"unknown sketch kind '$other'")
     }
     joined.select(groupCols.map(col) :+ merged.as("sketch"): _*)
@@ -274,19 +323,12 @@ object Sketches {
       case "hll" => hllSketches(newDf, p.valueCol, p.groupCols, p.lgK)
       case "theta" => thetaSketches(newDf, p.valueCol, p.groupCols, p.lgK)
       case "freq" => freqSketches(newDf, p.valueCol, p.groupCols, 1 << p.lgK)
-      case _ => kllSketches(newDf, p.valueCol, p.groupCols, p.lgK)
+      case "kll" => kllSketches(newDf, p.valueCol, p.groupCols, p.lgK)
+      case _ => varoptSketches(newDf, p.valueCol, p.weightCol, p.groupCols, p.lgK)
     }
     unionTables(p.kind, p.groupCols, old, fresh)
       .write.mode("overwrite").parquet(s"$outPath/sketches")
-    val meta = new org.apache.hadoop.fs.Path(s"$outPath/$Meta")
-    val fs = org.apache.hadoop.fs.FileSystem.get(meta.toUri,
-      spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(meta, true)
-    val groups = p.groupCols.map(g => s""""$g"""").mkString(",")
-    out.write(
-      s"""{"kind":"${p.kind}","lgK":${p.lgK},"valueCol":"${p.valueCol}","groupCols":[$groups]}"""
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    out.close()
+    writeMeta(spark, outPath, p)
   }
 
   // ---------------------------------------------------------------

@@ -426,6 +426,22 @@ object StatsWindowQueries extends QueryPack {
         .orderBy(col("o_orderpriority"))
     },
 
+    // mergeable VarOpt weighted sample (variance-optimal subset-sum
+    // sampling): per-priority bounded sample of orders weighted by
+    // price. k exceeds every per-group count on the bounded key
+    // subset, so the sketch is in EXACT mode — the sample IS the
+    // input with untouched weights — and the oracle is a plain
+    // projection; estimation-mode invariants (HT weight-sum equals
+    // total, heavy items always kept) are SketchesSpec's.
+    "q_varopt_sample" -> { (s, dir) =>
+      val o = tables(s, dir).orders.filter(col("o_orderkey") <= 20000)
+      graft.operators.Sketches.weightedSample(o, "o_orderkey", "o_totalprice",
+          Seq("o_orderpriority"), k = 8192)
+        .select(col("o_orderpriority"), col("item").cast("long").as("o_orderkey"),
+          col("weight").as("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    },
+
     // ONE-pass frequent-items heavy hitters (DataSketches Misra-Gries
     // family via the native FreqItemsAgg): same answer as the CMS+
     // exact two-pass q_cms_heavy, but the heavy keys are DISCOVERED in
@@ -498,6 +514,11 @@ object StatsWindowQueries extends QueryPack {
     "q_freq_items" ->
       """SELECT user_id, count(*) AS n FROM events
         |GROUP BY user_id HAVING count(*) >= 60 ORDER BY user_id""".stripMargin,
+
+    "q_varopt_sample" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice
+        |FROM orders WHERE o_orderkey <= 20000
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
     "q_kll_quantiles" ->
       """SELECT o_orderpriority,

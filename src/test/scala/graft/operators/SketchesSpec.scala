@@ -375,6 +375,110 @@ class SketchesSpec extends SparkSpec {
     assert(p50 == 50.0 && r == 0.25, s"p50=$p50 rank=$r")
   }
 
+  // ---------------------------------------------------------------
+  // VarOpt weighted sample
+
+  test("varopt exact mode: the sample IS the input, any partitioning") {
+    val o = orders.filter(col("o_orderkey") <= 2000)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val expect = o.as[(Long, Double)].collect().sorted.toSeq
+    for (parts <- Seq(1, 7)) {
+      val got = Sketches.weightedSample(o.repartition(parts),
+          "o_orderkey", "o_totalprice", Seq.empty, k = 4096)
+        .select(col("item").cast("long"), col("weight"))
+        .as[(Long, Double)].collect().sorted.toSeq
+      assert(got == expect, s"parts=$parts")
+    }
+  }
+
+  test("varopt estimation mode: HT weights sum to the exact total; heavy items kept") {
+    // 1000 unit-weight items + one 1e6 whale, squeezed through k=32
+    val light = spark.range(0, 1000)
+      .selectExpr("CAST(id AS STRING) AS item", "CAST(1.0 AS DOUBLE) AS w")
+    val whale = Seq(("whale", 1e6)).toDF("item", "w")
+    val got = Sketches.weightedSample(light.union(whale), "item", "w", Seq.empty, k = 32)
+      .select(col("item"), col("weight")).as[(String, Double)].collect()
+    assert(got.length == 32, "estimation mode must retain exactly k items")
+    val total = got.map(_._2).sum
+    assert(math.abs(total - 1001000.0) / 1001000.0 < 1e-9,
+      s"HT weights must sum to the exact input total, got $total")
+    val whaleRow = got.find(_._1 == "whale")
+    assert(whaleRow.exists(_._2 == 1e6),
+      s"an above-threshold item must be kept with its TRUE weight, got $whaleRow")
+  }
+
+  test("varopt skips null/zero/negative/NaN weights and null items") {
+    val df = Seq(("a", Some(2.0)), ("b", None), ("c", Some(0.0)),
+      ("d", Some(-1.0)), ("e", Some(Double.NaN))).toDF("item", "w")
+    val got = Sketches.weightedSample(df, "item", "w", Seq.empty, k = 16)
+      .select(col("item"), col("weight")).as[(String, Double)].collect().toSeq
+    assert(got == Seq(("a", 2.0)))
+  }
+
+  test("varopt index: save/extend == full input in exact mode; weightCol guard") {
+    val base = tmpDir()
+    val o = orders.filter(col("o_orderkey") <= 2000)
+    Sketches.saveIndex(o.filter(col("o_orderkey") % 2 === 0), "o_orderkey",
+      Seq("o_orderpriority"), s"$base/idx0", kind = "varopt", lgK = 4096,
+      weightCol = "o_totalprice")
+    val p = Sketches.loadIndexParams(spark, s"$base/idx0")
+    assert(p.weightCol == "o_totalprice" && p.kind == "varopt")
+    Sketches.extendIndex(o.filter(col("o_orderkey") % 2 === 1),
+      s"$base/idx0", s"$base/idx1")
+    val got = Sketches.loadIndex(spark, s"$base/idx1")
+      .select(col("o_orderpriority"), explode(graft.expressions.VarOptSamples
+        .varoptSamplesF(col("sketch"))).as("s"))
+      .select(col("o_orderpriority"), col("s.item").cast("long"), col("s.weight"))
+      .as[(String, Long, Double)].collect().sorted.toSeq
+    val expect = o.select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+      .as[(String, Long, Double)].collect().sorted.toSeq
+    assert(got == expect, "exact-mode extended sample must equal the full input")
+    val noWeight = intercept[IllegalArgumentException] {
+      Sketches.saveIndex(o, "o_orderkey", Seq.empty, s"$base/bad", "varopt", 64)
+    }
+    assert(noWeight.getMessage.contains("weightCol"))
+  }
+
+  test("varopt SQL registration: agg + samples reachable from spark.sql") {
+    orders.filter(col("o_orderkey") <= 500).createOrReplaceTempView("sk_varopt")
+    val n = spark.sql(
+      """SELECT explode(graft_varopt_samples(
+        |  graft_varopt_sketch_agg(CAST(o_orderkey AS STRING), o_totalprice, 4096))) AS s
+        |FROM sk_varopt""".stripMargin).count()
+    val expect = orders.filter(col("o_orderkey") <= 500).count()
+    assert(n == expect)
+  }
+
+  // ---------------------------------------------------------------
+  // streaming
+
+  test("sketch aggregates run on unbounded streams and match the batch sketch") {
+    // the incremental-crawl monitoring shape: distinct/heavy-hitter
+    // sketches maintained over a stream, identical to the batch
+    // answer once all data has arrived
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[Long]
+    val values = (1L to 500L) ++ (1L to 100L) // 500 distinct, 1..100 twice
+    input.addData(values: _*)
+    val agg = input.toDF().toDF("v")
+      .agg(
+        graft.expressions.ThetaSketchAgg.thetaAggF(col("v"), 12).as("theta"),
+        graft.expressions.FreqItemsAgg.freqAggF(col("v"), 1 << 10).as("freq"),
+        graft.expressions.KllSketchAgg.kllAggF(col("v").cast("double"), 1024).as("kll"))
+    val q = agg.writeStream.format("memory").queryName("sk_stream")
+      .outputMode("complete").start()
+    try { q.processAllAvailable() } finally q.stop()
+    val row = spark.table("sk_stream")
+      .select(col("theta"), col("freq"), col("kll"))
+      .as[(Array[Byte], Array[Byte], Array[Byte])].head()
+    assert(ThetaOps.estimate(row._1) == 500.0)
+    val heavy = graft.expressions.FreqOps.topItems(row._2, 2L, noFalsePositives = true)
+    assert(heavy.numElements() == 100, "exactly keys 1..100 occur twice")
+    assert(graft.expressions.KllOps
+      .quantiles(row._3, Array(1.0)).toDoubleArray()(0) == 500.0)
+  }
+
   test("index guards: in-place extend, missing sidecar, bad kind are loud") {
     val base = tmpDir()
     Sketches.saveIndex(customer, "c_custkey", Seq.empty, s"$base/idx", "hll", 12)
