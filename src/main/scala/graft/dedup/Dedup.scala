@@ -90,10 +90,11 @@ object Dedup {
     if (k <= 1) {
       df.select(col(idCol).as("id"), explode(th).as("h"))
     } else {
-      val arr = col("__th")
-      val shingleHashes = transform(
-        sequence(lit(0), greatest(size(arr) - k, lit(0))),
-        i => xxhash64((0 until k).map(j => try_element_at(arr, i + lit(j + 1))): _*))
+      // fused native kernel — bit-identical to the composed
+      // transform(sequence…, xxhash64(try_element_at…)) form it
+      // replaced (GramHashesSpec), §4 HOF rule
+      val shingleHashes = graft.expressions.GramHashes
+        .gramHashesF(col("__th"), k, padShort = true)
       df.select(col(idCol).as("id"), th.as("__th"))
         .select(col("id"), explode(shingleHashes).as("h"))
     }
@@ -565,9 +566,10 @@ object Dedup {
                      k: Int = 20): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val th = transform(tokens(txt(col(textCol))), t => xxhash64(t))
-    def gramHashes(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column = transform(
-      sequence(lit(0), size(arr) - k),
-      i => xxhash64((0 until k).map(j => element_at(arr, i + lit(j + 1))): _*))
+    // fused native kernel (strict: < k tokens → no grams), bit-identical
+    // to the composed transform/element_at form (GramHashesSpec)
+    def gramHashes(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      graft.expressions.GramHashes.gramHashesF(arr, k, padShort = false)
     // Dup detection shuffles BARE hashes (8 bytes/row): the count per
     // gram doesn't need id/pos, and at 100 TB the gram stream is the
     // single biggest shuffle in this operator — halving its row width
