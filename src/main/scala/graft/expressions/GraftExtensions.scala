@@ -156,6 +156,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FreqTopItems(children(0), longArg(children(1), "threshold"), nfp)
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_tuple_sketch_agg"),
+      new ExpressionInfo(classOf[TupleSketchAgg].getName, "graft_tuple_sketch_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_tuple_sketch_agg(key, value, lgK) takes (long/string, double, int literal)")
+        TupleSketchAgg(children(0), children(1), intArg(children(2), "lgK"))
+          .toAggregateExpression()
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_tuple_estimates"),
+      new ExpressionInfo(classOf[TupleEstimates].getName, "graft_tuple_estimates"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          "graft_tuple_estimates(sketch) takes one binary argument")
+        TupleEstimates(children(0))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_tuple_merge"),
+      new ExpressionInfo(classOf[TupleMerge].getName, "graft_tuple_merge"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_tuple_merge(a, b, lgK) takes (binary, binary, int literal)")
+        TupleMerge(children(0), children(1), intArg(children(2), "lgK"))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_varopt_sketch_agg"),
       new ExpressionInfo(classOf[VarOptSketchAgg].getName, "graft_varopt_sketch_agg"),
       (children: Seq[Expression]) => {

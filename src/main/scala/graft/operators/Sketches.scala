@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.expressions.{FreqItemsAgg, FreqMerge, FreqTopItems, KllMerge, KllQuantiles, KllRank, KllSketchAgg, ThetaCombine, ThetaEstimate, ThetaSketchAgg, VarOptMerge, VarOptSamples, VarOptSketchAgg}
+import graft.expressions.{FreqItemsAgg, FreqMerge, FreqTopItems, KllMerge, KllQuantiles, KllRank, KllSketchAgg, ThetaCombine, ThetaEstimate, ThetaSketchAgg, TupleEstimates, TupleMerge, TupleSketchAgg, VarOptMerge, VarOptSamples, VarOptSketchAgg}
 
 /** Mergeable distinct-count sketches as PERSISTED, incrementally
   * growable artifacts — the cross-crawl accounting layer of a 100 TB
@@ -44,13 +44,17 @@ import graft.expressions.{FreqItemsAgg, FreqMerge, FreqTopItems, KllMerge, KllQu
   *  - VarOpt weighted samples ([[graft.expressions.VarOptSketchAgg]])
   *    — a bounded MERGEABLE representative sample (k items, HT
   *    weights) that extends as crawls land, where scio's A-Res
-  *    `sampleWeighted` draw cannot be combined after the fact.
+  *    `sampleWeighted` draw cannot be combined after the fact;
+  *  - Sum-mode tuple sketches ([[graft.expressions.TupleSketchAgg]])
+  *    — aggregation over DISTINCT keys ("revenue per distinct
+  *    customer") without deduplicating the stream first.
   *
-  * All five kinds share one artifact contract via
-  * `saveIndex(kind = "hll" | "theta" | "freq" | "kll" | "varopt")`;
-  * the sidecar's `lgK` slot carries each kind's size parameter (hll
-  * lgConfigK, theta lgK, freq log2(maxMapSize), kll k, varopt k), and
-  * `weightCol` is non-empty only for varopt.
+  * All six kinds share one artifact contract via
+  * `saveIndex(kind = "hll" | "theta" | "freq" | "kll" | "varopt" |
+  * "tuple")`; the sidecar's `lgK` slot carries each kind's size
+  * parameter (hll lgConfigK, theta/tuple lgK, freq log2(maxMapSize),
+  * kll k, varopt k), and `weightCol` is non-empty for varopt (the
+  * sampling weight) and tuple (the summed value).
   *
   * Everything here moves sketches (≤ ~1 MB), never rows: build is one
   * shuffle of partial sketches per side; set ops join tables whose
@@ -183,6 +187,28 @@ object Sketches {
         col("s.item").as("item"), col("s.weight").as("weight")): _*)
   }
 
+  /** Per-group Sum-mode tuple sketch table: groupCols* + `sketch`
+    * over (keyCol, valueCol) — aggregation over DISTINCT keys.
+    */
+  def tupleSketches(df: DataFrame, keyCol: String, valueCol: String,
+                    groupCols: Seq[String], lgK: Int = 14): DataFrame = {
+    val agg = TupleSketchAgg.tupleAggF(
+      col(keyCol), col(valueCol).cast("double"), lgK).as("sketch")
+    if (groupCols.isEmpty) df.agg(agg)
+    else df.groupBy(groupCols.map(col): _*).agg(agg)
+  }
+
+  /** Per-group (distinct_est, value_est) read off a tuple sketch
+    * table: distinct keys and the per-distinct-key value sum — exact
+    * while the sketch never sampled.
+    */
+  def distinctValueEstimates(sketchTable: DataFrame): DataFrame =
+    sketchTable
+      .withColumn("_e", TupleEstimates.tupleEstimatesF(col("sketch")))
+      .withColumn("distinct_est", col("_e.distinct_est"))
+      .withColumn("value_est", col("_e.value_est"))
+      .drop("_e")
+
   /** Append a `distinct_est` column to a sketch table (either kind). */
   def withEstimate(sketchTable: DataFrame, kind: String): DataFrame = kind match {
     case "hll" =>
@@ -209,6 +235,9 @@ object Sketches {
       case "varopt" =>
         require(weightCol.nonEmpty, "varopt index needs weightCol")
         varoptSketches(df, valueCol, weightCol, groupCols, lgK)
+      case "tuple" =>
+        require(weightCol.nonEmpty, "tuple index needs weightCol (the summed value)")
+        tupleSketches(df, valueCol, weightCol, groupCols, lgK)
       case other => throw new IllegalArgumentException(s"unknown sketch kind '$other'")
     }
     table.write.mode("overwrite").parquet(s"$path/sketches")
@@ -272,7 +301,7 @@ object Sketches {
     * on the group keys; a group absent from one side contributes the
     * empty set).
     */
-  private def unionTables(kind: String, groupCols: Seq[String],
+  private def unionTables(kind: String, lgK: Int, groupCols: Seq[String],
                           a: DataFrame, b: DataFrame): DataFrame = {
     val aa = a.withColumnRenamed("sketch", "sk_a")
     val bb = b.withColumnRenamed("sketch", "sk_b")
@@ -299,6 +328,10 @@ object Sketches {
         when(col("sk_a").isNull, col("sk_b"))
           .when(col("sk_b").isNull, col("sk_a"))
           .otherwise(VarOptMerge.varoptMergeF(col("sk_a"), col("sk_b")))
+      case "tuple" =>
+        when(col("sk_a").isNull, col("sk_b"))
+          .when(col("sk_b").isNull, col("sk_a"))
+          .otherwise(TupleMerge.tupleMergeF(col("sk_a"), col("sk_b"), lgK))
       case other => throw new IllegalArgumentException(s"unknown sketch kind '$other'")
     }
     joined.select(groupCols.map(col) :+ merged.as("sketch"): _*)
@@ -324,9 +357,10 @@ object Sketches {
       case "theta" => thetaSketches(newDf, p.valueCol, p.groupCols, p.lgK)
       case "freq" => freqSketches(newDf, p.valueCol, p.groupCols, 1 << p.lgK)
       case "kll" => kllSketches(newDf, p.valueCol, p.groupCols, p.lgK)
+      case "tuple" => tupleSketches(newDf, p.valueCol, p.weightCol, p.groupCols, p.lgK)
       case _ => varoptSketches(newDf, p.valueCol, p.weightCol, p.groupCols, p.lgK)
     }
-    unionTables(p.kind, p.groupCols, old, fresh)
+    unionTables(p.kind, p.lgK, p.groupCols, old, fresh)
       .write.mode("overwrite").parquet(s"$outPath/sketches")
     writeMeta(spark, outPath, p)
   }

@@ -426,6 +426,23 @@ object StatsWindowQueries extends QueryPack {
         .orderBy(col("o_orderpriority"))
     },
 
+    // Sum-mode tuple sketch: revenue per DISTINCT ordering customer
+    // per priority, without deduplicating the stream — repeated
+    // orders fold into their customer's summary. lgK=18 keeps θ = 1
+    // at all gate scales, so distinct_est is the exact customer count
+    // and value_est the plain revenue sum; sampling-mode unbiasedness
+    // is SketchesSpec's.
+    "q_tuple_metrics" -> { (s, dir) =>
+      graft.operators.Sketches.distinctValueEstimates(
+          graft.operators.Sketches.tupleSketches(
+            tables(s, dir).orders, "o_custkey", "o_totalprice",
+            Seq("o_orderpriority"), lgK = 18))
+        .select(col("o_orderpriority"),
+          col("distinct_est").cast("long").as("n_cust"),
+          r2(col("value_est")).as("revenue"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // mergeable VarOpt weighted sample (variance-optimal subset-sum
     // sampling): per-priority bounded sample of orders weighted by
     // price. k exceeds every per-group count on the bounded key
@@ -519,6 +536,12 @@ object StatsWindowQueries extends QueryPack {
       """SELECT o_orderpriority, o_orderkey, o_totalprice
         |FROM orders WHERE o_orderkey <= 20000
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+
+    "q_tuple_metrics" ->
+      """SELECT o_orderpriority,
+        |       count(DISTINCT o_custkey) AS n_cust,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_kll_quantiles" ->
       """SELECT o_orderpriority,

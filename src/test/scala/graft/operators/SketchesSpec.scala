@@ -450,6 +450,87 @@ class SketchesSpec extends SparkSpec {
   }
 
   // ---------------------------------------------------------------
+  // tuple (sum over distinct keys)
+
+  test("tuple exact mode: distinct count and per-distinct-key sum match census, any partitioning") {
+    val exact = orders.groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n"),
+        sum(col("o_totalprice")).as("rev"))
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, math.round(r._3 * 100))))
+      .toMap
+    for (parts <- Seq(1, 7)) {
+      val got = Sketches.distinctValueEstimates(
+          Sketches.tupleSketches(orders.repartition(parts), "o_custkey",
+            "o_totalprice", Seq("o_orderpriority"), lgK = 16))
+        .select(col("o_orderpriority"), col("distinct_est"), col("value_est"))
+        .as[(String, Double, Double)].collect()
+        .map(r => r._1 -> ((r._2.toLong, math.round(r._3 * 100))))
+        .toMap
+      assert(got == exact, s"parts=$parts")
+    }
+  }
+
+  test("tuple: duplicate keys fold into one summary (sum over DISTINCT keys)") {
+    // key "a" seen 3 times: distinct 2, value sum still totals all rows
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 4.0), ("b", 10.0)).toDF("k", "v")
+    val (n, total) = Sketches.distinctValueEstimates(
+        Sketches.tupleSketches(df, "k", "v", Seq.empty, lgK = 10))
+      .select(col("distinct_est"), col("value_est")).as[(Double, Double)].head()
+    assert(n == 2.0 && total == 17.0)
+  }
+
+  test("tuple estimation mode: value estimate unbiased within tolerance") {
+    // 100k distinct unit-value keys through lgK=8 (256 nominal)
+    val df = spark.range(0, 100000)
+      .selectExpr("id AS k", "CAST(1.0 AS DOUBLE) AS v")
+    val (n, total) = Sketches.distinctValueEstimates(
+        Sketches.tupleSketches(df, "k", "v", Seq.empty, lgK = 8))
+      .select(col("distinct_est"), col("value_est")).as[(Double, Double)].head()
+    assert(n != 100000.0, "must be in estimation mode")
+    // theta sketches at lgK=8 have ~6.25% relative std error; 4σ gate
+    assert(math.abs(n - 100000.0) / 100000.0 < 0.25, s"distinct_est=$n")
+    assert(math.abs(total - 100000.0) / 100000.0 < 0.25, s"value_est=$total")
+  }
+
+  test("tuple: null keys/values and NaN values are skipped; index save/extend works") {
+    val df = Seq((Some(1L), Some(1.0)), (None, Some(5.0)), (Some(2L), None),
+      (Some(3L), Some(Double.NaN)), (Some(1L), Some(2.0))).toDF("k", "v")
+    val (n, total) = Sketches.distinctValueEstimates(
+        Sketches.tupleSketches(df, "k", "v", Seq.empty, lgK = 10))
+      .select(col("distinct_est"), col("value_est")).as[(Double, Double)].head()
+    assert(n == 1.0 && total == 3.0)
+
+    val base = tmpDir()
+    val even = orders.filter(col("o_orderkey") % 2 === 0)
+    val odd = orders.filter(col("o_orderkey") % 2 === 1)
+    Sketches.saveIndex(even, "o_custkey", Seq("o_orderpriority"), s"$base/idx0",
+      kind = "tuple", lgK = 16, weightCol = "o_totalprice")
+    Sketches.extendIndex(odd, s"$base/idx0", s"$base/idx1")
+    val got = Sketches.distinctValueEstimates(Sketches.loadIndex(spark, s"$base/idx1"))
+      .select(col("o_orderpriority"), col("distinct_est"),
+        round(col("value_est"), 2)).as[(String, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2.toLong, r._3))).toMap
+    val exact = orders.groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n"),
+        round(sum(col("o_totalprice")), 2).as("rev"))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == exact, "exact-mode extended tuple index must equal the census")
+  }
+
+  test("tuple SQL registration") {
+    orders.createOrReplaceTempView("sk_tuple")
+    val (n, rev) = spark.sql(
+      """SELECT e.distinct_est AS n, e.value_est AS rev FROM (
+        |  SELECT graft_tuple_estimates(
+        |    graft_tuple_sketch_agg(o_custkey, o_totalprice, 16)) AS e
+        |  FROM sk_tuple)""".stripMargin).as[(Double, Double)].head()
+    val exact = orders.agg(countDistinct(col("o_custkey")).cast("double"),
+      sum(col("o_totalprice"))).as[(Double, Double)].head()
+    assert(n == exact._1 && math.abs(rev - exact._2) < 1e-6)
+  }
+
+  // ---------------------------------------------------------------
   // streaming
 
   test("sketch aggregates run on unbounded streams and match the batch sketch") {
