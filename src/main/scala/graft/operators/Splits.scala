@@ -34,8 +34,8 @@ object Splits {
     * "seed:key" as an unsigned int in [0, 2^32).
     */
   def hashCoordinate(key: Column, seed: String): Column =
-    conv(substring(md5(concat_ws(":", lit(seed), key.cast("string"))), 1, 8), 16, 10)
-      .cast("long")
+    graft.expressions.Md5Head.md5HeadF(
+      concat_ws(":", lit(seed), key.cast("string")), 8)
 
   /** Deterministic shard id in [0, numShards): the export-sharding
     * companion of [[assignSplit]] — same md5 coordinate, so a row's
@@ -141,8 +141,8 @@ object Splits {
     require(!df.columns.contains(outCol),
       s"input already has a '$outCol' column; pass a different outCol")
     import org.apache.spark.sql.expressions.Window
-    val h = conv(substring(md5(concat_ws(":", lit(seed), col(keyCol).cast("string"))), 1, 15),
-      16, 10).cast("long")
+    val h = graft.expressions.Md5Head.md5HeadF(
+      concat_ws(":", lit(seed), col(keyCol).cast("string")), 15)
     val span = 1L << 60
     val width = math.max(span / numBuckets, 1L)
     val bucket = least(floor(h / lit(width)), lit(numBuckets - 1L)).cast("long")

@@ -32,7 +32,7 @@ object Dsir {
     * hash in the contract).
     */
   private def bucketOf(term: Column, numBuckets: Int): Column =
-    pmod(conv(substring(md5(term), 1, 8), 16, 10).cast("long"), lit(numBuckets.toLong))
+    pmod(graft.expressions.Md5Head.md5HeadF(term, 8), lit(numBuckets.toLong))
 
   /** Per-doc hashed n-gram feature counts: (id, bucket, cnt) rows over
     * unigrams + bigrams of the whitespace tokens.
@@ -147,8 +147,8 @@ object Dsir {
   def resampleTopK(weights: DataFrame, k: Int, seed: String): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     // u in (0,1): (h + 0.5) / 2^32 from the first 32 md5 bits of seed:id
-    val h = conv(substring(md5(concat(lit(seed), lit(":"),
-      col("id").cast("string"))), 1, 8), 16, 10).cast("double")
+    val h = graft.expressions.Md5Head.md5HeadF(concat(lit(seed), lit(":"),
+      col("id").cast("string")), 8).cast("double")
     val u = (h + 0.5) / lit(4294967296.0)
     val score = col("logw") + (-log(-log(u)))
     weights.withColumn("score", score)

@@ -125,8 +125,8 @@ object Pack {
     val toks = tokens(coalesce(col(textCol).cast("string"), lit("")))
     val idxs = sequence(lit(1), size(toks))
     def maskedAt(i: org.apache.spark.sql.Column) =
-      conv(substring(md5(concat_ws(":", lit(seed), col(idCol).cast("string"),
-        i.cast("string"))), 1, 8), 16, 10).cast("long") * lit(1000000L) <
+      graft.expressions.Md5Head.md5HeadF(concat_ws(":", lit(seed),
+        col(idCol).cast("string"), i.cast("string")), 8) * lit(1000000L) <
         lit(math.floor(maskRate * 1e6).toLong * (1L << 32))
     // rendering: keep unmasked tokens; a masked token emits the
     // sentinel only when it STARTS a run (previous token unmasked or
