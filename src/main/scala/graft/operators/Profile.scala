@@ -127,6 +127,33 @@ object Profile {
     * budget warns about. Null pairs are ignored by `corr` itself;
     * a constant column yields a null correlation (kept, disclosed).
     */
+  /** Schema drift between two snapshots of a feed — the metadata axis
+    * beside [[graft.dedup.Dedup.corpusDiff]] (content) and
+    * [[Drift]] (distributions): one row per field name with status
+    * `added` (only in `b`), `removed` (only in `a`), `changed`
+    * (present in both, different type), or `unchanged`, plus both
+    * catalog type strings (null where absent). Pure metadata — no
+    * data is scanned; nested types compare by full catalogString.
+    */
+  def schemaDiff(a: DataFrame, b: DataFrame): DataFrame = {
+    val ta = a.schema.map(f => f.name -> f.dataType.catalogString).toMap
+    val tb = b.schema.map(f => f.name -> f.dataType.catalogString).toMap
+    // preserve first-seen field order: a's fields, then b-only fields
+    val fields = (a.schema.map(_.name) ++ b.schema.map(_.name)).distinct
+    val rows = fields.map { f =>
+      val (va, vb) = (ta.get(f), tb.get(f))
+      val status = (va, vb) match {
+        case (Some(_), None) => "removed"
+        case (None, Some(_)) => "added"
+        case (Some(x), Some(y)) if x == y => "unchanged"
+        case _ => "changed"
+      }
+      (f, status, va.orNull, vb.orNull)
+    }
+    import a.sparkSession.implicits._
+    rows.toDF("field", "status", "type_a", "type_b")
+  }
+
   def correlations(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, s"need at least two columns, got $cols")
     require(cols.distinct.size == cols.size, s"duplicate columns in $cols")

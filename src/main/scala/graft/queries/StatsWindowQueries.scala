@@ -184,6 +184,20 @@ object StatsWindowQueries extends QueryPack {
         .select(col("vertex"), round(col("rank"), 4).as("rank"))
     },
 
+    // schema drift between two crawl snapshots (the metadata axis
+    // beside corpusDiff/Drift): a simulated next-crawl schema drops a
+    // field, retypes another, adds a third. Pure metadata, no scan;
+    // the oracle recomputes the same diff from DuckDB DESCRIBE with
+    // type names normalized (varchar→string).
+    "q_schema_diff" -> { (s, dir) =>
+      val o = tables(s, dir).orders
+      val next = o.select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("string").as("o_totalprice"),
+        col("o_orderdate"), col("o_orderpriority"),
+        lit(1L).as("o_version"))
+      graft.operators.Profile.schemaDiff(o, next).orderBy(col("field"))
+    },
+
     // data-contract expectations over orders in one scan: passing
     // contracts, a deliberately violated threshold, and the
     // null-counts-as-violation contract.
@@ -531,6 +545,25 @@ object StatsWindowQueries extends QueryPack {
     "q_freq_items" ->
       """SELECT user_id, count(*) AS n FROM events
         |GROUP BY user_id HAVING count(*) >= 60 ORDER BY user_id""".stripMargin,
+
+    "q_schema_diff" ->
+      """WITH a AS (SELECT column_name AS field,
+        |                  replace(lower(column_type), 'varchar', 'string') AS type_a
+        |           FROM (DESCRIBE SELECT * FROM orders)),
+        |     b AS (SELECT column_name AS field,
+        |                  replace(lower(column_type), 'varchar', 'string') AS type_b
+        |           FROM (DESCRIBE SELECT o_orderkey, o_custkey,
+        |                   CAST(o_totalprice AS VARCHAR) AS o_totalprice,
+        |                   o_orderdate, o_orderpriority,
+        |                   CAST(1 AS BIGINT) AS o_version FROM orders))
+        |SELECT coalesce(a.field, b.field) AS field,
+        |       CASE WHEN b.field IS NULL THEN 'removed'
+        |            WHEN a.field IS NULL THEN 'added'
+        |            WHEN type_a = type_b THEN 'unchanged'
+        |            ELSE 'changed' END AS status,
+        |       type_a, type_b
+        |FROM a FULL OUTER JOIN b ON a.field = b.field
+        |ORDER BY field""".stripMargin,
 
     "q_varopt_sample" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice

@@ -87,4 +87,24 @@ class ProfileSpec extends SparkSpec {
       .executedPlan.toString
     assert(!p.contains("Join"), s"correlations planned a join:\n$p")
   }
+
+  test("schemaDiff: added/removed/changed/unchanged; nested types by catalogString; no scan") {
+    import org.apache.spark.sql.functions._
+    val a = Seq((1L, "x", 1.0)).toDF("id", "name", "score")
+      .withColumn("tags", array(lit("a")))
+    val b = Seq((1L, 2, "y")).toDF("id", "score", "extra")
+      .withColumn("tags", array(struct(lit("a").as("k"))))
+    val got = Profile.schemaDiff(a, b).collect()
+      .map(r => r.getString(0) -> ((r.getString(1),
+        Option(r.getString(2)).orNull, Option(r.getString(3)).orNull))).toMap
+    assert(got("id") == (("unchanged", "bigint", "bigint")))
+    assert(got("name") == (("removed", "string", null)))
+    assert(got("score") == (("changed", "double", "int")))
+    assert(got("extra") == (("added", null, "string")))
+    assert(got("tags")._1 == "changed") // array<string> vs array<struct<k:string>>
+    assert(got("tags")._2 == "array<string>")
+    // identical schemas → all unchanged; metadata only (works on an
+    // unresolvable-path frame? not applicable — but no job must run)
+    assert(Profile.schemaDiff(a, a).filter(col("status") =!= "unchanged").count() == 0)
+  }
 }
