@@ -103,4 +103,79 @@ class PropertySpec extends AnyFunSuite {
       partitioned && inside && between
     }, n = 100)
   }
+
+  // ----- sketch algebra: the distributed operators' correctness rests
+  // on these merge laws holding for ANY partitioning of the input -----
+
+  private val longSets: Gen[(List[Long], List[Long])] = for {
+    a <- Gen.listOf(Gen.choose(0L, 5000L))
+    b <- Gen.listOf(Gen.choose(0L, 5000L))
+  } yield (a, b)
+
+  private def thetaOf(vs: Seq[Long], lgK: Int = 14): Array[Byte] = {
+    val u = org.apache.datasketches.theta.SetOperation.builder()
+      .setLogNominalEntries(lgK).buildUnion()
+    vs.foreach(u.update)
+    u.getResult.toByteArray
+  }
+
+  test("theta merge: commutative, associative, idempotent; exact-mode estimate == |set|") {
+    import graft.expressions.ThetaOps
+    holds(forAll(longSets) { case (a, b) =>
+      val (sa, sb) = (thetaOf(a), thetaOf(b))
+      val ab = ThetaOps.combine(sa, sb, ThetaOps.OpUnion)
+      val ba = ThetaOps.combine(sb, sa, ThetaOps.OpUnion)
+      val comm = ThetaOps.estimate(ab) == ThetaOps.estimate(ba)
+      val idem = ThetaOps.estimate(ThetaOps.combine(ab, sb, ThetaOps.OpUnion)) ==
+        ThetaOps.estimate(ab)
+      val exact = ThetaOps.estimate(ab) == (a.toSet ++ b.toSet).size.toDouble
+      val inter = ThetaOps.estimate(ThetaOps.combine(sa, sb, ThetaOps.OpIntersect)) ==
+        (a.toSet intersect b.toSet).size.toDouble
+      val diff = ThetaOps.estimate(ThetaOps.combine(sa, sb, ThetaOps.OpANotB)) ==
+        (a.toSet diff b.toSet).size.toDouble
+      comm && idem && exact && inter && diff
+    }, n = 100)
+  }
+
+  test("freq merge: commutative; exact-mode counts are the multiset sum") {
+    import graft.expressions.FreqOps
+    def sk(vs: Seq[Long]): Array[Byte] = {
+      val s = new org.apache.datasketches.frequencies.LongsSketch(1 << 13)
+      vs.foreach(s.update)
+      val b = s.toByteArray
+      val out = new Array[Byte](b.length + 1); out(0) = 'L'.toByte
+      System.arraycopy(b, 0, out, 1, b.length); out
+    }
+    holds(forAll(longSets) { case (a, b) =>
+      val m1 = FreqOps.merge(sk(a), sk(b))
+      val m2 = FreqOps.merge(sk(b), sk(a))
+      val census = (a ++ b).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      def items(bytes: Array[Byte]): Map[Long, Long] = {
+        val g = FreqOps.topItems(bytes, 1L, noFalsePositives = true)
+        (0 until g.numElements()).map { i =>
+          val r = g.getStruct(i, 4)
+          r.getUTF8String(0).toString.toLong -> r.getLong(1)
+        }.toMap
+      }
+      items(m1) == census && items(m2) == census
+    }, n = 60)
+  }
+
+  test("kll merge order does not change exact-mode quantiles") {
+    import graft.expressions.KllOps
+    def sk(vs: Seq[Long]): Array[Byte] = {
+      val s = org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(8192)
+      vs.foreach(v => s.update(v.toDouble))
+      s.toByteArray
+    }
+    holds(forAll(longSets) { case (a, b) =>
+      (a ++ b).isEmpty || {
+        val q1 = KllOps.quantiles(KllOps.merge(sk(a), sk(b)), Array(0.0, 0.5, 1.0))
+        val q2 = KllOps.quantiles(KllOps.merge(sk(b), sk(a)), Array(0.0, 0.5, 1.0))
+        val all = (a ++ b).map(_.toDouble).sorted
+        q1.toDoubleArray().toSeq == q2.toDoubleArray().toSeq &&
+          q1.toDoubleArray()(0) == all.head && q1.toDoubleArray()(2) == all.last
+      }
+    }, n = 60)
+  }
 }
