@@ -333,6 +333,58 @@ object IoQueries extends QueryPack {
         .orderBy(col("o_orderpriority"))
     },
 
+    // scio-smb SMBMultiJoin: THREE co-bucketed tables joined on the
+    // shared key — every sort-merge join in the chain exchange-free
+    // (plan asserted in SmbSpec). The third table is a per-order
+    // pre-aggregate, itself bucketed on the same key.
+    "q_smb_multi" -> { (s, dir) =>
+      val (lTable, oTable) = smbJoinTables(s, dir)
+      val cTable = s"graft_smb_cnt_$runToken"
+      val cnt = s.table(lTable).groupBy(col("l_orderkey").as("c_orderkey"))
+        .agg(count(lit(1)).as("n_lines"))
+      Smb.writeBucketed(cnt, cTable, tmp(dir, "smb_cnt"), buckets = 32, Seq("c_orderkey"))
+      Smb.smbJoinMulti(s, Seq(lTable -> Seq("l_orderkey"),
+          oTable -> Seq("o_orderkey"), cTable -> Seq("c_orderkey")))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("qty"),
+          sum(col("n_lines")).cast("long").as("lines"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // scio-smb CoGbk (sortMergeCoGroup): per-key row groups from each
+    // co-bucketed source with empty (not null) arrays for missing
+    // keys; shuffle-free plan asserted in SmbSpec.
+    "q_smb_cogroup" -> { (s, dir) =>
+      val (lTable, oTable) = smbJoinTables(s, dir)
+      Smb.smbCogroup(s, Seq(lTable -> Seq("l_orderkey"), oTable -> Seq("o_orderkey")),
+          Seq("orderkey"))
+        .select(col("orderkey"),
+          size(col(s"${lTable}_rows")).cast("long").as("n_lines"),
+          size(col(s"${oTable}_rows")).cast("long").as("n_orders"))
+        .orderBy(col("orderkey"))
+    },
+
+    // scio-smb SortMergeTransform: co-bucketed join → per-row
+    // transform → bucketed write of the result, zero Exchange end to
+    // end (asserted in SmbSpec); the oracle recomputes the transformed
+    // table's aggregate from the raw inputs, checking the written
+    // artifact's content through a read-back.
+    "q_smb_transform" -> { (s, dir) =>
+      val (lTable, oTable) = smbJoinTables(s, dir)
+      val wTable = s"graft_smb_w_$runToken"
+      // the cached lineitem table carries (l_orderkey, l_quantity) and
+      // orders (o_orderkey, o_orderpriority): weight = qty in exact
+      // decimal so both engines agree bit-for-bit
+      Smb.smbTransform(s, Seq(lTable -> Seq("l_orderkey"), oTable -> Seq("o_orderkey")))(
+        _.select(col("l_orderkey").as("t_orderkey"), col("o_orderpriority"),
+          dec(col("l_quantity")).as("weighted")))(
+        wTable, tmp(dir, "smb_w"), buckets = 32, Seq("t_orderkey"))
+      s.table(wTable)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sumMoney(col("weighted")).as("wsum"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // scio-extra sparkey asLargeMapSideInput/largeHashJoin: a side too
     // big to broadcast, written ONCE as a bucketed+sorted table, then
     // probed shuffle-free on the stored side (only the probe moves —
@@ -467,6 +519,28 @@ object IoQueries extends QueryPack {
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_smb_write" ->
       """SELECT count(*) AS n, round(sum(l_quantity), 2) AS qty FROM lineitem""",
+    "q_smb_multi" ->
+      """WITH cnt AS (
+        |  SELECT l_orderkey AS c_orderkey, count(*) AS n_lines
+        |  FROM lineitem GROUP BY 1)
+        |SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity), 2) AS qty,
+        |  CAST(sum(n_lines) AS BIGINT) AS lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN cnt ON l_orderkey = c_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_smb_cogroup" ->
+      """WITH l AS (SELECT l_orderkey AS k, count(*) AS nl FROM lineitem GROUP BY 1),
+        |     o AS (SELECT o_orderkey AS k, count(*) AS no FROM orders GROUP BY 1)
+        |SELECT coalesce(l.k, o.k) AS orderkey,
+        |  CAST(coalesce(nl, 0) AS BIGINT) AS n_lines,
+        |  CAST(coalesce(no, 0) AS BIGINT) AS n_orders
+        |FROM l FULL JOIN o ON l.k = o.k ORDER BY orderkey""".stripMargin,
+    "q_smb_transform" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS wsum
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_compact" ->
       """SELECT doc_id, source, n_chars FROM documents ORDER BY doc_id""",
     "q_manifest" ->

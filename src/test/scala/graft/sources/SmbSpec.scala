@@ -36,6 +36,113 @@ class SmbSpec extends SparkSpec {
     }
   }
 
+  private def noAqeNoBroadcast[T](body: => T): T = {
+    val conf = spark.conf
+    val oldThresh = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldAqe = conf.get("spark.sql.adaptive.enabled")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      body
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+      conf.set("spark.sql.adaptive.enabled", oldAqe)
+    }
+  }
+
+  test("3-way co-bucketed join (SMBMultiJoin) plans with zero Exchange") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val cnt = li.groupBy(col("l_orderkey").as("c_orderkey"))
+      .agg(count(lit(1)).as("n_lines"))
+    Smb.writeBucketed(li, "smb_m_li", "/tmp/graft_test/smb/m_li", 4, Seq("l_orderkey"))
+    Smb.writeBucketed(ord, "smb_m_ord", "/tmp/graft_test/smb/m_ord", 4, Seq("o_orderkey"))
+    Smb.writeBucketed(cnt, "smb_m_cnt", "/tmp/graft_test/smb/m_cnt", 4, Seq("c_orderkey"))
+    noAqeNoBroadcast {
+      val joined = Smb.smbJoinMulti(spark, Seq(
+        "smb_m_li" -> Seq("l_orderkey"),
+        "smb_m_ord" -> Seq("o_orderkey"),
+        "smb_m_cnt" -> Seq("c_orderkey")))
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"), s"3-way SMB join must not shuffle:\n$plan")
+      val expected = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cnt, col("l_orderkey") === col("c_orderkey"))
+      assert(sortedRows(joined) == sortedRows(expected))
+    }
+  }
+
+  test("smbCogroup: shuffle-free, empty arrays for missing keys, per-source rows") {
+    import spark.implicits._
+    val left = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "lv")
+    val right = Seq((2L, 20.0), (3L, 30.0)).toDF("rk", "rv")
+    Smb.writeBucketed(left, "smb_cg_l", "/tmp/graft_test/smb/cg_l", 2, Seq("k"))
+    Smb.writeBucketed(right, "smb_cg_r", "/tmp/graft_test/smb/cg_r", 2, Seq("rk"))
+    val cg = noAqeNoBroadcast {
+      val cg = Smb.smbCogroup(spark,
+        Seq("smb_cg_l" -> Seq("k"), "smb_cg_r" -> Seq("rk")), Seq("key"))
+      val plan = cg.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"), s"cogroup must not shuffle:\n$plan")
+      cg
+    }
+    val byKey = cg.collect().map { r =>
+      r.getLong(0) -> (r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0)).sorted,
+        r.getSeq[org.apache.spark.sql.Row](2).map(_.getDouble(0)).sorted)
+    }.toMap
+    assert(byKey.keySet == Set(1L, 2L, 3L))
+    assert(byKey(1L) == (Seq("a", "b"), Seq.empty[Double]))
+    assert(byKey(2L) == (Seq("c"), Seq(20.0)))
+    assert(byKey(3L) == (Seq.empty[String], Seq(30.0)))
+  }
+
+  test("smbTransform: join→transform→bucketed write end-to-end with no Exchange, " +
+    "output joins exchange-free") {
+    // capture the write command's executed plan via a listener — the
+    // frame-side executedPlan alone would not cover the write job
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString())
+      override def onFailure(funcName: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try noAqeNoBroadcast {
+      Smb.smbTransform(spark, Seq(
+        "smb_m_li" -> Seq("l_orderkey"), "smb_m_ord" -> Seq("o_orderkey")))(
+        _.select(col("l_orderkey").as("t_orderkey"),
+          (col("l_quantity") * col("o_totalprice")).as("weighted")))(
+        "smb_m_out", "/tmp/graft_test/smb/m_out", 4, Seq("t_orderkey"))
+      // listener events are delivered asynchronously — poll briefly
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (plans.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(!plans.isEmpty, "write command plan never arrived")
+      plans.forEach(p => assert(!p.contains("Exchange"),
+        s"smbTransform write must not shuffle:\n$p"))
+      // aligned write ⇒ exactly one data file per bucket
+      val files = new java.io.File("/tmp/graft_test/smb/m_out")
+        .listFiles().count(f => f.getName.startsWith("part-"))
+      assert(files == 4, s"expected 4 bucket files, got $files")
+      // the output is a real SMB table: joining it back is exchange-free
+      val back = Smb.smbJoin(spark, "smb_m_out", "smb_m_ord",
+        Seq("t_orderkey"), Seq("o_orderkey"))
+      val plan = back.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"), s"output table join must not shuffle:\n$plan")
+      // content matches the plain recomputation
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_quantity"))
+      val ord = spark.read.parquet(s"$sf/orders.parquet")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val expected = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), (col("l_quantity") * col("o_totalprice")).as("weighted"))
+      assert(sortedRows(spark.table("smb_m_out")) == sortedRows(expected))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("bucketed aggregation on the bucket key avoids the shuffle too") {
     val conf = spark.conf
     val oldAqe = conf.get("spark.sql.adaptive.enabled")
