@@ -151,6 +151,23 @@ object MaintenanceQueries extends QueryPack {
         .orderBy(col("vertex"))
     },
 
+    // Connected components over a deterministic BLOCK-BOUNDED graph
+    // from urgent orders: left vertex a ∈ [0,5000); right vertex in
+    // a's 5-wide block, so every component stays ≤10 vertices and the
+    // oracle's recursive-CTE transitive closure (min reachable id =
+    // the same canonical label connectedComponents converges to)
+    // stays cheap at every scale factor.
+    "q_connected_components" -> { (s, dir) =>
+      val a = col("o_orderkey") % 5000
+      val b = lit(5000L) + (a - (a % 5)) + (col("o_custkey") % 5)
+      val edges = tables(s, dir).orders
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(a.as("a"), b.as("b"))
+      graft.operators.Graph.connectedComponents(edges, "a", "b", maxIters = 12)
+        .select(col("vertex"), col("component"))
+        .orderBy(col("vertex"))
+    },
+
     // Fuzzy record linkage: near-matching part names (distinct),
     // blocked on the last token, Levenshtein <= 4.
     "q_fuzzy_match" -> { (s, dir) =>
@@ -341,6 +358,20 @@ object MaintenanceQueries extends QueryPack {
         |  GROUP BY 1)
         |SELECT verts.v AS vertex, coalesce(pc.triangles, 0) AS triangles
         |FROM verts LEFT JOIN pc ON verts.v = pc.vertex ORDER BY 1""".stripMargin,
+    "q_connected_components" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT o_orderkey % 5000 AS a,
+        |    5000 + ((o_orderkey % 5000) - ((o_orderkey % 5000) % 5))
+        |      + (o_custkey % 5) AS b
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+        |verts AS (SELECT DISTINCT a AS v FROM e),
+        |r AS (
+        |  SELECT v, v AS c FROM verts
+        |  UNION
+        |  SELECT e.b AS v, r.c FROM r JOIN e ON e.a = r.v)
+        |SELECT v AS vertex, min(c) AS component FROM r
+        |GROUP BY v ORDER BY vertex""".stripMargin,
     "q_fuzzy_match" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part),
         |b AS (SELECT p_name, split_part(p_name, ' ', 2) AS blk FROM n)
