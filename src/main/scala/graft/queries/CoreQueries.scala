@@ -117,6 +117,16 @@ object CoreQueries extends QueryPack {
         .select(col("o_orderkey"), r2(col("o_totalprice")).as("total"))
     },
 
+    // dense 0..n-1 global index in doc_id order (scio/RDD
+    // zipWithIndex parity): balanced bucketed prefix sums — never a
+    // global sort or single-partition window.
+    "q_zip_index" -> { (s, dir) =>
+      graft.operators.GlobalOrder.zipWithGlobalIndex(
+          tables(s, dir).documents.select(col("doc_id"), col("source")),
+          "doc_id", "idx")
+        .orderBy(col("doc_id"))
+    },
+
     // union + distinct.
     "q_union" -> { (s, dir) =>
       val t = tables(s, dir)
@@ -254,6 +264,10 @@ object CoreQueries extends QueryPack {
     "q_top" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS total FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_zip_index" ->
+      """SELECT doc_id, source,
+        |  row_number() OVER (ORDER BY doc_id) - 1 AS idx
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_union" ->
       """SELECT count(*) AS n, min(k) AS min_k, max(k) AS max_k FROM (
         |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'

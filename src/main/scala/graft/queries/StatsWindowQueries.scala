@@ -242,6 +242,17 @@ object StatsWindowQueries extends QueryPack {
         Seq("view", "click", "purchase"), withinSec = Some(86400L))
     },
 
+    // per-user funnel step TIMES — the frame q_funnel aggregates,
+    // gated µs-exact through the strict-order horizon chain.
+    "q_funnel_times" -> { (s, dir) =>
+      graft.operators.Events.funnelTimes(tables(s, dir).events,
+          "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"), withinSec = Some(86400L))
+        .select(col("user_id"), unix_micros(col("t1")).as("t1_us"),
+          unix_micros(col("t2")).as("t2_us"), unix_micros(col("t3")).as("t3_us"))
+        .orderBy(col("user_id"))
+    },
+
     // first-order event-transition census (flow/Sankey counts):
     // consecutive pairs per user in (ts, event_id) order.
     "q_transitions" -> { (s, dir) =>
@@ -821,6 +832,26 @@ object StatsWindowQueries extends QueryPack {
         |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM u2)
         |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM u3))
         |ORDER BY step_idx""".stripMargin,
+    "q_funnel_times" ->
+      """WITH u1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+        |u2 AS (
+        |  SELECT e.user_id, min(u1.t1) AS t1, min(e.ts) AS t2
+        |  FROM events e JOIN u1 ON e.user_id = u1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > u1.t1
+        |    AND e.ts <= u1.t1 + INTERVAL 86400 SECONDS
+        |  GROUP BY 1),
+        |u3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN u2 ON e.user_id = u2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > u2.t2
+        |    AND e.ts <= u2.t1 + INTERVAL 86400 SECONDS
+        |  GROUP BY 1)
+        |SELECT u1.user_id, epoch_us(u1.t1) AS t1_us, epoch_us(u2.t2) AS t2_us,
+        |  epoch_us(u3.t3) AS t3_us
+        |FROM u1 LEFT JOIN u2 ON u1.user_id = u2.user_id
+        |LEFT JOIN u3 ON u1.user_id = u3.user_id
+        |ORDER BY u1.user_id""".stripMargin,
     "q_attribution" ->
       """WITH conv AS (
         |  SELECT user_id, ts AS conv_ts FROM events WHERE event_type = 'purchase'),
