@@ -265,6 +265,18 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("id"), col("term"))
     },
 
+    // top-k TF-IDF terms per doc (keyword extraction): smoothed-idf
+    // weights ranked per doc with a deterministic (weight desc, term)
+    // tie-break; WindowGroupLimit caps the per-doc sort.
+    "q_tfidf_top" -> { (s, dir) =>
+      graft.functions.Tfidf.topTerms(tables(s, dir).documents,
+          "doc_id", "text", k = 5, minDocFreq = 2L)
+        .filter(col("id") <= 50)
+        .select(col("id"), col("term"), col("tf"), col("doc_freq"),
+          col("rank"), r6(col("tfidf")).as("tfidf"))
+        .orderBy(col("id"), col("rank"))
+    },
+
     // exact-quota stratified sample: 20 docs per source stratum by
     // smallest md5 coordinate — reproducible quotas, WindowGroupLimit.
     "q_quota_sample" -> { (s, dir) =>
@@ -1376,6 +1388,29 @@ object TextVectorQueries extends QueryPack {
         |  round(coalesce(w.logw, 0.0), 6) AS logw
         |FROM documents d LEFT JOIN w ON d.doc_id = w.id
         |WHERE d.doc_id <= 300 ORDER BY id""".stripMargin,
+    "q_tfidf_top" ->
+      """WITH terms AS (
+        |  SELECT doc_id AS id,
+        |    unnest(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS term
+        |  FROM documents),
+        |t2 AS (SELECT id, term FROM terms WHERE len(term) > 0),
+        |tf AS (SELECT id, term, count(*) AS tf FROM t2 GROUP BY id, term),
+        |dfreq AS (
+        |  SELECT term, count(*) AS doc_freq FROM tf GROUP BY term
+        |  HAVING count(*) >= 2),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.id, tf.term, tf.tf, dfreq.doc_freq,
+        |    tf.tf * (ln((n.n + 1.0) / (dfreq.doc_freq + 1.0)) + 1.0) AS tfidf
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+        |ranked AS (
+        |  SELECT id, term, tf, doc_freq, tfidf,
+        |    CAST(row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, term)
+        |      AS INT) AS rank
+        |  FROM scored)
+        |SELECT id, term, tf, doc_freq, rank, round(tfidf, 6) AS tfidf
+        |FROM ranked WHERE rank <= 5 AND id <= 50
+        |ORDER BY id, rank""".stripMargin,
     "q_bm25" ->
       """WITH terms AS (
         |  SELECT doc_id AS id,
