@@ -615,6 +615,75 @@ object Dedup {
           greatest(col("n_tokens"), lit(1)), 6).as("dup_fraction"))
   }
 
+  /** Remove duplicated k-gram spans from each document, keeping each
+    * gram's globally FIRST occurrence — the substring-dedup TRANSFORM
+    * beside [[substringStats]]'s audit (the published recipe: Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better", re-expressed token-level). A token is dropped iff some
+    * NON-first occurrence of a corpus-duplicated k-gram covers it;
+    * "first" = lexicographic min (id, pos), so the result is
+    * deterministic across partitionings and reruns. Output text is
+    * token-normalized (kept tokens joined by single spaces).
+    *
+    * Returns (id, n_tokens, n_removed, clean_text).
+    *
+    * Scale shape mirrors [[substringStats]]: the gram stream shuffles
+    * as 8-byte hashes with (id, pos) coordinates, the first/count
+    * fold partial-aggregates map-side, and only occurrences of
+    * DUPLICATED grams reach the per-doc reconstruction. Per-doc state
+    * is the dup-position list folded ONCE into merged [s, e)
+    * intervals; token survival tests run against those merged ranges,
+    * so a boilerplate-heavy doc with thousands of overlapping dup
+    * grams probes a handful of intervals, not the raw gram count.
+    */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = tokens(txt(col(textCol)))
+    val th = transform(toks, t => xxhash64(t))
+    val grams = df
+      .select(col(idCol).as("id"), th.as("__th"))
+      .filter(size(col("__th")) >= k)
+      .select(col("id"),
+        posexplode(graft.expressions.GramHashes.gramHashesF(col("__th"), k,
+          padShort = false)).as(Seq("pos", "h")))
+    val firsts = grams
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col("id"), col("pos"))).as("__first"))
+      .filter(col("__cnt") > 1)
+      .select(col("h"), col("__first"))
+    val dupOcc = grams.join(firsts, Seq("h"))
+      .filter(!(col("id") === col("__first.id") && col("pos") === col("__first.pos")))
+      .select(col("id"), col("pos"))
+    // sorted dup positions → merged half-open [s, e) interval list
+    val emptyIv = array().cast("array<struct<s:long,e:long>>")
+    val mergeIntervals = aggregate(
+      array_sort(col("__ps")),
+      emptyIv,
+      (acc, p) => {
+        val last = element_at(acc, -1)
+        when(size(acc) === 0 || p.cast("long") > last("e"),
+          concat(acc, array(struct(p.cast("long").as("s"),
+            (p + k).cast("long").as("e")))))
+          .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(last("s").as("s"),
+              greatest(last("e"), (p + k).cast("long")).as("e")))))
+      })
+    val perDoc = dupOcc.groupBy(col("id"))
+      .agg(collect_list(col("pos")).as("__ps"))
+      .select(col("id"), mergeIntervals.as("__iv"))
+    val iv = coalesce(col("__iv"), emptyIv)
+    val kept = filter(col("__toks"),
+      (t, i) => !exists(iv, r => i.cast("long") >= r("s") && i.cast("long") < r("e")))
+    df.select(col(idCol).as("id"), toks.as("__toks"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        (size(col("__toks")) - size(kept)).cast("long").as("n_removed"),
+        array_join(kept, " ").as("clean_text"))
+  }
+
   // ------------------------------------------------------------------
   // Incremental near-dup: a persisted MinHash index artifact
   // ------------------------------------------------------------------

@@ -415,6 +415,14 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // substring-dedup TRANSFORM: excise every non-first occurrence of
+    // a corpus-duplicated 8-gram, keep the global first; clean text
+    // hash-exact vs the oracle's window-ranked recomputation.
+    "q_substr_remove" -> { (s, dir) =>
+      Dedup.removeDuplicateSpans(tables(s, dir).documents, "doc_id", "text", k = 8)
+        .orderBy(col("id"))
+    },
+
     // MinHash+LSH near-dup clustering: every doc → cluster + keep flag.
     "q_dedup_minhash" -> { (s, dir) =>
       Dedup.minhashClusters(tables(s, dir).documents, "doc_id", "text")
@@ -1599,6 +1607,36 @@ object TextVectorQueries extends QueryPack {
         |  coalesce(cov.covered_tokens, 0) AS covered_tokens,
         |  round(coalesce(cov.covered_tokens, 0)::DOUBLE / greatest(len(tok.t), 1), 6) AS dup_fraction
         |FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id
+        |ORDER BY id""".stripMargin,
+    "q_substr_remove" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(range(0, len(t) - 8 + 1)) AS pos, t
+        |  FROM tok WHERE len(t) >= 8),
+        |g2 AS (SELECT doc_id, pos, array_to_string(t[pos + 1:pos + 8], ' ') AS s FROM grams),
+        |dup AS (SELECT s FROM g2 GROUP BY s HAVING count(*) > 1),
+        |ranked AS (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn
+        |  FROM g2 JOIN dup USING (s)),
+        |cover AS (SELECT DISTINCT doc_id, idx FROM (
+        |  SELECT doc_id, unnest(range(pos, pos + 8)) AS idx
+        |  FROM ranked WHERE rn > 1)),
+        |tokix AS (SELECT doc_id, unnest(range(0, len(t))) AS idx, t FROM tok),
+        |kept AS (
+        |  SELECT k.doc_id, k.idx, k.t[k.idx + 1] AS tokv
+        |  FROM tokix k LEFT JOIN cover c ON k.doc_id = c.doc_id AND k.idx = c.idx
+        |  WHERE c.doc_id IS NULL),
+        |outq AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tokv, ' ' ORDER BY idx) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT tok.doc_id AS id, len(tok.t) AS n_tokens,
+        |  CAST(len(tok.t) - coalesce(outq.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(outq.clean_text, '') AS clean_text
+        |FROM tok LEFT JOIN outq ON tok.doc_id = outq.doc_id
         |ORDER BY id""".stripMargin,
     "q_repetition" ->
       """WITH tok AS (

@@ -294,6 +294,59 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) == ((6L, 0L, 0L, 0.0)))
   }
 
+  test("removeDuplicateSpans: first occurrence survives, later spans excised") {
+    val docs = Seq(
+      (1L, "a b c d e f"),   // "a b c" first here -> doc 1 untouched
+      (2L, "a b c x y z"),   // non-first "a b c" -> tokens 0..2 removed
+      (3L, "p q r p q r p"), // within-doc repeats: dup occ at pos 3,4 -> [3,7) removed
+      (4L, "u v"),           // below k: untouched
+      (5L, "m n o q w t")    // all grams unique: untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((6L, 0L, "a b c d e f")))
+    assert(out(2L) == ((6L, 3L, "x y z")))
+    assert(out(3L) == ((7L, 4L, "p q r")))
+    assert(out(4L) == ((2L, 0L, "u v")))
+    assert(out(5L) == ((6L, 0L, "m n o q w t")))
+  }
+
+  test("removeDuplicateSpans: randomized corpus matches a brute-force recompute") {
+    val rnd = new scala.util.Random(11)
+    val k = 4
+    val corpus = (1L to 60L).map { id =>
+      id -> (0 until (3 + rnd.nextInt(20))).map(_ => s"w${rnd.nextInt(6)}").mkString(" ")
+    }
+    // reference implementation: string grams, global (id, pos) ranking
+    val occ = scala.collection.mutable.Map.empty[String, List[(Long, Int)]]
+    corpus.foreach { case (id, text) =>
+      val t = text.split("\\s+")
+      if (t.length >= k)
+        (0 to t.length - k).foreach { p =>
+          val g = t.slice(p, p + k).mkString(" ")
+          occ(g) = (id, p) :: occ.getOrElse(g, Nil)
+        }
+    }
+    val expected = corpus.map { case (id, text) =>
+      val t = text.split("\\s+")
+      val removed = Array.fill(t.length)(false)
+      occ.values.filter(_.size > 1).foreach { os =>
+        val first = os.minBy(identity)
+        os.filter(_ != first).foreach { case (oid, p) =>
+          if (oid == id) (p until math.min(p + k, t.length)).foreach(removed(_) = true)
+        }
+      }
+      id -> ((t.length.toLong, removed.count(identity).toLong,
+        t.zipWithIndex.collect { case (w, i) if !removed(i) => w }.mkString(" ")))
+    }.toMap
+    val out = Dedup.removeDuplicateSpans(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", k = k)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out == expected)
+  }
+
   test("substringStats: randomized corpus matches a brute-force recount") {
     // small alphabet forces plenty of duplicated grams, including the
     // overlapping-interval unions the fold must merge correctly
