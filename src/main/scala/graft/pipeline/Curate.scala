@@ -55,6 +55,13 @@ object Curate {
     * @param lineDedupMaxOcc  drop corpus-duplicated lines (C4-style
     *                   boilerplate removal, [[graft.dedup.Dedup
     *                   .dedupLines]]) before quality scoring; None → off.
+    * @param removeDupSpansK  REWRITE each doc by excising non-first
+    *                   occurrences of corpus-duplicated k-grams
+    *                   ([[graft.dedup.Dedup.removeDuplicateSpans]],
+    *                   Lee et al. substring dedup) before quality
+    *                   scoring — the transform sibling of the
+    *                   maxSubstrDupFrac FILTER; Some(k) → on with
+    *                   that gram width, None → off.
     * @param maxSubstrDupFrac  drop docs whose duplicated-substring
     *                   coverage ([[graft.dedup.Dedup.substringStats]]
     *                   `dup_fraction`) exceeds this; None → off.
@@ -86,6 +93,7 @@ object Curate {
              decontamK: Int = 13,
              redactPii: Boolean = false,
              lineDedupMaxOcc: Option[Long] = None,
+             removeDupSpansK: Option[Int] = None,
              maxSubstrDupFrac: Option[Double] = None, substrK: Int = 8,
              split: Option[(Seq[(String, Double)], String)] = None,
              gopherRules: Boolean = false,
@@ -114,8 +122,23 @@ object Curate {
           .drop("__ld_id", "__ld_text")
       case None => redacted
     }
+    val spanned = removeDupSpansK match {
+      case Some(k) =>
+        // text rewrite, same join-back shape as the line-dedup stage;
+        // the rewriter reads its input twice (gram pass + rebuild
+        // pass) — persist it like the other fan-out stages
+        val shared = lined.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val rebuilt = Dedup.removeDuplicateSpans(shared, idCol, textCol, k)
+          .select(col("id").as("__rs_id"), col("clean_text").as("__rs_text"))
+        shared.drop(textCol)
+          .join(rebuilt, col(idCol) === col("__rs_id"))
+          .withColumn(textCol, col("__rs_text"))
+          .drop("__rs_id", "__rs_text")
+      case None => lined
+    }
     val q = qualityStruct(col(textCol))
-    val qualityGated0 = lined
+    val qualityGated0 = spanned
       .withColumn("__q", q)
       .filter(col("__q").getField("n_tokens") >= minTokens &&
         col("__q").getField("alpha_ratio") >= minAlpha)

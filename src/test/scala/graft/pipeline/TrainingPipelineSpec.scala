@@ -98,6 +98,34 @@ class TrainingPipelineSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("curate: removeDupSpansK rewrites docs, excising non-first duplicate spans") {
+    val corpus = Seq(
+      // doc 1 owns the shared span (global first occurrence)
+      (1L, "shared boiler plate span here plus unique alpha beta gamma delta epsilon"),
+      // doc 2 repeats it: the span is excised, the unique tail survives
+      (2L, "shared boiler plate span here plus unique zeta eta theta iota kappa"),
+      // clean doc: untouched
+      (3L, "totally different content with many distinct words passing the gates fine")
+    ).toDF("doc_id", "text")
+    val out = Curate.curate(corpus, "doc_id", "text",
+      minTokens = 3L, minAlpha = 0.5, nearDup = false,
+      removeDupSpansK = Some(4)).cache()
+    try {
+      val byId = out.select(col("doc_id"), col("text")).as[(Long, String)]
+        .collect().toMap
+      assert(byId.keySet == Set(1L, 2L, 3L))
+      assert(byId(1L).startsWith("shared boiler plate span here"),
+        s"first occurrence must survive: ${byId(1L)}")
+      assert(!byId(2L).contains("shared boiler plate"),
+        s"non-first span must be excised: ${byId(2L)}")
+      assert(byId(2L).contains("zeta eta theta iota kappa"))
+      assert(byId(3L) == "totally different content with many distinct words passing the gates fine")
+      // token accounting reflects the REWRITTEN text
+      val n2 = out.filter(col("doc_id") === 2L).select("n_tokens").as[Long].head()
+      assert(n2 == byId(2L).split("\\s+").length.toLong)
+    } finally out.unpersist()
+  }
+
   test("curate: unicode normalization makes precomposed/decomposed twins dedup together") {
     // same sentence, one rendition precomposed (é), one decomposed
     // (e + combining acute): byte-level exact dedup sees two distinct
