@@ -73,6 +73,38 @@ class SmbSpec extends SparkSpec {
     }
   }
 
+  test("composite-key SMB: 2-col bucket spec joins and cogroups with no Exchange") {
+    import spark.implicits._
+    val left = Seq((1L, "a", 1.0), (1L, "b", 2.0), (2L, "a", 3.0))
+      .toDF("k1", "k2", "lv")
+    val right = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("r1", "r2", "rv")
+    Smb.writeBucketed(left, "smb_ck_l", "/tmp/graft_test/smb/ck_l", 2, Seq("k1", "k2"))
+    Smb.writeBucketed(right, "smb_ck_r", "/tmp/graft_test/smb/ck_r", 2, Seq("r1", "r2"))
+    noAqeNoBroadcast {
+      val joined = Smb.smbJoin(spark, "smb_ck_l", "smb_ck_r",
+        Seq("k1", "k2"), Seq("r1", "r2"))
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange"), s"composite-key SMB join must not shuffle:\n$plan")
+      assert(sortedRows(joined) == sortedRows(
+        left.join(right, col("k1") === col("r1") && col("k2") === col("r2"))))
+      val cg = Smb.smbCogroup(spark,
+        Seq("smb_ck_l" -> Seq("k1", "k2"), "smb_ck_r" -> Seq("r1", "r2")),
+        Seq("ka", "kb"))
+      val cgPlan = cg.queryExecution.executedPlan.toString()
+      assert(!cgPlan.contains("Exchange"), s"composite-key cogroup must not shuffle:\n$cgPlan")
+      val byKey = cg.collect().map { r =>
+        (r.getLong(0), r.getString(1)) ->
+          ((r.getSeq[org.apache.spark.sql.Row](2).map(_.getDouble(0)).sorted,
+            r.getSeq[org.apache.spark.sql.Row](3).map(_.getLong(0)).sorted))
+      }.toMap
+      assert(byKey.keySet == Set((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "c")))
+      assert(byKey((1L, "a")) == ((Seq(1.0), Seq(10L))))
+      assert(byKey((1L, "b")) == ((Seq(2.0), Seq.empty[Long])))
+      assert(byKey((2L, "b")) == ((Seq.empty[Double], Seq(20L))))
+    }
+  }
+
   test("smbCogroup: shuffle-free, empty arrays for missing keys, per-source rows") {
     import spark.implicits._
     val left = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "lv")
