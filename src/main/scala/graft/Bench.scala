@@ -45,7 +45,11 @@ object Bench {
     // expression throughput over the text corpus) and the DSIR
     // featurize→broadcast-ratio-join→partial-agg pipeline.
     "q_gopher_quality",
-    "q_dsir"
+    "q_dsir",
+    // r10 final continuation: the substring-dedup TRANSFORM — the
+    // gram census plus a full text rebuild (interval fold + per-token
+    // survival filter), the heaviest text-rewrite shape in the suite.
+    "q_substr_remove"
   )
 
   /** 1-minute system load average — the machine-busy dial. Sampled at

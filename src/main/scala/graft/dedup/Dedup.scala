@@ -673,9 +673,24 @@ object Dedup {
     val perDoc = dupOcc.groupBy(col("id"))
       .agg(collect_list(col("pos")).as("__ps"))
       .select(col("id"), mergeIntervals.as("__iv"))
+    // complement the removed intervals within [0, n) and rebuild by
+    // slicing each kept range — O(n_tokens) per doc, instead of a
+    // per-token exists() probe over the interval list
     val iv = coalesce(col("__iv"), emptyIv)
-    val kept = filter(col("__toks"),
-      (t, i) => !exists(iv, r => i.cast("long") >= r("s") && i.cast("long") < r("e")))
+    val n = size(col("__toks")).cast("long")
+    val keptRanges = aggregate(
+      iv,
+      struct(lit(0L).as("p"), emptyIv.as("r")),
+      (acc, v) => struct(
+        v("e").as("p"),
+        when(v("s") > acc("p"),
+          concat(acc("r"), array(struct(acc("p").as("s"), v("s").as("e")))))
+          .otherwise(acc("r")).as("r")),
+      acc => when(n > acc("p"),
+        concat(acc("r"), array(struct(acc("p").as("s"), n.as("e")))))
+        .otherwise(acc("r")))
+    val kept = flatten(transform(keptRanges,
+      r => slice(col("__toks"), (r("s") + 1).cast("int"), (r("e") - r("s")).cast("int"))))
     df.select(col(idCol).as("id"), toks.as("__toks"))
       .join(perDoc, Seq("id"), "left")
       .select(col("id"),
