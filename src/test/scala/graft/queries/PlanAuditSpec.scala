@@ -154,6 +154,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"product join in substring dedup:\n$p")
   }
 
+  test("q_substr_remove: census partial-aggregates; rebuild windowless; no UDF/product") {
+    val p = plan("q_substr_remove")
+    assert(p.contains("partial_"), s"gram census lacks map-side partial agg:\n$p")
+    assert(!p.contains("Window"), s"rebuild planned a window (interval fold should):\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
+      s"UDF in the span-removal pipeline:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"product join in span removal:\n$p")
+  }
+
   test("q_line_dedup: census partial-aggregates; rebuild has no window; no product join") {
     val p = plan("q_line_dedup")
     assert(p.contains("partial_"), s"line census lacks map-side partial agg:\n$p")
