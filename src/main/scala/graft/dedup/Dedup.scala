@@ -637,10 +637,42 @@ object Dedup {
     * grams probes a handful of intervals, not the raw gram count.
     */
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
-                           k: Int = 20): DataFrame = {
+                           k: Int = 20): DataFrame =
+    removeDupUnitSpans(df, idCol, tokens(txt(col(textCol))), k, " ")
+      .withColumnsRenamed(Map("n_units" -> "n_tokens"))
+
+  /** C4-style duplicated-SENTENCE-span removal: the same first-
+    * occurrence-keeping excision as [[removeDuplicateSpans]], but the
+    * unit is a SENTENCE and a span is `k` consecutive sentences (C4
+    * removed any three-sentence span occurring more than once in the
+    * corpus; Raffel et al. 2020 §2.2). Sentence boundaries are the
+    * deterministic `[.!?] ` heuristic — the terminator stays with its
+    * sentence, and the rebuild joins kept sentences with single
+    * spaces (token-normalized output, same contract as the k-gram
+    * transform).
+    *
+    * Returns (id, n_sentences, n_removed, clean_text).
+    */
+  def removeDuplicateSentenceSpans(df: DataFrame, idCol: String, textCol: String,
+                                   k: Int = 3): DataFrame = {
+    // sentinel insertion instead of a lookbehind split: the boundary
+    // regex stays RE2-safe, so a SQL oracle can reproduce it exactly
+    val sents = split(
+      regexp_replace(txt(col(textCol)), "([.!?]) ", "$1\u0001"), "\u0001")
+    removeDupUnitSpans(df, idCol, sents, k, " ")
+      .withColumnsRenamed(Map("n_units" -> "n_sentences"))
+  }
+
+  /** Shared span-excision core over an arbitrary unit array (tokens,
+    * sentences): census k-unit spans by hash, keep each span's
+    * globally first (min (id, pos)) occurrence, drop every unit
+    * covered by a non-first occurrence, rebuild with `sep`.
+    */
+  private def removeDupUnitSpans(df: DataFrame, idCol: String,
+                                 units: org.apache.spark.sql.Column,
+                                 k: Int, sep: String): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val toks = tokens(txt(col(textCol)))
-    val th = transform(toks, t => xxhash64(t))
+    val th = transform(units, t => xxhash64(t))
     val grams = df
       .select(col(idCol).as("id"), th.as("__th"))
       .filter(size(col("__th")) >= k)
@@ -691,12 +723,12 @@ object Dedup {
         .otherwise(acc("r")))
     val kept = flatten(transform(keptRanges,
       r => slice(col("__toks"), (r("s") + 1).cast("int"), (r("e") - r("s")).cast("int"))))
-    df.select(col(idCol).as("id"), toks.as("__toks"))
+    df.select(col(idCol).as("id"), units.as("__toks"))
       .join(perDoc, Seq("id"), "left")
       .select(col("id"),
-        size(col("__toks")).cast("long").as("n_tokens"),
+        size(col("__toks")).cast("long").as("n_units"),
         (size(col("__toks")) - size(kept)).cast("long").as("n_removed"),
-        array_join(kept, " ").as("clean_text"))
+        array_join(kept, sep).as("clean_text"))
   }
 
   // ------------------------------------------------------------------

@@ -423,6 +423,19 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // C4-style three-SENTENCE-span dedup: sentence boundaries derived
+    // deterministically (corpus text carries no punctuation, so a
+    // fixed token→boundary rewrite creates them identically in both
+    // engines), then every non-first duplicated 3-sentence span is
+    // excised; clean text hash-exact vs the oracle.
+    "q_sentence_dedup" -> { (s, dir) =>
+      val sentenced = tables(s, dir).documents
+        .select(col("doc_id"),
+          regexp_replace(col("text"), " (table|value) ", ". ").as("text"))
+      Dedup.removeDuplicateSentenceSpans(sentenced, "doc_id", "text", k = 3)
+        .orderBy(col("id"))
+    },
+
     // MinHash+LSH near-dup clustering: every doc → cluster + keep flag.
     "q_dedup_minhash" -> { (s, dir) =>
       Dedup.minhashClusters(tables(s, dir).documents, "doc_id", "text")
@@ -1637,6 +1650,39 @@ object TextVectorQueries extends QueryPack {
         |  CAST(len(tok.t) - coalesce(outq.n_kept, 0) AS BIGINT) AS n_removed,
         |  coalesce(outq.clean_text, '') AS clean_text
         |FROM tok LEFT JOIN outq ON tok.doc_id = outq.doc_id
+        |ORDER BY id""".stripMargin,
+    "q_sentence_dedup" ->
+      """WITH sents AS (
+        |  SELECT doc_id, string_split(regexp_replace(coalesce(text, ''),
+        |    '([.!?]) ', '\1' || chr(1), 'g'), chr(1)) AS t
+        |  FROM (SELECT doc_id,
+        |    regexp_replace(text, ' (table|value) ', '. ', 'g') AS text
+        |    FROM documents)),
+        |grams AS (
+        |  SELECT doc_id, unnest(range(0, len(t) - 3 + 1)) AS pos, t
+        |  FROM sents WHERE len(t) >= 3),
+        |g2 AS (SELECT doc_id, pos, array_to_string(t[pos + 1:pos + 3], chr(2)) AS s FROM grams),
+        |dup AS (SELECT s FROM g2 GROUP BY s HAVING count(*) > 1),
+        |ranked AS (
+        |  SELECT doc_id, pos,
+        |    row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn
+        |  FROM g2 JOIN dup USING (s)),
+        |cover AS (SELECT DISTINCT doc_id, idx FROM (
+        |  SELECT doc_id, unnest(range(pos, pos + 3)) AS idx
+        |  FROM ranked WHERE rn > 1)),
+        |sentix AS (SELECT doc_id, unnest(range(0, len(t))) AS idx, t FROM sents),
+        |kept AS (
+        |  SELECT k.doc_id, k.idx, k.t[k.idx + 1] AS sv
+        |  FROM sentix k LEFT JOIN cover c ON k.doc_id = c.doc_id AND k.idx = c.idx
+        |  WHERE c.doc_id IS NULL),
+        |outq AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(sv, ' ' ORDER BY idx) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT sents.doc_id AS id, len(sents.t) AS n_sentences,
+        |  CAST(len(sents.t) - coalesce(outq.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(outq.clean_text, '') AS clean_text
+        |FROM sents LEFT JOIN outq ON sents.doc_id = outq.doc_id
         |ORDER BY id""".stripMargin,
     "q_repetition" ->
       """WITH tok AS (

@@ -312,6 +312,21 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) == ((6L, 0L, "m n o q w t")))
   }
 
+  test("removeDuplicateSentenceSpans: non-first 3-sentence spans excised, terminators kept") {
+    val span = "One two three. Four five! Six seven eight?"
+    val docs = Seq(
+      (1L, s"$span Unique tail alpha."),         // owns the span
+      (2L, s"$span Different tail beta."),       // non-first: span excised
+      (3L, "No repeats here. Just two sentences.") // below k=3: untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSentenceSpans(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((4L, 0L, s"$span Unique tail alpha.")))
+    assert(out(2L) == ((4L, 3L, "Different tail beta.")))
+    assert(out(3L) == ((2L, 0L, "No repeats here. Just two sentences.")))
+  }
+
   test("removeDuplicateSpans: randomized corpus matches a brute-force recompute") {
     val rnd = new scala.util.Random(11)
     val k = 4
