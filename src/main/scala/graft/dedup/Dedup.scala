@@ -671,14 +671,7 @@ object Dedup {
   private def removeDupUnitSpans(df: DataFrame, idCol: String,
                                  units: org.apache.spark.sql.Column,
                                  k: Int, sep: String): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    val th = transform(units, t => xxhash64(t))
-    val grams = df
-      .select(col(idCol).as("id"), th.as("__th"))
-      .filter(size(col("__th")) >= k)
-      .select(col("id"),
-        posexplode(graft.expressions.GramHashes.gramHashesF(col("__th"), k,
-          padShort = false)).as(Seq("pos", "h")))
+    val grams = spanGrams(df, idCol, units, k)
     val firsts = grams
       .groupBy(col("h"))
       .agg(count(lit(1)).as("__cnt"),
@@ -688,6 +681,59 @@ object Dedup {
     val dupOcc = grams.join(firsts, Seq("h"))
       .filter(!(col("id") === col("__first.id") && col("pos") === col("__first.pos")))
       .select(col("id"), col("pos"))
+    exciseSpans(df, idCol, units, dupOcc, k, sep)
+  }
+
+  /** Decontamination by EXCISION: remove every k-gram span of the
+    * corpus that also occurs in the benchmark texts, instead of
+    * dropping the whole document ([[decontaminate]]'s flag form).
+    * EVERY matching occurrence is excised — an eval-set span has no
+    * legitimate "first" inside the training corpus. Returns
+    * (id, n_tokens, n_removed, clean_text), token-normalized like
+    * [[removeDuplicateSpans]].
+    *
+    * Scale shape: benchmark shingle hashes dedup and broadcast (eval
+    * suites are small; pass broadcastBench = false for a huge
+    * reference set and the probe becomes a shuffled semi join); the
+    * corpus gram stream probes map-side, so only CONTAMINATED
+    * positions reach the per-doc interval fold.
+    */
+  def decontaminateSpans(corpus: DataFrame, idCol: String, textCol: String,
+                         bench: DataFrame, benchTextCol: String,
+                         k: Int = 13, broadcastBench: Boolean = true): DataFrame = {
+    val units = tokens(txt(col(textCol)))
+    val benchGrams = spanGrams(
+        bench.select(lit(0L).as("__b_id"), col(benchTextCol).as("__b_text")),
+        "__b_id", tokens(txt(col("__b_text"))), k)
+      .select(col("h")).distinct()
+    val probe = if (broadcastBench) broadcast(benchGrams) else benchGrams
+    val hitOcc = spanGrams(corpus, idCol, units, k)
+      .join(probe, Seq("h"), "left_semi")
+      .select(col("id"), col("pos"))
+    exciseSpans(corpus, idCol, units, hitOcc, k, " ")
+      .withColumnsRenamed(Map("n_units" -> "n_tokens"))
+  }
+
+  /** One row per k-unit span: (id, pos, h) — hash identity of the
+    * k-unit tuple, positions only for docs with >= k units.
+    */
+  private def spanGrams(df: DataFrame, idCol: String,
+                        units: org.apache.spark.sql.Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val th = transform(units, t => xxhash64(t))
+    df.select(col(idCol).as("id"), th.as("__th"))
+      .filter(size(col("__th")) >= k)
+      .select(col("id"),
+        posexplode(graft.expressions.GramHashes.gramHashesF(col("__th"), k,
+          padShort = false)).as(Seq("pos", "h")))
+  }
+
+  /** Excise the k-wide spans at `removeOcc` (id, pos) from each doc's
+    * unit array and rebuild: merged-interval fold, complement, slice.
+    */
+  private def exciseSpans(df: DataFrame, idCol: String,
+                          units: org.apache.spark.sql.Column,
+                          removeOcc: DataFrame, k: Int, sep: String): DataFrame = {
     // sorted dup positions → merged half-open [s, e) interval list
     val emptyIv = array().cast("array<struct<s:long,e:long>>")
     val mergeIntervals = aggregate(
@@ -702,7 +748,7 @@ object Dedup {
             array(struct(last("s").as("s"),
               greatest(last("e"), (p + k).cast("long")).as("e")))))
       })
-    val perDoc = dupOcc.groupBy(col("id"))
+    val perDoc = removeOcc.groupBy(col("id"))
       .agg(collect_list(col("pos")).as("__ps"))
       .select(col("id"), mergeIntervals.as("__iv"))
     // complement the removed intervals within [0, n) and rebuild by

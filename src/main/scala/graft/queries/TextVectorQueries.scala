@@ -501,6 +501,18 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // decontamination by EXCISION: every corpus 4-gram that also
+    // occurs in the held-out bench split is removed from the training
+    // text (all occurrences — an eval span has no legitimate first);
+    // clean text hash-exact vs the oracle.
+    "q_decontam_spans" -> { (s, dir) =>
+      val docs = tables(s, dir).documents
+      val bench = docs.filter(col("doc_id") % 37 === 0).select(col("text").as("bench_text"))
+      Dedup.decontaminateSpans(docs.filter(col("doc_id") % 37 =!= 0), "doc_id", "text",
+          bench, "bench_text", k = 4)
+        .orderBy(col("id"))
+    },
+
     // Gopher-style within-doc repetition metrics over word 2-grams.
     "q_repetition" -> { (s, dir) =>
       graft.functions.TextMetrics.repetition(tables(s, dir).documents, "doc_id", "text", n = 2)
@@ -1637,6 +1649,38 @@ object TextVectorQueries extends QueryPack {
         |cover AS (SELECT DISTINCT doc_id, idx FROM (
         |  SELECT doc_id, unnest(range(pos, pos + 8)) AS idx
         |  FROM ranked WHERE rn > 1)),
+        |tokix AS (SELECT doc_id, unnest(range(0, len(t))) AS idx, t FROM tok),
+        |kept AS (
+        |  SELECT k.doc_id, k.idx, k.t[k.idx + 1] AS tokv
+        |  FROM tokix k LEFT JOIN cover c ON k.doc_id = c.doc_id AND k.idx = c.idx
+        |  WHERE c.doc_id IS NULL),
+        |outq AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tokv, ' ' ORDER BY idx) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT tok.doc_id AS id, len(tok.t) AS n_tokens,
+        |  CAST(len(tok.t) - coalesce(outq.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(outq.clean_text, '') AS clean_text
+        |FROM tok LEFT JOIN outq ON tok.doc_id = outq.doc_id
+        |ORDER BY id""".stripMargin,
+    "q_decontam_spans" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t
+        |  FROM documents WHERE doc_id % 37 <> 0),
+        |btok AS (
+        |  SELECT regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t
+        |  FROM documents WHERE doc_id % 37 = 0),
+        |bg AS (SELECT DISTINCT s FROM (
+        |  SELECT array_to_string(t[pos + 1:pos + 4], chr(2)) AS s
+        |  FROM (SELECT unnest(range(0, len(t) - 4 + 1)) AS pos, t
+        |        FROM btok WHERE len(t) >= 4))),
+        |g2 AS (
+        |  SELECT doc_id, pos, array_to_string(t[pos + 1:pos + 4], chr(2)) AS s
+        |  FROM (SELECT doc_id, unnest(range(0, len(t) - 4 + 1)) AS pos, t
+        |        FROM tok WHERE len(t) >= 4)),
+        |hits AS (SELECT doc_id, pos FROM g2 JOIN bg USING (s)),
+        |cover AS (SELECT DISTINCT doc_id, idx FROM (
+        |  SELECT doc_id, unnest(range(pos, pos + 4)) AS idx FROM hits)),
         |tokix AS (SELECT doc_id, unnest(range(0, len(t))) AS idx, t FROM tok),
         |kept AS (
         |  SELECT k.doc_id, k.idx, k.t[k.idx + 1] AS tokv

@@ -327,6 +327,23 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == ((2L, 0L, "No repeats here. Just two sentences.")))
   }
 
+  test("decontaminateSpans: bench-overlapping spans excised everywhere, clean text kept") {
+    val bench = Seq("the exact eval question text here").toDF("btext")
+    val corpus = Seq(
+      // contains the eval 4-gram twice: BOTH occurrences excised
+      (1L, "intro words the exact eval question more stuff the exact eval question tail"),
+      (2L, "completely clean document with no benchmark overlap at all today")
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminateSpans(corpus, "doc_id", "text", bench, "btext", k = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 grams matching bench: "the exact eval question" at pos 2 and 8
+    // → covered [2,6) ∪ [8,12) → kept: 0,1,6,7,12
+    assert(out(1L) == ((13L, 8L, "intro words more stuff tail")))
+    assert(out(2L) == ((10L, 0L,
+      "completely clean document with no benchmark overlap at all today")))
+  }
+
   test("removeDuplicateSpans: randomized corpus matches a brute-force recompute") {
     val rnd = new scala.util.Random(11)
     val k = 4
