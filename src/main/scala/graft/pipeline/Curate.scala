@@ -47,6 +47,11 @@ object Curate {
     *                   LAST so the shipped corpus is clean); None → off.
     * @param benchTextCol text column in `benchmark`.
     * @param decontamK  shingle width for decontamination overlap.
+    * @param decontamExcise  decontaminate by EXCISION instead of
+    *                   dropping: bench-overlapping spans are cut out
+    *                   ([[graft.dedup.Dedup.decontaminateSpans]]) and
+    *                   the shortened doc ships; token accounting
+    *                   downstream reflects the rewritten text.
     * @param redactPii  rewrite the text through
     *                   [[graft.functions.TextClean.redactPii]] FIRST,
     *                   so every downstream hash/shingle sees the
@@ -90,7 +95,7 @@ object Curate {
              nearDup: Boolean = true,
              maxDupGramFrac: Option[Double] = None, repetitionN: Int = 2,
              benchmark: Option[DataFrame] = None, benchTextCol: String = "text",
-             decontamK: Int = 13,
+             decontamK: Int = 13, decontamExcise: Boolean = false,
              redactPii: Boolean = false,
              lineDedupMaxOcc: Option[Long] = None,
              removeDupSpansK: Option[Int] = None,
@@ -202,6 +207,18 @@ object Curate {
       case None => deduped
     }
     val clean = benchmark match {
+      case Some(b) if decontamExcise =>
+        // excision mode: rewrite instead of drop — bench-overlapping
+        // spans are cut out and the (possibly shortened) doc ships
+        val shared = calmed.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val rebuilt = Dedup.decontaminateSpans(shared, idCol, textCol,
+            b, benchTextCol, decontamK)
+          .select(col("id").as("__dx_id"), col("clean_text").as("__dx_text"))
+        shared.drop(textCol)
+          .join(rebuilt, col(idCol) === col("__dx_id"))
+          .withColumn(textCol, col("__dx_text"))
+          .drop("__dx_id", "__dx_text")
       case Some(b) =>
         val shared = calmed.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

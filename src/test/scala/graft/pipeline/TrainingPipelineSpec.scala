@@ -126,6 +126,28 @@ class TrainingPipelineSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("curate: decontamExcise rewrites contaminated docs instead of dropping them") {
+    val bench = Seq("what is the capital of france").toDF("text")
+    val corpus = Seq(
+      (1L, "quiz dump begins what is the capital of france answer key follows here"),
+      (2L, "an entirely unrelated clean document with enough distinct words to pass")
+    ).toDF("doc_id", "text")
+    val out = Curate.curate(corpus, "doc_id", "text",
+      minTokens = 3L, minAlpha = 0.5, nearDup = false,
+      benchmark = Some(bench), decontamK = 4, decontamExcise = true).cache()
+    try {
+      val byId = out.select(col("doc_id"), col("text")).as[(Long, String)]
+        .collect().toMap
+      // excision keeps the doc (the drop form would remove id 1 entirely)
+      assert(byId.keySet == Set(1L, 2L))
+      assert(!byId(1L).contains("capital of france"), s"eval span shipped: ${byId(1L)}")
+      assert(byId(1L).contains("quiz dump begins") && byId(1L).contains("here"))
+      assert(byId(2L).contains("unrelated clean document"))
+      val n1 = out.filter(col("doc_id") === 1L).select("n_tokens").as[Long].head()
+      assert(n1 == byId(1L).split("\\s+").length.toLong)
+    } finally out.unpersist()
+  }
+
   test("curate: unicode normalization makes precomposed/decomposed twins dedup together") {
     // same sentence, one rendition precomposed (é), one decomposed
     // (e + combining acute): byte-level exact dedup sees two distinct
