@@ -68,6 +68,41 @@ object Pack {
           s => s.getField("__tok")), " ").as("text"))
   }
 
+  /** Whole-document bin packing, length-bucketed: place each doc
+    * UNSPLIT into a fixed-capacity bin (SFT / inference batching,
+    * where the concat-then-chunk packing above is wrong because a doc
+    * must not straddle sequences). Docs group by exact token length;
+    * a length-ℓ class packs ⌊capacity/ℓ⌋ docs per bin in id order —
+    * the deterministic, shuffle-friendly approximation of first-fit-
+    * decreasing (homogeneous-length bins trade some fill for a plan
+    * with ONE hash shuffle and a per-class WindowGroupLimit-free
+    * rank; the classic greedy is inherently sequential). Bins are
+    * identified by (bin_len, bin_seq); `fill_frac` reports the bin's
+    * ⌊C/ℓ⌋·ℓ/C packing efficiency. Docs longer than `capacity` get
+    * bin_seq −1 (overflow — truncate or split upstream; flagged,
+    * never silently dropped).
+    *
+    * Returns (id, n_tokens, bin_len, bin_seq, fill_frac).
+    */
+  def binPack(df: DataFrame, idCol: String, textCol: String,
+              capacity: Int): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val counted = df.select(col(idCol).as("id"),
+      size(tokens(coalesce(col(textCol), lit("")))).cast("long").as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n_tokens")).orderBy(col("id"))
+    counted
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__pb", expr(s"${capacity}L div n_tokens"))
+      .select(col("id"), col("n_tokens"),
+        col("n_tokens").as("bin_len"),
+        when(col("n_tokens") > capacity, lit(-1L))
+          .otherwise(expr("(__rk - 1) div __pb")).as("bin_seq"),
+        when(col("n_tokens") > capacity, lit(0.0))
+          .otherwise(round(col("__pb") * col("n_tokens") / capacity.toDouble, 6))
+          .as("fill_frac"))
+  }
+
   /** Sharded training-data export: each row lands in a deterministic
     * shard ([[graft.operators.Splits.assignShard]] — stable under
     * re-runs and repartitioning, so incremental jobs and their

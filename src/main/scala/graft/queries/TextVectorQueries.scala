@@ -415,6 +415,14 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // whole-doc bin packing (docs never straddle bins): length-
+    // bucketed deterministic placement with overflow flagging.
+    "q_bin_pack" -> { (s, dir) =>
+      graft.pipeline.Pack.binPack(tables(s, dir).documents, "doc_id", "text",
+          capacity = 192)
+        .orderBy(col("id"))
+    },
+
     // substring-dedup TRANSFORM: excise every non-first occurrence of
     // a corpus-duplicated 8-gram, keep the global first; clean text
     // hash-exact vs the oracle's window-ranked recomputation.
@@ -1633,6 +1641,21 @@ object TextVectorQueries extends QueryPack {
         |  round(coalesce(cov.covered_tokens, 0)::DOUBLE / greatest(len(tok.t), 1), 6) AS dup_fraction
         |FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id
         |ORDER BY id""".stripMargin,
+    "q_bin_pack" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS n
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n,
+        |    row_number() OVER (PARTITION BY n ORDER BY doc_id) AS rk,
+        |    192 // n AS pb
+        |  FROM tok)
+        |SELECT doc_id AS id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(n AS BIGINT) AS bin_len,
+        |  CAST(CASE WHEN n > 192 THEN -1 ELSE (rk - 1) // pb END AS BIGINT) AS bin_seq,
+        |  CASE WHEN n > 192 THEN 0.0 ELSE round(pb * n / 192.0, 6) END AS fill_frac
+        |FROM r ORDER BY id""".stripMargin,
     "q_substr_remove" ->
       """WITH tok AS (
         |  SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t

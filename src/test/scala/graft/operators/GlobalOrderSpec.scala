@@ -134,6 +134,29 @@ class GlobalOrderSpec extends SparkSpec {
     assert(straddle == Seq((0L, 0L, 1L), (0L, 1L, 2L)))
   }
 
+  test("binPack: bins respect capacity, docs unsplit, overflow flagged") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"),        // 5 tokens: 2 per bin at C=10
+      (2L, "f g h i j"),
+      (3L, "k l m n o"),        // third 5-token doc -> second bin
+      (4L, "p q r"),            // 3 tokens: 3 per bin
+      (5L, "one two three four five six seven eight nine ten eleven") // 11 > C
+    ).toDF("doc_id", "text")
+    val out = Pack.binPack(docs, "doc_id", "text", capacity = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(out(1L) == ((5L, 5L, 0L, 1.0)))
+    assert(out(2L) == ((5L, 5L, 0L, 1.0)))
+    assert(out(3L) == ((5L, 5L, 1L, 1.0)))   // bin 0 full at 2 docs
+    assert(out(4L) == ((3L, 3L, 0L, 0.9)))   // 3 docs of 3 = 9/10
+    assert(out(5L) == ((11L, 11L, -1L, 0.0))) // overflow flagged
+    // no (bin_len, bin_seq) bin exceeds capacity
+    val loads = out.values.filter(_._3 >= 0L)
+      .groupBy(v => (v._2, v._3)).map { case (_, vs) => vs.map(_._1).sum }
+    assert(loads.forall(_ <= 10L), s"overfull bin: $loads")
+  }
+
   test("maskCorrupt: runs collapse to one sentinel; masked+kept reconstruct the doc") {
     import graft.pipeline.Pack
     val docs = (1L to 200L).map(id => (id, (1 to 30).map(j => s"w${id}_$j").mkString(" ")))
