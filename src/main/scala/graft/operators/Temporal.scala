@@ -286,4 +286,48 @@ object Temporal {
       .filter(col(leftTs) >= col(rightStart) && col(leftTs) <= col(rightEnd))
       .drop(b)
   }
+
+  /** Interval-OVERLAP join: BOTH sides carry [start, end] intervals
+    * and a pair matches when they overlap (inclusive endpoints:
+    * lStart <= rEnd AND rStart <= lEnd) on the same key — the
+    * sessions-overlap / co-occurrence shape [[intervalJoin]]'s
+    * point-in-interval form can't express. Same bucketing contract:
+    * both sides explode to `bucketSec` buckets, the join runs on
+    * (key, bucket) equality, and intervals longer than
+    * `maxIntervalSec` are rejected at runtime.
+    *
+    * An overlapping pair co-resides in EVERY bucket their
+    * intersection spans, so the join keeps only the CANONICAL bucket
+    * — the one containing max(lStart, rStart), the intersection's
+    * first instant, which both intervals necessarily contain. Each
+    * overlapping pair therefore emits exactly once with no
+    * dedup/distinct pass after the join.
+    */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame, key: String,
+                          leftStart: String, leftEnd: String,
+                          rightStart: String, rightEnd: String,
+                          bucketSec: Long = 3600L,
+                          maxIntervalSec: Long = 86400L): DataFrame = {
+    require(bucketSec > 0 && maxIntervalSec >= bucketSec,
+      s"need bucketSec > 0 and maxIntervalSec >= bucketSec (got $bucketSec/$maxIntervalSec)")
+    val b = "__ivo_bucket"
+    def guarded(start: String, end: String): Column = when(
+      col(end).cast("long") - col(start).cast("long") > maxIntervalSec,
+      raise_error(concat(
+        lit(s"intervalOverlapJoin: interval longer than maxIntervalSec=$maxIntervalSec at "),
+        col(start).cast("string"),
+        lit("; widen maxIntervalSec (accepting the larger explode factor) or split it")))
+        .cast("long"))
+      .otherwise(col(end).cast("long"))
+    val leftB = left.withColumn(b, explode(sequence(
+      floorDiv(col(leftStart), bucketSec),
+      floorDiv(guarded(leftStart, leftEnd), bucketSec))))
+    val rightB = right.withColumn(b, explode(sequence(
+      floorDiv(col(rightStart), bucketSec),
+      floorDiv(guarded(rightStart, rightEnd), bucketSec))))
+    leftB.join(rightB, Seq(key, b))
+      .filter(col(leftStart) <= col(rightEnd) && col(rightStart) <= col(leftEnd))
+      .filter(col(b) === floorDiv(greatest(col(leftStart), col(rightStart)), bucketSec))
+      .drop(b)
+  }
 }

@@ -217,6 +217,26 @@ object PairQueries extends QueryPack {
         .orderBy(col("user_id"))
     },
 
+    // interval-OVERLAP join (both sides intervals): view windows vs
+    // error windows per user, canonical-bucket single-emission; exact
+    // µs overlap mass per user.
+    "q_interval_overlap" -> { (s, dir) =>
+      val ev = tables(s, dir).events
+      val views = ev.filter(col("event_type") === "view" && col("event_id") % 5 === 0)
+        .select(col("user_id"), col("ts").as("v_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("v_end"))
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("e_start"),
+          (col("ts") + expr("INTERVAL 45 MINUTES")).as("e_end"))
+      graft.operators.Temporal.intervalOverlapJoin(views, errs, "user_id",
+          "v_start", "v_end", "e_start", "e_end", bucketSec = 900L)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(unix_micros(least(col("v_end"), col("e_end"))) -
+            unix_micros(greatest(col("v_start"), col("e_start")))).as("overlap_us"))
+        .orderBy(col("user_id"))
+    },
+
     // hashLookup: broadcast map lookup (side-input join).
     "q_hash_lookup" -> { (s, dir) =>
       val t = tables(s, dir)
@@ -444,6 +464,16 @@ object PairQueries extends QueryPack {
         |      FROM events WHERE event_type = 'error') w
         |  ON c.user_id = w.user_id AND c.ts >= w.w_start AND c.ts <= w.w_end
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+    "q_interval_overlap" ->
+      """SELECT v.user_id, count(*) AS n_pairs,
+        |  CAST(sum(epoch_us(least(v_end, e_end)) -
+        |    epoch_us(greatest(v_start, e_start))) AS BIGINT) AS overlap_us
+        |FROM (SELECT user_id, ts AS v_start, ts + INTERVAL 30 MINUTE AS v_end
+        |      FROM events WHERE event_type = 'view' AND event_id % 5 = 0) v
+        |JOIN (SELECT user_id, ts AS e_start, ts + INTERVAL 45 MINUTE AS e_end
+        |      FROM events WHERE event_type = 'error') e
+        |  ON v.user_id = e.user_id AND v_start <= e_end AND e_start <= v_end
+        |GROUP BY v.user_id ORDER BY v.user_id""".stripMargin,
     "q_hash_lookup" ->
       """SELECT n_name, count(*) AS n_supp
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey

@@ -157,6 +157,41 @@ class TemporalSpec extends SparkSpec {
     assert(out == Set(("p1", "s1"), ("p1", "s2"), ("p2", "s2")))
   }
 
+  test("intervalOverlapJoin: each overlapping pair emits exactly once, matches brute force") {
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 16:00:00"), "L1"), // spans many buckets
+      (1L, ts("2024-01-01 18:00:00"), ts("2024-01-01 18:30:00"), "L2"),
+      (2L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"), "L3")
+    ).toDF("k", "ls", "le", "lname")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), ts("2024-01-01 12:00:00"), "R1"), // overlaps L1 (3h shared)
+      (1L, ts("2024-01-01 15:59:00"), ts("2024-01-01 19:00:00"), "R2"), // overlaps L1 AND L2
+      (1L, ts("2024-01-01 16:00:01"), ts("2024-01-01 17:00:00"), "R3"), // just past L1
+      (2L, ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00"), "R4")  // touches L3 endpoint
+    ).toDF("k", "rs", "re", "rname")
+    val out = Temporal.intervalOverlapJoin(left, right, "k", "ls", "le", "rs", "re",
+        bucketSec = 900L)
+      .select("lname", "rname").as[(String, String)].collect().toList
+    // exactly-once despite multi-bucket co-residency
+    assert(out.size == out.distinct.size, s"duplicate pair emission: $out")
+    assert(out.toSet == Set(("L1", "R1"), ("L1", "R2"), ("L2", "R2"), ("L3", "R4")))
+    // brute-force equivalence on a randomized corpus
+    val rnd = new scala.util.Random(5)
+    def mk(n: Int) = (0 until n).map { i =>
+      val s = rnd.nextInt(100000)
+      (rnd.nextInt(4).toLong, s.toLong, (s + rnd.nextInt(7200)).toLong, i)
+    }
+    val la = mk(300).toDF("k", "ls", "le", "lid")
+    val rb = mk(300).toDF("k", "rs", "re", "rid")
+    val fast = Temporal.intervalOverlapJoin(la, rb, "k", "ls", "le", "rs", "re",
+        bucketSec = 600L, maxIntervalSec = 7200L)
+      .select("lid", "rid").as[(Int, Int)].collect().toSet
+    val brute = la.join(rb, la("k") === rb("k") &&
+        la("ls") <= rb("re") && rb("rs") <= la("le"))
+      .select("lid", "rid").as[(Int, Int)].collect().toSet
+    assert(fast == brute)
+  }
+
   test("intervalJoin raises on intervals beyond maxIntervalSec") {
     val points = Seq((1L, ts("2024-01-01 10:30:00"), "p")).toDF("k", "at", "pt")
     val spans = Seq((1L, ts("2024-01-01 00:00:00"), ts("2024-01-03 00:00:00"), "wide"))
