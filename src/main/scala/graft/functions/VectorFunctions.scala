@@ -36,6 +36,31 @@ object VectorFunctions {
       .otherwise(transform(a, x => x.cast("double") / n))
   }
 
+  /** Johnson–Lindenstrauss random projection to `outDim` dims: the
+    * cheap dimensionality reduction run before ANN / clustering at
+    * corpus scale. The ±1 sign matrix is derived from md5 coordinates
+    * (s_ij = +1 iff md5head("rp:<seed>:<i>:<j>") is even — the same
+    * engine-portable coin every sampler here flips) and scaled by
+    * 1/√outDim, built ONCE driver-side (outDim × dim floats, trivially
+    * small); each output coordinate is then one native codegen dot
+    * product, so the whole projection fuses into the scan — no UDF,
+    * no shuffle, no per-row matrix rebuild. Deterministic across
+    * engines and reruns by construction.
+    */
+  def randomProject(vec: Column, dim: Int, outDim: Int, seed: String): Column = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    require(outDim >= 1, s"outDim must be >= 1, got $outDim")
+    val scale = (1.0 / math.sqrt(outDim.toDouble)).toFloat
+    val rows: Seq[Column] = (0 until outDim).map { j =>
+      lit((0 until dim).map { i =>
+        val h = graft.expressions.Md5Head.compute(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s"rp:$seed:$i:$j"), 8)
+        if (h % 2 == 0) scale else -scale
+      }.toArray)
+    }
+    array(rows.map(r => graft.expressions.VectorExpressions.dotF(vec, r)): _*)
+  }
+
   // ---- Breeze-parity algebra (reference: scio-extra/src/main/scala/
   // com/spotify/scio/extra/Breeze.scala:39 — elementwise +/-/*, scalar
   // scaling, axpy over DenseVector; here over array columns as builtin

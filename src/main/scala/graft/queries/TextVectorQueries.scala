@@ -729,6 +729,17 @@ object TextVectorQueries extends QueryPack {
     // elementwise verbs stay inside one codegen'd projection, the join
     // is a plain equi-join on vec_id. Value-exact vs the DuckDB
     // list-comprehension oracle.
+    // Johnson–Lindenstrauss random projection 64→16: md5-sign matrix
+    // built once driver-side, one native codegen dot per output dim;
+    // every projected coordinate oracle-exact.
+    "q_random_projection" -> { (s, dir) =>
+      tables(s, dir).embeddings
+        .select(col("vec_id"),
+          transform(graft.functions.VectorFunctions.randomProject(
+            col("embedding"), 64, 16, "jl"), x => round(x, 6)).as("proj"))
+        .orderBy(col("vec_id"))
+    },
+
     "q_embed_algebra" -> { (s, dir) =>
       val e = tables(s, dir).embeddings.filter(col("vec_id") <= 101)
       val pairs = e.as("a").join(e.as("b"), col("a.vec_id") + 1 === col("b.vec_id"))
@@ -1119,6 +1130,16 @@ object TextVectorQueries extends QueryPack {
       """SELECT vec_id, len(embedding) AS dim,
         |  round(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding])), 6) AS l2_norm
         |FROM embeddings WHERE vec_id <= 100 ORDER BY vec_id""".stripMargin,
+    "q_random_projection" ->
+      """SELECT vec_id,
+        |  [round(list_sum(list_transform(range(64), i ->
+        |     CAST(embedding[i + 1] AS DOUBLE) *
+        |     (CASE WHEN CAST(concat('0x', substr(md5(
+        |         'rp:jl:' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)),
+        |         1, 8)) AS UBIGINT) % 2 = 0
+        |       THEN 0.25 ELSE -0.25 END))), 6)
+        |   FOR j IN range(16)] AS proj
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_embed_algebra" ->
       """SELECT a.vec_id AS vec_id,
         |  round(sqrt(list_sum([

@@ -133,6 +133,32 @@ class VectorExpressionsSpec extends SparkSpec {
     } finally conf.set("spark.sql.codegen.wholeStage", old)
   }
 
+  test("randomProject: JL distance preservation and exact determinism") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 40)
+    val proj = emb.select(col("vec_id"),
+      graft.functions.VectorFunctions.randomProject(col("embedding"), 64, 32, "t").as("p"),
+      col("embedding"))
+    val rows = proj.collect().map { r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray, r.getSeq[Float](2).map(_.toDouble).toArray)
+    }
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // pairwise squared distances preserved within the JL ballpark
+    val ratios = for {
+      i <- rows.indices; j <- (i + 1) until rows.length
+      orig = d2(rows(i)._3, rows(j)._3) if orig > 1e-9
+    } yield d2(rows(i)._2, rows(j)._2) / orig
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.7 && mean < 1.3, s"JL mean distance ratio off: $mean")
+    assert(ratios.count(r => r > 0.3 && r < 2.0).toDouble / ratios.size > 0.95,
+      s"too many badly distorted pairs")
+    // deterministic across evaluations and identical to a recompute
+    val again = proj.collect().map(r => r.getSeq[Double](1).toArray)
+    assert(rows.map(_._2.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("Breeze-parity verbs: exact elementwise algebra on known vectors") {
     val df = Seq((Seq(1f, -2f, 3f), Seq(10f, 20f, 30f))).toDF("x", "y")
     val out = df.select(
