@@ -734,41 +734,14 @@ object Dedup {
   private def exciseSpans(df: DataFrame, idCol: String,
                           units: org.apache.spark.sql.Column,
                           removeOcc: DataFrame, k: Int, sep: String): DataFrame = {
-    // sorted dup positions → merged half-open [s, e) interval list
-    val emptyIv = array().cast("array<struct<s:long,e:long>>")
-    val mergeIntervals = aggregate(
-      array_sort(col("__ps")),
-      emptyIv,
-      (acc, p) => {
-        val last = element_at(acc, -1)
-        when(size(acc) === 0 || p.cast("long") > last("e"),
-          concat(acc, array(struct(p.cast("long").as("s"),
-            (p + k).cast("long").as("e")))))
-          .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
-            array(struct(last("s").as("s"),
-              greatest(last("e"), (p + k).cast("long")).as("e")))))
-      })
+    // one native kernel per doc: sort positions, sweep merged [p, p+k)
+    // intervals, copy the complement — the composed fold-merge-
+    // complement-slice form went quadratic on boilerplate-heavy docs
+    // (interpreted HOF accumulator concatenating per dup position)
     val perDoc = removeOcc.groupBy(col("id"))
-      .agg(collect_list(col("pos")).as("__ps"))
-      .select(col("id"), mergeIntervals.as("__iv"))
-    // complement the removed intervals within [0, n) and rebuild by
-    // slicing each kept range — O(n_tokens) per doc, instead of a
-    // per-token exists() probe over the interval list
-    val iv = coalesce(col("__iv"), emptyIv)
-    val n = size(col("__toks")).cast("long")
-    val keptRanges = aggregate(
-      iv,
-      struct(lit(0L).as("p"), emptyIv.as("r")),
-      (acc, v) => struct(
-        v("e").as("p"),
-        when(v("s") > acc("p"),
-          concat(acc("r"), array(struct(acc("p").as("s"), v("s").as("e")))))
-          .otherwise(acc("r")).as("r")),
-      acc => when(n > acc("p"),
-        concat(acc("r"), array(struct(acc("p").as("s"), n.as("e")))))
-        .otherwise(acc("r")))
-    val kept = flatten(transform(keptRanges,
-      r => slice(col("__toks"), (r("s") + 1).cast("int"), (r("e") - r("s")).cast("int"))))
+      .agg(collect_list(col("pos")).cast("array<long>").as("__ps"))
+    val kept = graft.expressions.ExciseTokens.exciseF(
+      col("__toks"), coalesce(col("__ps"), lit(Array.empty[Long])), k)
     df.select(col(idCol).as("id"), units.as("__toks"))
       .join(perDoc, Seq("id"), "left")
       .select(col("id"),
