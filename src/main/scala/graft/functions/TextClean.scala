@@ -150,6 +150,26 @@ object TextClean {
   def nfc(text: Column): Column =
     graft.expressions.UnicodeNormalize.normalizeF(text, "NFC")
 
+  /** High-confidence cross-script homoglyphs → Latin (the Unicode
+    * confusables pairs spam uses to evade dedup/filters: Cyrillic
+    * а/е/о/р/с/у/х/і/ѕ/ј and uppercase, Greek Α-row capitals and
+    * omicron). NFKC does NOT touch these — they are distinct letters,
+    * not compatibility forms — so [[normalizeText]] alone leaves
+    * "sраm" ≠ "spam". Paired `from`/`to` strings drive one builtin
+    * `translate` (codegen'd, codepoint-wise in both engines).
+    */
+  val homoglyphFrom: String =
+    "аеорсухіѕјАВЕКМНОРСТХУІЅЈ" + "οΑΒΕΖΗΙΚΜΝΟΡΤΥΧ"
+  val homoglyphTo: String =
+    "aeopcyxisjABEKMHOPCTXYISJ" + "oABEZHIKMNOPTYX"
+
+  /** Fold cross-script homoglyphs to their Latin lookalikes — run
+    * before/with [[normalizeText]] when building dedup keys for
+    * adversarial corpora.
+    */
+  def foldHomoglyphs(text: Column): Column =
+    translate(text, homoglyphFrom, homoglyphTo)
+
   /** Full dedup-key canonicalization: NFKC-fold compatibility
     * variants (ﬁ → fi, fullwidth → ASCII), lowercase, strip
     * diacritics (NFD then drop combining marks — \p{Mn} is in the

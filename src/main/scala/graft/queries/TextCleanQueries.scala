@@ -168,6 +168,18 @@ object TextCleanQueries extends QueryPack {
     // Unicode NFC canonicalization (native codegen expression) —
     // byte-level dedup keys for text that arrives precomposed vs
     // decomposed. Length shrink proves real composition happened.
+    // cross-script homoglyph folding: text seeded with Cyrillic
+    // lookalikes folds back to clean Latin; the oracle carries the
+    // SAME from/to table (interpolated from the Scala constants, so
+    // the two can never drift).
+    "q_homoglyph" -> { (s, dir) =>
+      tables(s, dir).documents
+        .select(col("doc_id"),
+          TextClean.foldHomoglyphs(
+            translate(col("text"), "aeopc", "аеорс")).as("restored"))
+        .orderBy(col("doc_id"))
+    },
+
     "q_normalize" -> { (s, dir) =>
       tables(s, dir).documents
         .filter(col("doc_id") <= 400)
@@ -250,6 +262,10 @@ object TextCleanQueries extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_homoglyph" ->
+      s"""SELECT doc_id, translate(translate(text, 'aeopc', 'аеорс'),
+         |  '${TextClean.homoglyphFrom}', '${TextClean.homoglyphTo}') AS restored
+         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_normalize" ->
       s"""WITH u AS (
          |  SELECT doc_id, $dirtyUniSql AS raw FROM documents WHERE doc_id <= 400)

@@ -159,4 +159,21 @@ class TextCleanSpec extends SparkSpec {
       .select(TextClean.normalizeText(col("t"))).as[String].head()
     assert(out == "cafe fine full")
   }
+
+  test("foldHomoglyphs maps Cyrillic/Greek lookalikes that NFKC leaves alone") {
+    // "s\u0440\u0430m" with Cyrillic \u0430/\u0440, "\u0397\u0435ll\u03bf" with Greek \u0397, omicron + Cyrillic \u0435
+    val spam = "s\u0440\u0430m"
+    val hello = "\u0397\u0435ll\u03bf"
+    val rows = Seq(spam, hello, "plain ascii stays").toDF("t")
+    val folded = rows.select(TextClean.foldHomoglyphs(col("t"))).as[String].collect()
+    assert(folded(0) == "spam")
+    assert(folded(1) == "Hello")
+    assert(folded(2) == "plain ascii stays")
+    // NFKC alone does NOT fold these (they're distinct letters)
+    val nfkc = rows.select(
+      graft.expressions.UnicodeNormalize.normalizeF(col("t"), "NFKC")).as[String].collect()
+    assert(nfkc(0) != "spam" && nfkc(1) != "Hello")
+    // from/to tables stay paired
+    assert(TextClean.homoglyphFrom.length == TextClean.homoglyphTo.length)
+  }
 }
