@@ -84,6 +84,10 @@ object Curate {
     *                   gibberish/wrong-language score high); token-less
     *                   docs carry a null score and are KEPT by this
     *                   gate (the token gate owns them); None → off.
+    * @param foldHomoglyphs  fold cross-script confusables to Latin
+    *                   ([[graft.functions.TextClean.foldHomoglyphs]])
+    *                   before any stage hashes, so homoglyph-evasive
+    *                   near-copies dedup together.
     * @param normalizeUnicode  NFC-normalize the text BEFORE any stage
     *                   hashes it ([[graft.functions.TextClean.nfc]]),
     *                   so precomposed and decomposed renditions of the
@@ -103,14 +107,22 @@ object Curate {
              split: Option[(Seq[(String, Double)], String)] = None,
              gopherRules: Boolean = false,
              maxAvgNll: Option[Double] = None,
-             normalizeUnicode: Boolean = false): DataFrame = {
+             normalizeUnicode: Boolean = false,
+             foldHomoglyphs: Boolean = false): DataFrame = {
     // Unicode NFC before anything hashes: precomposed vs decomposed
     // renditions of the same text must dedup together (native codegen
     // expression, ASCII rows untouched without allocation)
-    val canonical =
+    val canonical0 =
       if (!normalizeUnicode) docs
       else docs.withColumn(textCol,
         graft.functions.TextClean.nfc(col(textCol)))
+    // cross-script confusables fold AFTER NFC (canonical forms) and
+    // BEFORE anything hashes, for the same reason: evasive renditions
+    // of the same text must dedup together
+    val canonical =
+      if (!foldHomoglyphs) canonical0
+      else canonical0.withColumn(textCol,
+        graft.functions.TextClean.foldHomoglyphs(col(textCol)))
     val redacted =
       if (!redactPii) canonical
       else canonical.withColumn(textCol,

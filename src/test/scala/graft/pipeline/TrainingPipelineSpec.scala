@@ -169,6 +169,20 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(shipped == pre)
   }
 
+  test("curate: foldHomoglyphs makes a Cyrillic-evasive copy dedup with its original") {
+    val original = "the quick brown fox jumps over the lazy dog again today"
+    val evasive = original.replace("a", "а").replace("o", "о") // Cyrillic а, о
+    val corpus = Seq((1L, original), (2L, evasive)).toDF("doc_id", "text")
+    val without = Curate.curate(corpus, "doc_id", "text",
+      minTokens = 3L, minAlpha = 0.4, nearDup = false)
+    assert(without.count() == 2L) // distinct content without the fold
+    val withFold = Curate.curate(corpus, "doc_id", "text",
+      minTokens = 3L, minAlpha = 0.4, nearDup = false, foldHomoglyphs = true)
+    val rows = withFold.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    assert(rows.map(_._1).toSet == Set(1L)) // evasive copy deduped away
+    assert(rows.head._2 == original)
+  }
+
   test("curate: gopher rule battery and corpus-LM tail trim stages") {
     val typical = "the quick brown fox jumps over the lazy dog and that cat with style"
     val corpus = (
