@@ -170,6 +170,15 @@ object TextClean {
   def foldHomoglyphs(text: Column): Column =
     translate(text, homoglyphFrom, homoglyphTo)
 
+  /** Strip zero-width/invisible code points (ZWSP, ZWNJ, ZWJ, BOM,
+    * word joiner, soft hyphen) — the other dedup-evasion vector
+    * beside homoglyphs: invisible insertions change every hash while
+    * rendering identically. Plain RE2-safe char class, codegen'd.
+    */
+  def stripInvisible(text: Column): Column =
+    regexp_replace(text,
+      "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}\\x{2060}\\x{00AD}]", "")
+
   /** Full dedup-key canonicalization: NFKC-fold compatibility
     * variants (ﬁ → fi, fullwidth → ASCII), lowercase, strip
     * diacritics (NFD then drop combining marks — \p{Mn} is in the

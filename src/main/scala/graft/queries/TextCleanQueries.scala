@@ -180,6 +180,16 @@ object TextCleanQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // zero-width-evasion strip: ZWSP seeded before every space
+    // disappears; cleaned text equals the original.
+    "q_invisible" -> { (s, dir) =>
+      tables(s, dir).documents
+        .select(col("doc_id"),
+          TextClean.stripInvisible(
+            regexp_replace(col("text"), " ", "\u200B ")).as("cleaned"))
+        .orderBy(col("doc_id"))
+    },
+
     "q_normalize" -> { (s, dir) =>
       tables(s, dir).documents
         .filter(col("doc_id") <= 400)
@@ -262,6 +272,11 @@ object TextCleanQueries extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_invisible" ->
+      """SELECT doc_id, regexp_replace(
+        |    regexp_replace(text, ' ', chr(8203) || ' ', 'g'),
+        |    '[\x{200B}\x{200C}\x{200D}\x{FEFF}\x{2060}\x{00AD}]', '', 'g') AS cleaned
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_homoglyph" ->
       s"""SELECT doc_id, translate(translate(text, 'aeopc', 'аеорс'),
          |  '${TextClean.homoglyphFrom}', '${TextClean.homoglyphTo}') AS restored

@@ -176,4 +176,12 @@ class TextCleanSpec extends SparkSpec {
     // from/to tables stay paired
     assert(TextClean.homoglyphFrom.length == TextClean.homoglyphTo.length)
   }
+
+  test("stripInvisible removes zero-width/invisible code points only") {
+    val evasive = "s​p‌a‍m﻿ ⁠w­ord"
+    val out = Seq(evasive, "clean text").toDF("t")
+      .select(TextClean.stripInvisible(col("t"))).as[String].collect()
+    assert(out(0) == "spam word")
+    assert(out(1) == "clean text")
+  }
 }
