@@ -521,6 +521,15 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("id"))
     },
 
+    // windowed PMI collocations: ordered token pairs within a 3-token
+    // window, slot-consistent marginals, hapax pairs pruned.
+    "q_collocations" -> { (s, dir) =>
+      graft.functions.TextMetrics.collocations(tables(s, dir).documents,
+          "doc_id", "text", window = 3, minCount = 50L)
+        .select(col("t1"), col("t2"), col("n_pairs"), r6(col("pmi")).as("pmi"))
+        .orderBy(col("t1"), col("t2"))
+    },
+
     // Gopher-style within-doc repetition metrics over word 2-grams.
     "q_repetition" -> { (s, dir) =>
       graft.functions.TextMetrics.repetition(tables(s, dir).documents, "doc_id", "text", n = 2)
@@ -1772,6 +1781,26 @@ object TextVectorQueries extends QueryPack {
         |  coalesce(outq.clean_text, '') AS clean_text
         |FROM sents LEFT JOIN outq ON sents.doc_id = outq.doc_id
         |ORDER BY id""".stripMargin,
+    "q_collocations" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t
+        |  FROM documents),
+        |tp AS (SELECT doc_id, unnest(range(0, len(t))) AS pos, t FROM tok),
+        |tr AS (SELECT doc_id, pos, t[pos + 1] AS tok FROM tp WHERE len(t[pos + 1]) > 0),
+        |pairs AS (
+        |  SELECT a.tok AS t1, b.tok AS t2, count(*) AS n_pairs
+        |  FROM tr a JOIN tr b
+        |    ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 3
+        |  GROUP BY 1, 2),
+        |c1 AS (SELECT t1, sum(n_pairs) AS c1 FROM pairs GROUP BY 1),
+        |c2 AS (SELECT t2, sum(n_pairs) AS c2 FROM pairs GROUP BY 1),
+        |tot AS (SELECT sum(n_pairs) AS n FROM pairs)
+        |SELECT p.t1, p.t2, p.n_pairs,
+        |  round(ln(CAST(p.n_pairs AS DOUBLE) * CAST(n AS DOUBLE) /
+        |    (CAST(c1.c1 AS DOUBLE) * CAST(c2.c2 AS DOUBLE))), 6) AS pmi
+        |FROM pairs p JOIN c1 USING (t1) JOIN c2 USING (t2) CROSS JOIN tot
+        |WHERE p.n_pairs >= 50
+        |ORDER BY t1, t2""".stripMargin,
     "q_repetition" ->
       """WITH tok AS (
         |  SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\s+') AS t

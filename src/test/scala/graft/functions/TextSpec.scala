@@ -78,6 +78,27 @@ class TextSpec extends SparkSpec {
     assert(m(4L) == ((1L, 1L, 0.0, 1.0)))
   }
 
+  test("collocations: hand-computed windowed pair counts and PMI") {
+    // one doc "a b a b", window 2: pairs (gap<=2, ordered):
+    // (a,b)@0-1, (a,a)@0-2, (b,a)@1-2, (b,b)@1-3, (a,b)@2-3 →
+    // counts: (a,b)=2, (a,a)=1, (b,a)=1, (b,b)=1; total=5
+    val docs = Seq((1L, "a b a b")).toDF("doc_id", "text")
+    val m = TextMetrics.collocations(docs, "doc_id", "text", window = 2, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(m.keySet == Set(("a", "b"), ("a", "a"), ("b", "a"), ("b", "b")))
+    assert(m(("a", "b"))._1 == 2L)
+    // marginals over pair slots: c1(a)=3, c2(b)=3 → pmi(a,b)=ln(2*5/9)
+    assert(math.abs(m(("a", "b"))._2 - math.log(10.0 / 9.0)) < 1e-12)
+    // c1(b)=2, c2(a)=2 → pmi(b,a)=ln(1*5/4)
+    assert(math.abs(m(("b", "a"))._2 - math.log(5.0 / 4.0)) < 1e-12)
+    // minCount prunes pairs but keeps marginals intact
+    val pruned = TextMetrics.collocations(docs, "doc_id", "text", window = 2,
+      minCount = 2L).collect()
+    assert(pruned.map(r => (r.getString(0), r.getString(1))).toSet == Set(("a", "b")))
+    assert(math.abs(pruned.head.getDouble(3) - math.log(10.0 / 9.0)) < 1e-12)
+  }
+
   test("chunkChars: overlapping windows cover the text; short/empty texts yield one chunk") {
     val df = Seq(
       (1L, "abcdefghij"),   // 10 chars, size 4 overlap 1 → starts 1,4,7,10
