@@ -164,6 +164,31 @@ class PlanAuditSpec extends SparkSpec {
       s"product join in span removal:\n$p")
   }
 
+  test("q_collocations: pair gen is in-task (no join below the pair count); no product") {
+    val p = plan("q_collocations")
+    assert(p.contains("partial_"), s"pair count lacks map-side partial agg:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"product join in collocations:\n$p")
+    // pair generation is the explode itself, and the pair-count
+    // partial aggregate sits DIRECTLY on it (only Project/Filter
+    // between) — a positional self-join would show a Join there
+    assert(p.contains("Generate explode"), s"no in-task pair explode:\n$p")
+    val directAgg = "(?s)partial_count.{0,600}?Generate explode".r
+    assert(directAgg.findFirstIn(p).isDefined,
+      s"pair count is not directly over the explode:\n$p")
+    assert(!"(?s)Generate explode.{0,600}?Join".r.findFirstIn(p).isDefined ||
+      !p.substring(p.lastIndexOf("Generate explode")).contains("Join"),
+      s"a join below the pair explode:\n$p")
+  }
+
+  test("q_interval_overlap: equi join on (key, bucket) — never a nested-loop range join") {
+    val p = plan("q_interval_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval-overlap join planned as a product:\n$p")
+    assert(p.contains("Join"), s"no join in the plan?\n$p")
+    assert(p.contains("partial_"), s"per-user agg lacks map-side partials:\n$p")
+  }
+
   test("q_line_dedup: census partial-aggregates; rebuild has no window; no product join") {
     val p = plan("q_line_dedup")
     assert(p.contains("partial_"), s"line census lacks map-side partial agg:\n$p")
