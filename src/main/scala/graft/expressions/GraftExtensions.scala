@@ -255,5 +255,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "graft_theta_anotb(a, b) takes two binary arguments")
         ThetaCombine(children(0), children(1), ThetaOps.OpANotB)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_excise_tokens"),
+      new ExpressionInfo(classOf[ExciseTokens].getName, "graft_excise_tokens"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_excise_tokens(units, positions, k) takes (array<string>, array<bigint>, int)")
+        ExciseTokens(children(0), children(1), intArg(children(2), "k"))
+      }))
   }
 }

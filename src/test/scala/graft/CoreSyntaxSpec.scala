@@ -158,6 +158,13 @@ class CoreSyntaxSpec extends SparkSpec {
     assert(out.getDouble(1) == 1.0)
   }
 
+  test("graft_excise_tokens is a registered SQL function") {
+    val out = spark.sql(
+      "SELECT graft_excise_tokens(array('a','b','c','d','e'), array(1L), 2) AS kept")
+      .as[Seq[String]].collect().head
+    assert(out == Seq("a", "d", "e"))
+  }
+
   test("graft_hyperplane_cell / graft_minhash_agg / graft_simhash_agg SQL functions " +
       "match their column-level forms") {
     spark.read.parquet(s"$sf/embeddings.parquet")
