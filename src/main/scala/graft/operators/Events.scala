@@ -153,6 +153,44 @@ object Events {
       .select(col(userCol), col("conv_ts"), col("touch_type"), col("touch_ts"))
   }
 
+  /** LINEAR multi-touch attribution beside [[lastTouch]]: every touch
+    * inside the conversion's lookback window shares the conversion's
+    * credit equally (credit = 1/n per touch) — the other standard
+    * attribution model, answering "which channels participated"
+    * rather than "which channel closed". Returns one row per
+    * (conversion, touch): (user, conv_ts, touch_ts, touch_type,
+    * n_touches, credit).
+    *
+    * Scale shape: the window membership is [[Temporal.intervalJoin]]
+    * (bucketed equality join, never an open range join); the
+    * per-conversion touch count rides ONE window over the pair rows
+    * (already co-partitioned by user from the join). Duplicate
+    * conversion rows (same user, same µs) collapse first — they would
+    * silently double credit.
+    */
+  def attributionLinear(df: DataFrame, userCol: String, typeCol: String,
+                        tsCol: String, touchTypes: Seq[String],
+                        conversionType: String, lookbackSec: Long): DataFrame = {
+    require(touchTypes.nonEmpty, "attributionLinear needs at least one touch type")
+    require(lookbackSec > 0, s"lookbackSec must be positive, got $lookbackSec")
+    require(!touchTypes.contains(conversionType),
+      s"conversion type '$conversionType' cannot also be a touch type")
+    val conv = df.filter(col(typeCol) === conversionType && col(userCol).isNotNull)
+      .select(col(userCol), col(tsCol).as("conv_ts")).distinct()
+      .withColumn("__w_start", col("conv_ts") - expr(s"INTERVAL $lookbackSec SECONDS"))
+    val touches = df.filter(col(typeCol).isin(touchTypes: _*) && col(userCol).isNotNull)
+      .select(col(userCol), col(tsCol).as("touch_ts"), col(typeCol).as("touch_type"))
+    val pairs = Temporal.intervalJoin(touches, conv, userCol,
+      "touch_ts", "__w_start", "conv_ts",
+      bucketSec = math.max(lookbackSec / 4, 1L), maxIntervalSec = lookbackSec)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol), col("conv_ts"))
+    pairs
+      .withColumn("n_touches", count(lit(1)).over(w))
+      .select(col(userCol), col("conv_ts"), col("touch_ts"), col("touch_type"),
+        col("n_touches"), (lit(1.0) / col("n_touches")).as("credit"))
+  }
+
   /** First-order transition census over each user's event stream —
     * the (from → to) counts behind flow/Sankey views and Markov-chain
     * behavior models: consecutive event pairs in per-user

@@ -274,6 +274,18 @@ object StatsWindowQueries extends QueryPack {
         .orderBy(col("user_id"), col("conv_us"), col("touch_us"))
     },
 
+    // LINEAR multi-touch attribution: every touch in the lookback
+    // shares the conversion credit 1/n; summed per channel.
+    "q_attribution_linear" -> { (s, dir) =>
+      graft.operators.Events.attributionLinear(tables(s, dir).events,
+          "user_id", "event_type", "ts",
+          touchTypes = Seq("click", "view"), conversionType = "purchase",
+          lookbackSec = 7200L)
+        .groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_touches"), r6(sum(col("credit"))).as("credit"))
+        .orderBy(col("touch_type"))
+    },
+
     // weekly cohort retention from the first signup event.
     "q_retention" -> { (s, dir) =>
       graft.operators.Events.retention(tables(s, dir).events,
@@ -852,6 +864,24 @@ object StatsWindowQueries extends QueryPack {
         |FROM u1 LEFT JOIN u2 ON u1.user_id = u2.user_id
         |LEFT JOIN u3 ON u1.user_id = u3.user_id
         |ORDER BY u1.user_id""".stripMargin,
+    "q_attribution_linear" ->
+      """WITH conv AS (
+        |  SELECT DISTINCT user_id, ts AS conv_ts FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+        |t AS (
+        |  SELECT user_id, ts AS touch_ts, event_type AS touch_type FROM events
+        |  WHERE event_type IN ('click', 'view') AND user_id IS NOT NULL),
+        |pairs AS (
+        |  SELECT c.user_id, c.conv_ts, t.touch_type
+        |  FROM conv c JOIN t ON c.user_id = t.user_id
+        |    AND t.touch_ts >= c.conv_ts - INTERVAL 7200 SECONDS
+        |    AND t.touch_ts <= c.conv_ts),
+        |cnt AS (
+        |  SELECT user_id, conv_ts, count(*) AS n FROM pairs GROUP BY 1, 2)
+        |SELECT p.touch_type, count(*) AS n_touches,
+        |  round(sum(1.0 / cnt.n), 6) AS credit
+        |FROM pairs p JOIN cnt USING (user_id, conv_ts)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_attribution" ->
       """WITH conv AS (
         |  SELECT user_id, ts AS conv_ts FROM events WHERE event_type = 'purchase'),

@@ -103,6 +103,29 @@ class EventsSpec extends SparkSpec {
       Seq("buy"), "buy", 10L))
   }
 
+  test("attributionLinear: equal credit shares, lookback bound, no-touch conversions drop") {
+    val df = ev(
+      ("a", "view", 0), ("a", "click", 10), ("a", "buy", 15),   // two touches: 0.5 each
+      ("b", "view", 0), ("b", "buy", 200),                      // outside 60-min lookback
+      ("c", "buy", 5),                                          // no touches: no rows
+      ("d", "click", 20), ("d", "buy", 20),                     // equal-ts touch counts
+      ("a", "buy", 16)                                          // 2nd conversion, same 2 touches
+    )
+    val out = Events.attributionLinear(df, "user", "type", "ts",
+        touchTypes = Seq("view", "click"), conversionType = "buy",
+        lookbackSec = 3600L)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getString(3),
+        r.getLong(4), r.getDouble(5)))
+    val byUser = out.groupBy(_._1)
+    assert(byUser("a").length == 4) // 2 conversions x 2 touches
+    assert(byUser("a").forall(t => t._4 == 2L && t._5 == 0.5))
+    assert(!byUser.contains("b") && !byUser.contains("c"))
+    assert(byUser("d") == Array(("d", ts(20), "click", 1L, 1.0)).toSeq ||
+      byUser("d").toSeq == Seq(("d", ts(20), "click", 1L, 1.0)))
+    // total credit equals the number of attributed conversions
+    assert(math.abs(out.map(_._5).sum - 3.0) < 1e-12)
+  }
+
   test("transitions: per-user consecutive pairs, tie-ordered, cross-user isolation") {
     val df = Seq(
       ("a", "view", ts(0), 1L), ("a", "click", ts(1), 2L), ("a", "buy", ts(2), 3L),
