@@ -191,6 +191,45 @@ object Events {
         col("n_touches"), (lit(1.0) / col("n_touches")).as("credit"))
   }
 
+  /** TIME-DECAY multi-touch attribution: like [[attributionLinear]]
+    * but recent touches earn more — raw weight
+    * 0.5^(Δseconds / halfLifeSec) (a touch one half-life before the
+    * conversion is worth half an at-conversion touch), normalized per
+    * conversion so each conversion still distributes exactly 1.0
+    * credit. Same interval-join + single-window scale shape; the
+    * normalizing sum rides the same window as the count. Δ uses µs
+    * integer arithmetic before the one double division, so weights
+    * are reproducible across engines.
+    */
+  def attributionTimeDecay(df: DataFrame, userCol: String, typeCol: String,
+                           tsCol: String, touchTypes: Seq[String],
+                           conversionType: String, lookbackSec: Long,
+                           halfLifeSec: Long): DataFrame = {
+    require(halfLifeSec > 0, s"halfLifeSec must be positive, got $halfLifeSec")
+    require(touchTypes.nonEmpty, "attributionTimeDecay needs at least one touch type")
+    require(lookbackSec > 0, s"lookbackSec must be positive, got $lookbackSec")
+    require(!touchTypes.contains(conversionType),
+      s"conversion type '$conversionType' cannot also be a touch type")
+    val conv = df.filter(col(typeCol) === conversionType && col(userCol).isNotNull)
+      .select(col(userCol), col(tsCol).as("conv_ts")).distinct()
+      .withColumn("__w_start", col("conv_ts") - expr(s"INTERVAL $lookbackSec SECONDS"))
+    val touches = df.filter(col(typeCol).isin(touchTypes: _*) && col(userCol).isNotNull)
+      .select(col(userCol), col(tsCol).as("touch_ts"), col(typeCol).as("touch_type"))
+    val pairs = Temporal.intervalJoin(touches, conv, userCol,
+      "touch_ts", "__w_start", "conv_ts",
+      bucketSec = math.max(lookbackSec / 4, 1L), maxIntervalSec = lookbackSec)
+    val weight = pow(lit(0.5),
+      (unix_micros(col("conv_ts")) - unix_micros(col("touch_ts"))).cast("double") /
+        (halfLifeSec * 1000000.0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol), col("conv_ts"))
+    pairs
+      .withColumn("__w", weight)
+      .withColumn("credit", col("__w") / sum(col("__w")).over(w))
+      .select(col(userCol), col("conv_ts"), col("touch_ts"), col("touch_type"),
+        col("credit"))
+  }
+
   /** First-order transition census over each user's event stream —
     * the (from → to) counts behind flow/Sankey views and Markov-chain
     * behavior models: consecutive event pairs in per-user

@@ -286,6 +286,18 @@ object StatsWindowQueries extends QueryPack {
         .orderBy(col("touch_type"))
     },
 
+    // TIME-DECAY attribution: 30-min half-life weights, per-channel
+    // credit mass (each conversion still distributes exactly 1.0).
+    "q_attribution_decay" -> { (s, dir) =>
+      graft.operators.Events.attributionTimeDecay(tables(s, dir).events,
+          "user_id", "event_type", "ts",
+          touchTypes = Seq("click", "view"), conversionType = "purchase",
+          lookbackSec = 7200L, halfLifeSec = 1800L)
+        .groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_touches"), r6(sum(col("credit"))).as("credit"))
+        .orderBy(col("touch_type"))
+    },
+
     // weekly cohort retention from the first signup event.
     "q_retention" -> { (s, dir) =>
       graft.operators.Events.retention(tables(s, dir).events,
@@ -864,6 +876,26 @@ object StatsWindowQueries extends QueryPack {
         |FROM u1 LEFT JOIN u2 ON u1.user_id = u2.user_id
         |LEFT JOIN u3 ON u1.user_id = u3.user_id
         |ORDER BY u1.user_id""".stripMargin,
+    "q_attribution_decay" ->
+      """WITH conv AS (
+        |  SELECT DISTINCT user_id, ts AS conv_ts FROM events
+        |  WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+        |t AS (
+        |  SELECT user_id, ts AS touch_ts, event_type AS touch_type FROM events
+        |  WHERE event_type IN ('click', 'view') AND user_id IS NOT NULL),
+        |pairs AS (
+        |  SELECT c.user_id, c.conv_ts, t.touch_type,
+        |    pow(0.5, CAST(epoch_us(c.conv_ts) - epoch_us(t.touch_ts) AS DOUBLE)
+        |      / 1800000000.0) AS w
+        |  FROM conv c JOIN t ON c.user_id = t.user_id
+        |    AND t.touch_ts >= c.conv_ts - INTERVAL 7200 SECONDS
+        |    AND t.touch_ts <= c.conv_ts),
+        |tot AS (
+        |  SELECT user_id, conv_ts, sum(w) AS sw FROM pairs GROUP BY 1, 2)
+        |SELECT p.touch_type, count(*) AS n_touches,
+        |  round(sum(p.w / tot.sw), 6) AS credit
+        |FROM pairs p JOIN tot USING (user_id, conv_ts)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_attribution_linear" ->
       """WITH conv AS (
         |  SELECT DISTINCT user_id, ts AS conv_ts FROM events

@@ -126,6 +126,22 @@ class EventsSpec extends SparkSpec {
     assert(math.abs(out.map(_._5).sum - 3.0) < 1e-12)
   }
 
+  test("attributionTimeDecay: recency-weighted shares, exactly 1.0 per conversion") {
+    val df = ev(
+      // half-life 600s (10 min): touch at conv gets w=1, 10 min before w=0.5
+      ("a", "view", 0), ("a", "click", 10), ("a", "buy", 10),
+      ("c", "buy", 5) // no touches
+    )
+    val out = Events.attributionTimeDecay(df, "user", "type", "ts",
+        touchTypes = Seq("view", "click"), conversionType = "buy",
+        lookbackSec = 3600L, halfLifeSec = 600L)
+      .collect().map(r => (r.getString(3), r.getDouble(4))).toMap
+    // view: w=0.5, click: w=1.0 → credits 1/3 and 2/3
+    assert(math.abs(out("view") - 1.0 / 3.0) < 1e-12)
+    assert(math.abs(out("click") - 2.0 / 3.0) < 1e-12)
+    assert(math.abs(out.values.sum - 1.0) < 1e-12)
+  }
+
   test("transitions: per-user consecutive pairs, tie-ordered, cross-user isolation") {
     val df = Seq(
       ("a", "view", ts(0), 1L), ("a", "click", ts(1), 2L), ("a", "buy", ts(2), 3L),
