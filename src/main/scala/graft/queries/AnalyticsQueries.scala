@@ -360,6 +360,36 @@ object AnalyticsQueries extends QueryPack {
     // TPC-H Q22 shape: per-nation count/balance of rich-but-inactive
     // customers — scalar aggregate threshold + ANTI join against
     // orders (the NOT EXISTS), customer side broadcast-filtered.
+    // RFM customer segmentation: per-customer recency/frequency/
+    // monetary quintile scores against EXACT percentile boundaries
+    // computed once and broadcast — never a global ntile window (the
+    // single-partition trap); strict > comparisons keep boundary ties
+    // deterministic in both engines.
+    "q_rfm" -> { (s, dir) =>
+      val base = tables(s, dir).orders.groupBy(col("o_custkey"))
+        .agg(datediff(lit("1998-12-31").cast("date"), max(col("o_orderdate")))
+            .cast("long").as("recency_days"),
+          count(lit(1)).as("frequency"),
+          r2(sum(col("o_totalprice"))).as("monetary"))
+      val qs = Seq(0.2, 0.4, 0.6, 0.8)
+      val bounds =
+        qs.zipWithIndex.map { case (q, i) =>
+          percentile(col("recency_days"), lit(q)).as(s"rb$i") } ++
+        qs.zipWithIndex.map { case (q, i) =>
+          percentile(col("frequency"), lit(q)).as(s"fb$i") } ++
+        qs.zipWithIndex.map { case (q, i) =>
+          percentile(col("monetary"), lit(q)).as(s"mb$i") }
+      val bAgg = base.agg(bounds.head, bounds.tail: _*)
+      def above(v: org.apache.spark.sql.Column, pre: String) =
+        (0 until 4).map(i => when(v > col(s"$pre$i"), 1).otherwise(0)).reduce(_ + _)
+      base.crossJoin(broadcast(bAgg))
+        .select(col("o_custkey"), col("recency_days"), col("frequency"), col("monetary"),
+          (lit(5) - above(col("recency_days"), "rb")).as("r_score"),
+          (lit(1) + above(col("frequency"), "fb")).as("f_score"),
+          (lit(1) + above(col("monetary"), "mb")).as("m_score"))
+        .orderBy(col("o_custkey"))
+    },
+
     "q22_sales_opportunity" -> { (s, dir) =>
       val t = tables(s, dir)
       val avgBal = t.customer.filter(col("c_acctbal") > 0)
@@ -377,6 +407,31 @@ object AnalyticsQueries extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_rfm" ->
+      """WITH base AS (
+        |  SELECT o_custkey,
+        |    CAST(datediff('day', max(o_orderdate), DATE '1998-12-31') AS BIGINT)
+        |      AS recency_days,
+        |    count(*) AS frequency,
+        |    round(sum(o_totalprice), 2) AS monetary
+        |  FROM orders GROUP BY 1),
+        |b AS (
+        |  SELECT
+        |    quantile_cont(recency_days, 0.2) AS rb0, quantile_cont(recency_days, 0.4) AS rb1,
+        |    quantile_cont(recency_days, 0.6) AS rb2, quantile_cont(recency_days, 0.8) AS rb3,
+        |    quantile_cont(frequency, 0.2) AS fb0, quantile_cont(frequency, 0.4) AS fb1,
+        |    quantile_cont(frequency, 0.6) AS fb2, quantile_cont(frequency, 0.8) AS fb3,
+        |    quantile_cont(monetary, 0.2) AS mb0, quantile_cont(monetary, 0.4) AS mb1,
+        |    quantile_cont(monetary, 0.6) AS mb2, quantile_cont(monetary, 0.8) AS mb3
+        |  FROM base)
+        |SELECT o_custkey, recency_days, frequency, monetary,
+        |  5 - ((recency_days > rb0)::INT + (recency_days > rb1)::INT
+        |     + (recency_days > rb2)::INT + (recency_days > rb3)::INT) AS r_score,
+        |  1 + ((frequency > fb0)::INT + (frequency > fb1)::INT
+        |     + (frequency > fb2)::INT + (frequency > fb3)::INT) AS f_score,
+        |  1 + ((monetary > mb0)::INT + (monetary > mb1)::INT
+        |     + (monetary > mb2)::INT + (monetary > mb3)::INT) AS m_score
+        |FROM base CROSS JOIN b ORDER BY o_custkey""".stripMargin,
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
