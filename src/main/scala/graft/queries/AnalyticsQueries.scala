@@ -360,6 +360,19 @@ object AnalyticsQueries extends QueryPack {
     // TPC-H Q22 shape: per-nation count/balance of rich-but-inactive
     // customers — scalar aggregate threshold + ANTI join against
     // orders (the NOT EXISTS), customer side broadcast-filtered.
+    // market-basket association rules over order baskets: part-class
+    // pairs with support/confidence/lift, in-task pair generation.
+    "q_basket_rules" -> { (s, dir) =>
+      val rows = tables(s, dir).lineitem
+        .select(col("l_orderkey").as("basket"), (col("l_partkey") % 100).as("item"))
+      graft.operators.Baskets.associationRules(rows, "basket", "item",
+          minSupport = 20L)
+        .select(col("item_a"), col("item_b"), col("support"),
+          r6(col("conf_a_b")).as("conf_a_b"), r6(col("conf_b_a")).as("conf_b_a"),
+          r6(col("lift")).as("lift"))
+        .orderBy(col("item_a"), col("item_b"))
+    },
+
     // RFM customer segmentation: per-customer recency/frequency/
     // monetary quintile scores against EXACT percentile boundaries
     // computed once and broadcast — never a global ntile window (the
@@ -407,6 +420,25 @@ object AnalyticsQueries extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_basket_rules" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey % 100 AS i FROM lineitem),
+        |n AS (SELECT count(DISTINCT b) AS nb FROM items),
+        |ic AS (SELECT i, count(*) AS ci FROM items GROUP BY 1),
+        |pairs AS (
+        |  SELECT x.i AS item_a, y.i AS item_b, count(*) AS support
+        |  FROM items x JOIN items y ON x.b = y.b AND x.i < y.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 20)
+        |SELECT p.item_a, p.item_b, p.support,
+        |  round(CAST(p.support AS DOUBLE) / ca.ci, 6) AS conf_a_b,
+        |  round(CAST(p.support AS DOUBLE) / cb.ci, 6) AS conf_b_a,
+        |  round(CAST(p.support AS DOUBLE) * nb /
+        |    (CAST(ca.ci AS DOUBLE) * CAST(cb.ci AS DOUBLE)), 6) AS lift
+        |FROM pairs p
+        |JOIN ic ca ON p.item_a = ca.i
+        |JOIN ic cb ON p.item_b = cb.i
+        |CROSS JOIN n
+        |ORDER BY item_a, item_b""".stripMargin,
     "q_rfm" ->
       """WITH base AS (
         |  SELECT o_custkey,
