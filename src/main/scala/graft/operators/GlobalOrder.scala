@@ -92,6 +92,62 @@ object GlobalOrder {
       .drop("__go_bucket", "__go_w", "__go_off")
   }
 
+  /** [[withGlobalOffset]] for DOUBLE weights — log-space cumulative
+    * products (survival curves, probability masses) and other
+    * fractional prefix sums. Same balanced bucketed machinery,
+    * exclusive prefix accumulated in double. Floating-point caveat,
+    * stated plainly: partial-sum ASSOCIATION differs from a
+    * sequential fold, so low-order bits depend on partitioning —
+    * consumers must round their outputs (relative error here is
+    * ~1e-12; every gate that uses this rounds at 1e-6). Null/NaN
+    * weights reject loudly; negative weights are ALLOWED (log terms
+    * are negative), unlike the long form.
+    */
+  def withGlobalOffsetDouble(df: DataFrame, orderCol: String, weight: Column,
+                             offsetCol: String = "offset",
+                             numBuckets: Int = 1024): DataFrame = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    require(!df.columns.contains(offsetCol),
+      s"input already has a '$offsetCol' column; pass a different offsetCol")
+    val k = col(orderCol).cast("double")
+    val wd = weight.cast("double")
+    val Array(mn, mx, n, nd, nNull, nNan, nBadW) = df
+      .agg(min(k), max(k), count(lit(1)), countDistinct(col(orderCol)),
+        count(when(k.isNull, 1)), count(when(isnan(k), 1)),
+        count(when(wd.isNull || isnan(wd), 1)))
+      .collect()(0).toSeq.toArray
+    val (lo, hi, total) =
+      (Option(mn).map(_.toString.toDouble).getOrElse(0.0),
+        Option(mx).map(_.toString.toDouble).getOrElse(0.0),
+        n.toString.toLong)
+    require(nNull.toString.toLong == 0,
+      s"orderCol '$orderCol' has ${nNull} null keys; the global order is undefined for them")
+    require(nNan.toString.toLong == 0,
+      s"orderCol '$orderCol' has ${nNan} NaN keys; the global order is undefined for them")
+    require(nBadW.toString.toLong == 0,
+      s"weight is null/NaN on ${nBadW} rows; the prefix sum would poison silently")
+    require(nd.toString.toLong == total,
+      s"orderCol '$orderCol' has duplicate values (${total - nd.toString.toLong} collisions); " +
+        "the global prefix sum needs a unique order key")
+    val width = math.max((hi - lo) / numBuckets, java.lang.Double.MIN_NORMAL)
+    val bucket = least(floor((k - lit(lo)) / lit(width)), lit(numBuckets - 1L))
+      .cast("long")
+    val withB = df.withColumn("__go_bucket", bucket).withColumn("__go_w", wd)
+    val sums = withB.groupBy(col("__go_bucket")).agg(sum(col("__go_w")).as("__go_s"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    val prefixes = sums.scanLeft((Long.MinValue, 0.0)) {
+      case ((_, acc), (b, s)) => (b, acc + s)
+    }.sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }.toSeq
+    val offsets = broadcast(
+      df.sparkSession.createDataFrame(prefixes).toDF("__go_bucket", "__go_off"))
+    val w = Window.partitionBy(col("__go_bucket")).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withB.join(offsets, Seq("__go_bucket"))
+      .withColumn(offsetCol,
+        col("__go_off") + coalesce(sum(col("__go_w")).over(w), lit(0.0)))
+      .drop("__go_bucket", "__go_w", "__go_off")
+  }
+
   /** Greedy budgeted prefix: the rows of the contiguous ascending-
     * `orderCol` prefix whose cumulative `weight` stays within
     * `budget` — "fill the token budget in priority order", the final

@@ -298,6 +298,22 @@ object StatsWindowQueries extends QueryPack {
         .orderBy(col("touch_type"))
     },
 
+    // Kaplan–Meier survival: per-user observation span as duration,
+    // purchase = observed event, otherwise right-censored; risk set
+    // and log-space product both via balanced prefix sums.
+    "q_survival" -> { (s, dir) =>
+      val subj = tables(s, dir).events
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(datediff(to_date(max(col("ts"))), to_date(min(col("ts"))))
+            .cast("long").as("dur"),
+          bool_or(col("event_type") === "purchase").as("ev"))
+      graft.operators.Survival.kaplanMeier(subj, "dur", "ev")
+        .select(col("duration"), col("n_at_risk"), col("n_events"),
+          col("n_censored"), r6(col("survival")).as("survival"))
+        .orderBy(col("duration"))
+    },
+
     // weekly cohort retention from the first signup event.
     "q_retention" -> { (s, dir) =>
       graft.operators.Events.retention(tables(s, dir).events,
@@ -876,6 +892,30 @@ object StatsWindowQueries extends QueryPack {
         |FROM u1 LEFT JOIN u2 ON u1.user_id = u2.user_id
         |LEFT JOIN u3 ON u1.user_id = u3.user_id
         |ORDER BY u1.user_id""".stripMargin,
+    "q_survival" ->
+      """WITH subj AS (
+        |  SELECT user_id,
+        |    CAST(datediff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE))
+        |      AS BIGINT) AS dur,
+        |    bool_or(event_type = 'purchase') AS ev
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |pt AS (
+        |  SELECT dur AS duration,
+        |    CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+        |    CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS n_censored
+        |  FROM subj GROUP BY 1),
+    |r AS (
+        |  SELECT *, CAST((SELECT sum(n_events + n_censored) FROM pt)
+        |    - coalesce(sum(n_events + n_censored) OVER (ORDER BY duration
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS n_at_risk
+        |  FROM pt)
+        |SELECT duration, n_at_risk, n_events, n_censored,
+        |  CASE WHEN n_events = n_at_risk THEN 0.0 ELSE
+        |    round(exp(sum(CASE WHEN n_events < n_at_risk
+        |        THEN ln(1.0 - CAST(n_events AS DOUBLE) / n_at_risk) ELSE 0.0 END)
+        |      OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING)), 6) END AS survival
+        |FROM r ORDER BY duration""".stripMargin,
     "q_attribution_decay" ->
       """WITH conv AS (
         |  SELECT DISTINCT user_id, ts AS conv_ts FROM events
