@@ -48,12 +48,18 @@ object Survival {
       log(lit(1.0) -
         col("n_events").cast("double") / col("n_at_risk").cast("double")))
       .otherwise(lit(0.0))
-    GlobalOrder.withGlobalOffsetDouble(
+    val hazardTerm = col("n_events").cast("double") / col("n_at_risk").cast("double")
+    val withS = GlobalOrder.withGlobalOffsetDouble(
         atRisk.withColumn("__lt", logTerm), "duration", col("__lt"), "__lp")
       .withColumn("survival",
         when(col("n_events") === col("n_at_risk"), lit(0.0))
           .otherwise(exp(col("__lp") + col("__lt"))))
+    // Nelson–Aalen cumulative hazard H(t) = Σ_{t'<=t} d/n — the other
+    // standard curve, one more prefix sum over the same tiny table
+    GlobalOrder.withGlobalOffsetDouble(
+        withS.withColumn("__ht", hazardTerm), "duration", col("__ht"), "__hp")
+      .withColumn("hazard", col("__hp") + col("__ht"))
       .select(col("duration"), col("n_at_risk"), col("n_events"),
-        col("n_censored"), col("survival"))
+        col("n_censored"), col("survival"), col("hazard"))
   }
 }

@@ -310,7 +310,8 @@ object StatsWindowQueries extends QueryPack {
           bool_or(col("event_type") === "purchase").as("ev"))
       graft.operators.Survival.kaplanMeier(subj, "dur", "ev")
         .select(col("duration"), col("n_at_risk"), col("n_events"),
-          col("n_censored"), r6(col("survival")).as("survival"))
+          col("n_censored"), r6(col("survival")).as("survival"),
+          r6(col("hazard")).as("hazard"))
         .orderBy(col("duration"))
     },
 
@@ -914,7 +915,9 @@ object StatsWindowQueries extends QueryPack {
         |  CASE WHEN n_events = n_at_risk THEN 0.0 ELSE
         |    round(exp(sum(CASE WHEN n_events < n_at_risk
         |        THEN ln(1.0 - CAST(n_events AS DOUBLE) / n_at_risk) ELSE 0.0 END)
-        |      OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING)), 6) END AS survival
+        |      OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING)), 6) END AS survival,
+        |  round(sum(CAST(n_events AS DOUBLE) / n_at_risk)
+        |    OVER (ORDER BY duration ROWS UNBOUNDED PRECEDING), 6) AS hazard
         |FROM r ORDER BY duration""".stripMargin,
     "q_attribution_decay" ->
       """WITH conv AS (

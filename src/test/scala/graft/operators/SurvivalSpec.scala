@@ -25,6 +25,11 @@ class SurvivalSpec extends SparkSpec {
     assert(math.abs(out(3L)._4 - 5.0 / 12.0) < 1e-9)
     assert(math.abs(out(4L)._4 - 5.0 / 12.0) < 1e-9)
     assert(out(5L) == ((1L, 1L, 0L, 0.0)))
+    // Nelson–Aalen hazard at t=3: 1/6 + 0 + 2/4
+    val h = Survival.kaplanMeier(subj, "dur", "ev")
+      .collect().map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(math.abs(h(3L) - (1.0 / 6.0 + 2.0 / 4.0)) < 1e-9)
+    assert(math.abs(h(5L) - (1.0 / 6.0 + 2.0 / 4.0 + 1.0)) < 1e-9)
   }
 
   test("kaplanMeier: all-censored curve stays at 1.0; null durations drop") {
