@@ -66,6 +66,24 @@ object Dedup {
     df.groupBy(md5(txt(col(textCol))).as("content_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
 
+  /** [[exact]] with a KEEP-BEST policy: the keeper per content group
+    * is the copy with the highest `scoreCol` (ties broken by min id,
+    * so the choice is deterministic) — real pipelines keep the copy
+    * from the best source / with the richest metadata, not the
+    * smallest id. Same single hash aggregation: the argmax rides a
+    * lexicographic struct max (score desc ≡ max(struct(score, -id))),
+    * map-side partial like any min/max.
+    */
+  def exactKeepBest(df: DataFrame, idCol: String, textCol: String,
+                    score: org.apache.spark.sql.Column): DataFrame =
+    df.groupBy(md5(txt(col(textCol))).as("content_hash"))
+      .agg(
+        max(struct(score.as("s"), (-col(idCol)).as("negid")))
+          .as("__best"),
+        count(lit(1)).as("n_copies"))
+      .select(col("content_hash"), (-col("__best.negid")).as("keeper"),
+        col("__best.s").as("keeper_score"), col("n_copies"))
+
   /** One row per k-word shingle: (id, h) — computed NARROWLY, with no
     * shuffle: the token-hash array is materialized once per row (its
     * own projection, referenced k+ times so Catalyst won't inline the

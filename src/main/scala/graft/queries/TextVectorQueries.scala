@@ -142,6 +142,17 @@ object TextVectorQueries extends QueryPack {
           min(col("keeper")).as("first_keeper"))
     },
 
+    // exact dedup with a KEEP-BEST policy: each content duplicated
+    // under a shifted id; the keeper is the max-score copy (tie: min
+    // id), checked per content group against a window-ranked oracle.
+    "q_dedup_best" -> { (s, dir) =>
+      val d = tables(s, dir).documents.select(col("doc_id"), col("text"))
+      val corpus = d.union(
+        d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      Dedup.exactKeepBest(corpus, "doc_id", "text", (col("doc_id") * 37) % 101)
+        .orderBy(col("content_hash"))
+    },
+
     // SemDeDup semantic dedup over the trained IVF clusters — rows-
     // only (cluster ids are centroid-dependent); the drop rule and
     // cap behavior are pinned in SimilaritySpec.
@@ -1129,6 +1140,20 @@ object TextVectorQueries extends QueryPack {
     "q_knn_lsh" -> knnLshOracle,
     "q_embed_outlier" -> embedOutlierOracle,
     "q_embed_dedup_pairs" -> embedDedupPairsOracle,
+    "q_dedup_best" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        |ranked AS (
+        |  SELECT md5(coalesce(text, '')) AS content_hash, doc_id,
+        |    (doc_id * 37) % 101 AS s,
+        |    row_number() OVER (PARTITION BY md5(coalesce(text, ''))
+        |      ORDER BY (doc_id * 37) % 101 DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY md5(coalesce(text, ''))) AS n_copies
+        |  FROM corpus)
+        |SELECT content_hash, doc_id AS keeper, CAST(s AS BIGINT) AS keeper_score,
+        |  CAST(n_copies AS BIGINT) AS n_copies
+        |FROM ranked WHERE rn = 1 ORDER BY content_hash""".stripMargin,
     "q_dedup_exact" ->
       """SELECT count(*) AS n_unique, CAST(sum(n_copies) AS BIGINT) AS n_docs,
         |  CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,

@@ -26,6 +26,18 @@ class DedupSpec extends SparkSpec {
     assert(dupGroup.map(_.getAs[Long]("keeper")).sorted.toSeq == Seq(1L, 5L))
   }
 
+  test("exactKeepBest: max-score copy wins, ties break to min id") {
+    val d = Seq(
+      (1L, "same text", 5.0), (2L, "same text", 9.0), (3L, "same text", 9.0),
+      (4L, "other", 1.0)
+    ).toDF("doc_id", "text", "score")
+    val out = Dedup.exactKeepBest(d, "doc_id", "text", col("score"))
+      .collect().map(r => r.getLong(1) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(out.keySet == Set(2L, 4L)) // score 9 beats 5; tie 2 vs 3 -> min id 2
+    assert(out(2L) == ((9.0, 3L)))
+    assert(out(4L) == ((1.0, 1L)))
+  }
+
   test("minhashClusters: exact dups share a cluster; every doc assigned") {
     val out = Dedup.minhashClusters(docs, "doc_id", "text")
     val byId = out.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cluster")).toMap
