@@ -67,6 +67,51 @@ object Graph {
     } finally { und.unpersist() }
   }
 
+  /** k-core: the maximal subgraph in which every vertex has degree
+    * >= k (undirected, self-loops ignored) — the classic density
+    * filter behind web-spam/link-farm detection and community
+    * seeding. Iterative peeling: drop vertices with degree < k,
+    * restrict edges to survivors, repeat to the (unique, order-
+    * independent) fixpoint. Returns (vertex, core_degree) for the
+    * surviving vertices.
+    *
+    * Scale shape mirrors [[connectedComponents]]: each round is one
+    * degree aggregation (map-side partial) + two semi joins, with
+    * `localCheckpoint` per round for the same lineage-OOM reason;
+    * rounds needed is bounded by the peeling depth (small in
+    * practice), `maxIters` bounds adversarial chains and a truncated
+    * run errs toward KEEPING vertices (supersets of the core), never
+    * dropping core members.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+            maxIters: Int = 30): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    val und0 = edges
+      .select(col(srcCol).as("__v"), col(dstCol).as("__n"))
+      .filter(col("__v").isNotNull && col("__n").isNotNull && col("__v") =!= col("__n"))
+    var und = und0.union(und0.select(col("__n").as("__v"), col("__v").as("__n")))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val deg = und.groupBy(col("__v")).agg(count(lit(1)).as("__d"))
+      val keep = deg.filter(col("__d") >= k).select(col("__v"))
+      val next = und
+        .join(keep, Seq("__v"), "left_semi")
+        .join(keep.select(col("__v").as("__n")), Seq("__n"), "left_semi")
+        .localCheckpoint(true)
+      val before = und.count()
+      val after = next.count()
+      und = next
+      converged = before == after
+      iter += 1
+    }
+    und.groupBy(col("__v").as("vertex")).agg(count(lit(1)).as("core_degree"))
+      .filter(col("core_degree") >= k)
+  }
+
   /** PageRank over a DIRECTED edge list (Brin & Page 1998; the other
     * canonical hand-rolled-on-scio graph loop). Power iteration with
     * damping `d`: rank = (1−d)/N + d·(Σ_in rank/outdeg + dangling/N),

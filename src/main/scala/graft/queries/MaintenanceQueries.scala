@@ -168,6 +168,17 @@ object MaintenanceQueries extends QueryPack {
         .orderBy(col("vertex"))
     },
 
+    // k-core over the deterministic order graph: iterative peeling to
+    // the unique fixpoint; the oracle unrolls the SAME peeling as
+    // fixed-depth nested CTEs (depth validated by the hash match —
+    // a deeper-than-unrolled cascade would mismatch loudly).
+    "q_kcore" -> { (s, dir) =>
+      val edges = tables(s, dir).orders
+        .select((col("o_orderkey") % 2000).as("a"), (col("o_custkey") % 2000).as("b"))
+      graft.operators.Graph.kCore(edges, "a", "b", k = 8, maxIters = 30)
+        .orderBy(col("vertex"))
+    },
+
     // Fuzzy record linkage: near-matching part names (distinct),
     // blocked on the last token, Levenshtein <= 4.
     "q_fuzzy_match" -> { (s, dir) =>
@@ -358,6 +369,25 @@ object MaintenanceQueries extends QueryPack {
         |  GROUP BY 1)
         |SELECT verts.v AS vertex, coalesce(pc.triangles, 0) AS triangles
         |FROM verts LEFT JOIN pc ON verts.v = pc.vertex ORDER BY 1""".stripMargin,
+    "q_kcore" -> {
+      // unrolled peeling rounds; a real cascade deeper than this
+      // fails the gate loudly rather than silently agreeing
+      val rounds = 10
+      val peel = (1 to rounds).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT v, count(*) AS d FROM g$i GROUP BY 1),
+           |k$i AS MATERIALIZED (SELECT v FROM d$i WHERE d >= 8),
+           |g${i + 1} AS MATERIALIZED (
+           |  SELECT g.v, g.n FROM g$i g
+           |  JOIN k$i ka ON g.v = ka.v JOIN k$i kb ON g.n = kb.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT o_orderkey % 2000 AS a, o_custkey % 2000 AS b
+         |  FROM orders WHERE o_orderkey % 2000 <> o_custkey % 2000),
+         |g1 AS MATERIALIZED (SELECT a AS v, b AS n FROM e0 UNION SELECT b, a FROM e0),
+         |$peel
+         |SELECT v AS vertex, count(*) AS core_degree FROM g${rounds + 1}
+         |GROUP BY 1 HAVING count(*) >= 8 ORDER BY 1""".stripMargin
+    },
     "q_connected_components" ->
       """WITH RECURSIVE e0 AS (
         |  SELECT DISTINCT o_orderkey % 5000 AS a,

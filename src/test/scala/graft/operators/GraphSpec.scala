@@ -82,6 +82,44 @@ class GraphSpec extends SparkSpec {
     r
   }
 
+  /** Driver-side peeling for the k-core brute force. */
+  private def bruteKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var und = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, e.swap)).distinct
+    var changed = true
+    while (changed) {
+      val deg = und.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = und.filter(e => keep(e._1) && keep(e._2))
+      changed = next.size != und.size
+      und = next
+    }
+    und.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+      .filter(_._2 >= k)
+  }
+
+  test("kCore: triangle+pendant peels to the triangle; matches brute force randomized") {
+    // triangle 1-2-3 plus pendant 4 hanging off 1: 2-core = the triangle
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L))
+    val out = Graph.kCore(tri.toDF("src", "dst"), "src", "dst", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // cascade: a chain hanging off the triangle peels over several rounds
+    val chain = tri ++ Seq((4L, 5L), (5L, 6L))
+    val out2 = Graph.kCore(chain.toDF("src", "dst"), "src", "dst", k = 2)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(out2 == Set(1L, 2L, 3L))
+    val rnd = new scala.util.Random(17)
+    (1 to 2).foreach { trial =>
+      val edges = Seq.fill(150)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      for (k <- Seq(2, 3)) {
+        val got = Graph.kCore(edges.toDF("src", "dst"), "src", "dst", k)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == bruteKCore(edges, k), s"trial $trial k=$k")
+      }
+    }
+  }
+
   test("pageRank matches the reference power iteration; mass conserved") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L), (5L, 4L))
     val got = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters = 15)
