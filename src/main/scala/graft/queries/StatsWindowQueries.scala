@@ -172,16 +172,18 @@ object StatsWindowQueries extends QueryPack {
           r6(max(col("robust_z"))).as("max_z"))
     },
 
-    // PageRank centrality over the supplier→part supply graph
-    // (rows-only: iterative fp ranks are engine-specific; the
-    // reference-match/mass-conservation semantics are GraphSpec's).
+    // PageRank centrality over the supplier→part supply graph —
+    // oracle-exact since the oracle unrolls the SAME 5 power
+    // iterations as materialized CTEs; output is rank·10^6 (ppm) so
+    // the 4-dp round keeps a scale-independent precision budget
+    // (cross-engine fp drift ~1e-7 ppm vs a 5e-5 boundary).
     "q_pagerank" -> { (s, dir) =>
       val edges = tables(s, dir).lineitem
         .select(col("l_suppkey").as("src"), (col("l_partkey") + 1000000L).as("dst"))
       graft.operators.Graph.pageRank(edges, "src", "dst", iters = 5)
-        .orderBy(col("rank").desc, col("vertex"))
-        .limit(20)
-        .select(col("vertex"), round(col("rank"), 4).as("rank"))
+        .filter(col("vertex") < 1000000L) // the supplier side: bounded, dense
+        .select(col("vertex"), round(col("rank") * 1e6, 4).as("rank_ppm"))
+        .orderBy(col("vertex"))
     },
 
     // schema drift between two crawl snapshots (the metadata axis
@@ -636,6 +638,36 @@ object StatsWindowQueries extends QueryPack {
         |       quantile_disc(o_totalprice, 0.9) AS p90
         |FROM orders WHERE o_orderkey <= 20000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_pagerank" -> {
+      // 5 unrolled power iterations, mirroring Graph.pageRank exactly:
+      // rank_i = (1-d)/N + d*(sum_in rank/outdeg + dangling/N)
+      val iters = (1 to 5).map { i =>
+        val p = s"r${i - 1}"
+        s"""dm$i AS (
+           |  SELECT coalesce(sum(r.rank), 0) AS dm FROM $p r
+           |  LEFT JOIN od ON r.v = od.s WHERE od.s IS NULL),
+           |c$i AS MATERIALIZED (
+           |  SELECT e.dst AS v, sum(r.rank / od.deg) AS inm
+           |  FROM e0 e JOIN $p r ON e.src = r.v JOIN od ON od.s = e.src
+           |  GROUP BY 1),
+           |r$i AS MATERIALIZED (
+           |  SELECT v.v, 0.15 / nn.n + 0.85 * (coalesce(c.inm, 0) + dm.dm / nn.n)
+           |    AS rank
+           |  FROM v CROSS JOIN nn CROSS JOIN dm$i dm
+           |  LEFT JOIN c$i c ON v.v = c.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
+         |  FROM lineitem WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL),
+         |v AS MATERIALIZED (
+         |  SELECT DISTINCT src AS v FROM e0 UNION SELECT DISTINCT dst FROM e0),
+         |od AS MATERIALIZED (SELECT src AS s, count(*) AS deg FROM e0 GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+         |r0 AS MATERIALIZED (SELECT v.v, 1.0 / nn.n AS rank FROM v CROSS JOIN nn),
+         |$iters
+         |SELECT v AS vertex, round(rank * 1e6, 4) AS rank_ppm
+         |FROM r5 WHERE v < 1000000 ORDER BY vertex""".stripMargin
+    },
     "q_stats" ->
       """SELECT count(*) AS n, round(avg(value), 6) AS mean,
         |  round(stddev_samp(value), 6) AS stdev,
