@@ -88,6 +88,30 @@ object Splits {
     * alpha = 0.5 computes via sqrt (IEEE correctly-rounded, so the
     * DuckDB oracle reproduces it bit-for-bit); other alphas use pow.
     */
+  /** Deterministic weighted sample WITHOUT replacement (Efraimidis–
+    * Spirakis A-Res over an md5 coordinate): the top-n rows by
+    * u^(1/w), u = (md5head(seed:key) + 0.5) / 2^32 ∈ (0,1). Unlike
+    * the rand()-seeded syntax verb this is PARTITIONING-INDEPENDENT —
+    * the same rows come back on any cluster layout or rerun — and
+    * oracle-reproducible. One TakeOrdered, no reservoir state;
+    * non-positive/NaN weights are excluded (they would sort above
+    * every valid key and hijack the sample); sort keys tie-break by
+    * `keyCol` so even coincidental key collisions stay deterministic.
+    */
+  def sampleWeightedStable(df: DataFrame, keyCol: String, weightCol: String,
+                           n: Int, seed: String): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val w = col(weightCol).cast("double")
+    val u = (graft.expressions.Md5Head.md5HeadF(
+      concat_ws(":", lit(seed), col(keyCol).cast("string")), 8).cast("double") + 0.5) /
+      4294967296.0
+    df.filter(w > 0.0 && !isnan(w))
+      .withColumn("__ws_k", pow(u, lit(1.0) / w))
+      .orderBy(col("__ws_k").desc, col(keyCol))
+      .limit(n)
+      .drop("__ws_k")
+  }
+
   def mixtureSample(df: DataFrame, domainCol: String, keyCol: String,
                     targetRows: Long, alpha: Double = 0.5,
                     seed: String = "mix"): DataFrame = {

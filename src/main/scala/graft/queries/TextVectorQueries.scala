@@ -297,6 +297,17 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("source"), col("rank"))
     },
 
+    // partitioning-independent weighted sample (A-Res over md5
+    // coordinates): 100 orders weighted by price, reproducible on any
+    // layout and in the oracle.
+    "q_weighted_sample" -> { (s, dir) =>
+      graft.operators.Splits.sampleWeightedStable(
+          tables(s, dir).orders.select(col("o_orderkey"), col("o_totalprice")),
+          "o_orderkey", "o_totalprice", n = 100, seed = "ws")
+        .select(col("o_orderkey"), r2(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // temperature-weighted domain mixture: per-domain keep rates from
     // q_d ∝ p_d^0.5, row fate by integer md5-threshold compare.
     "q_domain_mix" -> { (s, dir) =>
@@ -1140,6 +1151,15 @@ object TextVectorQueries extends QueryPack {
     "q_knn_lsh" -> knnLshOracle,
     "q_embed_outlier" -> embedOutlierOracle,
     "q_embed_dedup_pairs" -> embedDedupPairsOracle,
+    "q_weighted_sample" ->
+      """SELECT o_orderkey, total FROM (
+        |  SELECT o_orderkey, round(o_totalprice, 2) AS total,
+        |    pow((CAST(concat('0x', substr(md5('ws:' || CAST(o_orderkey AS VARCHAR)),
+        |        1, 8)) AS UBIGINT) + 0.5) / 4294967296.0,
+        |      1.0 / o_totalprice) AS k
+        |  FROM orders WHERE o_totalprice > 0
+        |  ORDER BY k DESC, o_orderkey LIMIT 100)
+        |ORDER BY o_orderkey""".stripMargin,
     "q_dedup_best" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

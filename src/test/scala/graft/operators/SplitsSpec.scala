@@ -48,6 +48,25 @@ class SplitsSpec extends SparkSpec {
       Seq(1L << 31, 1L << 32))
   }
 
+  test("sampleWeightedStable: weight-biased, partitioning-stable, guards bad weights") {
+    val rows = (1L to 2000L).map(i => (i, if (i <= 100) 50.0 else 1.0))
+    val df = rows.toDF("k", "w")
+    val picked = Splits.sampleWeightedStable(df, "k", "w", n = 200, seed = "s")
+      .select("k").as[Long].collect().toSet
+    // the 100 heavy keys carry ~72% of total mass; most must be picked
+    assert(picked.count(_ <= 100L) > 60, s"heavy keys underrepresented: " +
+      s"${picked.count(_ <= 100L)}")
+    // identical on a different partitioning
+    val repart = Splits.sampleWeightedStable(df.repartition(13), "k", "w", 200, "s")
+      .select("k").as[Long].collect().toSet
+    assert(repart == picked)
+    // zero/NaN weights never selected
+    val bad = (1L to 50L).map(i => (i, if (i % 2 == 0) 0.0 else 1.0))
+    val sel = Splits.sampleWeightedStable(bad.toDF("k", "w"), "k", "w", 50, "s")
+      .select("k").as[Long].collect()
+    assert(sel.forall(_ % 2 == 1) && sel.length == 25)
+  }
+
   test("sampleQuota: exact per-stratum quotas, partition-stable, group-limit planned") {
     val df = (1L to 1000L).map(i => (i, s"s${i % 3}")).toDF("id", "stratum")
     val out = Splits.sampleQuota(df, "stratum", "id", n = 10, seed = "q")
