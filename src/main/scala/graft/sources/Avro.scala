@@ -56,7 +56,13 @@ object Avro {
   import org.apache.avro.LogicalTypes
 
   private def nullable(s: Schema, isNullable: Boolean): Schema =
-    if (isNullable) Schema.createUnion(Schema.create(Schema.Type.NULL), s) else s
+    if (!isNullable) s
+    else if (s.getType == Schema.Type.UNION) {
+      // avro forbids nested unions: merge the null branch in instead
+      if (s.getTypes.asScala.exists(_.getType == Schema.Type.NULL)) s
+      else Schema.createUnion(
+        (Schema.create(Schema.Type.NULL) +: s.getTypes.asScala.toList).asJava)
+    } else Schema.createUnion(Schema.create(Schema.Type.NULL), s)
 
   /** Resolve the non-null branch of a union (Avro's nullable shape);
     * any other schema passes through. Multi-branch unions keep their
@@ -108,6 +114,15 @@ object Avro {
   def enumMetadata(symbols: Seq[String]): Metadata =
     new MetadataBuilder().putStringArray("avroEnum", symbols.toArray).build()
 
+  /** Declare a `member0..memberN` struct column as a MULTI-BRANCH
+    * avro union — [[write]] emits `union[T0..TN]` (plus a null branch
+    * when the column is nullable) with each row's single non-null
+    * member as the union value, closing the roundtrip with the
+    * struct-of-branches READ convention ([[sparkTypeOf]]).
+    */
+  def unionMetadata: Metadata =
+    new MetadataBuilder().putBoolean("avroUnion", true).build()
+
   /** Declare a binary column as avro `fixed` of `size` bytes —
     * [[write]] maps it to a real avro `fixed` instead of `bytes`.
     */
@@ -130,6 +145,16 @@ object Avro {
       case other if f.metadata.contains("avroEnum") =>
         throw new IllegalArgumentException(
           s"avroEnum metadata requires a string or array<string> column, got $other on ${f.name}")
+      case st: StructType if f.metadata.contains("avroUnion") =>
+        require(st.fields.nonEmpty &&
+          st.fields.zipWithIndex.forall { case (mf, i) => mf.name == s"member$i" },
+          s"avroUnion metadata requires member0..memberN struct fields on ${f.name}, " +
+            s"got ${st.fieldNames.mkString(",")}")
+        Schema.createUnion(st.fields.zipWithIndex.map { case (mf, i) =>
+          avroType(mf.dataType, s"${f.name}_m$i") }.toList.asJava)
+      case other if f.metadata.contains("avroUnion") =>
+        throw new IllegalArgumentException(
+          s"avroUnion metadata requires a member0..memberN struct column, got $other on ${f.name}")
       case BinaryType if f.metadata.contains("avroFixed") =>
         Schema.createFixed(f.name, null, "graft", f.metadata.getLong("avroFixed").toInt)
       case other if f.metadata.contains("avroFixed") =>
@@ -183,6 +208,21 @@ object Avro {
       val jm = new java.util.LinkedHashMap[String, Any]()
       m.foreach { case (k, x) => jm.put(k.toString, toAvroValue(vt, vs, x)) }
       jm
+    case (st: StructType, row: Row) if schema != null &&
+        schema.getType == Schema.Type.UNION && unionBranches(schema).size >= 2 &&
+        st.fields.zipWithIndex.forall { case (f, i) => f.name == s"member$i" } =>
+      // multi-branch union write: exactly one member carries the value
+      val branches = unionBranches(schema)
+      val set = st.fields.indices.filter(i => !row.isNullAt(i))
+      if (set.isEmpty) {
+        require(schema.getTypes.asScala.exists(_.getType == Schema.Type.NULL),
+          s"all union members null but union ${schema} has no null branch")
+        null
+      } else {
+        require(set.size == 1,
+          s"union struct must set exactly one member, got ${set.size} non-null")
+        toAvroValue(st.fields(set.head).dataType, branches(set.head), row.get(set.head))
+      }
     case (st: StructType, row: Row) =>
       val rs = nonNull(schema)
       val rec = new GenericData.Record(rs)

@@ -426,4 +426,46 @@ class AvroSpec extends SparkSpec {
     assert(e.getMessage.contains("not a symbol") ||
       Option(e.getCause).exists(_.getMessage.contains("not a symbol")))
   }
+
+  test("declared union columns write as real multi-branch avro unions, roundtrip") {
+    val dir = tmpDir()
+    val declared = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("value", StructType(Seq(
+        StructField("member0", LongType, nullable = true),
+        StructField("member1", StringType, nullable = true))),
+        nullable = true, metadata = Avro.unionMetadata)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, Row(42L, null)),
+      Row(2L, Row(null, "hello")),
+      Row(3L, null)), 1), declared)
+    Avro.write(df, dir)
+    // stock reader sees a genuine union[null, long, string] with BARE values
+    val part = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".avro")).head
+    val reader = new org.apache.avro.file.DataFileReader(
+      part, new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+    try {
+      import org.apache.avro.Schema
+      import scala.jdk.CollectionConverters._
+      val fs = reader.getSchema.getField("value").schema()
+      assert(fs.getType == Schema.Type.UNION)
+      assert(fs.getTypes.asScala.map(_.getType).toSeq ==
+        Seq(Schema.Type.NULL, Schema.Type.LONG, Schema.Type.STRING))
+      val recs = reader.iterator().asScala.toSeq.sortBy(_.get("id").asInstanceOf[Long])
+      assert(recs(0).get("value") == 42L)
+      assert(recs(1).get("value").toString == "hello")
+      assert(recs(2).get("value") == null)
+    } finally reader.close()
+    // graft reads its own union back as the memberN struct
+    val back = Avro.read(spark, dir).collect().sortBy(_.getLong(0))
+    assert(back(0).getStruct(1).getLong(0) == 42L && back(0).getStruct(1).isNullAt(1))
+    assert(back(1).getStruct(1).isNullAt(0) && back(1).getStruct(1).getString(1) == "hello")
+    assert(back(2).isNullAt(1))
+    // two members set refuses to encode
+    val bad = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(4L, Row(1L, "both"))), 1), declared)
+    val e = intercept[org.apache.spark.SparkException](Avro.write(bad, tmpDir()))
+    assert(e.getMessage.contains("exactly one member") ||
+      Option(e.getCause).exists(_.getMessage.contains("exactly one member")))
+  }
 }
