@@ -141,6 +141,35 @@ object TextClean {
   def filterByDomainBlocklist(urlCol: Column, blocked: Seq[String]): Column =
     !urlParts(urlCol).getField("domain").isin(blocked.map(_.toLowerCase): _*)
 
+  /** Main-content extraction from HTML (boilerpipe/trafilatura-style
+    * density heuristic, deterministic and regex-only): split the page
+    * into blocks at block-level tags, strip inline markup per block,
+    * and keep only TEXT-DENSE blocks — at least `minWords` words and
+    * a link-to-word ratio of at most 1/3 (navigation/footer blocks
+    * are short and link-saturated; prose is long and link-sparse).
+    * Kept blocks join with newlines. Entities are NOT decoded here —
+    * compose [[stripHtml]] downstream if needed. Script/style/comment
+    * subtrees drop first (their text is code). Pure builtin
+    * split/transform/filter chain in the java∩RE2 dialect, so the
+    * oracle replays it exactly.
+    */
+  def extractMainContent(html: Column, minWords: Int = 5): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val blocks = split(noComment,
+      "(?i)</?(p|div|td|li|h[1-6]|section|article|header|footer|nav|table|ul|ol|blockquote)[^>]*>|<br[^>]*>")
+    val kept = filter(blocks, b => {
+      val text = regexp_replace(regexp_replace(b, "<[^>]+>", " "), "\\s+", " ")
+      val words = size(split(trim(text), " ")) - when(trim(text) === "", 1).otherwise(0)
+      val links = size(regexp_extract_all(b, lit("(?i)<a[ >]"), lit(0)))
+      words >= minWords && links * 3 <= words
+    })
+    val texts = transform(kept,
+      b => trim(regexp_replace(regexp_replace(b, "<[^>]+>", " "), "\\s+", " ")))
+    array_join(texts, "\n")
+  }
+
   /** Unicode NFC normalization (native codegen expression): the same
     * logical text arrives precomposed or decomposed from different
     * crawls — dedup keys built on raw bytes treat "é" (U+00E9) and

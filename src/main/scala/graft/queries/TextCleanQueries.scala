@@ -180,6 +180,21 @@ object TextCleanQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // main-content extraction: the doc text wrapped in a page with a
+    // link-saturated nav and footer; only the dense prose block
+    // survives the density filter.
+    "q_main_content" -> { (s, dir) =>
+      val page = concat(
+        lit("<html><body><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+          "<a href=\"/b\">More</a></nav><p>"),
+        coalesce(col("text"), lit("")),
+        lit("</p><div><a href=\"/1\">one</a> <a href=\"/2\">two</a></div>" +
+          "<footer>(c) site footer</footer></body></html>"))
+      tables(s, dir).documents
+        .select(col("doc_id"), TextClean.extractMainContent(page).as("main"))
+        .orderBy(col("doc_id"))
+    },
+
     // zero-width-evasion strip: ZWSP seeded before every space
     // disappears; cleaned text equals the original.
     "q_invisible" -> { (s, dir) =>
@@ -272,6 +287,32 @@ object TextCleanQueries extends QueryPack {
   )
 
   override val oracles: Map[String, String] = Map(
+    "q_main_content" ->
+      """WITH page AS (
+        |  SELECT doc_id,
+        |    '<html><body><nav><a href="/">Home</a> <a href="/a">About</a> '
+        |    || '<a href="/b">More</a></nav><p>' || coalesce(text, '')
+        |    || '</p><div><a href="/1">one</a> <a href="/2">two</a></div>'
+        |    || '<footer>(c) site footer</footer></body></html>' AS h
+        |  FROM documents),
+        |blocks AS (
+        |  SELECT doc_id, regexp_split_to_array(h,
+        |    '(?i)</?(p|div|td|li|h[1-6]|section|article|header|footer|nav|table|ul|ol|blockquote)[^>]*>|<br[^>]*>')
+        |    AS bs
+        |  FROM page)
+        |SELECT doc_id, array_to_string(list_transform(list_filter(bs, b ->
+        |    (len(string_split(trim(regexp_replace(regexp_replace(b, '<[^>]+>', ' ', 'g'),
+        |       '\s+', ' ', 'g')), ' '))
+        |     - CASE WHEN trim(regexp_replace(regexp_replace(b, '<[^>]+>', ' ', 'g'),
+        |       '\s+', ' ', 'g')) = '' THEN 1 ELSE 0 END) >= 5
+        |    AND len(regexp_extract_all(b, '(?i)<a[ >]')) * 3 <=
+        |    (len(string_split(trim(regexp_replace(regexp_replace(b, '<[^>]+>', ' ', 'g'),
+        |       '\s+', ' ', 'g')), ' '))
+        |     - CASE WHEN trim(regexp_replace(regexp_replace(b, '<[^>]+>', ' ', 'g'),
+        |       '\s+', ' ', 'g')) = '' THEN 1 ELSE 0 END)),
+        |  b -> trim(regexp_replace(regexp_replace(b, '<[^>]+>', ' ', 'g'),
+        |    '\s+', ' ', 'g'))), chr(10)) AS main
+        |FROM blocks ORDER BY doc_id""".stripMargin,
     "q_invisible" ->
       """SELECT doc_id, regexp_replace(
         |    regexp_replace(text, ' ', chr(8203) || ' ', 'g'),

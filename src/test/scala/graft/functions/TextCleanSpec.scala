@@ -177,6 +177,24 @@ class TextCleanSpec extends SparkSpec {
     assert(TextClean.homoglyphFrom.length == TextClean.homoglyphTo.length)
   }
 
+  test("extractMainContent keeps dense prose, drops nav/footer link clusters") {
+    val page = """<html><head><style>p{}</style><title>T</title></head><body>
+      |<nav><a href="/">Home</a> <a href="/x">About</a> <a href="/y">Contact</a></nav>
+      |<p>This is the long main article paragraph with plenty of real words in it
+      | and even one inline <a href="z">reference link</a> which is fine.</p>
+      |<div><a href="/1">one</a> <a href="/2">two</a></div>
+      |<p>Second substantial paragraph of honest content continues here today.</p>
+      |<footer>Copyright</footer></body></html>""".stripMargin.replace("\n", "")
+    val out = Seq(page).toDF("h")
+      .select(TextClean.extractMainContent(col("h"))).as[String].head()
+    assert(out.contains("long main article paragraph"))
+    assert(out.contains("Second substantial paragraph"))
+    assert(out.contains("reference link")) // inline link inside prose survives
+    assert(!out.contains("Home"), s"nav survived: $out")
+    assert(!out.contains("Copyright"), s"footer survived: $out")
+    assert(out.split("\n").length == 2)
+  }
+
   test("stripInvisible removes zero-width/invisible code points only") {
     val evasive = "s​p‌a‍m﻿ ⁠w­ord"
     val out = Seq(evasive, "clean text").toDF("t")
