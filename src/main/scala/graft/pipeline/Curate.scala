@@ -84,6 +84,12 @@ object Curate {
     *                   gibberish/wrong-language score high); token-less
     *                   docs carry a null score and are KEPT by this
     *                   gate (the token gate owns them); None → off.
+    * @param extractHtml  treat the text column as raw HTML: extract
+    *                   density-scored main content and decode
+    *                   entities FIRST ([[graft.functions.TextClean
+    *                   .extractMainContent]] → [[graft.functions
+    *                   .TextClean.stripHtml]]), so every later stage
+    *                   sees prose.
     * @param foldHomoglyphs  fold cross-script confusables to Latin
     *                   ([[graft.functions.TextClean.foldHomoglyphs]])
     *                   before any stage hashes, so homoglyph-evasive
@@ -108,13 +114,22 @@ object Curate {
              gopherRules: Boolean = false,
              maxAvgNll: Option[Double] = None,
              normalizeUnicode: Boolean = false,
-             foldHomoglyphs: Boolean = false): DataFrame = {
+             foldHomoglyphs: Boolean = false,
+             extractHtml: Boolean = false): DataFrame = {
+    // raw HTML in: density-scored main-content extraction, then
+    // entity decode via the strip chain — BEFORE any other stage so
+    // hashes/gates see prose, not markup
+    val docs0 =
+      if (!extractHtml) docs
+      else docs.withColumn(textCol,
+        graft.functions.TextClean.stripHtml(
+          graft.functions.TextClean.extractMainContent(col(textCol))))
     // Unicode NFC before anything hashes: precomposed vs decomposed
     // renditions of the same text must dedup together (native codegen
     // expression, ASCII rows untouched without allocation)
     val canonical0 =
-      if (!normalizeUnicode) docs
-      else docs.withColumn(textCol,
+      if (!normalizeUnicode) docs0
+      else docs0.withColumn(textCol,
         graft.functions.TextClean.nfc(col(textCol)))
     // cross-script confusables fold AFTER NFC (canonical forms) and
     // BEFORE anything hashes, for the same reason: evasive renditions

@@ -169,6 +169,27 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(shipped == pre)
   }
 
+  test("curate: extractHtml strips chrome so gates and dedup see prose") {
+    def page(body: String) =
+      s"""<html><body><nav><a href="/">Home</a> <a href="/a">About</a> <a href="/b">More</a></nav>
+         |<p>$body</p><footer>(c) footer</footer></body></html>""".stripMargin.replace("\n", "")
+    val prose = "an honest paragraph with plenty of genuine words to pass the quality gates &amp; more"
+    val corpus = Seq(
+      (1L, page(prose)),
+      (2L, page(prose)), // same prose, same chrome: exact-dedups after extraction
+      (3L, page("different but equally substantial prose content with many distinct words here"))
+    ).toDF("doc_id", "text")
+    val out = Curate.curate(corpus, "doc_id", "text",
+      minTokens = 5L, minAlpha = 0.5, nearDup = false, extractHtml = true).cache()
+    try {
+      val byId = out.select(col("doc_id"), col("text")).as[(Long, String)].collect().toMap
+      assert(byId.keySet == Set(1L, 3L)) // 2 deduped against 1 post-extraction
+      assert(!byId(1L).contains("<") && !byId(1L).contains("Home"))
+      assert(byId(1L).contains("genuine words") && byId(1L).contains("&"),
+        s"entities must decode: ${byId(1L)}")
+    } finally out.unpersist()
+  }
+
   test("curate: foldHomoglyphs makes a Cyrillic-evasive copy dedup with its original") {
     val original = "the quick brown fox jumps over the lazy dog again today"
     val evasive = original.replace("a", "а").replace("o", "о") // Cyrillic а, о
