@@ -157,6 +157,21 @@ class GlobalOrderSpec extends SparkSpec {
     assert(loads.forall(_ <= 10L), s"overfull bin: $loads")
   }
 
+  test("binPack: randomized invariants — every doc placed once, no bin overfull") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val docs = (1L to 500L).map(i =>
+      (i, (0 until (1 + rnd.nextInt(30))).map(_ => "w").mkString(" ")))
+    val out = Pack.binPack(docs.toDF("doc_id", "text"), "doc_id", "text", capacity = 24)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 500 && out.map(_._1).distinct.length == 500)
+    val placed = out.filter(_._4 >= 0L)
+    assert(placed.forall(_._2 <= 24L))
+    val loads = placed.groupBy(t => (t._3, t._4)).map { case (_, ts) => ts.map(_._2).sum }
+    assert(loads.forall(_ <= 24L), s"overfull bin: ${loads.filter(_ > 24L)}")
+    assert(out.filter(_._4 == -1L).forall(_._2 > 24L)) // only oversize docs overflow
+  }
+
   test("maskCorrupt: runs collapse to one sentinel; masked+kept reconstruct the doc") {
     import graft.pipeline.Pack
     val docs = (1L to 200L).map(id => (id, (1 to 30).map(j => s"w${id}_$j").mkString(" ")))
