@@ -112,6 +112,45 @@ object Graph {
       .filter(col("core_degree") >= k)
   }
 
+  /** Community detection by SYNCHRONOUS label propagation (Raghavan
+    * et al. 2007), made deterministic: each round every vertex adopts
+    * the most frequent label among its neighbors, ties broken by the
+    * SMALLEST label — so the result is a pure function of (graph,
+    * iters), reproducible across partitionings and engines (the
+    * classic async/random-tie LPA is not). Runs exactly `iters`
+    * rounds (synchronous LPA can oscillate, so a fixed budget IS the
+    * contract, not a truncation). Returns (vertex, community).
+    *
+    * Scale shape: per round one keyed join (labels → neighbors), a
+    * (vertex, label) partial-agg count, and one argmax fold —
+    * lexicographic struct max, no window; per-round localCheckpoint
+    * (same lineage lesson as [[connectedComponents]]).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int = 4): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val und0 = edges.select(col(srcCol).as("__v"), col(dstCol).as("__n"))
+      .filter(col("__v").isNotNull && col("__n").isNotNull && col("__v") =!= col("__n"))
+    val und = und0.union(und0.select(col("__n").as("__v"), col("__v").as("__n")))
+      .distinct()
+      .persist()
+    try {
+      var labels = und.select(col("__v")).distinct()
+        .withColumn("__l", col("__v"))
+        .localCheckpoint(true)
+      (1 to iters).foreach { _ =>
+        labels = und
+          .join(labels.select(col("__v").as("__n"), col("__l")), Seq("__n"))
+          .groupBy(col("__v"), col("__l")).agg(count(lit(1)).as("__c"))
+          .groupBy(col("__v"))
+          .agg(max(struct(col("__c").as("c"), (-col("__l")).as("negl"))).as("__m"))
+          .select(col("__v"), (-col("__m.negl")).as("__l"))
+          .localCheckpoint(true)
+      }
+      labels.select(col("__v").as("vertex"), col("__l").as("community"))
+    } finally { und.unpersist(); () }
+  }
+
   /** PageRank over a DIRECTED edge list (Brin & Page 1998; the other
     * canonical hand-rolled-on-scio graph loop). Power iteration with
     * damping `d`: rank = (1−d)/N + d·(Σ_in rank/outdeg + dangling/N),

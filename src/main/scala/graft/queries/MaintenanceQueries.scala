@@ -179,6 +179,16 @@ object MaintenanceQueries extends QueryPack {
         .orderBy(col("vertex"))
     },
 
+    // deterministic synchronous label propagation (4 rounds, min-label
+    // ties): communities over the order graph; the oracle unrolls the
+    // same rounds with window-ranked argmax.
+    "q_label_prop" -> { (s, dir) =>
+      val edges = tables(s, dir).orders
+        .select((col("o_orderkey") % 300).as("a"), (col("o_custkey") % 300).as("b"))
+      graft.operators.Graph.labelPropagation(edges, "a", "b", iters = 4)
+        .orderBy(col("vertex"))
+    },
+
     // Fuzzy record linkage: near-matching part names (distinct),
     // blocked on the last token, Levenshtein <= 4.
     "q_fuzzy_match" -> { (s, dir) =>
@@ -387,6 +397,25 @@ object MaintenanceQueries extends QueryPack {
          |$peel
          |SELECT v AS vertex, count(*) AS core_degree FROM g${rounds + 1}
          |GROUP BY 1 HAVING count(*) >= 8 ORDER BY 1""".stripMargin
+    },
+    "q_label_prop" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""cnt$i AS MATERIALIZED (
+           |  SELECT g.v, l.l, count(*) AS c
+           |  FROM g g JOIN l${i - 1} l ON g.n = l.v GROUP BY 1, 2),
+           |l$i AS MATERIALIZED (
+           |  SELECT v, l FROM (
+           |    SELECT v, l, row_number() OVER (PARTITION BY v
+           |      ORDER BY c DESC, l ASC) AS rn FROM cnt$i)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT o_orderkey % 300 AS a, o_custkey % 300 AS b
+         |  FROM orders WHERE o_orderkey % 300 <> o_custkey % 300),
+         |g AS MATERIALIZED (SELECT a AS v, b AS n FROM e0 UNION SELECT b, a FROM e0),
+         |l0 AS MATERIALIZED (SELECT DISTINCT v, v AS l FROM g),
+         |$rounds
+         |SELECT v AS vertex, l AS community FROM l4 ORDER BY vertex""".stripMargin
     },
     "q_connected_components" ->
       """WITH RECURSIVE e0 AS (

@@ -120,6 +120,38 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  /** Reference synchronous LPA with min-tie for the brute force. */
+  private def bruteLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2).flatMap(e => Seq(e, e.swap)).distinct
+    val adj = und.groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+    var labels = adj.keys.map(v => v -> v).toMap
+    (1 to iters).foreach { _ =>
+      labels = adj.map { case (v, ns) =>
+        val freq = ns.map(labels).groupBy(identity).map { case (l, xs) => l -> xs.size }
+        v -> freq.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+    }
+    labels
+  }
+
+  test("labelPropagation: two cliques joined by a bridge separate; matches brute force") {
+    // two triangles bridged by one edge
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (10L, 11L), (11L, 12L), (12L, 10L),
+      (3L, 10L))
+    val out = Graph.labelPropagation(edges.toDF("src", "dst"), "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == bruteLpa(edges, 4))
+    assert(Set(out(1L), out(2L)).size == 1) // triangle 1 agrees internally
+    assert(Set(out(10L), out(11L), out(12L)).size == 1)
+    val rnd = new scala.util.Random(29)
+    (1 to 2).foreach { trial =>
+      val es = Seq.fill(120)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      val got = Graph.labelPropagation(es.toDF("src", "dst"), "src", "dst", 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == bruteLpa(es, 3), s"trial $trial")
+    }
+  }
+
   test("pageRank matches the reference power iteration; mass conserved") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L), (5L, 4L))
     val got = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters = 15)
