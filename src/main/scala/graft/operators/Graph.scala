@@ -206,6 +206,50 @@ object Graph {
     }
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999) over a directed edge
+    * list: `iters` synchronous rounds of a(v) = Σ_in h, then
+    * h(v) = Σ_out a, each L1-NORMALIZED (sum = 1) — L1 instead of the
+    * classic L2 so every step is plain sums and one division,
+    * deterministic to fp association (consumers round; the gate uses
+    * ppm · 4 dp). Returns (vertex, hub, authority); vertices without
+    * in-/out-edges score 0 on that side.
+    *
+    * Scale shape mirrors [[pageRank]]: per half-round one keyed join
+    * + destination partial-agg, a 1-row normalizer broadcast, and a
+    * localCheckpoint.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .filter(col("__s").isNotNull && col("__d").isNotNull)
+      .distinct()
+      .persist()
+    val verts = e.select(col("__s").as("__v"))
+      .union(e.select(col("__d").as("__v"))).distinct().persist()
+    try {
+      val n = verts.count().toDouble
+      var hubs = verts.withColumn("h", lit(1.0 / n)).localCheckpoint(true)
+      var auths = hubs.select(col("__v"), col("h").as("a"))
+      (1 to iters).foreach { _ =>
+        val aRaw = e.join(hubs.select(col("__v").as("__s"), col("h")), Seq("__s"))
+          .groupBy(col("__d").as("__v")).agg(sum(col("h")).as("__ar"))
+        val aNorm = aRaw.agg(sum(col("__ar"))).collect()(0).getDouble(0)
+        auths = verts.join(aRaw, Seq("__v"), "left")
+          .select(col("__v"), (coalesce(col("__ar"), lit(0.0)) / aNorm).as("a"))
+          .localCheckpoint(true)
+        val hRaw = e.join(auths.select(col("__v").as("__d"), col("a")), Seq("__d"))
+          .groupBy(col("__s").as("__v")).agg(sum(col("a")).as("__hr"))
+        val hNorm = hRaw.agg(sum(col("__hr"))).collect()(0).getDouble(0)
+        hubs = verts.join(hRaw, Seq("__v"), "left")
+          .select(col("__v"), (coalesce(col("__hr"), lit(0.0)) / hNorm).as("h"))
+          .localCheckpoint(true)
+      }
+      hubs.join(auths, Seq("__v"))
+        .select(col("__v").as("vertex"), col("h").as("hub"), col("a").as("authority"))
+    } finally { e.unpersist(); verts.unpersist(); () }
+  }
+
   /** Per-vertex triangle counts over an undirected edge list (self
     * loops and duplicate/reversed edges collapse first). Returns
     * (vertex, triangles) for every vertex of the graph, zeros

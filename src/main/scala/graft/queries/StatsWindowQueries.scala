@@ -300,6 +300,18 @@ object StatsWindowQueries extends QueryPack {
         .orderBy(col("touch_type"))
     },
 
+    // HITS hubs/authorities over the supplier→part graph (5 L1-
+    // normalized rounds; the oracle unrolls the same rounds).
+    "q_hits" -> { (s, dir) =>
+      val edges = tables(s, dir).lineitem
+        .select(col("l_suppkey").as("src"), (col("l_partkey") + 1000000L).as("dst"))
+      graft.operators.Graph.hits(edges, "src", "dst", iters = 5)
+        .filter(col("vertex") < 1000000L)
+        .select(col("vertex"), round(col("hub") * 1e6, 4).as("hub_ppm"),
+          round(col("authority") * 1e6, 4).as("auth_ppm"))
+        .orderBy(col("vertex"))
+    },
+
     // Kaplan–Meier survival: per-user observation span as duration,
     // purchase = observed event, otherwise right-censored; risk set
     // and log-space product both via balanced prefix sums.
@@ -638,6 +650,37 @@ object StatsWindowQueries extends QueryPack {
         |       quantile_disc(o_totalprice, 0.9) AS p90
         |FROM orders WHERE o_orderkey <= 20000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_hits" -> {
+      val rounds = (1 to 5).map { i =>
+        val ph = s"h${i - 1}"
+        s"""ar$i AS MATERIALIZED (
+           |  SELECT e.dst AS v, sum(h.h) AS x FROM e0 e
+           |  JOIN $ph h ON e.src = h.v GROUP BY 1),
+           |an$i AS (SELECT sum(x) AS s FROM ar$i),
+           |a$i AS MATERIALIZED (
+           |  SELECT v.v, coalesce(ar.x, 0) / an.s AS a
+           |  FROM v CROSS JOIN an$i an LEFT JOIN ar$i ar ON v.v = ar.v),
+           |hr$i AS MATERIALIZED (
+           |  SELECT e.src AS v, sum(a.a) AS x FROM e0 e
+           |  JOIN a$i a ON e.dst = a.v GROUP BY 1),
+           |hn$i AS (SELECT sum(x) AS s FROM hr$i),
+           |h$i AS MATERIALIZED (
+           |  SELECT v.v, coalesce(hr.x, 0) / hn.s AS h
+           |  FROM v CROSS JOIN hn$i hn LEFT JOIN hr$i hr ON v.v = hr.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
+         |  FROM lineitem WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL),
+         |v AS MATERIALIZED (
+         |  SELECT DISTINCT src AS v FROM e0 UNION SELECT DISTINCT dst FROM e0),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+         |h0 AS MATERIALIZED (SELECT v.v, 1.0 / nn.n AS h FROM v CROSS JOIN nn),
+         |$rounds
+         |SELECT h5.v AS vertex, round(h5.h * 1e6, 4) AS hub_ppm,
+         |  round(a5.a * 1e6, 4) AS auth_ppm
+         |FROM h5 JOIN a5 ON h5.v = a5.v WHERE h5.v < 1000000
+         |ORDER BY vertex""".stripMargin
+    },
     "q_pagerank" -> {
       // 5 unrolled power iterations, mirroring Graph.pageRank exactly:
       // rank_i = (1-d)/N + d*(sum_in rank/outdeg + dangling/N)

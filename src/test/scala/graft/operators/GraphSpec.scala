@@ -152,6 +152,19 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("hits: star center is the authority, leaves the hubs; sums normalize to 1") {
+    // all edges point INTO vertex 0 → 0 is pure authority, leaves pure hubs
+    val star = Seq((1L, 0L), (2L, 0L), (3L, 0L))
+    val out = Graph.hits(star.toDF("src", "dst"), "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out(0L)._1 == 0.0 && math.abs(out(0L)._2 - 1.0) < 1e-12)
+    Seq(1L, 2L, 3L).foreach { v =>
+      assert(math.abs(out(v)._1 - 1.0 / 3.0) < 1e-12 && out(v)._2 == 0.0)
+    }
+    assert(math.abs(out.values.map(_._1).sum - 1.0) < 1e-12)
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-12)
+  }
+
   test("pageRank matches the reference power iteration; mass conserved") {
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L), (5L, 4L))
     val got = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters = 15)
