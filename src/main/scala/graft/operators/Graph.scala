@@ -206,6 +206,46 @@ object Graph {
     }
   }
 
+  /** Single-source shortest paths (hop counts) from a set of landmark
+    * vertices, bounded at `maxHops` — the GraphFrames-style BFS
+    * distance table behind reachability/centrality features. Pure
+    * integer min-relaxation: dist_{i+1}(v) = min(dist_i(v),
+    * 1 + min over in-neighbors dist_i(u)) on the undirected graph, so
+    * results are bit-exact everywhere. Returns (vertex, landmark,
+    * distance) for every vertex within `maxHops` of a landmark.
+    *
+    * Scale shape: each round one keyed join + (vertex, landmark)
+    * partial-agg min + localCheckpoint; the frontier table is bounded
+    * by vertices × landmarks (keep the landmark set small, as the
+    * feature use cases do).
+    */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+                    landmarks: Seq[Long], maxHops: Int = 6): DataFrame = {
+    require(landmarks.nonEmpty, "shortestPaths needs at least one landmark")
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val und0 = edges.select(col(srcCol).as("__v"), col(dstCol).as("__n"))
+      .filter(col("__v").isNotNull && col("__n").isNotNull && col("__v") =!= col("__n"))
+    val und = und0.union(und0.select(col("__n").as("__v"), col("__v").as("__n")))
+      .distinct()
+      .persist()
+    try {
+      var dist = und.select(col("__v")).distinct()
+        .filter(col("__v").isin(landmarks: _*))
+        .select(col("__v"), col("__v").as("__lm"), lit(0L).as("__d"))
+        .localCheckpoint(true)
+      (1 to maxHops).foreach { _ =>
+        val relaxed = und
+          .join(dist.select(col("__v").as("__n"), col("__lm"), col("__d")), Seq("__n"))
+          .select(col("__v"), col("__lm"), (col("__d") + 1L).as("__d"))
+        dist = dist.unionByName(relaxed)
+          .groupBy(col("__v"), col("__lm")).agg(min(col("__d")).as("__d"))
+          .localCheckpoint(true)
+      }
+      dist.select(col("__v").as("vertex"), col("__lm").as("landmark"),
+        col("__d").as("distance"))
+    } finally { und.unpersist(); () }
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999) over a directed edge
     * list: `iters` synchronous rounds of a(v) = Σ_in h, then
     * h(v) = Σ_out a, each L1-NORMALIZED (sum = 1) — L1 instead of the

@@ -189,6 +189,16 @@ object MaintenanceQueries extends QueryPack {
         .orderBy(col("vertex"))
     },
 
+    // bounded-hop BFS distances from two landmark vertices: pure
+    // integer min-relaxation, oracle unrolls the same rounds.
+    "q_shortest_paths" -> { (s, dir) =>
+      val edges = tables(s, dir).orders
+        .select((col("o_orderkey") % 300).as("a"), (col("o_custkey") % 300).as("b"))
+      graft.operators.Graph.shortestPaths(edges, "a", "b",
+          landmarks = Seq(0L, 7L), maxHops = 4)
+        .orderBy(col("vertex"), col("landmark"))
+    },
+
     // Fuzzy record linkage: near-matching part names (distinct),
     // blocked on the last token, Levenshtein <= 4.
     "q_fuzzy_match" -> { (s, dir) =>
@@ -397,6 +407,26 @@ object MaintenanceQueries extends QueryPack {
          |$peel
          |SELECT v AS vertex, count(*) AS core_degree FROM g${rounds + 1}
          |GROUP BY 1 HAVING count(*) >= 8 ORDER BY 1""".stripMargin
+    },
+    "q_shortest_paths" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""d$i AS MATERIALIZED (
+           |  SELECT v, lm, min(d) AS d FROM (
+           |    SELECT v, lm, d FROM d${i - 1}
+           |    UNION ALL
+           |    SELECT g.v, p.lm, p.d + 1 AS d
+           |    FROM g g JOIN d${i - 1} p ON g.n = p.v)
+           |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT o_orderkey % 300 AS a, o_custkey % 300 AS b
+         |  FROM orders WHERE o_orderkey % 300 <> o_custkey % 300),
+         |g AS MATERIALIZED (SELECT a AS v, b AS n FROM e0 UNION SELECT b, a FROM e0),
+         |d0 AS MATERIALIZED (
+         |  SELECT DISTINCT v, v AS lm, CAST(0 AS BIGINT) AS d FROM g WHERE v IN (0, 7)),
+         |$rounds
+         |SELECT v AS vertex, lm AS landmark, CAST(d AS BIGINT) AS distance
+         |FROM d4 ORDER BY vertex, landmark""".stripMargin
     },
     "q_label_prop" -> {
       val rounds = (1 to 4).map { i =>

@@ -152,6 +152,21 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("shortestPaths: hop counts on a chain, bound respected, unreachable absent") {
+    // chain 0-1-2-3-4-5, island 9-10
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (9L, 10L))
+    val out = Graph.shortestPaths(edges.toDF("src", "dst"), "src", "dst",
+        landmarks = Seq(0L), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // two landmarks: each vertex reports per-landmark distances
+    val two = Graph.shortestPaths(edges.toDF("src", "dst"), "src", "dst",
+        landmarks = Seq(0L, 5L), maxHops = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(two((3L, 0L)) == 3L && two((3L, 5L)) == 2L)
+    assert(!two.contains((9L, 0L)), "island must be absent")
+  }
+
   test("hits: star center is the authority, leaves the hubs; sums normalize to 1") {
     // all edges point INTO vertex 0 → 0 is pure authority, leaves pure hubs
     val star = Seq((1L, 0L), (2L, 0L), (3L, 0L))
