@@ -246,6 +246,50 @@ object Graph {
     } finally { und.unpersist(); () }
   }
 
+  /** PERSONALIZED PageRank: teleport (and dangling mass) return to a
+    * uniform distribution over `seeds` instead of all vertices — the
+    * related-entities / recommendation variant (ranks measure
+    * proximity to the seed set). Same power-iteration shape as
+    * [[pageRank]]; ranks still sum to 1 every round.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: Seq[Long], iters: Int = 5,
+                           damping: Double = 0.85): DataFrame = {
+    require(seeds.nonEmpty, "personalizedPageRank needs at least one seed")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(damping > 0 && damping < 1, s"damping must be in (0,1), got $damping")
+    val e = edges.select(col(srcCol).as("__s"), col(dstCol).as("__d"))
+      .filter(col("__s").isNotNull && col("__d").isNotNull)
+      .distinct()
+      .persist()
+    val verts = e.select(col("__s").as("__v"))
+      .union(e.select(col("__d").as("__v"))).distinct().persist()
+    val outDeg = e.groupBy(col("__s")).agg(count(lit(1)).as("__deg")).persist()
+    try {
+      val seedMass = when(col("__v").isin(seeds: _*), lit(1.0 / seeds.size))
+        .otherwise(lit(0.0))
+      var ranks = verts.withColumn("rank", seedMass).localCheckpoint(true)
+      (1 to iters).foreach { _ =>
+        val withDeg = ranks.join(outDeg, ranks("__v") === outDeg("__s"), "left")
+        val dangling = withDeg.filter(col("__deg").isNull)
+          .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
+        val contribs = e
+          .join(ranks.select(col("__v").as("__s"), col("rank")), Seq("__s"))
+          .join(outDeg, Seq("__s"))
+          .select(col("__d").as("__v"), (col("rank") / col("__deg")).as("__c"))
+          .groupBy(col("__v")).agg(sum(col("__c")).as("__in"))
+        ranks = verts
+          .join(contribs, Seq("__v"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(col("__v"),
+            ((lit(1.0 - damping) + lit(damping) * col("__dm")) * seedMass +
+              lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
+          .localCheckpoint(true)
+      }
+      ranks.select(col("__v").as("vertex"), col("rank"))
+    } finally { e.unpersist(); verts.unpersist(); outDeg.unpersist(); () }
+  }
+
   /** HITS hubs & authorities (Kleinberg 1999) over a directed edge
     * list: `iters` synchronous rounds of a(v) = Σ_in h, then
     * h(v) = Σ_out a, each L1-NORMALIZED (sum = 1) — L1 instead of the

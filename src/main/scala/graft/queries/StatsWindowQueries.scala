@@ -300,6 +300,20 @@ object StatsWindowQueries extends QueryPack {
         .orderBy(col("touch_type"))
     },
 
+    // personalized PageRank from two seed suppliers: proximity ranks
+    // over the supply graph, same unrolled-oracle treatment.
+    "q_ppr" -> { (s, dir) =>
+      val edges = tables(s, dir).lineitem
+        .select(col("l_suppkey").as("src"), (col("l_partkey") + 1000000L).as("dst"))
+      graft.operators.Graph.personalizedPageRank(edges, "src", "dst",
+          seeds = Seq(1L, 2L), iters = 5)
+        .filter(col("vertex") < 1000000L)
+        // floor, not round: seed ranks are DYADIC rationals that land
+        // exactly on round-half boundaries where engines disagree
+        .select(col("vertex"), floor(col("rank") * 1e9).cast("long").as("rank_nano"))
+        .orderBy(col("vertex"))
+    },
+
     // HITS hubs/authorities over the supplier→part graph (5 L1-
     // normalized rounds; the oracle unrolls the same rounds).
     "q_hits" -> { (s, dir) =>
@@ -650,6 +664,35 @@ object StatsWindowQueries extends QueryPack {
         |       quantile_disc(o_totalprice, 0.9) AS p90
         |FROM orders WHERE o_orderkey <= 20000
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_ppr" -> {
+      val iters = (1 to 5).map { i =>
+        val p = s"r${i - 1}"
+        s"""dm$i AS (
+           |  SELECT coalesce(sum(r.rank), 0) AS dm FROM $p r
+           |  LEFT JOIN od ON r.v = od.s WHERE od.s IS NULL),
+           |c$i AS MATERIALIZED (
+           |  SELECT e.dst AS v, sum(r.rank / od.deg) AS inm
+           |  FROM e0 e JOIN $p r ON e.src = r.v JOIN od ON od.s = e.src
+           |  GROUP BY 1),
+           |r$i AS MATERIALIZED (
+           |  SELECT v.v,
+           |    (0.15 + 0.85 * dm.dm) * (CASE WHEN v.v IN (1, 2) THEN 0.5 ELSE 0 END)
+           |    + 0.85 * coalesce(c.inm, 0) AS rank
+           |  FROM v CROSS JOIN dm$i dm
+           |  LEFT JOIN c$i c ON v.v = c.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
+         |  FROM lineitem WHERE l_suppkey IS NOT NULL AND l_partkey IS NOT NULL),
+         |v AS MATERIALIZED (
+         |  SELECT DISTINCT src AS v FROM e0 UNION SELECT DISTINCT dst FROM e0),
+         |od AS MATERIALIZED (SELECT src AS s, count(*) AS deg FROM e0 GROUP BY 1),
+         |r0 AS MATERIALIZED (
+         |  SELECT v, CASE WHEN v IN (1, 2) THEN 0.5 ELSE 0.0 END AS rank FROM v),
+         |$iters
+         |SELECT v AS vertex, CAST(floor(rank * 1e9) AS BIGINT) AS rank_nano
+         |FROM r5 WHERE v < 1000000 ORDER BY vertex""".stripMargin
+    },
     "q_hits" -> {
       val rounds = (1 to 5).map { i =>
         val ph = s"h${i - 1}"

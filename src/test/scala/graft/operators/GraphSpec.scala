@@ -167,6 +167,24 @@ class GraphSpec extends SparkSpec {
     assert(!two.contains((9L, 0L)), "island must be absent")
   }
 
+  test("personalizedPageRank: mass conserved, concentrates near the seed") {
+    // chain 0 -> 1 -> 2 -> 3, seed at 0: rank decays with distance
+    val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L))
+    val out = Graph.personalizedPageRank(chain.toDF("src", "dst"), "src", "dst",
+        seeds = Seq(0L), iters = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(out.values.sum - 1.0) < 1e-9, s"mass not conserved: ${out.values.sum}")
+    assert(out(0L) > out(1L) && out(1L) > out(2L) && out(2L) > out(3L),
+      s"rank must decay from the seed: $out")
+    // non-seed teleport share is zero: a vertex unreachable from the
+    // seed scores 0
+    val split = chain ++ Seq((8L, 9L))
+    val out2 = Graph.personalizedPageRank(split.toDF("src", "dst"), "src", "dst",
+        seeds = Seq(0L), iters = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out2(8L) == 0.0 && out2(9L) == 0.0)
+  }
+
   test("hits: star center is the authority, leaves the hubs; sums normalize to 1") {
     // all edges point INTO vertex 0 → 0 is pure authority, leaves pure hubs
     val star = Seq((1L, 0L), (2L, 0L), (3L, 0L))
