@@ -318,15 +318,17 @@ object Graph {
       (1 to iters).foreach { _ =>
         val aRaw = e.join(hubs.select(col("__v").as("__s"), col("h")), Seq("__s"))
           .groupBy(col("__d").as("__v")).agg(sum(col("h")).as("__ar"))
-        val aNorm = aRaw.agg(sum(col("__ar"))).collect()(0).getDouble(0)
+        val aNorm = aRaw.agg(sum(col("__ar")).as("__an"))
         auths = verts.join(aRaw, Seq("__v"), "left")
-          .select(col("__v"), (coalesce(col("__ar"), lit(0.0)) / aNorm).as("a"))
+          .crossJoin(broadcast(aNorm))
+          .select(col("__v"), (coalesce(col("__ar"), lit(0.0)) / col("__an")).as("a"))
           .localCheckpoint(true)
         val hRaw = e.join(auths.select(col("__v").as("__d"), col("a")), Seq("__d"))
           .groupBy(col("__s").as("__v")).agg(sum(col("a")).as("__hr"))
-        val hNorm = hRaw.agg(sum(col("__hr"))).collect()(0).getDouble(0)
+        val hNorm = hRaw.agg(sum(col("__hr")).as("__hn"))
         hubs = verts.join(hRaw, Seq("__v"), "left")
-          .select(col("__v"), (coalesce(col("__hr"), lit(0.0)) / hNorm).as("h"))
+          .crossJoin(broadcast(hNorm))
+          .select(col("__v"), (coalesce(col("__hr"), lit(0.0)) / col("__hn")).as("h"))
           .localCheckpoint(true)
       }
       hubs.join(auths, Seq("__v"))
