@@ -266,6 +266,17 @@ object Graph {
       .union(e.select(col("__d").as("__v"))).distinct().persist()
     val outDeg = e.groupBy(col("__s")).agg(count(lit(1)).as("__deg")).persist()
     try {
+      // Fail loudly on seeds absent from the vertex set: an absent seed
+      // receives no mass, so every round would sum to < 1 and proximity
+      // scores silently skew (bounded driver read: ≤ seeds.size rows).
+      val present = verts.filter(col("__v").isin(seeds: _*))
+        .select(col("__v").cast("long")).collect().map(_.getLong(0)).toSet
+      val absent = seeds.filterNot(present)
+      require(absent.isEmpty,
+        s"personalizedPageRank: ${absent.size} seed(s) not in the graph's vertex set: " +
+          s"${absent.take(10).mkString(", ")}" +
+          (if (absent.size > 10) ", …" else "") +
+          " — drop stale ids or fix the seed list")
       val seedMass = when(col("__v").isin(seeds: _*), lit(1.0 / seeds.size))
         .otherwise(lit(0.0))
       var ranks = verts.withColumn("rank", seedMass).localCheckpoint(true)

@@ -79,8 +79,9 @@ object Pack {
     * rank; the classic greedy is inherently sequential). Bins are
     * identified by (bin_len, bin_seq); `fill_frac` reports the bin's
     * ⌊C/ℓ⌋·ℓ/C packing efficiency. Docs longer than `capacity` get
-    * bin_seq −1 (overflow — truncate or split upstream; flagged,
-    * never silently dropped).
+    * bin_seq −1 (overflow — truncate or split upstream) and
+    * zero-token docs get bin_seq −2 (empty): flagged, never silently
+    * dropped, never a null bin id.
     *
     * Returns (id, n_tokens, bin_len, bin_seq, fill_frac).
     */
@@ -93,12 +94,16 @@ object Pack {
       .partitionBy(col("n_tokens")).orderBy(col("id"))
     counted
       .withColumn("__rk", row_number().over(w).cast("long"))
-      .withColumn("__pb", expr(s"${capacity}L div n_tokens"))
+      .withColumn("__pb", expr(s"${capacity}L div nullif(n_tokens, 0)"))
       .select(col("id"), col("n_tokens"),
         col("n_tokens").as("bin_len"),
-        when(col("n_tokens") > capacity, lit(-1L))
+        // zero-token docs would make capacity div n_tokens NULL and the
+        // bin id would silently vanish from inner-join consumers — flag
+        // them like overflow docs instead (-2: empty, -1: too long)
+        when(col("n_tokens") === 0L, lit(-2L))
+          .when(col("n_tokens") > capacity, lit(-1L))
           .otherwise(expr("(__rk - 1) div __pb")).as("bin_seq"),
-        when(col("n_tokens") > capacity, lit(0.0))
+        when(col("n_tokens") === 0L || col("n_tokens") > capacity, lit(0.0))
           .otherwise(round(col("__pb") * col("n_tokens") / capacity.toDouble, 6))
           .as("fill_frac"))
   }

@@ -762,13 +762,17 @@ object TextVectorQueries extends QueryPack {
     // list-comprehension oracle.
     // Johnson–Lindenstrauss random projection 64→16: md5-sign matrix
     // built once driver-side, one native codegen dot per output dim;
-    // every projected coordinate oracle-exact.
+    // every projected coordinate oracle-exact. Output is flattened to
+    // one (vec_id, j, coord) row per projected dimension — the gate's
+    // checker sorts column values, so array columns must never reach it.
     "q_random_projection" -> { (s, dir) =>
       tables(s, dir).embeddings
         .select(col("vec_id"),
-          transform(graft.functions.VectorFunctions.randomProject(
-            col("embedding"), 64, 16, "jl"), x => round(x, 6)).as("proj"))
-        .orderBy(col("vec_id"))
+          posexplode(graft.functions.VectorFunctions.randomProject(
+            col("embedding"), 64, 16, "jl")))
+        .select(col("vec_id"), col("pos").cast("long").as("j"),
+          round(col("col"), 6).as("coord"))
+        .orderBy(col("vec_id"), col("j"))
     },
 
     "q_embed_algebra" -> { (s, dir) =>
@@ -1185,15 +1189,15 @@ object TextVectorQueries extends QueryPack {
         |  round(sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding])), 6) AS l2_norm
         |FROM embeddings WHERE vec_id <= 100 ORDER BY vec_id""".stripMargin,
     "q_random_projection" ->
-      """SELECT vec_id,
-        |  [round(list_sum(list_transform(range(64), i ->
+      """SELECT vec_id, CAST(t.j AS BIGINT) AS j,
+        |  round(list_sum(list_transform(range(64), i ->
         |     CAST(embedding[i + 1] AS DOUBLE) *
         |     (CASE WHEN CAST(concat('0x', substr(md5(
-        |         'rp:jl:' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)),
+        |         'rp:jl:' || CAST(i AS VARCHAR) || ':' || CAST(t.j AS VARCHAR)),
         |         1, 8)) AS UBIGINT) % 2 = 0
-        |       THEN 0.25 ELSE -0.25 END))), 6)
-        |   FOR j IN range(16)] AS proj
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
+        |       THEN 0.25 ELSE -0.25 END))), 6) AS coord
+        |FROM embeddings CROSS JOIN range(16) AS t(j)
+        |ORDER BY vec_id, j""".stripMargin,
     "q_embed_algebra" ->
       """SELECT a.vec_id AS vec_id,
         |  round(sqrt(list_sum([

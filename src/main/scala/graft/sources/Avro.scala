@@ -146,10 +146,14 @@ object Avro {
         throw new IllegalArgumentException(
           s"avroEnum metadata requires a string or array<string> column, got $other on ${f.name}")
       case st: StructType if f.metadata.contains("avroUnion") =>
-        require(st.fields.nonEmpty &&
+        // >= 2 members: a 1-branch union is meaningless, and the write
+        // path routes single-branch structs down the generic-record
+        // path — fail at schema construction with a clear message
+        // instead of a confusing GenericData.Record crash at write time
+        require(st.fields.length >= 2 &&
           st.fields.zipWithIndex.forall { case (mf, i) => mf.name == s"member$i" },
-          s"avroUnion metadata requires member0..memberN struct fields on ${f.name}, " +
-            s"got ${st.fieldNames.mkString(",")}")
+          s"avroUnion metadata requires at least 2 member0..memberN struct fields on " +
+            s"${f.name}, got ${st.fieldNames.mkString(",")}")
         Schema.createUnion(st.fields.zipWithIndex.map { case (mf, i) =>
           avroType(mf.dataType, s"${f.name}_m$i") }.toList.asJava)
       case other if f.metadata.contains("avroUnion") =>

@@ -95,15 +95,26 @@ object Smb {
       (df.groupBy(keys.map(col): _*)
         .agg(collect_list(struct(payload.map(col): _*)).as(rowsCol)), keys, rowsCol)
     }
-    val joined = grouped.tail.foldLeft(grouped.head._1 -> grouped.head._2) {
+    // After each full-outer join, carry forward COALESCED key columns
+    // and join subsequent sources against those: a key absent from the
+    // first source but present in two later ones must still collapse
+    // to one row (CoGbk contract) — joining on the first source's key
+    // alone would leave it null === key forever (3-way test in SmbSpec).
+    val joined = grouped.tail.foldLeft(
+      grouped.head._1 -> grouped.head._2.toList) {
       case ((acc, accKeys), (df, keys, _)) =>
         val cond = accKeys.zip(keys).map { case (l, r) => col(l) === col(r) }.reduce(_ && _)
-        acc.join(df, cond, "full_outer") -> accKeys
+        val j = acc.join(df, cond, "full_outer")
+        val mergedKeys = (0 until arity).map(i => s"__cg_key_$i").toList
+        val proj = accKeys.zip(keys).zipWithIndex.map { case ((l, r), i) =>
+            coalesce(col(l), col(r)).as(mergedKeys(i)) } ++
+          j.columns.filterNot(c => accKeys.contains(c) || keys.contains(c)).map(col)
+        j.select(proj: _*) -> mergedKeys
     }._1
-    // surface one key column set (first non-null across sources) and
+    // surface one key column set (already coalesced across sources) and
     // one never-null rows array per source
     val keyCols: Seq[Column] = (0 until arity).map { i =>
-      coalesce(grouped.map { case (_, keys, _) => col(keys(i)) }: _*).as(outKeys(i))
+      col(s"__cg_key_$i").as(outKeys(i))
     }
     val rowCols = grouped.map { case (_, _, rowsCol) =>
       coalesce(col(rowsCol), array()).as(rowsCol)

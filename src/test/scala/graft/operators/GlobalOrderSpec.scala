@@ -157,6 +157,22 @@ class GlobalOrderSpec extends SparkSpec {
     assert(loads.forall(_ <= 10L), s"overfull bin: $loads")
   }
 
+  test("binPack: empty/whitespace docs never get a null bin id") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, "   "), (3L, null: String), (4L, "a b"))
+      .toDF("doc_id", "text")
+    val out = Pack.binPack(docs, "doc_id", "text", capacity = 4).collect()
+    assert(out.length == 4)
+    // bin_seq and fill_frac are never null — a null bin id would
+    // silently vanish from inner-join/groupBy consumers
+    assert(out.forall(r => !r.isNullAt(3) && !r.isNullAt(4)),
+      s"null bin ids: ${out.mkString(", ")}")
+    // empty/whitespace/null text tokenizes to one empty token, so those
+    // docs place normally in the length-1 class
+    val byId = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId(1L) == 1L && byId(2L) == 1L && byId(3L) == 1L && byId(4L) == 2L)
+  }
+
   test("binPack: randomized invariants — every doc placed once, no bin overfull") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)

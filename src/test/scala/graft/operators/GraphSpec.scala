@@ -185,6 +185,15 @@ class GraphSpec extends SparkSpec {
     assert(out2(8L) == 0.0 && out2(9L) == 0.0)
   }
 
+  test("personalizedPageRank: a seed absent from the graph fails loudly") {
+    val chain = Seq((0L, 1L), (1L, 2L))
+    val ex = intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(chain.toDF("src", "dst"), "src", "dst",
+        seeds = Seq(0L, 77L), iters = 2).collect()
+    }
+    assert(ex.getMessage.contains("77"), s"message should name the stale seed: ${ex.getMessage}")
+  }
+
   test("hits: star center is the authority, leaves the hubs; sums normalize to 1") {
     // all edges point INTO vertex 0 → 0 is pure authority, leaves pure hubs
     val star = Seq((1L, 0L), (2L, 0L), (3L, 0L))

@@ -427,6 +427,21 @@ class AvroSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("not a symbol")))
   }
 
+  test("a 1-member avroUnion fails at schema construction, not at write time") {
+    val declared = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("value", StructType(Seq(
+        StructField("member0", LongType, nullable = true))),
+        nullable = true, metadata = Avro.unionMetadata)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row(1L, Row(42L))), 1), declared)
+    val e = intercept[Exception](Avro.write(df, tmpDir()))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("at least 2 member")),
+      s"expected a clear schema-construction message, got: ${msgs(e).mkString(" | ")}")
+  }
+
   test("declared union columns write as real multi-branch avro unions, roundtrip") {
     val dir = tmpDir()
     val declared = StructType(Seq(

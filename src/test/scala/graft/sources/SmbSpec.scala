@@ -128,6 +128,37 @@ class SmbSpec extends SparkSpec {
     assert(byKey(3L) == (Seq.empty[String], Seq(30.0)))
   }
 
+  test("3-way smbCogroup: key absent from the FIRST source still collapses to one row") {
+    import spark.implicits._
+    // key 9 is missing from a but present in b AND c — joining on the
+    // first source's key alone would emit TWO rows for it (null === 9
+    // never matches); the coalesced-key fold must emit exactly one.
+    val a = Seq((1L, "a1"), (2L, "a2")).toDF("ak", "av")
+    val b = Seq((2L, 20.0), (9L, 90.0)).toDF("bk", "bv")
+    val c = Seq((9L, 900), (1L, 100)).toDF("ck", "cv")
+    Smb.writeBucketed(a, "smb_cg3_a", "/tmp/graft_test/smb/cg3_a", 2, Seq("ak"))
+    Smb.writeBucketed(b, "smb_cg3_b", "/tmp/graft_test/smb/cg3_b", 2, Seq("bk"))
+    Smb.writeBucketed(c, "smb_cg3_c", "/tmp/graft_test/smb/cg3_c", 2, Seq("ck"))
+    val cg = noAqeNoBroadcast {
+      Smb.smbCogroup(spark,
+        Seq("smb_cg3_a" -> Seq("ak"), "smb_cg3_b" -> Seq("bk"), "smb_cg3_c" -> Seq("ck")),
+        Seq("key"))
+    }
+    val rows = cg.collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 9L),
+      s"one row per key expected, got ${rows.map(_.getLong(0)).toSeq.sorted}")
+    val byKey = rows.map { r =>
+      r.getLong(0) -> ((r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0)).sorted,
+        r.getSeq[org.apache.spark.sql.Row](2).map(_.getDouble(0)).sorted,
+        r.getSeq[org.apache.spark.sql.Row](3).map(_.getInt(0)).sorted))
+    }.toMap
+    assert(byKey(9L) == ((Seq.empty[String], Seq(90.0), Seq(900))))
+    assert(byKey(1L) == ((Seq("a1"), Seq.empty[Double], Seq(100))))
+    assert(byKey(2L) == ((Seq("a2"), Seq(20.0), Seq.empty[Int])))
+    // never-null contract holds for every source column
+    assert(rows.forall(r => !r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(3)))
+  }
+
   test("smbTransform: join→transform→bucketed write end-to-end with no Exchange, " +
     "output joins exchange-free") {
     // capture the write command's executed plan via a listener — the

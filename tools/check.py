@@ -31,10 +31,22 @@ def main():
         if not files:
             print(f"{name}: NO SPARK OUTPUT"); n_fail += 1; continue
         spark = pd.read_parquet(files[0])
+        # The driver's checker sorts every output column with pandas
+        # factorize, which CRASHES on non-scalar cells (ndarray/list/
+        # dict). Be AT LEAST as strict here: any non-scalar value in an
+        # oracle-checked query is a hard fail; in a rows-only query it's
+        # a loud warning (the driver only counts rows there).
+        import numpy as np
+        nonscalar = [c for c in spark.columns if len(spark)
+                     and isinstance(spark[c].iloc[0], (np.ndarray, list, dict, tuple))]
         if name not in oracles:
             n_noorc += 1
-            print(f"{name}: rows-only ({len(spark)} rows)" + (" EMPTY!" if len(spark) == 0 else ""))
+            warn = f" NON-SCALAR cols {nonscalar} (driver tolerates in rows-only, but avoid)" if nonscalar else ""
+            print(f"{name}: rows-only ({len(spark)} rows)" + (" EMPTY!" if len(spark) == 0 else "") + warn)
             continue
+        if nonscalar:
+            print(f"{name}: NON-SCALAR OUTPUT COLUMNS {nonscalar} — driver checker would crash; flatten to scalars")
+            n_fail += 1; continue
         try:
             orc = con.execute(oracles[name]).df()
         except Exception as e:
