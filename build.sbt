@@ -9,6 +9,21 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+
+// graft-testing: the scio-test-parity matcher/assertion DSL as its own
+// publishable artifact (exactly as scio-test is a module separate from
+// scio-core) — scalatest is a COMPILE dependency here, so downstream
+// jobs can depend on graft-testing at test scope and use the matchers.
+// The root project consumes it in its own tests (test->compile).
+lazy val graftTesting = (project in file("testing"))
+  .settings(
+    name := "graft-testing",
+    unmanagedBase := file("/opt/spark/jars"),
+    libraryDependencies += "org.scalatest" %% "scalatest" % "3.2.19",
+  )
+
+lazy val root = (project in file("."))
+  .dependsOn(graftTesting % "test->compile")
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -833,9 +833,11 @@ object Dedup {
   /** Grow a persisted MinHash index with a new crawl WITHOUT
     * re-reading any historical text — the property that makes the
     * artifact worth keeping: only the new docs shingle + sign; the
-    * stored signatures union in as-is and band buckets + bucket sizes
-    * recompute from SIGNATURES alone (numHashes longs per doc, not
-    * the documents). Writes a complete artifact at `outPath` (must
+    * stored signatures union in as-is, and the stored BAND ROWS carry
+    * over as-is too — only the new crawl bands, with per-bucket sizes
+    * merged as old n + fresh count, so extend compute is O(new crawl)
+    * plus a narrow copy pass of the artifact. Writes a complete
+    * artifact at `outPath` (must
     * differ from `indexPath` — the source is read lazily while the
     * output writes, and a failed in-place rewrite would destroy the
     * only copy). Ids present in both the index and the new crawl fail
@@ -852,17 +854,40 @@ object Dedup {
     val old = spark.read.parquet(s"$indexPath/sigs")
     val fresh = signatures(newDf, idCol, textCol, p.shingleK, p.numHashes, p.bands,
       withShingleSets = false).select(col("id"), col("sig"))
-    val clashes = old.select(col("id")).join(fresh, Seq("id"), "left_semi").limit(5)
-      .collect().map(_.get(0))
-    require(clashes.isEmpty,
-      s"new crawl reuses ids already in the index at $indexPath: ${clashes.mkString(", ")}")
-    val all = old.select(col("id"), col("sig")).union(fresh)
-    all.write.mode("overwrite").parquet(s"$outPath/sigs")
-    val bandRows = all
-      .withColumn("bandhashes", lshBandHashes(col("sig"), p.bands, rowsPerBand))
-      .select(col("id"), posexplode(col("bandhashes")).as(Seq("band", "bh")))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
-    bandRows.write.mode("overwrite").parquet(s"$outPath/bands")
+      .persist() // signature-sized (numHashes longs/doc); shingled once
+    try {
+      val clashes = old.select(col("id")).join(fresh, Seq("id"), "left_semi").limit(5)
+        .collect().map(_.get(0))
+      require(clashes.isEmpty,
+        s"new crawl reuses ids already in the index at $indexPath: ${clashes.mkString(", ")}")
+      old.select(col("id"), col("sig")).union(fresh)
+        .write.mode("overwrite").parquet(s"$outPath/sigs")
+      // Band ONLY the new crawl: the old sigs' band rows are already in
+      // the artifact — append the fresh rows and merge per-bucket sizes
+      // (old n + fresh count), so extend pays O(new crawl) compute plus
+      // one narrow pass over the stored band table (the count delta is
+      // a broadcast join), never a re-band + window over the index.
+      val freshBands = fresh
+        .withColumn("bandhashes", lshBandHashes(col("sig"), p.bands, rowsPerBand))
+        .select(col("id"), posexplode(col("bandhashes")).as(Seq("band", "bh")))
+      val freshCounts = freshBands.groupBy(col("band"), col("bh"))
+        .agg(count(lit(1)).as("__fn"))
+      val oldBands = spark.read.parquet(s"$indexPath/bands")
+      val oldUpdated = oldBands.join(broadcast(freshCounts), Seq("band", "bh"), "left")
+        .select(col("id"), col("band"), col("bh"),
+          (col("n") + coalesce(col("__fn"), lit(0L))).as("n"))
+      // old sizes for just the buckets the new crawl touches (small set)
+      val touchedOld = oldBands
+        .join(broadcast(freshCounts.select(col("band"), col("bh"))), Seq("band", "bh"))
+        .groupBy(col("band"), col("bh")).agg(first(col("n")).as("__on"))
+      val freshWithN = freshBands
+        .join(broadcast(freshCounts), Seq("band", "bh"))
+        .join(broadcast(touchedOld), Seq("band", "bh"), "left")
+        .select(col("id"), col("band"), col("bh"),
+          (coalesce(col("__on"), lit(0L)) + col("__fn")).as("n"))
+      oldUpdated.unionByName(freshWithN)
+        .write.mode("overwrite").parquet(s"$outPath/bands")
+    } finally { fresh.unpersist(); () }
     val meta = new org.apache.hadoop.fs.Path(s"$outPath/$MinhashIndexMeta")
     val fs = org.apache.hadoop.fs.FileSystem.get(meta.toUri,
       spark.sparkContext.hadoopConfiguration)

@@ -226,6 +226,112 @@ object external {
       }
     }
 
+    /** Reference `BaseAsyncBatchLookupDoFn` / `ScalaAsyncBatchLookupDoFn`
+      * (scio-core transforms/BaseAsyncBatchLookupDoFn.java,
+      * ScalaAsyncBatchLookupDoFn.scala): batch up to `batchSize`
+      * DISTINCT keys, issue ONE async call per batch, fan results back
+      * out to every buffered input — the shape real enrichment / LLM
+      * scoring endpoints charge for. Reference semantics kept:
+      *  - requests dedupe by key; an element whose key is already
+      *    waiting (pending OR in flight) piggybacks on that request;
+      *  - at most `maxPending` batch futures in flight (semaphore);
+      *  - per-BATCH failure isolation: a failed batch marks only its
+      *    own elements failed, other batches proceed;
+      *  - a key missing from the response map fails only that key's
+      *    elements (the reference's UnmatchedRequestException);
+      *  - optional bounded LRU cache (the `CacheSupplier` surface of
+      *    [[lookupWithCache]]); hits short-circuit the service.
+      * Output is (input, Some(value), None) on success and
+      * (input, None, Some("className: message")) on failure — same
+      * platform delta as [[safeFlatMap]] (Throwables don't encode).
+      */
+    def asyncBatchLookup[K, U](batchSize: Int, maxPending: Int = 4,
+        maxCacheEntries: Int = 0)(key: T => K)(
+        batchLookup: Seq[K] => Future[Map[K, U]])(
+        implicit oe: Encoder[(T, Option[U], Option[String])]): Dataset[(T, Option[U], Option[String])] = {
+      require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+      require(maxPending >= 1, s"maxPending must be >= 1, got $maxPending")
+      require(maxCacheEntries >= 0, s"maxCacheEntries must be >= 0, got $maxCacheEntries")
+      ds.mapPartitions { it =>
+        val cache: java.util.LinkedHashMap[K, U] =
+          if (maxCacheEntries == 0) null
+          else new java.util.LinkedHashMap[K, U](16, 0.75f, true) {
+            override def removeEldestEntry(e: java.util.Map.Entry[K, U]): Boolean =
+              size() > maxCacheEntries
+          }
+        val out = mutable.Queue.empty[(T, Option[U], Option[String])]
+        // key → every input waiting on it, across the pending batch AND
+        // all in-flight batches (the reference's `inputs` map)
+        val waiting = mutable.Map.empty[K, mutable.Buffer[T]]
+        val batchKeys = mutable.Buffer.empty[K]
+        val inflight = mutable.Queue.empty[(Future[Map[K, U]], Seq[K])]
+
+        def drainOne(): Unit = {
+          val (f, keys) = inflight.dequeue()
+          Try(Await.result(f, Duration.Inf)) match {
+            case Success(m) =>
+              keys.foreach { k =>
+                val ts = waiting.remove(k).getOrElse(mutable.Buffer.empty)
+                m.get(k) match {
+                  case Some(v) =>
+                    if (cache != null) cache.put(k, v)
+                    ts.foreach(t => out += ((t, Some(v), None)))
+                  case None => ts.foreach(t => out +=
+                    ((t, None, Some(s"UnmatchedRequest: no value for key $k"))))
+                }
+              }
+            case Failure(e) =>
+              val msg = s"${e.getClass.getName}: ${e.getMessage}"
+              keys.foreach { k =>
+                waiting.remove(k).getOrElse(mutable.Buffer.empty)
+                  .foreach(t => out += ((t, None, Some(msg))))
+              }
+          }
+        }
+
+        def issue(): Unit = if (batchKeys.nonEmpty) {
+          val keys = batchKeys.toList
+          batchKeys.clear()
+          while (inflight.size >= maxPending) drainOne()
+          val f = Try(batchLookup(keys)) match {
+            case Success(fut) => fut
+            case Failure(e)   => Future.failed(e)
+          }
+          inflight += (f -> keys)
+        }
+
+        new Iterator[(T, Option[U], Option[String])] {
+          override def hasNext: Boolean = {
+            while (out.isEmpty &&
+              (it.hasNext || batchKeys.nonEmpty || inflight.nonEmpty)) {
+              if (it.hasNext) {
+                val t = it.next()
+                val k = key(t)
+                val cached = if (cache != null && cache.containsKey(k))
+                  Some(cache.get(k)) else None
+                cached match {
+                  case Some(v) => out += ((t, Some(v), None))
+                  case None => waiting.get(k) match {
+                    case Some(buf) => buf += t // piggyback, no new request
+                    case None =>
+                      waiting(k) = mutable.Buffer(t)
+                      batchKeys += k
+                      if (batchKeys.size >= batchSize) issue()
+                  }
+                }
+              } else if (batchKeys.nonEmpty) issue()
+              else drainOne()
+            }
+            out.nonEmpty
+          }
+          override def next(): (T, Option[U], Option[String]) = {
+            if (!hasNext) throw new NoSuchElementException("asyncBatchLookup")
+            out.dequeue()
+          }
+        }
+      }
+    }
+
     /** Reference `RateLimiterDoFn`: bound the per-TASK throughput to
       * `permitsPerSec` elements/sec (Beam's unit is the DoFn instance;
       * the cluster-wide rate is permitsPerSec × concurrent tasks —

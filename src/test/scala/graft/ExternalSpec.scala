@@ -108,6 +108,72 @@ class ExternalSpec extends SparkSpec {
     assert(out == (2 to 51))
   }
 
+  test("asyncBatchLookup: one call per batch, batch windows respect batchSize") {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    ExternalSpecState.reset()
+    val out = (1 to 100).toDS().coalesce(1)
+      .asyncBatchLookup[Int, Int](batchSize = 10)(identity) { ks =>
+        ExternalSpecState.lookups.incrementAndGet()
+        ExternalSpecState.maxActive.updateAndGet(m => math.max(m, ks.size))
+        Future(ks.map(k => k -> k * 2).toMap)
+      }
+      .collect().toSeq
+    assert(out.size == 100)
+    assert(out.forall { case (i, v, err) => v.contains(i * 2) && err.isEmpty })
+    assert(ExternalSpecState.lookups.get() == 10,
+      s"100 distinct keys / batchSize 10 must be 10 calls, got ${ExternalSpecState.lookups.get()}")
+    assert(ExternalSpecState.maxActive.get() <= 10, "no batch may exceed batchSize")
+  }
+
+  test("asyncBatchLookup: duplicate keys dedupe — piggyback in flight, cache across batches") {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    ExternalSpecState.reset()
+    // 10 distinct keys cycled 10× with an eager-drain window (maxPending=1):
+    // every occurrence after a key's batch completes must hit the cache,
+    // so each distinct key is requested exactly once
+    val keys = (0 until 100).map(_ % 10)
+    val out = keys.toDS().coalesce(1)
+      .asyncBatchLookup[Int, String](batchSize = 2, maxPending = 1,
+        maxCacheEntries = 100)(identity) { ks =>
+        ExternalSpecState.lookups.incrementAndGet()
+        ExternalSpecState.active.addAndGet(ks.size) // total keys requested
+        Future(ks.map(k => k -> s"v$k").toMap)
+      }
+      .collect().toSeq
+    assert(out.size == 100 && out.forall { case (k, v, e) => v.contains(s"v$k") && e.isEmpty })
+    assert(ExternalSpecState.active.get() == 10,
+      s"each distinct key must be requested once, got ${ExternalSpecState.active.get()}")
+    assert(ExternalSpecState.lookups.get() == 5,
+      s"10 distinct keys / batchSize 2 = 5 calls, got ${ExternalSpecState.lookups.get()}")
+  }
+
+  test("asyncBatchLookup: a poison batch fails only its own elements") {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val out = (1 to 20).toDS().coalesce(1)
+      .asyncBatchLookup[Int, Int](batchSize = 2)(identity) { ks =>
+        if (ks.contains(13)) Future.failed(new RuntimeException("boom"))
+        else Future(ks.map(k => k -> k * 2).toMap)
+      }
+      .collect().toSeq
+    val (failed, ok) = out.partition(_._3.isDefined)
+    // batches are consecutive pairs: {13,14} is the poison batch
+    assert(failed.map(_._1).sorted == Seq(13, 14), s"failed=${failed.map(_._1).sorted}")
+    assert(failed.forall(_._3.exists(_.contains("boom"))))
+    assert(ok.size == 18 && ok.forall { case (i, v, _) => v.contains(i * 2) })
+  }
+
+  test("asyncBatchLookup: a key missing from the response fails only that key") {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val out = (1 to 10).toDS().coalesce(1)
+      .asyncBatchLookup[Int, Int](batchSize = 5)(identity) { ks =>
+        Future(ks.filterNot(_ == 7).map(k => k -> k).toMap) // omit key 7
+      }
+      .collect().toSeq
+    val bad = out.filter(_._1 == 7)
+    assert(bad.size == 1 && bad.head._3.exists(_.contains("UnmatchedRequest")))
+    assert(out.filter(_._1 != 7).forall { case (i, v, e) => v.contains(i) && e.isEmpty })
+  }
+
   test("lookupWithCache: repeated keys hit the service once per task") {
     ExternalSpecState.reset()
     val keys = (1 to 100).map(i => s"k${i % 5}")   // 5 distinct keys, 100 rows

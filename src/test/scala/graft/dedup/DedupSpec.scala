@@ -515,4 +515,38 @@ class DedupSpec extends SparkSpec {
         "doc_id", "text", p1, s"${dir.getAbsolutePath}/clash"))
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
+
+  test("extendMinhashIndex: stored band rows carry over UNrecomputed; bucket sizes merge") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhidx4").toFile
+    val txt = (0 until 20).map(i => s"tok$i").mkString(" ")
+    val p0 = s"${dir.getAbsolutePath}/g1"
+    val p1 = s"${dir.getAbsolutePath}/g2"
+    Dedup.saveMinhashIndex(Seq((1L, txt)).toDF("doc_id", "text"), "doc_id", "text", p0)
+    // Tamper ONE stored band row's bucket hash: if extend re-banded the
+    // stored signatures this sentinel would be erased; append-and-merge
+    // must carry it through verbatim.
+    val tweaked = spark.read.parquet(s"$p0/bands").collect().map { r =>
+      (r.getLong(0), r.getInt(1),
+        if (r.getInt(1) == 0) -424242L else r.getLong(2), r.getLong(3))
+    }
+    tweaked.toSeq.toDF("id", "band", "bh", "n")
+      .write.mode("overwrite").parquet(s"$p0/bands")
+    // extend with the SAME text under a new id: every real band bucket
+    // gains one member, so merged sizes must be old n + fresh count
+    Dedup.extendMinhashIndex(Seq((2L, txt)).toDF("doc_id", "text"),
+      "doc_id", "text", p0, p1)
+    val out = spark.read.parquet(s"$p1/bands")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.exists(_._3 == -424242L),
+      "sentinel band row vanished — extend recomputed stored band rows")
+    // band 0: old row sits alone in the sentinel bucket (n=1) and the
+    // fresh row alone in the real bucket (n=1); bands 1..63: both docs
+    // share the bucket, so BOTH rows must carry the merged size 2
+    val band0 = out.filter(_._2 == 0)
+    assert(band0.length == 2 && band0.forall(_._4 == 1L), s"band0=${band0.toSeq}")
+    val rest = out.filter(_._2 != 0)
+    assert(rest.length == 63 * 2 && rest.forall(_._4 == 2L),
+      s"expected merged n=2 everywhere, got ${rest.filter(_._4 != 2L).take(5).toSeq}")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
 }

@@ -23,10 +23,9 @@ import org.scalatest.matchers.{MatchResult, Matcher}
   * actual side; that is inherent to the assertion (the expected multiset
   * already lives on the driver) and matches the reference's semantics.
   *
-  * Lives under src/test because scalatest is Test-scoped in this
-  * single-module build; in the multi-module layout this package is the
-  * `graft-testing` artifact (exactly as scio-test is a separate module
-  * from scio-core) that downstream users add at test scope.
+  * Ships as the `graft-testing` module (exactly as scio-test is a
+  * separate module from scio-core): scalatest is a compile dependency
+  * HERE, and downstream jobs add graft-testing at test scope.
   *
   * Usage:
   * {{{

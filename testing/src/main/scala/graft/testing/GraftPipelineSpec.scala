@@ -53,8 +53,26 @@ trait GraftPipelineSpec extends AnyFunSuite with Matchers with DatasetMatchers {
 }
 
 object GraftPipelineSpec {
+  /** graft-testing must not depend on graft core (scio-test likewise
+    * sits beside scio-core, not on top of it) — so the graft Catalyst
+    * extensions are picked up REFLECTIVELY when core is on the test
+    * classpath (the normal downstream layout) and skipped cleanly when
+    * the matchers are used against plain Spark.
+    */
   lazy val session: SparkSession = {
-    val s = graft.GraftSession.local(math.max(2, math.min(4, Runtime.getRuntime.availableProcessors())))
+    val cpus = math.max(2, math.min(4, Runtime.getRuntime.availableProcessors()))
+    var b = SparkSession.builder().master(s"local[$cpus]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    try {
+      val ext = Class.forName("graft.expressions.GraftExtensions")
+        .getDeclaredConstructor().newInstance()
+        .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+      b = b.withExtensions(ext)
+    } catch { case _: ClassNotFoundException => }
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
