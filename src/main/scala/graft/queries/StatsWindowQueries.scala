@@ -68,6 +68,29 @@ object StatsWindowQueries extends QueryPack {
         .orderBy(col("status"), col("priority"))
     },
 
+    // scio-extra rollupAndCount: distinct customers + summed spend per
+    // rollup level of (status, year) under a fixed priority dimension —
+    // exact distinct counts at every subtotal WITHOUT a count-distinct
+    // over the grouping-set fan-out. Decimal measure keeps the sum
+    // engine-exact; the oracle recomputes every level with real
+    // COUNT(DISTINCT) grouping sets.
+    "q_rollup_count" -> { (s, dir) =>
+      val ord = tables(s, dir).orders
+        .withColumn("o_year", year(col("o_orderdate")).cast("long"))
+        .withColumn("price_d", col("o_totalprice").cast("decimal(12,2)"))
+      graft.operators.Rollup.rollupAndCount(ord, "o_custkey",
+          Seq("o_orderpriority"), Seq("o_orderstatus", "o_year"),
+          Seq(Seq("o_orderstatus", "o_year"), Seq("o_orderstatus"),
+            Seq("o_year"), Seq.empty),
+          "price_d")
+        .select(col("o_orderpriority").as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_year").cast("string"), lit("ALL")).as("yr"),
+          round(col("measure_sum"), 2).cast("double").as("sum_price"),
+          col("distinct_count").as("n_cust"))
+        .orderBy(col("priority"), col("status"), col("yr"))
+    },
+
     // distribution drift (PSI) of order totals: pre-1998 reference vs
     // 1998+ feed, 10 equi-probable reference buckets.
     "q_drift" -> { (s, dir) =>
@@ -795,6 +818,17 @@ object StatsWindowQueries extends QueryPack {
       """SELECT doc_id, n_chars FROM documents ORDER BY doc_id""".stripMargin,
     "q_hilbert" ->
       """SELECT doc_id, n_chars FROM documents ORDER BY doc_id""".stripMargin,
+    "q_rollup_count" ->
+      """WITH o AS (SELECT o_orderpriority AS priority, o_orderstatus AS st,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y, o_custkey,
+        |  CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders)
+        |SELECT priority, coalesce(st, 'ALL') AS status,
+        |  coalesce(CAST(y AS VARCHAR), 'ALL') AS yr,
+        |  CAST(round(sum(price), 2) AS DOUBLE) AS sum_price,
+        |  count(DISTINCT o_custkey) AS n_cust
+        |FROM o
+        |GROUP BY GROUPING SETS ((priority, st, y), (priority, st), (priority, y), (priority))
+        |ORDER BY priority, status, yr""".stripMargin,
     "q_drift" ->
       """WITH ref AS (SELECT o_totalprice AS v FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
         |cur AS (SELECT o_totalprice AS v FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
