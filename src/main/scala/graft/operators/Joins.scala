@@ -274,13 +274,17 @@ object Joins {
               leftVal: String, rightVal: String): DataFrame =
     cogroupN(Seq((left, leftVal), (right, rightVal)), key)
 
-  /** scio cogroup/groupWith for 3–4 sides (scio supports up to 4):
+  /** scio cogroup/groupWith (SCollection arity 2–4) and MultiJoin
+    * .cogroup up to 22 sides (reference scio-core util/MultiJoin.scala):
     * per key, one sorted value array per input. Every side aggregates
     * to one row per key before joining, so the join fan-out is 1:1 and
-    * the full-outer chain stays linear in the number of sides.
+    * the full-outer chain stays linear in the number of sides; the
+    * using-column join coalesces the key at each step, so a key absent
+    * from the first sides still lands on the same output row.
     */
   def cogroupN(sides: Seq[(DataFrame, String)], key: String): DataFrame = {
-    require(sides.size >= 2 && sides.size <= 4, "cogroupN supports 2-4 sides (as scio)")
+    require(sides.size >= 2 && sides.size <= 22,
+      "cogroupN supports 2-22 sides (as the reference's MultiJoin)")
     require(sides.map(_._2).distinct.size == sides.size,
       s"value column names must be distinct (each becomes a '<name>s' output column); " +
         s"got ${sides.map(_._2).mkString(", ")} — rename the clashing columns first")

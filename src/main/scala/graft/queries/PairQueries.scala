@@ -71,6 +71,30 @@ object PairQueries extends QueryPack {
         .orderBy(col("k"))
     },
 
+    // MultiJoin.cogroup beyond SCollection's 4-side cap (reference
+    // util/MultiJoin.scala goes to 22): five sides keyed by nation.
+    "q_cogroup_multi" -> { (s, dir) =>
+      val t = tables(s, dir)
+      val cusB = t.customer.filter(col("c_mktsegment") === "BUILDING" && col("c_custkey") <= 200)
+        .select(col("c_nationkey").as("k"), col("c_name").as("bld"))
+      val cusA = t.customer.filter(col("c_mktsegment") === "AUTOMOBILE" && col("c_custkey") <= 200)
+        .select(col("c_nationkey").as("k"), col("c_name").as("auto"))
+      val sup = t.supplier.filter(col("s_suppkey") <= 40)
+        .select(col("s_nationkey").as("k"), col("s_name").as("sup"))
+      val nat = t.nation.select(col("n_nationkey").as("k"), col("n_name").as("nat"))
+      val rich = t.customer.filter(col("c_acctbal") > 9000 && col("c_custkey") <= 200)
+        .select(col("c_nationkey").as("k"), col("c_name").as("rich"))
+      Joins.cogroupN(Seq((cusB, "bld"), (cusA, "auto"), (sup, "sup"),
+          (nat, "nat"), (rich, "rich")), "k")
+        .select(col("k"),
+          coalesce(array_join(col("blds"), ","), lit("")).as("bld_names"),
+          coalesce(array_join(col("autos"), ","), lit("")).as("auto_names"),
+          coalesce(array_join(col("sups"), ","), lit("")).as("sup_names"),
+          coalesce(array_join(col("nats"), ","), lit("")).as("nat_names"),
+          coalesce(array_join(col("richs"), ","), lit("")).as("rich_names"))
+        .orderBy(col("k"))
+    },
+
     // hashJoin: explicit broadcast of the small side.
     "q_hash_join" -> { (s, dir) =>
       val t = tables(s, dir)
@@ -399,6 +423,25 @@ object PairQueries extends QueryPack {
         |        string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
         |      FROM customer WHERE c_custkey <= 50 GROUP BY c_custkey) c
         |  ON o.k = c.k
+        |ORDER BY k""".stripMargin,
+    "q_cogroup_multi" ->
+      """WITH b AS (SELECT c_nationkey AS k, string_agg(c_name, ',' ORDER BY c_name) AS bld_names
+        |  FROM customer WHERE c_mktsegment = 'BUILDING' AND c_custkey <= 200 GROUP BY 1),
+        |a AS (SELECT c_nationkey AS k, string_agg(c_name, ',' ORDER BY c_name) AS auto_names
+        |  FROM customer WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey <= 200 GROUP BY 1),
+        |s AS (SELECT s_nationkey AS k, string_agg(s_name, ',' ORDER BY s_name) AS sup_names
+        |  FROM supplier WHERE s_suppkey <= 40 GROUP BY 1),
+        |n AS (SELECT n_nationkey AS k, string_agg(n_name, ',' ORDER BY n_name) AS nat_names
+        |  FROM nation GROUP BY 1),
+        |r AS (SELECT c_nationkey AS k, string_agg(c_name, ',' ORDER BY c_name) AS rich_names
+        |  FROM customer WHERE c_acctbal > 9000 AND c_custkey <= 200 GROUP BY 1)
+        |SELECT coalesce(b.k, a.k, s.k, n.k, r.k) AS k,
+        |  coalesce(bld_names, '') AS bld_names, coalesce(auto_names, '') AS auto_names,
+        |  coalesce(sup_names, '') AS sup_names, coalesce(nat_names, '') AS nat_names,
+        |  coalesce(rich_names, '') AS rich_names
+        |FROM b FULL JOIN a ON b.k = a.k FULL JOIN s ON coalesce(b.k, a.k) = s.k
+        |FULL JOIN n ON coalesce(b.k, a.k, s.k) = n.k
+        |FULL JOIN r ON coalesce(b.k, a.k, s.k, n.k) = r.k
         |ORDER BY k""".stripMargin,
     "q_hash_join" ->
       """SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal

@@ -236,6 +236,26 @@ class JoinsSpec extends SparkSpec {
       Joins.cogroupN(Seq((left, "lv"), (left, "lv")), "k"))
   }
 
+  test("cogroupN: MultiJoin width — 6 sides, key absent from the FIRST sources still one row") {
+    // 'x' appears only in sides 4 and 6: the using-column join must
+    // coalesce the key forward so both land on ONE output row
+    val s1 = Seq(("a", 1)).toDF("k", "v1")
+    val s2 = Seq(("a", 2), ("b", 2)).toDF("k", "v2")
+    val s3 = Seq(("b", 3)).toDF("k", "v3")
+    val s4 = Seq(("x", 4), ("x", 44)).toDF("k", "v4")
+    val s5 = Seq(("a", 5)).toDF("k", "v5")
+    val s6 = Seq(("x", 6)).toDF("k", "v6")
+    val out = Joins.cogroupN(
+      Seq((s1, "v1"), (s2, "v2"), (s3, "v3"), (s4, "v4"), (s5, "v5"), (s6, "v6")), "k")
+    assert(out.columns.toSeq == Seq("k", "v1s", "v2s", "v3s", "v4s", "v5s", "v6s"))
+    val x = out.where(col("k") === "x").collect()
+    assert(x.length == 1 &&
+      x.head.getSeq[Int](4) == Seq(4, 44) && x.head.getSeq[Int](6) == Seq(6))
+    assert(out.count() == 3) // a, b, x
+    intercept[IllegalArgumentException]( // > 22 sides: MultiJoin's cap
+      Joins.cogroupN((1 to 23).map(i => (s1.withColumnRenamed("v1", s"c$i"), s"c$i")), "k"))
+  }
+
   test("cogroup groups both sides per key, full-outer") {
     val out = Joins.cogroup(left.filter(col("k").isNotNull), right, "k", "lv", "rv")
       .collect().map(r => (r.getString(0), Option(r.getSeq[Int](1)).getOrElse(Seq()),
