@@ -444,6 +444,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), s"correlation aggs not partial (map-side):\n$p")
   }
 
+  test("q_rollup_count: no Expand (the count-distinct fan-out it exists to avoid); codegen explode") {
+    val p = plan("q_rollup_count")
+    // a naive grouping-sets COUNT(DISTINCT) plans Expand over the raw
+    // rows; rollupAndCount's whole point is replacing that with a leaf
+    // pre-aggregate + explode fan-out + correction stream
+    assert(!p.contains("Expand"), s"rollupAndCount planned an Expand:\n$p")
+    assert(p.contains("Generate explode"), s"variant fan-out is not an explode:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"), s"rollupAndCount planned a UDF:\n$p")
+    assert(p.contains("partial_"), s"aggregation not partial (map-side):\n$p")
+  }
+
   test("q_dedup_incremental: the index's bucket cap is a pushed scan filter, not a window") {
     val p = graft.SparkEntry.queries("q_dedup_incremental")(spark, dir)
       .queryExecution.explainString(
