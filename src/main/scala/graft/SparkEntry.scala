@@ -9,6 +9,7 @@ object SparkEntry {
   private val packs: Seq[QueryPack] = Seq(
     AnalyticsQueries,
     CoreQueries,
+    ExampleQueries,
     IoQueries,
     MaintenanceQueries,
     PairQueries,
