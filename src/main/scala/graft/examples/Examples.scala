@@ -248,6 +248,68 @@ object Examples {
     * putting (flow, lane) first. Output one row per
     * (window_start, station) with the argmax lane's fields.
     */
+  /** complete/TrafficRoutes.scala: per route, per sliding window —
+    * mean speed plus the original's slowdown detector: order each
+    * station's readings by time, compare consecutive pairs
+    * (prev < cur = speedup, prev >= cur = slowdown), and flag the
+    * window when slowdowns >= 2× speedups (NOTE: a window with no
+    * consecutive pairs flags TRUE — 0 >= 0 — which is the reference's
+    * own behavior, kept faithfully). The per-station ordered fold is
+    * an `aggregate` HOF over the sorted in-window readings (struct
+    * state: prev speed + both counters) — no UDF, one shuffle to the
+    * (window, route, station) grain, then a tiny re-group to routes.
+    * Ties on timestamp order deterministically by (ts, speed) —
+    * stricter than the reference's arbitrary-under-shuffle sortBy.
+    */
+  def trafficRoutes(readings: DataFrame, routeCol: String, stationCol: String,
+                    speedCol: String, tsCol: String,
+                    duration: String = "3 minutes", slide: String = "1 minute"): DataFrame = {
+    val perStation = readings
+      .groupBy(window(col(tsCol), duration, slide), col(routeCol).as("route"),
+        col(stationCol).as("station"))
+      .agg(sort_array(collect_list(struct(col(tsCol).as("ts"),
+          col(speedCol).cast("double").as("speed")))).as("rs"),
+        sum(col(speedCol)).as("ssum"), count(lit(1)).as("scnt"))
+    val zero = struct(lit(Double.NaN).as("prev"), lit(0L).as("ups"), lit(0L).as("downs"))
+    val folded = perStation.withColumn("st",
+      aggregate(col("rs"), zero, (acc, x) => {
+        val prev = acc.getField("prev")
+        val sp = x.getField("speed")
+        struct(sp.as("prev"),
+          (acc.getField("ups") + when(!isnan(prev) && prev < sp, 1L).otherwise(0L)).as("ups"),
+          (acc.getField("downs") + when(!isnan(prev) && prev >= sp, 1L).otherwise(0L)).as("downs"))
+      }))
+    folded
+      .groupBy(col("window"), col("route"))
+      .agg((sum(col("ssum")) / sum(col("scnt"))).as("avg_speed"),
+        sum(col("st.ups")).as("ups"), sum(col("st.downs")).as("downs"))
+      .select(col("window.start").as("window_start"), col("route"), col("avg_speed"),
+        (col("downs") >= col("ups") * 2).as("slowdown_event"))
+  }
+
+  /** complete/game/LeaderBoard.scala team arm: fixed-window team
+    * totals on an UNBOUNDED input with late data honored up to the
+    * watermark — Beam's allowedLateness + trigger refinements map to
+    * the watermark delay with update/append output (SURVEY §2's
+    * trigger-equivalence note). Works on both batch and streaming
+    * frames (`readStream` in, `writeStream` out).
+    */
+  def leaderBoardTeamScores(events: DataFrame, teamCol: String, scoreCol: String,
+                            tsCol: String, duration: String = "1 hour",
+                            allowedLateness: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, allowedLateness)
+      .groupBy(window(col(tsCol), duration), col(teamCol).as("team"))
+      .agg(sum(col(scoreCol)).as("total_score"))
+      .select(col("window.start").as("window_start"), col("team"), col("total_score"))
+
+  /** complete/game/LeaderBoard.scala user arm: running global user
+    * totals (the original's global window + speculative panes =
+    * streaming aggregate in update/complete mode).
+    */
+  def leaderBoardUserScores(events: DataFrame, userCol: String, scoreCol: String): DataFrame =
+    events.groupBy(col(userCol).as("user"))
+      .agg(sum(col(scoreCol)).as("total_score"))
+
   def trafficMaxLaneFlow(readings: DataFrame, stationCol: String, laneCol: String,
                          flowCol: String, speedCol: String, tsCol: String,
                          duration: String = "60 minutes",

@@ -3,6 +3,8 @@ package graft.examples
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
+case class GameEvent(user: String, team: String, score: Int, ts: java.sql.Timestamp)
+
 /** Pins each ported reference example (scio-examples) to hand-checked
   * outputs on the originals' own fixture shapes.
   */
@@ -138,6 +140,56 @@ class ExamplesSpec extends SparkSpec {
       duration = "10 minutes", slide = "10 minutes")
       .collect().map(x => (x.getString(1), x.getInt(2), x.getString(3))).toSet
     assert(out == Set(("s1", 80, "lane2"), ("s2", 10, "lane1")))
+  }
+
+  test("trafficRoutes: per-station consecutive comparisons, slowdown flag, faithful 0>=0 edge") {
+    val r = Seq(
+      // route A, station s1: 60 -> 50 -> 40 (2 slowdowns), s2: 30 -> 35 (1 speedup)
+      ("A", "s1", 60.0, ts("2024-01-01 10:00:10")),
+      ("A", "s1", 50.0, ts("2024-01-01 10:00:40")),
+      ("A", "s1", 40.0, ts("2024-01-01 10:01:20")),
+      ("A", "s2", 30.0, ts("2024-01-01 10:00:20")),
+      ("A", "s2", 35.0, ts("2024-01-01 10:01:40")),
+      // route B: single reading — no pairs, reference flags TRUE
+      ("B", "s9", 70.0, ts("2024-01-01 10:00:30"))
+    ).toDF("route", "station", "speed", "ts")
+    val out = Examples.trafficRoutes(r, "route", "station", "speed", "ts",
+      duration = "3 minutes", slide = "3 minutes") // tumbling: one window
+      .collect().map(x => (x.getString(1), math.rint(x.getDouble(2) * 100) / 100, x.getBoolean(3))).toSet
+    // A: avg (60+50+40+30+35)/5 = 43; slowdowns 2 >= 2*1 speedup -> true
+    assert(out == Set(("A", 43.0, true), ("B", 70.0, true)))
+    // richer window where speedups dominate -> false
+    val r2 = Seq(
+      ("A", "s1", 10.0, ts("2024-01-01 10:00:10")),
+      ("A", "s1", 20.0, ts("2024-01-01 10:00:40")),
+      ("A", "s1", 30.0, ts("2024-01-01 10:01:20"))).toDF("route", "station", "speed", "ts")
+    val o2 = Examples.trafficRoutes(r2, "route", "station", "speed", "ts",
+      duration = "3 minutes", slide = "3 minutes").collect()
+    assert(o2.length == 1 && !o2.head.getBoolean(3)) // 0 slowdowns < 2*2 speedups
+  }
+
+  test("leaderBoard: streaming team scores equal the batch answer; user totals run globally") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[GameEvent]
+    val events = Seq(
+      GameEvent("amy", "red", 10, ts("2024-01-01 10:05:00")),
+      GameEvent("bob", "red", 5, ts("2024-01-01 10:50:00")),
+      GameEvent("amy", "blue", 7, ts("2024-01-01 11:05:00")),
+      // late-but-within-watermark arrival for the 10:00 window
+      GameEvent("cal", "red", 3, ts("2024-01-01 10:59:00")))
+    input.addData(events: _*)
+    val q = Examples.leaderBoardTeamScores(input.toDF(), "team", "score", "ts")
+      .writeStream.format("memory").queryName("lb_team").outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("lb_team")
+    val batch = Examples.leaderBoardTeamScores(events.toDF(), "team", "score", "ts")
+    assert(sortedRows(streamed) == sortedRows(batch))
+    assert(streamed.count() == 2) // (10:00 red), (11:00 blue)
+
+    val users = Examples.leaderBoardUserScores(events.toDF(), "user", "score")
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(users == Map("amy" -> 17L, "bob" -> 5L, "cal" -> 3L))
   }
 
   test("tfIdf and distinctExample delegate faithfully") {
