@@ -175,6 +175,11 @@ object Graph {
     val verts = e.select(col("__s").as("__v"))
       .union(e.select(col("__d").as("__v"))).distinct().persist()
     val outDeg = e.groupBy(col("__s")).agg(count(lit(1)).as("__deg")).persist()
+    // out-degree is loop-invariant: fold it into the edge list ONCE so
+    // each iteration joins ranks against one weighted edge table
+    // instead of re-joining outDeg every round (same rank/deg division
+    // as before — arithmetic unchanged, one join per round saved)
+    val eDeg = e.join(outDeg, Seq("__s")).persist()
     try {
       val n = verts.count().toDouble
       var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
@@ -183,9 +188,8 @@ object Graph {
         // dangling vertices (no out-edges) spread their mass uniformly
         val dangling = withDeg.filter(col("__deg").isNull)
           .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
-        val contribs = e
+        val contribs = eDeg
           .join(ranks.select(col("__v").as("__s"), col("rank")), Seq("__s"))
-          .join(outDeg, Seq("__s"))
           .select(col("__d").as("__v"), (col("rank") / col("__deg")).as("__c"))
           .groupBy(col("__v")).agg(sum(col("__c")).as("__in"))
         ranks = verts
@@ -202,7 +206,7 @@ object Graph {
       // ranks is eagerly checkpointed each round, so every scratch
       // frame can release — on failure paths too, or repeated failed
       // runs would pin blocks for the session's lifetime
-      e.unpersist(); verts.unpersist(); outDeg.unpersist(); ()
+      e.unpersist(); verts.unpersist(); outDeg.unpersist(); eDeg.unpersist(); ()
     }
   }
 
@@ -265,6 +269,8 @@ object Graph {
     val verts = e.select(col("__s").as("__v"))
       .union(e.select(col("__d").as("__v"))).distinct().persist()
     val outDeg = e.groupBy(col("__s")).agg(count(lit(1)).as("__deg")).persist()
+    // same loop-invariant fold as pageRank: weight edges by out-degree once
+    val eDeg = e.join(outDeg, Seq("__s")).persist()
     try {
       // Fail loudly on seeds absent from the vertex set: an absent seed
       // receives no mass, so every round would sum to < 1 and proximity
@@ -284,9 +290,8 @@ object Graph {
         val withDeg = ranks.join(outDeg, ranks("__v") === outDeg("__s"), "left")
         val dangling = withDeg.filter(col("__deg").isNull)
           .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
-        val contribs = e
+        val contribs = eDeg
           .join(ranks.select(col("__v").as("__s"), col("rank")), Seq("__s"))
-          .join(outDeg, Seq("__s"))
           .select(col("__d").as("__v"), (col("rank") / col("__deg")).as("__c"))
           .groupBy(col("__v")).agg(sum(col("__c")).as("__in"))
         ranks = verts
@@ -298,7 +303,7 @@ object Graph {
           .localCheckpoint(true)
       }
       ranks.select(col("__v").as("vertex"), col("rank"))
-    } finally { e.unpersist(); verts.unpersist(); outDeg.unpersist(); () }
+    } finally { e.unpersist(); verts.unpersist(); outDeg.unpersist(); eDeg.unpersist(); () }
   }
 
   /** HITS hubs & authorities (Kleinberg 1999) over a directed edge
