@@ -251,6 +251,25 @@ object IoQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), r2(sum(col("l_quantity"))).as("qty"))
     },
 
+    // Resume.chain: marker-committed stage checkpointing — the whole
+    // two-stage pipeline runs through stage artifacts (first Verify
+    // call computes + commits, later calls LOAD the committed parquet),
+    // so both the compute and the resume-load path sit on the oracle's
+    // critical path.
+    "q_resume_chain" -> { (s, dir) =>
+      val base = tmp(dir, "resume")
+      graft.pipeline.Resume.chain(s, base, tables(s, dir).orders)(
+        "project" -> (df => df
+          .filter(col("o_orderstatus") =!= "F")
+          .select(col("o_orderpriority"), year(col("o_orderdate")).as("yr"),
+            col("o_totalprice").cast("decimal(12,2)").as("price"))),
+        "agg" -> (df => df
+          .groupBy(col("o_orderpriority").as("priority"), col("yr"))
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("price")), 2).cast("double").as("sum_price"))))
+        .orderBy(col("priority"), col("yr"))
+    },
+
     // WebDataset-style tar shards: named binary members through the
     // native USTAR codec (write + read on the critical path; stock
     // GNU-tar interop is pinned in TarSpec).
@@ -510,6 +529,12 @@ object IoQueries extends QueryPack {
     "q_io_tfrecord" ->
       """SELECT count(*) AS n_records, min(n_name) AS first_name, max(n_name) AS last_name
         |FROM nation""".stripMargin,
+    "q_resume_chain" ->
+      """SELECT o_orderpriority AS priority, CAST(year(o_orderdate) AS INT) AS yr,
+        |  count(*) AS n,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |GROUP BY 1, 2 ORDER BY priority, yr""".stripMargin,
     "q_io_readfiles" ->
       """SELECT count(*) AS n_lines, min(n_name) AS first_name, max(n_name) AS last_name
         |FROM nation""".stripMargin,
