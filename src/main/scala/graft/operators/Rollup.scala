@@ -32,7 +32,14 @@ import org.apache.spark.sql.functions._
   */
 object Rollup {
 
-  /** Columnar form. `groupingSets` lists, per output rollup level, the
+  /** Columnar form. When APPROXIMATE distinct counts suffice, skip
+    * the correction stream entirely: HLL sketches ARE mergeable across
+    * levels, so plain `df.rollup(dims).agg(approx_count_distinct(u))`
+    * (or the persisted [[Sketches]] HLL artifacts for incremental
+    * corpora) is the cheaper path; this verb exists for the EXACT
+    * counts that sketches can't give.
+    *
+    * `groupingSets` lists, per output rollup level, the
     * subset of `rollupDims` to KEEP — the rest are nulled (the rolled
     * marker, mirroring the reference's `Option = None` convention).
     * Returns one row per (fixedDims, variant) with `measure_sum`

@@ -101,6 +101,9 @@ object Resume {
 
     val out = f
     out.write.mode("overwrite").parquet(new Path(p, Data).toString)
+    // the count below is the commit's read-back validation (the
+    // artifact must be re-readable end-to-end before it is trusted);
+    // a column-less parquet scan touches row-group headers, not data
     val committed = spark.read.parquet(new Path(p, Data).toString)
     val meta = s"""{"rows":${committed.count()},"schema":"${committed.schema.toDDL
         .replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
