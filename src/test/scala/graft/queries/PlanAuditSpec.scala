@@ -444,6 +444,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), s"correlation aggs not partial (map-side):\n$p")
   }
 
+  test("q_knn_pq: ADC scoring broadcasts the probe LUTs — no shuffle of the corpus codes to probes") {
+    val p = plan("q_knn_pq")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), s"PQ probes not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"PQ planned a cartesian product:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"), s"PQ planned a UDF:\n$p")
+  }
+
   test("q_rollup_count: no Expand (the count-distinct fan-out it exists to avoid); codegen explode") {
     val p = plan("q_rollup_count")
     // a naive grouping-sets COUNT(DISTINCT) plans Expand over the raw
