@@ -44,4 +44,25 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
+
+  /** scio's `ContextAndArgs(cmdlineArgs)` program entry (reference
+    * ScioContext.scala `ContextAndArgs`): split the command line into
+    * `--key=value` job arguments and execution context in one call.
+    * Spark-first the context is a [[SparkSession]]; master/app-name
+    * come from `--master`/`--appName` when present (otherwise
+    * spark-submit's own config owns them, as it should on a cluster),
+    * and every other `--key=value` lands in the returned
+    * [[graft.util.Args]].
+    */
+  def contextAndArgs(cmdlineArgs: Array[String]): (SparkSession, graft.util.Args) = {
+    val args = graft.util.Args(cmdlineArgs)
+    val cpus = Runtime.getRuntime.availableProcessors()
+    val b0 = SparkSession.builder()
+    val b1 = args.optional("master").fold(b0)(b0.master)
+    val shuffle = args.optional("shufflePartitions").map(_.toInt).getOrElse(cpus)
+    val session = configure(b1, shuffle)
+      .appName(args.optional("appName").getOrElse("graft"))
+      .getOrCreate()
+    (session, args)
+  }
 }

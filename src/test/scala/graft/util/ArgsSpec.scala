@@ -55,4 +55,16 @@ class ArgsSpec extends AnyFunSuite {
     val a = Args(Array("--expr=x=y+1"))
     assert(a("expr") == "x=y+1")
   }
+
+  test("contextAndArgs: scio's ContextAndArgs entry — session config split from job args") {
+    // force the suite's shared session FIRST so getOrCreate reuses it
+    // (a fresh local[2] here would otherwise become the active session
+    // for every later suite) — the point is the arg split, not a
+    // second JVM session
+    graft.TestSpark.spark
+    val (session, args) = graft.GraftSession.contextAndArgs(
+      Array("--master=local[2]", "--input=/data/in", "--n=3", "--dry"))
+    assert(session.sparkContext.appName.nonEmpty)
+    assert(args("input") == "/data/in" && args.int("n") == 3 && args.boolean("dry"))
+  }
 }
