@@ -870,23 +870,34 @@ object Dedup {
       val freshBands = fresh
         .withColumn("bandhashes", lshBandHashes(col("sig"), p.bands, rowsPerBand))
         .select(col("id"), posexplode(col("bandhashes")).as(Seq("band", "bh")))
-      val freshCounts = freshBands.groupBy(col("band"), col("bh"))
+      val freshCounts0 = freshBands.groupBy(col("band"), col("bh"))
         .agg(count(lit(1)).as("__fn"))
+        .persist()
+      // the count-delta frame is sized by the NEW crawl's bucket set:
+      // broadcast it only while that is actually side-input sized —
+      // a crawl comparable to the index must fall back to a plain
+      // equi-join (shuffles the stored BAND table: signature-sized
+      // rows, never text, the same bound VERDICT gave the old re-band)
+      val broadcastable = freshCounts0.limit(2000001).count() <= 2000000L
+      def hint(df: DataFrame): DataFrame = if (broadcastable) broadcast(df) else df
+      val freshCounts = hint(freshCounts0)
       val oldBands = spark.read.parquet(s"$indexPath/bands")
-      val oldUpdated = oldBands.join(broadcast(freshCounts), Seq("band", "bh"), "left")
+      val oldUpdated = oldBands.join(freshCounts, Seq("band", "bh"), "left")
         .select(col("id"), col("band"), col("bh"),
           (col("n") + coalesce(col("__fn"), lit(0L))).as("n"))
       // old sizes for just the buckets the new crawl touches (small set)
       val touchedOld = oldBands
-        .join(broadcast(freshCounts.select(col("band"), col("bh"))), Seq("band", "bh"))
+        .join(hint(freshCounts0.select(col("band"), col("bh"))), Seq("band", "bh"))
         .groupBy(col("band"), col("bh")).agg(first(col("n")).as("__on"))
       val freshWithN = freshBands
-        .join(broadcast(freshCounts), Seq("band", "bh"))
-        .join(broadcast(touchedOld), Seq("band", "bh"), "left")
+        .join(freshCounts, Seq("band", "bh"))
+        .join(hint(touchedOld), Seq("band", "bh"), "left")
         .select(col("id"), col("band"), col("bh"),
           (coalesce(col("__on"), lit(0L)) + col("__fn")).as("n"))
       oldUpdated.unionByName(freshWithN)
         .write.mode("overwrite").parquet(s"$outPath/bands")
+      freshCounts0.unpersist()
+      ()
     } finally { fresh.unpersist(); () }
     val meta = new org.apache.hadoop.fs.Path(s"$outPath/$MinhashIndexMeta")
     val fs = org.apache.hadoop.fs.FileSystem.get(meta.toUri,
