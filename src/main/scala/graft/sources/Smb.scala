@@ -87,13 +87,22 @@ object Smb {
     val arity = outKeys.size
     require(arity >= 1 && inputs.forall(_._2.size == arity),
       "outKeys and every key list must share one non-empty arity")
-    val grouped = inputs.map { case (table, keys) =>
+    val grouped = inputs.zipWithIndex.map { case ((table, keys), idx) =>
       val df = spark.table(table)
       val payload = df.columns.filterNot(keys.contains)
       require(payload.nonEmpty, s"$table has no non-key columns to cogroup")
       val rowsCol = s"${table}_rows"
-      (df.groupBy(keys.map(col): _*)
-        .agg(collect_list(struct(payload.map(col): _*)).as(rowsCol)), keys, rowsCol)
+      // rename each source's keys to per-source names BEFORE the fold:
+      // SMB tables routinely share key names (every side keyed
+      // "user_id"), and unqualified equi-conditions on a shared name
+      // are ambiguous after the join
+      val renamed = keys.zipWithIndex.map { case (_, i) => s"__cg_src${idx}_$i" }
+      val agg = df.groupBy(keys.map(col): _*)
+        .agg(collect_list(struct(payload.map(col): _*)).as(rowsCol))
+      val unique = keys.zip(renamed).foldLeft(agg) {
+        case (d, (k, nk)) => d.withColumnRenamed(k, nk)
+      }
+      (unique, renamed, rowsCol)
     }
     // After each full-outer join, carry forward COALESCED key columns
     // and join subsequent sources against those: a key absent from the

@@ -159,6 +159,25 @@ class SmbSpec extends SparkSpec {
     assert(rows.forall(r => !r.isNullAt(1) && !r.isNullAt(2) && !r.isNullAt(3)))
   }
 
+  test("smbCogroup: sources sharing the SAME key name cogroup cleanly") {
+    import spark.implicits._
+    // the realistic SMB shape: every side keyed "user_id" — an
+    // unqualified equi-condition on the shared name would be ambiguous
+    val x = Seq((1L, "x1"), (5L, "x5")).toDF("user_id", "xv")
+    val y = Seq((5L, 50.0), (7L, 70.0)).toDF("user_id", "yv")
+    Smb.writeBucketed(x, "smb_cgn_x", "/tmp/graft_test/smb/cgn_x", 2, Seq("user_id"))
+    Smb.writeBucketed(y, "smb_cgn_y", "/tmp/graft_test/smb/cgn_y", 2, Seq("user_id"))
+    val cg = Smb.smbCogroup(spark,
+      Seq("smb_cgn_x" -> Seq("user_id"), "smb_cgn_y" -> Seq("user_id")), Seq("user_id"))
+    val byKey = cg.collect().map { r =>
+      r.getLong(0) -> ((r.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0)).sorted,
+        r.getSeq[org.apache.spark.sql.Row](2).map(_.getDouble(0)).sorted))
+    }.toMap
+    assert(byKey.keySet == Set(1L, 5L, 7L))
+    assert(byKey(5L) == ((Seq("x5"), Seq(50.0))))
+    assert(byKey(7L) == ((Seq.empty[String], Seq(70.0))))
+  }
+
   test("smbTransform: join→transform→bucketed write end-to-end with no Exchange, " +
     "output joins exchange-free") {
     // capture the write command's executed plan via a listener — the
