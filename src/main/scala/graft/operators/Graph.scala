@@ -175,11 +175,13 @@ object Graph {
     val verts = e.select(col("__s").as("__v"))
       .union(e.select(col("__d").as("__v"))).distinct().persist()
     val outDeg = e.groupBy(col("__s")).agg(count(lit(1)).as("__deg")).persist()
-    // out-degree is loop-invariant: fold it into the edge list ONCE so
-    // each iteration joins ranks against one weighted edge table
-    // instead of re-joining outDeg every round (same rank/deg division
-    // as before — arithmetic unchanged, one join per round saved)
-    val eDeg = e.join(outDeg, Seq("__s")).persist()
+    // out-degree is loop-invariant: fold it into the edge list ONCE and
+    // pre-partition the result by source. The cached partitioning is
+    // reused by every iteration's join, so the per-round exchange is
+    // the VERTEX-sized ranks table only — the edge table never
+    // re-shuffles inside the loop (same rank/deg division as before,
+    // arithmetic unchanged)
+    val eDeg = e.join(outDeg, Seq("__s")).repartition(col("__s")).persist()
     try {
       val n = verts.count().toDouble
       var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
@@ -269,8 +271,9 @@ object Graph {
     val verts = e.select(col("__s").as("__v"))
       .union(e.select(col("__d").as("__v"))).distinct().persist()
     val outDeg = e.groupBy(col("__s")).agg(count(lit(1)).as("__deg")).persist()
-    // same loop-invariant fold as pageRank: weight edges by out-degree once
-    val eDeg = e.join(outDeg, Seq("__s")).persist()
+    // same loop-invariant fold + source pre-partitioning as pageRank:
+    // the per-round exchange is ranks only, never the edge table
+    val eDeg = e.join(outDeg, Seq("__s")).repartition(col("__s")).persist()
     try {
       // Fail loudly on seeds absent from the vertex set: an absent seed
       // receives no mass, so every round would sum to < 1 and proximity
