@@ -36,10 +36,14 @@ object Graph {
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIters: Int = 10): DataFrame = {
     require(maxIters >= 1, s"maxIters must be >= 1, got $maxIters")
+    // adjacency cached hash-partitioned by the loop's join key: each
+    // round then exchanges only the vertex-sized label table, never
+    // the edge list (the cached partitioning satisfies the join)
     val und = edges.select(col(srcCol).as("__v"), col(dstCol).as("__n"))
       .union(edges.select(col(dstCol).as("__v"), col(srcCol).as("__n")))
       .filter(col("__v").isNotNull && col("__n").isNotNull)
       .distinct()
+      .repartition(col("__n"))
       .persist()
     try {
       var labels = und.select(col("__v")).distinct()
@@ -133,6 +137,7 @@ object Graph {
       .filter(col("__v").isNotNull && col("__n").isNotNull && col("__v") =!= col("__n"))
     val und = und0.union(und0.select(col("__n").as("__v"), col("__v").as("__n")))
       .distinct()
+      .repartition(col("__n")) // same loop-key pre-partitioning as connectedComponents
       .persist()
     try {
       var labels = und.select(col("__v")).distinct()
@@ -233,6 +238,7 @@ object Graph {
       .filter(col("__v").isNotNull && col("__n").isNotNull && col("__v") =!= col("__n"))
     val und = und0.union(und0.select(col("__n").as("__v"), col("__v").as("__n")))
       .distinct()
+      .repartition(col("__n")) // loop-key pre-partitioning: hops exchange only the frontier
       .persist()
     try {
       var dist = und.select(col("__v")).distinct()
@@ -330,19 +336,24 @@ object Graph {
       .persist()
     val verts = e.select(col("__s").as("__v"))
       .union(e.select(col("__d").as("__v"))).distinct().persist()
+    // HITS alternates the edge join key every half-round; cache the
+    // edge list once per key so neither half-round re-shuffles edges —
+    // per round only the vertex-sized hub/authority tables exchange
+    val eBySrc = e.repartition(col("__s")).persist()
+    val eByDst = e.repartition(col("__d")).persist()
     try {
       val n = verts.count().toDouble
       var hubs = verts.withColumn("h", lit(1.0 / n)).localCheckpoint(true)
       var auths = hubs.select(col("__v"), col("h").as("a"))
       (1 to iters).foreach { _ =>
-        val aRaw = e.join(hubs.select(col("__v").as("__s"), col("h")), Seq("__s"))
+        val aRaw = eBySrc.join(hubs.select(col("__v").as("__s"), col("h")), Seq("__s"))
           .groupBy(col("__d").as("__v")).agg(sum(col("h")).as("__ar"))
         val aNorm = aRaw.agg(sum(col("__ar")).as("__an"))
         auths = verts.join(aRaw, Seq("__v"), "left")
           .crossJoin(broadcast(aNorm))
           .select(col("__v"), (coalesce(col("__ar"), lit(0.0)) / col("__an")).as("a"))
           .localCheckpoint(true)
-        val hRaw = e.join(auths.select(col("__v").as("__d"), col("a")), Seq("__d"))
+        val hRaw = eByDst.join(auths.select(col("__v").as("__d"), col("a")), Seq("__d"))
           .groupBy(col("__s").as("__v")).agg(sum(col("a")).as("__hr"))
         val hNorm = hRaw.agg(sum(col("__hr")).as("__hn"))
         hubs = verts.join(hRaw, Seq("__v"), "left")
@@ -352,7 +363,7 @@ object Graph {
       }
       hubs.join(auths, Seq("__v"))
         .select(col("__v").as("vertex"), col("h").as("hub"), col("a").as("authority"))
-    } finally { e.unpersist(); verts.unpersist(); () }
+    } finally { e.unpersist(); verts.unpersist(); eBySrc.unpersist(); eByDst.unpersist(); () }
   }
 
   /** Per-vertex triangle counts over an undirected edge list (self
