@@ -306,10 +306,17 @@ object Bench {
       s""""idle_wait_target":0.3,"polluted_threshold":0.5,""" +
       s""""available_processors":${Runtime.getRuntime.availableProcessors()},""" +
       s""""spark_cpus":$cpus}"""
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","polluted":$polluted,""" +
-      f""""queries":${jmap(all2)},""" +
-      f""""queries_min":${jmap(mins)},"cap_metrics":$caps,""" +
-      f""""shuffle_bytes":$shuffles,"reps":$reps,$env,"sf":"$sfDir"}""")
+    // KEY ORDER IS LOAD-BEARING: the driver archives only a 2,000-char
+    // TAIL of this line, so the verdict-critical fields — per-query
+    // medians, the env fingerprint, the polluted stamp, and the suite
+    // total — must be the LAST keys (r11's archived artifact lost its
+    // totals and idle fingerprint because they were printed first).
+    // Least-critical first: cap/shuffle detail (duplicated in
+    // SCALING.md), then mins, then medians + env + polluted + total.
+    println(f"""{"metric":"total","cap_metrics":$caps,"shuffle_bytes":$shuffles,""" +
+      f""""queries_min":${jmap(mins)},"reps":$reps,"sf":"$sfDir",""" +
+      f""""queries":${jmap(all2)},$env,"polluted":$polluted,""" +
+      f""""value":$total%.3f,"unit":"sec"}""")
     spark.stop()
   }
 }

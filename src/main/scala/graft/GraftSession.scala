@@ -53,6 +53,16 @@ object GraftSession {
     * spark-submit's own config owns them, as it should on a cluster),
     * and every other `--key=value` lands in the returned
     * [[graft.util.Args]].
+    *
+    * Session-reuse caveat: this resolves through `getOrCreate()`, so
+    * when the JVM already holds an active [[SparkSession]] (a REPL, a
+    * test harness, a prior job in the same process) that session is
+    * returned AS-IS and any `--master`/`--appName`/
+    * `--shufflePartitions` arguments do NOT apply — builder config
+    * never reconfigures a live session. That case logs a warning
+    * naming the ignored args (scio's ContextAndArgs always owns a
+    * fresh context, so a caller porting from it would otherwise
+    * assume the flags took effect).
     */
   def contextAndArgs(cmdlineArgs: Array[String]): (SparkSession, graft.util.Args) = {
     val args = graft.util.Args(cmdlineArgs)
@@ -60,9 +70,19 @@ object GraftSession {
     val b0 = SparkSession.builder()
     val b1 = args.optional("master").fold(b0)(b0.master)
     val shuffle = args.optional("shufflePartitions").map(_.toInt).getOrElse(cpus)
+    val preexisting = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
     val session = configure(b1, shuffle)
       .appName(args.optional("appName").getOrElse("graft"))
       .getOrCreate()
+    if (preexisting.contains(session)) {
+      val sessionArgs = Seq("master", "appName", "shufflePartitions")
+        .filter(args.optional(_).isDefined)
+      if (sessionArgs.nonEmpty)
+        System.err.println(
+          s"[graft] contextAndArgs reused the active SparkSession; session-level args " +
+            s"${sessionArgs.map("--" + _).mkString(", ")} were IGNORED (builder config " +
+            "cannot reconfigure a live session)")
+    }
     (session, args)
   }
 }

@@ -877,8 +877,11 @@ object Dedup {
       // broadcast it only while that is actually side-input sized —
       // a crawl comparable to the index must fall back to a plain
       // equi-join (shuffles the stored BAND table: signature-sized
-      // rows, never text, the same bound VERDICT gave the old re-band)
-      val broadcastable = freshCounts0.limit(2000001).count() <= 2000000L
+      // rows, never text, the same bound VERDICT gave the old re-band).
+      // A plain count() on the PERSISTED frame doubles as the cache
+      // warm-up for the three joins below (a limit().count() probe
+      // would stop short of populating it and cost a recompute).
+      val broadcastable = freshCounts0.count() <= 2000000L
       def hint(df: DataFrame): DataFrame = if (broadcastable) broadcast(df) else df
       val freshCounts = hint(freshCounts0)
       val oldBands = spark.read.parquet(s"$indexPath/bands")

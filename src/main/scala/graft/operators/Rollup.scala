@@ -60,9 +60,22 @@ object Rollup {
         s"grouping set ${g.mkString("(", ",", ")")} is not a subset of rollupDims")
     }
     val rollupTypes = rollupDims.map(d => d -> df.schema(d).dataType).toMap
-    def variantStruct(keep: Set[String]) = struct(rollupDims.map { d =>
-      (if (keep(d)) col(d) else lit(null).cast(rollupTypes(d))).as(d)
-    }: _*)
+    // __keep_mask (bit i set ⇔ rollupDims(i) KEPT) disambiguates a
+    // rolled-up dim from a genuine NULL data value in a kept dim: the
+    // SQL GROUPING() bit, carried inside the variant struct. Without
+    // it, keep{a,b} with a IS NULL and keep{b} yield identical
+    // structs, array_distinct collapses them, and leaf rows silently
+    // merge into subtotal rows — distinct_count then diverges from
+    // GROUPING SETS (and from the reference's Option semantics, where
+    // None and Some(null) are distinct). The mask is a plan-time
+    // literal per grouping set and is dropped on output.
+    def variantStruct(keep: Set[String]) = {
+      val mask = rollupDims.zipWithIndex
+        .collect { case (d, i) if keep(d) => 1L << i }.sum
+      struct(lit(mask).as("__keep_mask") +: rollupDims.map { d =>
+        (if (keep(d)) col(d) else lit(null).cast(rollupTypes(d))).as(d)
+      }: _*)
+    }
     // identical variants collapse, mirroring the reference's Set[R]
     val variants =
       array_distinct(array(groupingSets.map(g => variantStruct(g.toSet)): _*))

@@ -100,11 +100,29 @@ object Resume {
     fs.create(new Path(p, Ownership), true).close()
 
     val out = f
-    out.write.mode("overwrite").parquet(new Path(p, Data).toString)
+    val dataPath = new Path(p, Data).toString
+    out.write.mode("overwrite").parquet(dataPath)
     // the count below is the commit's read-back validation (the
     // artifact must be re-readable end-to-end before it is trusted);
-    // a column-less parquet scan touches row-group headers, not data
-    val committed = spark.read.parquet(new Path(p, Data).toString)
+    // a column-less parquet scan touches row-group headers, not data.
+    // Empty-plan edge: a ZERO-partition frame (empty source, fully
+    // filtered scan) writes only _SUCCESS — no part file, so schema
+    // inference throws and would abort a legitimately-empty stage.
+    // Rewrite it as ONE empty parquet file carrying the plan's schema,
+    // so this commit AND every later cold-start read stay
+    // self-describing.
+    val committed =
+      try spark.read.parquet(dataPath)
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.toUpperCase.contains("UNABLE_TO_INFER_SCHEMA") ||
+              e.getMessage.contains("Unable to infer schema") =>
+          spark.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](), out.schema)
+            .repartition(1)
+            .write.mode("overwrite").parquet(dataPath)
+          spark.read.parquet(dataPath)
+      }
     val meta = s"""{"rows":${committed.count()},"schema":"${committed.schema.toDDL
         .replace("\\", "\\\\").replace("\"", "\\\"")}"}"""
     val m = fs.create(new Path(p, Complete), true)

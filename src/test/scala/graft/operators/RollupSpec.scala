@@ -104,6 +104,39 @@ class RollupSpec extends SparkSpec {
     assert(top.getDouble(0) == 23.0 && top.getLong(1) == 2L)
   }
 
+  test("columnar path keeps a genuine NULL dim value distinct from rolled-up") {
+    // user 1/2 have st = NULL as a DATA value; keep{st,yr} must not
+    // collapse into keep{yr} for them (the GROUPING() bit the
+    // __keep_mask struct field carries — without it the leaf rows
+    // silently merge into the subtotal and distinct_count diverges
+    // from SQL GROUPING SETS)
+    val df = Seq(
+      (1L, "A", Option.empty[String], 2020L, 10.0),
+      (2L, "A", Option.empty[String], 2020L, 5.0),
+      (2L, "A", Option("s1"), 2020L, 7.0),
+      (3L, "A", Option("s1"), 2021L, 1.0)
+    ).toDF("u", "fixed", "st", "yr", "m")
+    val sets = Seq(Seq("st", "yr"), Seq("yr"))
+    val got = Rollup.rollupAndCount(df, "u", Seq("fixed"), Seq("st", "yr"), sets, "m")
+    val expected = sets.map { keep =>
+      val gcols = "fixed" +: keep
+      df.groupBy(gcols.map(col): _*)
+        .agg(sum(col("m")).as("measure_sum"),
+          countDistinct(col("u")).as("distinct_count"))
+        .select(col("fixed"),
+          (if (keep.contains("st")) col("st") else lit(null).cast("string")).as("st"),
+          (if (keep.contains("yr")) col("yr") else lit(null).cast("long")).as("yr"),
+          col("measure_sum"), col("distinct_count"))
+    }.reduce(_ unionAll _)
+    assert(sortedRows(got) == sortedRows(expected))
+    // both the NULL-leaf and the {yr}-subtotal rows exist for yr=2020,
+    // st NULL — distinguishable by their aggregates, never merged
+    val at2020 = got.where(col("yr") === 2020 && col("st").isNull)
+      .select("measure_sum", "distinct_count").collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toSet
+    assert(at2020 == Set((15.0, 2L), (22.0, 2L)))
+  }
+
   test("columnar path validates grouping sets") {
     val df = Seq((1L, "A", "x", 1.0)).toDF("u", "fixed", "st", "m")
     intercept[IllegalArgumentException] {
