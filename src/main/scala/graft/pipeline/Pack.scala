@@ -83,15 +83,29 @@ object Pack {
     * zero-token docs get bin_seq −2 (empty): flagged, never silently
     * dropped, never a null bin id.
     *
+    * Skew contract: the window key is (n_tokens, salt) — a
+    * deterministic md5 salt of the doc id in [0, `salts`) — NOT
+    * n_tokens alone. A corpus of uniform document lengths (exactly
+    * what a chunked/budget-trimmed corpus looks like) would otherwise
+    * route every row into ONE window partition: a single linear
+    * straggler task at 100 TB. Bins never span salts — placement
+    * within a salt is rank arithmetic in id order, and the global
+    * `bin_seq` encodes (in-salt bin, salt) as `bin · salts + salt`,
+    * so placement stays deterministic and reshuffle-stable. The cost
+    * is at most one underfilled bin per (length, salt) instead of one
+    * per length; `salts = 1` recovers the unsalted layout.
+    *
     * Returns (id, n_tokens, bin_len, bin_seq, fill_frac).
     */
   def binPack(df: DataFrame, idCol: String, textCol: String,
-              capacity: Int): DataFrame = {
+              capacity: Int, salts: Int = 16): DataFrame = {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     val counted = df.select(col(idCol).as("id"),
-      size(tokens(coalesce(col(textCol), lit("")))).cast("long").as("n_tokens"))
+      size(tokens(coalesce(col(textCol), lit("")))).cast("long").as("n_tokens"),
+      graft.operators.Splits.assignShard(col(idCol), salts, "binpack").as("__salt"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("n_tokens")).orderBy(col("id"))
+      .partitionBy(col("n_tokens"), col("__salt")).orderBy(col("id"))
     counted
       .withColumn("__rk", row_number().over(w).cast("long"))
       .withColumn("__pb", expr(s"${capacity}L div nullif(n_tokens, 0)"))
@@ -102,7 +116,7 @@ object Pack {
         // them like overflow docs instead (-2: empty, -1: too long)
         when(col("n_tokens") === 0L, lit(-2L))
           .when(col("n_tokens") > capacity, lit(-1L))
-          .otherwise(expr("(__rk - 1) div __pb")).as("bin_seq"),
+          .otherwise(expr("(__rk - 1) div __pb") * salts + col("__salt")).as("bin_seq"),
         when(col("n_tokens") === 0L || col("n_tokens") > capacity, lit(0.0))
           .otherwise(round(col("__pb") * col("n_tokens") / capacity.toDouble, 6))
           .as("fill_frac"))

@@ -1723,16 +1723,19 @@ object TextVectorQueries extends QueryPack {
     "q_bin_pack" ->
       """WITH tok AS (
         |  SELECT doc_id,
-        |    len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS n
+        |    len(regexp_split_to_array(trim(coalesce(text, '')), '\s+')) AS n,
+        |    CAST(CAST(concat('0x', substr(md5('binpack:' || CAST(doc_id AS VARCHAR)),
+        |      1, 8)) AS UBIGINT) % 16 AS BIGINT) AS salt
         |  FROM documents),
         |r AS (
-        |  SELECT doc_id, n,
-        |    row_number() OVER (PARTITION BY n ORDER BY doc_id) AS rk,
+        |  SELECT doc_id, n, salt,
+        |    row_number() OVER (PARTITION BY n, salt ORDER BY doc_id) AS rk,
         |    192 // n AS pb
         |  FROM tok)
         |SELECT doc_id AS id, CAST(n AS BIGINT) AS n_tokens,
         |  CAST(n AS BIGINT) AS bin_len,
-        |  CAST(CASE WHEN n > 192 THEN -1 ELSE (rk - 1) // pb END AS BIGINT) AS bin_seq,
+        |  CAST(CASE WHEN n > 192 THEN -1
+        |       ELSE ((rk - 1) // pb) * 16 + salt END AS BIGINT) AS bin_seq,
         |  CASE WHEN n > 192 THEN 0.0 ELSE round(pb * n / 192.0, 6) END AS fill_frac
         |FROM r ORDER BY id""".stripMargin,
     "q_substr_remove" ->

@@ -143,7 +143,9 @@ class GlobalOrderSpec extends SparkSpec {
       (4L, "p q r"),            // 3 tokens: 3 per bin
       (5L, "one two three four five six seven eight nine ten eleven") // 11 > C
     ).toDF("doc_id", "text")
-    val out = Pack.binPack(docs, "doc_id", "text", capacity = 10)
+    // salts = 1: the unsalted layout, so the fixture's bin ids are the
+    // plain per-length ranks (the salted default is pinned below)
+    val out = Pack.binPack(docs, "doc_id", "text", capacity = 10, salts = 1)
       .collect().map(r => r.getLong(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
     assert(out(1L) == ((5L, 5L, 0L, 1.0)))
@@ -186,6 +188,31 @@ class GlobalOrderSpec extends SparkSpec {
     val loads = placed.groupBy(t => (t._3, t._4)).map { case (_, ts) => ts.map(_._2).sum }
     assert(loads.forall(_ <= 24L), s"overfull bin: ${loads.filter(_ > 24L)}")
     assert(out.filter(_._4 == -1L).forall(_._2 > 24L)) // only oversize docs overflow
+  }
+
+  test("binPack: uniform-length corpus spreads across salted window partitions") {
+    import graft.pipeline.Pack
+    import spark.implicits._
+    // the straggler corpus: 50k docs of IDENTICAL token length (what a
+    // chunked/budget-trimmed corpus looks like). Unsalted, every row
+    // lands in ONE window partition — one linear task at 100 TB; the
+    // (n_tokens, salt) key must spread placement across all salts.
+    val docs = spark.range(1, 50001).select(col("id").as("doc_id"),
+      lit("w1 w2 w3 w4 w5").as("text"))
+    val out = Pack.binPack(docs, "doc_id", "text", capacity = 20)
+      .select(col("id"), col("bin_seq"), pmod(col("bin_seq"), lit(16L)).as("salt"))
+      .collect()
+    assert(out.length == 50000)
+    val bySalt = out.groupBy(_.getLong(2)).view.mapValues(_.length).toMap
+    // all 16 salts used, and no salt hoards the corpus (md5 is uniform:
+    // expected 3125/salt; 2x headroom is far beyond any md5 deviation)
+    assert(bySalt.keySet == (0L until 16L).toSet, s"salts used: ${bySalt.keySet}")
+    assert(bySalt.values.max <= 2 * 50000 / 16,
+      s"salt skew: max=${bySalt.values.max}")
+    // placement is still valid packing: 4 docs of 5 tokens per bin,
+    // and bins never exceed capacity
+    val loads = out.groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    assert(loads.values.forall(_ <= 4), s"overfull bin: ${loads.values.max}")
   }
 
   test("maskCorrupt: runs collapse to one sentinel; masked+kept reconstruct the doc") {
