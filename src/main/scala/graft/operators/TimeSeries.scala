@@ -147,4 +147,63 @@ object TimeSeries {
       .withColumn("roll_min", min(col(valCol)).over(w))
       .withColumn("roll_max", max(col(valCol)).over(w))
   }
+
+  /** Hot-key [[rolling]]: identical output, but the window key is
+    * (key, time-chunk) instead of key — an ultra-hot key's rows (one
+    * instrument carrying 30% of a feed) spread over (time-range /
+    * `chunkSec`) tasks instead of serializing on one core, the same
+    * straggler bound [[graft.operators.Temporal.asofJoinChunked]]
+    * kills for as-of joins.
+    *
+    * Mechanics: a row near the END of a chunk still contributes to
+    * trailing windows in the NEXT chunk(s), so each row is also
+    * replicated as a non-emitting CARRY row into every later chunk
+    * its window tail reaches — exactly ⌈windowSec/chunkSec⌉ chunks,
+    * and only when the row's tail actually crosses the boundary. With
+    * `chunkSec >= windowSec` (the intended operating point) that is
+    * at most ONE carry copy per row, and only for rows within
+    * `windowSec` of a chunk end. Within each (key, chunk) partition
+    * the same RANGE frame as [[rolling]] runs over natives + carries;
+    * only natives are emitted, and a row appears in any partition at
+    * most once, so no aggregate double-counts. Placement is pure
+    * integer arithmetic — results are bit-identical to [[rolling]]
+    * at every chunk size.
+    */
+  def rollingChunked(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+                     windowSec: Long, chunkSec: Long): DataFrame = {
+    require(windowSec >= 1, s"windowSec must be >= 1, got $windowSec")
+    require(chunkSec >= 1, s"chunkSec must be >= 1, got $chunkSec")
+    val winUs = windowSec * 1000000L
+    val chunkUs = chunkSec * 1000000L
+    // how many later chunks a row's trailing-window tail can reach
+    val reps = ((winUs - 1) / chunkUs + 1).toInt
+    val us = col("__roll_us")
+    val base = df
+      .withColumn("__roll_us", unix_micros(col(tsCol)))
+      // integer floor division (`div`, not `/` — long/long is DOUBLE
+      // in Spark), correct for pre-epoch micros via pmod
+      .withColumn("__roll_chunk",
+        call_function("div", us - pmod(us, lit(chunkUs)), lit(chunkUs)))
+    val native = base.withColumn("__roll_emit", lit(true))
+    // a row at time t reaches chunk c+r iff t + winUs > (c+r)·chunkUs
+    val carry = base
+      .select(col("*"),
+        explode(sequence(lit(1), lit(reps))).as("__roll_r"))
+      .filter(us + lit(winUs) > (col("__roll_chunk") + col("__roll_r")) * lit(chunkUs))
+      .withColumn("__roll_chunk", col("__roll_chunk") + col("__roll_r"))
+      .drop("__roll_r")
+      .withColumn("__roll_emit", lit(false))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol), col("__roll_chunk"))
+      .orderBy(us)
+      .rangeBetween(-winUs + 1L, 0L)
+    native.unionByName(carry)
+      .withColumn("roll_n", count(col(valCol)).over(w))
+      .withColumn("roll_sum", sum(col(valCol)).over(w))
+      .withColumn("roll_avg", avg(col(valCol)).over(w))
+      .withColumn("roll_min", min(col(valCol)).over(w))
+      .withColumn("roll_max", max(col(valCol)).over(w))
+      .filter(col("__roll_emit"))
+      .drop("__roll_us", "__roll_chunk", "__roll_emit")
+  }
 }

@@ -114,6 +114,24 @@ object MaintenanceQueries extends QueryPack {
         .orderBy(col("user_id"), col("ts_us"), col("event_id"))
     },
 
+    // rollingChunked: identical semantics to q_rolling, with the
+    // hot-key (key, time-chunk) window key — the chunk spread and the
+    // out-of-chunk carry rows are on the critical path; the SAME
+    // plain-window oracle pins that the chunked layout changes
+    // nothing. chunkSec == windowSec: every row has at most one carry.
+    "q_rolling_chunked" -> { (s, dir) =>
+      val ev = tables(s, dir).events
+        .filter(col("user_id") % 11 === 0)
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      graft.operators.TimeSeries.rollingChunked(ev, "user_id", "ts", "value",
+          windowSec = 21600L, chunkSec = 21600L)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          col("roll_n"), round(col("roll_sum"), 4).as("roll_sum"),
+          round(col("roll_avg"), 6).as("roll_avg"),
+          round(col("roll_min"), 4).as("roll_min"), round(col("roll_max"), 4).as("roll_max"))
+        .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+    },
+
     // Pivot: order-priority census per order status (explicit value
     // list → deterministic columns).
     "q_pivot" -> { (s, dir) =>
@@ -345,6 +363,17 @@ object MaintenanceQueries extends QueryPack {
         |    (acc, x) -> 0.1 * x + 0.9 * acc), 6) AS ema_last
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_rolling" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |  count(value) OVER w AS roll_n,
+        |  round(sum(value) OVER w, 4) AS roll_sum,
+        |  round(avg(value) OVER w, 6) AS roll_avg,
+        |  round(min(value) OVER w, 4) AS roll_min,
+        |  round(max(value) OVER w, 4) AS roll_max
+        |FROM events WHERE user_id % 11 = 0
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 21599999999 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "q_rolling_chunked" ->
       """SELECT user_id, epoch_us(ts) AS ts_us, event_id,
         |  count(value) OVER w AS roll_n,
         |  round(sum(value) OVER w, 4) AS roll_sum,

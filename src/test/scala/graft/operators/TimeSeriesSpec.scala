@@ -117,4 +117,30 @@ class TimeSeriesSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException](TimeSeries.rolling(df, "k", "ts", "v", 0L))
   }
+
+  test("rollingChunked equals rolling at every chunk size; hot key spreads") {
+    val rnd = new scala.util.Random(41)
+    // ultra-hot key 1 (~60% of rows) + 3 cold keys; irregular
+    // timestamps including exact duplicates (frame peers)
+    val rows = (1 to 1200).map { _ =>
+      val k = if (rnd.nextInt(10) < 6) 1L else 2L + rnd.nextInt(3)
+      (k, (rnd.nextInt(3000) * 7).toLong, rnd.nextInt(100).toDouble)
+    }
+    val df = rows.toDF("k", "t_s", "v")
+      .withColumn("ts", timestamp_seconds(col("t_s")))
+    val win = 150L
+    val want = sortedRows(TimeSeries.rolling(df, "k", "ts", "v", win))
+    // chunk < window (multi-carry), == window, barely over, >> window,
+    // and one chunk so large everything is one chunk (degenerate)
+    for (chunk <- Seq(40L, 150L, 151L, 1000L, 1000000L)) {
+      val got = TimeSeries.rollingChunked(df.repartition(7), "k", "ts", "v", win, chunk)
+      assert(sortedRows(got) == want, s"chunkSec=$chunk diverges from rolling")
+    }
+    // the straggler bound: at chunkSec=150 the hot key's rows spread
+    // over ~140 (key, chunk) window partitions instead of ONE
+    val hotChunks = rows.filter(_._1 == 1L).map(_._2 / 150L).distinct.size
+    assert(hotChunks > 10, s"fixture regressed: only $hotChunks hot chunks")
+    intercept[IllegalArgumentException](
+      TimeSeries.rollingChunked(df, "k", "ts", "v", win, 0L))
+  }
 }
