@@ -463,6 +463,68 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), s"aggregation not partial (map-side):\n$p")
   }
 
+  test("graph loops exchange the vertex-sized table per round, never the adjacency") {
+    // The r11 win (pageRank sf1: 467→346 MB shuffle) came from folding
+    // out-degree into the edge list ONCE, pre-partitioned by source and
+    // persisted, so each round exchanges only rank-table bytes. That
+    // property was protected only by a comment; this pins it with the
+    // same task-metrics listener Bench uses: per-iteration shuffle
+    // delta must stay far below one adjacency exchange.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // dense graph: 100 vertices, 9900 edges — adjacency dwarfs ranks
+    val edges = (for { s <- 1L to 100L; d <- 1L to 100L if s != d } yield (s, d))
+      .toDF("src", "dst").persist()
+    edges.count()
+    val written = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) { written.addAndGet(m.shuffleWriteMetrics.bytesWritten); () }
+      }
+    }
+    // task-end events post asynchronously: poll until stable (Bench's
+    // settledCounters), bounded
+    def settle(): Long = {
+      var prev = -1L
+      var cur = written.get
+      val deadline = System.nanoTime() + 10000000000L
+      while (cur != prev && System.nanoTime() < deadline) {
+        prev = cur; Thread.sleep(100); cur = written.get
+      }
+      cur
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def measured(body: => Unit): Long = { settle(); written.set(0); body; settle() }
+      val adjacency = measured(edges.repartition(col("src")).foreach(_ => ()))
+      def perIter(run: Int => Long): Double = {
+        val short = measured(run(2))
+        val long = measured(run(6))
+        (long - short) / 4.0
+      }
+      val pr = perIter(i =>
+        graft.operators.Graph.pageRank(edges, "src", "dst", iters = i).count())
+      assert(pr < adjacency / 3.0,
+        s"a pageRank round shuffles adjacency-scale bytes (perIter=$pr, one edge " +
+          s"exchange=$adjacency) — is eDeg still pre-partitioned+persisted outside the loop?")
+      val ppr = perIter(i => graft.operators.Graph.personalizedPageRank(
+        edges, "src", "dst", seeds = Seq(1L, 2L), iters = i).count())
+      assert(ppr < adjacency / 3.0,
+        s"a PPR round shuffles adjacency-scale bytes (perIter=$ppr, one edge " +
+          s"exchange=$adjacency)")
+      val bfs = perIter(i => graft.operators.Graph.shortestPaths(
+        edges, "src", "dst", landmarks = Seq(1L, 2L), maxHops = i).count())
+      // BFS doubles the adjacency (undirected), so the same bound holds
+      assert(bfs < adjacency / 3.0,
+        s"a BFS hop shuffles adjacency-scale bytes (perIter=$bfs, one edge " +
+          s"exchange=$adjacency)")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      edges.unpersist(); ()
+    }
+  }
+
   test("q_dedup_incremental: the index's bucket cap is a pushed scan filter, not a window") {
     val p = graft.SparkEntry.queries("q_dedup_incremental")(spark, dir)
       .queryExecution.explainString(
