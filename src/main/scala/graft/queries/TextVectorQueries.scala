@@ -153,13 +153,19 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("content_hash"))
     },
 
-    // SemDeDup semantic dedup over the trained IVF clusters — rows-
-    // only (cluster ids are centroid-dependent); the drop rule and
-    // cap behavior are pinned in SimilaritySpec.
+    // SemDeDup semantic dedup — ORACLE-EXACT (r12, formerly rows-only):
+    // the gate clusters over FIXED reference directions (compile-time
+    // float-rounded literals, the q_embed_outlier technique), so the
+    // oracle recomputes the argmax assignment from the same embedded
+    // centroid literals and the within-cluster ≥-threshold drop rule
+    // from the same pairwise cosine, at every sf. The trained-quantizer
+    // path stays exercised by q_knn_ivf's artifact, and semanticDedup's
+    // drop rule / hot-cluster cap are additionally pinned in
+    // SimilaritySpec. Threshold 0.35 so the gate actually drops docs.
     "q_semantic_dedup" -> { (s, dir) =>
       val emb = tables(s, dir).embeddings
       KNN.semanticDedup(emb, "vec_id", "embedding",
-          ivfCentroidsFor(s, dir, emb), threshold = 0.95)
+          semanticDedupCentroids, threshold = 0.35)
         .orderBy(col("id"))
     },
 
@@ -696,12 +702,21 @@ object TextVectorQueries extends QueryPack {
     // the loaded artifact, not Lloyd's re-runs. Deterministic
     // training (seeded, fixed iters) means the cache can never go
     // stale for a given corpus dir.
+    // nprobe = ALL cells for the gate (r12, formerly rows-only at
+    // nprobe=4): every corpus vector is then scored with the exact
+    // fused cosine, so the result is hash-exact against the same
+    // brute-force SQL as q_knn_brute — while the trained-artifact
+    // load, cell assignment, and per-probe cell ranking stay on the
+    // critical path (the established q_knn_ivfpq/q_knn_annoy
+    // exhaustive-knob pattern). Recall at realistic nprobe is pinned
+    // in SimilaritySpec.
     "q_knn_ivf" -> { (s, dir) =>
       val emb = tables(s, dir).embeddings
       val cents = ivfCentroidsFor(s, dir, emb)
       KNN.ivfKMeansTopK(emb, emb.filter(col("vec_id") <= 10), "vec_id", "embedding",
-          k = 5, centroids = cents, nprobe = 4)
-        .select(col("probe_id"), col("rank"), col("id").as("neighbor_id"))
+          k = 5, centroids = cents, nprobe = cents.size)
+        .select(col("probe_id"), col("rank").cast("long").as("rank"),
+          col("id").as("neighbor_id"))
         .orderBy(col("probe_id"), col("rank"))
     },
 
@@ -1106,6 +1121,47 @@ object TextVectorQueries extends QueryPack {
     graft.functions.VectorFunctions.hyperplanes(dim = 64, nBits = 4, seed = 7L)
       .map(_.map(_.toFloat.toDouble).toSeq).toSeq
 
+  /** Fixed reference centroids for q_semantic_dedup's gate clustering
+    * (same float-rounded-literal contract as [[outlierCentroids]]):
+    * 8 hyperplane directions, a distinct seed from every other
+    * reference set in the suite.
+    */
+  private[queries] val semanticDedupCentroids: Seq[Seq[Double]] =
+    graft.functions.VectorFunctions.hyperplanes(dim = 64, nBits = 8, seed = 13L)
+      .map(_.map(_.toFloat.toDouble).toSeq).toSeq
+
+  /** q_semantic_dedup oracle: cluster = first-wins argmax cosine over
+    * the embedded centroid literals (the q_embed_outlier dialect);
+    * drop rule = within-cluster lower-id point at cosine ≥ threshold
+    * (the same unrounded DOUBLE[] pairwise compare q_embed_dedup_pairs
+    * already gates hash-exact).
+    */
+  private val semanticDedupOracle: String = {
+    def centList(c: Int) = semanticDedupCentroids(c).map(_.toString).mkString("[", ", ", "]")
+    def simExpr(c: Int) =
+      s"""(CASE WHEN list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding]) = 0
+         |      THEN 0.0 ELSE
+         |  list_sum([CAST(p[1] AS DOUBLE) * p[2] FOR p IN list_zip(embedding, ${centList(c)})])
+         |  / (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding]))
+         |     * sqrt(list_sum([CAST(y AS DOUBLE) * y FOR y IN ${centList(c)}]))) END)""".stripMargin
+    s"""WITH sims AS (
+       |  SELECT vec_id AS id, embedding,
+       |    [${(0 until 8).map(simExpr).mkString(",\n")}] AS arr
+       |  FROM embeddings),
+       |a AS (
+       |  SELECT id, embedding,
+       |    CAST(list_position(arr, list_max(arr)) - 1 AS INT) AS cluster
+       |  FROM sims),
+       |dup AS (
+       |  SELECT DISTINCT b.id AS id
+       |  FROM a x JOIN a b ON x.cluster = b.cluster AND x.id < b.id
+       |  WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+       |                               CAST(b.embedding AS DOUBLE[])) >= 0.35)
+       |SELECT a.id, a.cluster, (dup.id IS NULL) AS keep
+       |FROM a LEFT JOIN dup ON a.id = dup.id
+       |ORDER BY a.id""".stripMargin
+  }
+
   private val embedOutlierOracle: String = {
     def centList(c: Int) = outlierCentroids(c).map(_.toString).mkString("[", ", ", "]")
     def simExpr(c: Int) =
@@ -1113,7 +1169,7 @@ object TextVectorQueries extends QueryPack {
          |      THEN 0.0 ELSE
          |  list_sum([CAST(p[1] AS DOUBLE) * p[2] FOR p IN list_zip(embedding, ${centList(c)})])
          |  / (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding]))
-         |     * sqrt(list_sum([y * y FOR y IN ${centList(c)}]))) END)""".stripMargin
+         |     * sqrt(list_sum([CAST(y AS DOUBLE) * y FOR y IN ${centList(c)}]))) END)""".stripMargin
     s"""WITH sims AS (
        |  SELECT vec_id AS id,
        |    [${(0 until 4).map(simExpr).mkString(",\n")}] AS arr
@@ -1910,6 +1966,19 @@ object TextVectorQueries extends QueryPack {
         |ORDER BY containment_a DESC, id_a, id_b
         |LIMIT 25""".stripMargin,
     "q_knn_brute" ->
+      """WITH probes AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id <= 10),
+        |scored AS (
+        |  SELECT pid AS probe_id, vec_id AS neighbor_id,
+        |         list_cosine_similarity(embedding, pe) AS sim
+        |  FROM embeddings, probes WHERE vec_id != pid),
+        |ranked AS (
+        |  SELECT probe_id, neighbor_id,
+        |         CAST(row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT probe_id, rank, neighbor_id FROM ranked WHERE rank <= 5
+        |ORDER BY probe_id, rank""".stripMargin,
+    "q_semantic_dedup" -> semanticDedupOracle,
+    "q_knn_ivf" ->
       """WITH probes AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id <= 10),
         |scored AS (
         |  SELECT pid AS probe_id, vec_id AS neighbor_id,
