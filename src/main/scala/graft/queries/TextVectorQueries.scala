@@ -103,6 +103,11 @@ object TextVectorQueries extends QueryPack {
     * documents-table fingerprint — the same offline-artifact shape as
     * [[ivfCentroidsFor]].
     */
+  /** One merge count shared by the gate query AND its unrolled oracle
+    * ([[bpeMergesOracle]]) — they must never drift.
+    */
+  private val BpeNumMerges = 40
+
   private val bpeCache = new java.util.concurrent.ConcurrentHashMap[String, graft.pipeline.Bpe.Model]()
   private def bpeModelFor(s: org.apache.spark.sql.SparkSession, dir: String): graft.pipeline.Bpe.Model = {
     val fp = corpusFingerprint(s, dir, "documents.parquet")
@@ -111,11 +116,65 @@ object TextVectorQueries extends QueryPack {
         s"/tmp/graft_io/bpe_${dir.replaceAll("[^a-zA-Z0-9]", "_")}_$fp.gbpe")
       path.getParentFile.mkdirs()
       if (!path.isFile) {
-        val m = graft.pipeline.Bpe.train(tables(s, dir).documents, "text", numMerges = 40)
+        val m = graft.pipeline.Bpe.train(tables(s, dir).documents, "text",
+          numMerges = BpeNumMerges)
         graft.pipeline.Bpe.save(s, m, path.getAbsolutePath)
       }
       graft.pipeline.Bpe.load(s, path.getAbsolutePath)
     })
+  }
+
+  /** q_bpe_merges oracle: BPE training is deterministic given the
+    * corpus, so the oracle RECOMPUTES the merge sequence — the
+    * unrolled-rounds technique the graph oracles use. One materialized
+    * CTE trio per merge: (1) pair census over the current word
+    * segmentations, weighted by word frequency; (2) argmax with the
+    * trainer's exact (-count, left, right) tie-break and the ≥2
+    * min-pair-frequency stop (an empty best passes segmentations
+    * through unchanged, so early stop degrades gracefully); (3) exact
+    * left-to-right resegmentation as a `list_reduce` fold over a
+    * space-joined accumulator — symbols are \S+ tokens so the
+    * separator can never collide, and a just-merged token equals
+    * left||right ≠ left so it can never immediately re-merge, which is
+    * precisely the trainer's skip-after-merge scan. trainLocal's
+    * maxWords cap (1e6) is not modeled: every gate corpus vocabulary
+    * sits orders of magnitude below it. Character splitting is per
+    * codepoint (the corpus is ASCII; the JVM side splits UTF-16
+    * chars — equivalent below the astral plane).
+    */
+  private val bpeMergesOracle: String = {
+    val stages = (1 to BpeNumMerges).map { m =>
+      s"""p$m AS MATERIALIZED (
+         |  SELECT s1, s2, sum(n) AS cnt FROM (
+         |    SELECT w.n, w.syms[i] AS s1, w.syms[i + 1] AS s2
+         |    FROM w${m - 1} w, unnest(range(1, len(w.syms))) AS t(i))
+         |  GROUP BY s1, s2),
+         |b$m AS MATERIALIZED (
+         |  SELECT s1, s2 FROM p$m WHERE cnt >= 2 ORDER BY cnt DESC, s1, s2 LIMIT 1),
+         |w$m AS MATERIALIZED (
+         |  SELECT w.w, w.n,
+         |    CASE WHEN b.s1 IS NULL THEN w.syms ELSE
+         |      string_split(list_reduce(w.syms, (acc, x) ->
+         |        CASE WHEN x = b.s2 AND (acc = b.s1 OR ends_with(acc, ' ' || b.s1))
+         |             THEN acc || b.s2 ELSE acc || ' ' || x END), ' ')
+         |    END AS syms
+         |  FROM w${m - 1} w LEFT JOIN b$m b ON TRUE)""".stripMargin
+    }
+    val mergeRows = (1 to BpeNumMerges)
+      .map(m => s"""SELECT ${m - 1} AS rank, s1 AS "left", s2 AS "right" FROM b$m""")
+      .mkString("\nUNION ALL ")
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT w, count(*)::BIGINT AS n FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |w0 AS MATERIALIZED (
+       |  SELECT w, n,
+       |    list_append([substr(w, i, 1) FOR i IN range(1, len(w) + 1)], '</w>') AS syms
+       |  FROM words),
+       |${stages.mkString(",\n")}
+       |SELECT CAST(rank AS BIGINT) AS rank, "left", "right"
+       |FROM ($mergeRows) ORDER BY rank""".stripMargin
   }
 
   override val queries: Map[String, Q] = Map(
@@ -386,9 +445,11 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
-    // trained-BPE merge table (rows-only: merge symbols are corpus-
-    // derived; training determinism + the classic-corpus merge
-    // sequence are pinned in BpeSpec).
+    // trained-BPE merge table — ORACLE-EXACT (r12, formerly rows-only):
+    // training is deterministic given the corpus, so the oracle
+    // recomputes the full merge sequence via unrolled materialized
+    // CTEs ([[bpeMergesOracle]]); the classic-corpus merge sequence
+    // stays additionally pinned in BpeSpec.
     "q_bpe_merges" -> { (s, dir) =>
       import s.implicits._
       bpeModelFor(s, dir).merges.zipWithIndex
@@ -1978,6 +2039,7 @@ object TextVectorQueries extends QueryPack {
         |SELECT probe_id, rank, neighbor_id FROM ranked WHERE rank <= 5
         |ORDER BY probe_id, rank""".stripMargin,
     "q_semantic_dedup" -> semanticDedupOracle,
+    "q_bpe_merges" -> bpeMergesOracle,
     "q_knn_ivf" ->
       """WITH probes AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id <= 10),
         |scored AS (
