@@ -534,6 +534,10 @@ object TextVectorQueries extends QueryPack {
     },
 
     // MinHash+LSH near-dup clustering: every doc → cluster + keep flag.
+    // ORACLE-EXACT (r12, formerly rows-only): XxhashOracle recomputes
+    // Spark's xxhash64 bit-for-bit in DuckDB (pure-UBIGINT wrapping
+    // arithmetic) and replays shingle -> signature -> band -> bucket
+    // -> min-cluster in SQL.
     "q_dedup_minhash" -> { (s, dir) =>
       Dedup.minhashClusters(tables(s, dir).documents, "doc_id", "text")
         .select(col("id"), col("cluster"), col("keep"))
@@ -547,9 +551,12 @@ object TextVectorQueries extends QueryPack {
     // remaining docs plus exact re-crawls of index docs (doc_id % 9
     // == 1) under shifted ids, which must match their originals at
     // est ≈ 1.
-    // rows-only: est_jaccard is a signature-agreement fraction over
-    // engine-specific xxhash64 minima; semantics pinned in DedupSpec
-    // (estimate ≈ exact Jaccard, artifact roundtrip, param guard).
+    // ORACLE-EXACT (r12, formerly rows-only): the index artifact is a
+    // deterministic function of the index slice, so the oracle
+    // rebuilds BOTH sides' signatures from documents via the
+    // XxhashOracle machinery and replays candidates + est_jaccard in
+    // SQL; the artifact save/load/extend IO path stays pinned in
+    // DedupSpec (estimate ≈ exact Jaccard, roundtrip, param guard).
     "q_dedup_incremental" -> { (s, dir) =>
       val docs = tables(s, dir).documents.select(col("doc_id"), col("text"))
       val fp = corpusFingerprint(s, dir, "documents.parquet")
@@ -568,8 +575,9 @@ object TextVectorQueries extends QueryPack {
     },
 
     // transitive near-dup chains (connected components over the
-    // doc–bucket graph; rows-only — cluster labels are engine-specific
-    // like q_dedup_minhash, chain-merge semantics pinned in DedupSpec).
+    // doc–bucket graph) — ORACLE-EXACT (r12): the label-propagation
+    // rounds unroll as materialized CTEs over XxhashOracle's
+    // recomputed buckets; chain-merge semantics stay in DedupSpec.
     "q_dedup_transitive" -> { (s, dir) =>
       Dedup.minhashClustersTransitive(tables(s, dir).documents, "doc_id", "text",
           maxIters = 3)
@@ -577,7 +585,8 @@ object TextVectorQueries extends QueryPack {
         .orderBy(col("id"))
     },
 
-    // SimHash structural near-dup clustering.
+    // SimHash structural near-dup clustering — ORACLE-EXACT (r12):
+    // 64 bit-votes over recomputed xxhash64 token hashes in SQL.
     "q_dedup_simhash" -> { (s, dir) =>
       Dedup.simhashClusters(tables(s, dir).documents, "doc_id", "text")
         .select(col("id"), col("cluster"), col("keep"))
@@ -2040,6 +2049,15 @@ object TextVectorQueries extends QueryPack {
         |ORDER BY probe_id, rank""".stripMargin,
     "q_semantic_dedup" -> semanticDedupOracle,
     "q_bpe_merges" -> bpeMergesOracle,
+    // r12: the MinHash/SimHash family, formerly rows-only ("xxhash64
+    // values are engine-specific") — DuckDB has exact unsigned 64-bit
+    // arithmetic, so the oracle now RECOMPUTES Spark's xxhash64
+    // bit-for-bit (XxhashOracle) and replays the full signature ->
+    // band -> bucket -> cluster pipeline in SQL.
+    "q_dedup_minhash" -> XxhashOracle.minhashClusters(),
+    "q_dedup_transitive" -> XxhashOracle.transitiveClusters(maxIters = 3),
+    "q_dedup_simhash" -> XxhashOracle.simhashClusters(),
+    "q_dedup_incremental" -> XxhashOracle.newVsIndex(),
     "q_knn_ivf" ->
       """WITH probes AS (SELECT vec_id AS pid, embedding AS pe FROM embeddings WHERE vec_id <= 10),
         |scored AS (
