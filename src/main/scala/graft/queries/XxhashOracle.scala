@@ -18,12 +18,12 @@ package graft.queries
   * disjoint shift sums. Validated bit-for-bit against Spark's own
   * xxhash64 on string/long/int vectors and on the full corpus.
   *
-  * String hashing implements the < 32-byte single-lane path over
-  * ASCII codepoints (`ascii(substr(...))` — byte == codepoint for
-  * ASCII). The gate corpora's tokens are ≤ 8 ASCII bytes at every sf
-  * (ScaleUp adds only short `rN` prefixes); a ≥ 32-byte or non-ASCII
-  * token would hash differently and fail the gate LOUDLY, never
-  * silently.
+  * String hashing is FULLY GENERAL: UTF8 bytes are derived from
+  * codepoints in SQL (1–4 byte encodings, astral plane included) and
+  * the ≥ 32-byte 4-accumulator stripe path folds via `list_reduce`,
+  * so any token the corpus can contain hashes identically to Spark
+  * (validated on empty/31/32/33/64/255-byte and multi-byte-UTF8
+  * vectors).
   *
   * Scale note: the oracle's cost center is the 128-permutation table
   * over DISTINCT shingle hashes (the `perm` CTE) — the j-only half of
@@ -133,21 +133,63 @@ object XxhashOracle {
     fmix(p, h4)
   }
 
-  /** XXH64(UTF8(w), 42) for ASCII strings of octet length < 32: up to
-    * three guarded 8-byte word rounds, the optional 4-byte round, up
-    * to three tail bytes, then the avalanche. `w`/`n` are column
-    * names (string, octet length).
+  /** XXH64(UTF8(w), 42) for ANY string: UTF8 bytes derived from
+    * codepoints (1–4 byte encodings, astral plane included), the
+    * ≥ 32-byte 4-accumulator stripes as a `list_reduce` fold, then up
+    * to three guarded remaining words, the optional 4-byte round, up
+    * to three tail bytes, and the avalanche. Validated bit-for-bit
+    * against Spark on empty/short/31/32/33/64/255-byte and
+    * 2/3/4-byte-UTF8 vectors. `w` is a string column name.
     */
-  private def hashStringShort(p: Pipe, w: String, n: String): String = {
-    def byteAt(pos: String): String =
-      s"CASE WHEN $n > ($pos) THEN ascii(substr($w, CAST($pos AS INT) + 1, 1)) ELSE 0 END"
+  private def hashString(p: Pipe, w: String): String = {
+    val bl = p.step(
+      s"flatten([CASE WHEN cp < 128 THEN [cp] " +
+        s"WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64] " +
+        s"WHEN cp < 65536 THEN [224 + cp // 4096, 128 + (cp // 64) % 64, 128 + cp % 64] " +
+        s"ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64, 128 + (cp // 64) % 64, " +
+        s"128 + cp % 64] END " +
+        s"FOR cp IN [ord(substr($w, CAST(i AS INT), 1)) FOR i IN range(1, len($w) + 1)]])")
+    val n = p.step(s"CAST(len($bl) AS UBIGINT)")
+    def byteAt(pos: String): String = s"coalesce($bl[CAST(($pos) AS INT) + 1], 0)"
     def leWord(off: String, bytes: Int): String =
       (0 until bytes).map(t =>
         s"CAST(${byteAt(s"$off + $t")} AS UBIGINT) * ${BigInt(2).pow(8 * t)}")
         .mkString("(", " + ", ")")
-    var h = p.step(wadd(u(mod64(BigInt(42) + P5)), s"CAST($n AS UBIGINT)"))
+    // ---- >= 32 bytes: 4 accumulators folded over 32-byte stripes.
+    // HUGEINT variants INSIDE the lambda (no let-bindings there, so
+    // the pure-UBIGINT forms' textual duplication explodes; HUGEINT
+    // is slower per row but stripe rows exist only for long tokens).
+    def wmH(a: String, b: String): String =
+      s"CAST((CAST(($a) % $B32 AS HUGEINT) * (($b) % $B32) + " +
+        s"((CAST(($a) % $B32 AS HUGEINT) * (($b) // $B32) + " +
+        s"CAST(($a) // $B32 AS HUGEINT) * (($b) % $B32)) % $B32) * $B32) " +
+        s"% $M64 AS UBIGINT)"
+    def waH(a: String, b: String): String =
+      s"CAST((CAST($a AS HUGEINT) + ($b)) % $M64 AS UBIGINT)"
+    def rnd(acc: String, k: String): String =
+      wmH(rotl(waH(acc, wmH(k, u(P2))), 31), u(P1))
+    val init = Seq(mod64(BigInt(42) + P1 + P2), mod64(BigInt(42) + P2),
+      BigInt(42), mod64(BigInt(42) - P1))
+      .map(v => s"CAST($v AS UBIGINT)").mkString("[", ", ", "]")
+    val stripe = (0 until 4).map(o => leWord(s"32 * s + ${8 * o}", 8))
+      .mkString("[", ", ", "]")
+    val stripes = p.step(s"[$stripe FOR s IN range(0, CAST($n // 32 AS BIGINT))]")
+    val lam = (1 to 4).map(i => rnd(s"acc[$i]", s"st[$i]")).mkString("[", ", ", "]")
+    val accs = p.step(s"list_reduce(list_prepend($init, $stripes), (acc, st) -> $lam)")
+    val v = (1 to 4).map(i => p.step(s"$accs[$i]"))
+    var hb = p.step(wadd(wadd(rotl(v(0), 1), rotl(v(1), 7)),
+      wadd(rotl(v(2), 12), rotl(v(3), 18))))
+    for (vi <- v) {
+      val vm1 = p.step(wmul(vi, u(P2)))
+      val vm2 = p.step(wmul(rotl(vm1, 31), u(P1)))
+      val hx = p.step(bxor(hb, vm2))
+      hb = p.step(wadd(wmul(hx, u(P1)), u(P4)))
+    }
+    var h = p.step(s"CASE WHEN $n >= 32 THEN $hb ELSE ${u(mod64(BigInt(42) + P5))} END")
+    h = p.step(wadd(h, n))
+    val base = s"(($n // 32) * 32)"
     for (off <- Seq(0, 8, 16)) {
-      val k0 = p.step(leWord(off.toString, 8))
+      val k0 = p.step(leWord(s"$base + $off", 8))
       val k1 = p.step(wmul(k0, u(P2)))
       val k2 = p.step(rotl(k1, 31))
       val k3 = p.step(wmul(k2, u(P1)))
@@ -155,7 +197,7 @@ object XxhashOracle {
       val hr = p.step(rotl(hx, 27))
       val hm = p.step(wmul(hr, u(P1)))
       val ha = p.step(wadd(hm, u(P4)))
-      h = p.step(s"CASE WHEN $n >= ${off + 8} THEN $ha ELSE $h END")
+      h = p.step(s"CASE WHEN $n - $base >= ${off + 8} THEN $ha ELSE $h END")
     }
     val woff = s"(($n // 8) * 8)"
     val i0 = p.step(leWord(woff, 4))
@@ -181,8 +223,8 @@ object XxhashOracle {
 
   /** distinct-token XXH64 table: (w, th UBIGINT) */
   private def tokenHashCte(pf: String): String = {
-    val p = new Pipe(s"SELECT DISTINCT w, octet_length(encode(w)) AS n FROM ${pf}tokpos")
-    val th = hashStringShort(p, "w", "n")
+    val p = new Pipe(s"SELECT DISTINCT w FROM ${pf}tokpos")
+    val th = hashString(p, "w")
     p.done("w", s"$th AS th")
   }
 
