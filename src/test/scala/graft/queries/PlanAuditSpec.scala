@@ -463,6 +463,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_"), s"aggregation not partial (map-side):\n$p")
   }
 
+  test("q_rolling_chunked: carry replication stays cheap — one window exchange family, no UDF") {
+    val p = plan("q_rolling_chunked")
+    assert(!p.toLowerCase.contains("scalaudf"), s"rollingChunked planned a UDF:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"rollingChunked planned a product join:\n$p")
+    // native + carry sides union into ONE (key, chunk) hash exchange
+    // feeding the RANGE window; the carry explode must not introduce
+    // additional shuffles beyond the union's
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("Reused"))
+    assert(exchanges <= 3, s"too many exchanges for chunked rolling ($exchanges):\n$p")
+    assert(p.contains("Window"), s"no window operator in rollingChunked plan:\n$p")
+  }
+
   test("graph loops exchange the vertex-sized table per round, never the adjacency") {
     // The r11 win (pageRank sf1: 467→346 MB shuffle) came from folding
     // out-degree into the edge list ONCE, pre-partitioned by source and
