@@ -60,7 +60,11 @@ object Bench {
     // r12: the per-key trailing-window RANGE-frame shape (one hash
     // exchange + per-key sort) — previously unrepresented, and one of
     // the 8 heavy shapes the sf10 spot gate tracks.
-    "q_rolling"
+    "q_rolling",
+    // r12: the realistic-nprobe IVF probe (bench-internal aux entry —
+    // the GATE's q_knn_ivf moved to exhaustive nprobe for its oracle
+    // promotion, which no longer exercises the pruned-scan path)
+    "q_knn_ivf_probe"
   )
 
   /** 1-minute system load average — the machine-busy dial. Sampled at
@@ -183,9 +187,14 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
     val headline: Seq[String] =
       if (only.isEmpty) Bench.headline else Bench.headline.filter(only)
-    only.filterNot(Bench.headline.contains).foreach(n =>
+    // q_stream_window is a bench-internal entry (not in headline) but a
+    // legal ONLY target — see includeStream below
+    only.filterNot(n => Bench.headline.contains(n) || n == "q_stream_window").foreach(n =>
       System.err.println(s"[bench] WARNING: SPARK_GRAFT_BENCH_ONLY names unknown query '$n'"))
-    val all = SparkEntry.queries
+    // registered gate queries + bench-internal entries (timed like any
+    // other, but NOT part of the correctness registry)
+    val all = SparkEntry.queries +
+      ("q_knn_ivf_probe" -> (graft.queries.TextVectorQueries.knnIvfProbeBench _))
     // Warm the whole headline suite with one untimed pass (JMH-style
     // steady state): codegen compiler, parquet footer cache, shuffle
     // machinery, and the write-commit path all initialize once here,
@@ -242,7 +251,10 @@ object Bench {
     // (q_smb_join reuses a write-once layout); it reports alongside
     // but OUTSIDE the total, like q_stream_window — keeping the total
     // comparable round over round (r7's total had no write entry).
-    val auxiliary = Set("q_smb_write")
+    // q_knn_ivf_probe reports alongside but OUTSIDE the total too: it
+    // exists for pruned-path regression visibility, and keeping it out
+    // keeps the total comparable with pre-r12 recordings.
+    val auxiliary = Set("q_smb_write", "q_knn_ivf_probe")
     // Streaming throughput: the same events feed as q_window_fixed,
     // driven through Structured Streaming (AvailableNow) into a noop
     // sink — measures the micro-batch engine end-to-end. Median of

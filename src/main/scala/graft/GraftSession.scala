@@ -57,12 +57,13 @@ object GraftSession {
     * Session-reuse caveat: this resolves through `getOrCreate()`, so
     * when the JVM already holds an active [[SparkSession]] (a REPL, a
     * test harness, a prior job in the same process) that session is
-    * returned AS-IS and any `--master`/`--appName`/
-    * `--shufflePartitions` arguments do NOT apply — builder config
-    * never reconfigures a live session. That case logs a warning
-    * naming the ignored args (scio's ContextAndArgs always owns a
-    * fresh context, so a caller porting from it would otherwise
-    * assume the flags took effect).
+    * returned and the builder's MODIFIABLE runtime confs — including
+    * `--shufflePartitions` and [[configure]]'s AQE/timezone/broadcast
+    * settings — ARE applied to it, while `--master`/`--appName` are
+    * silently ignored (a live session's context cannot be re-mastered
+    * or renamed). That case logs a warning naming any ignored args
+    * (scio's ContextAndArgs always owns a fresh context, so a caller
+    * porting from it would otherwise assume every flag took effect).
     */
   def contextAndArgs(cmdlineArgs: Array[String]): (SparkSession, graft.util.Args) = {
     val args = graft.util.Args(cmdlineArgs)
@@ -75,13 +76,15 @@ object GraftSession {
       .appName(args.optional("appName").getOrElse("graft"))
       .getOrCreate()
     if (preexisting.contains(session)) {
-      val sessionArgs = Seq("master", "appName", "shufflePartitions")
-        .filter(args.optional(_).isDefined)
-      if (sessionArgs.nonEmpty)
+      // getOrCreate applies MODIFIABLE settings (shuffle partitions,
+      // AQE, timezone) to the live session; only context-level args
+      // are genuinely ignored
+      val ignored = Seq("master", "appName").filter(args.optional(_).isDefined)
+      if (ignored.nonEmpty)
         System.err.println(
-          s"[graft] contextAndArgs reused the active SparkSession; session-level args " +
-            s"${sessionArgs.map("--" + _).mkString(", ")} were IGNORED (builder config " +
-            "cannot reconfigure a live session)")
+          s"[graft] contextAndArgs reused the active SparkSession; context-level args " +
+            s"${ignored.map("--" + _).mkString(", ")} were IGNORED (a live session " +
+            "cannot be re-mastered or renamed; runtime confs were applied)")
     }
     (session, args)
   }

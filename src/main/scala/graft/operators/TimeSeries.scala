@@ -175,8 +175,16 @@ object TimeSeries {
     require(chunkSec >= 1, s"chunkSec must be >= 1, got $chunkSec")
     val winUs = windowSec * 1000000L
     val chunkUs = chunkSec * 1000000L
-    // how many later chunks a row's trailing-window tail can reach
-    val reps = ((winUs - 1) / chunkUs + 1).toInt
+    // how many later chunks a row's trailing-window tail can reach —
+    // the carry REPLICATION FACTOR. Fail fast on pathological ratios
+    // instead of silently exploding rows (and overflowing toInt): the
+    // intended operating point is chunkSec >= windowSec (one carry).
+    val reps64 = (winUs - 1) / chunkUs + 1
+    require(reps64 <= 1024,
+      s"chunkSec=$chunkSec replicates each row ${reps64}x against windowSec=$windowSec; " +
+        "pick a chunk no smaller than windowSec/1024 (chunkSec >= windowSec is the " +
+        "intended operating point)")
+    val reps = reps64.toInt
     val us = col("__roll_us")
     val base = df
       .withColumn("__roll_us", unix_micros(col(tsCol)))

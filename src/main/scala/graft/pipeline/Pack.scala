@@ -95,6 +95,12 @@ object Pack {
     * is at most one underfilled bin per (length, salt) instead of one
     * per length; `salts = 1` recovers the unsalted layout.
     *
+    * PLACEMENT-CONTRACT NOTE (r12): the salted default changes
+    * `bin_seq` values relative to the pre-r12 unsalted layout.
+    * Placement remains deterministic for a given `salts`, but
+    * consumers holding bin assignments produced by an earlier version
+    * must either re-bin or pass `salts = 1` explicitly.
+    *
     * Returns (id, n_tokens, bin_len, bin_seq, fill_frac).
     */
   def binPack(df: DataFrame, idCol: String, textCol: String,

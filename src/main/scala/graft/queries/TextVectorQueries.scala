@@ -177,6 +177,25 @@ object TextVectorQueries extends QueryPack {
        |FROM ($mergeRows) ORDER BY rank""".stripMargin
   }
 
+  /** Bench-only hook (NOT a registered gate query): the
+    * REALISTIC-knob IVF search — nprobe = 4 of 16 cells — whose
+    * pruned-scan shape the gate query no longer exercises since its
+    * r12 promotion to the exhaustive nprobe (hash-exact vs brute
+    * force). Bench times this as an auxiliary entry so a regression
+    * in the cell-ranking/pruning path stays visible round over round;
+    * recall at this knob is pinned in SimilaritySpec.
+    */
+  def knnIvfProbeBench(s: org.apache.spark.sql.SparkSession,
+                       dir: String): org.apache.spark.sql.DataFrame = {
+    val emb = tables(s, dir).embeddings
+    val cents = ivfCentroidsFor(s, dir, emb)
+    KNN.ivfKMeansTopK(emb, emb.filter(col("vec_id") <= 10), "vec_id", "embedding",
+        k = 5, centroids = cents, nprobe = 4)
+      .select(col("probe_id"), col("rank").cast("long").as("rank"),
+        col("id").as("neighbor_id"))
+      .orderBy(col("probe_id"), col("rank"))
+  }
+
   override val queries: Map[String, Q] = Map(
 
     // end-to-end curation pipeline (quality gate → exact dedup →
@@ -1214,6 +1233,10 @@ object TextVectorQueries extends QueryPack {
          |  list_sum([CAST(p[1] AS DOUBLE) * p[2] FOR p IN list_zip(embedding, ${centList(c)})])
          |  / (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding]))
          |     * sqrt(list_sum([CAST(y AS DOUBLE) * y FOR y IN ${centList(c)}]))) END)""".stripMargin
+    // `cool` mirrors semanticDedup's maxCluster=100000 hot-cluster
+    // exemption (hot-cluster members are excluded from pair generation
+    // and KEPT) — with 8 fixed clusters a cluster passes 100k members
+    // around sf ≳ 40, where an uncapped oracle would false-fail.
     s"""WITH sims AS (
        |  SELECT vec_id AS id, embedding,
        |    [${(0 until 8).map(simExpr).mkString(",\n")}] AS arr
@@ -1222,9 +1245,12 @@ object TextVectorQueries extends QueryPack {
        |  SELECT id, embedding,
        |    CAST(list_position(arr, list_max(arr)) - 1 AS INT) AS cluster
        |  FROM sims),
+       |cool AS (
+       |  SELECT id, embedding, cluster FROM a
+       |  QUALIFY count(*) OVER (PARTITION BY cluster) <= 100000),
        |dup AS (
        |  SELECT DISTINCT b.id AS id
-       |  FROM a x JOIN a b ON x.cluster = b.cluster AND x.id < b.id
+       |  FROM cool x JOIN cool b ON x.cluster = b.cluster AND x.id < b.id
        |  WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
        |                               CAST(b.embedding AS DOUBLE[])) >= 0.35)
        |SELECT a.id, a.cluster, (dup.id IS NULL) AS keep
