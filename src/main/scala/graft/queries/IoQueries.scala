@@ -494,6 +494,87 @@ object IoQueries extends QueryPack {
         .orderBy(col("n_regionkey"))
     },
 
+    // dynamic AVRO destinations (scio saveAsDynamicAvroFile): scatter
+    // suppliers into one Avro-container shard-set PER NATION taken
+    // from each row, then gather the whole tree back through
+    // readDynamicAvro — the recovered `dest` column (not the original
+    // table) drives the group-by, so schema mapping, container
+    // write, tree listing and record decode are all on the oracle's
+    // critical path.
+    "q_io_dynamic_avro" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val path = tmp(dir, "supplier_dynamic_avro")
+      graft.sources.Dynamic.saveAsDynamicAvro(
+        tables(s, dir).supplier.select(
+          concat(lit("nation="), col("s_nationkey").cast("long")).as("dest"),
+          col("s_suppkey").cast("long").as("s_suppkey"), col("s_name"),
+          col("s_acctbal").cast("double").as("s_acctbal")),
+        path, "dest")
+      graft.sources.Dynamic.readDynamicAvro(s, path, StructType(Seq(
+          StructField("s_suppkey", LongType), StructField("s_name", StringType),
+          StructField("s_acctbal", DoubleType))))
+        .select(regexp_extract(col("dest"), "nation=(\\d+)", 1).cast("long")
+          .as("s_nationkey"), col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("s_acctbal"))).as("sum_bal"),
+          min(col("s_name")).as("first_name"), max(col("s_suppkey")).as("max_key"))
+        .orderBy(col("s_nationkey"))
+    },
+
+    // dynamic PROTOBUF destinations (scio saveAsDynamicProtobufFile):
+    // orders scattered per priority as proto3 messages in scio's
+    // bytes-in-Avro container layout, gathered via readDynamicProtobuf
+    // — wire encode/decode AND the per-destination tree both sit on
+    // the oracle path.
+    "q_io_dynamic_proto" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val path = tmp(dir, "orders_dynamic_proto")
+      graft.sources.Dynamic.saveAsDynamicProtobuf(
+        tables(s, dir).orders.select(
+          col("o_orderpriority").as("dest"),
+          col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"),
+          col("o_orderstatus")),
+        path, "dest")
+      graft.sources.Dynamic.readDynamicProtobuf(s, path, StructType(Seq(
+          StructField("o_orderkey", LongType), StructField("o_totalprice", DoubleType),
+          StructField("o_orderstatus", StringType))))
+        .groupBy(col("dest").as("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("sum_price"),
+          max(col("o_orderkey")).as("max_key"), min(col("o_orderstatus")).as("min_status"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // dynamic CSV destinations (scio-extra dynamic csv): customers
+    // scattered per market segment with an embedded-comma note column
+    // (RFC 4180 quoting on the critical path), gathered by STOCK
+    // spark.read.csv — destination recovered from the file path.
+    "q_io_dynamic_csv" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val path = tmp(dir, "customer_dynamic_csv")
+      graft.sources.Dynamic.saveAsDynamicCsv(
+        tables(s, dir).customer.select(
+          col("c_mktsegment").as("dest"),
+          col("c_custkey").cast("long").as("c_custkey"), col("c_name"),
+          concat(col("c_name"), lit(", bal: "),
+            col("c_acctbal").cast("decimal(12,2)").cast("string")).as("note"),
+          col("c_acctbal").cast("double").as("c_acctbal")),
+        path, "dest")
+      s.read.option("header", "true").option("escape", "\"")
+        .option("recursiveFileLookup", "true")
+        .schema(StructType(Seq(
+          StructField("c_custkey", LongType), StructField("c_name", StringType),
+          StructField("note", StringType), StructField("c_acctbal", DoubleType))))
+        .csv(path)
+        .select(regexp_extract(input_file_name(), "customer_dynamic_csv/([^/]+)/", 1)
+          .as("c_mktsegment"), col("c_custkey"), col("c_name"), col("note"),
+          col("c_acctbal"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("c_acctbal"))).as("sum_bal"),
+          min(col("c_name")).as("first_name"), max(col("note")).as("max_note"))
+        .orderBy(col("c_mktsegment"))
+    },
+
     // persistent Bloom artifact (scio ApproxFilter): build the filter
     // over orders' customer keys ONCE, persist it, read it back, and
     // prefilter customers with the LOADED artifact before an exact
@@ -614,6 +695,21 @@ object IoQueries extends QueryPack {
       """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n,
         |  round(sum(s_acctbal), 2) AS sum_bal, min(s_name) AS first_name
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q_io_dynamic_avro" ->
+      """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n,
+        |  round(sum(s_acctbal), 2) AS sum_bal, min(s_name) AS first_name,
+        |  CAST(max(s_suppkey) AS BIGINT) AS max_key
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q_io_dynamic_proto" ->
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key, min(o_orderstatus) AS min_status
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_io_dynamic_csv" ->
+      """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal,
+        |  min(c_name) AS first_name,
+        |  max(c_name || ', bal: ' || CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR))
+        |    AS max_note
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_io_avro_nested" ->
       """SELECT o_orderpriority AS prio, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS sum_price,

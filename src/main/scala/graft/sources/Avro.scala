@@ -181,7 +181,7 @@ object Avro {
     * value — needed to build nested GenericRecords and to carry the
     * decimal scale.
     */
-  private def toAvroValue(dt: DataType, schema: Schema, v: Any): Any = (dt, v) match {
+  private[sources] def toAvroValue(dt: DataType, schema: Schema, v: Any): Any = (dt, v) match {
     case (_, null) => null
     case (ShortType, x: Short) => x.toInt
     case (ByteType, x: Byte) => x.toInt
@@ -245,7 +245,7 @@ object Avro {
     * the runtime value class alone can't. Null-tolerant: a null schema
     * falls back to value-class dispatch (graft's own type mapping).
     */
-  private def fromAvroValue(dt: DataType, schema: Schema, v: Any): Any = {
+  private[sources] def fromAvroValue(dt: DataType, schema: Schema, v: Any): Any = {
     if (v == null) return null
     if (schema != null && schema.getType == Schema.Type.UNION) {
       val branches = unionBranches(schema)
@@ -366,7 +366,7 @@ object Avro {
     * what lets DataFileReader seek to a split offset and rebase on the
     * next sync marker.
     */
-  private class HadoopSeekableInput(in: org.apache.hadoop.fs.FSDataInputStream, len: Long)
+  private[sources] class HadoopSeekableInput(in: org.apache.hadoop.fs.FSDataInputStream, len: Long)
       extends org.apache.avro.file.SeekableInput {
     override def read(b: Array[Byte], off: Int, l: Int): Int = in.read(b, off, l)
     override def seek(pos: Long): Unit = in.seek(pos)

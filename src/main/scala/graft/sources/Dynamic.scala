@@ -1,23 +1,36 @@
 package graft.sources
 
-import java.io.{BufferedWriter, OutputStreamWriter}
+import java.io.{BufferedWriter, OutputStream, OutputStreamWriter}
 import java.nio.charset.StandardCharsets
 
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
 
 /** Dynamic per-record write destinations (reference:
   * scio-core/src/main/scala/com/spotify/scio/io/dynamic/syntax/
-  * SCollectionSyntax.scala:54 `saveAsDynamicTextFile` — the output
-  * path is a function of record CONTENT, not a static sink path).
+  * SCollectionSyntax.scala:54 `saveAsDynamicTextFile`;
+  * scio-avro/src/main/scala/com/spotify/scio/avro/dynamic/syntax/
+  * AvroDynamicSCollectionSyntax.scala:43 `saveAsDynamicAvroFile` and
+  * :136 `saveAsDynamicProtobufFile`; scio-extra
+  * csv/dynamic/syntax/SCollectionSyntax.scala:33 — the output path is
+  * a function of record CONTENT, not a static sink path).
   * Spark's `partitionBy` covers the `col=value` layout only; this
   * writes arbitrary relative destinations (`logs/2024/01/`,
-  * `tenant-x/`, …) the way Beam's `FileIO.writeDynamic` does.
+  * `tenant-x/`, …) the way Beam's `FileIO.writeDynamic` does — the
+  * "one shard-set per domain/source" export shape of a curation
+  * pipeline, in every codec graft ships: text lines, Avro container
+  * files, proto messages (scio's bytes-in-Avro layout), and CSV.
   *
-  * Execution shape, chosen for 100 TB:
+  * Execution shape, chosen for 100 TB (shared by all codecs):
   *  - one shuffle: repartition by (dest, salt) — co-locates each
   *    destination into one task (`fanout` salts spread a hot
   *    destination over several);
@@ -28,11 +41,11 @@ import org.apache.spark.sql.functions._
   *  - executor-side Hadoop FileSystem writes (local/HDFS/object
   *    store) through a per-file rename commit: each destination file
   *    is written as a dot-prefixed temp named by the task ATTEMPT and
-  *    renamed to `part-<partition>.txt` only on a clean stream close.
-  *    A failed attempt leaves only hidden dot-temps (ignored by Hadoop
-  *    globbing); under speculative execution the first attempt to
-  *    finish a file wins the rename and the loser deletes its temp —
-  *    the committed tree is always whole files.
+  *    renamed to `part-<partition>.<ext>` only on a clean stream
+  *    close. A failed attempt leaves only hidden dot-temps (ignored
+  *    by Hadoop globbing); under speculative execution the first
+  *    attempt to finish a file wins the rename and the loser deletes
+  *    its temp — the committed tree is always whole files.
   */
 object Dynamic {
 
@@ -47,69 +60,195 @@ object Dynamic {
     dest
   }
 
-  /** Write `textCol` lines of each row into
-    * `basePath/<destCol>/part-NNNNN.txt`, destination taken from the
-    * row. Nested destinations (`a/b/c`) are allowed; absolute paths
-    * and `..` are rejected. Null text writes an empty line (the row
-    * still counts — same as writing its empty string).
-    */
   /** Stamped at the tree root by every completed write: marks the
     * directory as graft-dynamic OUTPUT, so the pre-write wipe below
     * can tell "stale run of this sink" from "directory that holds
-    * someone's unrelated data".
+    * someone's unrelated data". Doubles as the gather verbs'
+    * completeness stamp (the `_SUCCESS` analogue for this sink).
     */
-  private val Marker = "_GRAFT_DYNAMIC"
+  private[sources] val Marker = "_GRAFT_DYNAMIC"
 
-  def saveAsDynamicText(df: DataFrame, basePath: String, destCol: String, textCol: String,
-                        fanout: Int = 1, overwriteForeign: Boolean = false): Unit = {
-    require(fanout >= 1, s"fanout must be >= 1, got $fanout")
-    // fresh output tree (same contract as Avro/TfRecord write): with a
-    // per-file rename commit, a pre-existing final from an older run
-    // would win every rename and pin stale data. Guarded: refuse to
-    // recursively wipe a non-empty tree this sink didn't write (no
-    // marker) unless the caller explicitly opts in — a typo'd basePath
-    // must not silently erase unrelated data.
-    val fs = locally {
-      val base = new Path(basePath)
-      require(basePath.trim.nonEmpty && base.depth() >= 1,
-        s"refusing to write a dynamic tree at '$basePath' (empty or filesystem root)")
-      val fs = FileSystem.get(base.toUri,
-        df.sparkSession.sparkContext.hadoopConfiguration)
-      if (fs.exists(base)) {
-        val contents = fs.listStatus(base)
-        // hidden (dot/underscore) entries are Hadoop-invisible — a
-        // failed attempt's dot-temps must not lock out the retry
-        val visible = contents.filterNot { s =>
-          val n = s.getPath.getName; n.startsWith(".") || n.startsWith("_")
-        }
-        val ours = visible.isEmpty || contents.exists(_.getPath.getName == Marker)
-        require(ours || overwriteForeign,
-          s"$basePath exists with ${visible.length} entries and no $Marker stamp — it was " +
-            "not written by this sink; pass overwriteForeign=true to wipe it anyway")
-        fs.delete(base, true)
-      }
-      fs.mkdirs(base)
-      // stamp the marker BEFORE writing, not only after: a run that dies
-      // mid-write must leave a tree the retry still recognizes as this
-      // sink's own output (else the foreign-directory guard above locks
-      // out unattended retries and forces overwriteForeign=true)
-      fs.create(new Path(base, Marker), true).close()
-      fs
+  // ---- codec plug-in points -------------------------------------------
+
+  /** One open destination file. `write` receives the payload row
+    * (every input column except the destination, in input order).
+    */
+  private trait DestSink {
+    def write(payload: Row): Unit
+    /** Flush and close the underlying stream (commit renames after). */
+    def close(): Unit
+  }
+
+  /** Serializable per-codec factory; one instance ships to every task,
+    * `open` is called once per (task, destination) run.
+    */
+  private trait DestSinkFactory extends Serializable {
+    def ext: String
+    def open(out: OutputStream): DestSink
+  }
+
+  private final class TextSinkFactory extends DestSinkFactory {
+    val ext = "txt"
+    def open(out: OutputStream): DestSink = new DestSink {
+      private val w =
+        new BufferedWriter(new OutputStreamWriter(out, StandardCharsets.UTF_8))
+      def write(payload: Row): Unit = { w.write(payload.getString(0)); w.write('\n') }
+      def close(): Unit = w.close()
     }
+  }
+
+  /** Avro container file per destination — the same schema mapping /
+    * record conversion as [[Avro.write]], so every scattered shard is
+    * a stock-reader-valid OCF.
+    */
+  private final class AvroSinkFactory(avroJson: String, fieldTypes: Array[DataType])
+      extends DestSinkFactory {
+    val ext = "avro"
+    @transient private lazy val schema = new Schema.Parser().parse(avroJson)
+    @transient private lazy val fieldSchemas =
+      schema.getFields.asScala.map(_.schema()).toArray
+    def open(out: OutputStream): DestSink = new DestSink {
+      private val writer =
+        new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+          .create(schema, out)
+      def write(payload: Row): Unit = {
+        val rec = new GenericData.Record(schema)
+        var i = 0
+        while (i < fieldTypes.length) {
+          rec.put(i, Avro.toAvroValue(fieldTypes(i), fieldSchemas(i), payload.get(i)))
+          i += 1
+        }
+        writer.append(rec)
+      }
+      def close(): Unit = writer.close() // closes the underlying stream
+    }
+  }
+
+  /** Proto messages per destination, shipped as scio's bytes-in-Avro
+    * container layout (AvroBytesUtil — one `bytes` field per record,
+    * block-splittable on read). Encoding is [[Protobuf.encodeRow]], so
+    * enum/wire-format column metadata applies exactly as in
+    * [[Protobuf.write]].
+    */
+  private final class ProtoSinkFactory(payloadSchema: StructType, containerJson: String)
+      extends DestSinkFactory {
+    val ext = "proto.avro"
+    @transient private lazy val container = new Schema.Parser().parse(containerJson)
+    def open(out: OutputStream): DestSink = new DestSink {
+      private val writer =
+        new DataFileWriter(new GenericDatumWriter[GenericRecord](container))
+          .create(container, out)
+      def write(payload: Row): Unit = {
+        val rec = new GenericData.Record(container)
+        rec.put(0, java.nio.ByteBuffer.wrap(Protobuf.encodeRow(payloadSchema, payload)))
+        writer.append(rec)
+      }
+      def close(): Unit = writer.close()
+    }
+  }
+
+  /** RFC 4180 CSV per destination: fields holding comma, quote, CR or
+    * LF are quoted, embedded quotes doubled — exactly what stock CSV
+    * readers (Spark's included) undo. Null cells render empty; an
+    * optional header line leads every file, so each shard is
+    * independently readable.
+    */
+  private final class CsvSinkFactory(fieldNames: Array[String], fieldTypes: Array[DataType],
+                                     header: Boolean) extends DestSinkFactory {
+    val ext = "csv"
+    private def cell(s: String): String =
+      if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    private def render(dt: DataType, v: Any): String = v match {
+      case null => ""
+      case _ => dt match {
+        case _: StringType => cell(v.toString)
+        case _ => v.toString // numerics/boolean/date: no quotable chars
+      }
+    }
+    def open(out: OutputStream): DestSink = new DestSink {
+      private val w =
+        new BufferedWriter(new OutputStreamWriter(out, StandardCharsets.UTF_8))
+      if (header) { w.write(fieldNames.map(cell).mkString(",")); w.write('\n') }
+      def write(payload: Row): Unit = {
+        var i = 0
+        while (i < fieldTypes.length) {
+          if (i > 0) w.write(',')
+          w.write(render(fieldTypes(i), payload.get(i)))
+          i += 1
+        }
+        w.write('\n')
+      }
+      def close(): Unit = w.close()
+    }
+  }
+
+  // ---- the shared scatter engine --------------------------------------
+
+  /** Wipe-and-stamp the output tree (same contract as Avro/TfRecord
+    * write): with a per-file rename commit, a pre-existing final from
+    * an older run would win every rename and pin stale data. Guarded:
+    * refuse to recursively wipe a non-empty tree this sink didn't
+    * write (no marker) unless the caller explicitly opts in — a
+    * typo'd basePath must not silently erase unrelated data.
+    */
+  private def prepareTree(df: DataFrame, basePath: String, overwriteForeign: Boolean)
+      : FileSystem = {
+    val base = new Path(basePath)
+    require(basePath.trim.nonEmpty && base.depth() >= 1,
+      s"refusing to write a dynamic tree at '$basePath' (empty or filesystem root)")
+    val fs = FileSystem.get(base.toUri,
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) {
+      val contents = fs.listStatus(base)
+      // hidden (dot/underscore) entries are Hadoop-invisible — a
+      // failed attempt's dot-temps must not lock out the retry
+      val visible = contents.filterNot { s =>
+        val n = s.getPath.getName; n.startsWith(".") || n.startsWith("_")
+      }
+      val ours = visible.isEmpty || contents.exists(_.getPath.getName == Marker)
+      require(ours || overwriteForeign,
+        s"$basePath exists with ${visible.length} entries and no $Marker stamp — it was " +
+          "not written by this sink; pass overwriteForeign=true to wipe it anyway")
+      fs.delete(base, true)
+    }
+    fs.mkdirs(base)
+    // stamp the marker BEFORE writing, not only after: a run that dies
+    // mid-write must leave a tree the retry still recognizes as this
+    // sink's own output (else the foreign-directory guard above locks
+    // out unattended retries and forces overwriteForeign=true)
+    fs.create(new Path(base, Marker), true).close()
+    fs
+  }
+
+  /** The codec-independent scatter: co-locate + sort destinations,
+    * stream each destination run through `factory`'s sink with the
+    * temp-rename commit. `payload` columns keep their input order and
+    * metadata (the proto codec reads enum/wire declarations off them).
+    */
+  private def scatter(df: DataFrame, basePath: String, destCol: String,
+                      payloadCols: Seq[String], fanout: Int, overwriteForeign: Boolean,
+                      factory: DestSinkFactory): Unit = {
+    require(fanout >= 1, s"fanout must be >= 1, got $fanout")
+    require(payloadCols.nonEmpty, "dynamic write needs at least one payload column")
+    val fs = prepareTree(df, basePath, overwriteForeign)
     // salt on a per-ROW spread value, not record content: a hot
-    // destination whose rows all carry the same text would collapse
+    // destination whose rows all carry the same payload would collapse
     // onto one salt if the salt hashed the payload. partition id +
     // in-partition offset is unique per row (uniform spread) and
     // deterministic for a given upstream partitioning, so a retried
     // stage re-salts identically.
     val prepared = df
-      .select(col(destCol).cast("string").as("__dest"),
-        coalesce(col(textCol).cast("string"), lit("")).as("__text"))
+      .select((col(destCol).cast("string").as("__dest") +: payloadCols.map(col)): _*)
       .withColumn("__salt",
         if (fanout == 1) lit(0)
         else pmod(hash(spark_partition_id(), monotonically_increasing_id()), lit(fanout)))
       .repartition(col("__dest"), col("__salt"))
       .sortWithinPartitions(col("__dest"))
+      .drop("__salt")
+    val width = prepared.schema.fields.length
+    val ext = factory.ext
     prepared.foreachPartition { (rows: Iterator[Row]) =>
       // executor-side FS handle: picks up the cluster's core-site.xml
       // from the executor classpath, same as every Hadoop output format
@@ -120,18 +259,19 @@ object Dynamic {
       val pid = ctx.partitionId()
       val attempt = ctx.taskAttemptId()
       var currentDest: String = null
-      var out: BufferedWriter = null
+      var sink: DestSink = null
       var tempFile: Path = null
       var finalFile: Path = null
       // rename commit: the rename only happens after a clean close, so
       // finals are always whole files. A losing speculative attempt's
       // rename fails against the winner's file; drop the temp.
-      def commit(): Unit = if (out != null) {
-        out.close(); out = null
+      def commit(): Unit = if (sink != null) {
+        sink.close(); sink = null
         if (!fs.rename(tempFile, finalFile)) fs.delete(tempFile, false)
       }
-      def abort(): Unit = if (out != null) {
-        out.close(); out = null
+      def abort(): Unit = if (sink != null) {
+        try sink.close() catch { case _: Throwable => () }
+        sink = null
         fs.delete(tempFile, false)
       }
       try {
@@ -139,13 +279,12 @@ object Dynamic {
           val dest = validateDest(r.getString(0))
           if (dest != currentDest) {
             commit()
-            finalFile = new Path(base, f"$dest%s/part-$pid%05d.txt")
+            finalFile = new Path(base, f"$dest%s/part-$pid%05d.$ext%s")
             tempFile = new Path(base, f"$dest%s/.part-$pid%05d.attempt-$attempt%d")
-            out = new BufferedWriter(new OutputStreamWriter(
-              fs.create(tempFile, true), StandardCharsets.UTF_8))
+            sink = factory.open(fs.create(tempFile, true))
             currentDest = dest
           }
-          out.write(r.getString(1)); out.write('\n')
+          sink.write(Row.fromSeq((1 until width).map(r.get)))
         }
         commit()
       } catch { case t: Throwable => abort(); throw t }
@@ -153,5 +292,183 @@ object Dynamic {
     // re-stamp at completion: the write succeeded end-to-end (the
     // pre-write stamp above already guarantees retry recognition)
     fs.create(new Path(basePath, Marker), true).close()
+  }
+
+  // ---- public scatter verbs -------------------------------------------
+
+  /** Write `textCol` lines of each row into
+    * `basePath/<destCol>/part-NNNNN.txt`, destination taken from the
+    * row. Nested destinations (`a/b/c`) are allowed; absolute paths
+    * and `..` are rejected. Null text writes an empty line (the row
+    * still counts — same as writing its empty string).
+    */
+  def saveAsDynamicText(df: DataFrame, basePath: String, destCol: String, textCol: String,
+                        fanout: Int = 1, overwriteForeign: Boolean = false): Unit = {
+    val prepared = df.select(col(destCol).cast("string").as("__dyn_dest"),
+      coalesce(col(textCol).cast("string"), lit("")).as("__dyn_text"))
+    scatter(prepared, basePath, "__dyn_dest", Seq("__dyn_text"), fanout, overwriteForeign,
+      new TextSinkFactory)
+  }
+
+  /** Write every non-destination column of each row into a per-
+    * destination Avro Object Container File
+    * (`basePath/<destCol>/part-NNNNN.avro`) — the reference's
+    * `saveAsDynamicAvroFile` (AvroDynamicSCollectionSyntax.scala:43)
+    * re-expressed over [[Avro]]'s codec: same schema mapping (nullable
+    * unions, nested records, logical types, metadata-declared
+    * enum/fixed/union), every shard stock-Avro-reader valid. Gather
+    * with [[readDynamicAvro]] (destination recovered from the tree) or
+    * point [[Avro.read]] at any shard glob.
+    */
+  def saveAsDynamicAvro(df: DataFrame, basePath: String, destCol: String,
+                        fanout: Int = 1, overwriteForeign: Boolean = false): Unit = {
+    val payloadCols = df.schema.fieldNames.filterNot(_ == destCol).toSeq
+    val payloadSchema = StructType(df.schema.fields.filterNot(_.name == destCol))
+    val avroJson = Avro.toAvroSchema(payloadSchema).toString // fail fast driver-side
+    scatter(df, basePath, destCol, payloadCols, fanout, overwriteForeign,
+      new AvroSinkFactory(avroJson, payloadSchema.fields.map(_.dataType)))
+  }
+
+  /** Write every non-destination column of each row as ONE serialized
+    * proto3 message per record into per-destination containers
+    * (`basePath/<destCol>/part-NNNNN.proto.avro`, scio's bytes-in-Avro
+    * AvroBytesUtil layout — AvroDynamicSCollectionSyntax.scala:136
+    * `saveAsDynamicProtobufFile`). Field numbers, enum symbol tables
+    * and sint/fixed wire formats follow the same column-metadata
+    * declarations as [[Protobuf.write]]. Gather with
+    * [[readDynamicProtobuf]].
+    */
+  def saveAsDynamicProtobuf(df: DataFrame, basePath: String, destCol: String,
+                            fanout: Int = 1, overwriteForeign: Boolean = false): Unit = {
+    val payloadCols = df.schema.fieldNames.filterNot(_ == destCol).toSeq
+    val payloadSchema = StructType(df.schema.fields.filterNot(_.name == destCol))
+    payloadSchema.fields.foreach(f => Protobuf.checkType(f.dataType)) // fail fast
+    val containerJson = Avro.toAvroSchema(Protobuf.bytesSchema).toString
+    scatter(df, basePath, destCol, payloadCols, fanout, overwriteForeign,
+      new ProtoSinkFactory(payloadSchema, containerJson))
+  }
+
+  /** Write every non-destination column of each row as RFC 4180 CSV
+    * into `basePath/<destCol>/part-NNNNN.csv` (scio-extra
+    * csv/dynamic/syntax/SCollectionSyntax.scala:33). Each shard leads
+    * with its own header line (when `header`), so stock CSV readers
+    * gather the tree directly (for Spark's reader: `header` +
+    * `recursiveFileLookup`, plus `escape` set to `"` because Spark
+    * defaults to backslash escapes where RFC 4180 doubles quotes, and
+    * `multiLine` when cells may hold newlines); the destination rides
+    * back on `input_file_name()`.
+    */
+  def saveAsDynamicCsv(df: DataFrame, basePath: String, destCol: String,
+                       header: Boolean = true, fanout: Int = 1,
+                       overwriteForeign: Boolean = false): Unit = {
+    val payload = df.schema.fields.filterNot(_.name == destCol)
+    payload.foreach { f =>
+      f.dataType match {
+        case _: StringType | _: NumericType | _: BooleanType | _: DateType |
+             _: TimestampType => ()
+        case other => throw new IllegalArgumentException(
+          s"dynamic CSV cannot render column ${f.name}: $other " +
+            "(strings/numerics/boolean/date/timestamp only — flatten or cast upstream)")
+      }
+    }
+    scatter(df, basePath, destCol, payload.map(_.name).toSeq, fanout, overwriteForeign,
+      new CsvSinkFactory(payload.map(_.name), payload.map(_.dataType), header))
+  }
+
+  // ---- gather verbs ----------------------------------------------------
+
+  /** (relative destination, file) pairs under a completed dynamic
+    * tree. Requires the completion [[Marker]] — a tree from a failed
+    * job must not read back as silently-valid data (same contract as
+    * [[Avro.read]]'s `_SUCCESS` requirement).
+    */
+  private def listTree(spark: SparkSession, basePath: String, ext: String)
+      : Seq[(String, String, Long)] = {
+    val base = new Path(basePath)
+    val fs = FileSystem.get(base.toUri, spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(base, Marker)),
+      s"$basePath has no $Marker stamp — not a completed graft dynamic tree")
+    val it = fs.listFiles(base, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    val baseUri = fs.makeQualified(base).toUri
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && name.startsWith("part-") && name.endsWith("." + ext)) {
+        val rel = baseUri.relativize(st.getPath.getParent.toUri).getPath
+          .stripSuffix("/")
+        buf += ((rel, st.getPath.toString, st.getLen))
+      }
+    }
+    buf.toSeq.sortBy(t => (t._1, t._2))
+  }
+
+  /** Read a [[saveAsDynamicAvro]] tree back: one row per record, the
+    * relative destination in `destColName`, payload columns per
+    * `schema` (Avro's evolution contract — container fields absent
+    * from `schema` are ignored, missing ones read null). One task per
+    * FILE: dynamic trees shard per (destination, task) by
+    * construction, so file count is the natural parallelism; a single
+    * oversized foreign container belongs to [[Avro.read]]'s
+    * byte-range splitter instead.
+    */
+  def readDynamicAvro(spark: SparkSession, basePath: String, schema: StructType,
+                      destColName: String = "dest"): DataFrame = {
+    val files = listTree(spark, basePath, "avro")
+    gatherAvro(spark, files, schema, destColName) { (rec, fieldNames, fieldTypes) =>
+      Row.fromSeq(fieldNames.indices.map { i =>
+        val f = rec.getSchema.getField(fieldNames(i))
+        if (f == null) null
+        else Avro.fromAvroValue(fieldTypes(i), f.schema(), rec.get(f.pos()))
+      })
+    }
+  }
+
+  /** Read a [[saveAsDynamicProtobuf]] tree back: proto payload bytes
+    * decoded into `schema` rows ([[Protobuf.decodeRow]] — unknown
+    * fields skip, missing read null), relative destination in
+    * `destColName`.
+    */
+  def readDynamicProtobuf(spark: SparkSession, basePath: String, schema: StructType,
+                          destColName: String = "dest"): DataFrame = {
+    schema.fields.foreach(f => Protobuf.checkType(f.dataType))
+    val files = listTree(spark, basePath, "proto.avro")
+    gatherAvro(spark, files, schema, destColName) { (rec, _, _) =>
+      val bb = rec.get(0).asInstanceOf[java.nio.ByteBuffer]
+      val bytes = new Array[Byte](bb.remaining()); bb.duplicate().get(bytes)
+      Protobuf.decodeRow(schema, bytes)
+    }
+  }
+
+  /** Shared gather executor: one task per container file, `decode`
+    * turns each Avro record into a payload Row, destination prepended.
+    */
+  private def gatherAvro(spark: SparkSession, files: Seq[(String, String, Long)],
+                         schema: StructType, destColName: String)
+                        (decode: (GenericRecord, Array[String], Array[DataType]) => Row)
+      : DataFrame = {
+    val outSchema = StructType(
+      StructField(destColName, StringType, nullable = false) +: schema.fields)
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+    val fieldNames = schema.fields.map(_.name)
+    val fieldTypes = schema.fields.map(_.dataType)
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val confEntries = spark.sparkContext.broadcast(
+      hadoopConf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap)
+    val rows = spark.sparkContext.parallelize(files, files.size)
+      .flatMap { case (dest, file, len) =>
+        val taskConf = new Configuration(false)
+        confEntries.value.foreach { case (k, v) => taskConf.set(k, v) }
+        val p = new Path(file)
+        val reader = new DataFileReader(
+          new Avro.HadoopSeekableInput(p.getFileSystem(taskConf).open(p), len),
+          new GenericDatumReader[GenericRecord]())
+        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => reader.close()))
+        reader.iterator().asScala.map { rec =>
+          Row.fromSeq(dest +: decode(rec, fieldNames, fieldTypes).toSeq)
+        }
+      }
+    spark.createDataFrame(rows, outSchema)
   }
 }

@@ -68,7 +68,7 @@ object Protobuf {
     if (f.metadata.contains("protoField")) f.metadata.getLong("protoField").toInt
     else idx + 1
 
-  private def checkType(dt: DataType): Unit = dt match {
+  private[sources] def checkType(dt: DataType): Unit = dt match {
     case ByteType | ShortType | IntegerType | LongType | BooleanType |
          FloatType | DoubleType | StringType | BinaryType => ()
     case ArrayType(ByteType | ShortType | IntegerType | LongType | BooleanType |
@@ -441,7 +441,7 @@ object Protobuf {
   /** Avro container schema scio uses for proto payloads: one `bytes`
     * field per record (AvroBytesUtil layout).
     */
-  private val bytesSchema = StructType(Seq(StructField("bytes", BinaryType, nullable = false)))
+  private[sources] val bytesSchema = StructType(Seq(StructField("bytes", BinaryType, nullable = false)))
 
   /** Save each row as one serialized proto message. `container`:
     * `"avro"` (scio's layout — bytes records in Avro container files,

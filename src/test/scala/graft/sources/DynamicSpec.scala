@@ -136,6 +136,171 @@ class DynamicSpec extends SparkSpec {
     assert(linesUnder(out)("d") == Seq("x"))
   }
 
+  // ---- dynamic Avro ----------------------------------------------------
+
+  private val avroSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType)))
+
+  test("dynamic avro: scatter/gather roundtrip preserves every row and its destination") {
+    val out = tmpDir()
+    val df = Seq(
+      (1L, "alpha", 1.5, "t/a"), (2L, "beta", -2.25, "t/b"),
+      (3L, null.asInstanceOf[String], 0.0, "t/a"), (4L, "delta", 9.75, "t/c")
+    ).toDF("id", "name", "score", "dest")
+    Dynamic.saveAsDynamicAvro(df, out.getAbsolutePath, "dest")
+    val back = Dynamic.readDynamicAvro(spark, out.getAbsolutePath, avroSchema)
+    val got = back.select("dest", "id", "name", "score")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    assert(got == Set(("t/a", 1L, "alpha", 1.5), ("t/b", 2L, "beta", -2.25),
+      ("t/a", 3L, null, 0.0), ("t/c", 4L, "delta", 9.75)))
+  }
+
+  test("dynamic avro: every scattered shard is a STOCK-Avro-reader-valid container") {
+    val out = tmpDir()
+    val df = Seq((1L, "x", 0.5, "d1"), (2L, "y", 1.5, "d1")).toDF("id", "name", "score", "dest")
+    Dynamic.saveAsDynamicAvro(df, out.getAbsolutePath, "dest")
+    val shard = new java.io.File(out, "d1").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".avro")).head
+    val reader = new org.apache.avro.file.DataFileReader(
+      shard, new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    val recs = try {
+      val b = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Double)]
+      while (reader.hasNext) {
+        val r = reader.next()
+        b += ((r.get("id").asInstanceOf[Long], r.get("name").toString,
+          r.get("score").asInstanceOf[Double]))
+      }
+      b.toList
+    } finally reader.close()
+    assert(recs.toSet == Set((1L, "x", 0.5), (2L, "y", 1.5)))
+  }
+
+  test("dynamic avro: fanout spreads a hot destination, gather still recovers all rows") {
+    val out = tmpDir()
+    val df = spark.range(0, 200)
+      .select(col("id"), concat(lit("n"), col("id")).as("name"),
+        (col("id") * 0.5).as("score"), lit("hot").as("dest"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try Dynamic.saveAsDynamicAvro(df, out.getAbsolutePath, "dest", fanout = 4)
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val files = new java.io.File(out, "hot").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".avro"))
+    assert(files.length > 1, "fanout should produce multiple avro shards for a hot destination")
+    val back = Dynamic.readDynamicAvro(spark, out.getAbsolutePath, avroSchema)
+    assert(back.count() == 200)
+    assert(back.agg(sum("id")).head.getLong(0) == (0L until 200L).sum)
+  }
+
+  test("dynamic avro/proto gather refuses a tree without the completion marker") {
+    val out = tmpDir()
+    new java.io.File(out, "d").mkdirs()
+    val e = intercept[IllegalArgumentException] {
+      Dynamic.readDynamicAvro(spark, out.getAbsolutePath, avroSchema)
+    }
+    assert(e.getMessage.contains("_GRAFT_DYNAMIC"))
+  }
+
+  // ---- dynamic Protobuf ------------------------------------------------
+
+  test("dynamic protobuf: scatter/gather roundtrip through the proto3 wire format") {
+    val out = tmpDir()
+    val df = Seq(
+      (10L, "u1", 3.5, Seq(1L, 2L, 3L), "s/a"),
+      (20L, "u2", -1.0, Seq.empty[Long], "s/b"),
+      (30L, null.asInstanceOf[String], 0.25, Seq(7L), "s/a")
+    ).toDF("id", "user", "w", "xs", "dest")
+      .select(col("id"), col("user"), col("w"), col("xs"), col("dest"))
+    Dynamic.saveAsDynamicProtobuf(df, out.getAbsolutePath, "dest")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("w", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("xs",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType))))
+    val back = Dynamic.readDynamicProtobuf(spark, out.getAbsolutePath, schema)
+    val got = back.collect().map { r =>
+      (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3),
+        Option(r.getSeq[Long](4)).map(_.toList).orNull)
+    }.toSet
+    // proto3 absence: a null string reads back null (field omitted),
+    // an empty repeated field also reads back null — both are "absent"
+    // on the wire, the documented proto3 contract
+    assert(got == Set(("s/a", 10L, "u1", 3.5, List(1L, 2L, 3L)),
+      ("s/b", 20L, "u2", -1.0, null), ("s/a", 30L, null, 0.25, List(7L))))
+  }
+
+  test("dynamic protobuf: shards are stock-Avro bytes containers (scio's layout)") {
+    val out = tmpDir()
+    val df = Seq((1L, "only", 2.0, Seq(9L), "d")).toDF("id", "user", "w", "xs", "dest")
+    Dynamic.saveAsDynamicProtobuf(df, out.getAbsolutePath, "dest")
+    val shard = new java.io.File(out, "d").listFiles()
+      .filter(_.getName.endsWith(".proto.avro")).head
+    val reader = new org.apache.avro.file.DataFileReader(
+      shard, new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord]())
+    try {
+      assert(reader.getSchema.getFields.size() == 1)
+      assert(reader.getSchema.getFields.get(0).name() == "bytes")
+      assert(reader.hasNext)
+      val payload = reader.next().get(0).asInstanceOf[java.nio.ByteBuffer]
+      assert(payload.remaining() > 0)
+    } finally reader.close()
+  }
+
+  // ---- dynamic CSV -----------------------------------------------------
+
+  test("dynamic csv: RFC 4180 quoting survives a stock Spark csv read") {
+    val out = tmpDir()
+    val df = Seq(
+      (1L, "plain", "d"),
+      (2L, "has, comma", "d"),
+      (3L, "has \"quotes\" inside", "d"),
+      (4L, "multi\nline cell", "d")
+    ).toDF("id", "note", "dest")
+    Dynamic.saveAsDynamicCsv(df, out.getAbsolutePath, "dest")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("note", org.apache.spark.sql.types.StringType)))
+    // escape="\"" = RFC 4180 doubled quotes (Spark's DEFAULT escape is
+    // backslash, a Spark quirk — every other stock reader assumes RFC)
+    val back = spark.read.option("header", "true").option("multiLine", "true")
+      .option("escape", "\"").option("recursiveFileLookup", "true")
+      .schema(schema).csv(out.getAbsolutePath)
+    val got = back.collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(1L -> "plain", 2L -> "has, comma",
+      3L -> "has \"quotes\" inside", 4L -> "multi\nline cell"))
+  }
+
+  test("dynamic csv: each shard carries its own header; null cells render empty") {
+    val out = tmpDir()
+    val df = Seq((1L, null.asInstanceOf[String], "a"), (2L, "x", "b")).toDF("id", "note", "dest")
+    Dynamic.saveAsDynamicCsv(df, out.getAbsolutePath, "dest")
+    Seq("a", "b").foreach { d =>
+      val f = new java.io.File(out, d).listFiles().filter(_.getName.endsWith(".csv")).head
+      val lines = {
+        val s = Source.fromFile(f, "UTF-8"); try s.getLines().toList finally s.close()
+      }
+      assert(lines.head == "id,note", s"shard $d must lead with the header")
+    }
+    val aLines = {
+      val f = new java.io.File(out, "a").listFiles().filter(_.getName.endsWith(".csv")).head
+      val s = Source.fromFile(f, "UTF-8"); try s.getLines().toList finally s.close()
+    }
+    assert(aLines(1) == "1,", "null cell must render as an empty field")
+  }
+
+  test("dynamic csv: unsupported payload types are rejected driver-side") {
+    val df = Seq((1L, Seq(1, 2), "d")).toDF("id", "xs", "dest")
+    val e = intercept[IllegalArgumentException] {
+      Dynamic.saveAsDynamicCsv(df, tmpDir().getAbsolutePath, "dest")
+    }
+    assert(e.getMessage.contains("dynamic CSV cannot render"))
+  }
+
   test("a tree from a run that died mid-write (marker + partial files) retries cleanly") {
     // the marker is stamped BEFORE writing, so a crashed run leaves
     // marker + committed partials; the retry must recognize its own
