@@ -199,10 +199,10 @@ object Bench {
     // steady state): codegen compiler, parquet footer cache, shuffle
     // machinery, and the write-commit path all initialize once here,
     // so the timed passes measure sustained throughput — the figure
-    // that scales — not per-session one-time setup. The 13-query
-    // headline suite at sf0.1 keeps the extra passes inside the bench
-    // time budget (the r1 timeout came from sweeping the full
-    // ~90-query suite).
+    // that scales — not per-session one-time setup. The bounded
+    // headline suite (the `headline` list above) at sf0.1 keeps the
+    // extra passes inside the bench time budget (the r1 timeout came
+    // from sweeping the full registry).
     headline.filter(all.contains).foreach { name =>
       try all(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }

@@ -78,8 +78,14 @@ object GraftSession {
     if (preexisting.contains(session)) {
       // getOrCreate applies MODIFIABLE settings (shuffle partitions,
       // AQE, timezone) to the live session; only context-level args
-      // are genuinely ignored
-      val ignored = Seq("master", "appName").filter(args.optional(_).isDefined)
+      // are genuinely ignored — and only when they actually DIFFER
+      // from the live session's values (a matching --master/--appName
+      // is a no-op, not an ignored request; warning on it would spam
+      // REPL/test harnesses that always pass both)
+      val ignored = Seq(
+        "master" -> session.sparkContext.master,
+        "appName" -> session.sparkContext.appName
+      ).collect { case (k, live) if args.optional(k).exists(_ != live) => k }
       if (ignored.nonEmpty)
         System.err.println(
           s"[graft] contextAndArgs reused the active SparkSession; context-level args " +

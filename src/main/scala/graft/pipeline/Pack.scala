@@ -99,7 +99,18 @@ object Pack {
     * `bin_seq` values relative to the pre-r12 unsalted layout.
     * Placement remains deterministic for a given `salts`, but
     * consumers holding bin assignments produced by an earlier version
-    * must either re-bin or pass `salts = 1` explicitly.
+    * must either re-bin or pass `salts = 1` explicitly. A one-time
+    * log line records the active fanout so upgrading callers notice
+    * the layout change at runtime, not just in this doc.
+    *
+    * SIZING (r13): the default 16 is a fixed fanout — at 100 TB a
+    * single ultra-hot length class still divides into only 16 window
+    * tasks. Size it as `salts ≈ hottestLengthRows / targetRowsPerTask`
+    * ([[binPackSaltsFor]] is that formula as code): e.g. 50 M docs of
+    * one length at ~2 M rows/task wants salts ≈ 25. Oversizing is
+    * cheap — the cost is at most one underfilled bin per
+    * (length, salt) — so round up. `salts = 1` keeps the pre-r12
+    * layout but accepts one linear task for the hottest length.
     *
     * Returns (id, n_tokens, bin_len, bin_seq, fill_frac).
     */
@@ -107,6 +118,7 @@ object Pack {
               capacity: Int, salts: Int = 16): DataFrame = {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
     require(salts >= 1, s"salts must be >= 1, got $salts")
+    if (salts > 1) logSaltsOnce(salts)
     val counted = df.select(col(idCol).as("id"),
       size(tokens(coalesce(col(textCol), lit("")))).cast("long").as("n_tokens"),
       graft.operators.Splits.assignShard(col(idCol), salts, "binpack").as("__salt"))
@@ -127,6 +139,28 @@ object Pack {
           .otherwise(round(col("__pb") * col("n_tokens") / capacity.toDouble, 6))
           .as("fill_frac"))
   }
+
+  /** The [[binPack]] salts sizing formula as code: enough salts that
+    * the hottest length class spreads to ~`targetRowsPerTask` rows
+    * per window task. Ceil division, floor 1.
+    */
+  def binPackSaltsFor(hottestLengthRows: Long, targetRowsPerTask: Long): Int = {
+    require(hottestLengthRows >= 0, s"hottestLengthRows must be >= 0, got $hottestLengthRows")
+    require(targetRowsPerTask >= 1, s"targetRowsPerTask must be >= 1, got $targetRowsPerTask")
+    math.max(1L, (hottestLengthRows + targetRowsPerTask - 1) / targetRowsPerTask)
+      .min(Int.MaxValue.toLong).toInt
+  }
+
+  /** One-time notice that the salted (post-r12) bin layout is active:
+    * callers upgrading across the default change get a runtime signal
+    * that `bin_seq` values differ from pre-r12 assignments.
+    */
+  private val saltsLogged = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def logSaltsOnce(salts: Int): Unit =
+    if (saltsLogged.compareAndSet(false, true))
+      org.slf4j.LoggerFactory.getLogger(getClass).info(
+        s"binPack: salted window layout active (salts=$salts); bin_seq values differ " +
+          "from the pre-r12 unsalted layout — pass salts=1 to recover it, see scaladoc")
 
   /** Sharded training-data export: each row lands in a deterministic
     * shard ([[graft.operators.Splits.assignShard]] — stable under

@@ -1233,10 +1233,12 @@ object TextVectorQueries extends QueryPack {
          |  list_sum([CAST(p[1] AS DOUBLE) * p[2] FOR p IN list_zip(embedding, ${centList(c)})])
          |  / (sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) FOR x IN embedding]))
          |     * sqrt(list_sum([CAST(y AS DOUBLE) * y FOR y IN ${centList(c)}]))) END)""".stripMargin
-    // `cool` mirrors semanticDedup's maxCluster=100000 hot-cluster
+    // `cool` mirrors semanticDedup's DefaultMaxCluster hot-cluster
     // exemption (hot-cluster members are excluded from pair generation
     // and KEPT) — with 8 fixed clusters a cluster passes 100k members
-    // around sf ≳ 40, where an uncapped oracle would false-fail.
+    // around sf ≳ 40, where an uncapped oracle would false-fail. The
+    // bound interpolates from the SHARED constant so operator and
+    // oracle cannot drift (SimilaritySpec pins this).
     s"""WITH sims AS (
        |  SELECT vec_id AS id, embedding,
        |    [${(0 until 8).map(simExpr).mkString(",\n")}] AS arr
@@ -1247,7 +1249,8 @@ object TextVectorQueries extends QueryPack {
        |  FROM sims),
        |cool AS (
        |  SELECT id, embedding, cluster FROM a
-       |  QUALIFY count(*) OVER (PARTITION BY cluster) <= 100000),
+       |  QUALIFY count(*) OVER (PARTITION BY cluster)
+    <= ${graft.similarity.KNN.DefaultMaxCluster}),
        |dup AS (
        |  SELECT DISTINCT b.id AS id
        |  FROM cool x JOIN cool b ON x.cluster = b.cluster AND x.id < b.id

@@ -80,7 +80,7 @@ object XxhashOracle {
     * of the next CTE (optionally pruning the carry to `keep`).
     */
   private final class Pipe(baseSql: String) {
-    private val pfx = { Pipe.uid += 1; s"x${Pipe.uid}_" }
+    private val pfx = s"x${Pipe.uid.incrementAndGet()}_"
     private val ctes = scala.collection.mutable.ArrayBuffer(
       s"${pfx}0 AS (SELECT * FROM ($baseSql))")
     private var n = 0
@@ -99,7 +99,9 @@ object XxhashOracle {
       ctes.mkString("WITH ", ",\n", "\n") + last
     }
   }
-  private object Pipe { var uid = 0 }
+  // atomic: oracle SQL may be generated from parallel test suites;
+  // colliding CTE prefixes would interleave non-deterministically
+  private object Pipe { val uid = new java.util.concurrent.atomic.AtomicInteger(0) }
 
   private def fmix(p: Pipe, h0: String): String = {
     val f1 = p.step(bxor(h0, shr(h0, 33)))

@@ -541,9 +541,16 @@ object KNN {
       .withColumn("is_outlier",
         coalesce(col("centroid_sim") < minSim, lit(true)))
 
+  /** [[semanticDedup]]'s default hot-cluster exemption bound — shared
+    * with the q_semantic_dedup oracle SQL (which must mirror the
+    * exemption exactly or false-fail once a cluster crosses it), so
+    * the two texts cannot drift (SimilaritySpec pins the mirror).
+    */
+  val DefaultMaxCluster: Int = 100000
+
   def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
                     centroids: Seq[Seq[Double]], threshold: Double,
-                    maxCluster: Int = 100000): DataFrame = {
+                    maxCluster: Int = DefaultMaxCluster): DataFrame = {
     require(maxCluster > 0, s"maxCluster must be positive, got $maxCluster")
     require(threshold > 0 && threshold <= 1, s"threshold must be in (0,1], got $threshold")
     val assigned = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"),

@@ -215,6 +215,28 @@ class GlobalOrderSpec extends SparkSpec {
     assert(loads.values.forall(_ <= 4), s"overfull bin: ${loads.values.max}")
   }
 
+  test("binPackSaltsFor: the documented sizing formula (ceil division, floor 1, guards)") {
+    import graft.pipeline.Pack
+    // scaladoc example: 50 M docs of one length at ~2 M rows/task
+    assert(Pack.binPackSaltsFor(50000000L, 2000000L) == 25)
+    assert(Pack.binPackSaltsFor(50000001L, 2000000L) == 26) // ceil, not floor
+    assert(Pack.binPackSaltsFor(1L, 2000000L) == 1)         // never below 1
+    assert(Pack.binPackSaltsFor(0L, 1000L) == 1)            // empty class → unsalted
+    intercept[IllegalArgumentException](Pack.binPackSaltsFor(-1L, 1000L))
+    intercept[IllegalArgumentException](Pack.binPackSaltsFor(10L, 0L))
+    // the formula feeds binPack directly: placement at the computed
+    // fanout stays a valid packing
+    import spark.implicits._
+    val docs = spark.range(1, 101).select(col("id").as("doc_id"),
+      lit("a b c").as("text"))
+    val salts = Pack.binPackSaltsFor(100L, 25L) // = 4
+    assert(salts == 4)
+    val out = Pack.binPack(docs, "doc_id", "text", capacity = 9, salts = salts).collect()
+    assert(out.length == 100)
+    val loads = out.groupBy(_.getLong(3)).view.mapValues(_.length)
+    assert(loads.values.forall(_ <= 3), "bin over capacity at computed fanout")
+  }
+
   test("maskCorrupt: runs collapse to one sentinel; masked+kept reconstruct the doc") {
     import graft.pipeline.Pack
     val docs = (1L to 200L).map(id => (id, (1 to 30).map(j => s"w${id}_$j").mkString(" ")))

@@ -143,4 +143,79 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TimeSeries.rollingChunked(df, "k", "ts", "v", win, 0L))
   }
+
+  /** Rows entering rollingChunked's window stage == records written to
+    * the plan's ONE shuffle (the (key, chunk) exchange feeding the
+    * window). Counted via task metrics scoped to a job group so a
+    * concurrent suite sharing the SparkContext can't inflate it.
+    */
+  private def shuffleRecordsOf(body: => Unit): Long = {
+    val jobGroup = s"graft-ts-cost-${System.nanoTime()}"
+    val records = new java.util.concurrent.atomic.AtomicLong()
+    val ownStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            jobGroup == js.properties.getProperty("spark.jobGroup.id")) {
+          js.stageIds.foreach(id => ownStages.add(id)); ()
+        }
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null && ownStages.contains(te.stageId)) {
+          records.addAndGet(m.shuffleWriteMetrics.recordsWritten); ()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(jobGroup, "rollingChunked cost contract")
+    try {
+      body
+      // task-end events post asynchronously: poll until stable
+      var prev = -1L; var cur = records.get
+      val deadline = System.nanoTime() + 10000000000L
+      while (cur != prev && System.nanoTime() < deadline) {
+        prev = cur; Thread.sleep(100); cur = records.get
+      }
+      cur
+    } finally {
+      spark.sparkContext.clearJobGroup()
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
+  test("rollingChunked cost contract: ≤1 carry copy per row at chunkSec == windowSec, " +
+      "and the carry filter prunes rows whose tail stays inside the chunk") {
+    // chunk == window: a row carries into the next chunk iff its tail
+    // crosses the boundary, i.e. t % chunk != 0 — at most ONE copy.
+    // Rows pinned exactly on chunk starts (t % 300 == 0) must NOT carry.
+    val rows = Seq(
+      (1L, 0L), (1L, 10L), (1L, 299L), (1L, 300L), (1L, 450L),
+      (2L, 600L), (2L, 601L), (2L, 900L), (2L, 1199L), (2L, 1200L))
+    val df = rows.toDF("k", "t_s")
+      .withColumn("v", col("t_s").cast("double"))
+      .withColumn("ts", timestamp_seconds(col("t_s")))
+    val win = 300L
+    val expectedCarries = rows.count(_._2 % win != 0) // 5 of the 10
+    val records = shuffleRecordsOf {
+      TimeSeries.rollingChunked(df, "k", "ts", "v", win, win).collect(); ()
+    }
+    assert(records == rows.size + expectedCarries,
+      s"window input rows: got $records, want ${rows.size} natives + " +
+        s"$expectedCarries carries — the ≤1-copy operating-point contract " +
+        "(scaladoc: chunkSec >= windowSec ⇒ at most one carry, only for rows " +
+        "within windowSec of a chunk end) has drifted")
+    // chunkSec = 2×windowSec with every row in the FIRST half of its
+    // chunk: no tail reaches a boundary, so ZERO carry rows — the
+    // carry filter must prune them all, not just cap replication.
+    val firstHalf = Seq((1L, 0L), (1L, 50L), (1L, 299L), (2L, 600L), (2L, 650L))
+    val df2 = firstHalf.toDF("k", "t_s")
+      .withColumn("v", col("t_s").cast("double"))
+      .withColumn("ts", timestamp_seconds(col("t_s")))
+    val records2 = shuffleRecordsOf {
+      TimeSeries.rollingChunked(df2, "k", "ts", "v", win, 2 * win).collect(); ()
+    }
+    assert(records2 == firstHalf.size.toLong,
+      s"zero-carry corpus shuffled $records2 rows, want ${firstHalf.size} — " +
+        "the carry filter no longer prunes non-crossing tails")
+  }
 }

@@ -491,10 +491,23 @@ class PlanAuditSpec extends SparkSpec {
       .toDF("src", "dst").persist()
     edges.count()
     val written = new java.util.concurrent.atomic.AtomicLong()
+    // scope the counter to THIS test's jobs via a job group tag: a
+    // process-global byte counter would inflate under any concurrent
+    // suite sharing the SparkContext and flake the /3 threshold
+    val jobGroup = "graft-plan-audit-graph-loops"
+    val ownStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        if (js.properties != null &&
+            jobGroup == js.properties.getProperty("spark.jobGroup.id")) {
+          js.stageIds.foreach(id => ownStages.add(id)); ()
+        }
+      }
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
-        if (m != null) { written.addAndGet(m.shuffleWriteMetrics.bytesWritten); () }
+        if (m != null && ownStages.contains(te.stageId)) {
+          written.addAndGet(m.shuffleWriteMetrics.bytesWritten); ()
+        }
       }
     }
     // task-end events post asynchronously: poll until stable (Bench's
@@ -509,6 +522,7 @@ class PlanAuditSpec extends SparkSpec {
       cur
     }
     spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(jobGroup, "plan-audit graph-loop shuffle measurement")
     try {
       def measured(body: => Unit): Long = { settle(); written.set(0); body; settle() }
       val adjacency = measured(edges.repartition(col("src")).foreach(_ => ()))
@@ -534,6 +548,7 @@ class PlanAuditSpec extends SparkSpec {
         s"a BFS hop shuffles adjacency-scale bytes (perIter=$bfs, one edge " +
           s"exchange=$adjacency)")
     } finally {
+      spark.sparkContext.clearJobGroup()
       spark.sparkContext.removeSparkListener(listener)
       edges.unpersist(); ()
     }

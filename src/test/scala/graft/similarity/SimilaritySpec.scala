@@ -353,6 +353,34 @@ class SimilaritySpec extends SparkSpec {
     assert(capped.filter(!col("keep")).count() == 0)
   }
 
+  test("semanticDedup over-cap exemption: operator keeps a hot cluster untouched and the " +
+      "oracle mirrors the SAME bound (shared constant, cannot drift)") {
+    // a cluster OVER maxCluster holding GENUINE above-threshold dups:
+    // the cap must exempt the whole cluster from pair generation (all
+    // kept), not merely bound the scan — while an under-cap sibling
+    // cluster still dedups normally in the same call
+    val corpus = vecDf(
+      1L -> Seq(1f, 0f, 0f), 2L -> Seq(0.999f, 0.01f, 0f),
+      3L -> Seq(0.998f, -0.02f, 0f),                        // hot cluster: 3 members, mutual dups
+      4L -> Seq(0f, 0f, 1f), 5L -> Seq(0f, 0.01f, 0.999f))  // cool cluster: 2 members, dup pair
+    val cents = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 0.0, 1.0))
+    val out = KNN.semanticDedup(corpus, "vec_id", "embedding", cents,
+        threshold = 0.99, maxCluster = 2)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out(1L) && out(2L) && out(3L),
+      "over-cap cluster members must ALL be kept (exempted from pair generation)")
+    assert(out(4L) && !out(5L),
+      "an under-cap cluster in the same call must still dedup (min id keeps)")
+    // the drift pin: the registered oracle embeds the operator's OWN
+    // default bound (fe4126e made the oracle mirror the exemption; a
+    // one-sided edit to either text would false-fail the gate only at
+    // sf ≳ 40 — this catches it at test time instead)
+    val oracle = graft.SparkEntry.oracleSql("q_semantic_dedup")
+    assert(oracle.contains(s"<= ${KNN.DefaultMaxCluster}"),
+      s"q_semantic_dedup oracle no longer mirrors KNN.DefaultMaxCluster=" +
+        s"${KNN.DefaultMaxCluster} — operator and oracle exemptions have drifted")
+  }
+
   test("embeddingOutliers: OOD flags from nearest-centroid similarity, degenerate contracts") {
     // axis-aligned centroids in 4-d; rows on/near/far from them
     val cents = Seq(Seq(1.0, 0, 0, 0), Seq(0, 1.0, 0, 0))
