@@ -1,0 +1,140 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measures the chunked variants' straggler win on a skewed corpus —
+  * the recording behind SCALING.md's "hot-key chunking" section. The
+  * r12 verdict's point: rollingChunked / asofJoinChunked exist for
+  * hot keys, but every shipped check was CORRECTNESS (bit-identical
+  * to the plain form); nothing recorded that the spread actually
+  * beats the plain form's single linear window task. This does.
+  *
+  *   runMain graft.tools.SkewBench [rows]
+  *
+  * Corpus: `rows` events (default 5 M), ONE key carrying 30% of them
+  * (the ultra-hot instrument of a feed), the rest uniform over 2000
+  * cold keys; timestamps hash-uniform over ~11.6 days so the hot key
+  * spreads over many window chunks. Prints one JSON line per
+  * (operator, variant) with wall seconds, the MAX single-task wall
+  * inside the measured jobs (the straggler signal — cluster wall
+  * clock is bounded below by it), and the max records one task read
+  * from the shuffle (the skew itself).
+  */
+object SkewBench {
+
+  private final class TaskStats {
+    val maxDurMs = new java.util.concurrent.atomic.AtomicLong()
+    val maxShuffleRecords = new java.util.concurrent.atomic.AtomicLong()
+    val tasksWithRows = new java.util.concurrent.atomic.AtomicLong()
+    def update(durMs: Long, recs: Long): Unit = {
+      maxDurMs.getAndAccumulate(durMs, math.max)
+      maxShuffleRecords.getAndAccumulate(recs, math.max)
+      if (recs > 0) { tasksWithRows.incrementAndGet(); () }
+    }
+  }
+
+  /** Run `body` under a private job group; returns (wallSec, stats)
+    * from task-end events of that group's jobs only.
+    */
+  private def measure(spark: SparkSession)(body: => Unit): (Double, TaskStats) = {
+    val jobGroup = s"graft-skewbench-${System.nanoTime()}"
+    val stats = new TaskStats
+    val ownStages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.properties != null &&
+            jobGroup == js.properties.getProperty("spark.jobGroup.id")) {
+          js.stageIds.foreach(id => ownStages.add(id)); ()
+        }
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null && ownStages.contains(te.stageId))
+          stats.update(te.taskInfo.duration,
+            m.shuffleReadMetrics.recordsRead)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    spark.sparkContext.setJobGroup(jobGroup, "skew bench measurement")
+    val t0 = System.nanoTime()
+    try body finally {
+      spark.sparkContext.clearJobGroup()
+    }
+    val wall = (System.nanoTime() - t0) / 1e9
+    // task-end events post asynchronously: settle before reading
+    var prev = -1L; var cur = stats.maxDurMs.get + stats.tasksWithRows.get
+    val deadline = System.nanoTime() + 10000000000L
+    while (cur != prev && System.nanoTime() < deadline) {
+      prev = cur; Thread.sleep(200); cur = stats.maxDurMs.get + stats.tasksWithRows.get
+    }
+    spark.sparkContext.removeSparkListener(listener)
+    (wall, stats)
+  }
+
+  private def emit(op: String, variant: String, wall: Double, st: TaskStats): Unit =
+    println(f"""{"op":"$op%s","variant":"$variant%s","wall_sec":$wall%.3f,""" +
+      f""""max_task_sec":${st.maxDurMs.get / 1000.0}%.3f,""" +
+      f""""max_task_shuffle_records":${st.maxShuffleRecords.get}%d,""" +
+      f""""tasks_with_rows":${st.tasksWithRows.get}%d}""")
+
+  def main(args: Array[String]): Unit = {
+    val rows = if (args.nonEmpty) args(0).toLong else 5000000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]").appName("graft-skewbench"),
+      cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // 30% of rows on key 0, the rest uniform over 2000 cold keys;
+    // hash-uniform timestamps over ~11.6 days (1M seconds) — all
+    // deterministic integer arithmetic, no RNG
+    val corpus = spark.range(0, rows).select(
+        when(pmod(xxhash64(col("id"), lit("skew")), lit(10)) < 3, lit(0L))
+          .otherwise(pmod(xxhash64(col("id"), lit("key")), lit(2000)) + 1L).as("k"),
+        timestamp_seconds(pmod(xxhash64(col("id"), lit("ts")), lit(1000000L))).as("ts"),
+        (col("id") % 1000).cast("double").as("v"),
+        col("id"))
+      .persist()
+    val n = corpus.count()
+    val hotN = corpus.filter(col("k") === 0L).count()
+    System.err.println(s"[skewbench] rows=$n hot=$hotN (${100.0 * hotN / n}%)")
+
+    val quotes = spark.range(0, rows / 10).select(
+        when(pmod(xxhash64(col("id"), lit("qskew")), lit(10)) < 3, lit(0L))
+          .otherwise(pmod(xxhash64(col("id"), lit("qkey")), lit(2000)) + 1L).as("k"),
+        timestamp_seconds(pmod(xxhash64(col("id"), lit("qts")), lit(1000000L))).as("q_ts"),
+        (col("id") % 500).cast("double").as("q_v"))
+      // asof contract: unique (key, ts) on the right for determinism
+      .groupBy(col("k"), col("q_ts")).agg(max(col("q_v")).as("q_v"))
+      .persist()
+    quotes.count()
+
+    val winSec = 3600L
+
+    def run(op: String, variant: String)(df: => DataFrame): Unit = {
+      val (wall, st) = measure(spark) {
+        df.write.format("noop").mode("overwrite").save()
+      }
+      emit(op, variant, wall, st)
+    }
+
+    // warm both paths once (codegen + shuffle machinery), untimed
+    graft.operators.TimeSeries.rolling(corpus.limit(10000), "k", "ts", "v", winSec)
+      .write.format("noop").mode("overwrite").save()
+
+    run("rolling", "plain") {
+      graft.operators.TimeSeries.rolling(corpus, "k", "ts", "v", winSec)
+    }
+    run("rolling", "chunked") {
+      graft.operators.TimeSeries.rollingChunked(corpus, "k", "ts", "v", winSec, winSec)
+    }
+    run("asof", "plain") {
+      graft.operators.Temporal.asofJoin(corpus, quotes, "k", "ts", "q_ts", Seq("q_v"))
+    }
+    run("asof", "chunked") {
+      graft.operators.Temporal.asofJoinChunked(corpus, quotes, "k", "ts", "q_ts",
+        Seq("q_v"), chunkSize = winSec)
+    }
+    spark.stop()
+  }
+}
