@@ -187,22 +187,32 @@ object Graph {
     // re-shuffles inside the loop (same rank/deg division as before,
     // arithmetic unchanged)
     val eDeg = e.join(outDeg, Seq("__s")).repartition(col("__s")).persist()
+    // out-degree is ALSO loop-invariant on the vertex side: attach it
+    // to the vertex table once and carry it through the rank frame, so
+    // the per-round dangling-mass check is a filter on the checkpointed
+    // ranks instead of a fresh vertex-sized join every iteration
+    val vertsDeg = verts
+      .join(outDeg, verts("__v") === outDeg("__s"), "left")
+      .select(col("__v"), col("__deg"))
+      // pre-partition by vertex: the per-round rank rebuild joins
+      // contribs (already hash-partitioned by __v from its groupBy)
+      // against this table, so neither side re-exchanges
+      .repartition(col("__v")).persist()
     try {
-      val n = verts.count().toDouble
-      var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+      val n = vertsDeg.count().toDouble
+      var ranks = vertsDeg.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
       (1 to iters).foreach { _ =>
-        val withDeg = ranks.join(outDeg, ranks("__v") === outDeg("__s"), "left")
         // dangling vertices (no out-edges) spread their mass uniformly
-        val dangling = withDeg.filter(col("__deg").isNull)
+        val dangling = ranks.filter(col("__deg").isNull)
           .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
         val contribs = eDeg
           .join(ranks.select(col("__v").as("__s"), col("rank")), Seq("__s"))
           .select(col("__d").as("__v"), (col("rank") / col("__deg")).as("__c"))
           .groupBy(col("__v")).agg(sum(col("__c")).as("__in"))
-        ranks = verts
+        ranks = vertsDeg
           .join(contribs, Seq("__v"), "left")
           .crossJoin(broadcast(dangling))
-          .select(col("__v"),
+          .select(col("__v"), col("__deg"),
             (lit((1.0 - damping) / n) +
               lit(damping) * (coalesce(col("__in"), lit(0.0)) + col("__dm") / n))
               .as("rank"))
@@ -213,7 +223,8 @@ object Graph {
       // ranks is eagerly checkpointed each round, so every scratch
       // frame can release — on failure paths too, or repeated failed
       // runs would pin blocks for the session's lifetime
-      e.unpersist(); verts.unpersist(); outDeg.unpersist(); eDeg.unpersist(); ()
+      e.unpersist(); verts.unpersist(); outDeg.unpersist(); eDeg.unpersist()
+      vertsDeg.unpersist(); ()
     }
   }
 
@@ -280,6 +291,15 @@ object Graph {
     // same loop-invariant fold + source pre-partitioning as pageRank:
     // the per-round exchange is ranks only, never the edge table
     val eDeg = e.join(outDeg, Seq("__s")).repartition(col("__s")).persist()
+    // same loop-invariant degree fold on the vertex side as pageRank:
+    // dangling mass becomes a filter on the carried __deg column
+    val vertsDeg = verts
+      .join(outDeg, verts("__v") === outDeg("__s"), "left")
+      .select(col("__v"), col("__deg"))
+      // pre-partition by vertex: the per-round rank rebuild joins
+      // contribs (already hash-partitioned by __v from its groupBy)
+      // against this table, so neither side re-exchanges
+      .repartition(col("__v")).persist()
     try {
       // Fail loudly on seeds absent from the vertex set: an absent seed
       // receives no mass, so every round would sum to < 1 and proximity
@@ -294,25 +314,27 @@ object Graph {
           " — drop stale ids or fix the seed list")
       val seedMass = when(col("__v").isin(seeds: _*), lit(1.0 / seeds.size))
         .otherwise(lit(0.0))
-      var ranks = verts.withColumn("rank", seedMass).localCheckpoint(true)
+      var ranks = vertsDeg.withColumn("rank", seedMass).localCheckpoint(true)
       (1 to iters).foreach { _ =>
-        val withDeg = ranks.join(outDeg, ranks("__v") === outDeg("__s"), "left")
-        val dangling = withDeg.filter(col("__deg").isNull)
+        val dangling = ranks.filter(col("__deg").isNull)
           .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
         val contribs = eDeg
           .join(ranks.select(col("__v").as("__s"), col("rank")), Seq("__s"))
           .select(col("__d").as("__v"), (col("rank") / col("__deg")).as("__c"))
           .groupBy(col("__v")).agg(sum(col("__c")).as("__in"))
-        ranks = verts
+        ranks = vertsDeg
           .join(contribs, Seq("__v"), "left")
           .crossJoin(broadcast(dangling))
-          .select(col("__v"),
+          .select(col("__v"), col("__deg"),
             ((lit(1.0 - damping) + lit(damping) * col("__dm")) * seedMass +
               lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
           .localCheckpoint(true)
       }
       ranks.select(col("__v").as("vertex"), col("rank"))
-    } finally { e.unpersist(); verts.unpersist(); outDeg.unpersist(); eDeg.unpersist(); () }
+    } finally {
+      e.unpersist(); verts.unpersist(); outDeg.unpersist(); eDeg.unpersist()
+      vertsDeg.unpersist(); ()
+    }
   }
 
   /** HITS hubs & authorities (Kleinberg 1999) over a directed edge
