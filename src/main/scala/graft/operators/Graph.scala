@@ -177,8 +177,10 @@ object Graph {
       .filter(col("__s").isNotNull && col("__d").isNotNull)
       .distinct()
       .persist()
+    // verts is scanned exactly once (folding degrees into vertsDeg
+    // below) — no persist; vertsDeg is the loop's cached vertex table
     val verts = e.select(col("__s").as("__v"))
-      .union(e.select(col("__d").as("__v"))).distinct().persist()
+      .union(e.select(col("__d").as("__v"))).distinct()
     val outDeg = e.groupBy(col("__s")).agg(count(lit(1)).as("__deg")).persist()
     // out-degree is loop-invariant: fold it into the edge list ONCE and
     // pre-partition the result by source. The cached partitioning is
@@ -223,7 +225,7 @@ object Graph {
       // ranks is eagerly checkpointed each round, so every scratch
       // frame can release — on failure paths too, or repeated failed
       // runs would pin blocks for the session's lifetime
-      e.unpersist(); verts.unpersist(); outDeg.unpersist(); eDeg.unpersist()
+      e.unpersist(); outDeg.unpersist(); eDeg.unpersist()
       vertsDeg.unpersist(); ()
     }
   }

@@ -60,13 +60,22 @@ object Dynamic {
     dest
   }
 
-  /** Stamped at the tree root by every completed write: marks the
-    * directory as graft-dynamic OUTPUT, so the pre-write wipe below
-    * can tell "stale run of this sink" from "directory that holds
-    * someone's unrelated data". Doubles as the gather verbs'
-    * completeness stamp (the `_SUCCESS` analogue for this sink).
+  /** OWNERSHIP stamp, written BEFORE any data: marks the directory as
+    * graft-dynamic output so the pre-write wipe below can tell "stale
+    * run of this sink" from "directory that holds someone's unrelated
+    * data" — and so a run that dies mid-write leaves a tree the retry
+    * still recognizes as its own. Deliberately NOT a completeness
+    * signal (it exists while a write is in flight or crashed).
     */
   private[sources] val Marker = "_GRAFT_DYNAMIC"
+
+  /** COMPLETION stamp, written only after the distributed write
+    * finishes — the `_SUCCESS` analogue the gather verbs require, so a
+    * crashed job's partial tree can never read back as silently-valid
+    * data. Wiped with the rest of the tree by the next run's
+    * prepareTree, so it is never stale.
+    */
+  private[sources] val MarkerDone = "_GRAFT_DYNAMIC_DONE"
 
   // ---- codec plug-in points -------------------------------------------
 
@@ -160,8 +169,17 @@ object Dynamic {
       if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
         "\"" + s.replace("\"", "\"\"") + "\""
       else s
+    // timestamps render in UTC with an explicit offset: Timestamp
+    // .toString would use the writer JVM's default timezone (file
+    // bytes varying by executor locale, values shifting on an
+    // offset-less parse). Micros precision = Spark's TimestampType.
+    @transient private lazy val tsFmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .withZone(java.time.ZoneOffset.UTC)
     private def render(dt: DataType, v: Any): String = v match {
       case null => ""
+      case ts: java.sql.Timestamp => tsFmt.format(ts.toInstant)
+      case i: java.time.Instant => tsFmt.format(i)
       case _ => dt match {
         case _: StringType => cell(v.toString)
         case _ => v.toString // numerics/boolean/date: no quotable chars
@@ -232,13 +250,21 @@ object Dynamic {
                       factory: DestSinkFactory): Unit = {
     require(fanout >= 1, s"fanout must be >= 1, got $fanout")
     require(payloadCols.nonEmpty, "dynamic write needs at least one payload column")
-    val fs = prepareTree(df, basePath, overwriteForeign)
+    // the scatter frame claims __dest and (transiently) __salt; a
+    // payload column with either name would be silently replaced or
+    // make the repartition ambiguous — refuse loudly instead
+    val reserved = payloadCols.filter(c => c == "__dest" || c == "__salt")
+    require(reserved.isEmpty,
+      s"payload column(s) ${reserved.mkString(", ")} collide with the dynamic " +
+        "writer's internal __dest/__salt columns — rename them upstream")
     // salt on a per-ROW spread value, not record content: a hot
     // destination whose rows all carry the same payload would collapse
     // onto one salt if the salt hashed the payload. partition id +
     // in-partition offset is unique per row (uniform spread) and
     // deterministic for a given upstream partitioning, so a retried
     // stage re-salts identically.
+    // Built (and thereby ANALYZED — a typo'd destCol/payload column
+    // throws here) BEFORE prepareTree wipes the previous run's tree.
     val prepared = df
       .select((col(destCol).cast("string").as("__dest") +: payloadCols.map(col)): _*)
       .withColumn("__salt",
@@ -247,7 +273,7 @@ object Dynamic {
       .repartition(col("__dest"), col("__salt"))
       .sortWithinPartitions(col("__dest"))
       .drop("__salt")
-    val width = prepared.schema.fields.length
+    val fs = prepareTree(df, basePath, overwriteForeign)
     val ext = factory.ext
     prepared.foreachPartition { (rows: Iterator[Row]) =>
       // executor-side FS handle: picks up the cluster's core-site.xml
@@ -274,6 +300,11 @@ object Dynamic {
         sink = null
         fs.delete(tempFile, false)
       }
+      // zero-copy payload indexing: sinks read the source row at an
+      // offset of one (past __dest) through a single reused view — no
+      // per-record Vector + Row copy on the 100 TB hot path (safe
+      // because every sink consumes the row before the next arrives)
+      val view = new PayloadView
       try {
         rows.foreach { r =>
           val dest = validateDest(r.getString(0))
@@ -284,14 +315,27 @@ object Dynamic {
             sink = factory.open(fs.create(tempFile, true))
             currentDest = dest
           }
-          sink.write(Row.fromSeq((1 until width).map(r.get)))
+          view.underlying = r
+          sink.write(view)
         }
         commit()
       } catch { case t: Throwable => abort(); throw t }
     }
-    // re-stamp at completion: the write succeeded end-to-end (the
-    // pre-write stamp above already guarantees retry recognition)
-    fs.create(new Path(basePath, Marker), true).close()
+    // completion stamp: only now is the tree valid for the gather verbs
+    fs.create(new Path(basePath, MarkerDone), true).close()
+  }
+
+  /** Mutable zero-allocation view of a scatter row with the leading
+    * `__dest` column hidden: payload field i reads underlying field
+    * i + 1. Reused across records within a task (sinks never retain
+    * the row).
+    */
+  private final class PayloadView extends Row {
+    var underlying: Row = _
+    override def length: Int = underlying.length - 1
+    override def get(i: Int): Any = underlying.get(i + 1)
+    override def copy(): Row =
+      Row.fromSeq((1 until underlying.length).map(underlying.get))
   }
 
   // ---- public scatter verbs -------------------------------------------
@@ -356,7 +400,10 @@ object Dynamic {
     * `recursiveFileLookup`, plus `escape` set to `"` because Spark
     * defaults to backslash escapes where RFC 4180 doubles quotes, and
     * `multiLine` when cells may hold newlines); the destination rides
-    * back on `input_file_name()`.
+    * back on `input_file_name()`. Timestamps are written in UTC with
+    * an explicit offset — gather with
+    * `.option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")`
+    * for a timezone-independent roundtrip.
     */
   def saveAsDynamicCsv(df: DataFrame, basePath: String, destCol: String,
                        header: Boolean = true, fanout: Int = 1,
@@ -378,23 +425,30 @@ object Dynamic {
   // ---- gather verbs ----------------------------------------------------
 
   /** (relative destination, file) pairs under a completed dynamic
-    * tree. Requires the completion [[Marker]] — a tree from a failed
-    * job must not read back as silently-valid data (same contract as
-    * [[Avro.read]]'s `_SUCCESS` requirement).
+    * tree. Requires the post-write [[MarkerDone]] stamp — a tree from
+    * a failed or in-flight job (which has only the pre-write ownership
+    * [[Marker]]) must not read back as silently-valid partial data
+    * (same contract as [[Avro.read]]'s `_SUCCESS` requirement).
     */
   private def listTree(spark: SparkSession, basePath: String, ext: String)
       : Seq[(String, String, Long)] = {
     val base = new Path(basePath)
     val fs = FileSystem.get(base.toUri, spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(new Path(base, Marker)),
-      s"$basePath has no $Marker stamp — not a completed graft dynamic tree")
+    require(fs.exists(new Path(base, MarkerDone)),
+      s"$basePath has no $MarkerDone stamp — not a COMPLETED graft dynamic tree " +
+        "(a crashed or in-flight write leaves only the ownership stamp)")
     val it = fs.listFiles(base, true)
     val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     val baseUri = fs.makeQualified(base).toUri
     while (it.hasNext) {
       val st = it.next()
       val name = st.getPath.getName
-      if (st.isFile && name.startsWith("part-") && name.endsWith("." + ext)) {
+      // ".avro" must not also sweep up ".proto.avro" shards (a proto
+      // tree gathered with the wrong verb would decode to all-null
+      // payload columns instead of failing)
+      val extMatch = name.endsWith("." + ext) &&
+        (ext == "proto.avro" || !name.endsWith(".proto.avro"))
+      if (st.isFile && name.startsWith("part-") && extMatch) {
         val rel = baseUri.relativize(st.getPath.getParent.toUri).getPath
           .stripSuffix("/")
         buf += ((rel, st.getPath.toString, st.getLen))

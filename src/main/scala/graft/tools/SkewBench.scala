@@ -118,8 +118,20 @@ object SkewBench {
       emit(op, variant, wall, st)
     }
 
-    // warm both paths once (codegen + shuffle machinery), untimed
-    graft.operators.TimeSeries.rolling(corpus.limit(10000), "k", "ts", "v", winSec)
+    // warm EVERY measured path once on a small slice (codegen compile,
+    // shuffle machinery, plan-node classloading), untimed — otherwise
+    // whichever variant runs first absorbs one-time costs and the
+    // published ratios mix skew spread with JIT noise
+    val warmCorpus = corpus.limit(10000)
+    val warmQuotes = quotes.limit(1000)
+    graft.operators.TimeSeries.rolling(warmCorpus, "k", "ts", "v", winSec)
+      .write.format("noop").mode("overwrite").save()
+    graft.operators.TimeSeries.rollingChunked(warmCorpus, "k", "ts", "v", winSec, winSec)
+      .write.format("noop").mode("overwrite").save()
+    graft.operators.Temporal.asofJoin(warmCorpus, warmQuotes, "k", "ts", "q_ts", Seq("q_v"))
+      .write.format("noop").mode("overwrite").save()
+    graft.operators.Temporal.asofJoinChunked(warmCorpus, warmQuotes, "k", "ts", "q_ts",
+        Seq("q_v"), chunkSize = winSec)
       .write.format("noop").mode("overwrite").save()
 
     run("rolling", "plain") {

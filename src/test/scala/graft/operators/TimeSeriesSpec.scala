@@ -301,6 +301,6 @@ class TimeSeriesSpec extends SparkSpec {
     assert(chunkedMax <= hotRows / 4,
       s"rollingChunked's worst task read $chunkedMax of $hotRows hot rows — " +
         "the (key, chunk) window key no longer spreads the hot key " +
-        "(SkewBench @5M rows measured 9.8x better max-task wall; this pins it)")
+        "(SkewBench @5M rows measured 6.4x better max-task wall; this pins it)")
   }
 }

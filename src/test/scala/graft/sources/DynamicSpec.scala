@@ -315,4 +315,81 @@ class DynamicSpec extends SparkSpec {
     Dynamic.saveAsDynamicText(df, out.getAbsolutePath, "dest", "text")
     assert(linesUnder(out)("d") == Seq("fresh"))
   }
+
+  test("gather refuses a tree whose write CRASHED (ownership stamp present, " +
+      "completion stamp absent) instead of returning partial data") {
+    val out = tmpDir()
+    val df = Seq((1L, "a", 1.0, "d1"), (2L, "b", 2.0, "d2")).toDF("id", "name", "score", "dest")
+    Dynamic.saveAsDynamicAvro(df, out.getAbsolutePath, "dest")
+    // simulate the crash: committed shards + ownership marker survive,
+    // the completion stamp never landed
+    assert(new java.io.File(out, "_GRAFT_DYNAMIC_DONE").delete())
+    val e = intercept[IllegalArgumentException] {
+      Dynamic.readDynamicAvro(spark, out.getAbsolutePath, avroSchema)
+    }
+    assert(e.getMessage.contains("_GRAFT_DYNAMIC_DONE"))
+    // the retry still recognizes its own tree (ownership marker) and rewrites
+    Dynamic.saveAsDynamicAvro(df, out.getAbsolutePath, "dest")
+    assert(Dynamic.readDynamicAvro(spark, out.getAbsolutePath, avroSchema).count() == 2)
+  }
+
+  test("a typo'd destination column fails BEFORE the previous run's tree is wiped") {
+    val out = tmpDir()
+    val df = Seq((1L, "a", 1.0, "d1")).toDF("id", "name", "score", "dest")
+    Dynamic.saveAsDynamicAvro(df, out.getAbsolutePath, "dest")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Dynamic.saveAsDynamicAvro(df, out.getAbsolutePath, "dets") // typo
+    }
+    // last night's data must still be readable
+    assert(Dynamic.readDynamicAvro(spark, out.getAbsolutePath, avroSchema).count() == 1)
+  }
+
+  test("payload columns colliding with the writer's internal names are rejected loudly") {
+    val out = tmpDir()
+    val df = Seq((1L, 5L, "d1")).toDF("id", "__salt", "dest")
+    val e = intercept[IllegalArgumentException] {
+      Dynamic.saveAsDynamicAvro(df, out.getAbsolutePath, "dest")
+    }
+    assert(e.getMessage.contains("__salt"))
+  }
+
+  test("readDynamicAvro on a PROTO tree matches no shards (never decodes " +
+      "bytes-containers into all-null payload rows)") {
+    val out = tmpDir()
+    val df = Seq((1L, "a", "d1"), (2L, "b", "d2")).toDF("id", "name", "dest")
+    Dynamic.saveAsDynamicProtobuf(df, out.getAbsolutePath, "dest")
+    val wrongVerb = Dynamic.readDynamicAvro(spark, out.getAbsolutePath, avroSchema)
+    assert(wrongVerb.count() == 0,
+      "proto.avro shards must not be swept up by the .avro extension match")
+    // and the right verb still sees both rows
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType)))
+    assert(Dynamic.readDynamicProtobuf(spark, out.getAbsolutePath, schema).count() == 2)
+  }
+
+  test("dynamic CSV timestamps roundtrip timezone-independently through stock spark.read.csv") {
+    val out = tmpDir()
+    val df = Seq(
+      ("2024-03-01 10:30:00.123456", "d1"),
+      ("1969-12-31 23:59:59.000001", "d2")
+    ).toDF("ts_s", "dest")
+      .select(to_timestamp(col("ts_s")).as("ts"), col("dest"))
+    Dynamic.saveAsDynamicCsv(df, out.getAbsolutePath, "dest")
+    val back = spark.read
+      .option("header", "true")
+      .option("recursiveFileLookup", "true")
+      .option("escape", "\"")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType))))
+      .csv(out.getAbsolutePath)
+    val got = back.select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      .collect().map(_.getString(0)).toSet
+    assert(got == Set("2024-03-01 10:30:00.123456", "1969-12-31 23:59:59.000001"))
+    // file bytes carry the explicit UTC offset, not a JVM-local rendering
+    val raw = linesUnder(out).values.flatten.filterNot(_ == "ts")
+    assert(raw.forall(_.endsWith("Z")), s"expected UTC-offset rendering, got $raw")
+  }
 }
