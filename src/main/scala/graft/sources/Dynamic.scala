@@ -457,6 +457,80 @@ object Dynamic {
     buf.toSeq.sortBy(t => (t._1, t._2))
   }
 
+  /** Read a [[saveAsDynamicText]] tree back: one row per line,
+    * relative destination in `destColName`, line text in `textColName`
+    * — the completion-checked inverse (stock `spark.read.text` would
+    * happily read a crashed job's partial tree). One task per file,
+    * as every gather verb here.
+    */
+  def readDynamicText(spark: SparkSession, basePath: String,
+                      destColName: String = "dest",
+                      textColName: String = "text"): DataFrame = {
+    val files = listTree(spark, basePath, "txt")
+    val outSchema = StructType(Seq(
+      StructField(destColName, StringType, nullable = false),
+      StructField(textColName, StringType, nullable = false)))
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val confEntries = spark.sparkContext.broadcast(
+      hadoopConf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap)
+    val rows = spark.sparkContext.parallelize(files, files.size)
+      .flatMap { case (dest, file, _) =>
+        val taskConf = new Configuration(false)
+        confEntries.value.foreach { case (k, v) => taskConf.set(k, v) }
+        val p = new Path(file)
+        val in = p.getFileSystem(taskConf).open(p)
+        val reader = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
+        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => reader.close()))
+        Iterator.continually(reader.readLine()).takeWhile(_ != null)
+          .map(line => Row(dest, line))
+      }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Read a [[saveAsDynamicCsv]] tree back through stock
+    * `spark.read.csv` with the writer's exact dialect (RFC 4180 quote
+    * doubling, UTC timestamps with explicit offset, per-shard headers)
+    * pre-wired, destination recovered from each file's parent — plus
+    * the completion-marker check the raw reader skips. `schema` is the
+    * payload schema (what [[saveAsDynamicCsv]] wrote, minus the
+    * destination column).
+    */
+  def readDynamicCsv(spark: SparkSession, basePath: String, schema: StructType,
+                     header: Boolean = true,
+                     destColName: String = "dest"): DataFrame = {
+    val files = listTree(spark, basePath, "csv")
+    val outSchema = StructType(
+      StructField(destColName, StringType, nullable = false) +: schema.fields)
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+    // recover the destination by joining input_file_name() back to the
+    // listed (file → dest) map — a broadcast hash join on a
+    // scheme-normalized path (codegen, no UDF). Scheme spelling
+    // differs between Hadoop's listing ("file:/x") and Spark's scan
+    // ("file:///x"); stripping `scheme:` and leading slashes from both
+    // sides makes them comparable.
+    val schemePat = "^[a-zA-Z0-9+.-]+:/+"
+    val fileMap = spark
+      .createDataFrame(files.map { case (dest, file, _) =>
+        (file.replaceFirst(schemePat, ""), dest)
+      })
+      .toDF("__dyn_file", destColName)
+    spark.read
+      .option("header", header.toString)
+      .option("escape", "\"")
+      .option("multiLine", "true")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+      .schema(schema)
+      .csv(files.map(_._2): _*)
+      .withColumn("__dyn_file",
+        regexp_replace(input_file_name(), schemePat, ""))
+      .join(broadcast(fileMap), Seq("__dyn_file"), "left")
+      .select(col(destColName) +: schema.fieldNames.map(col).toSeq: _*)
+  }
+
   /** Read a [[saveAsDynamicAvro]] tree back: one row per record, the
     * relative destination in `destColName`, payload columns per
     * `schema` (Avro's evolution contract — container fields absent

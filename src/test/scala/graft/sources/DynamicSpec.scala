@@ -368,6 +368,41 @@ class DynamicSpec extends SparkSpec {
     assert(Dynamic.readDynamicProtobuf(spark, out.getAbsolutePath, schema).count() == 2)
   }
 
+  test("readDynamicText: completion-checked gather, nested destinations recovered") {
+    val out = tmpDir()
+    val df = Seq(("a/b", "l1"), ("a/b", "l2"), ("c", "l3")).toDF("dest", "text")
+    Dynamic.saveAsDynamicText(df, out.getAbsolutePath, "dest", "text")
+    val back = Dynamic.readDynamicText(spark, out.getAbsolutePath)
+    val got = back.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("a/b", "l1"), ("a/b", "l2"), ("c", "l3")))
+    // crash protection: no completion stamp → refuse
+    assert(new java.io.File(out, "_GRAFT_DYNAMIC_DONE").delete())
+    intercept[IllegalArgumentException](Dynamic.readDynamicText(spark, out.getAbsolutePath))
+  }
+
+  test("readDynamicCsv: schema-typed gather with the writer's dialect pre-wired") {
+    val out = tmpDir()
+    val df = Seq(
+      (1L, "plain", 1.5, "d/x"),
+      (2L, "quote\"comma,", -0.25, "d/y"),
+      (3L, null.asInstanceOf[String], 99.0, "d/x")
+    ).toDF("id", "s", "v", "dest")
+    Dynamic.saveAsDynamicCsv(df, out.getAbsolutePath, "dest")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType)))
+    val back = Dynamic.readDynamicCsv(spark, out.getAbsolutePath, schema)
+    assert(back.columns.toSeq == Seq("dest", "id", "s", "v"))
+    val got = back.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3))).toSet
+    assert(got == Set(
+      ("d/x", 1L, "plain", 1.5), ("d/y", 2L, "quote\"comma,", -0.25),
+      ("d/x", 3L, null, 99.0)))
+    // no destination row lost to the path-normalization join
+    assert(back.filter(col("dest").isNull).count() == 0)
+  }
+
   test("dynamic CSV timestamps roundtrip timezone-independently through stock spark.read.csv") {
     val out = tmpDir()
     val df = Seq(
