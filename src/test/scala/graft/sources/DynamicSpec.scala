@@ -401,6 +401,13 @@ class DynamicSpec extends SparkSpec {
       ("d/x", 3L, null, 99.0)))
     // no destination row lost to the path-normalization join
     assert(back.filter(col("dest").isNull).count() == 0)
+    // embedded newlines survive the quoted-cell + multiLine roundtrip
+    val out2 = tmpDir()
+    val df2 = Seq((1L, "line1\nline2", 0.5, "m")).toDF("id", "s", "v", "dest")
+    Dynamic.saveAsDynamicCsv(df2, out2.getAbsolutePath, "dest")
+    val back2 = Dynamic.readDynamicCsv(spark, out2.getAbsolutePath, schema)
+    assert(back2.collect().map(r => (r.getString(0), r.getString(2))).toSeq ==
+      Seq(("m", "line1\nline2")))
   }
 
   test("dynamic CSV timestamps roundtrip timezone-independently through stock spark.read.csv") {
