@@ -158,15 +158,19 @@ object Dynamic {
 
   /** RFC 4180 CSV per destination: fields holding comma, quote, CR or
     * LF are quoted, embedded quotes doubled — exactly what stock CSV
-    * readers (Spark's included) undo. Null cells render empty; an
-    * optional header line leads every file, so each shard is
+    * readers (Spark's included) undo. Null cells render as an empty
+    * UNQUOTED field and non-null empty strings as a QUOTED empty field
+    * (`""`), so the null/empty distinction survives the roundtrip
+    * (Spark's reader maps unquoted-empty → null, quoted-empty → "");
+    * an optional header line leads every file, so each shard is
     * independently readable.
     */
   private final class CsvSinkFactory(fieldNames: Array[String], fieldTypes: Array[DataType],
                                      header: Boolean) extends DestSinkFactory {
     val ext = "csv"
     private def cell(s: String): String =
-      if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      if (s.isEmpty) "\"\"" // distinguish empty string from null's unquoted-empty
+      else if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
         "\"" + s.replace("\"", "\"\"") + "\""
       else s
     // timestamps render in UTC with an explicit offset: Timestamp
@@ -199,6 +203,209 @@ object Dynamic {
         w.write('\n')
       }
       def close(): Unit = w.close()
+    }
+  }
+
+  /** Parquet file per destination, written through parquet-hadoop's
+    * `ParquetWriter` (already on Spark's classpath) with a Row
+    * `WriteSupport` — no Spark job per destination, just the scatter
+    * engine's one open stream per task. Spark's own schema metadata
+    * rides in the footer, so `spark.read.parquet` on any shard (or
+    * the whole tree) recovers exact Spark types; snappy-compressed
+    * like Spark's default parquet output.
+    */
+  private object ParquetCodec {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Type, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.Type.Repetition
+
+    def checkType(dt: DataType): Unit = dt match {
+      case _: StringType | _: BinaryType | _: IntegerType | _: LongType |
+           _: ShortType | _: ByteType | _: FloatType | _: DoubleType |
+           _: BooleanType | _: DateType | _: TimestampType => ()
+      case ArrayType(elem, _) => elem match {
+        case _: ArrayType | _: StructType | _: MapType =>
+          throw new IllegalArgumentException(
+            s"dynamic parquet supports arrays of primitives only, got array of $elem " +
+              "(flatten upstream)")
+        case other => checkType(other)
+      }
+      case other => throw new IllegalArgumentException(
+        s"dynamic parquet cannot render type $other " +
+          "(strings/numerics/boolean/date/timestamp/binary and arrays of those — " +
+          "flatten or cast upstream)")
+    }
+
+    private def primitive(name: String, dt: DataType, rep: Repetition): Type = dt match {
+      case _: StringType =>
+        Types.primitive(BINARY, rep).as(LogicalTypeAnnotation.stringType()).named(name)
+      case _: BinaryType => Types.primitive(BINARY, rep).named(name)
+      case _: IntegerType => Types.primitive(INT32, rep).named(name)
+      case _: LongType => Types.primitive(INT64, rep).named(name)
+      case _: ShortType =>
+        Types.primitive(INT32, rep).as(LogicalTypeAnnotation.intType(16, true)).named(name)
+      case _: ByteType =>
+        Types.primitive(INT32, rep).as(LogicalTypeAnnotation.intType(8, true)).named(name)
+      case _: FloatType => Types.primitive(FLOAT, rep).named(name)
+      case _: DoubleType => Types.primitive(DOUBLE, rep).named(name)
+      case _: BooleanType => Types.primitive(BOOLEAN, rep).named(name)
+      case _: DateType =>
+        Types.primitive(INT32, rep).as(LogicalTypeAnnotation.dateType()).named(name)
+      case _: TimestampType =>
+        Types.primitive(INT64, rep).as(LogicalTypeAnnotation.timestampType(
+          true, LogicalTypeAnnotation.TimeUnit.MICROS)).named(name)
+      case other => throw new IllegalArgumentException(s"unreachable: $other")
+    }
+
+    /** Spark StructType → parquet MessageType, the standard 3-level
+      * LIST layout for arrays (what Spark itself writes and reads).
+      */
+    def toMessageType(schema: StructType): MessageType = {
+      val b = Types.buildMessage()
+      schema.fields.foreach { f =>
+        val rep = if (f.nullable) Repetition.OPTIONAL else Repetition.REQUIRED
+        f.dataType match {
+          case ArrayType(elem, containsNull) =>
+            b.addField(Types.buildGroup(rep).as(LogicalTypeAnnotation.listType())
+              .addField(Types.repeatedGroup()
+                .addField(primitive("element", elem,
+                  if (containsNull) Repetition.OPTIONAL else Repetition.REQUIRED))
+                .named("list"))
+              .named(f.name))
+          case other => b.addField(primitive(f.name, other, rep))
+        }
+      }
+      b.named("spark_schema")
+    }
+  }
+
+  /** parquet-hadoop writes through a seekless forward stream: position
+    * is the running byte count (parquet writes strictly sequentially
+    * from offset 0 and only records offsets, never seeks back).
+    */
+  private final class StreamOutputFile(out: OutputStream)
+      extends org.apache.parquet.io.OutputFile {
+    private def counting() = new org.apache.parquet.io.PositionOutputStream {
+      private var pos = 0L
+      override def getPos: Long = pos
+      override def write(b: Int): Unit = { out.write(b); pos += 1 }
+      override def write(b: Array[Byte]): Unit = { out.write(b); pos += b.length }
+      override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+        out.write(b, off, len); pos += len
+      }
+      override def flush(): Unit = out.flush()
+      override def close(): Unit = out.close()
+    }
+    override def create(blockSizeHint: Long) = counting()
+    override def createOrOverwrite(blockSizeHint: Long) = counting()
+    override def supportsBlockSize(): Boolean = false
+    override def defaultBlockSize(): Long = 0L
+  }
+
+  /** Payload rows → parquet records. The footer carries Spark's own
+    * schema-metadata key, so a stock `spark.read.parquet` recovers the
+    * exact Spark types (short/byte/timestamp) instead of re-deriving
+    * them from the physical annotations.
+    */
+  private final class RowWriteSupport(messageTypeStr: String, sparkSchema: StructType)
+      extends org.apache.parquet.hadoop.api.WriteSupport[Row] {
+    import org.apache.parquet.io.api.{Binary, RecordConsumer}
+    private val messageType =
+      org.apache.parquet.schema.MessageTypeParser.parseMessageType(messageTypeStr)
+    private val names = sparkSchema.fields.map(_.name)
+    private val types = sparkSchema.fields.map(_.dataType)
+    private var rc: RecordConsumer = _
+
+    override def init(conf: Configuration)
+        : org.apache.parquet.hadoop.api.WriteSupport.WriteContext = {
+      val meta = new java.util.HashMap[String, String]()
+      meta.put("org.apache.spark.sql.parquet.row.metadata", sparkSchema.json)
+      new org.apache.parquet.hadoop.api.WriteSupport.WriteContext(messageType, meta)
+    }
+    override def prepareForWrite(recordConsumer: RecordConsumer): Unit =
+      rc = recordConsumer
+
+    private def micros(v: Any): Long = v match {
+      case ts: java.sql.Timestamp =>
+        // getTime already includes the millisecond part of nanos
+        ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+      case i: java.time.Instant =>
+        Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+    }
+    private def days(v: Any): Int = v match {
+      case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+      case ld: java.time.LocalDate => ld.toEpochDay.toInt
+    }
+    private def writeValue(dt: DataType, v: Any): Unit = dt match {
+      case _: StringType => rc.addBinary(Binary.fromString(v.toString))
+      case _: BinaryType =>
+        rc.addBinary(Binary.fromConstantByteArray(v.asInstanceOf[Array[Byte]]))
+      case _: IntegerType => rc.addInteger(v.asInstanceOf[Int])
+      case _: LongType => rc.addLong(v.asInstanceOf[Long])
+      case _: ShortType => rc.addInteger(v.asInstanceOf[Short].toInt)
+      case _: ByteType => rc.addInteger(v.asInstanceOf[Byte].toInt)
+      case _: FloatType => rc.addFloat(v.asInstanceOf[Float])
+      case _: DoubleType => rc.addDouble(v.asInstanceOf[Double])
+      case _: BooleanType => rc.addBoolean(v.asInstanceOf[Boolean])
+      case _: DateType => rc.addInteger(days(v))
+      case _: TimestampType => rc.addLong(micros(v))
+      case ArrayType(elem, _) =>
+        rc.startGroup()
+        val seq = v.asInstanceOf[scala.collection.Seq[Any]]
+        if (seq.nonEmpty) {
+          rc.startField("list", 0)
+          seq.foreach { e =>
+            rc.startGroup()
+            if (e != null) {
+              rc.startField("element", 0)
+              writeValue(elem, e)
+              rc.endField("element", 0)
+            }
+            rc.endGroup()
+          }
+          rc.endField("list", 0)
+        }
+        rc.endGroup()
+      case other => throw new IllegalArgumentException(s"unreachable: $other")
+    }
+
+    override def write(r: Row): Unit = {
+      rc.startMessage()
+      var i = 0
+      while (i < types.length) {
+        if (!r.isNullAt(i)) {
+          rc.startField(names(i), i)
+          writeValue(types(i), r.get(i))
+          rc.endField(names(i), i)
+        }
+        i += 1
+      }
+      rc.endMessage()
+    }
+  }
+
+  private final class RowParquetWriterBuilder(
+      file: org.apache.parquet.io.OutputFile, messageTypeStr: String, schema: StructType)
+      extends org.apache.parquet.hadoop.ParquetWriter.Builder[Row, RowParquetWriterBuilder](file) {
+    override def self(): RowParquetWriterBuilder = this
+    override def getWriteSupport(conf: Configuration)
+        : org.apache.parquet.hadoop.api.WriteSupport[Row] =
+      new RowWriteSupport(messageTypeStr, schema)
+  }
+
+  private final class ParquetSinkFactory(payloadSchema: StructType, messageTypeStr: String,
+                                         rowGroupBytes: Long)
+      extends DestSinkFactory {
+    val ext = "parquet"
+    def open(out: OutputStream): DestSink = new DestSink {
+      private val writer =
+        new RowParquetWriterBuilder(new StreamOutputFile(out), messageTypeStr, payloadSchema)
+          .withCompressionCodec(
+            org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+          .withRowGroupSize(rowGroupBytes)
+          .build()
+      def write(payload: Row): Unit = writer.write(payload)
+      def close(): Unit = writer.close() // closes the underlying stream
     }
   }
 
@@ -422,6 +629,39 @@ object Dynamic {
       new CsvSinkFactory(payload.map(_.name), payload.map(_.dataType), header))
   }
 
+  /** Write every non-destination column of each row as PARQUET into
+    * `basePath/<destCol>/part-NNNNN.parquet` — the reference's typed
+    * dynamic parquet sink (scio-parquet
+    * parquet/types/dynamic/syntax/SCollectionSyntax.scala:34
+    * `saveAsDynamicParquetFile`) re-expressed over the scatter engine.
+    * Spark's `partitionBy` covers only the `col=value` layout;
+    * this writes arbitrary relative destinations in the lake's primary
+    * columnar format. Every shard is a stock-reader-valid parquet file
+    * carrying Spark's schema metadata (exact type recovery) and snappy
+    * compression; gather with [[readDynamicParquet]] (destination
+    * recovered from the tree) or point `spark.read.parquet` at any
+    * shard glob.
+    *
+    * Memory note: parquet buffers one row group per OPEN writer —
+    * and the scatter engine keeps exactly ONE writer open per task, so
+    * per-task overhead is one row-group buffer (`rowGroupBytes`,
+    * default 32 MB — smaller than Spark's 128 MB default because
+    * dynamic shards are per-destination slices, not full-table files),
+    * NOT one per destination.
+    */
+  def saveAsDynamicParquet(df: DataFrame, basePath: String, destCol: String,
+                           fanout: Int = 1, overwriteForeign: Boolean = false,
+                           rowGroupBytes: Long = 32L * 1024 * 1024): Unit = {
+    require(rowGroupBytes >= 64 * 1024,
+      s"rowGroupBytes must be >= 64 KiB, got $rowGroupBytes")
+    val payload = df.schema.fields.filterNot(_.name == destCol)
+    payload.foreach(f => ParquetCodec.checkType(f.dataType)) // fail fast driver-side
+    val payloadSchema = StructType(payload)
+    val messageTypeStr = ParquetCodec.toMessageType(payloadSchema).toString
+    scatter(df, basePath, destCol, payload.map(_.name).toSeq, fanout, overwriteForeign,
+      new ParquetSinkFactory(payloadSchema, messageTypeStr, rowGroupBytes))
+  }
+
   // ---- gather verbs ----------------------------------------------------
 
   /** (relative destination, file) pairs under a completed dynamic
@@ -429,6 +669,17 @@ object Dynamic {
     * a failed or in-flight job (which has only the pre-write ownership
     * [[Marker]]) must not read back as silently-valid partial data
     * (same contract as [[Avro.read]]'s `_SUCCESS` requirement).
+    *
+    * SCALE ENVELOPE: the listing buffers one (dest, path, len) triple
+    * per file on the DRIVER, and the gather verbs schedule one task
+    * per file — right-sized for dynamic trees (file count =
+    * destinations × fanout, tens of thousands at most in any sane
+    * export, ~100 bytes of driver heap each), but a pathological tree
+    * of MILLIONS of files would bound on driver memory and scheduler
+    * task count before anything else. Such trees are mis-sharded
+    * outputs, not gather inputs: compact them, or for oversized
+    * individual Avro containers point [[Avro.read]]'s splittable
+    * byte-range path at a shard glob instead.
     */
   private def listTree(spark: SparkSession, basePath: String, ext: String)
       : Seq[(String, String, Long)] = {
@@ -457,6 +708,57 @@ object Dynamic {
     buf.toSeq.sortBy(t => (t._1, t._2))
   }
 
+  /** The gather frame claims `__dyn_file` transiently and `destColName`
+    * permanently; a payload schema column with either name would turn
+    * the dest-recovery join ambiguous or silently shadow a payload
+    * column — refuse loudly instead (mirror of scatter's __dest/__salt
+    * guard).
+    */
+  private def checkGatherNames(schema: StructType, destColName: String): Unit = {
+    require(destColName != "__dyn_file",
+      "destColName '__dyn_file' collides with the gather's internal join column")
+    val reserved = schema.fieldNames.filter(n => n == "__dyn_file" || n == destColName)
+    require(reserved.isEmpty,
+      s"payload schema column(s) ${reserved.mkString(", ")} collide with the dynamic " +
+        s"gather's internal __dyn_file/'$destColName' columns — rename them upstream " +
+        "or pass a different destColName")
+  }
+
+  /** Recover each row's destination by joining the scan's
+    * `input_file_name()` back to the driver-side (file → dest) listing
+    * — a broadcast hash join on a decoded, scheme-stripped path
+    * (codegen, no UDF). `input_file_name()` returns the URL-ENCODED
+    * URI of the file while Hadoop's `Path.toString` renders paths
+    * DECODED, so the scan side is url-decoded first (with literal '+'
+    * protected — URL decoding would turn it into a space; URI encoding
+    * never encodes a space as '+') and both sides drop `scheme://`.
+    * A scan row whose file misses the listing raises instead of
+    * silently yielding a null destination.
+    */
+  private def joinDestFromFiles(df: DataFrame, files: Seq[(String, String, Long)],
+                                destColName: String, payloadFields: Seq[String])
+      : DataFrame = {
+    val spark = df.sparkSession
+    val schemePat = "^[a-zA-Z0-9+.-]+:/+"
+    val fileMap = spark
+      .createDataFrame(files.map { case (dest, file, _) =>
+        (file.replaceFirst(schemePat, ""), dest)
+      })
+      .toDF("__dyn_file", "__dyn_dest")
+    df.withColumn("__dyn_file",
+        regexp_replace(
+          url_decode(regexp_replace(input_file_name(), "\\+", "%2B")),
+          schemePat, ""))
+      .join(broadcast(fileMap), Seq("__dyn_file"), "left")
+      .select(
+        when(col("__dyn_dest").isNotNull, col("__dyn_dest"))
+          .otherwise(raise_error(concat(
+            lit("dynamic gather: scanned file missing from the tree listing " +
+              "(path normalization mismatch?): "), col("__dyn_file"))))
+          .as(destColName) +:
+        payloadFields.map(col): _*)
+  }
+
   /** Read a [[saveAsDynamicText]] tree back: one row per line,
     * relative destination in `destColName`, line text in `textColName`
     * — the completion-checked inverse (stock `spark.read.text` would
@@ -466,6 +768,9 @@ object Dynamic {
   def readDynamicText(spark: SparkSession, basePath: String,
                       destColName: String = "dest",
                       textColName: String = "text"): DataFrame = {
+    require(destColName != textColName,
+      s"destColName and textColName are both '$destColName' — the gather frame " +
+        "would carry duplicate column names")
     val files = listTree(spark, basePath, "txt")
     val outSchema = StructType(Seq(
       StructField(destColName, StringType, nullable = false),
@@ -501,34 +806,49 @@ object Dynamic {
   def readDynamicCsv(spark: SparkSession, basePath: String, schema: StructType,
                      header: Boolean = true,
                      destColName: String = "dest"): DataFrame = {
+    checkGatherNames(schema, destColName)
     val files = listTree(spark, basePath, "csv")
     val outSchema = StructType(
       StructField(destColName, StringType, nullable = false) +: schema.fields)
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
-    // recover the destination by joining input_file_name() back to the
-    // listed (file → dest) map — a broadcast hash join on a
-    // scheme-normalized path (codegen, no UDF). Scheme spelling
-    // differs between Hadoop's listing ("file:/x") and Spark's scan
-    // ("file:///x"); stripping `scheme:` and leading slashes from both
-    // sides makes them comparable.
-    val schemePat = "^[a-zA-Z0-9+.-]+:/+"
-    val fileMap = spark
-      .createDataFrame(files.map { case (dest, file, _) =>
-        (file.replaceFirst(schemePat, ""), dest)
-      })
-      .toDF("__dyn_file", destColName)
-    spark.read
-      .option("header", header.toString)
-      .option("escape", "\"")
-      .option("multiLine", "true")
-      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
-      .schema(schema)
-      .csv(files.map(_._2): _*)
-      .withColumn("__dyn_file",
-        regexp_replace(input_file_name(), schemePat, ""))
-      .join(broadcast(fileMap), Seq("__dyn_file"), "left")
-      .select(col(destColName) +: schema.fieldNames.map(col).toSeq: _*)
+    joinDestFromFiles(
+      spark.read
+        .option("header", header.toString)
+        .option("escape", "\"")
+        .option("multiLine", "true")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        // the writer renders null as an UNQUOTED empty field and "" as
+        // a QUOTED one; Spark's default read maps BOTH to null because
+        // nullValue="" compares after unquoting. Remapping nullValue to
+        // a sentinel that never occurs keeps the distinction: unquoted
+        // empty → sentinel → null, quoted empty → "" (a real string
+        // equal to the lone-NUL sentinel would read back null — not a
+        // value this writer's UTF-8 text model produces meaningfully)
+        .option("nullValue", "\u0000")
+        .schema(schema)
+        .csv(files.map(_._2): _*),
+      files, destColName, schema.fieldNames.toSeq)
+  }
+
+  /** Read a [[saveAsDynamicParquet]] tree back through stock
+    * `spark.read.parquet`, destination recovered from each file's
+    * parent — plus the completion-marker check the raw reader skips.
+    * `schema` is the payload schema (what the scatter wrote, minus the
+    * destination column); missing columns read null, extra container
+    * columns are pruned — parquet's usual projection contract.
+    */
+  def readDynamicParquet(spark: SparkSession, basePath: String, schema: StructType,
+                         destColName: String = "dest"): DataFrame = {
+    checkGatherNames(schema, destColName)
+    val files = listTree(spark, basePath, "parquet")
+    val outSchema = StructType(
+      StructField(destColName, StringType, nullable = false) +: schema.fields)
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+    joinDestFromFiles(
+      spark.read.schema(schema).parquet(files.map(_._2): _*),
+      files, destColName, schema.fieldNames.toSeq)
   }
 
   /** Read a [[saveAsDynamicAvro]] tree back: one row per record, the
@@ -542,6 +862,7 @@ object Dynamic {
     */
   def readDynamicAvro(spark: SparkSession, basePath: String, schema: StructType,
                       destColName: String = "dest"): DataFrame = {
+    checkGatherNames(schema, destColName)
     val files = listTree(spark, basePath, "avro")
     gatherAvro(spark, files, schema, destColName) { (rec, fieldNames, fieldTypes) =>
       Row.fromSeq(fieldNames.indices.map { i =>
@@ -559,6 +880,7 @@ object Dynamic {
     */
   def readDynamicProtobuf(spark: SparkSession, basePath: String, schema: StructType,
                           destColName: String = "dest"): DataFrame = {
+    checkGatherNames(schema, destColName)
     schema.fields.foreach(f => Protobuf.checkType(f.dataType))
     val files = listTree(spark, basePath, "proto.avro")
     gatherAvro(spark, files, schema, destColName) { (rec, _, _) =>

@@ -27,10 +27,16 @@ object SkewBench {
     val maxDurMs = new java.util.concurrent.atomic.AtomicLong()
     val maxShuffleRecords = new java.util.concurrent.atomic.AtomicLong()
     val tasksWithRows = new java.util.concurrent.atomic.AtomicLong()
+    // monotone task-end event counter — the settle-loop fingerprint. A
+    // sum of maxima/conditional counters could read "stable" while late
+    // events still arrive (two compensating updates, or an event that
+    // moves neither max); every event bumps this exactly once.
+    val events = new java.util.concurrent.atomic.AtomicLong()
     def update(durMs: Long, recs: Long): Unit = {
       maxDurMs.getAndAccumulate(durMs, math.max)
       maxShuffleRecords.getAndAccumulate(recs, math.max)
       if (recs > 0) { tasksWithRows.incrementAndGet(); () }
+      events.incrementAndGet(); ()
     }
   }
 
@@ -61,11 +67,13 @@ object SkewBench {
       spark.sparkContext.clearJobGroup()
     }
     val wall = (System.nanoTime() - t0) / 1e9
-    // task-end events post asynchronously: settle before reading
-    var prev = -1L; var cur = stats.maxDurMs.get + stats.tasksWithRows.get
+    // task-end events post asynchronously: settle on the MONOTONE event
+    // counter (not a sum of maxima, which can read stable one cycle
+    // early while late events still arrive)
+    var prev = -1L; var cur = stats.events.get
     val deadline = System.nanoTime() + 10000000000L
     while (cur != prev && System.nanoTime() < deadline) {
-      prev = cur; Thread.sleep(200); cur = stats.maxDurMs.get + stats.tasksWithRows.get
+      prev = cur; Thread.sleep(200); cur = stats.events.get
     }
     spark.sparkContext.removeSparkListener(listener)
     (wall, stats)

@@ -410,6 +410,156 @@ class DynamicSpec extends SparkSpec {
       Seq(("m", "line1\nline2")))
   }
 
+  test("dynamic csv: EMPTY STRING and null stay distinct through the roundtrip") {
+    // null renders as an unquoted empty field, "" as a quoted one —
+    // Spark's reader maps them back to null and "" respectively
+    val out = tmpDir()
+    val df = Seq((1L, "", "d"), (2L, null.asInstanceOf[String], "d"), (3L, "x", "d"))
+      .toDF("id", "s", "dest")
+    Dynamic.saveAsDynamicCsv(df, out.getAbsolutePath, "dest")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType)))
+    val back = Dynamic.readDynamicCsv(spark, out.getAbsolutePath, schema)
+    val got = back.collect().map(r => (r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((1L, ""), (2L, null), (3L, "x")))
+  }
+
+  test("gather verbs refuse payload schema names colliding with dest/__dyn_file") {
+    val out = tmpDir()
+    val df = Seq((1L, "a", "d1")).toDF("id", "dest_payload", "dest")
+    Dynamic.saveAsDynamicCsv(df, out.getAbsolutePath, "dest")
+    val clash = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("dest", org.apache.spark.sql.types.StringType)))
+    val e = intercept[IllegalArgumentException] {
+      Dynamic.readDynamicCsv(spark, out.getAbsolutePath, clash)
+    }
+    assert(e.getMessage.contains("dest"))
+    val dynFile = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__dyn_file", org.apache.spark.sql.types.StringType)))
+    intercept[IllegalArgumentException] {
+      Dynamic.readDynamicParquet(spark, out.getAbsolutePath, dynFile)
+    }
+    intercept[IllegalArgumentException] {
+      Dynamic.readDynamicText(spark, out.getAbsolutePath, destColName = "x", textColName = "x")
+    }
+  }
+
+  test("destinations with spaces, '%' and '+' survive the dest-recovery join") {
+    // input_file_name() returns the URL-ENCODED URI; the gather decodes
+    // it back before joining against Hadoop's decoded listing — a space
+    // ("%20"), '%' ("%25") or literal '+' (must NOT decode to a space)
+    // destination must neither miss the join nor throw. (Non-ASCII
+    // destinations decode the same way but can't be exercised here:
+    // the test JVM's POSIX locale can't create non-UTF-8-mappable
+    // local paths at all.)
+    val out = tmpDir()
+    val df = Seq(
+      (1L, "va", "JUMBO PKG"), (2L, "vb", "50%off"), (4L, "vd", "a+b")
+    ).toDF("id", "s", "dest")
+    Dynamic.saveAsDynamicCsv(df, out.getAbsolutePath, "dest")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType)))
+    val back = Dynamic.readDynamicCsv(spark, out.getAbsolutePath, schema)
+    val got = back.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("JUMBO PKG", 1L), ("50%off", 2L), ("a+b", 4L)))
+  }
+
+  // ---- dynamic Parquet ---------------------------------------------------
+
+  private val pqSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType)))
+
+  test("dynamic parquet: scatter/gather roundtrip preserves every row and destination") {
+    val out = tmpDir()
+    val df = Seq(
+      (1L, "alpha", 1.5, "t/a"), (2L, "beta", -2.25, "t/b"),
+      (3L, null.asInstanceOf[String], 0.0, "t/a"), (4L, "delta", 9.75, "t/c")
+    ).toDF("id", "name", "score", "dest")
+    Dynamic.saveAsDynamicParquet(df, out.getAbsolutePath, "dest")
+    val back = Dynamic.readDynamicParquet(spark, out.getAbsolutePath, pqSchema)
+    val got = back.select("dest", "id", "name", "score")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    assert(got == Set(("t/a", 1L, "alpha", 1.5), ("t/b", 2L, "beta", -2.25),
+      ("t/a", 3L, null, 0.0), ("t/c", 4L, "delta", 9.75)))
+    // completion stamp contract, same as every codec
+    assert(new java.io.File(out, "_GRAFT_DYNAMIC_DONE").delete())
+    intercept[IllegalArgumentException] {
+      Dynamic.readDynamicParquet(spark, out.getAbsolutePath, pqSchema)
+    }
+  }
+
+  test("dynamic parquet: shards are STOCK-spark.read.parquet-valid with exact types") {
+    val out = tmpDir()
+    val df = Seq(
+      ("2024-03-01 10:30:00.123456", "2024-02-29", 1, 2.5f, true,
+        Array[Byte](1, 2, 3), Seq(10L, 20L), "d1"),
+      ("1969-12-31 23:59:59.000001", "1970-01-01", -7, -0.5f, false,
+        Array[Byte](), Seq.empty[Long], "d1")
+    ).toDF("ts_s", "dt_s", "i", "f", "b", "bin", "xs", "dest")
+      .select(to_timestamp(col("ts_s")).as("ts"), to_date(col("dt_s")).as("dt"),
+        col("i"), col("f"), col("b"), col("bin"), col("xs"), col("dest"))
+    Dynamic.saveAsDynamicParquet(df, out.getAbsolutePath, "dest")
+    val shard = new java.io.File(out, "d1").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    val back = spark.read.parquet(shard.getAbsolutePath)
+    // Spark forces nullable on any file-read schema, so compare on the
+    // nullability-erased types
+    def erase(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType =
+      dt match {
+        case org.apache.spark.sql.types.ArrayType(e, _) =>
+          org.apache.spark.sql.types.ArrayType(erase(e), containsNull = true)
+        case other => other
+      }
+    assert(back.schema.map(f => (f.name, erase(f.dataType))) ==
+      df.schema.filterNot(_.name == "dest").map(f => (f.name, erase(f.dataType))))
+    val got = back
+      .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        col("dt").cast("string"), col("i"), col("f"), col("b"),
+        length(col("bin")), col("xs"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getFloat(3),
+        r.getBoolean(4), r.getInt(5), r.getSeq[Long](6).toList)).toSet
+    assert(got == Set(
+      ("2024-03-01 10:30:00.123456", "2024-02-29", 1, 2.5f, true, 3, List(10L, 20L)),
+      ("1969-12-31 23:59:59.000001", "1970-01-01", -7, -0.5f, false, 0, Nil)))
+  }
+
+  test("dynamic parquet: fanout spreads a hot destination; nested types rejected") {
+    val out = tmpDir()
+    val df = spark.range(0, 200)
+      .select(col("id"), concat(lit("n"), col("id")).as("name"),
+        (col("id") * 0.5).as("score"), lit("hot").as("dest"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try Dynamic.saveAsDynamicParquet(df, out.getAbsolutePath, "dest", fanout = 4)
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    val files = new java.io.File(out, "hot").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length > 1, "fanout should produce multiple parquet shards")
+    val back = Dynamic.readDynamicParquet(spark, out.getAbsolutePath, pqSchema)
+    assert(back.count() == 200)
+    assert(back.agg(sum("id")).head.getLong(0) == (0L until 200L).sum)
+    // wipe guard: a foreign dir refuses without the opt-in
+    val foreign = tmpDir()
+    java.nio.file.Files.write(new java.io.File(foreign, "keep.txt").toPath, "x".getBytes)
+    val e = intercept[IllegalArgumentException] {
+      Dynamic.saveAsDynamicParquet(
+        Seq((1L, "a", 0.5, "d")).toDF("id", "name", "score", "dest"),
+        foreign.getAbsolutePath, "dest")
+    }
+    assert(e.getMessage.contains("_GRAFT_DYNAMIC"))
+    // nested payload types are rejected driver-side, tree untouched
+    val nested = Seq((1L, Seq(Seq(1, 2)), "d")).toDF("id", "xs", "dest")
+    val e2 = intercept[IllegalArgumentException] {
+      Dynamic.saveAsDynamicParquet(nested, tmpDir().getAbsolutePath, "dest")
+    }
+    assert(e2.getMessage.contains("arrays of primitives"))
+  }
+
   test("dynamic CSV timestamps roundtrip timezone-independently through stock spark.read.csv") {
     val out = tmpDir()
     val df = Seq(
