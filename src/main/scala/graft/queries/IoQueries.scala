@@ -476,22 +476,81 @@ object IoQueries extends QueryPack {
 
     // dynamic per-record destinations (scio saveAsDynamicTextFile):
     // write nation names into one directory PER REGION KEY taken from
-    // each row, then read the whole tree back, recovering the
-    // destination from the file path — the oracle over the original
-    // parquet checks the full scatter/gather roundtrip.
+    // each row, then gather the whole tree back through
+    // readDynamicText — the completion-checked gather verb (not the
+    // stock text reader) recovers the destination, so the marker
+    // contract and per-file line decode sit on the oracle's critical
+    // path alongside the scatter.
     "q_io_dynamic" -> { (s, dir) =>
       val path = tmp(dir, "nation_dynamic")
       graft.sources.Dynamic.saveAsDynamicText(
         tables(s, dir).nation.select(
           concat(lit("region="), col("n_regionkey")).as("dest"), col("n_name")),
         path, "dest", "n_name")
-      s.read.option("recursiveFileLookup", "true").text(path)
-        .select(regexp_extract(input_file_name(), "region=(\\d+)/", 1)
-          .cast("int").as("n_regionkey"), col("value").as("n_name"))
+      graft.sources.Dynamic.readDynamicText(s, path)
+        .select(regexp_extract(col("dest"), "region=(\\d+)", 1)
+          .cast("int").as("n_regionkey"), col("text").as("n_name"))
         .groupBy(col("n_regionkey"))
         .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"),
           max(col("n_name")).as("last_name"))
         .orderBy(col("n_regionkey"))
+    },
+
+    // dynamic PARQUET destinations (scio-parquet types/dynamic
+    // saveAsDynamicParquetFile): parts scattered into per-(type,
+    // brand) parquet shard-sets — the destination carries a SPACE and
+    // a '#' (brand names), so the URL-encoded input_file_name ↔
+    // decoded listing normalization is on the oracle's critical path —
+    // gathered via readDynamicParquet (stock spark.read.parquet under
+    // the hood: interop and the graft verb proven together).
+    "q_io_dynamic_parquet" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val path = tmp(dir, "part_dynamic_parquet")
+      graft.sources.Dynamic.saveAsDynamicParquet(
+        tables(s, dir).part.select(
+          concat(col("p_type"), lit(" parts/"), col("p_brand")).as("dest"),
+          col("p_partkey").cast("long").as("p_partkey"), col("p_name"),
+          col("p_size").cast("int").as("p_size"),
+          col("p_retailprice").cast("double").as("p_retailprice")),
+        path, "dest")
+      graft.sources.Dynamic.readDynamicParquet(s, path, StructType(Seq(
+          StructField("p_partkey", LongType), StructField("p_name", StringType),
+          StructField("p_size", IntegerType),
+          StructField("p_retailprice", DoubleType))))
+        .groupBy(col("dest"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("p_retailprice"))).as("sum_price"),
+          min(col("p_name")).as("first_name"), max(col("p_partkey")).as("max_key"),
+          r2(avg(col("p_size"))).as("avg_size"))
+        .orderBy(col("dest"))
+    },
+
+    // dynamic CSV GATHER leg: where q_io_dynamic_csv proves RFC 4180
+    // interop through STOCK spark.read.csv, this one puts the graft
+    // gather verb (readDynamicCsv — completion check, dialect
+    // pre-wiring, dest-recovery join, null vs empty-string sentinel)
+    // on the oracle path, including a column that mixes nulls and
+    // non-null EMPTY strings.
+    "q_io_dynamic_csv_gather" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val path = tmp(dir, "customer_dynamic_csv_gather")
+      graft.sources.Dynamic.saveAsDynamicCsv(
+        tables(s, dir).customer.select(
+          concat(lit("nation="), col("c_nationkey").cast("long")).as("dest"),
+          col("c_custkey").cast("long").as("c_custkey"),
+          when(col("c_acctbal") < 0, lit(""))
+            .when(col("c_acctbal") > 9000, lit(null).cast("string"))
+            .otherwise(col("c_name")).as("note"),
+          col("c_acctbal").cast("double").as("c_acctbal")),
+        path, "dest")
+      graft.sources.Dynamic.readDynamicCsv(s, path, StructType(Seq(
+          StructField("c_custkey", LongType), StructField("note", StringType),
+          StructField("c_acctbal", DoubleType))))
+        .groupBy(col("dest"))
+        .agg(count(lit(1)).as("n"), count(col("note")).as("n_notes"),
+          sum(when(col("note") === "", 1L).otherwise(0L)).as("n_empty"),
+          min(when(col("note") =!= "", col("note"))).as("first_note"),
+          r2(sum(col("c_acctbal"))).as("sum_bal"))
+        .orderBy(col("dest"))
     },
 
     // dynamic AVRO destinations (scio saveAsDynamicAvroFile): scatter
@@ -710,6 +769,24 @@ object IoQueries extends QueryPack {
         |  max(c_name || ', bal: ' || CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR))
         |    AS max_note
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_io_dynamic_parquet" ->
+      """SELECT p_type || ' parts/' || p_brand AS dest, count(*) AS n,
+        |  round(sum(p_retailprice), 2) AS sum_price, min(p_name) AS first_name,
+        |  CAST(max(p_partkey) AS BIGINT) AS max_key,
+        |  round(avg(p_size), 2) AS avg_size
+        |FROM part GROUP BY 1 ORDER BY dest""".stripMargin,
+    "q_io_dynamic_csv_gather" ->
+      """SELECT dest, count(*) AS n, count(note) AS n_notes,
+        |  CAST(sum(CASE WHEN note = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+        |  min(nullif(note, '')) AS first_note, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM (
+        |  SELECT 'nation=' || CAST(CAST(c_nationkey AS BIGINT) AS VARCHAR) AS dest,
+        |    CASE WHEN c_acctbal < 0 THEN ''
+        |         WHEN c_acctbal > 9000 THEN NULL
+        |         ELSE c_name END AS note,
+        |    c_acctbal
+        |  FROM customer)
+        |GROUP BY dest ORDER BY dest""".stripMargin,
     "q_io_avro_nested" ->
       """SELECT o_orderpriority AS prio, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS sum_price,
