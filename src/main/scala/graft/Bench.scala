@@ -67,6 +67,54 @@ object Bench {
     "q_knn_ivf_probe"
   )
 
+  /** Fixed-work CPU calibration probe. Two rounds running (r12, r13),
+    * cross-round bench deltas have had to be adjudicated by forensics
+    * on untouched queries because the shared VM drifts 10-20% round to
+    * round with zero code cause. This makes the drift a MEASURED
+    * divisor instead of an argument: a deterministic xxhash64-style
+    * avalanche loop of exactly `Iters` iterations — pure ALU work,
+    * immune to page cache, parquet footers, or JVM heap state — timed
+    * single-thread and all-cores, before and after the suite, stamped
+    * into the artifact's env block. To compare round A to round B,
+    * normalize each query time by the rounds' calib ratio
+    * (SCALING.md "Calibration" section); a probe that itself moved
+    * >10% between pre and post flags in-run interference.
+    */
+  private object Calib {
+    val Iters = 200000000L
+    @volatile private var sink: Long = 0L // defeat dead-code elimination
+    private def mixLoop(seed: Long): Long = {
+      var h = seed; var i = 0L
+      while (i < Iters) {
+        h ^= h >>> 33; h *= 0x9E3779B185EBCA87L // xxh64 prime 1
+        h ^= h >>> 29; h *= 0xC2B2AE3D27D4EB4FL // xxh64 prime 2
+        h ^= h >>> 32; h += i
+        i += 1
+      }
+      h
+    }
+    private def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    /** (single-thread sec, all-cores sec): min-of-3 each (min, not
+      * median — the probe is fixed work, so every deviation above the
+      * true time is interference by construction), after one untimed
+      * JIT-warming pass.
+      */
+    def probe(): (Double, Double) = {
+      sink ^= mixLoop(0x5eedL) // untimed: C2-compile the loop first
+      val single = (1 to 3).map(r => timed { sink ^= mixLoop(r.toLong) }).min
+      val n = Runtime.getRuntime.availableProcessors()
+      val multi = (1 to 3).map { r =>
+        timed {
+          val ts = (0 until n).map(t => new Thread(() => { sink ^= mixLoop(r * 1000L + t) }))
+          ts.foreach(_.start()); ts.foreach(_.join())
+        }
+      }.min
+      (single, multi)
+    }
+  }
+
   /** 1-minute system load average — the machine-busy dial. Sampled at
     * start and end of the run and stamped into the bench JSON so an
     * artifact recorded under ambient load SELF-IDENTIFIES instead of
@@ -109,6 +157,9 @@ object Bench {
     // clean artifact records with visible headroom. The polluted stamp
     // itself still keys off 0.5.
     val loadStart = awaitIdle(0.3)
+    // calibration probe BEFORE the suite (post-idle-wait, so it
+    // measures the machine the suite is about to run on)
+    val (calSinglePre, calMultiPre) = Calib.probe()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.configure(
@@ -335,9 +386,16 @@ object Bench {
     if (polluted) System.err.println(
       f"[bench] WARNING: load_avg_start=$loadStart%.2f > 0.5 — recording under ambient " +
         "load; artifact stamped \"polluted\": true. Re-run idle for a comparable number.")
+    // calibration probe AFTER the suite: pre≈post means the machine
+    // held steady for the whole recording; a >10% pre→post move means
+    // something started/stopped mid-run (compare queries_min, or rerun)
+    val (calSinglePost, calMultiPost) = Calib.probe()
     val env = f""""env":{"load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f,""" +
       s""""idle_wait_target":0.3,"polluted_threshold":0.5,""" +
       s""""available_processors":${Runtime.getRuntime.availableProcessors()},""" +
+      f""""calib_iters":${Calib.Iters}%d,""" +
+      f""""calib_single_pre":$calSinglePre%.3f,"calib_multi_pre":$calMultiPre%.3f,""" +
+      f""""calib_single_post":$calSinglePost%.3f,"calib_multi_post":$calMultiPost%.3f,""" +
       s""""spark_cpus":$cpus}"""
     // KEY ORDER IS LOAD-BEARING: the driver archives only a 2,000-char
     // TAIL of this line, so the verdict-critical fields — per-query
