@@ -33,7 +33,9 @@ import scala.jdk.CollectionConverters._
   * Execution shape, chosen for 100 TB (shared by all codecs):
   *  - one shuffle: repartition by (dest, salt) — co-locates each
   *    destination into one task (`fanout` salts spread a hot
-  *    destination over several);
+  *    destination over several; `fanout = Dynamic.AutoFanout` sizes
+  *    per-destination salts from a sampled histogram — see
+  *    [[Dynamic.AutoFanout]]);
   *  - sortWithinPartitions(dest): destinations arrive CONTIGUOUSLY,
   *    so exactly ONE output stream is open per task at any moment —
   *    no per-destination writer map to blow the heap at high
@@ -409,6 +411,62 @@ object Dynamic {
     }
   }
 
+  // ---- auto fanout ------------------------------------------------------
+
+  /** Sentinel for the `fanout` parameter: size per-destination salts
+    * from a sampled destination histogram instead of one global
+    * caller-guessed spread. With a static `fanout`, a hot destination
+    * (one domain = 40% of the corpus — guaranteed at 100 TB)
+    * serializes into a single task unless the caller predicted it;
+    * with [[AutoFanout]] the scatter samples the destination column
+    * (same detection shape as `Joins.skewedJoinSampled`), estimates
+    * rows per destination, and gives each destination
+    * `ceil(estRows / targetRows)` salts — cold destinations keep salt
+    * 0 (exactly the `fanout = 1` layout), hot ones spread over as many
+    * tasks as their size warrants. The salt map rides a broadcast hash
+    * join (codegen, no UDF); commit protocol and gathered content are
+    * unchanged.
+    *
+    * Tuning (session conf, read at write time):
+    *  - `spark.graft.dynamic.autoTargetRows` (default 1000000): rows
+    *    per destination-task to aim for;
+    *  - `spark.graft.dynamic.autoSampleFraction` (default 0.01):
+    *    detection sample rate;
+    *  - `spark.graft.dynamic.autoMaxSalts` (default:
+    *    `spark.sql.shuffle.partitions`): per-destination salt cap —
+    *    more salts than shuffle partitions cannot add parallelism.
+    */
+  val AutoFanout: Int = 0
+
+  /** Per-destination salt counts from a sampled histogram: only
+    * destinations whose SAMPLED count clears `targetRows ×
+    * sampleFraction` (min 2, so a lone straggler row can't mark a
+    * destination hot) are estimated at all, so the driver collects one
+    * row per genuinely hot destination — bounded by corpus size /
+    * targetRows, not by destination cardinality.
+    */
+  private[sources] def sampledSalts(dests: DataFrame, targetRows: Long,
+                                    sampleFraction: Double, maxSalts: Int)
+      : Seq[(String, Int)] = {
+    require(targetRows > 0, s"autoTargetRows must be positive, got $targetRows")
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"autoSampleFraction must be in (0, 1], got $sampleFraction")
+    require(maxSalts >= 1, s"autoMaxSalts must be >= 1, got $maxSalts")
+    val sampledCut = math.max((targetRows * sampleFraction).toLong, 2L)
+    dests
+      .sample(withReplacement = false, sampleFraction, seed = 42L)
+      .groupBy(col("__dest")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= sampledCut)
+      .collect()
+      .iterator
+      .map { r =>
+        val est = r.getLong(1) / sampleFraction
+        (r.getString(0), math.min(maxSalts.toLong, math.ceil(est / targetRows).toLong).toInt)
+      }
+      .filter(_._2 > 1)
+      .toSeq
+  }
+
   // ---- the shared scatter engine --------------------------------------
 
   /** Wipe-and-stamp the output tree (same contract as Avro/TfRecord
@@ -455,15 +513,17 @@ object Dynamic {
   private def scatter(df: DataFrame, basePath: String, destCol: String,
                       payloadCols: Seq[String], fanout: Int, overwriteForeign: Boolean,
                       factory: DestSinkFactory): Unit = {
-    require(fanout >= 1, s"fanout must be >= 1, got $fanout")
+    require(fanout == AutoFanout || fanout >= 1,
+      s"fanout must be >= 1 or Dynamic.AutoFanout ($AutoFanout), got $fanout")
     require(payloadCols.nonEmpty, "dynamic write needs at least one payload column")
-    // the scatter frame claims __dest and (transiently) __salt; a
-    // payload column with either name would be silently replaced or
-    // make the repartition ambiguous — refuse loudly instead
-    val reserved = payloadCols.filter(c => c == "__dest" || c == "__salt")
+    // the scatter frame claims __dest and (transiently) __salt /
+    // __fanout; a payload column with any of those names would be
+    // silently replaced or make the repartition ambiguous — refuse
+    // loudly instead
+    val reserved = payloadCols.filter(c => c == "__dest" || c == "__salt" || c == "__fanout")
     require(reserved.isEmpty,
       s"payload column(s) ${reserved.mkString(", ")} collide with the dynamic " +
-        "writer's internal __dest/__salt columns — rename them upstream")
+        "writer's internal __dest/__salt/__fanout columns — rename them upstream")
     // salt on a per-ROW spread value, not record content: a hot
     // destination whose rows all carry the same payload would collapse
     // onto one salt if the salt hashed the payload. partition id +
@@ -472,11 +532,40 @@ object Dynamic {
     // stage re-salts identically.
     // Built (and thereby ANALYZED — a typo'd destCol/payload column
     // throws here) BEFORE prepareTree wipes the previous run's tree.
-    val prepared = df
+    val base = df
       .select((col(destCol).cast("string").as("__dest") +: payloadCols.map(col)): _*)
-      .withColumn("__salt",
-        if (fanout == 1) lit(0)
-        else pmod(hash(spark_partition_id(), monotonically_increasing_id()), lit(fanout)))
+    val spread = hash(spark_partition_id(), monotonically_increasing_id())
+    val salted =
+      if (fanout == AutoFanout) {
+        val spark = df.sparkSession
+        val conf = spark.conf
+        val targetRows =
+          conf.get("spark.graft.dynamic.autoTargetRows", "1000000").toLong
+        val sampleFraction =
+          conf.get("spark.graft.dynamic.autoSampleFraction", "0.01").toDouble
+        val maxSalts = conf.get("spark.graft.dynamic.autoMaxSalts",
+          spark.sessionState.conf.numShufflePartitions.toString).toInt
+        val salts = sampledSalts(base.select(col("__dest")),
+          targetRows, sampleFraction, maxSalts)
+        if (salts.isEmpty) base.withColumn("__salt", lit(0))
+        else {
+          // one visible notice per write, mirroring binPack's salts>1
+          // log: the spread changes the file layout (hot destinations
+          // gain extra part files), and that should be discoverable
+          // from the logs, not a surprise in the output tree
+          System.err.println(s"[graft.dynamic] auto-fanout: ${salts.size} hot " +
+            s"destination(s) spread over extra tasks: " +
+            salts.sortBy(-_._2).take(10)
+              .map { case (d, s) => s"$d -> $s salts" }.mkString(", ") +
+            (if (salts.size > 10) ", …" else ""))
+          val saltMap = spark.createDataFrame(salts).toDF("__dest", "__fanout")
+          base.join(broadcast(saltMap), Seq("__dest"), "left")
+            .withColumn("__salt", pmod(spread, coalesce(col("__fanout"), lit(1))))
+            .drop("__fanout")
+        }
+      } else if (fanout == 1) base.withColumn("__salt", lit(0))
+      else base.withColumn("__salt", pmod(spread, lit(fanout)))
+    val prepared = salted
       .repartition(col("__dest"), col("__salt"))
       .sortWithinPartitions(col("__dest"))
       .drop("__salt")

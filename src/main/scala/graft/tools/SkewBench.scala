@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   * Corpus: `rows` events (default 5 M), ONE key carrying 30% of them
   * (the ultra-hot instrument of a feed), the rest uniform over 2000
   * cold keys; timestamps hash-uniform over ~11.6 days so the hot key
-  * spreads over many window chunks. Prints one JSON line per
+  * spreads over many window chunks. An r14 arm measures the dynamic-
+  * destination scatter the same way: one destination at 30%,
+  * fanout=1 vs AutoFanout. Prints one JSON line per
   * (operator, variant) with wall seconds, the MAX single-task wall
   * inside the measured jobs (the straggler signal — cluster wall
   * clock is bounded below by it), and the max records one task read
@@ -154,6 +156,36 @@ object SkewBench {
     run("asof", "chunked") {
       graft.operators.Temporal.asofJoinChunked(corpus, quotes, "k", "ts", "q_ts",
         Seq("q_v"), chunkSize = winSec)
+    }
+
+    // r14: the dynamic-destination scatter under a hot DESTINATION
+    // (dest-0 carries 30% of the corpus) — fanout=1 serializes it into
+    // ONE write task; AutoFanout spreads it per the sampled histogram.
+    // AQE off for both variants: its partition coalescing would re-merge
+    // the salt spread at this corpus size (real exports are far past
+    // the advisory partition size) and muddy the comparison.
+    val destCorpus = corpus.select(
+      concat(lit("dest-"), col("k")).as("dest"),
+      concat(col("id"), lit(","), col("v")).as("text"))
+    val dynBase = s"/tmp/graft_skewbench_dyn_${System.nanoTime()}"
+    def runDynamic(variant: String, fanout: Int): Unit = {
+      val dir = s"$dynBase/$variant"
+      val (wall, st) = measure(spark) {
+        graft.sources.Dynamic.saveAsDynamicText(destCorpus, dir, "dest", "text",
+          fanout = fanout)
+      }
+      emit("dynamic_text", variant, wall, st)
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // warm the scatter path untimed (codegen + commit machinery)
+      graft.sources.Dynamic.saveAsDynamicText(
+        destCorpus.limit(10000), s"$dynBase/warm", "dest", "text")
+      runDynamic("plain", fanout = 1)
+      runDynamic("auto", fanout = graft.sources.Dynamic.AutoFanout)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dynBase))
     }
     spark.stop()
   }

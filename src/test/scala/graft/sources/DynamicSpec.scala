@@ -136,6 +136,86 @@ class DynamicSpec extends SparkSpec {
     assert(linesUnder(out)("d") == Seq("x"))
   }
 
+  // ---- auto fanout -----------------------------------------------------
+
+  /** Run `body` with the auto-fanout conf knobs set, restoring after. */
+  private def withAutoConf(targetRows: Long, fraction: Double, maxSalts: Int)(body: => Unit)
+      : Unit = {
+    spark.conf.set("spark.graft.dynamic.autoTargetRows", targetRows.toString)
+    spark.conf.set("spark.graft.dynamic.autoSampleFraction", fraction.toString)
+    spark.conf.set("spark.graft.dynamic.autoMaxSalts", maxSalts.toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // AQE would re-coalesce the salts
+    try body finally {
+      spark.conf.unset("spark.graft.dynamic.autoTargetRows")
+      spark.conf.unset("spark.graft.dynamic.autoSampleFraction")
+      spark.conf.unset("spark.graft.dynamic.autoMaxSalts")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
+  test("AutoFanout spreads the hot destination over >1 task, cold destinations untouched") {
+    val out = tmpDir()
+    // one destination carries 20k rows, two cold ones 50 each
+    val hot = spark.range(0, 20000)
+      .select(lit("hot").as("dest"), concat(lit("h"), col("id")).as("text"))
+    val cold = spark.range(0, 50).select(lit("cold/a").as("dest"),
+        concat(lit("a"), col("id")).as("text"))
+      .union(spark.range(0, 50).select(lit("cold/b").as("dest"),
+        concat(lit("b"), col("id")).as("text")))
+    withAutoConf(targetRows = 2000, fraction = 0.5, maxSalts = 8) {
+      Dynamic.saveAsDynamicText(hot.union(cold), out.getAbsolutePath, "dest", "text",
+        fanout = Dynamic.AutoFanout)
+    }
+    // part-file names carry the writing task's PARTITION ID — distinct
+    // names in one destination dir are distinct tasks by construction,
+    // the direct form of the task-metrics assertion
+    def partFiles(rel: String): Seq[String] =
+      new java.io.File(out, rel).listFiles().map(_.getName).filter(_.startsWith("part-")).toSeq
+    assert(partFiles("hot").distinct.size > 1,
+      s"hot destination must spread over >1 task, got ${partFiles("hot")}")
+    assert(partFiles("cold/a").size == 1 && partFiles("cold/b").size == 1,
+      "cold destinations must keep the single-task fanout=1 layout")
+    // content identical to what fanout=1 would write
+    val got = linesUnder(out)
+    assert(got("hot").sorted == (0L until 20000L).map(i => s"h$i").sorted)
+    assert(got("cold/a").sorted == (0L until 50L).map(i => s"a$i").sorted)
+    assert(got("cold/b").sorted == (0L until 50L).map(i => s"b$i").sorted)
+  }
+
+  test("AutoFanout with no hot destination yields the identical tree to fanout=1") {
+    val outAuto = tmpDir(); val outPlain = tmpDir()
+    val df = spark.range(0, 300).select(
+      concat(lit("d"), pmod(col("id"), lit(3))).as("dest"),
+      concat(lit("r"), col("id")).as("text"))
+    withAutoConf(targetRows = 1000000, fraction = 0.5, maxSalts = 8) {
+      Dynamic.saveAsDynamicText(df, outAuto.getAbsolutePath, "dest", "text",
+        fanout = Dynamic.AutoFanout)
+      Dynamic.saveAsDynamicText(df, outPlain.getAbsolutePath, "dest", "text", fanout = 1)
+    }
+    def tree(dir: java.io.File): Map[String, Seq[String]] = linesUnder(dir)
+    def names(dir: java.io.File): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(dir).filter(_.getName.startsWith("part-"))
+        .map(f => dir.toPath.relativize(f.toPath).toString).toSet
+    }
+    assert(names(outAuto) == names(outPlain),
+      "no destination over target: auto must produce the exact fanout=1 file layout")
+    assert(tree(outAuto) == tree(outPlain))
+  }
+
+  test("sampledSalts sizes salts from the histogram and skips cold destinations") {
+    // 10k rows on "big", 5k on "mid", 40 on "tiny"; full sample for determinism
+    val dests = spark.range(0, 15040).select(
+      when(col("id") < 10000, "big").when(col("id") < 15000, "mid")
+        .otherwise("tiny").as("__dest"))
+    val salts = Dynamic.sampledSalts(dests, targetRows = 2500,
+      sampleFraction = 1.0, maxSalts = 3).toMap
+    assert(salts("big") == 3, "10000/2500 = 4 salts, capped at maxSalts 3")
+    assert(salts("mid") == 2, "5000/2500 = 2 salts")
+    assert(!salts.contains("tiny"), "a destination under target gets no entry (salt 1)")
+  }
+
   // ---- dynamic Avro ----------------------------------------------------
 
   private val avroSchema = org.apache.spark.sql.types.StructType(Seq(
