@@ -296,12 +296,45 @@ object StreamSinks {
       graft.sources.Protobuf.write(df, p, container)))
 
   /** Dynamic per-record destinations per micro-batch (destination
-    * column → subdirectory under the batch dir).
+    * column → subdirectory under the batch dir). Every batch codec of
+    * [[graft.sources.Dynamic]] lifts the same way: a replayed
+    * micro-batch re-runs the scatter over ITS OWN batch dir only (the
+    * scatter's wipe-and-stamp recognizes its previous attempt via the
+    * ownership marker and replaces it whole — other batch dirs are
+    * untouched), so exactly-once lands per batch dir. `fanout` passes
+    * through, including [[graft.sources.Dynamic.AutoFanout]] — each
+    * micro-batch samples its own destination histogram.
     */
-  def toDynamicText(ds: Dataset[Row], path: String, destCol: String, textCol: String)
-      : DataStreamWriter[Row] =
+  def toDynamicText(ds: Dataset[Row], path: String, destCol: String, textCol: String,
+                    fanout: Int = 1): DataStreamWriter[Row] =
     ds.writeStream.foreachBatch(perBatch(path)((df, p) =>
-      graft.sources.Dynamic.saveAsDynamicText(df, p, destCol, textCol)))
+      graft.sources.Dynamic.saveAsDynamicText(df, p, destCol, textCol, fanout)))
+
+  /** Dynamic per-destination Avro containers per micro-batch. */
+  def toDynamicAvro(ds: Dataset[Row], path: String, destCol: String,
+                    fanout: Int = 1): DataStreamWriter[Row] =
+    ds.writeStream.foreachBatch(perBatch(path)((df, p) =>
+      graft.sources.Dynamic.saveAsDynamicAvro(df, p, destCol, fanout)))
+
+  /** Dynamic per-destination RFC 4180 CSV per micro-batch. */
+  def toDynamicCsv(ds: Dataset[Row], path: String, destCol: String,
+                   header: Boolean = true, fanout: Int = 1): DataStreamWriter[Row] =
+    ds.writeStream.foreachBatch(perBatch(path)((df, p) =>
+      graft.sources.Dynamic.saveAsDynamicCsv(df, p, destCol, header, fanout)))
+
+  /** Dynamic per-destination parquet per micro-batch. */
+  def toDynamicParquet(ds: Dataset[Row], path: String, destCol: String,
+                       fanout: Int = 1): DataStreamWriter[Row] =
+    ds.writeStream.foreachBatch(perBatch(path)((df, p) =>
+      graft.sources.Dynamic.saveAsDynamicParquet(df, p, destCol, fanout)))
+
+  /** Dynamic per-destination proto shards (bytes-in-Avro) per
+    * micro-batch.
+    */
+  def toDynamicProtobuf(ds: Dataset[Row], path: String, destCol: String,
+                        fanout: Int = 1): DataStreamWriter[Row] =
+    ds.writeStream.foreachBatch(perBatch(path)((df, p) =>
+      graft.sources.Dynamic.saveAsDynamicProtobuf(df, p, destCol, fanout)))
 
   /** WebDataset-style tar shards per micro-batch
     * (`name` string + `value` binary columns — [[graft.sources.Tar]]).

@@ -477,6 +477,97 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("streaming dynamic Avro sink: two-batch roundtrip; a replayed batch " +
+       "overwrites its own dir only") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dynavro").toFile
+    val ckp = new java.io.File(dir, "ckp").getAbsolutePath
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    val input = MemoryStream[(String, Long, String)]
+    input.addData(("t/a", 1L, "alpha"), ("t/b", 2L, "beta"))
+    val q = StreamSinks.toDynamicAvro(input.toDF().toDF("dest", "id", "name"), out, "dest")
+      .option("checkpointLocation", ckp).start()
+    try {
+      q.processAllAvailable()
+      input.addData(("t/a", 3L, "gamma"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val schema = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    def gather(): Set[(String, String, Long, String)] =
+      new java.io.File(out).listFiles().filter(_.getName.startsWith("batch-")).toSet
+        .flatMap { (d: java.io.File) =>
+          graft.sources.Dynamic.readDynamicAvro(spark, d.getAbsolutePath, schema)
+            .collect().map(r => (d.getName, r.getString(0), r.getLong(1), r.getString(2)))
+        }
+    val expect = Set(
+      ("batch-00000", "t/a", 1L, "alpha"), ("batch-00000", "t/b", 2L, "beta"),
+      ("batch-00001", "t/a", 3L, "gamma"))
+    assert(gather() == expect)
+    // replay batch 0 (what foreachBatch does after a failure between
+    // write and commit): re-run the SAME batch writer over batch-00000 —
+    // it must replace its own dir whole and leave batch-00001 untouched
+    val replay = Seq(("t/a", 1L, "alpha"), ("t/b", 2L, "beta")).toDF("dest", "id", "name")
+    graft.sources.Dynamic.saveAsDynamicAvro(replay, s"$out/batch-00000", "dest")
+    assert(gather() == expect, "replay must be invisible to the committed tree")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
+  test("streaming dynamic CSV sink: two-batch roundtrip through readDynamicCsv") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dyncsv").toFile
+    val ckp = new java.io.File(dir, "ckp").getAbsolutePath
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    val input = MemoryStream[(String, Long, String)]
+    input.addData(("d1", 1L, "with,comma"), ("d2", 2L, ""))
+    val q = StreamSinks.toDynamicCsv(input.toDF().toDF("dest", "id", "name"), out, "dest")
+      .option("checkpointLocation", ckp).start()
+    try {
+      q.processAllAvailable()
+      input.addData(("d1", 3L, null: String))
+      q.processAllAvailable()
+    } finally q.stop()
+    val schema = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    val all = new java.io.File(out).listFiles().filter(_.getName.startsWith("batch-")).toSet
+      .flatMap { (d: java.io.File) =>
+        graft.sources.Dynamic.readDynamicCsv(spark, d.getAbsolutePath, schema)
+          .collect().map(r => (d.getName, r.getString(0), r.getLong(1), r.getString(2)))
+      }
+    // the writer's null-vs-empty distinction survives the stream path too
+    assert(all == Set(
+      ("batch-00000", "d1", 1L, "with,comma"), ("batch-00000", "d2", 2L, ""),
+      ("batch-00001", "d1", 3L, null)))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
+  test("streaming dynamic parquet sink: two-batch roundtrip through readDynamicParquet") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dynpq").toFile
+    val ckp = new java.io.File(dir, "ckp").getAbsolutePath
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    val input = MemoryStream[(String, Long, String)]
+    input.addData(("p/x", 10L, "ten"), ("p/y", 20L, "twenty"))
+    val q = StreamSinks.toDynamicParquet(input.toDF().toDF("dest", "id", "name"), out, "dest")
+      .option("checkpointLocation", ckp).start()
+    try {
+      q.processAllAvailable()
+      input.addData(("p/x", 30L, "thirty"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val schema = StructType(Seq(StructField("id", LongType), StructField("name", StringType)))
+    val all = new java.io.File(out).listFiles().filter(_.getName.startsWith("batch-")).toSet
+      .flatMap { (d: java.io.File) =>
+        graft.sources.Dynamic.readDynamicParquet(spark, d.getAbsolutePath, schema)
+          .collect().map(r => (d.getName, r.getString(0), r.getLong(1), r.getString(2)))
+      }
+    assert(all == Set(
+      ("batch-00000", "p/x", 10L, "ten"), ("batch-00000", "p/y", 20L, "twenty"),
+      ("batch-00001", "p/x", 30L, "thirty")))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("StreamMonitor: per-micro-batch expectation counts ride the query") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

@@ -4,7 +4,7 @@ DuckDB over the sf parquet tables, compare to the Spark result parquet
 (columns sorted by name, exact value compare). Usage:
   python3 tools/check.py /tmp/verify_r2 /root/testdata/sf0.01 [query ...]
 """
-import json, sys, glob, os
+import json, sys, glob, os, time
 import duckdb
 import pandas as pd
 
@@ -47,10 +47,12 @@ def main():
         if nonscalar:
             print(f"{name}: NON-SCALAR OUTPUT COLUMNS {nonscalar} — driver checker would crash; flatten to scalars")
             n_fail += 1; continue
+        t0 = time.time()
         try:
             orc = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"{name}: ORACLE SQL ERROR: {e}"); n_fail += 1; continue
+        oracle_sec = time.time() - t0
         s = spark[sorted(spark.columns)]
         o = orc[sorted(orc.columns)]
         ok = True
@@ -84,7 +86,11 @@ def main():
                 bad = [(i, a, b) for i, (a, b) in enumerate(zip(sv, ov)) if not same(a, b)]
                 if bad:
                     print(f"{name}: VALUES differ in {c}: {bad[:3]} ({len(bad)} rows)"); ok = False
-        if ok: n_pass += 1
+        if ok:
+            n_pass += 1
+            # per-oracle DuckDB wall — the dial that decides which shapes
+            # are feasible in the sfN spot gates (SCALING.md tables)
+            print(f"{name}: ok oracle={oracle_sec:.1f}s")
         else: n_fail += 1
     print(f"\npass={n_pass} fail={n_fail} rows_only={n_noorc}")
     sys.exit(1 if n_fail else 0)
