@@ -22,7 +22,15 @@ object AnalyticsQueries extends QueryPack {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           r2(sum(col("l_quantity"))).as("sum_qty"),
-          r2(sum(col("l_extendedprice"))).as("sum_base_price"),
+          // decimal sum, not round(sum(double)): at sf10 (60M rows,
+          // sum ~2.8e11) the double sum's association error straddled
+          // the 2dp rounding boundary — Spark said .99, DuckDB .00.
+          // Each l_extendedprice is a 2dp money value, so the per-row
+          // decimal cast is exact in both engines and decimal addition
+          // is associative: the sum agrees bit-exactly at EVERY scale.
+          // (sum_qty is safe as a double sum: integral values, exact
+          // to 2^53.)
+          sumMoney(dec(col("l_extendedprice"))).as("sum_base_price"),
           sumMoney(netDec(col("l_extendedprice"), col("l_discount"))).as("sum_disc_price"),
           sumMoney(netDec(col("l_extendedprice"), col("l_discount")) * (lit(1) + dec(col("l_tax")))).as("sum_charge"),
           r6(avg(col("l_quantity"))).as("avg_qty"),
@@ -467,7 +475,7 @@ object AnalyticsQueries extends QueryPack {
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_disc_price,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))), 2) AS DOUBLE) AS sum_charge,
         |  round(avg(l_quantity), 6) AS avg_qty,
