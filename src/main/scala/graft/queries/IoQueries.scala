@@ -496,6 +496,28 @@ object IoQueries extends QueryPack {
         .orderBy(col("n_regionkey"))
     },
 
+    // dynamic-destination MANIFEST: the scatter stamps one hidden TSV
+    // line per committed file (dest, file, rows, bytes); for the text
+    // codec both ROWS and BYTES are SQL-computable (utf8 line length
+    // + newline), and fanout=1 co-locates each destination into
+    // exactly one task → exactly one file — so the whole audit record
+    // (row counts, byte totals, file counts) is oracle-exact without
+    // the oracle ever seeing the tree.
+    "q_io_dynamic_manifest" -> { (s, dir) =>
+      val path = tmp(dir, "orders_dynamic_manifest")
+      graft.sources.Dynamic.saveAsDynamicText(
+        tables(s, dir).orders.select(
+          col("o_orderpriority").as("dest"),
+          concat(col("o_orderkey").cast("long"), lit("|"), col("o_orderstatus"))
+            .as("line")),
+        path, "dest", "line")
+      graft.sources.Dynamic.readDynamicManifest(s, path)
+        .groupBy(col("dest"))
+        .agg(sum(col("rows")).as("n_rows"), sum(col("bytes")).as("n_bytes"),
+          count(lit(1)).as("n_files"))
+        .orderBy(col("dest"))
+    },
+
     // dynamic PARQUET destinations (scio-parquet types/dynamic
     // saveAsDynamicParquetFile): parts scattered into per-(type,
     // brand) parquet shard-sets — the destination carries a SPACE and
@@ -769,6 +791,12 @@ object IoQueries extends QueryPack {
         |  max(c_name || ', bal: ' || CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR))
         |    AS max_note
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_io_dynamic_manifest" ->
+      """SELECT o_orderpriority AS dest, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(strlen(CAST(CAST(o_orderkey AS BIGINT) AS VARCHAR)
+        |    || '|' || o_orderstatus) + 1) AS BIGINT) AS n_bytes,
+        |  CAST(1 AS BIGINT) AS n_files
+        |FROM orders GROUP BY 1 ORDER BY dest""".stripMargin,
     "q_io_dynamic_parquet" ->
       """SELECT p_type || ' parts/' || p_brand AS dest, count(*) AS n,
         |  round(sum(p_retailprice), 2) AS sum_price, min(p_name) AS first_name,

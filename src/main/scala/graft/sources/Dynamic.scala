@@ -59,6 +59,24 @@ object Dynamic {
       "dynamic destination is null/empty — coalesce a default upstream")
     require(!dest.startsWith("/") && !dest.contains(".."),
       s"dynamic destination '$dest' must be relative and must not contain '..'")
+    // Hadoop treats '.'/'_'-prefixed path segments as HIDDEN: a
+    // destination like `_archive/x` would write data stock Spark
+    // readers silently skip (and `_manifest` would collide with the
+    // scatter's own sidecar). Reject rather than write invisible data.
+    // Control characters (tab/newline/...) break any line-oriented
+    // tooling over the tree, the manifest included.
+    var i = 0
+    var segStart = true
+    while (i < dest.length) {
+      val c = dest.charAt(i)
+      require(!Character.isISOControl(c),
+        f"dynamic destination contains a control character (0x${c.toInt}%02x)")
+      if (segStart) require(c != '.' && c != '_',
+        s"dynamic destination '$dest' has a '.'/'_'-prefixed segment — Hadoop-hidden " +
+          "paths are invisible to stock readers and reserved for the tree's own stamps")
+      segStart = c == '/'
+      i += 1
+    }
     dest
   }
 
@@ -78,6 +96,14 @@ object Dynamic {
     * prepareTree, so it is never stale.
     */
   private[sources] val MarkerDone = "_GRAFT_DYNAMIC_DONE"
+
+  /** Per-destination manifest directory (Hadoop-hidden under the
+    * tree): one TSV shard per writing task, one line per committed
+    * data file — `dest \t file \t rows \t bytes`. The audit record a
+    * 100 TB export is validated against ([[readDynamicManifest]])
+    * without re-scanning the data.
+    */
+  private[sources] val ManifestDir = "_manifest"
 
   // ---- codec plug-in points -------------------------------------------
 
@@ -584,12 +610,22 @@ object Dynamic {
       var sink: DestSink = null
       var tempFile: Path = null
       var finalFile: Path = null
+      var fileRows = 0L
+      // per-task manifest entries: (dest, final file name, rows, bytes).
+      // Rows are counted in the write loop; bytes are stat'd off the
+      // FINAL file after the rename race settles, so a losing
+      // speculative attempt records the winner's actual size (row
+      // counts agree across attempts by construction — same input
+      // partition — but compressed codec bytes need not).
+      val manifest = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
       // rename commit: the rename only happens after a clean close, so
       // finals are always whole files. A losing speculative attempt's
       // rename fails against the winner's file; drop the temp.
       def commit(): Unit = if (sink != null) {
         sink.close(); sink = null
         if (!fs.rename(tempFile, finalFile)) fs.delete(tempFile, false)
+        manifest += ((currentDest, finalFile.getName, fileRows,
+          fs.getFileStatus(finalFile).getLen))
       }
       def abort(): Unit = if (sink != null) {
         try sink.close() catch { case _: Throwable => () }
@@ -610,11 +646,31 @@ object Dynamic {
             tempFile = new Path(base, f"$dest%s/.part-$pid%05d.attempt-$attempt%d")
             sink = factory.open(fs.create(tempFile, true))
             currentDest = dest
+            fileRows = 0L
           }
           view.underlying = r
           sink.write(view)
+          fileRows += 1
         }
         commit()
+        // manifest sidecar, same rename protocol as the data files: one
+        // TSV per task under _manifest/ (Hadoop-hidden — stock readers
+        // of the tree never see it), one line per committed file. A
+        // losing speculative attempt's rename fails and drops the temp,
+        // exactly like its data files.
+        if (manifest.nonEmpty) {
+          val mFinal = new Path(base, f"${ManifestDir}%s/part-$pid%05d.tsv")
+          val mTemp = new Path(base, f"${ManifestDir}%s/.part-$pid%05d.attempt-$attempt%d")
+          val out = fs.create(mTemp, true)
+          val w = new java.io.BufferedWriter(
+            new java.io.OutputStreamWriter(out, java.nio.charset.StandardCharsets.UTF_8))
+          manifest.foreach { case (d, f, rws, bytes) =>
+            w.write(s"$d\t$f\t$rws\t$bytes\n")
+          }
+          w.close()
+          if (!fs.rename(mTemp, mFinal)) { fs.delete(mTemp, false); () }
+        }
+        ()
       } catch { case t: Throwable => abort(); throw t }
     }
     // completion stamp: only now is the tree valid for the gather verbs
@@ -977,6 +1033,59 @@ object Dynamic {
       val bytes = new Array[Byte](bb.remaining()); bb.duplicate().get(bytes)
       Protobuf.decodeRow(schema, bytes)
     }
+  }
+
+  /** Read a completed dynamic tree's per-destination MANIFEST — one
+    * row per committed data file: `(dest, file, rows, bytes)`. Every
+    * scatter codec writes it (one hidden TSV shard per writing task,
+    * committed under the same temp+rename protocol as the data), so a
+    * 100 TB export validates against expected per-destination counts
+    * WITHOUT re-scanning the data: `readDynamicManifest(...)
+    * .groupBy("dest").agg(sum("rows"))` touches kilobytes. Requires
+    * the post-write completion stamp, like every gather verb.
+    */
+  def readDynamicManifest(spark: SparkSession, basePath: String): DataFrame = {
+    val base = new Path(basePath)
+    val fs = FileSystem.get(base.toUri, spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(base, MarkerDone)),
+      s"$basePath has no $MarkerDone stamp — not a COMPLETED graft dynamic tree")
+    val mSchema = StructType(Seq(
+      StructField("dest", StringType, nullable = false),
+      StructField("file", StringType, nullable = false),
+      StructField("rows", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false)))
+    val mDir = new Path(base, ManifestDir)
+    if (!fs.exists(mDir))
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], mSchema)
+    // Spark's file index drops '_'-prefixed paths even when named
+    // explicitly, so the shards are listed through Hadoop FS and
+    // parsed in plain tasks — the same shape as every gather verb
+    // (shard count = writing-task count, so one task each is right)
+    val shards = fs.listStatus(mDir).toSeq
+      .collect { case st if st.isFile && st.getPath.getName.startsWith("part-") =>
+        st.getPath.toString }
+      .sorted
+    if (shards.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], mSchema)
+    val confEntries = spark.sparkContext.broadcast(
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => e.getKey -> e.getValue).toMap)
+    val rows = spark.sparkContext.parallelize(shards, shards.size).flatMap { file =>
+      val taskConf = new Configuration(false)
+      confEntries.value.foreach { case (k, v) => taskConf.set(k, v) }
+      val p = new Path(file)
+      val src = scala.io.Source.fromInputStream(
+        p.getFileSystem(taskConf).open(p), "UTF-8")
+      try src.getLines().map { line =>
+        // the writer never emits '\t' inside a field (control chars
+        // are rejected in destinations at write time), so a plain
+        // 4-way split parses unambiguously
+        val parts = line.split('\t')
+        require(parts.length == 4, s"malformed manifest line in $file: '$line'")
+        Row(parts(0), parts(1), parts(2).toLong, parts(3).toLong)
+      }.toList finally src.close()
+    }
+    spark.createDataFrame(rows, mSchema)
   }
 
   /** Shared gather executor: one task per container file, `decode`

@@ -10,7 +10,11 @@ import org.apache.spark.sql.functions._
   * to the plain form); nothing recorded that the spread actually
   * beats the plain form's single linear window task. This does.
   *
-  *   runMain graft.tools.SkewBench [rows]
+  *   runMain graft.tools.SkewBench [rows] [arms]
+  *
+  * `arms` is a comma list of `rolling,asof,dynamic` (default all
+  * three), so one new arm can be recorded without re-burning the
+  * others' multi-minute straggler runs.
   *
   * Corpus: `rows` events (default 5 M), ONE key carrying 30% of them
   * (the ultra-hot instrument of a feed), the rest uniform over 2000
@@ -89,6 +93,12 @@ object SkewBench {
 
   def main(args: Array[String]): Unit = {
     val rows = if (args.nonEmpty) args(0).toLong else 5000000L
+    // optional second arg: comma list of arms to run ("rolling,asof,
+    // dynamic"; default all) — re-recording one new arm must not
+    // re-burn the ~7-minute rolling-plain straggler already on record
+    val arms: Set[String] =
+      if (args.length > 1) args(1).split(",").map(_.trim).filter(_.nonEmpty).toSet
+      else Set("rolling", "asof", "dynamic")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-skewbench"),
@@ -109,7 +119,7 @@ object SkewBench {
     val hotN = corpus.filter(col("k") === 0L).count()
     System.err.println(s"[skewbench] rows=$n hot=$hotN (${100.0 * hotN / n}%)")
 
-    val quotes = spark.range(0, rows / 10).select(
+    lazy val quotes = spark.range(0, rows / 10).select(
         when(pmod(xxhash64(col("id"), lit("qskew")), lit(10)) < 3, lit(0L))
           .otherwise(pmod(xxhash64(col("id"), lit("qkey")), lit(2000)) + 1L).as("k"),
         timestamp_seconds(pmod(xxhash64(col("id"), lit("qts")), lit(1000000L))).as("q_ts"),
@@ -117,7 +127,7 @@ object SkewBench {
       // asof contract: unique (key, ts) on the right for determinism
       .groupBy(col("k"), col("q_ts")).agg(max(col("q_v")).as("q_v"))
       .persist()
-    quotes.count()
+    if (arms("asof")) { quotes.count(); () }
 
     val winSec = 3600L
 
@@ -133,29 +143,32 @@ object SkewBench {
     // whichever variant runs first absorbs one-time costs and the
     // published ratios mix skew spread with JIT noise
     val warmCorpus = corpus.limit(10000)
-    val warmQuotes = quotes.limit(1000)
-    graft.operators.TimeSeries.rolling(warmCorpus, "k", "ts", "v", winSec)
-      .write.format("noop").mode("overwrite").save()
-    graft.operators.TimeSeries.rollingChunked(warmCorpus, "k", "ts", "v", winSec, winSec)
-      .write.format("noop").mode("overwrite").save()
-    graft.operators.Temporal.asofJoin(warmCorpus, warmQuotes, "k", "ts", "q_ts", Seq("q_v"))
-      .write.format("noop").mode("overwrite").save()
-    graft.operators.Temporal.asofJoinChunked(warmCorpus, warmQuotes, "k", "ts", "q_ts",
-        Seq("q_v"), chunkSize = winSec)
-      .write.format("noop").mode("overwrite").save()
-
-    run("rolling", "plain") {
-      graft.operators.TimeSeries.rolling(corpus, "k", "ts", "v", winSec)
+    if (arms("rolling")) {
+      graft.operators.TimeSeries.rolling(warmCorpus, "k", "ts", "v", winSec)
+        .write.format("noop").mode("overwrite").save()
+      graft.operators.TimeSeries.rollingChunked(warmCorpus, "k", "ts", "v", winSec, winSec)
+        .write.format("noop").mode("overwrite").save()
+      run("rolling", "plain") {
+        graft.operators.TimeSeries.rolling(corpus, "k", "ts", "v", winSec)
+      }
+      run("rolling", "chunked") {
+        graft.operators.TimeSeries.rollingChunked(corpus, "k", "ts", "v", winSec, winSec)
+      }
     }
-    run("rolling", "chunked") {
-      graft.operators.TimeSeries.rollingChunked(corpus, "k", "ts", "v", winSec, winSec)
-    }
-    run("asof", "plain") {
-      graft.operators.Temporal.asofJoin(corpus, quotes, "k", "ts", "q_ts", Seq("q_v"))
-    }
-    run("asof", "chunked") {
-      graft.operators.Temporal.asofJoinChunked(corpus, quotes, "k", "ts", "q_ts",
-        Seq("q_v"), chunkSize = winSec)
+    if (arms("asof")) {
+      val warmQuotes = quotes.limit(1000)
+      graft.operators.Temporal.asofJoin(warmCorpus, warmQuotes, "k", "ts", "q_ts", Seq("q_v"))
+        .write.format("noop").mode("overwrite").save()
+      graft.operators.Temporal.asofJoinChunked(warmCorpus, warmQuotes, "k", "ts", "q_ts",
+          Seq("q_v"), chunkSize = winSec)
+        .write.format("noop").mode("overwrite").save()
+      run("asof", "plain") {
+        graft.operators.Temporal.asofJoin(corpus, quotes, "k", "ts", "q_ts", Seq("q_v"))
+      }
+      run("asof", "chunked") {
+        graft.operators.Temporal.asofJoinChunked(corpus, quotes, "k", "ts", "q_ts",
+          Seq("q_v"), chunkSize = winSec)
+      }
     }
 
     // r14: the dynamic-destination scatter under a hot DESTINATION
@@ -176,16 +189,18 @@ object SkewBench {
       }
       emit("dynamic_text", variant, wall, st)
     }
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      // warm the scatter path untimed (codegen + commit machinery)
-      graft.sources.Dynamic.saveAsDynamicText(
-        destCorpus.limit(10000), s"$dynBase/warm", "dest", "text")
-      runDynamic("plain", fanout = 1)
-      runDynamic("auto", fanout = graft.sources.Dynamic.AutoFanout)
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dynBase))
+    if (arms("dynamic")) {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        // warm the scatter path untimed (codegen + commit machinery)
+        graft.sources.Dynamic.saveAsDynamicText(
+          destCorpus.limit(10000), s"$dynBase/warm", "dest", "text")
+        runDynamic("plain", fanout = 1)
+        runDynamic("auto", fanout = graft.sources.Dynamic.AutoFanout)
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dynBase))
+      }
     }
     spark.stop()
   }

@@ -16,7 +16,11 @@ class DynamicSpec extends SparkSpec {
 
   private def linesUnder(dir: java.io.File): Map[String, Seq[String]] = {
     def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      if (f.isDirectory) {
+        // skip hidden dirs (the _manifest sidecar shards are part-*.tsv)
+        if (f != dir && (f.getName.startsWith("_") || f.getName.startsWith("."))) Seq.empty
+        else f.listFiles().toSeq.flatMap(walk)
+      } else Seq(f)
     walk(dir).filter(_.getName.startsWith("part-")).groupBy { f =>
       dir.toPath.relativize(f.getParentFile.toPath).toString
     }.map { case (dest, files) =>
@@ -117,6 +121,84 @@ class DynamicSpec extends SparkSpec {
     val df = Seq(("d", "x"), ("d", null: String)).toDF("dest", "text")
     Dynamic.saveAsDynamicText(df, out.getAbsolutePath, "dest", "text")
     assert(linesUnder(out)("d").sorted == Seq("", "x"))
+  }
+
+  // ---- manifest ---------------------------------------------------------
+
+  test("manifest records exact per-file rows, bytes, and names") {
+    val out = tmpDir()
+    val df = Seq(
+      ("a", "one"), ("a", "two2"), ("b", "bee"), ("logs/2024", "nested")
+    ).toDF("dest", "text")
+    Dynamic.saveAsDynamicText(df, out.getAbsolutePath, "dest", "text")
+    val m = Dynamic.readDynamicManifest(spark, out.getAbsolutePath)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // one entry per committed data file; every entry matches the file
+    // actually on disk — name, byte length, and the row count inside
+    assert(m.map(_._1).sorted.toSeq == Seq("a", "b", "logs/2024"))
+    m.foreach { case (dest, file, rows, bytes) =>
+      val f = new java.io.File(new java.io.File(out, dest), file)
+      assert(f.isFile, s"manifest names a file that does not exist: $dest/$file")
+      assert(f.length() == bytes, s"$dest/$file: manifest bytes $bytes != ${f.length()}")
+      assert(linesUnder(out)(dest).size.toLong == rows)
+    }
+    // text codec bytes are line length + newline
+    assert(m.find(_._1 == "a").get._3 == 2L)
+    assert(m.find(_._1 == "a").get._4 == ("one\n".length + "two2\n".length).toLong)
+  }
+
+  test("manifest covers fanout shards and sums to the corpus") {
+    val out = tmpDir()
+    val df = (0 until 300).map(i => ("hot", s"line-$i")).toDF("dest", "text")
+    Dynamic.saveAsDynamicText(df, out.getAbsolutePath, "dest", "text", fanout = 3)
+    val m = Dynamic.readDynamicManifest(spark, out.getAbsolutePath).collect()
+    val onDisk = new java.io.File(out, "hot").listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getName).toSet
+    assert(m.map(_.getString(1)).toSet == onDisk, "one manifest entry per data file")
+    assert(m.map(_.getLong(2)).sum == 300L, "manifest rows sum to the corpus")
+    assert(m.map(_.getLong(3)).sum ==
+      new java.io.File(out, "hot").listFiles()
+        .filter(_.getName.startsWith("part-")).map(_.length()).sum)
+  }
+
+  test("manifest rides every codec: parquet rows agree with the gather") {
+    val out = tmpDir()
+    val df = Seq(("x", 1L, "p"), ("x", 2L, "q"), ("y", 3L, "r")).toDF("dest", "k", "v")
+    Dynamic.saveAsDynamicParquet(df, out.getAbsolutePath, "dest")
+    val m = Dynamic.readDynamicManifest(spark, out.getAbsolutePath)
+      .groupBy("dest").agg(sum("rows").as("rows"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("x" -> 2L, "y" -> 1L))
+    // the hidden manifest dir must be invisible to the data gathers
+    val gathered = Dynamic.readDynamicParquet(spark, out.getAbsolutePath,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType))))
+    assert(gathered.count() == 3L)
+  }
+
+  test("hidden-segment and control-character destinations are rejected") {
+    val out = tmpDir()
+    for (bad <- Seq("_archive/x", ".hidden", "a/_b", "a/.b", "tab\there", "nl\nhere")) {
+      val df = Seq((bad, "x")).toDF("dest", "text")
+      val e = intercept[org.apache.spark.SparkException] {
+        Dynamic.saveAsDynamicText(df, out.getAbsolutePath, "dest", "text")
+      }
+      assert(e.getCause.getMessage.contains("dynamic destination"),
+        s"'$bad' must be rejected, got: ${e.getCause.getMessage}")
+    }
+  }
+
+  test("readDynamicManifest refuses an incomplete tree") {
+    val out = tmpDir()
+    val df = Seq(("d", "x")).toDF("dest", "text")
+    Dynamic.saveAsDynamicText(df, out.getAbsolutePath, "dest", "text")
+    // simulate a crashed job: completion stamp missing
+    assert(new java.io.File(out, "_GRAFT_DYNAMIC_DONE").delete())
+    val e = intercept[IllegalArgumentException] {
+      Dynamic.readDynamicManifest(spark, out.getAbsolutePath)
+    }
+    assert(e.getMessage.contains("_GRAFT_DYNAMIC_DONE"))
   }
 
   test("a non-empty directory this sink didn't write is NOT wiped (marker guard)") {
