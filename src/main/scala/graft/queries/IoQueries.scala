@@ -540,7 +540,9 @@ object IoQueries extends QueryPack {
           StructField("p_size", IntegerType),
           StructField("p_retailprice", DoubleType))))
         .groupBy(col("dest"))
-        .agg(count(lit(1)).as("n"), r2(sum(col("p_retailprice"))).as("sum_price"),
+        // decimal money sum: associative, bit-equal at every scale (the
+        // round(sum(double)) form straddled a 2dp boundary at sf10 in q1)
+        .agg(count(lit(1)).as("n"), sumMoney(dec(col("p_retailprice"))).as("sum_price"),
           min(col("p_name")).as("first_name"), max(col("p_partkey")).as("max_key"),
           r2(avg(col("p_size"))).as("avg_size"))
         .orderBy(col("dest"))
@@ -571,7 +573,7 @@ object IoQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), count(col("note")).as("n_notes"),
           sum(when(col("note") === "", 1L).otherwise(0L)).as("n_empty"),
           min(when(col("note") =!= "", col("note"))).as("first_note"),
-          r2(sum(col("c_acctbal"))).as("sum_bal"))
+          sumMoney(dec(col("c_acctbal"))).as("sum_bal"))
         .orderBy(col("dest"))
     },
 
@@ -799,14 +801,16 @@ object IoQueries extends QueryPack {
         |FROM orders GROUP BY 1 ORDER BY dest""".stripMargin,
     "q_io_dynamic_parquet" ->
       """SELECT p_type || ' parts/' || p_brand AS dest, count(*) AS n,
-        |  round(sum(p_retailprice), 2) AS sum_price, min(p_name) AS first_name,
+        |  CAST(round(sum(CAST(p_retailprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+        |    AS sum_price, min(p_name) AS first_name,
         |  CAST(max(p_partkey) AS BIGINT) AS max_key,
         |  round(avg(p_size), 2) AS avg_size
         |FROM part GROUP BY 1 ORDER BY dest""".stripMargin,
     "q_io_dynamic_csv_gather" ->
       """SELECT dest, count(*) AS n, count(note) AS n_notes,
         |  CAST(sum(CASE WHEN note = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
-        |  min(nullif(note, '')) AS first_note, round(sum(c_acctbal), 2) AS sum_bal
+        |  min(nullif(note, '')) AS first_note,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal
         |FROM (
         |  SELECT 'nation=' || CAST(CAST(c_nationkey AS BIGINT) AS VARCHAR) AS dest,
         |    CASE WHEN c_acctbal < 0 THEN ''

@@ -64,13 +64,19 @@ object Dynamic {
     // readers silently skip (and `_manifest` would collide with the
     // scatter's own sidecar). Reject rather than write invisible data.
     // Control characters (tab/newline/...) break any line-oriented
-    // tooling over the tree, the manifest included.
+    // tooling over the tree, the manifest included. Glob
+    // metacharacters are rejected because the parquet/CSV gathers pass
+    // paths through spark.read, which GLOB-EXPANDS them — a dest named
+    // `q[1]` would silently read back as `q1`'s files.
     var i = 0
     var segStart = true
     while (i < dest.length) {
       val c = dest.charAt(i)
       require(!Character.isISOControl(c),
         f"dynamic destination contains a control character (0x${c.toInt}%02x)")
+      require("*?[]{}\\".indexOf(c.toInt) < 0,
+        s"dynamic destination '$dest' contains the glob metacharacter '$c' — " +
+          "Hadoop path resolution would expand it when the tree is read back")
       if (segStart) require(c != '.' && c != '_',
         s"dynamic destination '$dest' has a '.'/'_'-prefixed segment — Hadoop-hidden " +
           "paths are invisible to stock readers and reserved for the tree's own stamps")
@@ -661,13 +667,21 @@ object Dynamic {
         if (manifest.nonEmpty) {
           val mFinal = new Path(base, f"${ManifestDir}%s/part-$pid%05d.tsv")
           val mTemp = new Path(base, f"${ManifestDir}%s/.part-$pid%05d.attempt-$attempt%d")
-          val out = fs.create(mTemp, true)
-          val w = new java.io.BufferedWriter(
-            new java.io.OutputStreamWriter(out, java.nio.charset.StandardCharsets.UTF_8))
-          manifest.foreach { case (d, f, rws, bytes) =>
-            w.write(s"$d\t$f\t$rws\t$bytes\n")
+          val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+            fs.create(mTemp, true), java.nio.charset.StandardCharsets.UTF_8))
+          // same failure contract as the data files: close the stream
+          // and drop the temp on ANY exception (abort() only knows the
+          // data sink), commit via rename only after a clean close
+          try {
+            manifest.foreach { case (d, f, rws, bytes) =>
+              w.write(s"$d\t$f\t$rws\t$bytes\n")
+            }
+            w.close()
+          } catch { case t: Throwable =>
+            try w.close() catch { case _: Throwable => () }
+            fs.delete(mTemp, false)
+            throw t
           }
-          w.close()
           if (!fs.rename(mTemp, mFinal)) { fs.delete(mTemp, false); () }
         }
         ()
@@ -922,15 +936,11 @@ object Dynamic {
       StructField(textColName, StringType, nullable = false)))
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
-    val hadoopConf = spark.sparkContext.hadoopConfiguration
-    val confEntries = spark.sparkContext.broadcast(
-      hadoopConf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap)
+    val confBc = org.apache.spark.graft.ConfBridge.broadcastHadoopConf(spark.sparkContext)
     val rows = spark.sparkContext.parallelize(files, files.size)
       .flatMap { case (dest, file, _) =>
-        val taskConf = new Configuration(false)
-        confEntries.value.foreach { case (k, v) => taskConf.set(k, v) }
         val p = new Path(file)
-        val in = p.getFileSystem(taskConf).open(p)
+        val in = p.getFileSystem(org.apache.spark.graft.ConfBridge.confOf(confBc)).open(p)
         val reader = new java.io.BufferedReader(
           new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
         Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => reader.close()))
@@ -1067,15 +1077,11 @@ object Dynamic {
       .sorted
     if (shards.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], mSchema)
-    val confEntries = spark.sparkContext.broadcast(
-      spark.sparkContext.hadoopConfiguration.iterator().asScala
-        .map(e => e.getKey -> e.getValue).toMap)
+    val confBc = org.apache.spark.graft.ConfBridge.broadcastHadoopConf(spark.sparkContext)
     val rows = spark.sparkContext.parallelize(shards, shards.size).flatMap { file =>
-      val taskConf = new Configuration(false)
-      confEntries.value.foreach { case (k, v) => taskConf.set(k, v) }
       val p = new Path(file)
       val src = scala.io.Source.fromInputStream(
-        p.getFileSystem(taskConf).open(p), "UTF-8")
+        p.getFileSystem(org.apache.spark.graft.ConfBridge.confOf(confBc)).open(p), "UTF-8")
       try src.getLines().map { line =>
         // the writer never emits '\t' inside a field (control chars
         // are rejected in destinations at write time), so a plain
@@ -1101,16 +1107,13 @@ object Dynamic {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
     val fieldNames = schema.fields.map(_.name)
     val fieldTypes = schema.fields.map(_.dataType)
-    val hadoopConf = spark.sparkContext.hadoopConfiguration
-    val confEntries = spark.sparkContext.broadcast(
-      hadoopConf.iterator().asScala.map(e => e.getKey -> e.getValue).toMap)
+    val confBc = org.apache.spark.graft.ConfBridge.broadcastHadoopConf(spark.sparkContext)
     val rows = spark.sparkContext.parallelize(files, files.size)
       .flatMap { case (dest, file, len) =>
-        val taskConf = new Configuration(false)
-        confEntries.value.foreach { case (k, v) => taskConf.set(k, v) }
         val p = new Path(file)
         val reader = new DataFileReader(
-          new Avro.HadoopSeekableInput(p.getFileSystem(taskConf).open(p), len),
+          new Avro.HadoopSeekableInput(
+            p.getFileSystem(org.apache.spark.graft.ConfBridge.confOf(confBc)).open(p), len),
           new GenericDatumReader[GenericRecord]())
         Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => reader.close()))
         reader.iterator().asScala.map { rec =>

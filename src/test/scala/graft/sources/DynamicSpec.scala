@@ -179,7 +179,8 @@ class DynamicSpec extends SparkSpec {
 
   test("hidden-segment and control-character destinations are rejected") {
     val out = tmpDir()
-    for (bad <- Seq("_archive/x", ".hidden", "a/_b", "a/.b", "tab\there", "nl\nhere")) {
+    for (bad <- Seq("_archive/x", ".hidden", "a/_b", "a/.b", "tab\there", "nl\nhere",
+                    "q[1]", "star*", "brace{x}", "quest?", "back\\slash")) {
       val df = Seq((bad, "x")).toDF("dest", "text")
       val e = intercept[org.apache.spark.SparkException] {
         Dynamic.saveAsDynamicText(df, out.getAbsolutePath, "dest", "text")
