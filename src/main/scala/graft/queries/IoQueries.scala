@@ -496,6 +496,30 @@ object IoQueries extends QueryPack {
         .orderBy(col("n_regionkey"))
     },
 
+    // dynamic TAR destinations (WebDataset-style per-domain shards —
+    // the multimodal export container): parts scattered into one USTAR
+    // archive per brand, members named by part key, payload = the part
+    // name's bytes; gathered via readDynamicTar (checksum-verified
+    // member walk), so framing, padding and the per-destination tree
+    // all sit on the oracle path.
+    "q_io_dynamic_tar" -> { (s, dir) =>
+      val path = tmp(dir, "part_dynamic_tar")
+      graft.sources.Dynamic.saveAsDynamicTar(
+        tables(s, dir).part.select(
+          col("p_brand").as("dest"),
+          concat(lit("part-"), col("p_partkey").cast("long"), lit(".txt")).as("name"),
+          encode(col("p_name"), "UTF-8").as("value")),
+        path, "dest")
+      graft.sources.Dynamic.readDynamicTar(s, path)
+        .select(col("dest"), col("name"),
+          decode(col("value"), "UTF-8").as("p_name"))
+        .groupBy(col("dest"))
+        .agg(count(lit(1)).as("n"), min(col("name")).as("first_member"),
+          max(col("name")).as("last_member"), min(col("p_name")).as("first_name"),
+          sum(length(col("p_name"))).as("name_chars"))
+        .orderBy(col("dest"))
+    },
+
     // dynamic-destination MANIFEST: the scatter stamps one hidden TSV
     // line per committed file (dest, file, rows, bytes); for the text
     // codec both ROWS and BYTES are SQL-computable (utf8 line length
@@ -793,6 +817,15 @@ object IoQueries extends QueryPack {
         |  max(c_name || ', bal: ' || CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR))
         |    AS max_note
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q_io_dynamic_tar" ->
+      """SELECT p_brand AS dest, count(*) AS n,
+        |  min('part-' || CAST(CAST(p_partkey AS BIGINT) AS VARCHAR) || '.txt')
+        |    AS first_member,
+        |  max('part-' || CAST(CAST(p_partkey AS BIGINT) AS VARCHAR) || '.txt')
+        |    AS last_member,
+        |  min(p_name) AS first_name,
+        |  CAST(sum(length(p_name)) AS BIGINT) AS name_chars
+        |FROM part GROUP BY 1 ORDER BY dest""".stripMargin,
     "q_io_dynamic_manifest" ->
       """SELECT o_orderpriority AS dest, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(strlen(CAST(CAST(o_orderkey AS BIGINT) AS VARCHAR)

@@ -140,6 +140,31 @@ object Dynamic {
     }
   }
 
+  /** One USTAR tar archive per destination — [[Tar]]'s exact framing
+    * (header/512-byte padding/2-block trailer), so every shard is a
+    * stock-`tar`-readable WebDataset-style archive. Payload: (name
+    * string, value binary).
+    */
+  private final class TarSinkFactory extends DestSinkFactory {
+    val ext = "tar"
+    def open(out0: OutputStream): DestSink = new DestSink {
+      private val out = new java.io.BufferedOutputStream(out0, 1 << 16)
+      def write(payload: Row): Unit = {
+        require(!payload.isNullAt(0) && !payload.isNullAt(1),
+          "dynamic tar: null name/value — filter or encode nulls upstream")
+        val bytes = payload.getAs[Array[Byte]](1)
+        out.write(Tar.header(payload.getString(0), bytes.length.toLong))
+        out.write(bytes)
+        val pad = (Tar.Block - (bytes.length % Tar.Block)) % Tar.Block
+        if (pad > 0) out.write(new Array[Byte](pad))
+      }
+      def close(): Unit = {
+        out.write(new Array[Byte](2 * Tar.Block)) // end-of-archive trailer
+        out.close()
+      }
+    }
+  }
+
   /** Avro container file per destination — the same schema mapping /
     * record conversion as [[Avro.write]], so every scattered shard is
     * a stock-reader-valid OCF.
@@ -467,6 +492,13 @@ object Dynamic {
     *  - `spark.graft.dynamic.autoMaxSalts` (default:
     *    `spark.sql.shuffle.partitions`): per-destination salt cap —
     *    more salts than shuffle partitions cannot add parallelism.
+    *
+    * COST: the sampled histogram is an extra pass over the input's
+    * destination column — if the frame is an expensive computation
+    * (not a scan), `persist()` it before scattering or the lineage
+    * recomputes. SKEW_r14.json carries the measured trade: a 30%-hot
+    * destination 6× past target gains 2.3× on max-task wall net of
+    * the sampling pass; one barely past target does not.
     */
   val AutoFanout: Int = 0
 
@@ -821,6 +853,26 @@ object Dynamic {
       new ParquetSinkFactory(payloadSchema, messageTypeStr, rowGroupBytes))
   }
 
+  /** Write `(nameCol string, valueCol binary)` rows as one USTAR tar
+    * archive per destination (`basePath/<destCol>/part-NNNNN.tar`) —
+    * WebDataset-style per-domain shards in [[Tar]]'s exact framing, so
+    * stock `tar`/WebDataset loaders (and [[Tar.read]]/
+    * [[Tar.readSamples]] pointed at a destination dir) consume every
+    * shard directly. Co-locate a sample's members on one destination
+    * AND keep them adjacent upstream if the loader expects sample
+    * parts contiguous (same contract as [[Tar.write]]). Gather with
+    * [[readDynamicTar]]. Null names/values fail loudly.
+    */
+  def saveAsDynamicTar(df: DataFrame, basePath: String, destCol: String,
+                       nameCol: String = "name", valueCol: String = "value",
+                       fanout: Int = 1, overwriteForeign: Boolean = false): Unit = {
+    val prepared = df.select(col(destCol).cast("string").as("__dyn_dest"),
+      col(nameCol).cast("string").as("__dyn_name"),
+      col(valueCol).cast("binary").as("__dyn_value"))
+    scatter(prepared, basePath, "__dyn_dest", Seq("__dyn_name", "__dyn_value"),
+      fanout, overwriteForeign, new TarSinkFactory)
+  }
+
   // ---- gather verbs ----------------------------------------------------
 
   /** (relative destination, file) pairs under a completed dynamic
@@ -946,6 +998,34 @@ object Dynamic {
         Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => reader.close()))
         Iterator.continually(reader.readLine()).takeWhile(_ != null)
           .map(line => Row(dest, line))
+      }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Read a [[saveAsDynamicTar]] tree back: one row per tar member,
+    * `(dest, name, value)` — [[Tar]]'s checksum-verified member walk
+    * per shard, completion-checked like every gather verb. One task
+    * per archive.
+    */
+  def readDynamicTar(spark: SparkSession, basePath: String,
+                     destColName: String = "dest"): DataFrame = {
+    require(destColName != "name" && destColName != "value",
+      s"destColName '$destColName' collides with the gather's name/value columns")
+    val files = listTree(spark, basePath, "tar")
+    val outSchema = StructType(Seq(
+      StructField(destColName, StringType, nullable = false),
+      StructField("name", StringType, nullable = false),
+      StructField("value", BinaryType, nullable = false)))
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+    val confBc = org.apache.spark.graft.ConfBridge.broadcastHadoopConf(spark.sparkContext)
+    val rows = spark.sparkContext.parallelize(files, files.size)
+      .flatMap { case (dest, file, _) =>
+        val p = new Path(file)
+        val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+          p.getFileSystem(org.apache.spark.graft.ConfBridge.confOf(confBc)).open(p), 1 << 16))
+        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+        Tar.members(in, file).map { case (n, b) => Row(dest, n, b) }
       }
     spark.createDataFrame(rows, outSchema)
   }

@@ -27,7 +27,7 @@ import org.apache.spark.sql.types._
   */
 object Tar {
 
-  private val Block = 512
+  private[sources] val Block = 512
 
   private def octal(value: Long, width: Int): Array[Byte] = {
     // width-1 octal digits + NUL (the classic tar convention)
@@ -83,7 +83,7 @@ object Tar {
     * field for long names; honored on read. Corrupt headers (bad
     * checksum, bad magic) fail loudly with the file and offset.
     */
-  private def members(in: DataInputStream, file: String): Iterator[(String, Array[Byte])] =
+  private[sources] def members(in: DataInputStream, file: String): Iterator[(String, Array[Byte])] =
     new Iterator[(String, Array[Byte])] {
       private var nextM: (String, Array[Byte]) = _
       private var offset = 0L

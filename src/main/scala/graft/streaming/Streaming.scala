@@ -336,6 +336,15 @@ object StreamSinks {
     ds.writeStream.foreachBatch(perBatch(path)((df, p) =>
       graft.sources.Dynamic.saveAsDynamicProtobuf(df, p, destCol, fanout)))
 
+  /** Dynamic per-destination WebDataset-style tar shards per
+    * micro-batch.
+    */
+  def toDynamicTar(ds: Dataset[Row], path: String, destCol: String,
+                   nameCol: String = "name", valueCol: String = "value",
+                   fanout: Int = 1): DataStreamWriter[Row] =
+    ds.writeStream.foreachBatch(perBatch(path)((df, p) =>
+      graft.sources.Dynamic.saveAsDynamicTar(df, p, destCol, nameCol, valueCol, fanout)))
+
   /** WebDataset-style tar shards per micro-batch
     * (`name` string + `value` binary columns — [[graft.sources.Tar]]).
     */

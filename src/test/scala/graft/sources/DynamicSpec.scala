@@ -190,6 +190,34 @@ class DynamicSpec extends SparkSpec {
     }
   }
 
+  test("dynamic tar: per-destination archives roundtrip, stock-readable") {
+    import scala.sys.process._
+    val out = tmpDir()
+    val df = Seq(
+      ("d1", "0001.txt", "alpha"), ("d1", "0002.txt", "beta"), ("d2", "0001.txt", "gamma")
+    ).toDF("dest", "name", "text")
+      .withColumn("value", encode(col("text"), "UTF-8")).drop("text")
+    Dynamic.saveAsDynamicTar(df, out.getAbsolutePath, "dest")
+    // graft gather: every member back with its destination
+    val got = Dynamic.readDynamicTar(spark, out.getAbsolutePath)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        new String(r.getAs[Array[Byte]](2), "UTF-8"))).toSet
+    assert(got == Set(("d1", "0001.txt", "alpha"), ("d1", "0002.txt", "beta"),
+      ("d2", "0001.txt", "gamma")))
+    // graft's stock tar reader consumes a destination dir directly
+    assert(Tar.read(spark, new java.io.File(out, "d1").getAbsolutePath).count() == 2L)
+    // and real GNU tar agrees on the framing
+    val shard = new java.io.File(out, "d2").listFiles()
+      .filter(_.getName.endsWith(".tar")).head
+    assert(Seq("tar", "-tf", shard.toString).!!.trim == "0001.txt")
+    // manifest rode along like every codec
+    val m = Dynamic.readDynamicManifest(spark, out.getAbsolutePath)
+      .groupBy("dest").agg(sum("rows").as("rows"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m == Map("d1" -> 2L, "d2" -> 1L))
+  }
+
   test("readDynamicManifest refuses an incomplete tree") {
     val out = tmpDir()
     val df = Seq(("d", "x")).toDF("dest", "text")

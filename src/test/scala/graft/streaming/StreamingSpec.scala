@@ -568,6 +568,36 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("streaming dynamic tar sink: two-batch roundtrip through readDynamicTar") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_dyntar").toFile
+    val ckp = new java.io.File(dir, "ckp").getAbsolutePath
+    val out = new java.io.File(dir, "out").getAbsolutePath
+    val input = MemoryStream[(String, String, String)]
+    input.addData(("w/a", "0001.txt", "alpha"), ("w/b", "0001.txt", "beta"))
+    val q = StreamSinks.toDynamicTar(
+        input.toDF().toDF("dest", "name", "text")
+          .withColumn("value", encode(col("text"), "UTF-8")).drop("text"),
+        out, "dest")
+      .option("checkpointLocation", ckp).start()
+    try {
+      q.processAllAvailable()
+      input.addData(("w/a", "0002.txt", "gamma"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = new java.io.File(out).listFiles().filter(_.getName.startsWith("batch-")).toSet
+      .flatMap { (d: java.io.File) =>
+        graft.sources.Dynamic.readDynamicTar(spark, d.getAbsolutePath)
+          .collect().map(r => (d.getName, r.getString(0), r.getString(1),
+            new String(r.getAs[Array[Byte]](2), "UTF-8")))
+      }
+    assert(all == Set(
+      ("batch-00000", "w/a", "0001.txt", "alpha"),
+      ("batch-00000", "w/b", "0001.txt", "beta"),
+      ("batch-00001", "w/a", "0002.txt", "gamma")))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("StreamMonitor: per-micro-batch expectation counts ride the query") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
