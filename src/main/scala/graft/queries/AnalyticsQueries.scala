@@ -391,7 +391,7 @@ object AnalyticsQueries extends QueryPack {
         .agg(datediff(lit("1998-12-31").cast("date"), max(col("o_orderdate")))
             .cast("long").as("recency_days"),
           count(lit(1)).as("frequency"),
-          r2(sum(col("o_totalprice"))).as("monetary"))
+          sumMoney(dec(col("o_totalprice"))).as("monetary"))
       val qs = Seq(0.2, 0.4, 0.6, 0.8)
       val bounds =
         qs.zipWithIndex.map { case (q, i) =>
@@ -422,7 +422,7 @@ object AnalyticsQueries extends QueryPack {
       rich.join(t.orders.select(col("o_custkey")),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy(col("c_nationkey"))
-        .agg(count(lit(1)).as("numcust"), r2(sum(col("c_acctbal"))).as("totacctbal"))
+        .agg(count(lit(1)).as("numcust"), sumMoney(dec(col("c_acctbal"))).as("totacctbal"))
         .orderBy(col("c_nationkey"))
     }
   )
@@ -453,7 +453,7 @@ object AnalyticsQueries extends QueryPack {
         |    CAST(datediff('day', max(o_orderdate), DATE '1998-12-31') AS BIGINT)
         |      AS recency_days,
         |    count(*) AS frequency,
-        |    round(sum(o_totalprice), 2) AS monetary
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS monetary
         |  FROM orders GROUP BY 1),
         |b AS (
         |  SELECT
@@ -652,7 +652,7 @@ object AnalyticsQueries extends QueryPack {
         |ORDER BY s_name""".stripMargin,
     "q22_sales_opportunity" ->
       """SELECT c_nationkey, count(*) AS numcust,
-        |  round(sum(c_acctbal), 2) AS totacctbal
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
         |FROM customer
         |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)

@@ -108,7 +108,7 @@ object IoQueries extends QueryPack {
       Sources.writeJson(supplier, path)
       Sources.readJson(s, path, Some(supplier.schema))
         .groupBy(col("s_nationkey"))
-        .agg(count(lit(1)).as("n"), r2(sum(col("s_acctbal"))).as("sum_bal"))
+        .agg(count(lit(1)).as("n"), sumMoney(dec(col("s_acctbal"))).as("sum_bal"))
         .orderBy(col("s_nationkey"))
     },
 
@@ -162,7 +162,7 @@ object IoQueries extends QueryPack {
           StructField("s_suppkey", LongType), StructField("s_name", StringType),
           StructField("s_nationkey", LongType), StructField("s_acctbal", DoubleType))))
         .groupBy(col("s_nationkey"))
-        .agg(count(lit(1)).as("n"), r2(sum(col("s_acctbal"))).as("sum_bal"),
+        .agg(count(lit(1)).as("n"), sumMoney(dec(col("s_acctbal"))).as("sum_bal"),
           min(col("s_name")).as("first_name"))
         .orderBy(col("s_nationkey"))
     },
@@ -190,7 +190,7 @@ object IoQueries extends QueryPack {
           element_at(col("attrs"), "status").as("status"),
           col("day"), col("ts"), col("dec_val"))
         .groupBy(col("prio"))
-        .agg(count(lit(1)).as("n"), r2(sum(col("price"))).as("sum_price"),
+        .agg(count(lit(1)).as("n"), sumMoney(dec(col("price"))).as("sum_price"),
           sum(col("dec_val")).cast("string").as("sum_dec"),
           min(col("status")).as("min_status"),
           date_format(min(col("day")), "yyyy-MM-dd").as("first_day"),
@@ -418,7 +418,7 @@ object IoQueries extends QueryPack {
         table, s"$base/customer", Seq("c_custkey"), buckets = 32)
       side.lookup(t.orders.select(col("o_custkey"), col("o_totalprice")), Seq("o_custkey"))
         .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("sum_price"))
+        .agg(count(lit(1)).as("n"), sumMoney(dec(col("o_totalprice"))).as("sum_price"))
         .orderBy(col("c_mktsegment"))
     },
 
@@ -448,7 +448,7 @@ object IoQueries extends QueryPack {
           StructField("o_totalprice", DoubleType),
           StructField("attrs", MapType(StringType, StringType)))))
         .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("sum_price"),
+        .agg(count(lit(1)).as("n"), sumMoney(dec(col("o_totalprice"))).as("sum_price"),
           max(col("o_orderkey")).as("max_key"),
           min(element_at(col("attrs"), "status")).as("min_status"))
         .orderBy(col("o_orderpriority"))
@@ -469,7 +469,7 @@ object IoQueries extends QueryPack {
       graft.sources.Jdbc.readPartitioned(s, url, "customer_jdbc",
           "c_custkey", 0L, 100000L, 8)
         .groupBy(col("c_nationkey"))
-        .agg(count(lit(1)).as("n"), r2(sum(col("c_acctbal"))).as("sum_bal"),
+        .agg(count(lit(1)).as("n"), sumMoney(dec(col("c_acctbal"))).as("sum_bal"),
           min(col("c_name")).as("first_name"))
         .orderBy(col("c_nationkey"))
     },
@@ -623,7 +623,7 @@ object IoQueries extends QueryPack {
         .select(regexp_extract(col("dest"), "nation=(\\d+)", 1).cast("long")
           .as("s_nationkey"), col("s_suppkey"), col("s_name"), col("s_acctbal"))
         .groupBy(col("s_nationkey"))
-        .agg(count(lit(1)).as("n"), r2(sum(col("s_acctbal"))).as("sum_bal"),
+        .agg(count(lit(1)).as("n"), sumMoney(dec(col("s_acctbal"))).as("sum_bal"),
           min(col("s_name")).as("first_name"), max(col("s_suppkey")).as("max_key"))
         .orderBy(col("s_nationkey"))
     },
@@ -647,7 +647,7 @@ object IoQueries extends QueryPack {
           StructField("o_orderkey", LongType), StructField("o_totalprice", DoubleType),
           StructField("o_orderstatus", StringType))))
         .groupBy(col("dest").as("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("sum_price"),
+        .agg(count(lit(1)).as("n"), sumMoney(dec(col("o_totalprice"))).as("sum_price"),
           max(col("o_orderkey")).as("max_key"), min(col("o_orderstatus")).as("min_status"))
         .orderBy(col("o_orderpriority"))
     },
@@ -677,7 +677,7 @@ object IoQueries extends QueryPack {
           .as("c_mktsegment"), col("c_custkey"), col("c_name"), col("note"),
           col("c_acctbal"))
         .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n"), r2(sum(col("c_acctbal"))).as("sum_bal"),
+        .agg(count(lit(1)).as("n"), sumMoney(dec(col("c_acctbal"))).as("sum_bal"),
           min(col("c_name")).as("first_name"), max(col("note")).as("max_note"))
         .orderBy(col("c_mktsegment"))
     },
@@ -698,7 +698,7 @@ object IoQueries extends QueryPack {
       val loaded = graft.hash.GraftBloom.read(s, path)
       graft.hash.GraftBloom.filterByBloom(t.customer, "c_custkey", loaded)
         .join(t.orders.select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_semi")
-        .agg(count(lit(1)).as("n_customers"), r2(sum(col("c_acctbal"))).as("sum_bal"))
+        .agg(count(lit(1)).as("n_customers"), sumMoney(dec(col("c_acctbal"))).as("sum_bal"))
     }
   )
 
@@ -706,7 +706,7 @@ object IoQueries extends QueryPack {
     "q_io_csv" ->
       """SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey""",
     "q_io_json" ->
-      """SELECT s_nationkey, count(*) AS n, round(sum(s_acctbal), 2) AS sum_bal
+      """SELECT s_nationkey, count(*) AS n, CAST(round(sum(CAST(s_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q_io_text" ->
       """SELECT count(*) AS n_lines, min(n_name) AS first_name, max(n_name) AS last_name
@@ -780,19 +780,19 @@ object IoQueries extends QueryPack {
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM h GROUP BY shard ORDER BY shard""".stripMargin,
     "q_large_lookup" ->
-      """SELECT c_mktsegment, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+      """SELECT c_mktsegment, count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_price
         |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "q_io_protobuf" ->
-      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price,
+      """SELECT o_orderpriority, count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_price,
         |  CAST(max(o_orderkey) AS BIGINT) AS max_key, min(o_orderstatus) AS min_status
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_bloom_persist" ->
-      """SELECT count(*) AS n_customers, round(sum(c_acctbal), 2) AS sum_bal
+      """SELECT count(*) AS n_customers, CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal
         |FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)""".stripMargin,
     "q_io_jdbc" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, count(*) AS n,
-        |  round(sum(c_acctbal), 2) AS sum_bal, min(c_name) AS first_name
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal, min(c_name) AS first_name
         |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     "q_io_dynamic" ->
       """SELECT CAST(n_regionkey AS INT) AS n_regionkey, count(*) AS n,
@@ -800,19 +800,19 @@ object IoQueries extends QueryPack {
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "q_io_avro" ->
       """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n,
-        |  round(sum(s_acctbal), 2) AS sum_bal, min(s_name) AS first_name
+        |  CAST(round(sum(CAST(s_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal, min(s_name) AS first_name
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q_io_dynamic_avro" ->
       """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n,
-        |  round(sum(s_acctbal), 2) AS sum_bal, min(s_name) AS first_name,
+        |  CAST(round(sum(CAST(s_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal, min(s_name) AS first_name,
         |  CAST(max(s_suppkey) AS BIGINT) AS max_key
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q_io_dynamic_proto" ->
-      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS sum_price,
+      """SELECT o_orderpriority, count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_price,
         |  CAST(max(o_orderkey) AS BIGINT) AS max_key, min(o_orderstatus) AS min_status
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_io_dynamic_csv" ->
-      """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal,
+      """SELECT c_mktsegment, count(*) AS n, CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal,
         |  min(c_name) AS first_name,
         |  max(c_name || ', bal: ' || CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS VARCHAR))
         |    AS max_note
@@ -854,7 +854,7 @@ object IoQueries extends QueryPack {
         |GROUP BY dest ORDER BY dest""".stripMargin,
     "q_io_avro_nested" ->
       """SELECT o_orderpriority AS prio, count(*) AS n,
-        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_price,
         |  CAST(sum(CAST(o_orderkey % 1000 AS DECIMAL(10,2))) AS VARCHAR) AS sum_dec,
         |  min(o_orderstatus) AS min_status,
         |  strftime(min(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS first_day,

@@ -100,7 +100,7 @@ object PairQueries extends QueryPack {
       val t = tables(s, dir)
       t.customer.hashJoin(t.nation, col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(count(lit(1)).as("n_cust"), r2(sum(col("c_acctbal"))).as("sum_bal"))
+        .agg(count(lit(1)).as("n_cust"), sumMoney(dec(col("c_acctbal"))).as("sum_bal"))
         .orderBy(col("n_name"))
     },
 
@@ -124,7 +124,7 @@ object PairQueries extends QueryPack {
           t.supplier.select(col("s_suppkey").as("l_suppkey"), col("s_nationkey")),
           Seq("l_suppkey"), fanout = 8, hotKeyThreshold = 200L, sampleFraction = 0.2)
         .groupBy(col("s_nationkey"))
-        .agg(count(lit(1)).as("n"), r2(sum(col("l_extendedprice"))).as("price"))
+        .agg(count(lit(1)).as("n"), sumMoney(dec(col("l_extendedprice"))).as("price"))
         .orderBy(col("s_nationkey"))
     },
 
@@ -138,7 +138,7 @@ object PairQueries extends QueryPack {
           t.supplier.select(col("s_suppkey").as("l_suppkey"), col("s_nationkey")),
           Seq("l_suppkey"), fanout = 8, hotKeyThreshold = 200L)
         .groupBy(col("s_nationkey"))
-        .agg(count(lit(1)).as("n"), r2(sum(col("l_extendedprice"))).as("price"))
+        .agg(count(lit(1)).as("n"), sumMoney(dec(col("l_extendedprice"))).as("price"))
         .orderBy(col("s_nationkey"))
     },
 
@@ -186,7 +186,7 @@ object PairQueries extends QueryPack {
             .select(col("c_custkey").as("o_custkey")),
           "o_custkey")
         .groupBy(col("o_orderpriority"))
-        .agg(count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("total"))
+        .agg(count(lit(1)).as("n"), sumMoney(dec(col("o_totalprice"))).as("total"))
         .orderBy(col("o_orderpriority"))
     },
 
@@ -276,7 +276,7 @@ object PairQueries extends QueryPack {
       t.customer.intersectByKey(
           t.orders.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("c_custkey")),
           "c_custkey")
-        .agg(count(lit(1)).as("n"), r2(sum(col("c_acctbal"))).as("sum_bal"))
+        .agg(count(lit(1)).as("n"), sumMoney(dec(col("c_acctbal"))).as("sum_bal"))
     },
 
     // subtractByKey → left-anti: customers with no urgent orders.
@@ -285,7 +285,7 @@ object PairQueries extends QueryPack {
       t.customer.subtractByKey(
           t.orders.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey").as("c_custkey")),
           "c_custkey")
-        .agg(count(lit(1)).as("n"), r2(sum(col("c_acctbal"))).as("sum_bal"))
+        .agg(count(lit(1)).as("n"), sumMoney(dec(col("c_acctbal"))).as("sum_bal"))
     },
 
     // reduceByKey/sumByKey (map-side partial agg).
@@ -444,7 +444,7 @@ object PairQueries extends QueryPack {
         |FULL JOIN r ON coalesce(b.k, a.k, s.k, n.k) = r.k
         |ORDER BY k""".stripMargin,
     "q_hash_join" ->
-      """SELECT n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+      """SELECT n_name, count(*) AS n_cust, CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_skewed_join" ->
@@ -452,11 +452,11 @@ object PairQueries extends QueryPack {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q_skewed_split" ->
-      """SELECT s_nationkey, count(*) AS n, round(sum(l_extendedprice), 2) AS price
+      """SELECT s_nationkey, count(*) AS n, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS price
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q_skewed_cms" ->
-      """SELECT s_nationkey, count(*) AS n, round(sum(l_extendedprice), 2) AS price
+      """SELECT s_nationkey, count(*) AS n, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS price
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q_sparse_join" ->
@@ -478,7 +478,7 @@ object PairQueries extends QueryPack {
         |FROM lineitem WHERE l_partkey IN (
         |  SELECT p_partkey FROM part WHERE p_size = 1)""".stripMargin,
     "q_hash_filter" ->
-      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS total
+      """SELECT o_orderpriority, count(*) AS n, CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
         |FROM orders WHERE o_custkey IN (
         |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
@@ -522,12 +522,12 @@ object PairQueries extends QueryPack {
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "q_semi_join" ->
-      """SELECT count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+      """SELECT count(*) AS n, CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal
         |FROM customer WHERE EXISTS (
         |  SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
     "q_anti_join" ->
-      """SELECT count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+      """SELECT count(*) AS n, CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal
         |FROM customer WHERE NOT EXISTS (
         |  SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,

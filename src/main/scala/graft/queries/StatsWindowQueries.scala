@@ -50,7 +50,7 @@ object StatsWindowQueries extends QueryPack {
         .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
-        .agg(count(lit(1)).as("n_supp"), r2(sum(col("s_acctbal"))).as("sum_bal"))
+        .agg(count(lit(1)).as("n_supp"), sumMoney(dec(col("s_acctbal"))).as("sum_bal"))
         .select(coalesce(col("r_name"), lit("ALL")).as("region"),
           coalesce(col("n_name"), lit("ALL")).as("nation"),
           col("n_supp"), col("sum_bal"))
@@ -676,7 +676,7 @@ object StatsWindowQueries extends QueryPack {
     "q_tuple_metrics" ->
       """SELECT o_orderpriority,
         |       count(DISTINCT o_custkey) AS n_cust,
-        |       round(sum(o_totalprice), 2) AS revenue
+        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_kll_quantiles" ->
@@ -803,7 +803,7 @@ object StatsWindowQueries extends QueryPack {
         |ORDER BY bucket""".stripMargin,
     "q_rollup" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
-        |  count(*) AS n_supp, round(sum(s_acctbal), 2) AS sum_bal
+        |  count(*) AS n_supp, CAST(round(sum(CAST(s_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal
         |FROM supplier
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -824,7 +824,7 @@ object StatsWindowQueries extends QueryPack {
         |  CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders)
         |SELECT priority, coalesce(st, 'ALL') AS status,
         |  coalesce(CAST(y AS VARCHAR), 'ALL') AS yr,
-        |  CAST(round(sum(price), 2) AS DOUBLE) AS sum_price,
+        |  CAST(CAST(round(sum(CAST(price AS DECIMAL(12,2))), 2) AS DOUBLE) AS DOUBLE) AS sum_price,
         |  count(DISTINCT o_custkey) AS n_cust
         |FROM o
         |GROUP BY GROUPING SETS ((priority, st, y), (priority, st), (priority, y), (priority))
