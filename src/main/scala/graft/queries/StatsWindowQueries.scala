@@ -673,10 +673,14 @@ object StatsWindowQueries extends QueryPack {
         |FROM orders WHERE o_orderkey <= 20000
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
 
+    // revenue stays a DOUBLE sum on BOTH sides: the Spark value is a
+    // tuple-sketch double accumulation (Sketches.tupleSketches), so an
+    // exact-decimal oracle would be asymmetric — the reverse of the
+    // money-sum sweep's rule
     "q_tuple_metrics" ->
       """SELECT o_orderpriority,
         |       count(DISTINCT o_custkey) AS n_cust,
-        |       CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS revenue
+        |       round(sum(o_totalprice), 2) AS revenue
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_kll_quantiles" ->
@@ -824,7 +828,7 @@ object StatsWindowQueries extends QueryPack {
         |  CAST(o_totalprice AS DECIMAL(12,2)) AS price FROM orders)
         |SELECT priority, coalesce(st, 'ALL') AS status,
         |  coalesce(CAST(y AS VARCHAR), 'ALL') AS yr,
-        |  CAST(CAST(round(sum(CAST(price AS DECIMAL(12,2))), 2) AS DOUBLE) AS DOUBLE) AS sum_price,
+        |  CAST(round(sum(price), 2) AS DOUBLE) AS sum_price,
         |  count(DISTINCT o_custkey) AS n_cust
         |FROM o
         |GROUP BY GROUPING SETS ((priority, st, y), (priority, st), (priority, y), (priority))

@@ -152,16 +152,9 @@ object Dynamic {
       def write(payload: Row): Unit = {
         require(!payload.isNullAt(0) && !payload.isNullAt(1),
           "dynamic tar: null name/value — filter or encode nulls upstream")
-        val bytes = payload.getAs[Array[Byte]](1)
-        out.write(Tar.header(payload.getString(0), bytes.length.toLong))
-        out.write(bytes)
-        val pad = (Tar.Block - (bytes.length % Tar.Block)) % Tar.Block
-        if (pad > 0) out.write(new Array[Byte](pad))
+        Tar.writeMember(out, payload.getString(0), payload.getAs[Array[Byte]](1))
       }
-      def close(): Unit = {
-        out.write(new Array[Byte](2 * Tar.Block)) // end-of-archive trailer
-        out.close()
-      }
+      def close(): Unit = { Tar.writeTrailer(out); out.close() }
     }
   }
 

@@ -36,6 +36,22 @@ object Tar {
     (("0" * (width - 1 - s.length)) + s + "\u0000").getBytes(StandardCharsets.US_ASCII)
   }
 
+  /** Append one USTAR member (header + payload + 512-byte padding) —
+    * the single framing implementation behind [[write]] and
+    * [[Dynamic.saveAsDynamicTar]]'s per-destination sink.
+    */
+  private[sources] def writeMember(out: java.io.OutputStream, name: String,
+                                   bytes: Array[Byte]): Unit = {
+    out.write(header(name, bytes.length.toLong))
+    out.write(bytes)
+    val pad = (Block - (bytes.length % Block)) % Block
+    if (pad > 0) out.write(new Array[Byte](pad))
+  }
+
+  /** The USTAR end-of-archive trailer: two zero blocks. */
+  private[sources] def writeTrailer(out: java.io.OutputStream): Unit =
+    out.write(new Array[Byte](2 * Block))
+
   private[sources] def header(name: String, size: Long): Array[Byte] = {
     val nameBytes = name.getBytes(StandardCharsets.UTF_8)
     require(nameBytes.length > 0 && nameBytes.length <= 100,
@@ -216,15 +232,10 @@ object Tar {
             if (row.isNullAt(0) || row.isNullAt(1)) throw new IllegalArgumentException(
               s"Tar.write: null name/value in partition $part member $n — " +
                 "filter or encode nulls upstream")
-            val name = row.getString(0)
-            val bytes = row.getAs[Array[Byte]](1)
-            out.write(header(name, bytes.length.toLong))
-            out.write(bytes)
-            val pad = (Block - (bytes.length % Block)) % Block
-            if (pad > 0) out.write(new Array[Byte](pad))
+            writeMember(out, row.getString(0), row.getAs[Array[Byte]](1))
             n += 1
           }
-          out.write(new Array[Byte](2 * Block)) // end-of-archive trailer
+          writeTrailer(out)
           out.close()
           if (!fsTask.rename(tempFile, finalFile) && !fsTask.exists(finalFile))
             throw new java.io.IOException(s"Tar.write: could not commit $finalFile")
