@@ -33,8 +33,16 @@ object Drift {
                  nBuckets: Int = 10): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+    // DISCRETE quantile edges (actual data values), not interpolated:
+    // an interpolated edge is floating-point ARITHMETIC whose last ulp
+    // differs across engines, and at scale whole duplicate-groups sit
+    // exactly on an edge — at sf10 a one-ulp edge difference moved 100
+    // replicated rows between buckets. A discrete edge is a SELECTED
+    // value: selection is exact, so bucket assignment is deterministic
+    // in any engine.
     val boundsRow = ref.agg(
-      array(probs.map(p => percentile(col(colName), lit(p))): _*).as("__bounds"))
+      array(probs.map(p => expr(
+        s"percentile_disc($p) WITHIN GROUP (ORDER BY `$colName`)")): _*).as("__bounds"))
     def bucketed(df: DataFrame): DataFrame =
       df.select(col(colName).cast("double").as("__v"))
         .filter(col("__v").isNotNull && !isnan(col("__v")))

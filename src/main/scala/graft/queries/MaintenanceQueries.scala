@@ -26,8 +26,13 @@ object MaintenanceQueries extends QueryPack {
         .cast("double")
       val u1 = base.filter(col("o_orderkey") % 7 === 0)
         .withColumn("o_totalprice", changedPrice)
+      // "new key" shift derived from the DATA, not a constant: a fixed
+      // +10M collided with real keys at sf10 (15M orders, keys to ~60M)
+      // and correctly tripped upsert's source-uniqueness guard — the
+      // recipe, not the operator, was the scale bug
+      val keyShift = base.agg(max(col("o_orderkey")).cast("long")).head().getLong(0) + 1L
       val u2 = base.filter(col("o_orderkey") % 13 === 0)
-        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(keyShift))
       val merged = graft.operators.Merge.upsert(base, u1.unionByName(u2), Seq("o_orderkey"))
       merged.groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"), sumMoney(dec(col("o_totalprice"))).as("total"))
@@ -44,8 +49,11 @@ object MaintenanceQueries extends QueryPack {
         .withColumn("seq", lit(1L)).withColumn("op", lit("U"))
       val d = base.filter(col("o_orderkey") % 10 === 0)
         .withColumn("seq", lit(2L)).withColumn("op", lit("D"))
+      // same data-derived shift as q_merge_upsert: a fixed +20M would
+      // alias real keys at sf10 and silently turn inserts into updates
+      val keyShift = base.agg(max(col("o_orderkey")).cast("long")).head().getLong(0) + 1L
       val i = base.filter(col("o_orderkey") % 11 === 0)
-        .withColumn("o_orderkey", col("o_orderkey") + 20000000L)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(keyShift))
         .withColumn("seq", lit(1L)).withColumn("op", lit("I"))
       val next = graft.operators.Merge.applyCdc(
         base, u.unionByName(d).unionByName(i), Seq("o_orderkey"), "seq", "op")
@@ -269,7 +277,8 @@ object MaintenanceQueries extends QueryPack {
         |    o_orderdate, o_orderpriority
         |  FROM orders WHERE o_orderkey % 7 = 0
         |  UNION ALL
-        |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus, o_totalprice,
+        |  SELECT o_orderkey + (SELECT CAST(max(o_orderkey) AS BIGINT) + 1 FROM orders),
+        |    o_custkey, o_orderstatus, o_totalprice,
         |    o_orderdate, o_orderpriority
         |  FROM orders WHERE o_orderkey % 13 = 0),
         |m AS (
@@ -289,7 +298,8 @@ object MaintenanceQueries extends QueryPack {
         |    o_orderdate, o_orderpriority, 2, 'D'
         |  FROM orders WHERE o_orderkey % 10 = 0
         |  UNION ALL
-        |  SELECT o_orderkey + 20000000, o_custkey, o_orderstatus, o_totalprice,
+        |  SELECT o_orderkey + (SELECT CAST(max(o_orderkey) AS BIGINT) + 1 FROM orders),
+        |    o_custkey, o_orderstatus, o_totalprice,
         |    o_orderdate, o_orderpriority, 1, 'I'
         |  FROM orders WHERE o_orderkey % 11 = 0),
         |latest AS (

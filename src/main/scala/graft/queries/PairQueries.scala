@@ -292,7 +292,7 @@ object PairQueries extends QueryPack {
     "q_sum_by_key" -> { (s, dir) =>
       tables(s, dir).events
         .groupBy(col("user_id"))
-        .agg(r6(sum(col("value"))).as("sum_value"))
+        .agg(r6(sum(dec(col("value")))).cast("double").as("sum_value"))
         .filter(col("user_id") <= 100)
         .orderBy(col("user_id"))
     },
@@ -301,7 +301,7 @@ object PairQueries extends QueryPack {
     "q_aggregate_by_key" -> { (s, dir) =>
       tables(s, dir).events
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), r6(sum(col("value"))).as("sum_v"),
+        .agg(count(lit(1)).as("n"), r6(sum(dec(col("value")))).cast("double").as("sum_v"),
           r6(min(col("value"))).as("min_v"), r6(max(col("value"))).as("max_v"))
         .orderBy(col("event_type"))
     },
@@ -532,11 +532,11 @@ object PairQueries extends QueryPack {
         |  SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
     "q_sum_by_key" ->
-      """SELECT user_id, round(sum(value), 6) AS sum_value
+      """SELECT user_id, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 6) AS DOUBLE) AS sum_value
         |FROM events GROUP BY user_id HAVING user_id <= 100
         |ORDER BY user_id""".stripMargin,
     "q_aggregate_by_key" ->
-      """SELECT event_type, count(*) AS n, round(sum(value), 6) AS sum_v,
+      """SELECT event_type, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 6) AS DOUBLE) AS sum_v,
         |  round(min(value), 6) AS min_v, round(max(value), 6) AS max_v
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_count_by_key" ->

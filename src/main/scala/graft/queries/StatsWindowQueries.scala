@@ -377,7 +377,7 @@ object StatsWindowQueries extends QueryPack {
       tables(s, dir).events
         .groupBy(date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
           col("event_type"))
-        .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_v"))
+        .agg(count(lit(1)).as("n"), r2(sum(dec(col("value")))).cast("double").as("sum_v"))
         .orderBy(col("day"), col("event_type"))
     },
 
@@ -386,7 +386,7 @@ object StatsWindowQueries extends QueryPack {
     "q_window_fixed" -> { (s, dir) =>
       tables(s, dir).events
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_v"))
+        .agg(count(lit(1)).as("n"), r2(sum(dec(col("value")))).cast("double").as("sum_v"))
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("w_start"),
           col("event_type"), col("n"), col("sum_v"))
         .orderBy(col("w_start"), col("event_type"))
@@ -413,7 +413,7 @@ object StatsWindowQueries extends QueryPack {
     "q_window_sliding" -> { (s, dir) =>
       tables(s, dir).events
         .groupBy(window(col("ts"), "2 hours", "1 hour"))
-        .agg(count(lit(1)).as("n"), r2(sum(col("value"))).as("sum_v"))
+        .agg(count(lit(1)).as("n"), r2(sum(dec(col("value")))).cast("double").as("sum_v"))
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("w_start"),
           col("n"), col("sum_v"))
         .orderBy(col("w_start"))
@@ -584,9 +584,19 @@ object StatsWindowQueries extends QueryPack {
     // at any gate scale (distinct users ≪ 49k), so the sketch is
     // exact and the oracle is the plain HAVING query.
     "q_freq_items" -> { (s, dir) =>
-      graft.operators.Sketches.frequentItems(
-          tables(s, dir).events.select(col("user_id")), "user_id", Seq.empty,
-          threshold = 60L, maxMapSize = 1 << 16)
+      val ev = tables(s, dir).events.select(col("user_id"))
+      // exact-mode PRECONDITION, sized from the data: Misra–Gries is
+      // only decrement-free (est == true count, the oracle's claim)
+      // while the map holds every distinct item. A fixed 2^16 broke at
+      // sf10 (150k distinct users): decrements collapsed every lower
+      // bound below the threshold and the noFalsePositives filter
+      // correctly returned zero rows. 2× an approx distinct count
+      // (±1%) keeps the recipe exact at any scale the map fits.
+      val distinct = ev.agg(approx_count_distinct(col("user_id"), 0.01))
+        .head().getLong(0)
+      val mapSize = java.lang.Long.highestOneBit(math.max(1L << 12, distinct * 2) - 1) << 1
+      graft.operators.Sketches.frequentItems(ev, "user_id", Seq.empty,
+          threshold = 60L, maxMapSize = mapSize.toInt)
         .select(col("item").cast("long").as("user_id"), col("est").as("n"))
         .orderBy(col("user_id"))
     },
@@ -836,7 +846,7 @@ object StatsWindowQueries extends QueryPack {
     "q_drift" ->
       """WITH ref AS (SELECT o_totalprice AS v FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
         |cur AS (SELECT o_totalprice AS v FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
-        |b AS (SELECT quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bounds FROM ref),
+        |b AS (SELECT quantile_disc(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS bounds FROM ref),
         |rb AS (SELECT len(list_filter(b.bounds, x -> v >= x)) AS bucket, count(*) AS n_ref
         |       FROM ref, b GROUP BY 1),
         |cb AS (SELECT len(list_filter(b.bounds, x -> v >= x)) AS bucket, count(*) AS n_cur
@@ -1146,11 +1156,11 @@ object StatsWindowQueries extends QueryPack {
         |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_window_daily" ->
       """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
-        |  count(*) AS n, round(sum(value), 2) AS sum_v
+        |  count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_v
         |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
     "q_window_fixed" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS w_start,
-        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_v
+        |  event_type, count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_v
         |FROM events GROUP BY w_start, event_type ORDER BY w_start, event_type""".stripMargin,
     "q_windowed_join" ->
       """SELECT c.user_id, count(*) AS n_pairs
@@ -1161,7 +1171,7 @@ object StatsWindowQueries extends QueryPack {
         |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
     "q_window_sliding" ->
       """SELECT strftime(w_start, '%Y-%m-%d %H:%M') AS w_start,
-        |  count(*) AS n, round(sum(value), 2) AS sum_v
+        |  count(*) AS n, CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_v
         |FROM (
         |  SELECT unnest([date_trunc('hour', ts),
         |                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS w_start,
