@@ -97,4 +97,45 @@ object QualityClassifier {
             textCol: String, numBuckets: Int = 4096): DataFrame =
     model.transform(featurize(df, idCol, textCol, numBuckets))
       .select(col("id"), vector_to_array(col("probability"))(1).as("quality"))
+
+  /** Persist the fitted model as an ENGINE-NEUTRAL artifact: one
+    * `(bucket, weight)` parquet row per coefficient, the intercept at
+    * bucket -1 — so scoring is replayable by pure SQL in any engine
+    * (the split the training/scoring boundary deserves: LBFGS
+    * coefficients carry fp-summation state that only this engine can
+    * reproduce, but once FROZEN, scoring with them is arithmetic).
+    */
+  def saveWeights(model: LogisticRegressionModel, path: String,
+                  spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    val rows = model.coefficients.toArray.iterator.zipWithIndex
+      .map { case (w, b) => (b.toLong, w) } ++ Iterator((-1L, model.intercept))
+    rows.toSeq.toDF("bucket", "weight")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Score against a PERSISTED [[saveWeights]] artifact — the
+    * recurring-pipeline shape (train once offline, score every crawl):
+    * per doc, `dot = Σ w_b·cnt_b / Σ cnt_b` (the L1 normalization of
+    * [[featurize]] folded into one division), `quality =
+    * sigmoid(intercept + dot)`. The ≤ numBuckets+1-row weights table
+    * broadcasts into a codegen join; docs with no tokens keep
+    * `sigmoid(intercept)` (the zero-vector score, matching
+    * [[score]]). No ML-vector assembly on this path at all — it
+    * stays whole-stage-codegen end to end.
+    */
+  def scoreWithWeights(df: DataFrame, idCol: String, textCol: String,
+                       numBuckets: Int, weightsPath: String): DataFrame = {
+    val spark = df.sparkSession
+    val w = spark.read.parquet(weightsPath)
+    val intercept = w.filter(col("bucket") === -1L).head().getAs[Double]("weight")
+    val dots = Dsir.featureRows(df, idCol, textCol, numBuckets)
+      .join(broadcast(w.filter(col("bucket") >= 0L)), Seq("bucket"))
+      .groupBy(col("id"))
+      .agg((sum(col("weight") * col("cnt")) / sum(col("cnt"))).as("__dot"))
+    df.select(col(idCol).cast("long").as("id")).join(dots, Seq("id"), "left")
+      .select(col("id"),
+        (lit(1.0) / (lit(1.0) +
+          exp(-(lit(intercept) + coalesce(col("__dot"), lit(0.0)))))).as("quality"))
+  }
 }

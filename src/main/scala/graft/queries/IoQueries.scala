@@ -12,16 +12,11 @@ import QueryDsl._
   */
 object IoQueries extends QueryPack {
 
-  /** Per-JVM scratch token: two concurrent Verify/Bench runs over the
-    * same sf dir must not race on each other's scratch files or SMB
-    * metastore table names. Overridable for a stable externally-chosen
-    * id; defaults to a per-process unique value.
+  /** Per-JVM scratch token ([[QueryDsl.runToken]] — shared so every
+    * pack's static oracle SQL and scratch paths agree), also keyed
+    * into SMB metastore table names.
     */
-  private val runToken: String =
-    sys.env.getOrElse("SPARK_GRAFT_RUN_ID",
-      java.lang.Long.toHexString(ProcessHandle.current().pid()) + "_" +
-        java.lang.Long.toHexString(System.nanoTime()))
-      .replaceAll("[^a-zA-Z0-9_]", "_")
+  private val runToken: String = QueryDsl.runToken
 
   /** Tokenized scratch would otherwise accumulate one dir per run:
     * sweep sibling token dirs untouched for 24h+ (never the live one).
@@ -86,6 +81,39 @@ object IoQueries extends QueryPack {
           oTable, s"$base/orders", buckets = 32, Seq("o_orderkey"))))
       writes.foreach(Await.result(_, Duration.Inf))
       (lTable, oTable)
+    })
+
+  /** Run-once staging for q_stream_dynamic: the AvailableNow stream
+    * writes its batch trees once per (JVM, sf dir) — a re-invocation
+    * must reuse the finished checkpoint, not re-stage the source
+    * (whose fresh part-file names would read as new data and double
+    * every row).
+    */
+  private val streamDynCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def streamDynTree(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    streamDynCache.computeIfAbsent(dir, { _ =>
+      val src = tmp(dir, "stream_dyn_src")
+      val out = tmp(dir, "stream_dyn_out")
+      val ckp = tmp(dir, "stream_dyn_ckp")
+      // 4-file staging copy → maxFilesPerTrigger(1) yields 4
+      // AvailableNow micro-batches; the final cross-batch union is
+      // file-assignment-independent, so the staging split needs no
+      // determinism of its own
+      tables(s, dir).events
+        .select(col("event_type").as("dest"),
+          concat(col("event_id").cast("long"), lit("|"),
+            col("user_id").cast("long")).as("line"))
+        .repartition(4).write.mode("overwrite").parquet(src)
+      val schema = s.read.parquet(src).schema
+      val q = graft.streaming.StreamSinks.toDynamicText(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+          out, "dest", "line")
+        .option("checkpointLocation", ckp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(300000),
+        "q_stream_dynamic: AvailableNow stream did not finish in 300s")
+      out
     })
 
   override val queries: Map[String, Q] = Map(
@@ -601,6 +629,36 @@ object IoQueries extends QueryPack {
         .orderBy(col("dest"))
     },
 
+    // r15: STREAMING dynamic sink, oracle-gated end to end (the
+    // q_windowed_join pattern lifted to the SINK side): a
+    // Trigger.AvailableNow stream drives the events table through
+    // StreamSinks.toDynamicText in several micro-batches
+    // (maxFilesPerTrigger=1 over a 4-file staging copy), each batch
+    // scattering into its own per-batch dynamic tree; the graft
+    // gather verb then reads EVERY batch dir back (completion check
+    // per batch) and the cross-batch union must reproduce the plain
+    // batch answer hash-exactly — micro-batch engine, foreachBatch
+    // wrapper, per-batch commit protocol and gather all on the
+    // oracle's critical path.
+    "q_stream_dynamic" -> { (s, dir) =>
+      val out = streamDynTree(s, dir)
+      val batchDirs = new java.io.File(out).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
+        .map(_.getAbsolutePath).sorted.toSeq
+      require(batchDirs.size >= 2,
+        s"q_stream_dynamic expected >= 2 micro-batch trees, got ${batchDirs.size}")
+      batchDirs.map(p => graft.sources.Dynamic.readDynamicText(s, p))
+        .reduce(_ unionByName _)
+        .select(col("dest"),
+          split(col("text"), "\\|").getItem(0).cast("long").as("event_id"),
+          split(col("text"), "\\|").getItem(1).cast("long").as("user_id"))
+        .groupBy(col("dest"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+          sum(col("event_id")).as("sum_eid"), min(col("event_id")).as("min_eid"),
+          max(col("event_id")).as("max_eid"))
+        .orderBy(col("dest"))
+    },
+
     // dynamic AVRO destinations (scio saveAsDynamicAvroFile): scatter
     // suppliers into one Avro-container shard-set PER NATION taken
     // from each row, then gather the whole tree back through
@@ -802,6 +860,13 @@ object IoQueries extends QueryPack {
       """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n,
         |  CAST(round(sum(CAST(s_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal, min(s_name) AS first_name
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q_stream_dynamic" ->
+      """SELECT event_type AS dest, count(*) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        |  CAST(min(event_id) AS BIGINT) AS min_eid,
+        |  CAST(max(event_id) AS BIGINT) AS max_eid
+        |FROM events GROUP BY 1 ORDER BY dest""".stripMargin,
     "q_io_dynamic_avro" ->
       """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n,
         |  CAST(round(sum(CAST(s_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal, min(s_name) AS first_name,

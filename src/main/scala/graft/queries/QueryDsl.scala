@@ -16,6 +16,19 @@ import org.apache.spark.sql.functions._
 object QueryDsl {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Per-JVM scratch token: two concurrent Verify/Bench runs over the
+    * same sf dir must not race on each other's scratch files. Shared
+    * across query packs so a STATIC oracle SQL can embed the same
+    * scratch path its query writes (one sf dir per Verify JVM — the
+    * q_io_dynamic_manifest precedent). Overridable for a stable
+    * externally-chosen id; defaults to a per-process unique value.
+    */
+  val runToken: String =
+    sys.env.getOrElse("SPARK_GRAFT_RUN_ID",
+      java.lang.Long.toHexString(ProcessHandle.current().pid()) + "_" +
+        java.lang.Long.toHexString(System.nanoTime()))
+      .replaceAll("[^a-zA-Z0-9_]", "_")
+
   /** money-style sum: stable to 2 dp */
   def r2(c: Column): Column = round(c, 2)
 

@@ -594,7 +594,13 @@ object StatsWindowQueries extends QueryPack {
       // (±1%) keeps the recipe exact at any scale the map fits.
       val distinct = ev.agg(approx_count_distinct(col("user_id"), 0.01))
         .head().getLong(0)
-      val mapSize = java.lang.Long.highestOneBit(math.max(1L << 12, distinct * 2) - 1) << 1
+      // clamp before the Int cast: at >= 2^30 distinct the shifted Long
+      // is 2^31 and toInt would wrap negative — cap the exact-mode map
+      // at 2^30 entries (past that, fall out of exact mode loudly via
+      // frequentItems' own size contract rather than a silent overflow)
+      val mapSize = math.min(
+        java.lang.Long.highestOneBit(math.max(1L << 12, distinct * 2) - 1) << 1,
+        1L << 30)
       graft.operators.Sketches.frequentItems(ev, "user_id", Seq.empty,
           threshold = 60L, maxMapSize = mapSize.toInt)
         .select(col("item").cast("long").as("user_id"), col("est").as("n"))

@@ -32,6 +32,16 @@ object TextVectorQueries extends QueryPack {
   /** Train-once persisted unigram-LM artifact (same shape). */
   private val lmModelCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** q_quality_score's persisted coefficient artifact — run-scoped and
+    * dir-INDEPENDENT because the STATIC oracle SQL must embed the
+    * same path the query writes (the q_io_dynamic_manifest precedent:
+    * one sf dir per Verify JVM, concurrent runs separated by the
+    * token). Trained once per JVM.
+    */
+  private val qualityWeightsPath: String =
+    s"/tmp/graft_io/${QueryDsl.runToken}/quality_weights"
+  private val qualityWeightsCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Corpus fingerprint (size+mtime folded over every leaf file, via
     * the Hadoop FileSystem API so HDFS/object-store paths fingerprint
     * too — java.io.File silently yields 0 for those); keys BOTH the
@@ -336,6 +346,30 @@ object TextVectorQueries extends QueryPack {
       graft.pipeline.QualityClassifier.score(docs, model, "doc_id", "text", 1024)
         .filter(col("id") <= 300)
         .select(col("id"), round(col("quality"), 3).as("quality"))
+        .orderBy(col("id"))
+    },
+
+    // r15: the classifier SPLIT — training stays rows-only
+    // (q_quality_classifier: LBFGS coefficients carry engine-internal
+    // fp-summation state), but SCORING against the PERSISTED
+    // coefficient artifact is pure arithmetic the oracle replays from
+    // the same parquet: per doc, sigmoid(intercept + Σw·cnt / Σcnt)
+    // over the md5-hashed n-gram buckets. The artifact LOAD is on the
+    // critical path (scoreWithWeights reads the parquet the train leg
+    // froze) — the train-once / score-every-crawl pipeline shape.
+    "q_quality_score" -> { (s, dir) =>
+      val docs = tables(s, dir).documents
+      qualityWeightsCache.computeIfAbsent(qualityWeightsPath, { p =>
+        val model = graft.pipeline.QualityClassifier.train(
+          docs.filter(col("lang") === "en"), docs.filter(col("lang") =!= "en"),
+          "doc_id", "text", numBuckets = 1024, maxIter = 20)
+        graft.pipeline.QualityClassifier.saveWeights(model, p, s)
+        p
+      })
+      graft.pipeline.QualityClassifier.scoreWithWeights(
+          docs.filter(col("doc_id") <= 300), "doc_id", "text", 1024,
+          qualityWeightsPath)
+        .select(col("id"), r6(col("quality")).as("quality"))
         .orderBy(col("id"))
     },
 
@@ -1626,6 +1660,34 @@ object TextVectorQueries extends QueryPack {
         |  FROM d)
         |SELECT doc_id, n_chars, n_toks FROM c WHERE cum <= 20000
         |ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      (s"""WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    list_filter(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'),
+        |                w -> len(w) > 0) AS t
+        |  FROM documents WHERE doc_id <= 300),
+        |terms AS (
+        |  SELECT id, unnest(t || CASE WHEN len(t) >= 2
+        |    THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+        |    ELSE CAST([] AS VARCHAR[]) END) AS term
+        |  FROM toks),
+        |feats AS (
+        |  SELECT id,
+        |    CAST(CAST(concat('0x', substr(md5(term), 1, 8)) AS UBIGINT) % 1024
+        |         AS BIGINT) AS bucket,
+        |    count(*) AS cnt
+        |  FROM terms GROUP BY id, bucket),
+        |w AS (SELECT bucket, weight
+        |      FROM read_parquet('$qualityWeightsPath/*.parquet') WHERE bucket >= 0),
+        |i AS (SELECT weight AS b0
+        |      FROM read_parquet('$qualityWeightsPath/*.parquet') WHERE bucket = -1),
+        |dots AS (
+        |  SELECT f.id, sum(w.weight * f.cnt) / sum(f.cnt) AS dot
+        |  FROM feats f JOIN w USING (bucket) GROUP BY f.id)
+        |SELECT d.doc_id AS id,
+        |  round(1.0 / (1.0 + exp(-(i.b0 + coalesce(dots.dot, 0.0)))), 6) AS quality
+        |FROM documents d LEFT JOIN dots ON d.doc_id = dots.id CROSS JOIN i
+        |WHERE d.doc_id <= 300 ORDER BY id""").stripMargin,
     "q_dsir" ->
       """WITH toks AS (
         |  SELECT doc_id AS id,

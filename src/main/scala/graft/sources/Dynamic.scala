@@ -495,6 +495,103 @@ object Dynamic {
     */
   val AutoFanout: Int = 0
 
+  /** How a scatter spreads destinations over write tasks. Ints keep
+    * working everywhere a `fanout` parameter is taken (implicit lift:
+    * `n` → [[Fanout.Static]], `Dynamic.AutoFanout` → [[Fanout.Sampled]]);
+    * the typed modes exist for the recurring-export case where the
+    * per-destination histogram is already KNOWN and the Sampled mode's
+    * extra detection pass over the input is pure waste at 100 TB.
+    */
+  sealed trait Fanout
+  object Fanout {
+    /** Every destination spreads over exactly `salts` write tasks
+      * (`Static(1)` = one run per destination per shuffle partition —
+      * the unsalted layout).
+      */
+    final case class Static(salts: Int) extends Fanout {
+      require(salts >= 1, s"static fanout must be >= 1, got $salts")
+    }
+
+    /** Sample the destination column at write time and size
+      * per-destination salts from the estimated histogram — the
+      * [[AutoFanout]] behavior. Costs one extra column-pruned pass
+      * over the input's destination column (persist() computed frames
+      * upstream).
+      */
+    case object Sampled extends Fanout
+
+    /** Size per-destination salts from a PRIOR completed dynamic
+      * tree's manifest ([[readDynamicManifest]]): recurring exports —
+      * the dominant 100 TB case — already own EXACT per-destination
+      * row counts from the previous run, so the salt map costs a
+      * kilobyte-scale metadata read instead of [[Sampled]]'s full
+      * detection pass over today's input. `growth` scales the prior
+      * counts for corpus growth between runs (1.1 = "expect ~10% more
+      * rows per destination than last time"); a brand-new hot
+      * destination absent from the prior manifest gets fanout 1 — if
+      * destination churn is high, use [[Sampled]]. Same tuning knobs
+      * as Sampled (`spark.graft.dynamic.autoTargetRows` /
+      * `autoMaxSalts`); the sample-fraction knob does not apply.
+      */
+    final case class FromManifest(priorTreePath: String, growth: Double = 1.0)
+        extends Fanout {
+      require(growth > 0.0, s"growth must be positive, got $growth")
+    }
+
+    /** Caller-supplied exact per-destination row counts (e.g. from an
+      * upstream aggregation the pipeline already computed). Salts are
+      * sized exactly like [[FromManifest]] with growth 1.
+      */
+    final case class FromCounts(rowsPerDest: Map[String, Long]) extends Fanout
+
+    import scala.language.implicitConversions
+
+    /** Int back-compat lift: `fanout = 4` and
+      * `fanout = Dynamic.AutoFanout` keep meaning what they always
+      * did.
+      */
+    implicit def fromInt(n: Int): Fanout =
+      if (n == AutoFanout) Sampled else Static(n)
+  }
+
+  /** Salt counts from EXACT per-destination row counts (manifest or
+    * caller-supplied), mirroring [[sampledSalts]]' sizing:
+    * `min(maxSalts, ceil(rows·growth / targetRows))`, only
+    * destinations needing more than one salt returned.
+    */
+  private[sources] def exactSalts(counts: Iterator[(String, Long)], growth: Double,
+                                  targetRows: Long, maxSalts: Int): Seq[(String, Int)] = {
+    require(targetRows > 0, s"autoTargetRows must be positive, got $targetRows")
+    require(maxSalts >= 1, s"autoMaxSalts must be >= 1, got $maxSalts")
+    counts
+      .map { case (d, n) =>
+        (d, math.min(maxSalts.toLong,
+          math.ceil(n * growth / targetRows).toLong).toInt)
+      }
+      .filter(_._2 > 1)
+      .toSeq
+  }
+
+  /** Per-destination salt counts from a prior tree's manifest: the
+    * per-destination totals are aggregated and THRESHOLDED in the
+    * cluster (`rows·growth > targetRows`), so the driver collects one
+    * row per genuinely hot destination — bounded by prior corpus size
+    * / targetRows, not destination cardinality (same envelope as
+    * [[sampledSalts]]).
+    */
+  private[sources] def manifestSalts(spark: SparkSession, priorTreePath: String,
+                                     growth: Double, targetRows: Long, maxSalts: Int)
+      : Seq[(String, Int)] = {
+    require(targetRows > 0, s"autoTargetRows must be positive, got $targetRows")
+    val hot = readDynamicManifest(spark, priorTreePath)
+      .groupBy(col("dest")).agg(sum(col("rows")).as("__n"))
+      .filter(col("__n") * growth > targetRows)
+      .collect()
+      .iterator
+      .map(r => (r.getString(0), r.getLong(1)))
+    exactSalts(hot, growth, targetRows, maxSalts)
+  }
+
   /** Per-destination salt counts from a sampled histogram: only
     * destinations whose SAMPLED count clears `targetRows ×
     * sampleFraction` (min 2, so a lone straggler row can't mark a
@@ -568,10 +665,8 @@ object Dynamic {
     * metadata (the proto codec reads enum/wire declarations off them).
     */
   private def scatter(df: DataFrame, basePath: String, destCol: String,
-                      payloadCols: Seq[String], fanout: Int, overwriteForeign: Boolean,
+                      payloadCols: Seq[String], fanout: Fanout, overwriteForeign: Boolean,
                       factory: DestSinkFactory): Unit = {
-    require(fanout == AutoFanout || fanout >= 1,
-      s"fanout must be >= 1 or Dynamic.AutoFanout ($AutoFanout), got $fanout")
     require(payloadCols.nonEmpty, "dynamic write needs at least one payload column")
     // the scatter frame claims __dest and (transiently) __salt /
     // __fanout; a payload column with any of those names would be
@@ -592,36 +687,44 @@ object Dynamic {
     val base = df
       .select((col(destCol).cast("string").as("__dest") +: payloadCols.map(col)): _*)
     val spread = hash(spark_partition_id(), monotonically_increasing_id())
-    val salted =
-      if (fanout == AutoFanout) {
-        val spark = df.sparkSession
-        val conf = spark.conf
-        val targetRows =
-          conf.get("spark.graft.dynamic.autoTargetRows", "1000000").toLong
+    val spark = df.sparkSession
+    // shared sizing knobs for every histogram-driven mode
+    def targetRows: Long =
+      spark.conf.get("spark.graft.dynamic.autoTargetRows", "1000000").toLong
+    def maxSalts: Int = spark.conf.get("spark.graft.dynamic.autoMaxSalts",
+      spark.sessionState.conf.numShufflePartitions.toString).toInt
+    // one visible notice per spread write, mirroring binPack's salts>1
+    // log: the spread changes the file layout (hot destinations gain
+    // extra part files), and that should be discoverable from the
+    // logs, not a surprise in the output tree
+    def withSalts(salts: Seq[(String, Int)], how: String): DataFrame =
+      if (salts.isEmpty) base.withColumn("__salt", lit(0))
+      else {
+        System.err.println(s"[graft.dynamic] $how fanout: ${salts.size} hot " +
+          s"destination(s) spread over extra tasks: " +
+          salts.sortBy(-_._2).take(10)
+            .map { case (d, s) => s"$d -> $s salts" }.mkString(", ") +
+          (if (salts.size > 10) ", …" else ""))
+        val saltMap = spark.createDataFrame(salts).toDF("__dest", "__fanout")
+        base.join(broadcast(saltMap), Seq("__dest"), "left")
+          .withColumn("__salt", pmod(spread, coalesce(col("__fanout"), lit(1))))
+          .drop("__fanout")
+      }
+    val salted = fanout match {
+      case Fanout.Static(1) => base.withColumn("__salt", lit(0))
+      case Fanout.Static(n) => base.withColumn("__salt", pmod(spread, lit(n)))
+      case Fanout.Sampled =>
         val sampleFraction =
-          conf.get("spark.graft.dynamic.autoSampleFraction", "0.01").toDouble
-        val maxSalts = conf.get("spark.graft.dynamic.autoMaxSalts",
-          spark.sessionState.conf.numShufflePartitions.toString).toInt
-        val salts = sampledSalts(base.select(col("__dest")),
-          targetRows, sampleFraction, maxSalts)
-        if (salts.isEmpty) base.withColumn("__salt", lit(0))
-        else {
-          // one visible notice per write, mirroring binPack's salts>1
-          // log: the spread changes the file layout (hot destinations
-          // gain extra part files), and that should be discoverable
-          // from the logs, not a surprise in the output tree
-          System.err.println(s"[graft.dynamic] auto-fanout: ${salts.size} hot " +
-            s"destination(s) spread over extra tasks: " +
-            salts.sortBy(-_._2).take(10)
-              .map { case (d, s) => s"$d -> $s salts" }.mkString(", ") +
-            (if (salts.size > 10) ", …" else ""))
-          val saltMap = spark.createDataFrame(salts).toDF("__dest", "__fanout")
-          base.join(broadcast(saltMap), Seq("__dest"), "left")
-            .withColumn("__salt", pmod(spread, coalesce(col("__fanout"), lit(1))))
-            .drop("__fanout")
-        }
-      } else if (fanout == 1) base.withColumn("__salt", lit(0))
-      else base.withColumn("__salt", pmod(spread, lit(fanout)))
+          spark.conf.get("spark.graft.dynamic.autoSampleFraction", "0.01").toDouble
+        withSalts(sampledSalts(base.select(col("__dest")),
+          targetRows, sampleFraction, maxSalts), "sampled")
+      case Fanout.FromManifest(prior, growth) =>
+        withSalts(manifestSalts(spark, prior, growth, targetRows, maxSalts),
+          s"manifest($prior)")
+      case Fanout.FromCounts(counts) =>
+        withSalts(exactSalts(counts.iterator, growth = 1.0, targetRows, maxSalts),
+          "caller-counts")
+    }
     val prepared = salted
       .repartition(col("__dest"), col("__salt"))
       .sortWithinPartitions(col("__dest"))
@@ -654,7 +757,16 @@ object Dynamic {
       // rename fails against the winner's file; drop the temp.
       def commit(): Unit = if (sink != null) {
         sink.close(); sink = null
-        if (!fs.rename(tempFile, finalFile)) fs.delete(tempFile, false)
+        if (!fs.rename(tempFile, finalFile)) {
+          fs.delete(tempFile, false)
+          // a failed rename is only benign when a winning speculative
+          // attempt's final file exists; any other cause (transient FS
+          // error, src vanished) must surface as the rename failure
+          // itself, not a confusing FNFE from the stat below
+          if (!fs.exists(finalFile)) throw new java.io.IOException(
+            s"dynamic scatter commit: rename $tempFile -> $finalFile failed " +
+              "and no winning attempt's file exists")
+        }
         manifest += ((currentDest, finalFile.getName, fileRows,
           fs.getFileStatus(finalFile).getLen))
       }
@@ -738,7 +850,7 @@ object Dynamic {
     * still counts — same as writing its empty string).
     */
   def saveAsDynamicText(df: DataFrame, basePath: String, destCol: String, textCol: String,
-                        fanout: Int = 1, overwriteForeign: Boolean = false): Unit = {
+                        fanout: Fanout = Fanout.Static(1), overwriteForeign: Boolean = false): Unit = {
     val prepared = df.select(col(destCol).cast("string").as("__dyn_dest"),
       coalesce(col(textCol).cast("string"), lit("")).as("__dyn_text"))
     scatter(prepared, basePath, "__dyn_dest", Seq("__dyn_text"), fanout, overwriteForeign,
@@ -756,7 +868,7 @@ object Dynamic {
     * point [[Avro.read]] at any shard glob.
     */
   def saveAsDynamicAvro(df: DataFrame, basePath: String, destCol: String,
-                        fanout: Int = 1, overwriteForeign: Boolean = false): Unit = {
+                        fanout: Fanout = Fanout.Static(1), overwriteForeign: Boolean = false): Unit = {
     val payloadCols = df.schema.fieldNames.filterNot(_ == destCol).toSeq
     val payloadSchema = StructType(df.schema.fields.filterNot(_.name == destCol))
     val avroJson = Avro.toAvroSchema(payloadSchema).toString // fail fast driver-side
@@ -774,7 +886,7 @@ object Dynamic {
     * [[readDynamicProtobuf]].
     */
   def saveAsDynamicProtobuf(df: DataFrame, basePath: String, destCol: String,
-                            fanout: Int = 1, overwriteForeign: Boolean = false): Unit = {
+                            fanout: Fanout = Fanout.Static(1), overwriteForeign: Boolean = false): Unit = {
     val payloadCols = df.schema.fieldNames.filterNot(_ == destCol).toSeq
     val payloadSchema = StructType(df.schema.fields.filterNot(_.name == destCol))
     payloadSchema.fields.foreach(f => Protobuf.checkType(f.dataType)) // fail fast
@@ -797,7 +909,7 @@ object Dynamic {
     * for a timezone-independent roundtrip.
     */
   def saveAsDynamicCsv(df: DataFrame, basePath: String, destCol: String,
-                       header: Boolean = true, fanout: Int = 1,
+                       header: Boolean = true, fanout: Fanout = Fanout.Static(1),
                        overwriteForeign: Boolean = false): Unit = {
     val payload = df.schema.fields.filterNot(_.name == destCol)
     payload.foreach { f =>
@@ -834,7 +946,7 @@ object Dynamic {
     * NOT one per destination.
     */
   def saveAsDynamicParquet(df: DataFrame, basePath: String, destCol: String,
-                           fanout: Int = 1, overwriteForeign: Boolean = false,
+                           fanout: Fanout = Fanout.Static(1), overwriteForeign: Boolean = false,
                            rowGroupBytes: Long = 32L * 1024 * 1024): Unit = {
     require(rowGroupBytes >= 64 * 1024,
       s"rowGroupBytes must be >= 64 KiB, got $rowGroupBytes")
@@ -858,7 +970,7 @@ object Dynamic {
     */
   def saveAsDynamicTar(df: DataFrame, basePath: String, destCol: String,
                        nameCol: String = "name", valueCol: String = "value",
-                       fanout: Int = 1, overwriteForeign: Boolean = false): Unit = {
+                       fanout: Fanout = Fanout.Static(1), overwriteForeign: Boolean = false): Unit = {
     val prepared = df.select(col(destCol).cast("string").as("__dyn_dest"),
       col(nameCol).cast("string").as("__dyn_name"),
       col(valueCol).cast("binary").as("__dyn_value"))
@@ -1165,6 +1277,84 @@ object Dynamic {
       }.toList finally src.close()
     }
     spark.createDataFrame(rows, mSchema)
+  }
+
+  /** Metadata-only audit of a completed dynamic tree: diff the
+    * per-destination MANIFEST (what the writing tasks committed)
+    * against the ACTUAL file listing — both kilobyte-scale metadata
+    * reads, so a 100 TB export is audited for lost renames, partial
+    * deletes, and foreign files WITHOUT re-scanning a byte of data,
+    * before a gather trusts the tree. Returns one row per
+    * discrepancy, empty = clean:
+    *  - `missing`       — manifest records a file the tree no longer
+    *                      has (lost rename, partial delete);
+    *  - `foreign`       — a visible `part-*` data file the manifest
+    *                      never committed (stray copy, older run's
+    *                      leftover);
+    *  - `size_mismatch` — file present but its length differs from
+    *                      the committed byte count (truncation,
+    *                      overwrite).
+    *
+    * SCALE ENVELOPE: same driver-side listing bound as the gather
+    * verbs ([[listTree]]) — one ~100-byte entry per file on the
+    * driver; right-sized for any sane export (file count =
+    * destinations × fanout). Requires the completion stamp AND a
+    * manifest (trees written before manifests existed cannot be
+    * audited — re-export, or gather with the completion-checked verbs
+    * and count).
+    */
+  def verifyDynamicTree(spark: SparkSession, basePath: String): DataFrame = {
+    val base = new Path(basePath)
+    val fs = FileSystem.get(base.toUri, spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(base, MarkerDone)),
+      s"$basePath has no $MarkerDone stamp — not a COMPLETED graft dynamic tree")
+    val committed = readDynamicManifest(spark, basePath).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+      .toMap
+    require(committed.nonEmpty,
+      s"$basePath has no manifest entries — written by a pre-manifest version? " +
+        "verifyDynamicTree needs the per-task manifest sidecars to audit against")
+    // actual data files: every VISIBLE part-* file (any codec
+    // extension); entries under hidden ('.'/'_') segments — manifest
+    // sidecars, markers, attempt temps — are not data and stay out of
+    // the diff, exactly as Hadoop globbing hides them from readers
+    val baseUri = fs.makeQualified(base).toUri
+    val it = fs.listFiles(base, true)
+    val actual = scala.collection.mutable.Map.empty[(String, String), Long]
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && name.startsWith("part-")) {
+        val rel = baseUri.relativize(st.getPath.getParent.toUri).getPath
+          .stripSuffix("/")
+        val hidden = rel.split('/')
+          .exists(seg => seg.startsWith(".") || seg.startsWith("_"))
+        if (!hidden) actual((rel, name)) = st.getLen
+      }
+    }
+    val issues = scala.collection.mutable.ArrayBuffer.empty[Row]
+    committed.foreach { case ((dest, file), (rows, bytes)) =>
+      actual.get((dest, file)) match {
+        case None =>
+          issues += Row(dest, file, "missing", rows, bytes, null)
+        case Some(len) if len != bytes =>
+          issues += Row(dest, file, "size_mismatch", rows, bytes, len)
+        case _ => ()
+      }
+    }
+    actual.keysIterator.filterNot(committed.contains).foreach { case (dest, file) =>
+      issues += Row(dest, file, "foreign", null, null, actual((dest, file)))
+    }
+    val schema = StructType(Seq(
+      StructField("dest", StringType, nullable = false),
+      StructField("file", StringType, nullable = false),
+      StructField("issue", StringType, nullable = false),
+      StructField("manifest_rows", LongType, nullable = true),
+      StructField("manifest_bytes", LongType, nullable = true),
+      StructField("actual_bytes", LongType, nullable = true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(issues.toSeq.sortBy(r =>
+        (r.getString(0), r.getString(1), r.getString(2))), 1), schema)
   }
 
   /** Shared gather executor: one task per container file, `decode`

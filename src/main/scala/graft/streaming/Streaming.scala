@@ -306,25 +306,25 @@ object StreamSinks {
     * micro-batch samples its own destination histogram.
     */
   def toDynamicText(ds: Dataset[Row], path: String, destCol: String, textCol: String,
-                    fanout: Int = 1): DataStreamWriter[Row] =
+                    fanout: graft.sources.Dynamic.Fanout = graft.sources.Dynamic.Fanout.Static(1)): DataStreamWriter[Row] =
     ds.writeStream.foreachBatch(perBatch(path)((df, p) =>
       graft.sources.Dynamic.saveAsDynamicText(df, p, destCol, textCol, fanout)))
 
   /** Dynamic per-destination Avro containers per micro-batch. */
   def toDynamicAvro(ds: Dataset[Row], path: String, destCol: String,
-                    fanout: Int = 1): DataStreamWriter[Row] =
+                    fanout: graft.sources.Dynamic.Fanout = graft.sources.Dynamic.Fanout.Static(1)): DataStreamWriter[Row] =
     ds.writeStream.foreachBatch(perBatch(path)((df, p) =>
       graft.sources.Dynamic.saveAsDynamicAvro(df, p, destCol, fanout)))
 
   /** Dynamic per-destination RFC 4180 CSV per micro-batch. */
   def toDynamicCsv(ds: Dataset[Row], path: String, destCol: String,
-                   header: Boolean = true, fanout: Int = 1): DataStreamWriter[Row] =
+                   header: Boolean = true, fanout: graft.sources.Dynamic.Fanout = graft.sources.Dynamic.Fanout.Static(1)): DataStreamWriter[Row] =
     ds.writeStream.foreachBatch(perBatch(path)((df, p) =>
       graft.sources.Dynamic.saveAsDynamicCsv(df, p, destCol, header, fanout)))
 
   /** Dynamic per-destination parquet per micro-batch. */
   def toDynamicParquet(ds: Dataset[Row], path: String, destCol: String,
-                       fanout: Int = 1): DataStreamWriter[Row] =
+                       fanout: graft.sources.Dynamic.Fanout = graft.sources.Dynamic.Fanout.Static(1)): DataStreamWriter[Row] =
     ds.writeStream.foreachBatch(perBatch(path)((df, p) =>
       graft.sources.Dynamic.saveAsDynamicParquet(df, p, destCol, fanout)))
 
@@ -332,7 +332,7 @@ object StreamSinks {
     * micro-batch.
     */
   def toDynamicProtobuf(ds: Dataset[Row], path: String, destCol: String,
-                        fanout: Int = 1): DataStreamWriter[Row] =
+                        fanout: graft.sources.Dynamic.Fanout = graft.sources.Dynamic.Fanout.Static(1)): DataStreamWriter[Row] =
     ds.writeStream.foreachBatch(perBatch(path)((df, p) =>
       graft.sources.Dynamic.saveAsDynamicProtobuf(df, p, destCol, fanout)))
 
@@ -341,7 +341,7 @@ object StreamSinks {
     */
   def toDynamicTar(ds: Dataset[Row], path: String, destCol: String,
                    nameCol: String = "name", valueCol: String = "value",
-                   fanout: Int = 1): DataStreamWriter[Row] =
+                   fanout: graft.sources.Dynamic.Fanout = graft.sources.Dynamic.Fanout.Static(1)): DataStreamWriter[Row] =
     ds.writeStream.foreachBatch(perBatch(path)((df, p) =>
       graft.sources.Dynamic.saveAsDynamicTar(df, p, destCol, nameCol, valueCol, fanout)))
 

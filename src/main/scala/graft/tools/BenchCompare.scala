@@ -1,0 +1,87 @@
+package graft.tools
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+/** Calibrated cross-round bench comparison (SCALING.md "Calibration"):
+  * turns the round-over-round drift adjudication from forensic prose
+  * into arithmetic. Three consecutive rounds of ambient shared-VM
+  * drift (r12–r14, 10–28% with zero code cause) had to be adjudicated
+  * by hand from untouched-query deltas; since r14 every bench artifact
+  * carries a fixed-work CPU calibration probe, so the comparison is
+  * now a division:
+  *
+  *   norm_ratio(q) = (cur_q / ref_q) · (calib_multi(ref) / calib_multi(cur))
+  *
+  * — the residual after the machine's measured speed change is divided
+  * out. |norm − 1| > threshold flags a query for a code/plan
+  * explanation; everything else is drift by measurement.
+  *
+  *   runMain graft.tools.BenchCompare <refBench.json> <curBench.json> [threshold]
+  *
+  * Prints ONE JSON line (per-query raw and normalized ratios off the
+  * min-of-reps samples — the low-noise bound both verdicts used — plus
+  * the suite-total ratio off the medians). calib_multi is min(pre,
+  * post): the probe is fixed work, so every deviation above the true
+  * time is interference by construction. Refuses artifacts without a
+  * probe (pre-r14) — those comparisons stay prose, by construction.
+  */
+object BenchCompare {
+
+  private def calibMulti(env: JsonNode, path: String): Double = {
+    require(env != null && env.has("calib_multi_pre") && env.has("calib_multi_post"),
+      s"$path carries no calibration probe (pre-r14 artifact?) — " +
+        "cross-round normalization needs calib_multi_pre/post in env")
+    math.min(env.get("calib_multi_pre").asDouble, env.get("calib_multi_post").asDouble)
+  }
+
+  private def queryMap(node: JsonNode, field: String): Map[String, Double] = {
+    val qs = node.get(field)
+    require(qs != null, s"artifact has no '$field' block")
+    val it = qs.fields()
+    val b = Map.newBuilder[String, Double]
+    while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue.asDouble) }
+    b.result()
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: BenchCompare <refBench.json> <curBench.json> [flagThreshold=0.10]")
+    val Array(refPath, curPath) = args.take(2)
+    val threshold = if (args.length > 2) args(2).toDouble else 0.10
+    val om = new ObjectMapper()
+    val ref = om.readTree(new java.io.File(refPath))
+    val cur = om.readTree(new java.io.File(curPath))
+    val calibRef = calibMulti(ref.get("env"), refPath)
+    val calibCur = calibMulti(cur.get("env"), curPath)
+    // machine speed change, measured: >1 means the current machine is
+    // FASTER than the reference recording's
+    val calibRatio = calibRef / calibCur
+    val refMin = queryMap(ref, "queries_min")
+    val curMin = queryMap(cur, "queries_min")
+    val shared = (refMin.keySet & curMin.keySet).toSeq.sorted
+    val perQuery = shared.map { q =>
+      val raw = curMin(q) / refMin(q)
+      (q, refMin(q), curMin(q), raw, raw * calibRatio)
+    }
+    val flagged = perQuery.filter { case (_, _, _, _, norm) =>
+      math.abs(norm - 1.0) > threshold
+    }
+    val totalRef = ref.get("value").asDouble
+    val totalCur = cur.get("value").asDouble
+    val totalRaw = totalCur / totalRef
+    val qJson = perQuery.map { case (q, r, c, raw, norm) =>
+      f""""$q":{"ref":$r%.3f,"cur":$c%.3f,"raw":$raw%.3f,"norm":$norm%.3f}"""
+    }.mkString("{", ",", "}")
+    val fJson = flagged.map { case (q, _, _, _, norm) =>
+      f""""$q":$norm%.3f"""
+    }.mkString("{", ",", "}")
+    val dropped = ((refMin.keySet | curMin.keySet) -- shared).toSeq.sorted
+    println(f"""{"metric":"bench_compare","ref":"$refPath%s","cur":"$curPath%s",""" +
+      f""""calib_multi_ref":$calibRef%.3f,"calib_multi_cur":$calibCur%.3f,""" +
+      f""""calib_ratio":$calibRatio%.4f,""" +
+      f""""total_ref":$totalRef%.3f,"total_cur":$totalCur%.3f,""" +
+      f""""total_raw_ratio":$totalRaw%.4f,"total_norm_ratio":${totalRaw * calibRatio}%.4f,""" +
+      s""""threshold":$threshold,"queries":$qJson,"flagged":$fJson,""" +
+      s""""not_in_both":${dropped.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
+  }
+}

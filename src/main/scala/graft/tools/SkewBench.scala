@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
   *
   *   runMain graft.tools.SkewBench [rows] [arms]
   *
-  * `arms` is a comma list of `rolling,asof,dynamic` (default all
-  * three), so one new arm can be recorded without re-burning the
+  * `arms` is a comma list of `rolling,asof,dynamic,join,agg` (default
+  * all), so one new arm can be recorded without re-burning the
   * others' multi-minute straggler runs.
   *
   * Corpus: `rows` events (default 5 M), ONE key carrying 30% of them
@@ -96,9 +96,13 @@ object SkewBench {
     // optional second arg: comma list of arms to run ("rolling,asof,
     // dynamic"; default all) — re-recording one new arm must not
     // re-burn the ~7-minute rolling-plain straggler already on record
+    val knownArms = Set("rolling", "asof", "dynamic", "join", "agg")
     val arms: Set[String] =
       if (args.length > 1) args(1).split(",").map(_.trim).filter(_.nonEmpty).toSet
-      else Set("rolling", "asof", "dynamic")
+      else knownArms
+    // a typo'd arm name must fail loudly, not silently record nothing
+    require(arms.nonEmpty && arms.subsetOf(knownArms),
+      s"unknown arm(s): ${(arms -- knownArms).mkString(",")}; known: ${knownArms.mkString(",")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = graft.GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]").appName("graft-skewbench"),
@@ -181,7 +185,7 @@ object SkewBench {
       concat(lit("dest-"), col("k")).as("dest"),
       concat(col("id"), lit(","), col("v")).as("text"))
     val dynBase = s"/tmp/graft_skewbench_dyn_${System.nanoTime()}"
-    def runDynamic(variant: String, fanout: Int): Unit = {
+    def runDynamic(variant: String, fanout: graft.sources.Dynamic.Fanout): Unit = {
       val dir = s"$dynBase/$variant"
       val (wall, st) = measure(spark) {
         graft.sources.Dynamic.saveAsDynamicText(destCorpus, dir, "dest", "text",
@@ -197,9 +201,75 @@ object SkewBench {
           destCorpus.limit(10000), s"$dynBase/warm", "dest", "text")
         runDynamic("plain", fanout = 1)
         runDynamic("auto", fanout = graft.sources.Dynamic.AutoFanout)
+        // r15: recurring-export path — salts replayed from the AUTO
+        // run's manifest (exact per-destination counts, a kilobyte
+        // metadata read), so the wall should be the auto spread win
+        // WITHOUT the sampling pass over the input
+        runDynamic("manifest",
+          graft.sources.Dynamic.Fanout.FromManifest(s"$dynBase/auto"))
       } finally {
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dynBase))
+      }
+    }
+
+    // r15: the join-side skew verbs, measured like the operators above.
+    // AQE off for like-for-like task accounting (its skew split would
+    // partially mitigate the plain arm at THIS corpus size; at real
+    // scale the verbs and AQE compose); broadcast threshold off because
+    // the scenario skewedJoin exists for is a right side too big to
+    // broadcast — with the 2001-row bench dim left broadcastable, BOTH
+    // arms would broadcast and neither would shuffle at all.
+    if (arms("join")) {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val dim = spark.range(0, 2001).select(col("id").as("k"),
+          (col("id") % 997).cast("double").as("attr")).persist()
+        dim.count()
+        val warmDim = dim.limit(100)
+        corpus.limit(10000).join(warmDim, Seq("k"))
+          .write.format("noop").mode("overwrite").save()
+        graft.operators.Joins.skewedJoinSampled(corpus.limit(10000), warmDim, Seq("k"),
+            fanout = 32)
+          .write.format("noop").mode("overwrite").save()
+        run("join", "plain") { corpus.join(dim, Seq("k")) }
+        // defaults: hotKeyThreshold 9000 (cold keys carry ~rows/2000·0.7,
+        // the hot key 0.3·rows — cleanly separated at any bench size
+        // ≥ 1M), 1% detection sample
+        run("join", "sampled") {
+          graft.operators.Joins.skewedJoinSampled(corpus, dim, Seq("k"), fanout = 32)
+        }
+      } finally {
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+      }
+    }
+
+    // r15: hot-key aggregation — fanoutAgg's documented use case is a
+    // NON-ALGEBRAIC payload (collect_list: map-side combine cannot
+    // shrink it below the value count, so the hot key's reducer reads
+    // 30% of the corpus as individual shuffle records). The fanout arm
+    // pre-collects per (key, salt) and merges 32 pre-combined blobs.
+    if (arms("agg")) {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        corpus.limit(10000).groupBy(col("k")).agg(collect_list(col("v")).as("vs"))
+          .write.format("noop").mode("overwrite").save()
+        graft.operators.Joins.fanoutAgg(corpus.limit(10000), Seq("k"), 32)(
+            Seq(collect_list(col("v")).as("vs")),
+            Seq(flatten(collect_list(col("vs"))).as("vs")))
+          .write.format("noop").mode("overwrite").save()
+        run("agg", "plain") {
+          corpus.groupBy(col("k")).agg(collect_list(col("v")).as("vs"))
+        }
+        run("agg", "fanout") {
+          graft.operators.Joins.fanoutAgg(corpus, Seq("k"), 32)(
+            Seq(collect_list(col("v")).as("vs")),
+            Seq(flatten(collect_list(col("vs"))).as("vs")))
+        }
+      } finally {
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
       }
     }
     spark.stop()

@@ -327,6 +327,107 @@ class DynamicSpec extends SparkSpec {
     assert(!salts.contains("tiny"), "a destination under target gets no entry (salt 1)")
   }
 
+  test("FromManifest reproduces the sampled-auto layout on the same corpus, no sampling pass") {
+    val outAuto = tmpDir(); val outManifest = tmpDir()
+    // one hot destination well past target (no ceil-boundary flakiness
+    // from the full-fraction sample), two cold ones
+    val df = spark.range(0, 8000)
+      .select(when(col("id") < 6000, "hot").when(col("id") < 7000, "cold/a")
+        .otherwise("cold/b").as("dest"),
+        concat(lit("r"), col("id")).as("text"))
+    withAutoConf(targetRows = 2000, fraction = 1.0, maxSalts = 8) {
+      Dynamic.saveAsDynamicText(df, outAuto.getAbsolutePath, "dest", "text",
+        fanout = Dynamic.AutoFanout)
+      // a full-fraction sample estimates EXACT counts, so the manifest
+      // replay must choose the identical salt map → identical layout
+      Dynamic.saveAsDynamicText(df, outManifest.getAbsolutePath, "dest", "text",
+        fanout = Dynamic.Fanout.FromManifest(outAuto.getAbsolutePath))
+    }
+    def names(dir: java.io.File): Set[String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) {
+          if (f != dir && (f.getName.startsWith("_") || f.getName.startsWith("."))) Seq.empty
+          else f.listFiles().toSeq.flatMap(walk)
+        } else Seq(f)
+      walk(dir).filter(_.getName.startsWith("part-"))
+        .map(f => dir.toPath.relativize(f.toPath).toString).toSet
+    }
+    assert(names(outManifest) == names(outAuto),
+      "manifest-driven fanout must reproduce the sampled layout on the same corpus")
+    assert(linesUnder(outManifest) == linesUnder(outAuto))
+  }
+
+  test("manifestSalts sizes from exact prior counts; growth scales; new dests keep fanout 1") {
+    val out = tmpDir()
+    val df = spark.range(0, 5040).select(
+      when(col("id") < 5000, "big").otherwise("tiny").as("dest"),
+      concat(lit("r"), col("id")).as("text"))
+    Dynamic.saveAsDynamicText(df, out.getAbsolutePath, "dest", "text")
+    val salts = Dynamic.manifestSalts(spark, out.getAbsolutePath,
+      growth = 1.0, targetRows = 2500, maxSalts = 8).toMap
+    assert(salts == Map("big" -> 2), s"5000/2500 = 2 salts for big only, got $salts")
+    // growth pushes the estimate past the next salt boundary
+    val grown = Dynamic.manifestSalts(spark, out.getAbsolutePath,
+      growth = 1.5, targetRows = 2500, maxSalts = 8).toMap
+    assert(grown == Map("big" -> 3), s"5000*1.5/2500 = 3 salts, got $grown")
+    // a destination absent from the prior manifest is simply not in
+    // the salt map — it writes at fanout 1 (documented contract)
+    assert(!salts.contains("brand-new"))
+  }
+
+  test("FromCounts spreads per caller-supplied counts") {
+    val out = tmpDir()
+    val df = spark.range(0, 4000).select(
+      when(col("id") < 3800, "hot").otherwise("cold").as("dest"),
+      concat(lit("r"), col("id")).as("text"))
+    withAutoConf(targetRows = 1000, fraction = 1.0, maxSalts = 8) {
+      Dynamic.saveAsDynamicText(df, out.getAbsolutePath, "dest", "text",
+        fanout = Dynamic.Fanout.FromCounts(Map("hot" -> 3800L, "cold" -> 200L)))
+    }
+    def partFiles(rel: String): Seq[String] =
+      new java.io.File(out, rel).listFiles().map(_.getName)
+        .filter(_.startsWith("part-")).toSeq
+    assert(partFiles("hot").size > 1, "hot must spread per its supplied count")
+    assert(partFiles("cold").size == 1, "cold keeps the fanout=1 layout")
+    assert(linesUnder(out)("hot").sorted ==
+      (0L until 3800L).map(i => s"r$i").sorted)
+  }
+
+  // ---- verifyDynamicTree -----------------------------------------------
+
+  test("verifyDynamicTree: a clean tree audits empty; tampering is detected by kind") {
+    val out = tmpDir()
+    val df = Seq(("a", "x1"), ("a", "x2"), ("b", "y1")).toDF("dest", "text")
+    Dynamic.saveAsDynamicText(df, out.getAbsolutePath, "dest", "text")
+    assert(Dynamic.verifyDynamicTree(spark, out.getAbsolutePath).count() == 0,
+      "freshly committed tree must audit clean")
+
+    // tamper 1: lose a committed shard (lost rename / partial delete)
+    val aFiles = new java.io.File(out, "a").listFiles().filter(_.getName.startsWith("part-"))
+    val lost = aFiles.head
+    assert(lost.delete())
+    // tamper 2: drop a foreign data file into a destination dir
+    val foreign = new java.io.File(new java.io.File(out, "b"), "part-99999.txt")
+    java.nio.file.Files.write(foreign.toPath, "stray\n".getBytes)
+    // tamper 3: grow a committed shard past its committed byte count
+    val bFiles = new java.io.File(out, "b").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName != "part-99999.txt")
+    val chan = new java.io.FileOutputStream(bFiles.head, true)
+    try chan.write("extra".getBytes) finally chan.close()
+
+    val issues = Dynamic.verifyDynamicTree(spark, out.getAbsolutePath)
+      .collect().map(r => (r.getString(0), r.getString(2))).toSet
+    assert(issues == Set(("a", "missing"), ("b", "foreign"), ("b", "size_mismatch")),
+      s"got $issues")
+  }
+
+  test("verifyDynamicTree refuses incomplete or manifest-less trees") {
+    val e = intercept[IllegalArgumentException] {
+      Dynamic.verifyDynamicTree(spark, tmpDir().getAbsolutePath + "/nothing")
+    }
+    assert(e.getMessage.contains("_GRAFT_DYNAMIC_DONE"))
+  }
+
   // ---- dynamic Avro ----------------------------------------------------
 
   private val avroSchema = org.apache.spark.sql.types.StructType(Seq(
