@@ -275,6 +275,39 @@ object StreamSinks {
       : (Dataset[Row], Long) => Unit =
     (batch: Dataset[Row], id: Long) => write(batch.toDF(), f"$path%s/batch-$id%05d")
 
+  /** Carry-forward fanout for the dynamic sinks: `Sampled` auto-fanout
+    * re-scans EVERY micro-batch's destination column, but a steady
+    * stream's destination histogram is stable batch over batch — so
+    * with `carryManifest = true`, batch N sizes its salts from batch
+    * N−1's manifest (exact counts, a kilobyte metadata read — the
+    * [[graft.sources.Dynamic.Fanout.FromManifest]] path) and only
+    * batch 0 (or the first batch after a restart: the carried dir
+    * lives in this writer instance, and idempotence is per-batch-dir
+    * CONTENT, not layout) pays the sampling pass.
+    * `spark.graft.dynamic.streamGrowth` (default 1.2) scales the prior
+    * batch's counts for batch-to-batch wobble. Only `Sampled` is
+    * rewritten; every other mode passes through untouched.
+    */
+  private def perBatchDynamic(path: String, fanout: graft.sources.Dynamic.Fanout,
+                              carryManifest: Boolean)
+                             (write: (DataFrame, String, graft.sources.Dynamic.Fanout) => Unit)
+      : (Dataset[Row], Long) => Unit = {
+    import graft.sources.Dynamic.Fanout
+    @volatile var prevDir: String = null
+    (batch: Dataset[Row], id: Long) => {
+      val dir = f"$path%s/batch-$id%05d"
+      val eff = fanout match {
+        case Fanout.Sampled if carryManifest && prevDir != null =>
+          val growth = batch.sparkSession.conf
+            .get("spark.graft.dynamic.streamGrowth", "1.2").toDouble
+          Fanout.FromManifest(prevDir, growth)
+        case other => other
+      }
+      write(batch.toDF(), dir, eff)
+      prevDir = dir
+    }
+  }
+
   /** TFRecord shards per micro-batch (`value` binary column). */
   def toTfRecord(ds: Dataset[Row], path: String): DataStreamWriter[Row] =
     ds.writeStream.foreachBatch(perBatch(path)((df, p) => graft.sources.TfRecord.write(df, p)))
@@ -303,47 +336,57 @@ object StreamSinks {
     * ownership marker and replaces it whole — other batch dirs are
     * untouched), so exactly-once lands per batch dir. `fanout` passes
     * through, including [[graft.sources.Dynamic.AutoFanout]] — each
-    * micro-batch samples its own destination histogram.
+    * micro-batch samples its own destination histogram — and
+    * `carryManifest = true` turns Sampled into carry-forward mode:
+    * batch N reuses batch N−1's manifest instead of re-sampling (see
+    * [[perBatchDynamic]]).
     */
   def toDynamicText(ds: Dataset[Row], path: String, destCol: String, textCol: String,
-                    fanout: graft.sources.Dynamic.Fanout = graft.sources.Dynamic.Fanout.Static(1)): DataStreamWriter[Row] =
-    ds.writeStream.foreachBatch(perBatch(path)((df, p) =>
-      graft.sources.Dynamic.saveAsDynamicText(df, p, destCol, textCol, fanout)))
+                    fanout: graft.sources.Dynamic.Fanout = graft.sources.Dynamic.Fanout.Static(1),
+                    carryManifest: Boolean = false): DataStreamWriter[Row] =
+    ds.writeStream.foreachBatch(perBatchDynamic(path, fanout, carryManifest)((df, p, f) =>
+      graft.sources.Dynamic.saveAsDynamicText(df, p, destCol, textCol, f)))
 
   /** Dynamic per-destination Avro containers per micro-batch. */
   def toDynamicAvro(ds: Dataset[Row], path: String, destCol: String,
-                    fanout: graft.sources.Dynamic.Fanout = graft.sources.Dynamic.Fanout.Static(1)): DataStreamWriter[Row] =
-    ds.writeStream.foreachBatch(perBatch(path)((df, p) =>
-      graft.sources.Dynamic.saveAsDynamicAvro(df, p, destCol, fanout)))
+                    fanout: graft.sources.Dynamic.Fanout = graft.sources.Dynamic.Fanout.Static(1),
+                    carryManifest: Boolean = false): DataStreamWriter[Row] =
+    ds.writeStream.foreachBatch(perBatchDynamic(path, fanout, carryManifest)((df, p, f) =>
+      graft.sources.Dynamic.saveAsDynamicAvro(df, p, destCol, f)))
 
   /** Dynamic per-destination RFC 4180 CSV per micro-batch. */
   def toDynamicCsv(ds: Dataset[Row], path: String, destCol: String,
-                   header: Boolean = true, fanout: graft.sources.Dynamic.Fanout = graft.sources.Dynamic.Fanout.Static(1)): DataStreamWriter[Row] =
-    ds.writeStream.foreachBatch(perBatch(path)((df, p) =>
-      graft.sources.Dynamic.saveAsDynamicCsv(df, p, destCol, header, fanout)))
+                   header: Boolean = true,
+                   fanout: graft.sources.Dynamic.Fanout = graft.sources.Dynamic.Fanout.Static(1),
+                   carryManifest: Boolean = false): DataStreamWriter[Row] =
+    ds.writeStream.foreachBatch(perBatchDynamic(path, fanout, carryManifest)((df, p, f) =>
+      graft.sources.Dynamic.saveAsDynamicCsv(df, p, destCol, header, f)))
 
   /** Dynamic per-destination parquet per micro-batch. */
   def toDynamicParquet(ds: Dataset[Row], path: String, destCol: String,
-                       fanout: graft.sources.Dynamic.Fanout = graft.sources.Dynamic.Fanout.Static(1)): DataStreamWriter[Row] =
-    ds.writeStream.foreachBatch(perBatch(path)((df, p) =>
-      graft.sources.Dynamic.saveAsDynamicParquet(df, p, destCol, fanout)))
+                       fanout: graft.sources.Dynamic.Fanout = graft.sources.Dynamic.Fanout.Static(1),
+                       carryManifest: Boolean = false): DataStreamWriter[Row] =
+    ds.writeStream.foreachBatch(perBatchDynamic(path, fanout, carryManifest)((df, p, f) =>
+      graft.sources.Dynamic.saveAsDynamicParquet(df, p, destCol, f)))
 
   /** Dynamic per-destination proto shards (bytes-in-Avro) per
     * micro-batch.
     */
   def toDynamicProtobuf(ds: Dataset[Row], path: String, destCol: String,
-                        fanout: graft.sources.Dynamic.Fanout = graft.sources.Dynamic.Fanout.Static(1)): DataStreamWriter[Row] =
-    ds.writeStream.foreachBatch(perBatch(path)((df, p) =>
-      graft.sources.Dynamic.saveAsDynamicProtobuf(df, p, destCol, fanout)))
+                        fanout: graft.sources.Dynamic.Fanout = graft.sources.Dynamic.Fanout.Static(1),
+                        carryManifest: Boolean = false): DataStreamWriter[Row] =
+    ds.writeStream.foreachBatch(perBatchDynamic(path, fanout, carryManifest)((df, p, f) =>
+      graft.sources.Dynamic.saveAsDynamicProtobuf(df, p, destCol, f)))
 
   /** Dynamic per-destination WebDataset-style tar shards per
     * micro-batch.
     */
   def toDynamicTar(ds: Dataset[Row], path: String, destCol: String,
                    nameCol: String = "name", valueCol: String = "value",
-                   fanout: graft.sources.Dynamic.Fanout = graft.sources.Dynamic.Fanout.Static(1)): DataStreamWriter[Row] =
-    ds.writeStream.foreachBatch(perBatch(path)((df, p) =>
-      graft.sources.Dynamic.saveAsDynamicTar(df, p, destCol, nameCol, valueCol, fanout)))
+                   fanout: graft.sources.Dynamic.Fanout = graft.sources.Dynamic.Fanout.Static(1),
+                   carryManifest: Boolean = false): DataStreamWriter[Row] =
+    ds.writeStream.foreachBatch(perBatchDynamic(path, fanout, carryManifest)((df, p, f) =>
+      graft.sources.Dynamic.saveAsDynamicTar(df, p, destCol, nameCol, valueCol, f)))
 
   /** WebDataset-style tar shards per micro-batch
     * (`name` string + `value` binary columns — [[graft.sources.Tar]]).

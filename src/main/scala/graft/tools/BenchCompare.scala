@@ -46,8 +46,14 @@ object BenchCompare {
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: BenchCompare <refBench.json> <curBench.json> [flagThreshold=0.10]")
-    val Array(refPath, curPath) = args.take(2)
     val threshold = if (args.length > 2) args(2).toDouble else 0.10
+    println(compare(args(0), args(1), threshold))
+  }
+
+  /** The comparison as one JSON line (separated from main so the spec
+    * can pin the normalization arithmetic on synthetic artifacts).
+    */
+  def compare(refPath: String, curPath: String, threshold: Double = 0.10): String = {
     val om = new ObjectMapper()
     val ref = om.readTree(new java.io.File(refPath))
     val cur = om.readTree(new java.io.File(curPath))
@@ -76,7 +82,7 @@ object BenchCompare {
       f""""$q":$norm%.3f"""
     }.mkString("{", ",", "}")
     val dropped = ((refMin.keySet | curMin.keySet) -- shared).toSeq.sorted
-    println(f"""{"metric":"bench_compare","ref":"$refPath%s","cur":"$curPath%s",""" +
+    (f"""{"metric":"bench_compare","ref":"$refPath%s","cur":"$curPath%s",""" +
       f""""calib_multi_ref":$calibRef%.3f,"calib_multi_cur":$calibCur%.3f,""" +
       f""""calib_ratio":$calibRatio%.4f,""" +
       f""""total_ref":$totalRef%.3f,"total_cur":$totalCur%.3f,""" +

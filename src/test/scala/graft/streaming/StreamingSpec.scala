@@ -598,6 +598,64 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("carryManifest: batch N sizes its fanout from batch N-1's manifest, not a fresh sample") {
+    implicit val sqlCtx = spark.sqlContext
+    // knobs: target 1000 rows/dest-task, FULL detection sample (so the
+    // sampled path's decisions are deterministic), growth 1.2. Batch 0
+    // sends 2600 hot rows (sampled: 3 salts); batch 1 sends 900 hot
+    // rows — UNDER target, so a fresh sample would NOT spread it, but
+    // the carried batch-0 manifest (2600·1.2 = 3120 rows expected)
+    // does. The spread of batch 1 is therefore only explainable by the
+    // manifest reuse.
+    spark.conf.set("spark.graft.dynamic.autoTargetRows", "1000")
+    spark.conf.set("spark.graft.dynamic.autoSampleFraction", "1.0")
+    spark.conf.set("spark.graft.dynamic.autoMaxSalts", "8")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    def run(carry: Boolean): java.io.File = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_stream_carry").toFile
+      val ckp = new java.io.File(dir, "ckp").getAbsolutePath
+      val out = new java.io.File(dir, "out").getAbsolutePath
+      val input = MemoryStream[(String, String)]
+      input.addData((1 to 2600).map(i => ("hot", s"h$i")) ++ Seq(("cold", "c1")))
+      val q = StreamSinks.toDynamicText(input.toDF().toDF("dest", "text"),
+          out, "dest", "text", fanout = graft.sources.Dynamic.AutoFanout,
+          carryManifest = carry)
+        .option("checkpointLocation", ckp).start()
+      try {
+        q.processAllAvailable()
+        input.addData((1 to 900).map(i => ("hot", s"g$i")))
+        q.processAllAvailable()
+      } finally q.stop()
+      dir
+    }
+    try {
+      def hotFiles(dir: java.io.File, batch: String): Int =
+        new java.io.File(new java.io.File(dir, s"out/$batch"), "hot")
+          .listFiles().count(_.getName.startsWith("part-"))
+      val carried = run(carry = true)
+      assert(hotFiles(carried, "batch-00000") > 1,
+        "batch 0 has no prior manifest: it samples, and 2600 > target must spread")
+      assert(hotFiles(carried, "batch-00001") > 1,
+        "batch 1 is under target — only the carried batch-0 manifest can spread it")
+      val fresh = run(carry = false)
+      assert(hotFiles(fresh, "batch-00001") == 1,
+        "without carryManifest, batch 1's own sample must NOT spread 900 < target")
+      // content is mode-independent: every row lands exactly once
+      def rows(dir: java.io.File): Seq[String] =
+        new java.io.File(dir, "out").listFiles().filter(_.getName.startsWith("batch-"))
+          .flatMap(d => graft.sources.Dynamic.readDynamicText(spark, d.getAbsolutePath)
+            .collect().map(r => r.getString(0) + "/" + r.getString(1))).toSeq.sorted
+      assert(rows(carried) == rows(fresh))
+      org.apache.commons.io.FileUtils.deleteQuietly(carried)
+      org.apache.commons.io.FileUtils.deleteQuietly(fresh)
+    } finally {
+      spark.conf.unset("spark.graft.dynamic.autoTargetRows")
+      spark.conf.unset("spark.graft.dynamic.autoSampleFraction")
+      spark.conf.unset("spark.graft.dynamic.autoMaxSalts")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("StreamMonitor: per-micro-batch expectation counts ride the query") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]

@@ -1,0 +1,75 @@
+package graft.util
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins graft.tools.BenchCompare's normalization arithmetic on
+  * synthetic artifacts: the cross-round drift adjudication is now a
+  * division, and a division deserves a unit test — a sign error in
+  * the calib ratio would flip every future round's verdict reading.
+  */
+class BenchCompareSpec extends AnyFunSuite {
+
+  private def artifact(calibPre: Double, calibPost: Double,
+                       qs: Map[String, Double], total: Double): String = {
+    val f = java.nio.file.Files.createTempFile("graft_bench", ".json")
+    val qJson = qs.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(f,
+      s"""{"metric":"total","queries_min":$qJson,"queries":$qJson,""" +
+        s""""env":{"calib_multi_pre":$calibPre,"calib_multi_post":$calibPost},""" +
+        s""""value":$total,"unit":"sec"}""")
+    f.toFile.deleteOnExit()
+    f.toString
+  }
+
+  private def parse(json: String): com.fasterxml.jackson.databind.JsonNode =
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+
+  test("a machine that slowed 25% with unchanged code normalizes to ratio 1") {
+    // reference machine: calib 0.8s; current machine 25% slower:
+    // calib 1.0s — every query raw ratio 1.25, normalized exactly 1.0
+    val ref = artifact(0.8, 0.8, Map("q_a" -> 2.0, "q_b" -> 0.4), 2.4)
+    val cur = artifact(1.0, 1.0, Map("q_a" -> 2.5, "q_b" -> 0.5), 3.0)
+    val out = parse(graft.tools.BenchCompare.compare(ref, cur))
+    assert(math.abs(out.get("calib_ratio").asDouble - 0.8) < 1e-9)
+    val qa = out.get("queries").get("q_a")
+    assert(math.abs(qa.get("raw").asDouble - 1.25) < 1e-3)
+    assert(math.abs(qa.get("norm").asDouble - 1.0) < 1e-3)
+    assert(math.abs(out.get("total_norm_ratio").asDouble - 1.0) < 1e-3)
+    assert(out.get("flagged").size() == 0,
+      "pure machine drift must flag nothing after normalization")
+  }
+
+  test("a real regression survives normalization and is flagged; calib uses min(pre, post)") {
+    // same-speed machines (pre spiked by interference — min() must
+    // pick the clean 0.8 on both sides); q_slow genuinely 2x slower
+    val ref = artifact(0.8, 0.9, Map("q_ok" -> 1.0, "q_slow" -> 1.0), 2.0)
+    val cur = artifact(0.9, 0.8, Map("q_ok" -> 1.0, "q_slow" -> 2.0), 3.0)
+    val out = parse(graft.tools.BenchCompare.compare(ref, cur))
+    assert(math.abs(out.get("calib_ratio").asDouble - 1.0) < 1e-9)
+    assert(math.abs(out.get("queries").get("q_slow").get("norm").asDouble - 2.0) < 1e-3)
+    assert(out.get("flagged").has("q_slow") && !out.get("flagged").has("q_ok"))
+  }
+
+  test("queries present in only one artifact are reported, not silently dropped") {
+    val ref = artifact(0.8, 0.8, Map("q_a" -> 1.0, "q_gone" -> 1.0), 2.0)
+    val cur = artifact(0.8, 0.8, Map("q_a" -> 1.0, "q_new" -> 1.0), 2.0)
+    val out = parse(graft.tools.BenchCompare.compare(ref, cur))
+    val dropped = (0 until out.get("not_in_both").size())
+      .map(out.get("not_in_both").get(_).asText()).toSet
+    assert(dropped == Set("q_gone", "q_new"))
+    assert(out.get("queries").has("q_a") && !out.get("queries").has("q_new"))
+  }
+
+  test("a probe-less (pre-r14) artifact is refused, not silently compared") {
+    val ref = artifact(0.8, 0.8, Map("q_a" -> 1.0), 1.0)
+    val f = java.nio.file.Files.createTempFile("graft_bench", ".json")
+    java.nio.file.Files.writeString(f,
+      """{"metric":"total","queries_min":{"q_a":1.0},"queries":{"q_a":1.0},""" +
+        """"env":{"load_avg_start":0.1},"value":1.0,"unit":"sec"}""")
+    f.toFile.deleteOnExit()
+    val e = intercept[IllegalArgumentException] {
+      graft.tools.BenchCompare.compare(ref, f.toString)
+    }
+    assert(e.getMessage.contains("calibration probe"))
+  }
+}
