@@ -64,21 +64,32 @@ object BenchCompare {
     val calibRatio = calibRef / calibCur
     val refMin = queryMap(ref, "queries_min")
     val curMin = queryMap(cur, "queries_min")
+    // medians ride along: a min is the low-noise bound under
+    // INTERFERENCE, but it can also be a lucky pass — a recording
+    // whose mins sit far under its own medians had high within-run
+    // variance, and min-vs-min comparison against a stable recording
+    // then reads as a phantom regression. Emitting both lets the
+    // reader (and the flag explanation) separate the two.
+    val refMed = queryMap(ref, "queries")
+    val curMed = queryMap(cur, "queries")
     val shared = (refMin.keySet & curMin.keySet).toSeq.sorted
     val perQuery = shared.map { q =>
       val raw = curMin(q) / refMin(q)
-      (q, refMin(q), curMin(q), raw, raw * calibRatio)
+      val normMed = (for { r <- refMed.get(q); c <- curMed.get(q) }
+        yield c / r * calibRatio).getOrElse(Double.NaN)
+      (q, refMin(q), curMin(q), raw, raw * calibRatio, normMed)
     }
-    val flagged = perQuery.filter { case (_, _, _, _, norm) =>
+    val flagged = perQuery.filter { case (_, _, _, _, norm, _) =>
       math.abs(norm - 1.0) > threshold
     }
     val totalRef = ref.get("value").asDouble
     val totalCur = cur.get("value").asDouble
     val totalRaw = totalCur / totalRef
-    val qJson = perQuery.map { case (q, r, c, raw, norm) =>
-      f""""$q":{"ref":$r%.3f,"cur":$c%.3f,"raw":$raw%.3f,"norm":$norm%.3f}"""
+    val qJson = perQuery.map { case (q, r, c, raw, norm, normMed) =>
+      val med = if (normMed.isNaN) "null" else f"$normMed%.3f"
+      f""""$q":{"ref":$r%.3f,"cur":$c%.3f,"raw":$raw%.3f,"norm":$norm%.3f,"norm_med":$med%s}"""
     }.mkString("{", ",", "}")
-    val fJson = flagged.map { case (q, _, _, _, norm) =>
+    val fJson = flagged.map { case (q, _, _, _, norm, _) =>
       f""""$q":$norm%.3f"""
     }.mkString("{", ",", "}")
     val dropped = ((refMin.keySet | curMin.keySet) -- shared).toSeq.sorted
