@@ -396,6 +396,11 @@ object Bench {
       f""""calib_iters":${Calib.Iters}%d,""" +
       f""""calib_single_pre":$calSinglePre%.3f,"calib_multi_pre":$calMultiPre%.3f,""" +
       f""""calib_single_post":$calSinglePost%.3f,"calib_multi_post":$calMultiPost%.3f,""" +
+      // heap self-identification: the r15 sf10 first attempt ran at
+      // the default 8g instead of the method's 64g and read as a
+      // phantom +12% — only forensics (a 34 GB spill block) said why.
+      // An artifact must carry the JVM sizing that shaped it.
+      f""""max_heap_gb":${Runtime.getRuntime.maxMemory() / 1073741824.0}%.1f,""" +
       s""""spark_cpus":$cpus}"""
     // KEY ORDER IS LOAD-BEARING: the driver archives only a 2,000-char
     // TAIL of this line, so the verdict-critical fields — per-query

@@ -95,6 +95,12 @@ object IoQueries extends QueryPack {
       val src = tmp(dir, "stream_dyn_src")
       val out = tmp(dir, "stream_dyn_out")
       val ckp = tmp(dir, "stream_dyn_ckp")
+      // cross-JVM idempotence: with a stable SPARK_GRAFT_RUN_ID these
+      // paths survive the JVM, and re-staging fresh part-file names
+      // under a SURVIVING checkpoint would read as new data and double
+      // every row — wipe all three so each JVM's run is self-contained
+      Seq(src, out, ckp).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
       // 4-file staging copy → maxFilesPerTrigger(1) yields 4
       // AvailableNow micro-batches; the final cross-batch union is
       // file-assignment-independent, so the staging split needs no
@@ -111,8 +117,11 @@ object IoQueries extends QueryPack {
         .option("checkpointLocation", ckp)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      require(q.awaitTermination(300000),
-        "q_stream_dynamic: AvailableNow stream did not finish in 300s")
+      if (!q.awaitTermination(300000)) {
+        q.stop() // don't leave it writing scratch + holding cores while Verify continues
+        throw new IllegalStateException(
+          "q_stream_dynamic: AvailableNow stream did not finish in 300s")
+      }
       out
     })
 

@@ -1311,9 +1311,6 @@ object Dynamic {
     val committed = readDynamicManifest(spark, basePath).collect()
       .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
       .toMap
-    require(committed.nonEmpty,
-      s"$basePath has no manifest entries — written by a pre-manifest version? " +
-        "verifyDynamicTree needs the per-task manifest sidecars to audit against")
     // actual data files: every VISIBLE part-* file (any codec
     // extension); entries under hidden ('.'/'_') segments — manifest
     // sidecars, markers, attempt temps — are not data and stay out of
@@ -1332,6 +1329,15 @@ object Dynamic {
         if (!hidden) actual((rel, name)) = st.getLen
       }
     }
+    // a legitimately EMPTY tree (zero-row scatter, idle micro-batch)
+    // has no manifest AND no data files — audits clean; data files
+    // with NO manifest at all cannot be audited (pre-manifest writer,
+    // or the sidecars themselves were deleted) and must refuse loudly
+    // rather than report every file as foreign
+    require(committed.nonEmpty || actual.isEmpty,
+      s"$basePath has ${actual.size} data file(s) but no manifest entries — " +
+        "written by a pre-manifest version, or the _manifest sidecars were " +
+        "removed? verifyDynamicTree needs them to audit against")
     val issues = scala.collection.mutable.ArrayBuffer.empty[Row]
     committed.foreach { case ((dest, file), (rows, bytes)) =>
       actual.get((dest, file)) match {

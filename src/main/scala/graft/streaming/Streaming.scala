@@ -304,7 +304,16 @@ object StreamSinks {
         case other => other
       }
       write(batch.toDF(), dir, eff)
-      prevDir = dir
+      // carry only batches that actually committed manifest entries:
+      // an EMPTY micro-batch (idle period, watermark-advance tick)
+      // writes no _manifest dir, and carrying its empty histogram
+      // would silently downgrade the next real batch's hot
+      // destinations to fanout 1 — keep the last non-empty batch's
+      // histogram instead (still the best available estimate)
+      val mDir = new org.apache.hadoop.fs.Path(dir, "_manifest")
+      val fs = mDir.getFileSystem(
+        batch.sparkSession.sparkContext.hadoopConfiguration)
+      if (fs.exists(mDir)) prevDir = dir
     }
   }
 

@@ -93,7 +93,12 @@ object BenchCompare {
       f""""$q":$norm%.3f"""
     }.mkString("{", ",", "}")
     val dropped = ((refMin.keySet | curMin.keySet) -- shared).toSeq.sorted
-    (f"""{"metric":"bench_compare","ref":"$refPath%s","cur":"$curPath%s",""" +
+    // paths are caller-supplied: a backslash or quote in one would
+    // make the emitted line unparseable JSON
+    def esc(p: String): String =
+      p.replace("\\", "\\\\").replace("\"", "\\\"")
+    val (refE, curE) = (esc(refPath), esc(curPath))
+    (f"""{"metric":"bench_compare","ref":"$refE%s","cur":"$curE%s",""" +
       f""""calib_multi_ref":$calibRef%.3f,"calib_multi_cur":$calibCur%.3f,""" +
       f""""calib_ratio":$calibRatio%.4f,""" +
       f""""total_ref":$totalRef%.3f,"total_cur":$totalCur%.3f,""" +

@@ -221,6 +221,11 @@ object SkewBench {
     // broadcast — with the 2001-row bench dim left broadcastable, BOTH
     // arms would broadcast and neither would shuffle at all.
     if (arms("join")) {
+      // restore the SESSION's threshold after, not Spark's built-in
+      // default (GraftSession configures 64MB — unset would hand the
+      // arms that run after 'join' a different plan regime than a
+      // standalone run of the same arm)
+      val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
@@ -241,7 +246,7 @@ object SkewBench {
           graft.operators.Joins.skewedJoinSampled(corpus, dim, Seq("k"), fanout = 32)
         }
       } finally {
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
         spark.conf.set("spark.sql.adaptive.enabled", "true")
       }
     }

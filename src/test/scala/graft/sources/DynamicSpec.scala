@@ -421,6 +421,31 @@ class DynamicSpec extends SparkSpec {
       s"got $issues")
   }
 
+  test("zero-row scatter: stamped tree gathers empty, audits clean, carries no salts") {
+    val out = tmpDir()
+    val df = Seq(("a", "x")).toDF("dest", "text").filter(col("dest") === "nope")
+    Dynamic.saveAsDynamicText(df, out.getAbsolutePath, "dest", "text")
+    assert(Dynamic.readDynamicText(spark, out.getAbsolutePath).count() == 0)
+    assert(Dynamic.readDynamicManifest(spark, out.getAbsolutePath).count() == 0)
+    // an empty export is a VALID export: the audit must not mistake it
+    // for a pre-manifest tree (the streaming sinks write one tree per
+    // micro-batch, and idle batches are routine)
+    assert(Dynamic.verifyDynamicTree(spark, out.getAbsolutePath).count() == 0)
+    assert(Dynamic.manifestSalts(spark, out.getAbsolutePath,
+      growth = 1.0, targetRows = 10, maxSalts = 8).isEmpty)
+  }
+
+  test("verifyDynamicTree refuses a data-bearing tree whose manifest sidecars are gone") {
+    val out = tmpDir()
+    Dynamic.saveAsDynamicText(Seq(("a", "x")).toDF("dest", "text"),
+      out.getAbsolutePath, "dest", "text")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out, "_manifest"))
+    val e = intercept[IllegalArgumentException] {
+      Dynamic.verifyDynamicTree(spark, out.getAbsolutePath)
+    }
+    assert(e.getMessage.contains("no manifest entries"))
+  }
+
   test("verifyDynamicTree refuses incomplete or manifest-less trees") {
     val e = intercept[IllegalArgumentException] {
       Dynamic.verifyDynamicTree(spark, tmpDir().getAbsolutePath + "/nothing")

@@ -1,4 +1,4 @@
-package graft.util
+package graft.tools
 
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -29,7 +29,7 @@ class BenchCompareSpec extends AnyFunSuite {
     // calib 1.0s — every query raw ratio 1.25, normalized exactly 1.0
     val ref = artifact(0.8, 0.8, Map("q_a" -> 2.0, "q_b" -> 0.4), 2.4)
     val cur = artifact(1.0, 1.0, Map("q_a" -> 2.5, "q_b" -> 0.5), 3.0)
-    val out = parse(graft.tools.BenchCompare.compare(ref, cur))
+    val out = parse(BenchCompare.compare(ref, cur))
     assert(math.abs(out.get("calib_ratio").asDouble - 0.8) < 1e-9)
     val qa = out.get("queries").get("q_a")
     assert(math.abs(qa.get("raw").asDouble - 1.25) < 1e-3)
@@ -44,7 +44,7 @@ class BenchCompareSpec extends AnyFunSuite {
     // pick the clean 0.8 on both sides); q_slow genuinely 2x slower
     val ref = artifact(0.8, 0.9, Map("q_ok" -> 1.0, "q_slow" -> 1.0), 2.0)
     val cur = artifact(0.9, 0.8, Map("q_ok" -> 1.0, "q_slow" -> 2.0), 3.0)
-    val out = parse(graft.tools.BenchCompare.compare(ref, cur))
+    val out = parse(BenchCompare.compare(ref, cur))
     assert(math.abs(out.get("calib_ratio").asDouble - 1.0) < 1e-9)
     assert(math.abs(out.get("queries").get("q_slow").get("norm").asDouble - 2.0) < 1e-3)
     assert(out.get("flagged").has("q_slow") && !out.get("flagged").has("q_ok"))
@@ -53,7 +53,7 @@ class BenchCompareSpec extends AnyFunSuite {
   test("queries present in only one artifact are reported, not silently dropped") {
     val ref = artifact(0.8, 0.8, Map("q_a" -> 1.0, "q_gone" -> 1.0), 2.0)
     val cur = artifact(0.8, 0.8, Map("q_a" -> 1.0, "q_new" -> 1.0), 2.0)
-    val out = parse(graft.tools.BenchCompare.compare(ref, cur))
+    val out = parse(BenchCompare.compare(ref, cur))
     val dropped = (0 until out.get("not_in_both").size())
       .map(out.get("not_in_both").get(_).asText()).toSet
     assert(dropped == Set("q_gone", "q_new"))
@@ -68,7 +68,7 @@ class BenchCompareSpec extends AnyFunSuite {
         """"env":{"load_avg_start":0.1},"value":1.0,"unit":"sec"}""")
     f.toFile.deleteOnExit()
     val e = intercept[IllegalArgumentException] {
-      graft.tools.BenchCompare.compare(ref, f.toString)
+      BenchCompare.compare(ref, f.toString)
     }
     assert(e.getMessage.contains("calibration probe"))
   }
