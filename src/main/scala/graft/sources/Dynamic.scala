@@ -35,7 +35,9 @@ import scala.jdk.CollectionConverters._
   *    destination into one task (`fanout` salts spread a hot
   *    destination over several; `fanout = Dynamic.AutoFanout` sizes
   *    per-destination salts from a sampled histogram — see
-  *    [[Dynamic.AutoFanout]]);
+  *    [[Dynamic.AutoFanout]] — and [[Fanout.FromManifest]] reuses a
+  *    prior run's exact histogram so recurring exports skip the
+  *    sampling pass);
   *  - sortWithinPartitions(dest): destinations arrive CONTIGUOUSLY,
   *    so exactly ONE output stream is open per task at any moment —
   *    no per-destination writer map to blow the heap at high
