@@ -554,6 +554,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q_quality_score: artifact scoring broadcasts the weights; pure codegen, no ML vector ops") {
+    // scoreWithWeights' contract: the 1025-row (bucket, weight)
+    // artifact rides a BroadcastHashJoin into the feature aggregation —
+    // no UDF, no ML vector assembly (the typed-Dataset map of
+    // featurize/score must appear nowhere on this path), partial aggs
+    // map-side. The train leg runs once here (sf0.001, 500 docs).
+    val p = plan("q_quality_score")
+    assert(p.contains("BroadcastHashJoin"), s"weights not broadcast:\n$p")
+    assert(!p.toLowerCase.contains("scalaudf"), s"scoring planned a UDF:\n$p")
+    assert(!p.contains("DeserializeToObject") && !p.contains("MapElements"),
+      s"scoring left codegen for a typed-object hop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"scoring planned a product join:\n$p")
+    assert(p.contains("partial_"), s"feature aggregation not partial (map-side):\n$p")
+  }
+
   test("q_dedup_incremental: the index's bucket cap is a pushed scan filter, not a window") {
     val p = graft.SparkEntry.queries("q_dedup_incremental")(spark, dir)
       .queryExecution.explainString(
