@@ -375,6 +375,27 @@ class DynamicSpec extends SparkSpec {
     assert(!salts.contains("brand-new"))
   }
 
+  test("recurring export: FromManifest over the tree being REWRITTEN reads salts before the wipe") {
+    // THE recurring-export shape: tonight's run scatters to the same
+    // path as last night's, sized by last night's own manifest. The
+    // salt map must be collected BEFORE prepareTree wipes the tree —
+    // a lazy read would find its input deleted.
+    val out = tmpDir()
+    val df = spark.range(0, 5000).select(
+      when(col("id") < 4800, "hot").otherwise("cold").as("dest"),
+      concat(lit("r"), col("id")).as("text"))
+    withAutoConf(targetRows = 1000, fraction = 1.0, maxSalts = 8) {
+      Dynamic.saveAsDynamicText(df, out.getAbsolutePath, "dest", "text")
+      Dynamic.saveAsDynamicText(df, out.getAbsolutePath, "dest", "text",
+        fanout = Dynamic.Fanout.FromManifest(out.getAbsolutePath))
+    }
+    val hotFiles = new java.io.File(out, "hot").listFiles()
+      .count(_.getName.startsWith("part-"))
+    assert(hotFiles > 1, "self-path manifest fanout must spread the hot destination")
+    assert(linesUnder(out)("hot").sorted == (0L until 4800L).map(i => s"r$i").sorted,
+      "rewritten tree must carry exactly the new corpus")
+  }
+
   test("FromCounts spreads per caller-supplied counts") {
     val out = tmpDir()
     val df = spark.range(0, 4000).select(
