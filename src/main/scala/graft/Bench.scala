@@ -113,6 +113,34 @@ object Bench {
       }.min
       (single, multi)
     }
+
+    /** Memory-BANDWIDTH leg (r15): two same-session, idle-stamped,
+      * ALU-calib-flat recordings of behaviorally identical code
+      * differed +7%/+23% (sf0.1/sf10) — proof the residual shared-host
+      * drift lives in the memory/IO subsystem the pure-ALU loop never
+      * touches. Fixed work: every core streams its own 64 MB long
+      * array (sequential sum — DRAM-bound at this size, caches are
+      * 1000× smaller), min-of-3 after an untimed warm pass. Seconds
+      * returned; aggregate GB/s = cores × 0.064 / seconds. Stamped as
+      * calib_bw_pre/post so bandwidth drift becomes a divisor too.
+      */
+    private val BwLongsPerCore = 8 * 1024 * 1024 // 64 MB of longs
+    def bwProbe(): Double = {
+      val n = Runtime.getRuntime.availableProcessors()
+      val arrays = Array.fill(n)(Array.tabulate(BwLongsPerCore)(_.toLong))
+      def pass(): Unit = {
+        val ts = (0 until n).map { t =>
+          new Thread(() => {
+            val a = arrays(t); var s = 0L; var j = 0
+            while (j < a.length) { s += a(j); j += 1 }
+            sink ^= s
+          })
+        }
+        ts.foreach(_.start()); ts.foreach(_.join())
+      }
+      pass() // untimed warm (C2 + page faults on first touch)
+      (1 to 3).map(_ => timed(pass())).min
+    }
   }
 
   /** 1-minute system load average — the machine-busy dial. Sampled at
@@ -160,6 +188,7 @@ object Bench {
     // calibration probe BEFORE the suite (post-idle-wait, so it
     // measures the machine the suite is about to run on)
     val (calSinglePre, calMultiPre) = Calib.probe()
+    val calBwPre = Calib.bwProbe()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.configure(
@@ -390,12 +419,14 @@ object Bench {
     // held steady for the whole recording; a >10% pre→post move means
     // something started/stopped mid-run (compare queries_min, or rerun)
     val (calSinglePost, calMultiPost) = Calib.probe()
+    val calBwPost = Calib.bwProbe()
     val env = f""""env":{"load_avg_start":$loadStart%.2f,"load_avg_end":${loadAvg()}%.2f,""" +
       s""""idle_wait_target":0.3,"polluted_threshold":0.5,""" +
       s""""available_processors":${Runtime.getRuntime.availableProcessors()},""" +
       f""""calib_iters":${Calib.Iters}%d,""" +
       f""""calib_single_pre":$calSinglePre%.3f,"calib_multi_pre":$calMultiPre%.3f,""" +
       f""""calib_single_post":$calSinglePost%.3f,"calib_multi_post":$calMultiPost%.3f,""" +
+      f""""calib_bw_pre":$calBwPre%.4f,"calib_bw_post":$calBwPost%.4f,""" +
       // heap self-identification: the r15 sf10 first attempt ran at
       // the default 8g instead of the method's 64g and read as a
       // phantom +12% — only forensics (a 34 GB spill block) said why.

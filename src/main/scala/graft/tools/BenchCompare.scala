@@ -98,9 +98,23 @@ object BenchCompare {
     def esc(p: String): String =
       p.replace("\\", "\\\\").replace("\"", "\\\"")
     val (refE, curE) = (esc(refPath), esc(curPath))
+    // bandwidth dial (r15+ artifacts): reported alongside, NOT folded
+    // into the normalization — the ALU ratio stays the documented
+    // divisor; the bw ratio tells the reader whether residual drift is
+    // the memory-subsystem class the ALU probe cannot see
+    def bwOf(env: JsonNode): Option[Double] =
+      if (env != null && env.has("calib_bw_pre") && env.has("calib_bw_post"))
+        Some(math.min(env.get("calib_bw_pre").asDouble,
+          env.get("calib_bw_post").asDouble))
+      else None
+    val bwJson = (bwOf(ref.get("env")), bwOf(cur.get("env"))) match {
+      case (Some(a), Some(b)) =>
+        f""""calib_bw_ref":$a%.4f,"calib_bw_cur":$b%.4f,"bw_ratio":${a / b}%.4f,"""
+      case _ => ""
+    }
     (f"""{"metric":"bench_compare","ref":"$refE%s","cur":"$curE%s",""" +
       f""""calib_multi_ref":$calibRef%.3f,"calib_multi_cur":$calibCur%.3f,""" +
-      f""""calib_ratio":$calibRatio%.4f,""" +
+      f""""calib_ratio":$calibRatio%.4f,""" + bwJson +
       f""""total_ref":$totalRef%.3f,"total_cur":$totalCur%.3f,""" +
       f""""total_raw_ratio":$totalRaw%.4f,"total_norm_ratio":${totalRaw * calibRatio}%.4f,""" +
       s""""threshold":$threshold,"queries":$qJson,"flagged":$fJson,""" +
