@@ -121,12 +121,36 @@ object Bench {
       * touches. Fixed work: every core streams its own 64 MB long
       * array (sequential sum — DRAM-bound at this size, caches are
       * 1000× smaller), min-of-3 after an untimed warm pass. Seconds
-      * returned; aggregate GB/s = cores × 0.064 / seconds. Stamped as
-      * calib_bw_pre/post so bandwidth drift becomes a divisor too.
+      * returned; aggregate GB/s = [[BwThreads]] × 0.064 / seconds.
+      * Stamped as calib_bw_pre/post so bandwidth drift becomes a
+      * divisor too.
       */
     private val BwLongsPerCore = 8 * 1024 * 1024 // 64 MB of longs
+
+    /** Threads the bw probe can afford: one 64 MB array per thread,
+      * ALL live across the warm pass plus three timed passes — on a
+      * many-core host at a default heap that is its own OOM trap (64
+      * cores × 64 MB = 4 GB before any query runs, the same
+      * under-provisioned-driver class max_heap_gb documents). Capped
+      * so the probe's total footprint fits in a QUARTER of the heap;
+      * fails fast with a sizing message if even one array doesn't.
+      * Stamped as calib_bw_threads: two recordings are
+      * bandwidth-comparable only at the SAME thread count (the probe
+      * is fixed work per thread).
+      */
+    val BwThreads: Int = {
+      val cores = Runtime.getRuntime.availableProcessors()
+      val budget = Runtime.getRuntime.maxMemory() / 4
+      val fit = (budget / (BwLongsPerCore * 8L)).toInt
+      require(fit >= 1,
+        f"bw probe needs ${BwLongsPerCore * 8L / 1048576}%d MB within a quarter of the " +
+          f"heap but max heap is ${Runtime.getRuntime.maxMemory() / 1048576}%d MB — " +
+          "raise -Xmx (the suite itself needs more than this anyway)")
+      math.min(cores, fit)
+    }
+
     def bwProbe(): Double = {
-      val n = Runtime.getRuntime.availableProcessors()
+      val n = BwThreads
       val arrays = Array.fill(n)(Array.tabulate(BwLongsPerCore)(_.toLong))
       def pass(): Unit = {
         val ts = (0 until n).map { t =>
@@ -427,6 +451,7 @@ object Bench {
       f""""calib_single_pre":$calSinglePre%.3f,"calib_multi_pre":$calMultiPre%.3f,""" +
       f""""calib_single_post":$calSinglePost%.3f,"calib_multi_post":$calMultiPost%.3f,""" +
       f""""calib_bw_pre":$calBwPre%.4f,"calib_bw_post":$calBwPost%.4f,""" +
+      s""""calib_bw_threads":${Calib.BwThreads},""" +
       // heap self-identification: the r15 sf10 first attempt ran at
       // the default 8g instead of the method's 64g and read as a
       // phantom +12% — only forensics (a 34 GB spill block) said why.

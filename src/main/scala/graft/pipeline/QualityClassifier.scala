@@ -123,6 +123,13 @@ object QualityClassifier {
     * `sigmoid(intercept)` (the zero-vector score, matching
     * [[score]]). No ML-vector assembly on this path at all — it
     * stays whole-stage-codegen end to end.
+    *
+    * The weights join is a LEFT join with `coalesce(weight, 0)`: the
+    * L1 denominator `Σ cnt` must be the document's TRUE token total,
+    * so a SPARSE artifact (zero weights trimmed, or a numBuckets
+    * mismatch between save and score) drops the missing buckets'
+    * contribution from the numerator only — an inner join would
+    * silently shrink the denominator too and diverge from [[score]].
     */
   def scoreWithWeights(df: DataFrame, idCol: String, textCol: String,
                        numBuckets: Int, weightsPath: String): DataFrame = {
@@ -130,9 +137,10 @@ object QualityClassifier {
     val w = spark.read.parquet(weightsPath)
     val intercept = w.filter(col("bucket") === -1L).head().getAs[Double]("weight")
     val dots = Dsir.featureRows(df, idCol, textCol, numBuckets)
-      .join(broadcast(w.filter(col("bucket") >= 0L)), Seq("bucket"))
+      .join(broadcast(w.filter(col("bucket") >= 0L)), Seq("bucket"), "left")
       .groupBy(col("id"))
-      .agg((sum(col("weight") * col("cnt")) / sum(col("cnt"))).as("__dot"))
+      .agg((sum(coalesce(col("weight"), lit(0.0)) * col("cnt")) / sum(col("cnt")))
+        .as("__dot"))
     df.select(col(idCol).cast("long").as("id")).join(dots, Seq("id"), "left")
       .select(col("id"),
         (lit(1.0) / (lit(1.0) +

@@ -36,7 +36,12 @@ object TextVectorQueries extends QueryPack {
     * dir-INDEPENDENT because the STATIC oracle SQL must embed the
     * same path the query writes (the q_io_dynamic_manifest precedent:
     * one sf dir per Verify JVM, concurrent runs separated by the
-    * token). Trained once per JVM.
+    * token). Trained once per (JVM, corpus): the memo holds the CORPUS
+    * FINGERPRINT the artifact was trained on, so a JVM that scores a
+    * second sf dir RETRAINS over it instead of silently scoring the
+    * new corpus with the first corpus's weights (the lmModelCache
+    * contract — a stale model would still pass the oracle, which reads
+    * the same artifact, while being wrong as a model).
     */
   private val qualityWeightsPath: String =
     s"/tmp/graft_io/${QueryDsl.runToken}/quality_weights"
@@ -359,12 +364,19 @@ object TextVectorQueries extends QueryPack {
     // froze) — the train-once / score-every-crawl pipeline shape.
     "q_quality_score" -> { (s, dir) =>
       val docs = tables(s, dir).documents
-      qualityWeightsCache.computeIfAbsent(qualityWeightsPath, { p =>
-        val model = graft.pipeline.QualityClassifier.train(
-          docs.filter(col("lang") === "en"), docs.filter(col("lang") =!= "en"),
-          "doc_id", "text", numBuckets = 1024, maxIter = 20)
-        graft.pipeline.QualityClassifier.saveWeights(model, p, s)
-        p
+      // memo value = the corpus fingerprint the artifact on disk was
+      // trained over; a different corpus (second sf dir in this JVM,
+      // regenerated test data) retrains and overwrites the artifact
+      val fp = corpusFingerprint(s, dir, "documents.parquet")
+      qualityWeightsCache.compute(qualityWeightsPath, { (p, prevFp) =>
+        if (prevFp == fp) prevFp
+        else {
+          val model = graft.pipeline.QualityClassifier.train(
+            docs.filter(col("lang") === "en"), docs.filter(col("lang") =!= "en"),
+            "doc_id", "text", numBuckets = 1024, maxIter = 20)
+          graft.pipeline.QualityClassifier.saveWeights(model, p, s)
+          fp
+        }
       })
       graft.pipeline.QualityClassifier.scoreWithWeights(
           docs.filter(col("doc_id") <= 300), "doc_id", "text", 1024,
@@ -1682,8 +1694,8 @@ object TextVectorQueries extends QueryPack {
         |i AS (SELECT weight AS b0
         |      FROM read_parquet('$qualityWeightsPath/*.parquet') WHERE bucket = -1),
         |dots AS (
-        |  SELECT f.id, sum(w.weight * f.cnt) / sum(f.cnt) AS dot
-        |  FROM feats f JOIN w USING (bucket) GROUP BY f.id)
+        |  SELECT f.id, sum(coalesce(w.weight, 0.0) * f.cnt) / sum(f.cnt) AS dot
+        |  FROM feats f LEFT JOIN w USING (bucket) GROUP BY f.id)
         |SELECT d.doc_id AS id,
         |  round(1.0 / (1.0 + exp(-(i.b0 + coalesce(dots.dot, 0.0)))), 6) AS quality
         |FROM documents d LEFT JOIN dots ON d.doc_id = dots.id CROSS JOIN i

@@ -27,6 +27,15 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
   */
 object BenchCompare {
 
+  /** A recording whose bw probe moved more than this pre→post is
+    * CONTENDED — the memory subsystem changed mid-run, and neither its
+    * raw nor its normalized ratios should be read as a baseline.
+    * Empirical placement: the r15 idle recording's spread was 1.01,
+    * the mildly-loaded sf1 one 1.22, and the recording the verdict
+    * adjudicated as contended (sf10, 0.0224→0.0340) 1.52.
+    */
+  val BwSpreadBound = 1.25
+
   private def calibMulti(env: JsonNode, path: String): Double = {
     require(env != null && env.has("calib_multi_pre") && env.has("calib_multi_post"),
       s"$path carries no calibration probe (pre-r14 artifact?) — " +
@@ -98,25 +107,55 @@ object BenchCompare {
     def esc(p: String): String =
       p.replace("\\", "\\\\").replace("\"", "\\\"")
     val (refE, curE) = (esc(refPath), esc(curPath))
-    // bandwidth dial (r15+ artifacts): reported alongside, NOT folded
-    // into the normalization — the ALU ratio stays the documented
-    // divisor; the bw ratio tells the reader whether residual drift is
-    // the memory-subsystem class the ALU probe cannot see
-    def bwOf(env: JsonNode): Option[Double] =
-      if (env != null && env.has("calib_bw_pre") && env.has("calib_bw_post"))
-        Some(math.min(env.get("calib_bw_pre").asDouble,
-          env.get("calib_bw_post").asDouble))
+    // bandwidth dial (r15+ artifacts), CONSUMED since r16: the r15
+    // same-session A/B proved the residual ±7-23% drift is
+    // memory-bandwidth class (ALU calib flat while bw moved), so the
+    // comparison now (a) self-rejects CONTENDED recordings — a bw
+    // pre→post spread past BwSpreadBound means the memory subsystem
+    // moved mid-run and the artifact is not a comparison baseline (the
+    // r15 sf10 case: 0.0224→0.0340, spread 1.52) — and (b) emits the
+    // bw-normalized total alongside the ALU-normalized one. The ALU
+    // ratio stays the headline divisor (queries are mostly
+    // compute-bound); bw_norm bounds the bandwidth-class residual.
+    // Thread counts must match for bw comparability — the probe is
+    // fixed work PER THREAD, and a heap-capped recording (see
+    // Bench.Calib.BwThreads) runs fewer.
+    def bwOf(env: JsonNode): Option[(Double, Double)] =
+      if (env != null && env.has("calib_bw_pre") && env.has("calib_bw_post")) {
+        val (a, b) = (env.get("calib_bw_pre").asDouble, env.get("calib_bw_post").asDouble)
+        Some((math.min(a, b), math.max(a, b) / math.min(a, b)))
+      } else None
+    def bwThreads(env: JsonNode): Option[Int] =
+      if (env != null && env.has("calib_bw_threads"))
+        Some(env.get("calib_bw_threads").asInt)
       else None
-    val bwJson = (bwOf(ref.get("env")), bwOf(cur.get("env"))) match {
-      case (Some(a), Some(b)) =>
-        f""""calib_bw_ref":$a%.4f,"calib_bw_cur":$b%.4f,"bw_ratio":${a / b}%.4f,"""
-      case _ => ""
+    val (bwJson, bwRatioOpt) = (bwOf(ref.get("env")), bwOf(cur.get("env"))) match {
+      case (Some((a, spreadA)), Some((b, spreadB))) =>
+        val threadsMatch = (bwThreads(ref.get("env")), bwThreads(cur.get("env"))) match {
+          case (Some(ta), Some(tb)) => ta == tb
+          case _ => true // pre-threads-stamp artifacts: assume same host class
+        }
+        val contended = spreadA > BwSpreadBound || spreadB > BwSpreadBound
+        val comparable = threadsMatch && !contended
+        val ratio = a / b
+        (f""""calib_bw_ref":$a%.4f,"calib_bw_cur":$b%.4f,""" +
+          f""""bw_spread_ref":$spreadA%.3f,"bw_spread_cur":$spreadB%.3f,""" +
+          f""""bw_spread_bound":$BwSpreadBound%.2f,""" +
+          s""""bw_contended_ref":${spreadA > BwSpreadBound},""" +
+          s""""bw_contended_cur":${spreadB > BwSpreadBound},""" +
+          s""""bw_threads_match":$threadsMatch,""" +
+          f""""bw_ratio":$ratio%.4f,"bw_comparable":$comparable%b,""",
+          if (comparable) Some(ratio) else None)
+      case _ => ("", None)
     }
+    val bwNormJson = bwRatioOpt
+      .map(r => f""""total_bw_norm_ratio":${totalRaw * r}%.4f,""").getOrElse("")
     (f"""{"metric":"bench_compare","ref":"$refE%s","cur":"$curE%s",""" +
       f""""calib_multi_ref":$calibRef%.3f,"calib_multi_cur":$calibCur%.3f,""" +
       f""""calib_ratio":$calibRatio%.4f,""" + bwJson +
       f""""total_ref":$totalRef%.3f,"total_cur":$totalCur%.3f,""" +
       f""""total_raw_ratio":$totalRaw%.4f,"total_norm_ratio":${totalRaw * calibRatio}%.4f,""" +
+      bwNormJson +
       s""""threshold":$threshold,"queries":$qJson,"flagged":$fJson,""" +
       s""""not_in_both":${dropped.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
   }

@@ -54,6 +54,40 @@ class QualityClassifierSpec extends SparkSpec {
     assert(f(2L).numNonzeros == 0 && f(3L).numNonzeros == 0)
   }
 
+  test("scoreWithWeights: a sparse weights artifact keeps the TRUE token total as denominator") {
+    // the advisor-flagged trap: with an INNER weights join, the L1
+    // denominator sum(cnt) silently shrank to the COVERED buckets'
+    // token count whenever the artifact didn't span every bucket —
+    // and the oracle shared the shape, so the gate couldn't see it.
+    // A dense artifact (zero weights materialized) and its sparse trim
+    // (zero rows dropped) are the same model and must score the same.
+    val base = java.nio.file.Files.createTempDirectory("graft_qc_sparse").toString
+    try {
+      val docs = Seq((1L, "alpha beta alpha"), (2L, "")).toDF("doc_id", "text")
+      val feats = Dsir.featureRows(docs, "doc_id", "text", 64)
+        .collect().map(r => (r.getLong(1), r.getLong(2))) // (bucket, cnt)
+      val total = feats.map(_._2).sum.toDouble
+      val (b0, c0) = feats.head
+      val intercept = 0.25
+      val denseRows = (0L until 64L).map(b => (b, if (b == b0) 1.0 else 0.0)) :+
+        (-1L, intercept)
+      val sparseRows = Seq((b0, 1.0), (-1L, intercept))
+      denseRows.toDF("bucket", "weight").write.parquet(s"$base/dense")
+      sparseRows.toDF("bucket", "weight").write.parquet(s"$base/sparse")
+      def scores(path: String): Map[Long, Double] =
+        QualityClassifier.scoreWithWeights(docs, "doc_id", "text", 64, path)
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val dense = scores(s"$base/dense")
+      val sparse = scores(s"$base/sparse")
+      assert(dense == sparse, "zero-trimming the artifact must not change scores")
+      val expected = 1.0 / (1.0 + math.exp(-(intercept + c0 / total)))
+      assert(math.abs(dense(1L) - expected) < 1e-12,
+        s"denominator must be the full token total: got ${dense(1L)}, want $expected")
+      // the no-token doc keeps the zero-vector score
+      assert(math.abs(dense(2L) - 1.0 / (1.0 + math.exp(-intercept))) < 1e-12)
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("model save/load roundtrip scores identically") {
     val base = java.nio.file.Files.createTempDirectory("graft_qc").toString
     try {

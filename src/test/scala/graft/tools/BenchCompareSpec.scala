@@ -10,12 +10,18 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchCompareSpec extends AnyFunSuite {
 
   private def artifact(calibPre: Double, calibPost: Double,
-                       qs: Map[String, Double], total: Double): String = {
+                       qs: Map[String, Double], total: Double,
+                       bw: Option[(Double, Double)] = None,
+                       bwThreads: Option[Int] = None): String = {
     val f = java.nio.file.Files.createTempFile("graft_bench", ".json")
     val qJson = qs.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val bwJson = bw.map { case (pre, post) =>
+      s""","calib_bw_pre":$pre,"calib_bw_post":$post""" +
+        bwThreads.map(t => s""","calib_bw_threads":$t""").getOrElse("")
+    }.getOrElse("")
     java.nio.file.Files.writeString(f,
       s"""{"metric":"total","queries_min":$qJson,"queries":$qJson,""" +
-        s""""env":{"calib_multi_pre":$calibPre,"calib_multi_post":$calibPost},""" +
+        s""""env":{"calib_multi_pre":$calibPre,"calib_multi_post":$calibPost$bwJson},""" +
         s""""value":$total,"unit":"sec"}""")
     f.toFile.deleteOnExit()
     f.toString
@@ -58,6 +64,52 @@ class BenchCompareSpec extends AnyFunSuite {
       .map(out.get("not_in_both").get(_).asText()).toSet
     assert(dropped == Set("q_gone", "q_new"))
     assert(out.get("queries").has("q_a") && !out.get("queries").has("q_new"))
+  }
+
+  test("bw-clean recordings: bw_comparable, bw-normalized total emitted") {
+    // both recordings bw-flat (spread 1.0); cur's memory subsystem is
+    // 25% slower (0.020 → 0.025) while ALU calib is flat — raw 1.25
+    // divides out to exactly 1.0 under the bw ratio
+    val ref = artifact(0.8, 0.8, Map("q_a" -> 2.0), 2.0, bw = Some((0.020, 0.020)),
+      bwThreads = Some(32))
+    val cur = artifact(0.8, 0.8, Map("q_a" -> 2.5), 2.5, bw = Some((0.025, 0.025)),
+      bwThreads = Some(32))
+    val out = parse(BenchCompare.compare(ref, cur))
+    assert(out.get("bw_comparable").asBoolean)
+    assert(!out.get("bw_contended_ref").asBoolean && !out.get("bw_contended_cur").asBoolean)
+    assert(math.abs(out.get("bw_ratio").asDouble - 0.8) < 1e-9)
+    assert(math.abs(out.get("total_bw_norm_ratio").asDouble - 1.0) < 1e-3)
+  }
+
+  test("a contended recording (bw spread past the bound) self-rejects") {
+    // the r15 sf10 shape: pre 0.0224 → post 0.0340 is spread 1.52 —
+    // past BwSpreadBound, so the artifact flags contended and no
+    // bw-normalized total is emitted (it would normalize by a number
+    // that changed mid-run)
+    val ref = artifact(0.8, 0.8, Map("q_a" -> 2.0), 2.0, bw = Some((0.0227, 0.0229)))
+    val cur = artifact(0.8, 0.8, Map("q_a" -> 2.5), 2.5, bw = Some((0.0224, 0.0340)))
+    val out = parse(BenchCompare.compare(ref, cur))
+    assert(!out.get("bw_contended_ref").asBoolean)
+    assert(out.get("bw_contended_cur").asBoolean)
+    assert(!out.get("bw_comparable").asBoolean)
+    assert(!out.has("total_bw_norm_ratio"),
+      "a contended recording must not produce a bw-normalized total")
+    // the ALU-normalized figures still emit — the reader sees both the
+    // ratio and the reason it needs a second recording
+    assert(out.has("total_norm_ratio"))
+  }
+
+  test("mismatched bw thread counts are not bandwidth-comparable") {
+    // the probe is fixed work PER THREAD: a heap-capped recording ran
+    // fewer threads, so its seconds measure different total work
+    val ref = artifact(0.8, 0.8, Map("q_a" -> 2.0), 2.0, bw = Some((0.020, 0.020)),
+      bwThreads = Some(32))
+    val cur = artifact(0.8, 0.8, Map("q_a" -> 2.0), 2.0, bw = Some((0.020, 0.020)),
+      bwThreads = Some(8))
+    val out = parse(BenchCompare.compare(ref, cur))
+    assert(!out.get("bw_threads_match").asBoolean)
+    assert(!out.get("bw_comparable").asBoolean)
+    assert(!out.has("total_bw_norm_ratio"))
   }
 
   test("a probe-less (pre-r14) artifact is refused, not silently compared") {
