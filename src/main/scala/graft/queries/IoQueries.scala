@@ -125,6 +125,78 @@ object IoQueries extends QueryPack {
       out
     })
 
+  /** Run-once staging for q_stream_dynamic_parquet — the
+    * CARRY-FORWARD fanout variant (r16): same 4-file AvailableNow
+    * split, but through StreamSinks.toDynamicParquet with
+    * `fanout = Sampled, carryManifest = true`, so batch 0 pays the
+    * sampling pass and every later batch sizes its salts from the
+    * PREVIOUS batch's manifest (Fanout.FromManifest by construction of
+    * StreamSinks.perBatchDynamic — the recurring-export shape on the
+    * streaming path). autoTargetRows is pinned low enough that every
+    * destination is hot at any sf, and the staging REQUIRES batches
+    * 1+ to spread (≥2 shards for some destination): that spread can
+    * only have come from the carried manifest.
+    */
+  private val streamDynParquetCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def streamDynParquetTree(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    streamDynParquetCache.computeIfAbsent(dir, { _ =>
+      val src = tmp(dir, "stream_dynp_src")
+      val out = tmp(dir, "stream_dynp_out")
+      val ckp = tmp(dir, "stream_dynp_ckp")
+      Seq(src, out, ckp).foreach(p =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+      tables(s, dir).events
+        .select(col("event_type").as("dest"),
+          col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"),
+          col("value").cast("double").as("value"))
+        .repartition(4).write.mode("overwrite").parquet(src)
+      val schema = s.read.parquet(src).schema
+      // streaming queries CLONE the session conf at start: set the
+      // fanout sizing before .start() so the clone inherits it,
+      // restore after — ~500+ rows per (batch, dest) at the smallest
+      // gate sf, so target 200 makes every destination hot
+      val prevTarget = s.conf.getOption("spark.graft.dynamic.autoTargetRows")
+      s.conf.set("spark.graft.dynamic.autoTargetRows", "200")
+      // AQE would re-coalesce the tiny salt partitions at gate sf
+      // (real exports sit far past the advisory partition size, where
+      // the spread survives — the DynamicSpec/SkewBench precedent);
+      // off for the stream so the spread assertion below is meaningful
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val q = graft.streaming.StreamSinks.toDynamicParquet(
+            s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+            out, "dest",
+            fanout = graft.sources.Dynamic.Fanout.Sampled, carryManifest = true)
+          .option("checkpointLocation", ckp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        if (!q.awaitTermination(300000)) {
+          q.stop()
+          throw new IllegalStateException(
+            "q_stream_dynamic_parquet: AvailableNow stream did not finish in 300s")
+        }
+      } finally {
+        s.conf.set("spark.sql.adaptive.enabled", "true")
+        prevTarget match {
+          case Some(v) => s.conf.set("spark.graft.dynamic.autoTargetRows", v)
+          case None => s.conf.unset("spark.graft.dynamic.autoTargetRows")
+        }
+      }
+      val laterBatches = new java.io.File(out).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
+        .sortBy(_.getName).drop(1)
+      require(laterBatches.nonEmpty, "q_stream_dynamic_parquet needs >= 2 micro-batches")
+      laterBatches.foreach { b =>
+        val spread = Option(b.listFiles()).getOrElse(Array.empty)
+          .filter(d => d.isDirectory && !d.getName.startsWith("_") && !d.getName.startsWith("."))
+          .exists(d => d.listFiles().count(_.getName.startsWith("part-")) >= 2)
+        require(spread, s"batch ${b.getName}: no destination spread over >1 shard — " +
+          "the carried-manifest fanout did not engage")
+      }
+      out
+    })
+
   override val queries: Map[String, Q] = Map(
 
     // csv roundtrip (scio-extra csv): schema-preserving via explicit
@@ -524,7 +596,10 @@ object IoQueries extends QueryPack {
         tables(s, dir).nation.select(
           concat(lit("region="), col("n_regionkey")).as("dest"), col("n_name")),
         path, "dest", "n_name")
-      graft.sources.Dynamic.readDynamicText(s, path)
+      // audit = true: the gather REFUSES the tree unless the
+      // manifest-vs-listing diff is clean — the opt-in integrity check
+      // on the oracle's critical path (r16)
+      graft.sources.Dynamic.readDynamicText(s, path, audit = true)
         .select(regexp_extract(col("dest"), "region=(\\d+)", 1)
           .cast("int").as("n_regionkey"), col("text").as("n_name"))
         .groupBy(col("n_regionkey"))
@@ -572,10 +647,17 @@ object IoQueries extends QueryPack {
           concat(col("o_orderkey").cast("long"), lit("|"), col("o_orderstatus"))
             .as("line")),
         path, "dest", "line")
+      // r16: the metadata-only AUDIT rides the oracle path too — the
+      // manifest-vs-listing diff of the tree just written must be
+      // EMPTY, asserted as a zero count the oracle pins to literal 0
+      // (a lost rename or stray file would break the hash compare)
+      val audit = graft.sources.Dynamic.verifyDynamicTree(s, path)
+        .agg(count(lit(1)).as("n_audit_issues"))
       graft.sources.Dynamic.readDynamicManifest(s, path)
         .groupBy(col("dest"))
         .agg(sum(col("rows")).as("n_rows"), sum(col("bytes")).as("n_bytes"),
           count(lit(1)).as("n_files"))
+        .crossJoin(audit)
         .orderBy(col("dest"))
     },
 
@@ -665,6 +747,37 @@ object IoQueries extends QueryPack {
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
           sum(col("event_id")).as("sum_eid"), min(col("event_id")).as("min_eid"),
           max(col("event_id")).as("max_eid"))
+        .orderBy(col("dest"))
+    },
+
+    // r16: STREAMING dynamic PARQUET sink with CARRY-FORWARD fanout
+    // oracle-gated end to end: 4 AvailableNow micro-batches through
+    // StreamSinks.toDynamicParquet (fanout = Sampled,
+    // carryManifest = true — batch 0 samples, batches 1+ size salts
+    // from batch N−1's manifest; staging REQUIRES the later batches to
+    // have spread, which only the carried manifest can cause), each
+    // batch's per-destination parquet tree gathered back through
+    // readDynamicParquet with audit = true (manifest-vs-listing diff
+    // clean per batch dir), and the cross-batch union must reproduce
+    // the plain batch answer hash-exactly.
+    "q_stream_dynamic_parquet" -> { (s, dir) =>
+      import org.apache.spark.sql.types._
+      val out = streamDynParquetTree(s, dir)
+      val batchDirs = new java.io.File(out).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
+        .map(_.getAbsolutePath).sorted.toSeq
+      require(batchDirs.size >= 2,
+        s"q_stream_dynamic_parquet expected >= 2 micro-batch trees, got ${batchDirs.size}")
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("value", DoubleType)))
+      batchDirs.map(p =>
+          graft.sources.Dynamic.readDynamicParquet(s, p, schema, audit = true))
+        .reduce(_ unionByName _)
+        .groupBy(col("dest"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"),
+          sum(col("event_id")).as("sum_eid"), max(col("event_id")).as("max_eid"),
+          sumMoney(dec(col("value"))).as("sum_val"))
         .orderBy(col("dest"))
     },
 
@@ -876,6 +989,13 @@ object IoQueries extends QueryPack {
         |  CAST(min(event_id) AS BIGINT) AS min_eid,
         |  CAST(max(event_id) AS BIGINT) AS max_eid
         |FROM events GROUP BY 1 ORDER BY dest""".stripMargin,
+    "q_stream_dynamic_parquet" ->
+      """SELECT event_type AS dest, count(*) AS n,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        |  CAST(max(event_id) AS BIGINT) AS max_eid,
+        |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_val
+        |FROM events GROUP BY 1 ORDER BY dest""".stripMargin,
     "q_io_dynamic_avro" ->
       """SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey, count(*) AS n,
         |  CAST(round(sum(CAST(s_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal, min(s_name) AS first_name,
@@ -904,7 +1024,8 @@ object IoQueries extends QueryPack {
       """SELECT o_orderpriority AS dest, CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(strlen(CAST(CAST(o_orderkey AS BIGINT) AS VARCHAR)
         |    || '|' || o_orderstatus) + 1) AS BIGINT) AS n_bytes,
-        |  CAST(1 AS BIGINT) AS n_files
+        |  CAST(1 AS BIGINT) AS n_files,
+        |  CAST(0 AS BIGINT) AS n_audit_issues
         |FROM orders GROUP BY 1 ORDER BY dest""".stripMargin,
     "q_io_dynamic_parquet" ->
       """SELECT p_type || ' parts/' || p_brand AS dest, count(*) AS n,

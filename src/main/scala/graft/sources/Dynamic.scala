@@ -79,6 +79,13 @@ object Dynamic {
       require("*?[]{}\\".indexOf(c.toInt) < 0,
         s"dynamic destination '$dest' contains the glob metacharacter '$c' — " +
           "Hadoop path resolution would expand it when the tree is read back")
+      // ':' before the first '/' reads as a URI SCHEME to Hadoop's
+      // Path(String) parser — a dest like `a:b/c` would resolve
+      // against filesystem `a` on write AND on gather. Reject
+      // everywhere (not just the first segment) for predictability.
+      require(c != ':',
+        s"dynamic destination '$dest' contains ':' — Hadoop's path parser " +
+          "reads it as a URI scheme delimiter")
       if (segStart) require(c != '.' && c != '_',
         s"dynamic destination '$dest' has a '.'/'_'-prefixed segment — Hadoop-hidden " +
           "paths are invisible to stock readers and reserved for the tree's own stamps")
@@ -983,21 +990,19 @@ object Dynamic {
   // ---- gather verbs ----------------------------------------------------
 
   /** (relative destination, file) pairs under a completed dynamic
-    * tree. Requires the post-write [[MarkerDone]] stamp — a tree from
-    * a failed or in-flight job (which has only the pre-write ownership
-    * [[Marker]]) must not read back as silently-valid partial data
-    * (same contract as [[Avro.read]]'s `_SUCCESS` requirement).
+    * tree, by RECURSIVE LISTING — the fallback plan for trees written
+    * before manifests existed; [[planTree]] (which prefers the
+    * manifest) is what the gather verbs call. Requires the post-write
+    * [[MarkerDone]] stamp — a tree from a failed or in-flight job
+    * (which has only the pre-write ownership [[Marker]]) must not
+    * read back as silently-valid partial data (same contract as
+    * [[Avro.read]]'s `_SUCCESS` requirement).
     *
-    * SCALE ENVELOPE: the listing buffers one (dest, path, len) triple
-    * per file on the DRIVER, and the gather verbs schedule one task
-    * per file — right-sized for dynamic trees (file count =
-    * destinations × fanout, tens of thousands at most in any sane
-    * export, ~100 bytes of driver heap each), but a pathological tree
-    * of MILLIONS of files would bound on driver memory and scheduler
-    * task count before anything else. Such trees are mis-sharded
-    * outputs, not gather inputs: compact them, or for oversized
-    * individual Avro containers point [[Avro.read]]'s splittable
-    * byte-range path at a shard glob instead.
+    * SCALE ENVELOPE: the listing walks every file over the
+    * FileSystem RPC and buffers one (dest, path, len) triple per file
+    * on the driver (~100 bytes each) — acceptable as the
+    * pre-manifest-tree fallback, but the manifest plan reads the same
+    * triples from kilobyte-scale sidecars instead.
     */
   private def listTree(spark: SparkSession, basePath: String, ext: String)
       : Seq[(String, String, Long)] = {
@@ -1026,6 +1031,109 @@ object Dynamic {
     buf.toSeq.sortBy(t => (t._1, t._2))
   }
 
+  /** Session knob: target bytes per gather TASK (default 128 MiB, the
+    * same figure as `spark.sql.files.maxPartitionBytes`). The RDD-based
+    * gather verbs group files into ≈this many bytes per task.
+    */
+  private[sources] val GatherTargetBytesKey = "spark.graft.dynamic.gatherTargetTaskBytes"
+
+  private def gatherTargetBytes(spark: SparkSession): Long = {
+    val t = spark.conf.get(GatherTargetBytesKey, (128L * 1024 * 1024).toString).toLong
+    require(t > 0, s"$GatherTargetBytesKey must be positive, got $t")
+    t
+  }
+
+  /** The gather PLAN: (dest, file path, bytes) triples of a completed
+    * tree, read FROM THE MANIFEST when one exists — per-destination
+    * sidecars the writing tasks committed, kilobytes of metadata even
+    * for a 100 TB export — and by [[listTree]]'s recursive walk only
+    * for pre-manifest trees. A million-shard tree plans off a few
+    * hundred TSV shards instead of a million list RPCs.
+    *
+    * The manifest is the COMMIT RECORD: a foreign `part-*` file a
+    * stray job dropped into the tree is not committed data and does
+    * not gather (the listing fallback cannot make that distinction);
+    * [[verifyDynamicTree]] (or `audit = true` on any gather verb)
+    * reports such files instead of silently reading them. A committed
+    * file the tree lost fails the reading task loudly rather than
+    * returning partial data.
+    */
+  private def planTree(spark: SparkSession, basePath: String, ext: String)
+      : Seq[(String, String, Long)] = {
+    val base = new Path(basePath)
+    val fs = FileSystem.get(base.toUri, spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new Path(base, MarkerDone)),
+      s"$basePath has no $MarkerDone stamp — not a COMPLETED graft dynamic tree " +
+        "(a crashed or in-flight write leaves only the ownership stamp)")
+    val qualifiedBase = fs.makeQualified(base)
+    val fromManifest = readDynamicManifest(spark, basePath).collect().toSeq
+      .collect {
+        case r if r.getString(1).endsWith("." + ext) &&
+            (ext == "proto.avro" || !r.getString(1).endsWith(".proto.avro")) =>
+          (r.getString(0),
+            new Path(qualifiedBase, s"${r.getString(0)}/${r.getString(1)}").toString,
+            r.getLong(3))
+      }
+    if (fromManifest.nonEmpty) fromManifest.sortBy(t => (t._1, t._2))
+    else listTree(spark, basePath, ext)
+  }
+
+  /** Greedy size-batching: consecutive files (in the plan's (dest,
+    * path) order, so a destination's shards stay adjacent) group until
+    * the next file would push the group past `targetBytes`. One task
+    * per GROUP instead of one per file — a many-small-files tree
+    * gathers in ≈ totalBytes / targetBytes tasks; a single file larger
+    * than the target keeps its own group (files are the atomic unit;
+    * oversized foreign containers belong to the splittable readers).
+    */
+  private[sources] def batchFiles(files: Seq[(String, String, Long)], targetBytes: Long)
+      : Seq[Seq[(String, String, Long)]] = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val groups = Seq.newBuilder[Seq[(String, String, Long)]]
+    val cur = Seq.newBuilder[(String, String, Long)]
+    var curBytes = 0L
+    var curSize = 0
+    files.foreach { f =>
+      if (curSize > 0 && curBytes + f._3 > targetBytes) {
+        groups += cur.result(); cur.clear(); curBytes = 0L; curSize = 0
+      }
+      cur += f; curBytes += f._3; curSize += 1
+    }
+    if (curSize > 0) groups += cur.result()
+    groups.result()
+  }
+
+  /** Close `close` exactly once, as soon as `it` exhausts — a batched
+    * gather task streams its group's files SEQUENTIALLY, so each
+    * file's stream must release when done, not pile up until task end
+    * (the task-completion listener stays as the abnormal-termination
+    * backstop only).
+    */
+  private def closeOnExhaust[T](it: Iterator[T], close: () => Unit): Iterator[T] =
+    new Iterator[T] {
+      private var open = true
+      def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && open) { open = false; close() }
+        h
+      }
+      def next(): T = it.next()
+    }
+
+  /** Shared audit hook for the gather verbs' `audit = true` opt-in:
+    * run [[verifyDynamicTree]] and refuse the gather on ANY
+    * discrepancy (requires the tree to carry a manifest — see
+    * verifyDynamicTree's contract).
+    */
+  private def auditOrThrow(spark: SparkSession, basePath: String): Unit = {
+    val sample = verifyDynamicTree(spark, basePath).head(6)
+    require(sample.isEmpty,
+      s"dynamic gather audit: $basePath failed verifyDynamicTree — first " +
+        s"discrepancies: ${sample.take(5).map(r =>
+          s"${r.getString(2)} ${r.getString(0)}/${r.getString(1)}").mkString("; ")}" +
+        (if (sample.length > 5) "; …" else ""))
+  }
+
   /** The gather frame claims `__dyn_file` transiently and `destColName`
     * permanently; a payload schema column with either name would turn
     * the dest-recovery join ambiguous or silently shadow a payload
@@ -1042,36 +1150,38 @@ object Dynamic {
         "or pass a different destColName")
   }
 
-  /** Recover each row's destination by joining the scan's
-    * `input_file_name()` back to the driver-side (file → dest) listing
-    * — a broadcast hash join on a decoded, scheme-stripped path
-    * (codegen, no UDF). `input_file_name()` returns the URL-ENCODED
-    * URI of the file while Hadoop's `Path.toString` renders paths
-    * DECODED, so the scan side is url-decoded first (with literal '+'
-    * protected — URL decoding would turn it into a space; URI encoding
-    * never encodes a space as '+') and both sides drop `scheme://`.
-    * A scan row whose file misses the listing raises instead of
-    * silently yielding a null destination.
+  /** Recover each row's destination FROM ITS SCAN PATH: the dest is,
+    * by the tree's construction, exactly the path segment(s) between
+    * `basePath/` and the final `/part-*.*` file name — one codegen
+    * `regexp_extract`, no per-file driver map and no broadcast (the
+    * r15 shape broadcast one (file → dest) row per file, an O(files)
+    * driver+broadcast envelope a million-shard tree would feel).
+    * `input_file_name()` returns the URL-ENCODED URI while Hadoop's
+    * `Path.toString` renders paths DECODED, so the scan side is
+    * url-decoded first (with literal '+' protected — URL decoding
+    * would turn it into a space; URI encoding never encodes a space
+    * as '+') and both sides drop `scheme://`. A scan path that does
+    * not extract (normalization mismatch) raises instead of silently
+    * yielding an empty destination.
     */
-  private def joinDestFromFiles(df: DataFrame, files: Seq[(String, String, Long)],
-                                destColName: String, payloadFields: Seq[String])
+  private def recoverDest(df: DataFrame, basePath: String,
+                          destColName: String, payloadFields: Seq[String])
       : DataFrame = {
     val spark = df.sparkSession
     val schemePat = "^[a-zA-Z0-9+.-]+:/+"
-    val fileMap = spark
-      .createDataFrame(files.map { case (dest, file, _) =>
-        (file.replaceFirst(schemePat, ""), dest)
-      })
-      .toDF("__dyn_file", "__dyn_dest")
+    val base = new Path(basePath)
+    val fs = FileSystem.get(base.toUri, spark.sparkContext.hadoopConfiguration)
+    val qualified = fs.makeQualified(base).toString.replaceFirst(schemePat, "")
+    val pat = "^" + java.util.regex.Pattern.quote(qualified) + "/(.+)/[^/]+$"
     df.withColumn("__dyn_file",
         regexp_replace(
           url_decode(regexp_replace(input_file_name(), "\\+", "%2B")),
           schemePat, ""))
-      .join(broadcast(fileMap), Seq("__dyn_file"), "left")
+      .withColumn("__dyn_dest", regexp_extract(col("__dyn_file"), pat, 1))
       .select(
-        when(col("__dyn_dest").isNotNull, col("__dyn_dest"))
+        when(col("__dyn_dest") =!= "", col("__dyn_dest"))
           .otherwise(raise_error(concat(
-            lit("dynamic gather: scanned file missing from the tree listing " +
+            lit("dynamic gather: scanned file is not under the tree " +
               "(path normalization mismatch?): "), col("__dyn_file"))))
           .as(destColName) +:
         payloadFields.map(col): _*)
@@ -1080,60 +1190,79 @@ object Dynamic {
   /** Read a [[saveAsDynamicText]] tree back: one row per line,
     * relative destination in `destColName`, line text in `textColName`
     * — the completion-checked inverse (stock `spark.read.text` would
-    * happily read a crashed job's partial tree). One task per file,
-    * as every gather verb here.
+    * happily read a crashed job's partial tree). Manifest-planned and
+    * size-batched: one task per ≈[[GatherTargetBytesKey]] group of
+    * files (streamed sequentially within the task), planned from the
+    * manifest sidecars when present — a many-small-files tree gathers
+    * in totalBytes/target tasks off a kilobyte metadata read, not one
+    * task and one list RPC per file. `audit = true` runs
+    * [[verifyDynamicTree]] first and refuses a tree with any
+    * discrepancy.
     */
   def readDynamicText(spark: SparkSession, basePath: String,
                       destColName: String = "dest",
-                      textColName: String = "text"): DataFrame = {
+                      textColName: String = "text",
+                      audit: Boolean = false): DataFrame = {
     require(destColName != textColName,
       s"destColName and textColName are both '$destColName' — the gather frame " +
         "would carry duplicate column names")
-    val files = listTree(spark, basePath, "txt")
+    if (audit) auditOrThrow(spark, basePath)
+    val files = planTree(spark, basePath, "txt")
     val outSchema = StructType(Seq(
       StructField(destColName, StringType, nullable = false),
       StructField(textColName, StringType, nullable = false)))
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+    val groups = batchFiles(files, gatherTargetBytes(spark))
     val confBc = org.apache.spark.graft.ConfBridge.broadcastHadoopConf(spark.sparkContext)
-    val rows = spark.sparkContext.parallelize(files, files.size)
-      .flatMap { case (dest, file, _) =>
+    val rows = spark.sparkContext.parallelize(groups, groups.size)
+      .flatMap(_.iterator.flatMap { case (dest, file, _) =>
         val p = new Path(file)
         val in = p.getFileSystem(org.apache.spark.graft.ConfBridge.confOf(confBc)).open(p)
         val reader = new java.io.BufferedReader(
           new java.io.InputStreamReader(in, StandardCharsets.UTF_8))
-        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => reader.close()))
-        Iterator.continually(reader.readLine()).takeWhile(_ != null)
-          .map(line => Row(dest, line))
-      }
+        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ =>
+          try reader.close() catch { case _: java.io.IOException => () }))
+        closeOnExhaust(
+          Iterator.continually(reader.readLine()).takeWhile(_ != null)
+            .map(line => Row(dest, line)),
+          () => reader.close())
+      })
     spark.createDataFrame(rows, outSchema)
   }
 
   /** Read a [[saveAsDynamicTar]] tree back: one row per tar member,
     * `(dest, name, value)` — [[Tar]]'s checksum-verified member walk
-    * per shard, completion-checked like every gather verb. One task
-    * per archive.
+    * per shard, completion-checked like every gather verb.
+    * Manifest-planned and size-batched like [[readDynamicText]];
+    * `audit = true` refuses a tree [[verifyDynamicTree]] flags.
     */
   def readDynamicTar(spark: SparkSession, basePath: String,
-                     destColName: String = "dest"): DataFrame = {
+                     destColName: String = "dest",
+                     audit: Boolean = false): DataFrame = {
     require(destColName != "name" && destColName != "value",
       s"destColName '$destColName' collides with the gather's name/value columns")
-    val files = listTree(spark, basePath, "tar")
+    if (audit) auditOrThrow(spark, basePath)
+    val files = planTree(spark, basePath, "tar")
     val outSchema = StructType(Seq(
       StructField(destColName, StringType, nullable = false),
       StructField("name", StringType, nullable = false),
       StructField("value", BinaryType, nullable = false)))
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+    val groups = batchFiles(files, gatherTargetBytes(spark))
     val confBc = org.apache.spark.graft.ConfBridge.broadcastHadoopConf(spark.sparkContext)
-    val rows = spark.sparkContext.parallelize(files, files.size)
-      .flatMap { case (dest, file, _) =>
+    val rows = spark.sparkContext.parallelize(groups, groups.size)
+      .flatMap(_.iterator.flatMap { case (dest, file, _) =>
         val p = new Path(file)
         val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
           p.getFileSystem(org.apache.spark.graft.ConfBridge.confOf(confBc)).open(p), 1 << 16))
-        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
-        Tar.members(in, file).map { case (n, b) => Row(dest, n, b) }
-      }
+        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ =>
+          try in.close() catch { case _: java.io.IOException => () }))
+        closeOnExhaust(
+          Tar.members(in, file).map { case (n, b) => Row(dest, n, b) },
+          () => in.close())
+      })
     spark.createDataFrame(rows, outSchema)
   }
 
@@ -1147,14 +1276,19 @@ object Dynamic {
     */
   def readDynamicCsv(spark: SparkSession, basePath: String, schema: StructType,
                      header: Boolean = true,
-                     destColName: String = "dest"): DataFrame = {
+                     destColName: String = "dest",
+                     audit: Boolean = false): DataFrame = {
     checkGatherNames(schema, destColName)
-    val files = listTree(spark, basePath, "csv")
+    if (audit) auditOrThrow(spark, basePath)
+    // manifest-planned path list; SIZE BATCHING is Spark's own file
+    // scan planning here (maxPartitionBytes groups small files into
+    // tasks), so only the plan source changes
+    val files = planTree(spark, basePath, "csv")
     val outSchema = StructType(
       StructField(destColName, StringType, nullable = false) +: schema.fields)
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
-    joinDestFromFiles(
+    recoverDest(
       spark.read
         .option("header", header.toString)
         .option("escape", "\"")
@@ -1170,7 +1304,7 @@ object Dynamic {
         .option("nullValue", "\u0000")
         .schema(schema)
         .csv(files.map(_._2): _*),
-      files, destColName, schema.fieldNames.toSeq)
+      basePath, destColName, schema.fieldNames.toSeq)
   }
 
   /** Read a [[saveAsDynamicParquet]] tree back through stock
@@ -1181,31 +1315,38 @@ object Dynamic {
     * columns are pruned — parquet's usual projection contract.
     */
   def readDynamicParquet(spark: SparkSession, basePath: String, schema: StructType,
-                         destColName: String = "dest"): DataFrame = {
+                         destColName: String = "dest",
+                         audit: Boolean = false): DataFrame = {
     checkGatherNames(schema, destColName)
-    val files = listTree(spark, basePath, "parquet")
+    if (audit) auditOrThrow(spark, basePath)
+    // manifest-planned path list; size batching is Spark's own file
+    // scan planning (maxPartitionBytes), as in readDynamicCsv
+    val files = planTree(spark, basePath, "parquet")
     val outSchema = StructType(
       StructField(destColName, StringType, nullable = false) +: schema.fields)
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
-    joinDestFromFiles(
+    recoverDest(
       spark.read.schema(schema).parquet(files.map(_._2): _*),
-      files, destColName, schema.fieldNames.toSeq)
+      basePath, destColName, schema.fieldNames.toSeq)
   }
 
   /** Read a [[saveAsDynamicAvro]] tree back: one row per record, the
     * relative destination in `destColName`, payload columns per
     * `schema` (Avro's evolution contract — container fields absent
-    * from `schema` are ignored, missing ones read null). One task per
-    * FILE: dynamic trees shard per (destination, task) by
-    * construction, so file count is the natural parallelism; a single
-    * oversized foreign container belongs to [[Avro.read]]'s
-    * byte-range splitter instead.
+    * from `schema` are ignored, missing ones read null).
+    * Manifest-planned and size-batched (one task per
+    * ≈[[GatherTargetBytesKey]] group of containers, streamed
+    * sequentially); a single oversized foreign container belongs to
+    * [[Avro.read]]'s byte-range splitter instead. `audit = true`
+    * refuses a tree [[verifyDynamicTree]] flags.
     */
   def readDynamicAvro(spark: SparkSession, basePath: String, schema: StructType,
-                      destColName: String = "dest"): DataFrame = {
+                      destColName: String = "dest",
+                      audit: Boolean = false): DataFrame = {
     checkGatherNames(schema, destColName)
-    val files = listTree(spark, basePath, "avro")
+    if (audit) auditOrThrow(spark, basePath)
+    val files = planTree(spark, basePath, "avro")
     gatherAvro(spark, files, schema, destColName) { (rec, fieldNames, fieldTypes) =>
       Row.fromSeq(fieldNames.indices.map { i =>
         val f = rec.getSchema.getField(fieldNames(i))
@@ -1218,13 +1359,16 @@ object Dynamic {
   /** Read a [[saveAsDynamicProtobuf]] tree back: proto payload bytes
     * decoded into `schema` rows ([[Protobuf.decodeRow]] — unknown
     * fields skip, missing read null), relative destination in
-    * `destColName`.
+    * `destColName`. Manifest-planned and size-batched like
+    * [[readDynamicAvro]]; `audit = true` refuses a flagged tree.
     */
   def readDynamicProtobuf(spark: SparkSession, basePath: String, schema: StructType,
-                          destColName: String = "dest"): DataFrame = {
+                          destColName: String = "dest",
+                          audit: Boolean = false): DataFrame = {
     checkGatherNames(schema, destColName)
+    if (audit) auditOrThrow(spark, basePath)
     schema.fields.foreach(f => Protobuf.checkType(f.dataType))
-    val files = listTree(spark, basePath, "proto.avro")
+    val files = planTree(spark, basePath, "proto.avro")
     gatherAvro(spark, files, schema, destColName) { (rec, _, _) =>
       val bb = rec.get(0).asInstanceOf[java.nio.ByteBuffer]
       val bytes = new Array[Byte](bb.remaining()); bb.duplicate().get(bytes)
@@ -1297,76 +1441,97 @@ object Dynamic {
     *                      the committed byte count (truncation,
     *                      overwrite).
     *
-    * SCALE ENVELOPE: same driver-side listing bound as the gather
-    * verbs ([[listTree]]) — one ~100-byte entry per file on the
-    * driver; right-sized for any sane export (file count =
-    * destinations × fanout). Requires the completion stamp AND a
-    * manifest (trees written before manifests existed cannot be
-    * audited — re-export, or gather with the completion-checked verbs
-    * and count).
+    * SCALE ENVELOPE (r16): the driver lists only the tree's TOP-LEVEL
+    * entries — one row per top-level destination directory, not per
+    * file; each visible subtree lists RECURSIVELY IN ITS OWN TASK, and
+    * the manifest-vs-listing diff is a full outer join in the cluster.
+    * A million-shard export audits without the driver ever holding a
+    * per-file structure. Requires the completion stamp AND a manifest
+    * (trees written before manifests existed cannot be audited —
+    * re-export, or gather with the completion-checked verbs and
+    * count).
     */
   def verifyDynamicTree(spark: SparkSession, basePath: String): DataFrame = {
     val base = new Path(basePath)
     val fs = FileSystem.get(base.toUri, spark.sparkContext.hadoopConfiguration)
     require(fs.exists(new Path(base, MarkerDone)),
       s"$basePath has no $MarkerDone stamp — not a COMPLETED graft dynamic tree")
-    val committed = readDynamicManifest(spark, basePath).collect()
-      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
-      .toMap
+    val committed = readDynamicManifest(spark, basePath)
+      .withColumnsRenamed(Map("rows" -> "manifest_rows", "bytes" -> "manifest_bytes"))
     // actual data files: every VISIBLE part-* file (any codec
     // extension); entries under hidden ('.'/'_') segments — manifest
     // sidecars, markers, attempt temps — are not data and stay out of
-    // the diff, exactly as Hadoop globbing hides them from readers
-    val baseUri = fs.makeQualified(base).toUri
-    val it = fs.listFiles(base, true)
-    val actual = scala.collection.mutable.Map.empty[(String, String), Long]
-    while (it.hasNext) {
-      val st = it.next()
-      val name = st.getPath.getName
-      if (st.isFile && name.startsWith("part-")) {
-        val rel = baseUri.relativize(st.getPath.getParent.toUri).getPath
-          .stripSuffix("/")
-        val hidden = rel.split('/')
-          .exists(seg => seg.startsWith(".") || seg.startsWith("_"))
-        if (!hidden) actual((rel, name)) = st.getLen
+    // the diff, exactly as Hadoop globbing hides them from readers.
+    // Driver side sees ONE listStatus of the base; stray part-* files
+    // AT the base level (dest "") are foreign by construction and
+    // captured here too.
+    val top = fs.listStatus(base)
+    val topDirs = top.collect {
+      case st if st.isDirectory &&
+          !st.getPath.getName.startsWith(".") && !st.getPath.getName.startsWith("_") =>
+        st.getPath.toString
+    }.sorted.toSeq
+    val baseLevel = top.collect {
+      case st if st.isFile && st.getPath.getName.startsWith("part-") =>
+        Row("", st.getPath.getName, st.getLen)
+    }.toSeq
+    val listedSchema = StructType(Seq(
+      StructField("dest", StringType, nullable = false),
+      StructField("file", StringType, nullable = false),
+      StructField("actual_bytes", LongType, nullable = false)))
+    val baseUriStr = fs.makeQualified(base).toUri.toString
+    val confBc = org.apache.spark.graft.ConfBridge.broadcastHadoopConf(spark.sparkContext)
+    val walked =
+      if (topDirs.isEmpty) spark.sparkContext.emptyRDD[Row]
+      else spark.sparkContext.parallelize(topDirs, topDirs.size).flatMap { dirStr =>
+        val dir = new Path(dirStr)
+        val dfs = dir.getFileSystem(org.apache.spark.graft.ConfBridge.confOf(confBc))
+        val baseUri = new java.net.URI(baseUriStr)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        val it = dfs.listFiles(dir, true)
+        while (it.hasNext) {
+          val st = it.next()
+          val name = st.getPath.getName
+          if (st.isFile && name.startsWith("part-")) {
+            val rel = baseUri.relativize(st.getPath.getParent.toUri).getPath
+              .stripSuffix("/")
+            val hidden = rel.split('/')
+              .exists(seg => seg.startsWith(".") || seg.startsWith("_"))
+            if (!hidden) out += Row(rel, name, st.getLen)
+          }
+        }
+        out
       }
-    }
+    val actual = spark.createDataFrame(walked, listedSchema)
+      .unionByName(spark.createDataFrame(
+        spark.sparkContext.parallelize(baseLevel, 1), listedSchema))
     // a legitimately EMPTY tree (zero-row scatter, idle micro-batch)
     // has no manifest AND no data files — audits clean; data files
     // with NO manifest at all cannot be audited (pre-manifest writer,
     // or the sidecars themselves were deleted) and must refuse loudly
-    // rather than report every file as foreign
-    require(committed.nonEmpty || actual.isEmpty,
-      s"$basePath has ${actual.size} data file(s) but no manifest entries — " +
-        "written by a pre-manifest version, or the _manifest sidecars were " +
-        "removed? verifyDynamicTree needs them to audit against")
-    val issues = scala.collection.mutable.ArrayBuffer.empty[Row]
-    committed.foreach { case ((dest, file), (rows, bytes)) =>
-      actual.get((dest, file)) match {
-        case None =>
-          issues += Row(dest, file, "missing", rows, bytes, null)
-        case Some(len) if len != bytes =>
-          issues += Row(dest, file, "size_mismatch", rows, bytes, len)
-        case _ => ()
-      }
+    // rather than report every file as foreign. Both counts are
+    // metadata-scale jobs.
+    if (committed.isEmpty) {
+      val nActual = actual.count()
+      require(nActual == 0L,
+        s"$basePath has $nActual data file(s) but no manifest entries — " +
+          "written by a pre-manifest version, or the _manifest sidecars were " +
+          "removed? verifyDynamicTree needs them to audit against")
     }
-    actual.keysIterator.filterNot(committed.contains).foreach { case (dest, file) =>
-      issues += Row(dest, file, "foreign", null, null, actual((dest, file)))
-    }
-    val schema = StructType(Seq(
-      StructField("dest", StringType, nullable = false),
-      StructField("file", StringType, nullable = false),
-      StructField("issue", StringType, nullable = false),
-      StructField("manifest_rows", LongType, nullable = true),
-      StructField("manifest_bytes", LongType, nullable = true),
-      StructField("actual_bytes", LongType, nullable = true)))
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(issues.toSeq.sortBy(r =>
-        (r.getString(0), r.getString(1), r.getString(2))), 1), schema)
+    committed.join(actual, Seq("dest", "file"), "full_outer")
+      .select(col("dest"), col("file"),
+        when(col("actual_bytes").isNull, lit("missing"))
+          .when(col("manifest_bytes").isNull, lit("foreign"))
+          .when(col("manifest_bytes") =!= col("actual_bytes"), lit("size_mismatch"))
+          .as("issue"),
+        col("manifest_rows"), col("manifest_bytes"), col("actual_bytes"))
+      .filter(col("issue").isNotNull)
+      .orderBy(col("dest"), col("file"), col("issue"))
   }
 
-  /** Shared gather executor: one task per container file, `decode`
-    * turns each Avro record into a payload Row, destination prepended.
+  /** Shared gather executor: one task per size-batched GROUP of
+    * container files (streamed sequentially), `decode` turns each Avro
+    * record into a payload Row, destination prepended.
     */
   private def gatherAvro(spark: SparkSession, files: Seq[(String, String, Long)],
                          schema: StructType, destColName: String)
@@ -1378,19 +1543,23 @@ object Dynamic {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
     val fieldNames = schema.fields.map(_.name)
     val fieldTypes = schema.fields.map(_.dataType)
+    val groups = batchFiles(files, gatherTargetBytes(spark))
     val confBc = org.apache.spark.graft.ConfBridge.broadcastHadoopConf(spark.sparkContext)
-    val rows = spark.sparkContext.parallelize(files, files.size)
-      .flatMap { case (dest, file, len) =>
+    val rows = spark.sparkContext.parallelize(groups, groups.size)
+      .flatMap(_.iterator.flatMap { case (dest, file, len) =>
         val p = new Path(file)
         val reader = new DataFileReader(
           new Avro.HadoopSeekableInput(
             p.getFileSystem(org.apache.spark.graft.ConfBridge.confOf(confBc)).open(p), len),
           new GenericDatumReader[GenericRecord]())
-        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ => reader.close()))
-        reader.iterator().asScala.map { rec =>
-          Row.fromSeq(dest +: decode(rec, fieldNames, fieldTypes).toSeq)
-        }
-      }
+        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit](_ =>
+          try reader.close() catch { case _: java.io.IOException => () }))
+        closeOnExhaust(
+          reader.iterator().asScala.map { rec =>
+            Row.fromSeq(dest +: decode(rec, fieldNames, fieldTypes).toSeq)
+          },
+          () => reader.close())
+      })
     spark.createDataFrame(rows, outSchema)
   }
 }

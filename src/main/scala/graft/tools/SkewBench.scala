@@ -238,12 +238,24 @@ object SkewBench {
         graft.operators.Joins.skewedJoinSampled(corpus.limit(10000), warmDim, Seq("k"),
             fanout = 32)
           .write.format("noop").mode("overwrite").save()
+        graft.operators.Joins.skewedJoinCms(corpus.limit(10000), warmDim, Seq("k"),
+            fanout = 32)
+          .write.format("noop").mode("overwrite").save()
         run("join", "plain") { corpus.join(dim, Seq("k")) }
         // defaults: hotKeyThreshold 9000 (cold keys carry ~rows/2000·0.7,
         // the hot key 0.3·rows — cleanly separated at any bench size
         // ≥ 1M), 1% detection sample
         run("join", "sampled") {
           graft.operators.Joins.skewedJoinSampled(corpus, dim, Seq("k"), fanout = 32)
+        }
+        // r16: the CMS variant — scio's literal shape
+        // (PairSkewedSCollectionFunctions): a Count-Min sketch over
+        // the LEFT keys (one full pass, included in the measured wall
+        // — the price a real run pays), hot/cold split as a pure
+        // codegen probe of the broadcast registers, no sampled hot-key
+        // frame at all
+        run("join", "cms") {
+          graft.operators.Joins.skewedJoinCms(corpus, dim, Seq("k"), fanout = 32)
         }
       } finally {
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)

@@ -474,6 +474,81 @@ class DynamicSpec extends SparkSpec {
     assert(e.getMessage.contains("_GRAFT_DYNAMIC_DONE"))
   }
 
+  // ---- manifest-planned, size-batched gathers (r16) ----------------------
+
+  test("batchFiles groups to the byte target, keeps order, loses nothing") {
+    def f(i: Int, len: Long) = (s"d$i", s"/x/f$i", len)
+    val mb = 1024L * 1024
+    val files = (0 until 100).map(i => f(i, mb))
+    val groups = Dynamic.batchFiles(files, 10 * mb)
+    assert(groups.size == 10, s"100 × 1 MB at a 10 MB target is 10 groups, got ${groups.size}")
+    assert(groups.flatten == files, "order preserved, every file exactly once")
+    assert(groups.forall(_.map(_._3).sum <= 10 * mb))
+    // an oversized file keeps its own group; neighbors are not dragged in
+    val mixed = Seq(f(0, 4), f(1, 25), f(2, 4), f(3, 4), f(4, 5))
+    val g2 = Dynamic.batchFiles(mixed, 10)
+    assert(g2.flatten == mixed)
+    assert(g2 == Seq(Seq(f(0, 4)), Seq(f(1, 25)), Seq(f(2, 4), f(3, 4)), Seq(f(4, 5))))
+  }
+
+  test("gathers are size-batched: a many-small-files tree reads in ≈ totalBytes/target tasks") {
+    val out = tmpDir()
+    val df = spark.range(0, 6400).select(
+      concat(lit("d"), pmod(col("id"), lit(64))).as("dest"),
+      concat(lit("line-"), col("id")).as("text"))
+    Dynamic.saveAsDynamicText(df, out.getAbsolutePath, "dest", "text")
+    val totalBytes = Dynamic.readDynamicManifest(spark, out.getAbsolutePath)
+      .agg(sum(col("bytes"))).head().getLong(0)
+    val target = math.max(1L, totalBytes / 4)
+    spark.conf.set(Dynamic.GatherTargetBytesKey, target.toString)
+    try {
+      val gathered = Dynamic.readDynamicText(spark, out.getAbsolutePath)
+      val tasks = gathered.rdd.getNumPartitions
+      assert(tasks >= 4 && tasks <= 6,
+        s"totalBytes=$totalBytes target=$target should plan ≈4-5 tasks, planned $tasks")
+      assert(gathered.count() == 6400, "batching must not lose rows")
+    } finally spark.conf.unset(Dynamic.GatherTargetBytesKey)
+    // default target (128 MB) folds the whole small tree into ONE task
+    assert(Dynamic.readDynamicText(spark, out.getAbsolutePath).rdd.getNumPartitions == 1)
+  }
+
+  test("gather plans FROM the manifest; a sidecar-less tree falls back to the listing") {
+    val out = tmpDir()
+    val df = Seq(("a", "x1"), ("a", "x2"), ("b/c", "y1")).toDF("dest", "text")
+    Dynamic.saveAsDynamicText(df, out.getAbsolutePath, "dest", "text")
+    val planned = Dynamic.readDynamicText(spark, out.getAbsolutePath)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // a pre-manifest tree (sidecars gone) must gather identically off
+    // the recursive listing
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out, "_manifest"))
+    val listed = Dynamic.readDynamicText(spark, out.getAbsolutePath)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(planned == listed &&
+      planned == Set(("a", "x1"), ("a", "x2"), ("b/c", "y1")))
+  }
+
+  test("manifest-planned gather reads only COMMITTED files; audit=true refuses a tampered tree") {
+    val out = tmpDir()
+    val df = Seq(("a", "x1"), ("b", "y1")).toDF("dest", "text")
+    Dynamic.saveAsDynamicText(df, out.getAbsolutePath, "dest", "text")
+    // audit passes and gathers on a clean tree
+    assert(Dynamic.readDynamicText(spark, out.getAbsolutePath, audit = true)
+      .count() == 2)
+    // a stray uncommitted part file is NOT data: the manifest is the
+    // commit record, so the plain gather skips it...
+    val foreign = new java.io.File(new java.io.File(out, "b"), "part-99999.txt")
+    java.nio.file.Files.write(foreign.toPath, "stray\n".getBytes)
+    val rows = Dynamic.readDynamicText(spark, out.getAbsolutePath)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("a", "x1"), ("b", "y1")),
+      "an uncommitted file must not gather as data")
+    // ...and the audited gather refuses the tree loudly
+    val e = intercept[IllegalArgumentException] {
+      Dynamic.readDynamicText(spark, out.getAbsolutePath, audit = true)
+    }
+    assert(e.getMessage.contains("foreign"))
+  }
+
   // ---- dynamic Avro ----------------------------------------------------
 
   private val avroSchema = org.apache.spark.sql.types.StructType(Seq(
