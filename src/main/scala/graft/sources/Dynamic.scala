@@ -1035,7 +1035,7 @@ object Dynamic {
     * same figure as `spark.sql.files.maxPartitionBytes`). The RDD-based
     * gather verbs group files into ≈this many bytes per task.
     */
-  private[sources] val GatherTargetBytesKey = "spark.graft.dynamic.gatherTargetTaskBytes"
+  val GatherTargetBytesKey = "spark.graft.dynamic.gatherTargetTaskBytes"
 
   private def gatherTargetBytes(spark: SparkSession): Long = {
     val t = spark.conf.get(GatherTargetBytesKey, (128L * 1024 * 1024).toString).toLong

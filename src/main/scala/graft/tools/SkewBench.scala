@@ -12,9 +12,9 @@ import org.apache.spark.sql.functions._
   *
   *   runMain graft.tools.SkewBench [rows] [arms]
   *
-  * `arms` is a comma list of `rolling,asof,dynamic,join,agg` (default
-  * all), so one new arm can be recorded without re-burning the
-  * others' multi-minute straggler runs.
+  * `arms` is a comma list of `rolling,asof,dynamic,join,agg,gather`
+  * (default all), so one new arm can be recorded without re-burning
+  * the others' multi-minute straggler runs.
   *
   * Corpus: `rows` events (default 5 M), ONE key carrying 30% of them
   * (the ultra-hot instrument of a feed), the rest uniform over 2000
@@ -89,14 +89,15 @@ object SkewBench {
     println(f"""{"op":"$op%s","variant":"$variant%s","wall_sec":$wall%.3f,""" +
       f""""max_task_sec":${st.maxDurMs.get / 1000.0}%.3f,""" +
       f""""max_task_shuffle_records":${st.maxShuffleRecords.get}%d,""" +
-      f""""tasks_with_rows":${st.tasksWithRows.get}%d}""")
+      f""""tasks_with_rows":${st.tasksWithRows.get}%d,""" +
+      f""""tasks":${st.events.get}%d}""")
 
   def main(args: Array[String]): Unit = {
     val rows = if (args.nonEmpty) args(0).toLong else 5000000L
     // optional second arg: comma list of arms to run ("rolling,asof,
     // dynamic"; default all) — re-recording one new arm must not
     // re-burn the ~7-minute rolling-plain straggler already on record
-    val knownArms = Set("rolling", "asof", "dynamic", "join", "agg")
+    val knownArms = Set("rolling", "asof", "dynamic", "join", "agg", "gather")
     val arms: Set[String] =
       if (args.length > 1) args(1).split(",").map(_.trim).filter(_.nonEmpty).toSet
       else knownArms
@@ -210,6 +211,31 @@ object SkewBench {
       } finally {
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dynBase))
+      }
+    }
+
+    // r16: the many-small-files GATHER — prices the round's
+    // manifest-planned size batching. The scatter writes one shard
+    // per (destination, task)-run; 2001 destinations of ~10k rows
+    // each make a tree of thousands of small files. per_file plans
+    // one task per shard (the pre-r16 shape, forced via a 1-byte
+    // target); batched groups shards to the default 128 MB target —
+    // same bytes read, scheduler/open-stream overhead collapsed.
+    if (arms("gather")) {
+      val dir = s"/tmp/graft_skewbench_gather_${System.nanoTime()}"
+      try {
+        graft.sources.Dynamic.saveAsDynamicText(destCorpus, dir, "dest", "text")
+        def gatherAll() = graft.sources.Dynamic.readDynamicText(spark, dir)
+        // warm both planning paths untimed
+        spark.conf.set(graft.sources.Dynamic.GatherTargetBytesKey, "1")
+        gatherAll().limit(1000).write.format("noop").mode("overwrite").save()
+        run("gather", "per_file") { gatherAll() }
+        spark.conf.unset(graft.sources.Dynamic.GatherTargetBytesKey)
+        gatherAll().limit(1000).write.format("noop").mode("overwrite").save()
+        run("gather", "batched") { gatherAll() }
+      } finally {
+        spark.conf.unset(graft.sources.Dynamic.GatherTargetBytesKey)
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       }
     }
 
