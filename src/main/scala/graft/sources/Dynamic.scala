@@ -1057,6 +1057,13 @@ object Dynamic {
     * reports such files instead of silently reading them. A committed
     * file the tree lost fails the reading task loudly rather than
     * returning partial data.
+    *
+    * The driver still holds the PLAN itself (one small tuple per
+    * file — unavoidable: the scheduler ships the file groups as task
+    * closures); what the manifest removes is the per-file list-RPC
+    * walk, what batching removes is the per-file task, and what
+    * [[recoverDest]] removes is the per-file broadcast map the
+    * CSV/parquet gathers used to carry.
     */
   private def planTree(spark: SparkSession, basePath: String, ext: String)
       : Seq[(String, String, Long)] = {

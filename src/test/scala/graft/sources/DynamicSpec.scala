@@ -527,6 +527,27 @@ class DynamicSpec extends SparkSpec {
       planned == Set(("a", "x1"), ("a", "x2"), ("b/c", "y1")))
   }
 
+  test("CSV/parquet dest recovery is pure codegen: no join in the gather plan") {
+    // r15 shipped a broadcast (file -> dest) hash join — O(files)
+    // driver memory and broadcast bytes; r16's regexp_extract off the
+    // scan path must keep the plan join-free (and UDF-free, as ever)
+    val out = tmpDir()
+    val df = Seq((1L, "x", "Brand#13 parts/a"), (2L, "y", "Brand#42 parts/b"))
+      .toDF("id", "name", "dest")
+    Dynamic.saveAsDynamicParquet(df, out.getAbsolutePath, "dest")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType)))
+    val gathered = Dynamic.readDynamicParquet(spark, out.getAbsolutePath, schema)
+    val plan = gathered.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"dest recovery must not join:\n$plan")
+    assert(!plan.toLowerCase.contains("batchevalpython") && !plan.contains("UDF"),
+      "dest recovery must stay codegen")
+    // and it still recovers multi-segment destinations with spaces/'#'
+    assert(gathered.select("dest").distinct().collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("Brand#13 parts/a", "Brand#42 parts/b"))
+  }
+
   test("manifest-planned gather reads only COMMITTED files; audit=true refuses a tampered tree") {
     val out = tmpDir()
     val df = Seq(("a", "x1"), ("b", "y1")).toDF("dest", "text")
