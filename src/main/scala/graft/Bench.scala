@@ -292,7 +292,10 @@ object Bench {
     val headline: Seq[String] =
       if (only.isEmpty) Bench.headline else Bench.headline.filter(only)
     // q_stream_window is a bench-internal entry (not in headline) but a
-    // legal ONLY target — see includeStream below
+    // legal ONLY target — see includeStream below. The r16 REGISTRY
+    // query of the same name is the correctness side of the same
+    // operator (sentinel-flushed windowed agg, queries/StreamQueries
+    // .scala); here the name always means this throughput pass.
     only.filterNot(n => Bench.headline.contains(n) || n == "q_stream_window").foreach(n =>
       System.err.println(s"[bench] WARNING: SPARK_GRAFT_BENCH_ONLY names unknown query '$n'"))
     // registered gate queries + bench-internal entries (timed like any

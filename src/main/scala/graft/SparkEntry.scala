@@ -14,6 +14,7 @@ object SparkEntry {
     MaintenanceQueries,
     PairQueries,
     StatsWindowQueries,
+    StreamQueries,
     TextCleanQueries,
     TextVectorQueries
   )
