@@ -79,6 +79,24 @@ object StreamQueries extends QueryPack {
       }
   }
 
+  /** Append the two sentinel batches to a staged source dir: real
+    * files are pinned to a common base mtime, then one Apr-1 and one
+    * May-1 sentinel file land at +60s/+120s so they form the last two
+    * micro-batches (see class doc). `row(tsLiteral)` builds the 1-row
+    * sentinel frame in the source's schema.
+    */
+  private def addSentinels(src: String, scratch: String,
+                           row: String => DataFrame): Unit = {
+    val base = System.currentTimeMillis()
+    stampMtime(src, base)
+    Seq(("2024-04-01 00:00:00", "sent1"), ("2024-05-01 00:00:00", "sent2"))
+      .zipWithIndex.foreach { case ((tsLit, name), i) =>
+        val one = s"$scratch/$name"
+        row(tsLit).coalesce(1).write.parquet(one)
+        adoptFiles(one, src, name, base + (i + 1) * 60000L)
+      }
+  }
+
   private def awaitOrFail(q: org.apache.spark.sql.streaming.StreamingQuery,
                           name: String): Unit =
     if (!q.awaitTermination(300000)) {
@@ -139,21 +157,13 @@ object StreamQueries extends QueryPack {
       wipe(src, sent, out, ckp)
       tables(s, dir).events.select(col("ts"), col("event_type"), col("value"))
         .repartition(4).write.mode("overwrite").parquet(src)
-      val base = System.currentTimeMillis()
-      stampMtime(src, base)
       // two sentinel batches: Apr 1 advances the watermark (40-day
       // delay → Feb 21, past every real window end of Jan 31); May 1's
       // batch emits the real windows under that watermark
-      Seq(("2024-04-01 00:00:00", "sent1"), ("2024-05-01 00:00:00", "sent2"))
-        .zipWithIndex.foreach { case ((tsLit, name), i) =>
-          val one = s"$sent/$name"
-          s.range(1).select(
-              to_timestamp(lit(tsLit)).as("ts"),
-              lit("__sentinel").as("event_type"),
-              lit(0.0).as("value"))
-            .coalesce(1).write.parquet(one)
-          adoptFiles(one, src, name, base + (i + 1) * 60000L)
-        }
+      addSentinels(src, sent, tsLit => s.range(1).select(
+        to_timestamp(lit(tsLit)).as("ts"),
+        lit("__sentinel").as("event_type"),
+        lit(0.0).as("value")))
       val schema = s.read.parquet(src).schema
       val agg = graft.streaming.Windows.fixedGroups(
           s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
@@ -182,18 +192,10 @@ object StreamQueries extends QueryPack {
       wipe(src, sent, out, ckp)
       tables(s, dir).events.select(col("user_id"), col("ts"), col("value"))
         .repartition(4).write.mode("overwrite").parquet(src)
-      val base = System.currentTimeMillis()
-      stampMtime(src, base)
-      Seq(("2024-04-01 00:00:00", "sent1"), ("2024-05-01 00:00:00", "sent2"))
-        .zipWithIndex.foreach { case ((tsLit, name), i) =>
-          val one = s"$sent/$name"
-          s.range(1).select(
-              lit(-1L).as("user_id"),
-              to_timestamp(lit(tsLit)).as("ts"),
-              lit(0.0).as("value"))
-            .coalesce(1).write.parquet(one)
-          adoptFiles(one, src, name, base + (i + 1) * 60000L)
-        }
+      addSentinels(src, sent, tsLit => s.range(1).select(
+        lit(-1L).as("user_id"),
+        to_timestamp(lit(tsLit)).as("ts"),
+        lit(0.0).as("value")))
       val schema = s.read.parquet(src).schema
       val agg = graft.streaming.Windows.sessionGroups(
           s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
@@ -208,6 +210,79 @@ object StreamQueries extends QueryPack {
         .option("path", out).option("checkpointLocation", ckp)
         .outputMode("append").trigger(Trigger.AvailableNow()).start()
       awaitOrFail(q, "q_stream_session")
+      out
+    }
+
+  /** Stream-stream windowed join over TWO real streams: clicks and
+    * purchases staged as separate 4-file sources, joined on
+    * (user_id, epoch hour) via StreamJoins.windowedJoin. Inner-join
+    * matches emit in the micro-batch where the second side arrives —
+    * no sentinel needed; the 40-day watermark keeps join state alive
+    * across the whole staged disorder (nothing is evicted before the
+    * last batch), so every cross-batch pair is found. Raw pairs go to
+    * the sink; the gather aggregates (a streaming aggregation AFTER a
+    * stream-stream join would need its own watermark flush).
+    */
+  private def streamJoinOut(s: SparkSession, dir: String): String =
+    staged("join", dir) { () =>
+      val srcL = tmp(dir, "stream_join_clicks")
+      val srcR = tmp(dir, "stream_join_purch")
+      val out = tmp(dir, "stream_join_out")
+      val ckp = tmp(dir, "stream_join_ckp")
+      wipe(srcL, srcR, out, ckp)
+      val ev = tables(s, dir).events
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"))
+        .repartition(4).write.mode("overwrite").parquet(srcL)
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("b_ts"))
+        .repartition(4).write.mode("overwrite").parquet(srcR)
+      def rd(p: String) =
+        s.readStream.schema(s.read.parquet(p).schema)
+          .option("maxFilesPerTrigger", 1).parquet(p)
+      val joined = graft.streaming.StreamJoins.windowedJoin(
+          rd(srcL), rd(srcR), "user_id", "c_ts", "b_ts", "1 hour", "40 days")
+        .select(col("user_id"), unix_micros(col("c_ts")).as("c_us"),
+          unix_micros(col("b_ts")).as("b_us"))
+      val q = joined.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckp)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      awaitOrFail(q, "q_stream_join")
+      out
+    }
+
+  /** The custom-state sessionizer (flatMapGroupsWithState +
+    * event-time timers) through its REAL streaming path — emitOpen =
+    * false, sessions emitted by watermark-driven timeouts, not the
+    * batch flush q_session_state exercises. Sentinel-flushed like
+    * q_stream_session: sentinel 1 advances the watermark past every
+    * real session's expiry, sentinel 2's batch fires the timers. The
+    * sentinel user's own sessions never expire and never emit.
+    */
+  private def streamSessionStateOut(s: SparkSession, dir: String): String =
+    staged("session_state", dir) { () =>
+      val src = tmp(dir, "stream_sstate_src")
+      val sent = tmp(dir, "stream_sstate_sent")
+      val out = tmp(dir, "stream_sstate_out")
+      val ckp = tmp(dir, "stream_sstate_ckp")
+      wipe(src, sent, out, ckp)
+      tables(s, dir).events
+        .select(col("user_id").as("userId"), col("ts"), col("value"))
+        .repartition(4).write.mode("overwrite").parquet(src)
+      addSentinels(src, sent, tsLit => s.range(1).select(
+        lit(-1L).as("userId"),
+        to_timestamp(lit(tsLit)).as("ts"),
+        lit(0.0).as("value")))
+      import s.implicits._
+      val schema = s.read.parquet(src).schema
+      val ev = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        .withWatermark("ts", "40 days")
+        .as[graft.streaming.Event]
+      val sessions = graft.streaming.Sessionize.sessions(ev, gapSec = 1800L)
+      val q = sessions.toDF().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckp)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      awaitOrFail(q, "q_stream_session_state")
       out
     }
 
@@ -228,6 +303,23 @@ object StreamQueries extends QueryPack {
     "q_stream_session" -> { (s, dir) =>
       s.read.parquet(streamSessionOut(s, dir))
         .filter(col("user_id") >= 0L)
+        .orderBy(col("user_id"), col("sess_start"))
+    },
+
+    "q_stream_join" -> { (s, dir) =>
+      s.read.parquet(streamJoinOut(s, dir))
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("user_id"))
+    },
+
+    "q_stream_session_state" -> { (s, dir) =>
+      s.read.parquet(streamSessionStateOut(s, dir))
+        .filter(col("userId").between(0L, 100L))
+        .select(col("userId").as("user_id"),
+          col("nEvents").as("n_events"),
+          date_format(col("sessStart"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+          date_format(col("sessEnd"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
+          r2(col("sumValue")).as("sum_v"))
         .orderBy(col("user_id"), col("sess_start"))
     }
   )
@@ -264,6 +356,36 @@ object StreamQueries extends QueryPack {
         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS sess_end,
         |  CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_v
         |FROM sess GROUP BY user_id, sess_id
+        |ORDER BY user_id, sess_start""".stripMargin,
+    // identical to the batch q_windowed_join oracle: the two-stream
+    // join must find every cross-batch pair
+    "q_stream_join" ->
+      """SELECT c.user_id, count(*) AS n_pairs
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        | AND date_trunc('hour', c.ts) = date_trunc('hour', p.ts)
+        |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin,
+    // the q_session_state oracle (timer-driven emission must reproduce
+    // the batch-flush answer exactly)
+    "q_stream_session_state" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sess AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+        |  FROM flagged)
+        |SELECT user_id, count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS sess_end,
+        |  round(sum(value), 2) AS sum_v
+        |FROM sess GROUP BY user_id, sess_id
+        |HAVING user_id <= 100
         |ORDER BY user_id, sess_start""".stripMargin
   )
 }
