@@ -230,6 +230,57 @@ object IoQueries extends QueryPack {
           max(col("value")).as("last_name"))
     },
 
+    // readTextWithPath (scio readTextFilesWithPath): the file
+    // provenance column, made deterministic by writing the text
+    // partitioned by region so the PATH carries the partition value —
+    // the per-region regroup only works if input_file_name() reports
+    // the right file for every line.
+    "q_io_text_path" -> { (s, dir) =>
+      val path = tmp(dir, "nation_text_bydir")
+      tables(s, dir).nation.select(col("n_name").as("value"), col("n_regionkey"))
+        .write.mode("overwrite").partitionBy("n_regionkey").text(path)
+      Sources.readTextWithPath(s, path)
+        .withColumn("region",
+          regexp_extract(col("path"), "n_regionkey=(\\d+)", 1).cast("int"))
+        .groupBy(col("region"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("first_name"),
+          max(col("value")).as("last_name"))
+        .orderBy(col("region"))
+    },
+
+    // object files (scio objectFile/saveAsObjectFile): typed Dataset
+    // roundtrip through the tuple Encoder — schema-preserving parquet,
+    // not Kryo blobs, read back AS the same type.
+    "q_io_object" -> { (s, dir) =>
+      import s.implicits._
+      val path = tmp(dir, "supplier_object")
+      val ds = tables(s, dir).supplier
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .as[(Long, String, Double)]
+      Sources.writeObject(ds, path)
+      Sources.readObject[(Long, String, Double)](s, path)
+        .toDF("s_suppkey", "s_name", "s_acctbal")
+        .agg(count(lit(1)).as("n"), min(col("s_name")).as("first_name"),
+          sumMoney(dec(col("s_acctbal"))).as("sum_bal"))
+    },
+
+    // binaryFile source (scio binaryFile): whole-file bytes + path
+    // metadata over files the query just wrote — per-region byte
+    // totals must equal the text content written there.
+    "q_io_binary" -> { (s, dir) =>
+      val path = tmp(dir, "region_text_bin")
+      tables(s, dir).region.select(col("r_name").as("value"), col("r_regionkey"))
+        .coalesce(1)
+        .write.mode("overwrite").partitionBy("r_regionkey").text(path)
+      Sources.readBinary(s, path + "/*/*")
+        .withColumn("region",
+          regexp_extract(col("path"), "r_regionkey=(\\d+)", 1).cast("int"))
+        .groupBy(col("region"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(length(col("content"))).as("n_bytes"))
+        .orderBy(col("region"))
+    },
+
     // orc roundtrip: the second columnar format (pushdown/pruning like
     // parquet; avro connector not shipped in this environment).
     "q_io_orc" -> { (s, dir) =>
@@ -891,6 +942,20 @@ object IoQueries extends QueryPack {
     "q_io_text" ->
       """SELECT count(*) AS n_lines, min(n_name) AS first_name, max(n_name) AS last_name
         |FROM nation""".stripMargin,
+    "q_io_text_path" ->
+      """SELECT n_regionkey AS region, count(*) AS n, min(n_name) AS first_name,
+        |  max(n_name) AS last_name
+        |FROM nation GROUP BY 1 ORDER BY region""".stripMargin,
+    "q_io_object" ->
+      """SELECT count(*) AS n, min(s_name) AS first_name,
+        |  CAST(round(sum(CAST(s_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_bal
+        |FROM supplier""".stripMargin,
+    // one coalesced writer task => exactly one file per region dir;
+    // file bytes = name + trailing newline
+    "q_io_binary" ->
+      """SELECT r_regionkey AS region, CAST(1 AS BIGINT) AS n_files,
+        |  CAST(length(r_name) + 1 AS BIGINT) AS n_bytes
+        |FROM region ORDER BY region""".stripMargin,
     "q_io_orc" ->
       """SELECT p_brand, count(*) AS n, round(avg(p_retailprice), 2) AS avg_price
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,

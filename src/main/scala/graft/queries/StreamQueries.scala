@@ -286,6 +286,132 @@ object StreamQueries extends QueryPack {
       out
     }
 
+  /** The real-time funnel tracker (flatMapGroupsWithState + event-time
+    * timers, [[graft.streaming.StreamFunnel]]) through its REAL timer
+    * path — emitOpen = false, so a step completion is emitted only once
+    * the watermark passes its candidate time (watermark finality, not
+    * arrival order). Sentinel-flushed like q_stream_session_state:
+    * sentinel 1 advances the watermark past every real candidate AND
+    * every horizon deadline, sentinel 2's batch fires the timers that
+    * finalize (and horizon-expire) the state. Sentinel rows carry a
+    * non-step event type, so they advance the watermark upstream but
+    * never reach the funnel state.
+    */
+  private def streamFunnelOut(s: SparkSession, dir: String): String =
+    staged("funnel", dir) { () =>
+      val src = tmp(dir, "stream_funnel_src")
+      val sent = tmp(dir, "stream_funnel_sent")
+      val out = tmp(dir, "stream_funnel_out")
+      val ckp = tmp(dir, "stream_funnel_ckp")
+      wipe(src, sent, out, ckp)
+      tables(s, dir).events
+        .select(col("user_id").as("userId"), col("ts"),
+          col("event_type").as("eventType"))
+        .repartition(4).write.mode("overwrite").parquet(src)
+      addSentinels(src, sent, tsLit => s.range(1).select(
+        lit(-1L).as("userId"),
+        to_timestamp(lit(tsLit)).as("ts"),
+        lit("__sentinel").as("eventType")))
+      import s.implicits._
+      val schema = s.read.parquet(src).schema
+      val ev = s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+        .withWatermark("ts", "40 days")
+        .as[graft.streaming.FunnelEvent]
+      val comps = graft.streaming.StreamFunnel.completions(
+        ev, Seq("view", "click", "purchase"), withinSec = Some(86400L))
+      val q = comps.toDF().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckp)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      awaitOrFail(q, "q_stream_funnel")
+      out
+    }
+
+  /** Streaming incremental near-dup ([[graft.streaming.StreamNearDup]]):
+    * the historical corpus (doc_id % 3 != 0) shingles ONCE into the
+    * persisted MinHash index; the new crawl — the q_dedup_incremental
+    * corpus, scattered across 4 micro-batches — probes it per batch,
+    * match tables land per batch dir. New-crawl ids are disjoint across
+    * batches and each batch probes the full artifact, so the gathered
+    * union must equal the batch operator's answer exactly (and the
+    * XxhashOracle replays both sides' signatures in DuckDB).
+    */
+  private def streamNearDupOut(s: SparkSession, dir: String): String =
+    staged("neardup", dir) { () =>
+      val src = tmp(dir, "stream_nd_src")
+      val idx = tmp(dir, "stream_nd_idx")
+      val out = tmp(dir, "stream_nd_out")
+      val ckp = tmp(dir, "stream_nd_ckp")
+      wipe(src, idx, out, ckp)
+      val docs = tables(s, dir).documents.select(col("doc_id"), col("text"))
+      graft.dedup.Dedup.saveMinhashIndex(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", idx)
+      docs.filter(col("doc_id") % 3 === 0)
+        .union(docs.filter(col("doc_id") % 9 === 1)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .repartition(4).write.mode("overwrite").parquet(src)
+      val schema = s.read.parquet(src).schema
+      val q = graft.streaming.StreamNearDup.againstIndex(
+          s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+          "doc_id", "text", idx, out, minEstJaccard = 0.5)
+        .option("checkpointLocation", ckp)
+        .trigger(Trigger.AvailableNow()).start()
+      awaitOrFail(q, "q_stream_neardup")
+      out
+    }
+
+  /** The streaming data-quality mirror ([[graft.streaming.StreamMonitor]]):
+    * the q_expectations contracts ride the SAME pass as the query via
+    * `observe()` — per-micro-batch row/violation counts surface in
+    * StreamingQueryProgress.observedMetrics, and their totals across
+    * every batch must equal the one-scan batch gate. The counts are
+    * the distributed observe aggregates; only the final 4-row summary
+    * is assembled driver-side (the monitoring-surface contract).
+    */
+  private def streamExpectOut(s: SparkSession, dir: String): String =
+    staged("expect", dir) { () =>
+      val src = tmp(dir, "stream_exp_src")
+      val out = tmp(dir, "stream_exp_out")
+      val ckp = tmp(dir, "stream_exp_ckp")
+      wipe(src, out, ckp)
+      tables(s, dir).orders
+        .select(col("o_totalprice"), col("o_orderpriority"), col("o_orderdate"))
+        .repartition(4).write.mode("overwrite").parquet(src)
+      val schema = s.read.parquet(src).schema
+      val names = Seq("positive_total", "priority_domain", "date_present",
+        "total_under_200k")
+      val preds = Seq(
+        col("o_totalprice") > 0,
+        col("o_orderpriority").isin(
+          "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+        col("o_orderdate").isNotNull,
+        col("o_totalprice") < 200000.0)
+      val monitored = graft.streaming.StreamMonitor.withExpectations(
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src),
+        names.zip(preds))
+      val q = monitored.writeStream.format("noop")
+        .option("checkpointLocation", ckp)
+        .trigger(Trigger.AvailableNow()).start()
+      awaitOrFail(q, "q_stream_expectations")
+      // total the per-batch observed counts across every progress —
+      // the alerting surface must reproduce the batch gate exactly
+      val batchRows = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("graft_expectations")))
+      val totals: Map[String, Long] = batchRows
+        .flatMap { r =>
+          r.schema.fieldNames.zipWithIndex.collect {
+            case (f, i) if !r.isNullAt(i) => f -> r.getLong(i)
+          }
+        }
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      val nRows = totals.getOrElse("n_rows", 0L)
+      import s.implicits._
+      names.map(n => (n, nRows, totals.getOrElse(s"viol_$n", 0L)))
+        .toDF("expectation", "n_rows", "n_violations")
+        .withColumn("pass", (col("n_violations") === 0L).cast("int"))
+        .coalesce(1).write.mode("overwrite").parquet(out)
+      out
+    }
+
   override val queries: Map[String, Q] = Map(
     "q_stream_dedup" -> { (s, dir) =>
       s.read.parquet(streamDedupOut(s, dir))
@@ -321,6 +447,25 @@ object StreamQueries extends QueryPack {
           date_format(col("sessEnd"), "yyyy-MM-dd HH:mm:ss").as("sess_end"),
           r2(col("sumValue")).as("sum_v"))
         .orderBy(col("user_id"), col("sess_start"))
+    },
+
+    "q_stream_funnel" -> { (s, dir) =>
+      s.read.parquet(streamFunnelOut(s, dir))
+        .filter(col("userId") >= 0L)
+        .select(col("userId").as("user_id"), col("stepIdx").as("step_idx"),
+          col("step"), unix_micros(col("ts")).as("ts_us"))
+        .orderBy(col("user_id"), col("step_idx"))
+    },
+
+    "q_stream_neardup" -> { (s, dir) =>
+      s.read.parquet(streamNearDupOut(s, dir) + "/batch-*")
+        .orderBy(col("id"), col("index_id"))
+    },
+
+    "q_stream_expectations" -> { (s, dir) =>
+      s.read.parquet(streamExpectOut(s, dir))
+        .select(col("expectation"), col("n_rows"), col("n_violations"), col("pass"))
+        .orderBy(col("expectation"))
     }
   )
 
@@ -386,6 +531,52 @@ object StreamQueries extends QueryPack {
         |  round(sum(value), 2) AS sum_v
         |FROM sess GROUP BY user_id, sess_id
         |HAVING user_id <= 100
-        |ORDER BY user_id, sess_start""".stripMargin
+        |ORDER BY user_id, sess_start""".stripMargin,
+    // the q_funnel_times chain (strict order, first-touch, 24h
+    // horizon), reshaped as one row per COMPLETED step — the timer
+    // path must emit exactly the steps the batch operator finalizes
+    "q_stream_funnel" ->
+      """WITH u1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+        |u2 AS (
+        |  SELECT e.user_id, min(u1.t1) AS t1, min(e.ts) AS t2
+        |  FROM events e JOIN u1 ON e.user_id = u1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > u1.t1
+        |    AND e.ts <= u1.t1 + INTERVAL 86400 SECONDS
+        |  GROUP BY 1),
+        |u3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3
+        |  FROM events e JOIN u2 ON e.user_id = u2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > u2.t2
+        |    AND e.ts <= u2.t1 + INTERVAL 86400 SECONDS
+        |  GROUP BY 1)
+        |SELECT user_id, CAST(1 AS INT) AS step_idx, 'view' AS step,
+        |  epoch_us(t1) AS ts_us FROM u1
+        |UNION ALL SELECT user_id, 2, 'click', epoch_us(t2) FROM u2
+        |UNION ALL SELECT user_id, 3, 'purchase', epoch_us(t3) FROM u3
+        |ORDER BY user_id, step_idx""".stripMargin,
+    // the q_dedup_incremental oracle verbatim: the streamed new crawl
+    // must reproduce the batch probe's matches exactly
+    "q_stream_neardup" -> XxhashOracle.newVsIndex(),
+    // the q_expectations oracle verbatim: summed per-batch observe
+    // counts must equal the one-scan batch gate
+    "q_stream_expectations" ->
+      """WITH t AS (SELECT count(*) AS n FROM orders),
+        |e AS (
+        |  SELECT 'positive_total' AS expectation,
+        |    count(*) FILTER (WHERE NOT coalesce(o_totalprice > 0, FALSE)) AS v
+        |  FROM orders
+        |  UNION ALL SELECT 'priority_domain',
+        |    count(*) FILTER (WHERE NOT coalesce(o_orderpriority IN
+        |      ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW'), FALSE))
+        |  FROM orders
+        |  UNION ALL SELECT 'date_present',
+        |    count(*) FILTER (WHERE o_orderdate IS NULL) FROM orders
+        |  UNION ALL SELECT 'total_under_200k',
+        |    count(*) FILTER (WHERE NOT coalesce(o_totalprice < 200000.0, FALSE))
+        |  FROM orders)
+        |SELECT e.expectation, t.n AS n_rows, e.v AS n_violations,
+        |  CAST(e.v = 0 AS INT) AS pass
+        |FROM e CROSS JOIN t ORDER BY expectation""".stripMargin
   )
 }
