@@ -15,6 +15,7 @@ object SparkEntry {
     PairQueries,
     StatsWindowQueries,
     StreamQueries,
+    SyntaxQueries,
     TextCleanQueries,
     TextVectorQueries
   )

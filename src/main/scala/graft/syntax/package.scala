@@ -197,6 +197,19 @@ package object syntax {
         .drop("__r", "__cum")
     }
 
+    /** Deterministic byte-budget sample: the engine-reproducible form
+      * of [[sampleBytes]] (as `sampleSystematic` is to `sample`) —
+      * rows ranked by a caller-supplied UNIQUE numeric order column
+      * (e.g. a hash of the row key), kept while the running byte
+      * total stays within `maxBytes`. Same balanced bucketed
+      * prefix-sum machinery as [[graft.operators.GlobalOrder]] — one
+      * balanced shuffle, never a whole-corpus single-partition window.
+      */
+    def sampleBytesOrdered(maxBytes: Long, sizeCol: Column, orderCol: String): DataFrame = {
+      require(maxBytes > 0, s"maxBytes must be positive, got $maxBytes")
+      operators.GlobalOrder.takePrefixByWeight(ds.toDF(), orderCol, sizeCol.cast("long"), maxBytes)
+    }
+
     /** scio hashPartition(n): split into n disjoint frames by key
       * hash. Cache the input when consuming several outputs — each is
       * a filter over the same plan.

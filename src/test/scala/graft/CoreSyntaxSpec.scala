@@ -218,6 +218,20 @@ class CoreSyntaxSpec extends SparkSpec {
     assert(out.count() == df.sampleBytes(5000L, col("sz")).count())
   }
 
+  test("sampleBytesOrdered is the exact budgeted prefix in order-key rank, any partitioning") {
+    val df = spark.range(1, 501)
+      .selectExpr("id", "((id * 2654435761) % 100003) AS ord", "(id % 7 + 1) * 10 AS sz")
+    val out = df.sampleBytesOrdered(1000L, col("sz"), "ord")
+    // brute-force expectation: ascending-ord prefix whose running total fits
+    val rows = df.collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2))).sortBy(_._1)
+    val expect = rows.scanLeft((0L, -1L)) { case ((cum, _), (_, id, sz)) => (cum + sz, id) }
+      .drop(1).takeWhile(_._1 <= 1000L).map(_._2).toSet
+    assert(out.select("id").collect().map(_.getLong(0)).toSet == expect)
+    // layout-independent: a different partitioning yields the identical set
+    val re = df.repartition(13).sampleBytesOrdered(1000L, col("sz"), "ord")
+    assert(re.select("id").collect().map(_.getLong(0)).toSet == expect)
+  }
+
   test("saveAsZstdDictionary trains and writes a usable dictionary") {
     val corpus = (1 to 500).map(i =>
       s"common prefix shared by every document $i common suffix shared too".getBytes("UTF-8"))
