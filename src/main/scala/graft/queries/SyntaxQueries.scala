@@ -206,6 +206,41 @@ object SyntaxQueries extends QueryPack {
         .orderBy(col("doc_id"))
     },
 
+    // sampleByKey at its deterministic extremes (the skewedJoin
+    // threshold-extremes precedent): fraction 1.0 keeps every row of
+    // the key, 0.0 and UNLISTED keys drop all — u ∈ [0,1) makes both
+    // bounds exact, so the output is a pure filter the oracle
+    // reproduces. Mid-fraction behavior stays spec-gated.
+    "q_sample_by_key" -> { (s, dir) =>
+      tables(s, dir).documents
+        .sampleByKey("lang", Map("en" -> 1.0, "de" -> 0.0))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // sampleWeighted at its deterministic extreme: n >= corpus size
+    // means the reservoir IS the input minus the contract exclusions
+    // (non-positive/NaN weights) — the exclusion filter is the
+    // oracle-checkable core. Sub-n draws stay spec-gated (RNG).
+    "q_sample_weighted" -> { (s, dir) =>
+      tables(s, dir).documents
+        .withColumn("w", col("n_chars").cast("double") - 300.0)
+        .sampleWeighted(1000000, "w")
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // debug/tap/materialize: localCheckpoint on the critical path must
+    // preserve content exactly (the materialized plan re-reads
+    // checkpoint files, not the source).
+    "q_materialize" -> { (s, dir) =>
+      tables(s, dir).orders
+        .filter(col("o_orderkey") < 5000)
+        .select(col("o_orderkey"), r2(col("o_totalprice")).as("total"))
+        .localCheckpoint()
+        .orderBy(col("o_orderkey"))
+    },
+
     // PipeDoFn: partition lines through a real subprocess (`tr`,
     // ASCII-safe input by construction), parsed back and compared.
     "q_ext_pipe" -> { (s, dir) =>
@@ -334,8 +369,11 @@ object SyntaxQueries extends QueryPack {
         |FROM lineitem""".stripMargin,
     "q_random_split" ->
       """SELECT c_custkey, c_nationkey FROM customer ORDER BY c_custkey""",
+    // CAST: the typed (Long, Long) roundtrip emits BIGINT even where a
+    // scaled corpus stores n_chars as INTEGER (the sf1 tree does).
     "q_batch_bytes" ->
-      """SELECT doc_id, n_chars FROM documents ORDER BY doc_id""",
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q_batch_by_key" ->
       """SELECT lang, doc_id FROM documents ORDER BY doc_id""",
     "q_partition_values" ->
@@ -360,6 +398,16 @@ object SyntaxQueries extends QueryPack {
     "q_zstd_roundtrip" ->
       """SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 300
         |ORDER BY doc_id""".stripMargin,
+    "q_sample_by_key" ->
+      """SELECT doc_id, lang FROM documents WHERE lang = 'en'
+        |ORDER BY doc_id""".stripMargin,
+    "q_sample_weighted" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(n_chars AS DOUBLE) - 300.0 > 0.0
+        |ORDER BY doc_id""".stripMargin,
+    "q_materialize" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS total
+        |FROM orders WHERE o_orderkey < 5000 ORDER BY o_orderkey""".stripMargin,
     "q_ext_pipe" ->
       """SELECT doc_id, upper(md5(text)) AS h FROM documents WHERE doc_id < 200
         |ORDER BY doc_id""".stripMargin,
