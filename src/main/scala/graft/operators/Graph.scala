@@ -13,6 +13,24 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Scale-adaptive partition count for the iterative loops' cached
+    * edge tables (r16): partitions sized by EDGE COUNT (~2M edge rows
+    * ≈ tens of MB — the optimization guide §2.2 / §6 partition-size
+    * band) instead of inheriting `spark.sql.shuffle.partitions`. On a
+    * small graph the constant-partition shape paid a fixed
+    * shuffle-file cost per (map task × round) — thread-sampled at
+    * sf0.1 as the DOMINANT executor cost of the pageRank loop
+    * (`copyFileStreamNIO`/`unmap` in ShuffleWriteProcessor.write, 32
+    * tasks of ~120 KB each per round); on a huge graph the constant
+    * shape under-splits. Row count is the robust proxy here: edge rows
+    * are 2-3 longs wide everywhere in this file.
+    */
+  private val LoopRowsPerPartition = 2L * 1000 * 1000
+
+  private def loopPartitions(rows: Long): Int =
+    math.max(1L, math.min((rows + LoopRowsPerPartition - 1) / LoopRowsPerPartition,
+      1L << 20)).toInt
+
   /** Connected components by iterative min-label propagation: each
     * vertex's component is the minimum vertex id it can reach —
     * canonical and DETERMINISTIC (unlike hash-partitioned union-find),
@@ -39,11 +57,19 @@ object Graph {
     // adjacency cached hash-partitioned by the loop's join key: each
     // round then exchanges only the vertex-sized label table, never
     // the edge list (the cached partitioning satisfies the join)
-    val und = edges.select(col(srcCol).as("__v"), col(dstCol).as("__n"))
+    val dedup = edges.select(col(srcCol).as("__v"), col(dstCol).as("__n"))
       .union(edges.select(col(dstCol).as("__v"), col(srcCol).as("__n")))
       .filter(col("__v").isNotNull && col("__n").isNotNull)
       .distinct()
-      .repartition(col("__n"))
+      .persist()
+    // scale-adaptive loop partitioning + pre-sorted loop cache (r16,
+    // see pageRank): partitions sized by edge count, sorted so each
+    // round's sort-merge neighbor join neither re-shuffles NOR
+    // re-sorts the edge list
+    val numParts = loopPartitions(dedup.count())
+    val und = dedup
+      .repartition(numParts, col("__n"))
+      .sortWithinPartitions(col("__n"))
       .persist()
     try {
       var labels = und.select(col("__v")).distinct()
@@ -68,7 +94,7 @@ object Graph {
       }
       labels.select(col("__v").as("vertex"), col("component"),
         lit(converged).as("converged"))
-    } finally { und.unpersist() }
+    } finally { und.unpersist(); dedup.unpersist() }
   }
 
   /** k-core: the maximal subgraph in which every vertex has degree
@@ -135,9 +161,15 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val und0 = edges.select(col(srcCol).as("__v"), col(dstCol).as("__n"))
       .filter(col("__v").isNotNull && col("__n").isNotNull && col("__v") =!= col("__n"))
-    val und = und0.union(und0.select(col("__n").as("__v"), col("__v").as("__n")))
+    val dedup = und0.union(und0.select(col("__n").as("__v"), col("__v").as("__n")))
       .distinct()
-      .repartition(col("__n")) // same loop-key pre-partitioning as connectedComponents
+      .persist()
+    // same scale-adaptive loop partitioning + sort-free loop cache as
+    // connectedComponents
+    val numParts = loopPartitions(dedup.count())
+    val und = dedup
+      .repartition(numParts, col("__n"))
+      .sortWithinPartitions(col("__n"))
       .persist()
     try {
       var labels = und.select(col("__v")).distinct()
@@ -153,7 +185,7 @@ object Graph {
           .localCheckpoint(true)
       }
       labels.select(col("__v").as("vertex"), col("__l").as("community"))
-    } finally { und.unpersist(); () }
+    } finally { und.unpersist(); dedup.unpersist(); () }
   }
 
   /** PageRank over a DIRECTED edge list (Brin & Page 1998; the other
@@ -177,29 +209,48 @@ object Graph {
       .filter(col("__s").isNotNull && col("__d").isNotNull)
       .distinct()
       .persist()
-    // verts is scanned exactly once (folding degrees into vertsDeg
-    // below) — no persist; vertsDeg is the loop's cached vertex table
-    val verts = e.select(col("__s").as("__v"))
-      .union(e.select(col("__d").as("__v"))).distinct()
-    val outDeg = e.groupBy(col("__s")).agg(count(lit(1)).as("__deg")).persist()
+    // Vertex set AND out-degree in ONE exploded partial-aggregation
+    // (r16): each edge contributes its src with weight 1 (an out-edge)
+    // and its dst with weight 0, so the (vertex, sum) agg yields every
+    // endpoint with its out-edge count — 0 becomes the dangling NULL.
+    // Replaces the previous verts-union-distinct + outDeg-groupBy +
+    // left-join + repartition chain: one exchange instead of three
+    // plus a join, with identical row values (degree = count of
+    // distinct out-edges; dangling = never-a-source). The agg output
+    // is already hash-partitioned by __v; sortWithinPartitions makes
+    // the cached table SORT-FREE on the loop side: every round's rank
+    // rebuild is a sort-merge join against this table and would
+    // otherwise re-sort it per iteration (the SMB lesson applied to an
+    // in-memory loop invariant).
+    // one cache-local pass; also sizes the loop partitioning below
+    val edgeCount = e.count()
+    val numParts = loopPartitions(edgeCount)
+    val vertsDeg = e
+      .select(inline(array(
+        struct(col("__s").as("__v"), lit(1L).as("__o")),
+        struct(col("__d").as("__v"), lit(0L).as("__o")))))
+      .groupBy(col("__v")).agg(sum(col("__o")).as("__oc"))
+      .select(col("__v"), when(col("__oc") > 0, col("__oc")).as("__deg"))
+      .repartition(numParts, col("__v"))
+      .sortWithinPartitions(col("__v"))
+      .persist()
+    // out-degree rows are a filter of the cached vertex table — no
+    // separate aggregation pass
+    val outDeg = vertsDeg.filter(col("__deg").isNotNull)
+      .select(col("__v").as("__s"), col("__deg"))
     // out-degree is loop-invariant: fold it into the edge list ONCE and
-    // pre-partition the result by source. The cached partitioning is
-    // reused by every iteration's join, so the per-round exchange is
-    // the VERTEX-sized ranks table only — the edge table never
-    // re-shuffles inside the loop (same rank/deg division as before,
-    // arithmetic unchanged)
-    val eDeg = e.join(outDeg, Seq("__s")).repartition(col("__s")).persist()
-    // out-degree is ALSO loop-invariant on the vertex side: attach it
-    // to the vertex table once and carry it through the rank frame, so
-    // the per-round dangling-mass check is a filter on the checkpointed
-    // ranks instead of a fresh vertex-sized join every iteration
-    val vertsDeg = verts
-      .join(outDeg, verts("__v") === outDeg("__s"), "left")
-      .select(col("__v"), col("__deg"))
-      // pre-partition by vertex: the per-round rank rebuild joins
-      // contribs (already hash-partitioned by __v from its groupBy)
-      // against this table, so neither side re-exchanges
-      .repartition(col("__v")).persist()
+    // pre-partition the result by source at the scale-adaptive count.
+    // The cached partitioning is reused by every iteration's join, so
+    // the per-round exchange is the VERTEX-sized ranks table only —
+    // the edge table never re-shuffles inside the loop (same rank/deg
+    // division as before, arithmetic unchanged). Sorted within
+    // partitions for the same reason as vertsDeg: the per-round
+    // contribs join is a sort-merge join on __s whenever ranks is too
+    // big to broadcast, and an unsorted cache would re-sort ALL edge
+    // rows every iteration.
+    val eDeg = e.join(outDeg, Seq("__s")).repartition(numParts, col("__s"))
+      .sortWithinPartitions(col("__s"))
+      .persist()
     try {
       val n = vertsDeg.count().toDouble
       var ranks = vertsDeg.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
@@ -224,8 +275,9 @@ object Graph {
     } finally {
       // ranks is eagerly checkpointed each round, so every scratch
       // frame can release — on failure paths too, or repeated failed
-      // runs would pin blocks for the session's lifetime
-      e.unpersist(); outDeg.unpersist(); eDeg.unpersist()
+      // runs would pin blocks for the session's lifetime (outDeg is a
+      // filter VIEW of the cached vertsDeg now, nothing to release)
+      e.unpersist(); eDeg.unpersist()
       vertsDeg.unpersist(); ()
     }
   }
@@ -249,9 +301,15 @@ object Graph {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val und0 = edges.select(col(srcCol).as("__v"), col(dstCol).as("__n"))
       .filter(col("__v").isNotNull && col("__n").isNotNull && col("__v") =!= col("__n"))
-    val und = und0.union(und0.select(col("__n").as("__v"), col("__v").as("__n")))
+    val dedup = und0.union(und0.select(col("__n").as("__v"), col("__v").as("__n")))
       .distinct()
-      .repartition(col("__n")) // loop-key pre-partitioning: hops exchange only the frontier
+      .persist()
+    // scale-adaptive loop partitioning + sort-free loop cache, see
+    // connectedComponents/pageRank
+    val numParts = loopPartitions(dedup.count())
+    val und = dedup
+      .repartition(numParts, col("__n"))
+      .sortWithinPartitions(col("__n"))
       .persist()
     try {
       var dist = und.select(col("__v")).distinct()
@@ -268,7 +326,7 @@ object Graph {
       }
       dist.select(col("__v").as("vertex"), col("__lm").as("landmark"),
         col("__d").as("distance"))
-    } finally { und.unpersist(); () }
+    } finally { und.unpersist(); dedup.unpersist(); () }
   }
 
   /** PERSONALIZED PageRank: teleport (and dangling mass) return to a
@@ -287,26 +345,31 @@ object Graph {
       .filter(col("__s").isNotNull && col("__d").isNotNull)
       .distinct()
       .persist()
-    val verts = e.select(col("__s").as("__v"))
-      .union(e.select(col("__d").as("__v"))).distinct().persist()
-    val outDeg = e.groupBy(col("__s")).agg(count(lit(1)).as("__deg")).persist()
-    // same loop-invariant fold + source pre-partitioning as pageRank:
-    // the per-round exchange is ranks only, never the edge table
-    val eDeg = e.join(outDeg, Seq("__s")).repartition(col("__s")).persist()
-    // same loop-invariant degree fold on the vertex side as pageRank:
-    // dangling mass becomes a filter on the carried __deg column
-    val vertsDeg = verts
-      .join(outDeg, verts("__v") === outDeg("__s"), "left")
-      .select(col("__v"), col("__deg"))
-      // pre-partition by vertex: the per-round rank rebuild joins
-      // contribs (already hash-partitioned by __v from its groupBy)
-      // against this table, so neither side re-exchanges
-      .repartition(col("__v")).persist()
+    // same fused vertex+degree aggregation and pre-sorted loop caches
+    // as [[pageRank]] (one exchange builds the vertex table with its
+    // out-degree; the loop's sort-merge joins never re-sort the
+    // invariant sides)
+    val edgeCount = e.count()
+    val numParts = loopPartitions(edgeCount)
+    val vertsDeg = e
+      .select(inline(array(
+        struct(col("__s").as("__v"), lit(1L).as("__o")),
+        struct(col("__d").as("__v"), lit(0L).as("__o")))))
+      .groupBy(col("__v")).agg(sum(col("__o")).as("__oc"))
+      .select(col("__v"), when(col("__oc") > 0, col("__oc")).as("__deg"))
+      .repartition(numParts, col("__v"))
+      .sortWithinPartitions(col("__v"))
+      .persist()
+    val outDeg = vertsDeg.filter(col("__deg").isNotNull)
+      .select(col("__v").as("__s"), col("__deg"))
+    val eDeg = e.join(outDeg, Seq("__s")).repartition(numParts, col("__s"))
+      .sortWithinPartitions(col("__s"))
+      .persist()
     try {
       // Fail loudly on seeds absent from the vertex set: an absent seed
       // receives no mass, so every round would sum to < 1 and proximity
       // scores silently skew (bounded driver read: ≤ seeds.size rows).
-      val present = verts.filter(col("__v").isin(seeds: _*))
+      val present = vertsDeg.filter(col("__v").isin(seeds: _*))
         .select(col("__v").cast("long")).collect().map(_.getLong(0)).toSet
       val absent = seeds.filterNot(present)
       require(absent.isEmpty,
@@ -334,7 +397,7 @@ object Graph {
       }
       ranks.select(col("__v").as("vertex"), col("rank"))
     } finally {
-      e.unpersist(); verts.unpersist(); outDeg.unpersist(); eDeg.unpersist()
+      e.unpersist(); eDeg.unpersist()
       vertsDeg.unpersist(); ()
     }
   }
@@ -358,13 +421,23 @@ object Graph {
       .filter(col("__s").isNotNull && col("__d").isNotNull)
       .distinct()
       .persist()
+    // scale-adaptive loop partitioning + pre-sorted loop caches, the
+    // same two r16 rules as pageRank: each half-round's joins reuse
+    // the cached partitioning AND ordering, so per round only the
+    // vertex-sized hub/authority tables exchange (and sort)
+    val edgeCount = e.count()
+    val numParts = loopPartitions(edgeCount)
     val verts = e.select(col("__s").as("__v"))
-      .union(e.select(col("__d").as("__v"))).distinct().persist()
+      .union(e.select(col("__d").as("__v"))).distinct()
+      .repartition(numParts, col("__v"))
+      .sortWithinPartitions(col("__v")).persist()
     // HITS alternates the edge join key every half-round; cache the
-    // edge list once per key so neither half-round re-shuffles edges —
-    // per round only the vertex-sized hub/authority tables exchange
-    val eBySrc = e.repartition(col("__s")).persist()
-    val eByDst = e.repartition(col("__d")).persist()
+    // edge list once per key so neither half-round re-shuffles OR
+    // re-sorts edges
+    val eBySrc = e.repartition(numParts, col("__s"))
+      .sortWithinPartitions(col("__s")).persist()
+    val eByDst = e.repartition(numParts, col("__d"))
+      .sortWithinPartitions(col("__d")).persist()
     try {
       val n = verts.count().toDouble
       var hubs = verts.withColumn("h", lit(1.0 / n)).localCheckpoint(true)
