@@ -27,6 +27,7 @@ object Diag {
       // WHERE a query's seconds go without the (disabled) UI.
       val stages = new java.util.concurrent.ConcurrentLinkedQueue[
         (Int, String, Long, Int, Long, Long, Long, Long, Long)]()
+      val submits = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
@@ -39,6 +40,7 @@ object Diag {
             si.taskMetrics.executorRunTime,
             si.taskMetrics.executorCpuTime / 1000000L,
             si.taskMetrics.jvmGCTime))
+          si.submissionTime.foreach(t => submits.put(si.stageId, t))
         }
       })
       def run(): Double = {
@@ -59,6 +61,13 @@ object Diag {
       }
       println(f"[diag] stage wall sum=${rows.map(_._3).sum}%d ms over ${rows.size}%d stages " +
         "(stages overlap; sum > query wall is normal)")
+      // timeline: stage submission/completion offsets expose DRIVER
+      // gaps (planning, AQE rounds, broadcast builds) between stages
+      val t0all = stages.asScala.flatMap(s => submits.asScala.get(s._1)).minOption.getOrElse(0L)
+      stages.asScala.toSeq.sortBy(s => submits.asScala.getOrElse(s._1, 0L)).foreach { s =>
+        val sub = submits.asScala.getOrElse(s._1, 0L) - t0all
+        println(f"[timeline] s${s._1}%-5d submit=+$sub%6d ms  wall=${s._3}%5d ms  tasks=${s._4}%4d")
+      }
     } else {
       val reps = if (args.length > 2) args(2).toInt else 1
       (1 to reps).foreach { r =>

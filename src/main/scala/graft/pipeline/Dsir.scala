@@ -90,18 +90,56 @@ object Dsir {
 
   /** [[logWeights]] for the common case where the target is a LABELED
     * SUBSET of the raw corpus (lang == 'en', source == 'wiki', a
-    * classifier flag): the corpus featurizes ONCE and the target's
-    * feature rows are a semi-join of the persisted result — identical
-    * arithmetic to featurizing the subset separately (per-doc feature
-    * counts are independent), at half the scan cost.
+    * classifier flag): the corpus featurizes ONCE with the target flag
+    * carried through the per-doc aggregation (it is constant within a
+    * doc), so BOTH bag models fall out of a single aggregation over
+    * the persisted feature rows — no target semi-join and one full
+    * cache pass instead of two (r16; previously the target model
+    * semi-joined the cached features against the target ids and
+    * re-aggregated them separately). Identical arithmetic: the target
+    * model's bucket counts are exactly the cnt sums over target docs.
     */
   def logWeightsWithin(raw: DataFrame, targetFilter: Column, idCol: String,
                        textCol: String, numBuckets: Int = 10000,
                        alpha: Double = 1.0): DataFrame = {
-    val rawFeats = persistedRawFeats(raw, idCol, textCol, numBuckets)
-    val targetIds = raw.filter(targetFilter).select(col(idCol).as("id"))
-    weightsFrom(raw, rawFeats,
-      rawFeats.join(targetIds, Seq("id"), "left_semi"), idCol, numBuckets, alpha)
+    val toks = filter(split(trim(coalesce(col(textCol), lit(""))), "\\s+"),
+      w => length(w) > 0)
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val feats = raw.select(col(idCol).as("id"),
+        coalesce(targetFilter, lit(false)).as("__t"),
+        explode(concat(toks, bigrams)).as("term"))
+      .select(col("id"), col("__t"), bucketOf(col("term"), numBuckets).as("bucket"))
+      // __t is functionally dependent on id: same groups as (id, bucket)
+      .groupBy(col("id"), col("__t"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both models in ONE pass over the cached rows: per bucket, the raw
+    // count is every doc's cnt, the target count only target docs'
+    val counts = feats.groupBy(col("bucket"))
+      .agg(sum(col("cnt")).as("__n_r"),
+        sum(when(col("__t"), col("cnt")).otherwise(lit(0L))).as("__n_t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = broadcast(counts.agg(
+      coalesce(sum(col("__n_r")), lit(0L)).cast("double").as("__tot_r"),
+      coalesce(sum(col("__n_t")), lit(0L)).cast("double").as("__tot_t")))
+    val all = raw.sparkSession.range(numBuckets)
+      .select(col("id").cast("long").as("bucket"))
+    val ratio = all.join(broadcast(counts), Seq("bucket"), "left")
+      .crossJoin(totals)
+      .select(col("bucket"),
+        (log((coalesce(col("__n_t"), lit(0L)) + lit(alpha)) /
+          (col("__tot_t") + lit(alpha * numBuckets))) -
+          log((coalesce(col("__n_r"), lit(0L)) + lit(alpha)) /
+            (col("__tot_r") + lit(alpha * numBuckets)))).as("lr"))
+    val perDoc = feats.join(broadcast(ratio), Seq("bucket"))
+      .groupBy(col("id"))
+      .agg(sum(col("cnt")).as("n_feats"), sum(col("cnt") * col("lr")).as("logw"))
+    raw.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("logw"), lit(0.0)).as("logw"))
   }
 
   /** The raw featurize feeds BOTH the raw bag model and the per-doc
