@@ -25,6 +25,19 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // parallelismFirst MEASURED this round (r16, honest negative):
+      // flipping to false (the Spark tuning guide's recommendation to
+      // respect the advisory size) was A/B'd back-to-back per query at
+      // sf0.1 — it cut q_pagerank ~30% (its loop is all tiny vertex
+      // exchanges) but cost +15% on reduce-CPU-bound shapes
+      // (q_window_session, q_substr_dup's census) whose small-byte/
+      // high-CPU reduce stages serialize when coalesced to one
+      // partition. Net ≈ wash on the suite; the default (true) keeps
+      // the CPU-parallel behavior. Env knob retained for future A/B —
+      // the right at-scale answer depends on whether reduce stages are
+      // byte-bound (false wins) or CPU-bound (true wins).
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
