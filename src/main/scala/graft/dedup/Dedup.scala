@@ -201,15 +201,24 @@ object Dedup {
         posexplode(col("bandhashes")).as(Seq("band", "bh")))
       .select(col("id"), xxhash64(col("band"), col("bh")).as("bucket"))
       .persist()
+    // The walk alternates join keys every round (id → bucket), so keep
+    // one pre-partitioned, pre-SORTED cache per key (r16, the Graph
+    // loop lesson): each round's sort-merge joins then neither
+    // re-shuffle nor re-sort the edge list — only the compact
+    // cluster/bucket-min tables move.
+    val edgesById = edges.repartition(col("id"))
+      .sortWithinPartitions(col("id")).persist()
+    val edgesByBucket = edges.repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket")).persist()
     try {
-      var clusters = edges.select(col("id")).distinct().withColumn("cluster", col("id"))
+      var clusters = edgesById.select(col("id")).distinct().withColumn("cluster", col("id"))
       var prevPersisted: Option[DataFrame] = None
       var converged = false
       var iter = 0
       while (!converged && iter < maxIters) {
-        val bucketMin = edges.join(clusters, Seq("id"))
+        val bucketMin = edgesById.join(clusters, Seq("id"))
           .groupBy(col("bucket")).agg(min(col("cluster")).as("bmin"))
-        val next = edges.join(bucketMin, Seq("bucket"))
+        val next = edgesByBucket.join(bucketMin, Seq("bucket"))
           .groupBy(col("id")).agg(min(col("bmin")).as("cluster"))
           .persist()
         val changed = next.join(clusters.withColumnRenamed("cluster", "prev"), Seq("id"))
@@ -226,7 +235,9 @@ object Dedup {
       // Result keeps the last iteration cached; callers running many
       // corpora through this in one session should unpersist it.
       clusters.withColumn("keep", col("id") === col("cluster"))
-    } finally { edges.unpersist() }
+    } finally {
+      edges.unpersist(); edgesById.unpersist(); edgesByBucket.unpersist()
+    }
   }
 
   /** Candidate near-dup pairs from LSH banding with exact Jaccard
