@@ -27,7 +27,7 @@ object Graph {
     */
   private val LoopRowsPerPartition = 2L * 1000 * 1000
 
-  private def loopPartitions(rows: Long): Int =
+  private[operators] def loopPartitions(rows: Long): Int =
     math.max(1L, math.min((rows + LoopRowsPerPartition - 1) / LoopRowsPerPartition,
       1L << 20)).toInt
 

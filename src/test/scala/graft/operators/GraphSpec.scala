@@ -275,4 +275,16 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == got)
   }
+
+  test("loopPartitions: ~2M rows per partition, floor 1, monotonic, capped") {
+    assert(Graph.loopPartitions(0L) == 1)
+    assert(Graph.loopPartitions(1L) == 1)
+    assert(Graph.loopPartitions(2000000L) == 1)
+    assert(Graph.loopPartitions(2000001L) == 2)
+    assert(Graph.loopPartitions(60L * 1000 * 1000) == 30) // the sf10 graph
+    val big = Graph.loopPartitions(Long.MaxValue / 4)
+    assert(big == (1 << 20)) // clamp holds and the Int cast cannot overflow
+    val xs = Seq(1L, 1999999L, 2000000L, 5000000L, 100000000L).map(Graph.loopPartitions)
+    assert(xs == xs.sorted)
+  }
 }
