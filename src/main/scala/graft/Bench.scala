@@ -368,9 +368,17 @@ object Bench {
     // `reps` runs like the batch suite; each pass gets a FRESH
     // checkpoint dir (reusing one would turn later passes into no-op
     // resumes of a finished query).
-    def streamingPass(): Double = {
+    // Returns (wall seconds, trigger-execution seconds): the second
+    // component sums the engine's own per-micro-batch triggerExecution
+    // durations, so the artifact separates the fixed engine-start cost
+    // (wall − exec: stream planning, checkpoint setup, source listing
+    // before the first batch) from the data-proportional batch work —
+    // one mixed median hid which component moved round over round (r17,
+    // VERDICT ask #8).
+    def streamingPass(): (Double, Double) = {
       val ckp = s"/tmp/graft_bench_ckp_${System.nanoTime()}"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckp))
+      var execMs = 0L
       val t0 = System.nanoTime()
       try {
         // the file source needs a directory. The driver's sf dirs hold
@@ -404,9 +412,12 @@ object Bench {
           q.stop() // truncated measurement — don't leave it consuming cores
           System.err.println("[bench] q_stream_window timed out at 120s; reported time truncated")
         }
+        execMs = q.recentProgress
+          .map(p => Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L))
+          .sum
       } catch { case e: Throwable => System.err.println(s"[bench] q_stream_window failed: $e") }
       finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckp))
-      (System.nanoTime() - t0) / 1e9
+      ((System.nanoTime() - t0) / 1e9, execMs / 1000.0)
     }
     // spot-gate mode skips the streaming entry unless asked for — it
     // rides outside the total anyway, and its fixed micro-batch
@@ -417,9 +428,16 @@ object Bench {
     // alongside, not in the total — its fixed micro-batch-engine
     // startup would dominate at small sf.
     val all2 =
-      if (includeStream)
-        results :+ ("q_stream_window" -> median((1 to reps).map(_ => streamingPass()).toList))
-      else results
+      if (includeStream) {
+        val passes = (1 to reps).map(_ => streamingPass()).toList
+        // q_stream_window stays the WALL median (the pre-r17 meaning,
+        // comparable across rounds); _exec is the new data-proportional
+        // component (sum of triggerExecution per pass, median across
+        // passes) — engine startup ≈ wall − exec. Both ride OUTSIDE the
+        // suite total like every streaming/aux entry.
+        results :+ ("q_stream_window" -> median(passes.map(_._1))) :+
+          ("q_stream_window_exec" -> median(passes.map(_._2)))
+      } else results
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.filterNot(r => auxiliary(r._1)).map(_._2).sum
@@ -472,6 +490,17 @@ object Bench {
       f""""queries_min":${jmap(mins)},"reps":$reps,"sf":"$sfDir",""" +
       f""""queries":${jmap(all2)},$env,"polluted":$polluted,""" +
       f""""value":$total%.3f,"unit":"sec"}""")
+    // COMPACT final line (r17): the fat line above (~10 KB of cap/io/
+    // env maps) has overflowed the driver's 2000-char stdout tail since
+    // r14 — BENCH_r14/r15/r16 all archived `parsed: null`, so PERF lost
+    // its per-query ground truth for three rounds. The LAST stdout line
+    // is therefore a compact duplicate — total, per-query medians, sf,
+    // cpus, polluted — well under the tail budget. Same measurements,
+    // same methodology; nothing timed changed. The fat line stays above
+    // for humans and the repo's own BenchCompare tooling.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec",""" +
+      f""""queries":${jmap(all2)},"sf":"$sfDir","cpus":$cpus,""" +
+      f""""reps":$reps,"polluted":$polluted}""")
     spark.stop()
   }
 }

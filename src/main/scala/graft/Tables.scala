@@ -20,9 +20,7 @@ final case class Tables(spark: SparkSession, dir: String) {
     */
   private def t(name: String): DataFrame = {
     val path = s"$dir/$name.parquet"
-    val schema = Tables.schemaCache.computeIfAbsent(path,
-      p => spark.read.parquet(p).schema)
-    spark.read.schema(schema).parquet(path)
+    spark.read.schema(Tables.cachedSchema(spark, path)).parquet(path)
   }
   def region: DataFrame = t("region")
   def nation: DataFrame = t("nation")
@@ -44,8 +42,31 @@ final case class Tables(spark: SparkSession, dir: String) {
 }
 
 object Tables {
+  /** Memoized parquet schemas, keyed on (path, path mtime) — r17: a
+    * path-only key silently planned against a STALE schema if a table
+    * was rewritten with a different shape in the same JVM (what a
+    * catalog's REFRESH exists for). The mtime probe is one
+    * getFileStatus per table construction (~µs on any FS, no Spark
+    * job) vs the ~50 ms footer-inference job the memoization removed.
+    * Residual assumption, documented: an IN-PLACE rewrite of part
+    * files inside a directory table that leaves the directory entry
+    * untouched keeps the old key — Spark's own overwrite mode deletes
+    * and recreates the directory, so this requires bypassing Spark to
+    * hit. Stale (path, old-mtime) entries linger in the map; they are
+    * a few hundred bytes each and unreachable, accepted.
+    */
   private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long),
+      org.apache.spark.sql.types.StructType]()
+
+  private[graft] def cachedSchema(spark: SparkSession,
+                                  path: String): org.apache.spark.sql.types.StructType = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mtime = fs.getFileStatus(p).getModificationTime
+    schemaCache.computeIfAbsent((path, mtime),
+      _ => spark.read.parquet(path).schema)
+  }
 
   /** Normalize an events frame's `ts` to plain TimestampType whichever
     * physical shape the source files carry (see `Tables#events`).

@@ -205,11 +205,20 @@ object Dedup {
     // one pre-partitioned, pre-SORTED cache per key (r16, the Graph
     // loop lesson): each round's sort-merge joins then neither
     // re-shuffle nor re-sort the edge list — only the compact
-    // cluster/bucket-min tables move.
-    val edgesById = edges.repartition(col("id"))
+    // cluster/bucket-min tables move. Sized scale-adaptively by edge
+    // count (r17, Graph.loopPartitions): a bare repartition(col)
+    // inherited spark.sql.shuffle.partitions, re-introducing the fixed
+    // per-(task × round) shuffle-file overhead the Graph loops fixed.
+    val numParts = graft.operators.Graph.loopPartitions(edges.count())
+    val edgesById = edges.repartition(numParts, col("id"))
       .sortWithinPartitions(col("id")).persist()
-    val edgesByBucket = edges.repartition(col("bucket"))
+    val edgesByBucket = edges.repartition(numParts, col("bucket"))
       .sortWithinPartitions(col("bucket")).persist()
+    // the raw edge cache is only needed while the two per-key caches
+    // build — force them, then release it (3× → 2× cached edge memory
+    // for the loop's whole duration, guide §5)
+    edgesById.count(); edgesByBucket.count()
+    edges.unpersist()
     try {
       var clusters = edgesById.select(col("id")).distinct().withColumn("cluster", col("id"))
       var prevPersisted: Option[DataFrame] = None

@@ -27,9 +27,50 @@ object Graph {
     */
   private val LoopRowsPerPartition = 2L * 1000 * 1000
 
-  private[operators] def loopPartitions(rows: Long): Int =
-    math.max(1L, math.min((rows + LoopRowsPerPartition - 1) / LoopRowsPerPartition,
-      1L << 20)).toInt
+  /** Never split below this many rows per partition when applying the
+    * parallelism floor: the r16 pathology was 32 × ~120 KB shuffle
+    * files per round; 64k edge rows ≈ 1.5 MB per file keeps the
+    * per-file overhead amortized while still parallelizing.
+    */
+  private val MinLoopRowsPerPartition = 64L * 1024
+
+  // private[graft] (r17): Dedup.minhashClustersTransitive's per-key
+  // loop caches need the same scale-adaptive sizing (they previously
+  // inherited spark.sql.shuffle.partitions — the exact shuffle-file
+  // pathology this helper fixed in the Graph loops).
+  //
+  // r17 shape: size-based (~2M rows/partition) with a PARALLELISM
+  // floor. Pure size-based sizing gave ONE partition to any graph
+  // under 2M edges, which serialized every per-round join probe and
+  // cache build on a single core no matter how many were idle —
+  // profiled at sf0.1 as ~0.5 s/iteration single-task stages scanning
+  // the whole 600k-row cache. The floor uses up to defaultParallelism
+  // partitions (cluster-adaptive, not a local constant), never splits
+  // below [[MinLoopRowsPerPartition]], and washes out at scale where
+  // the size term dominates.
+  private[graft] def loopPartitions(rows: Long): Int = {
+    val bySize = (rows + LoopRowsPerPartition - 1) / LoopRowsPerPartition
+    val par = org.apache.spark.sql.SparkSession.active
+      .sparkContext.defaultParallelism.toLong
+    val byPar = math.min(par, rows / MinLoopRowsPerPartition)
+    math.max(1L, math.min(math.max(bySize, byPar), 1L << 20)).toInt
+  }
+
+  /** Iterations per eager localCheckpoint inside the pageRank/PPR
+    * loops. DEFAULT 1 — checkpoint every round, the original shape —
+    * after an A/B this round (r17) showed batching is a measured LOSS:
+    * each un-checkpointed round's ranks plan is referenced TWICE by
+    * the next round (contribs + dangling), and while ReuseExchange
+    * dedupes the shuffle subtrees, the vertex-sized compute above them
+    * re-executes per reference — k=3 ran q_pagerank at 9–16 s vs
+    * 4.0–4.6 s for k=1 at sf0.1/local[32] (same session, interleaved
+    * reps). The driver round-trips the batching was meant to remove
+    * turned out to be secondary to the single-partition loop caches
+    * [[loopPartitions]] now fixes. Env knob retained for re-testing on
+    * cluster topologies where job-submission latency dominates.
+    */
+  private val CheckpointEvery =
+    sys.env.getOrElse("SPARK_GRAFT_CKPT_EVERY", "1").toInt
 
   /** Connected components by iterative min-label propagation: each
     * vertex's component is the minimum vertex id it can reach —
@@ -71,6 +112,12 @@ object Graph {
       .repartition(numParts, col("__n"))
       .sortWithinPartitions(col("__n"))
       .persist()
+    // dedup is only needed until und materializes; holding both pins
+    // 2× the edge list in cache for the whole loop (guide §5). The
+    // count forces und, then the scratch cache releases immediately
+    // (the finally-block unpersist stays for the failure path).
+    und.count()
+    dedup.unpersist()
     try {
       var labels = und.select(col("__v")).distinct()
         .withColumn("component", col("__v"))
@@ -171,6 +218,10 @@ object Graph {
       .repartition(numParts, col("__n"))
       .sortWithinPartitions(col("__n"))
       .persist()
+    // release the scratch union-distinct cache as soon as the loop
+    // cache is materialized — see connectedComponents (guide §5)
+    und.count()
+    dedup.unpersist()
     try {
       var labels = und.select(col("__v")).distinct()
         .withColumn("__l", col("__v"))
@@ -253,8 +304,13 @@ object Graph {
       .persist()
     try {
       val n = vertsDeg.count().toDouble
+      // vertsDeg and eDeg are both materialized now (n forced vertsDeg;
+      // the count below forces eDeg) — the raw edge cache can release
+      // instead of tripling the loop's cached edge footprint (§5)
+      eDeg.count()
+      e.unpersist()
       var ranks = vertsDeg.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
-      (1 to iters).foreach { _ =>
+      (1 to iters).foreach { i =>
         // dangling vertices (no out-edges) spread their mass uniformly
         val dangling = ranks.filter(col("__deg").isNull)
           .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
@@ -262,14 +318,19 @@ object Graph {
           .join(ranks.select(col("__v").as("__s"), col("rank")), Seq("__s"))
           .select(col("__d").as("__v"), (col("rank") / col("__deg")).as("__c"))
           .groupBy(col("__v")).agg(sum(col("__c")).as("__in"))
-        ranks = vertsDeg
+        val next = vertsDeg
           .join(contribs, Seq("__v"), "left")
           .crossJoin(broadcast(dangling))
           .select(col("__v"), col("__deg"),
             (lit((1.0 - damping) / n) +
               lit(damping) * (coalesce(col("__in"), lit(0.0)) + col("__dm") / n))
               .as("rank"))
-          .localCheckpoint(true)
+        // checkpoint every CheckpointEvery rounds (and ALWAYS on the
+        // last: the scratch caches unpersist in finally, so the
+        // returned frame must not reference them lazily) — same
+        // arithmetic per round, k× fewer driver round-trips
+        ranks = if (i % CheckpointEvery == 0 || i == iters)
+          next.localCheckpoint(true) else next
       }
       ranks.select(col("__v").as("vertex"), col("rank"))
     } finally {
@@ -311,6 +372,10 @@ object Graph {
       .repartition(numParts, col("__n"))
       .sortWithinPartitions(col("__n"))
       .persist()
+    // release the scratch union-distinct cache as soon as the loop
+    // cache is materialized — see connectedComponents (guide §5)
+    und.count()
+    dedup.unpersist()
     try {
       var dist = und.select(col("__v")).distinct()
         .filter(col("__v").isin(landmarks: _*))
@@ -379,21 +444,27 @@ object Graph {
           " — drop stale ids or fix the seed list")
       val seedMass = when(col("__v").isin(seeds: _*), lit(1.0 / seeds.size))
         .otherwise(lit(0.0))
+      // both loop caches forced (the seed check above forced vertsDeg);
+      // release the raw edge cache before the loop (§5, see pageRank)
+      eDeg.count()
+      e.unpersist()
       var ranks = vertsDeg.withColumn("rank", seedMass).localCheckpoint(true)
-      (1 to iters).foreach { _ =>
+      (1 to iters).foreach { i =>
         val dangling = ranks.filter(col("__deg").isNull)
           .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
         val contribs = eDeg
           .join(ranks.select(col("__v").as("__s"), col("rank")), Seq("__s"))
           .select(col("__d").as("__v"), (col("rank") / col("__deg")).as("__c"))
           .groupBy(col("__v")).agg(sum(col("__c")).as("__in"))
-        ranks = vertsDeg
+        val next = vertsDeg
           .join(contribs, Seq("__v"), "left")
           .crossJoin(broadcast(dangling))
           .select(col("__v"), col("__deg"),
             ((lit(1.0 - damping) + lit(damping) * col("__dm")) * seedMass +
               lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
-          .localCheckpoint(true)
+        // batched checkpoints, see pageRank (always on the last round)
+        ranks = if (i % CheckpointEvery == 0 || i == iters)
+          next.localCheckpoint(true) else next
       }
       ranks.select(col("__v").as("vertex"), col("rank"))
     } finally {
@@ -440,6 +511,10 @@ object Graph {
       .sortWithinPartitions(col("__d")).persist()
     try {
       val n = verts.count().toDouble
+      // all three loop caches forced → the raw edge cache releases
+      // before the loop instead of quadrupling cached edge memory (§5)
+      eBySrc.count(); eByDst.count()
+      e.unpersist()
       var hubs = verts.withColumn("h", lit(1.0 / n)).localCheckpoint(true)
       var auths = hubs.select(col("__v"), col("h").as("a"))
       (1 to iters).foreach { _ =>

@@ -137,15 +137,25 @@ object TimeSeries {
   def rolling(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
               windowSec: Long): DataFrame = {
     require(windowSec >= 1, s"windowSec must be >= 1, got $windowSec")
+    // Materialize the order key ONCE (r17): ordering by the raw
+    // `unix_micros(ts)` expression makes every `.over(w)` project a
+    // fresh `_w0#N` alias, so adjacent Window nodes order by DIFFERENT
+    // attributes and CollapseWindow cannot merge them — five WindowExecs
+    // and five per-partition sorts over an identical frame (the r16
+    // plan dump proved it). Ordering all five aggregates by the same
+    // materialized column collapses them to ONE Window + ONE Sort, the
+    // rollingChunked pattern.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol))
-      .orderBy(unix_micros(col(tsCol)))
+      .orderBy(col("__roll_us"))
       .rangeBetween(-(windowSec * 1000000L) + 1L, 0L)
-    df.withColumn("roll_n", count(col(valCol)).over(w))
+    df.withColumn("__roll_us", unix_micros(col(tsCol)))
+      .withColumn("roll_n", count(col(valCol)).over(w))
       .withColumn("roll_sum", sum(col(valCol)).over(w))
       .withColumn("roll_avg", avg(col(valCol)).over(w))
       .withColumn("roll_min", min(col(valCol)).over(w))
       .withColumn("roll_max", max(col(valCol)).over(w))
+      .drop("__roll_us")
   }
 
   /** Hot-key [[rolling]]: identical output, but the window key is

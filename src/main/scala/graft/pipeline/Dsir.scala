@@ -34,11 +34,16 @@ object Dsir {
   private def bucketOf(term: Column, numBuckets: Int): Column =
     pmod(graft.expressions.Md5Head.md5HeadF(term, 8), lit(numBuckets.toLong))
 
-  /** Per-doc hashed n-gram feature counts: (id, bucket, cnt) rows over
-    * unigrams + bigrams of the whitespace tokens.
+  /** Shared featurize of both entry points (r17, factored so
+    * [[featureRows]] and [[logWeightsWithin]] can never diverge on
+    * bucket assignment): per-doc (id, extra…, bucket, cnt) rows over
+    * unigrams + bigrams of the whitespace tokens. `extra` columns are
+    * carried through the per-doc aggregation and must be constant
+    * within a doc (they join the grouping key).
     */
-  def featureRows(df: DataFrame, idCol: String, textCol: String,
-                  numBuckets: Int): DataFrame = {
+  private def featurize(df: DataFrame, idCol: String, textCol: String,
+                        numBuckets: Int,
+                        extra: Seq[(String, Column)] = Nil): DataFrame = {
     require(numBuckets >= 2, s"numBuckets must be >= 2, got $numBuckets")
     val toks = filter(split(trim(coalesce(col(textCol), lit(""))), "\\s+"),
       w => length(w) > 0)
@@ -46,11 +51,22 @@ object Dsir {
       transform(sequence(lit(1), size(toks) - 1),
         i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
       .otherwise(array().cast("array<string>"))
-    df.select(col(idCol).as("id"),
-        explode(concat(toks, bigrams)).as("term"))
-      .select(col("id"), bucketOf(col("term"), numBuckets).as("bucket"))
-      .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val extraCols = extra.map { case (n, c) => c.as(n) }
+    val extraRefs = extra.map { case (n, _) => col(n) }
+    df.select(col(idCol).as("id") +: extraCols :+
+        explode(concat(toks, bigrams)).as("term"): _*)
+      .select(col("id") +: extraRefs :+
+        bucketOf(col("term"), numBuckets).as("bucket"): _*)
+      .groupBy(col("id") +: extraRefs :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
   }
+
+  /** Per-doc hashed n-gram feature counts: (id, bucket, cnt) rows over
+    * unigrams + bigrams of the whitespace tokens.
+    */
+  def featureRows(df: DataFrame, idCol: String, textCol: String,
+                  numBuckets: Int): DataFrame =
+    featurize(df, idCol, textCol, numBuckets)
 
   /** Laplace-smoothed log-probability per bucket over ALL buckets
     * 0..numBuckets-1 (empty buckets get the smoothing floor):
@@ -98,22 +114,22 @@ object Dsir {
     * semi-joined the cached features against the target ids and
     * re-aggregated them separately). Identical arithmetic: the target
     * model's bucket counts are exactly the cnt sums over target docs.
+    *
+    * CONTRACT: `idCol` must be unique per document. `targetFilter` is
+    * evaluated per ROW and carried through the per-doc aggregation as
+    * part of the grouping key, so duplicate ids whose rows disagree on
+    * the filter would split into duplicate (id, bucket) groups (the
+    * semi-join formulation of [[logWeights]] would instead have put
+    * the whole id in the target model). Unique ids are the documented
+    * corpus contract everywhere in graft's pipeline operators.
     */
   def logWeightsWithin(raw: DataFrame, targetFilter: Column, idCol: String,
                        textCol: String, numBuckets: Int = 10000,
                        alpha: Double = 1.0): DataFrame = {
-    val toks = filter(split(trim(coalesce(col(textCol), lit(""))), "\\s+"),
-      w => length(w) > 0)
-    val bigrams = when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val feats = raw.select(col(idCol).as("id"),
-        coalesce(targetFilter, lit(false)).as("__t"),
-        explode(concat(toks, bigrams)).as("term"))
-      .select(col("id"), col("__t"), bucketOf(col("term"), numBuckets).as("bucket"))
-      // __t is functionally dependent on id: same groups as (id, bucket)
-      .groupBy(col("id"), col("__t"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    // __t is functionally dependent on id (unique-id contract above):
+    // same groups as (id, bucket)
+    val feats = featurize(raw, idCol, textCol, numBuckets,
+        extra = Seq("__t" -> coalesce(targetFilter, lit(false))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // both models in ONE pass over the cached rows: per bucket, the raw
     // count is every doc's cnt, the target count only target docs'

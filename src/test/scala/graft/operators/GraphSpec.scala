@@ -276,15 +276,31 @@ class GraphSpec extends SparkSpec {
     assert(again == got)
   }
 
-  test("loopPartitions: ~2M rows per partition, floor 1, monotonic, capped") {
+  test("loopPartitions: ~2M rows/partition with a parallelism floor, monotonic, capped") {
+    val par = spark.sparkContext.defaultParallelism.toLong
+    // the floor never splits below 64k rows/partition nor above
+    // defaultParallelism; the size term is ceil(rows / 2M)
+    def want(rows: Long): Int = {
+      val bySize = (rows + 2000000L - 1) / 2000000L
+      val byPar = math.min(par, rows / 65536L)
+      math.max(1L, math.min(math.max(bySize, byPar), 1L << 20)).toInt
+    }
     assert(Graph.loopPartitions(0L) == 1)
     assert(Graph.loopPartitions(1L) == 1)
-    assert(Graph.loopPartitions(2000000L) == 1)
-    assert(Graph.loopPartitions(2000001L) == 2)
-    assert(Graph.loopPartitions(60L * 1000 * 1000) == 30) // the sf10 graph
+    assert(Graph.loopPartitions(65535L) == 1) // under one floor quantum
+    // sf0.1-class graph: parallelism floor active, bounded by 64k rows
+    assert(Graph.loopPartitions(600000L) == want(600000L))
+    assert(Graph.loopPartitions(600000L) <= par.max(1L))
+    assert(Graph.loopPartitions(2000001L) == want(2000001L))
+    assert(Graph.loopPartitions(60L * 1000 * 1000) == want(60L * 1000 * 1000)) // sf10
+    // at scale the size term dominates: the floor contributes nothing
+    val atScale = 1000L * 1000 * 1000 * 10
+    assert(Graph.loopPartitions(atScale) == want(atScale))
+    assert(want(atScale) == 5000) // pure ceil(rows / 2M), independent of cores
     val big = Graph.loopPartitions(Long.MaxValue / 4)
     assert(big == (1 << 20)) // clamp holds and the Int cast cannot overflow
-    val xs = Seq(1L, 1999999L, 2000000L, 5000000L, 100000000L).map(Graph.loopPartitions)
+    val xs = Seq(1L, 65535L, 1999999L, 2000000L, 5000000L, 100000000L)
+      .map(Graph.loopPartitions)
     assert(xs == xs.sorted)
   }
 }
