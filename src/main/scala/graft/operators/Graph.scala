@@ -50,8 +50,19 @@ object Graph {
   // the size term dominates.
   private[graft] def loopPartitions(rows: Long): Int = {
     val bySize = (rows + LoopRowsPerPartition - 1) / LoopRowsPerPartition
-    val par = org.apache.spark.sql.SparkSession.active
-      .sparkContext.defaultParallelism.toLong
+    val session = org.apache.spark.sql.SparkSession.active
+    // Floor at max(defaultParallelism, shuffle.partitions), not just
+    // cores: AQE's EnsureRequirements targets the session shuffle
+    // count when aligning a co-partitioned join, and it REWRITES a
+    // lower user-specified count rather than respecting it (verified
+    // empirically on 4.1: a repartition(1) feeding a SMJ against a
+    // conf=4 aggregate was rewritten to 4 and the CACHED side
+    // re-shuffled). Matching the floor to the session count keeps the
+    // loop caches and the per-round aggregates co-partitioned by
+    // construction wherever the 64k-row quantum allows.
+    val par = math.max(
+      session.sparkContext.defaultParallelism.toLong,
+      session.conf.get("spark.sql.shuffle.partitions", "200").toLong)
     val byPar = math.min(par, rows / MinLoopRowsPerPartition)
     math.max(1L, math.min(math.max(bySize, byPar), 1L << 20)).toInt
   }

@@ -122,6 +122,18 @@ object Dsir {
     * semi-join formulation of [[logWeights]] would instead have put
     * the whole id in the target model). Unique ids are the documented
     * corpus contract everywhere in graft's pipeline operators.
+    *
+    * Cache lifetime (r17, documented contract): the narrow
+    * (id, __t, bucket, cnt) feature cache and the numBuckets-row count
+    * cache persist MEMORY_AND_DISK for the SESSION's lifetime — the
+    * returned frame is lazy, so an in-function unpersist would drop
+    * them before the caller ever executes, and Spark evicts LRU under
+    * pressure. One call per corpus per session is the intended shape;
+    * a service scoring many corpora through one long-lived session
+    * should recycle sessions or accept LRU eviction. An eager
+    * checkpoint-then-unpersist variant was considered and rejected:
+    * it adds a materialization stage to a query whose measured cost is
+    * stage-count-bound (r17 profile: 10 stages, wall ≫ task time).
     */
   def logWeightsWithin(raw: DataFrame, targetFilter: Column, idCol: String,
                        textCol: String, numBuckets: Int = 10000,
@@ -140,14 +152,20 @@ object Dsir {
     val totals = broadcast(counts.agg(
       coalesce(sum(col("__n_r")), lit(0L)).cast("double").as("__tot_r"),
       coalesce(sum(col("__n_t")), lit(0L)).cast("double").as("__tot_t")))
-    val all = raw.sparkSession.range(numBuckets)
-      .select(col("id").cast("long").as("bucket"))
-    val ratio = all.join(broadcast(counts), Seq("bucket"), "left")
-      .crossJoin(totals)
+    // No range(numBuckets) left-join here (r17): the per-doc pass
+    // inner-joins feats⋈ratio on bucket, and every bucket in feats is
+    // by construction in counts (counts IS the bucket agg of feats) —
+    // smoothing-floor rows for absent buckets could never be consumed.
+    // (bucketLogProbs keeps its range join: the two-corpus logWeights
+    // path joins TARGET model to RAW model, where a raw-only bucket
+    // genuinely needs the target floor row.) Same doubles for every
+    // consumed bucket; one fewer stage + broadcast per query. __n_t is
+    // never null (sum-when-otherwise-0), so no coalesce needed.
+    val ratio = counts.crossJoin(totals)
       .select(col("bucket"),
-        (log((coalesce(col("__n_t"), lit(0L)) + lit(alpha)) /
+        (log((col("__n_t") + lit(alpha)) /
           (col("__tot_t") + lit(alpha * numBuckets))) -
-          log((coalesce(col("__n_r"), lit(0L)) + lit(alpha)) /
+          log((col("__n_r") + lit(alpha)) /
             (col("__tot_r") + lit(alpha * numBuckets)))).as("lr"))
     val perDoc = feats.join(broadcast(ratio), Seq("bucket"))
       .groupBy(col("id"))

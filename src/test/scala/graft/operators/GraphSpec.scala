@@ -276,10 +276,97 @@ class GraphSpec extends SparkSpec {
     assert(again == got)
   }
 
+  test("pageRank loop never re-shuffles its cached tables (SMJ forced)") {
+    // ADVICE r16: loop caches are hash-partitioned at numParts while
+    // per-round aggregates come out at spark.sql.shuffle.partitions —
+    // if EnsureRequirements aligned the join to the aggregate's count
+    // it would re-shuffle the CACHED side every round, contradicting
+    // the loop-invariant-cache design. This pins the invariant with
+    // broadcast disabled (so the per-round joins actually exercise
+    // shuffle alignment): no per-round checkpoint plan may contain an
+    // Exchange whose input (through narrow ops) is a cache scan.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val plans = scala.collection.mutable.Buffer[(String, SparkPlan)]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             d: Long): Unit =
+        plans.synchronized { plans += ((f, qe.executedPlan)); () }
+      override def onFailure(f: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.listenerManager.register(listener)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // big enough that loopPartitions' 64k-row quantum lets the floor
+      // reach the session shuffle count — the band where the caches
+      // and the per-round aggregates co-partition by construction
+      // (below it, AQE re-shuffles the small caches for parallelism
+      // and is right to; see loopPartitions)
+      val nEdges = 64 * 1024 * math.max(
+        spark.sparkContext.defaultParallelism,
+        spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      val edges = spark.range(0, nEdges)
+        .selectExpr("id as src", s"((id * 7 + 1) % $nEdges) as dst")
+      Graph.pageRank(edges, "src", "dst", iters = 3)
+        .write.format("noop").mode("overwrite").save()
+      // listener delivery is async — wait until the capture stabilizes
+      var last = -1
+      var cur = plans.synchronized(plans.size)
+      val deadline = System.nanoTime() + 10000000000L
+      while (cur != last && System.nanoTime() < deadline) {
+        last = cur; Thread.sleep(200); cur = plans.synchronized(plans.size)
+      }
+      def expand(p: SparkPlan): Seq[SparkPlan] = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case r: ReusedExchangeExec => Seq(r.child)
+          case _ => p.children
+        }
+        p +: kids.flatMap(expand)
+      }
+      @annotation.tailrec
+      def throughNarrow(p: SparkPlan): SparkPlan = p match {
+        case q: QueryStageExec => throughNarrow(q.plan)
+        case _: org.apache.spark.sql.execution.ProjectExec |
+             _: org.apache.spark.sql.execution.FilterExec |
+             _: org.apache.spark.sql.execution.SortExec |
+             _: org.apache.spark.sql.execution.WholeStageCodegenExec |
+             _: org.apache.spark.sql.execution.InputAdapter |
+             _: org.apache.spark.sql.execution.ColumnarToRowExec =>
+        throughNarrow(p.children.head)
+        case other => other
+      }
+      // the ranks init + per-round updates are the checkpoint actions;
+      // setup counts/cache builds legitimately repartition cache scans
+      val loop = plans.synchronized(
+        plans.filter(_._1.toLowerCase.contains("checkpoint")).map(_._2).toSeq)
+      assert(loop.size >= 3, s"expected >=3 checkpoint plans, captured " +
+        s"${plans.synchronized(plans.map(_._1).distinct.mkString(","))}")
+      val offenders = loop.flatMap(expand).collect {
+        case s: ShuffleExchangeLike
+          if throughNarrow(s.child).isInstanceOf[InMemoryTableScanExec] => s
+      }
+      assert(offenders.isEmpty,
+        s"loop re-shuffled a cached table:\n${offenders.mkString("\n")}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.listenerManager.unregister(listener)
+    }
+  }
+
   test("loopPartitions: ~2M rows/partition with a parallelism floor, monotonic, capped") {
-    val par = spark.sparkContext.defaultParallelism.toLong
+    val par = math.max(spark.sparkContext.defaultParallelism.toLong,
+      spark.conf.get("spark.sql.shuffle.partitions").toLong)
     // the floor never splits below 64k rows/partition nor above
-    // defaultParallelism; the size term is ceil(rows / 2M)
+    // max(defaultParallelism, shuffle.partitions); size term is
+    // ceil(rows / 2M)
     def want(rows: Long): Int = {
       val bySize = (rows + 2000000L - 1) / 2000000L
       val byPar = math.min(par, rows / 65536L)
