@@ -47,6 +47,20 @@ object GraftSession {
       // whole-stage codegen. (The 128-column MinHash aggregate that
       // first motivated this is now a single native MinHashAgg.)
       .config("spark.sql.codegen.maxFields", "256")
+      // Codegen class cache (r17): the default 100 entries thrash in
+      // any session that runs more than a handful of distinct queries —
+      // measured on the bench suite, where q_pagerank's 5-round loop
+      // re-COMPILES its per-round codegen units on every run once other
+      // queries have cycled the cache (~5.9 s suite-context vs ~4.0 s
+      // alone at sf0.1; the subset experiment in OPTIMIZATION_r17.md
+      // reproduces it with six queries). Compiled-class entries are
+      // driver-side and KB–MB each; 5000 is a few hundred MB at worst
+      // on a driver that routinely holds broadcasts of that size, and
+      // a long-lived 100 TB session with many recurring query shapes
+      // wants exactly this. Env knob for re-testing (static conf:
+      // takes effect at session creation).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       // events.parquet has shipped in two shapes across test-data
       // generations: TIMESTAMP(NANOS) (rejected by default — read as
       // Long and convert in Tables.events) and timezone-less

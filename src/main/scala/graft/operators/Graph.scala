@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** General graph connectivity over edge lists — the public form of the
@@ -83,6 +83,31 @@ object Graph {
   private val CheckpointEvery =
     sys.env.getOrElse("SPARK_GRAFT_CKPT_EVERY", "1").toInt
 
+  /** Block (bounded) for an [[Observation]] attached to an eager
+    * localCheckpoint. The iterative loops fold their per-round scalars
+    * — pageRank's dangling mass, connectedComponents' convergence
+    * count, kCore's surviving-row count — into the checkpoint's own
+    * materialization via `observe()` (r17): each was previously a
+    * SEPARATE action re-scanning the table the checkpoint had just
+    * materialized (a full extra pass per round at scale, plus one more
+    * driver round-trip + AQE plan at any scale — guide §1.2 step 1).
+    * The metric rides the same tasks, so the extra pass and the extra
+    * job disappear outright. Awaits the observation's future with a
+    * deadline instead of the unbounded `Observation.get` so a
+    * listener-bus regression fails loudly instead of hanging a
+    * 20-iteration loop mid-flight.
+    */
+  private def awaitObserved(obs: Observation): org.apache.spark.sql.Row =
+    try {
+      scala.concurrent.Await.result(obs.future,
+        scala.concurrent.duration.Duration(60, "s"))
+    } catch {
+      case _: java.util.concurrent.TimeoutException =>
+        throw new IllegalStateException(
+          "observed loop metric did not arrive within 60s of an eager localCheckpoint — " +
+            "ExecutionListenerBus regression? (the metric rides the checkpoint's own action)")
+    }
+
   /** Connected components by iterative min-label propagation: each
     * vertex's component is the minimum vertex id it can reach —
     * canonical and DETERMINISTIC (unlike hash-partitioned union-find),
@@ -92,8 +117,10 @@ object Graph {
     * stabilized (components may still be split; the label is then the
     * min within maxIters hops, still deterministic).
     *
-    * Scale shape: each iteration is two keyed joins + a partial-agg
-    * min — no collect, no driver-side frontier. Iterations needed =
+    * Scale shape: each iteration is one keyed join + a partial-agg
+    * min, with the convergence count observed during the round's own
+    * checkpoint — no collect, no driver-side frontier, no separate
+    * convergence pass. Iterations needed =
     * graph diameter; `maxIters` bounds cost on adversarial chains
     * (the same contract as the dedup cluster walk). Each iteration
     * `localCheckpoint`s its labels: persist alone is NOT enough here —
@@ -139,15 +166,22 @@ object Graph {
         val nbrMin = und
           .join(labels.select(col("__v").as("__n"), col("component").as("__nc")), Seq("__n"))
           .groupBy(col("__v")).agg(min(col("__nc")).as("__nbr"))
+        // convergence check folded into the update pass (r17): a label
+        // changes iff a strictly smaller neighbor min arrived
+        // (`__nbr < component`; null __nbr → no neighbors → unchanged),
+        // observed WHILE the checkpoint materializes — the previous
+        // shape re-joined next against labels and counted in a second
+        // full-table job every round (guide §1.2: don't recompute what
+        // the pass already knows).
+        val obs = Observation()
         val next = labels.join(nbrMin, Seq("__v"), "left")
+          .observe(obs,
+            sum(when(col("__nbr") < col("component"), 1L).otherwise(0L)).as("__changed"))
           .select(col("__v"),
             least(col("component"), coalesce(col("__nbr"), col("component"))).as("component"))
           .localCheckpoint(true)
-        val changed = next
-          .join(labels.select(col("__v"), col("component").as("__prev")), Seq("__v"))
-          .filter(col("component") =!= col("__prev")).limit(1).count()
         labels = next
-        converged = changed == 0L
+        converged = awaitObserved(obs).getAs[Long]("__changed") == 0L
         iter += 1
       }
       labels.select(col("__v").as("vertex"), col("component"),
@@ -178,22 +212,33 @@ object Graph {
     val und0 = edges
       .select(col(srcCol).as("__v"), col(dstCol).as("__n"))
       .filter(col("__v").isNotNull && col("__n").isNotNull && col("__v") =!= col("__n"))
+    val obs0 = Observation()
     var und = und0.union(und0.select(col("__n").as("__v"), col("__v").as("__n")))
       .distinct()
+      .observe(obs0, count(lit(1)).as("__n"))
       .localCheckpoint(true)
+    // surviving-edge count observed DURING each checkpoint (r17): the
+    // previous shape ran TWO separate count jobs per round — und.count()
+    // re-counted the table the previous round had already counted, and
+    // next.count() re-scanned the checkpoint that had just materialized.
+    // Both ride the checkpoint's own tasks now; the count is carried
+    // across rounds (identical arithmetic, 2 fewer jobs per round).
+    var before = awaitObserved(obs0).getAs[Long]("__n")
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
       val deg = und.groupBy(col("__v")).agg(count(lit(1)).as("__d"))
       val keep = deg.filter(col("__d") >= k).select(col("__v"))
+      val obs = Observation()
       val next = und
         .join(keep, Seq("__v"), "left_semi")
         .join(keep.select(col("__v").as("__n")), Seq("__n"), "left_semi")
+        .observe(obs, count(lit(1)).as("__n"))
         .localCheckpoint(true)
-      val before = und.count()
-      val after = next.count()
+      val after = awaitObserved(obs).getAs[Long]("__n")
       und = next
       converged = before == after
+      before = after
       iter += 1
     }
     und.groupBy(col("__v").as("vertex")).agg(count(lit(1)).as("core_degree"))
@@ -258,8 +303,9 @@ object Graph {
     *
     * Scale shape mirrors [[connectedComponents]]: per iteration one
     * keyed join (ranks → out-edges, contributions partial-aggregate
-    * by destination) plus a 1-row dangling-mass agg broadcast back;
-    * ranks `localCheckpoint` each round (same lineage-OOM lesson).
+    * by destination), the dangling mass observed during the round's
+    * own checkpoint and re-entering as a literal; ranks
+    * `localCheckpoint` each round (same lineage-OOM lesson).
     * Vertices = edge endpoints; isolated vertices that appear in the
     * frame still receive the teleport share.
     */
@@ -320,18 +366,36 @@ object Graph {
       // instead of tripling the loop's cached edge footprint (§5)
       eDeg.count()
       e.unpersist()
-      var ranks = vertsDeg.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+      // Dangling mass (rank sum of no-out-edge vertices) observed
+      // DURING each round's checkpoint (r17): the previous shape
+      // re-scanned the just-checkpointed ranks with a separate
+      // agg-into-broadcast subtree every round — a full extra pass
+      // over the vertex table per iteration at scale, and one more
+      // broadcast job + AQE plan per iteration at any scale. The sum
+      // is a frame-level scalar of the frame being materialized
+      // anyway, so it rides the checkpoint's tasks and enters the
+      // next round as a LITERAL (same `__dm / n` arithmetic; the
+      // crossJoin(broadcast(…)) disappears from the loop plan).
+      val dmMetric = coalesce(sum(when(col("__deg").isNull, col("rank"))), lit(0.0)).as("__dm")
+      val obs0 = Observation()
+      var ranks = vertsDeg.withColumn("rank", lit(1.0 / n))
+        .observe(obs0, dmMetric).localCheckpoint(true)
+      // None between batched checkpoints (SPARK_GRAFT_CKPT_EVERY > 1):
+      // an un-checkpointed round has no materialization to observe, so
+      // those rounds keep the explicit agg+broadcast subtree.
+      var danglingMass: Option[Double] = Some(awaitObserved(obs0).getAs[Double]("__dm"))
       (1 to iters).foreach { i =>
-        // dangling vertices (no out-edges) spread their mass uniformly
-        val dangling = ranks.filter(col("__deg").isNull)
-          .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
         val contribs = eDeg
           .join(ranks.select(col("__v").as("__s"), col("rank")), Seq("__s"))
           .select(col("__d").as("__v"), (col("rank") / col("__deg")).as("__c"))
           .groupBy(col("__v")).agg(sum(col("__c")).as("__in"))
-        val next = vertsDeg
-          .join(contribs, Seq("__v"), "left")
-          .crossJoin(broadcast(dangling))
+        val joined = vertsDeg.join(contribs, Seq("__v"), "left")
+        val withDm = danglingMass match {
+          case Some(dm) => joined.withColumn("__dm", lit(dm))
+          case None => joined.crossJoin(broadcast(ranks.filter(col("__deg").isNull)
+            .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))))
+        }
+        val next = withDm
           .select(col("__v"), col("__deg"),
             (lit((1.0 - damping) / n) +
               lit(damping) * (coalesce(col("__in"), lit(0.0)) + col("__dm") / n))
@@ -340,8 +404,19 @@ object Graph {
         // last: the scratch caches unpersist in finally, so the
         // returned frame must not reference them lazily) — same
         // arithmetic per round, k× fewer driver round-trips
-        ranks = if (i % CheckpointEvery == 0 || i == iters)
-          next.localCheckpoint(true) else next
+        if (i % CheckpointEvery == 0 || i == iters) {
+          val obs = Observation()
+          val observed = next.observe(obs, dmMetric)
+          ranks = observed.localCheckpoint(true)
+          danglingMass = Some(awaitObserved(obs).getAs[Double]("__dm"))
+          // plan-evidence hook (dev only): dump the round-1 loop-body
+          // plan AFTER execution so AQE's final stages are visible —
+          // how plans/r*/q_pagerank_iteration_*.txt are produced
+          if (i == 1 && sys.env.contains("SPARK_GRAFT_GRAPH_EXPLAIN"))
+            System.err.println("[graph] pageRank round-1 executed plan:\n" +
+              observed.queryExecution.explainString(
+                org.apache.spark.sql.execution.FormattedMode))
+        } else { ranks = next; danglingMass = None }
       }
       ranks.select(col("__v").as("vertex"), col("rank"))
     } finally {
@@ -459,23 +534,35 @@ object Graph {
       // release the raw edge cache before the loop (§5, see pageRank)
       eDeg.count()
       e.unpersist()
-      var ranks = vertsDeg.withColumn("rank", seedMass).localCheckpoint(true)
+      // dangling mass observed during each round's checkpoint — same
+      // fold as [[pageRank]] (the separate agg+broadcast pass per
+      // round disappears; un-checkpointed batched rounds keep it)
+      val dmMetric = coalesce(sum(when(col("__deg").isNull, col("rank"))), lit(0.0)).as("__dm")
+      val obs0 = Observation()
+      var ranks = vertsDeg.withColumn("rank", seedMass)
+        .observe(obs0, dmMetric).localCheckpoint(true)
+      var danglingMass: Option[Double] = Some(awaitObserved(obs0).getAs[Double]("__dm"))
       (1 to iters).foreach { i =>
-        val dangling = ranks.filter(col("__deg").isNull)
-          .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
         val contribs = eDeg
           .join(ranks.select(col("__v").as("__s"), col("rank")), Seq("__s"))
           .select(col("__d").as("__v"), (col("rank") / col("__deg")).as("__c"))
           .groupBy(col("__v")).agg(sum(col("__c")).as("__in"))
-        val next = vertsDeg
-          .join(contribs, Seq("__v"), "left")
-          .crossJoin(broadcast(dangling))
+        val joined = vertsDeg.join(contribs, Seq("__v"), "left")
+        val withDm = danglingMass match {
+          case Some(dm) => joined.withColumn("__dm", lit(dm))
+          case None => joined.crossJoin(broadcast(ranks.filter(col("__deg").isNull)
+            .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))))
+        }
+        val next = withDm
           .select(col("__v"), col("__deg"),
             ((lit(1.0 - damping) + lit(damping) * col("__dm")) * seedMass +
               lit(damping) * coalesce(col("__in"), lit(0.0))).as("rank"))
         // batched checkpoints, see pageRank (always on the last round)
-        ranks = if (i % CheckpointEvery == 0 || i == iters)
-          next.localCheckpoint(true) else next
+        if (i % CheckpointEvery == 0 || i == iters) {
+          val obs = Observation()
+          ranks = next.observe(obs, dmMetric).localCheckpoint(true)
+          danglingMass = Some(awaitObserved(obs).getAs[Double]("__dm"))
+        } else { ranks = next; danglingMass = None }
       }
       ranks.select(col("__v").as("vertex"), col("rank"))
     } finally {

@@ -361,6 +361,64 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("pageRank folds the dangling-mass pass into each round's checkpoint") {
+    // r17: the dangling sum is observe()d during the round's own
+    // checkpoint and re-enters as a literal — the loop-body plan must
+    // carry the CollectMetrics node and must NOT contain the old
+    // agg-into-broadcast cross join (BroadcastNestedLoopJoin), which
+    // was a full extra pass over the vertex table per iteration.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val plans = scala.collection.mutable.Buffer[(String, SparkPlan)]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             d: Long): Unit =
+        plans.synchronized { plans += ((f, qe.executedPlan)); () }
+      override def onFailure(f: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // vertex 2 is a dangling sink, so the dangling mass is nonzero
+      val edges = Seq((1L, 2L), (3L, 2L), (3L, 1L)).toDF("src", "dst")
+      val got = Graph.pageRank(edges, "src", "dst", iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val want = refPageRank(Seq((1L, 2L), (3L, 2L), (3L, 1L)), 3)
+      got.foreach { case (v, p) => assert(math.abs(p - want(v)) < 1e-12, s"vertex $v") }
+      var last = -1
+      var cur = plans.synchronized(plans.size)
+      val deadline = System.nanoTime() + 10000000000L
+      while (cur != last && System.nanoTime() < deadline) {
+        last = cur; Thread.sleep(200); cur = plans.synchronized(plans.size)
+      }
+      def expand(p: SparkPlan): Seq[SparkPlan] = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case r: ReusedExchangeExec => Seq(r.child)
+          case _ => p.children
+        }
+        p +: kids.flatMap(expand)
+      }
+      val loop = plans.synchronized(
+        plans.filter(_._1.toLowerCase.contains("checkpoint")).map(_._2).toSeq)
+      assert(loop.size >= 4, // init + 3 rounds
+        s"expected >=4 checkpoint plans, got ${loop.size}")
+      val nodes = loop.flatMap(expand)
+      assert(nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.CollectMetricsExec]),
+        "checkpoint plans must observe the dangling metric inline")
+      val crossJoins = nodes.filter(p =>
+        p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec] ||
+          p.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec])
+      assert(crossJoins.isEmpty,
+        s"per-round dangling cross join should be gone:\n${crossJoins.mkString("\n")}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("loopPartitions: ~2M rows/partition with a parallelism floor, monotonic, capped") {
     val par = math.max(spark.sparkContext.defaultParallelism.toLong,
       spark.conf.get("spark.sql.shuffle.partitions").toLong)
